@@ -1,0 +1,144 @@
+"""The engine: stateless SQL over a Parquet data lake.
+
+Re-expresses the reference's Lambda handler
+(``/root/reference/src/serverless/app.py:27-85``) as a library class:
+
+- ``register(name, path)``  — path-addressed tables, no catalog
+  (reference tables are raw S3 paths, ``quack.py:145``; a registry
+  replaces path-typing, listed as future work at ``README.md:190``).
+- ``sql(query, limit)``     — run arbitrary SQL, cap the result
+  (``app.py:51,54``), return a JSON-safe envelope
+  ``{metadata: {timeMs, eventId, query, warm}, data: {records}}``
+  (``app.py:70-85``) with timestamps stringified (``app.py:61-67``).
+- ``df(query)``             — the same query surface returning a lazy
+  DataFrame (the scale path: nothing is collected).
+
+Unlike the reference — which executes the FULL query and then truncates
+the pandas result (``app.py:51-54``) — ``limit`` here is pushed into
+the plan (Spark ``CollectLimitExec`` / ``TakeOrderedAndProject``), so
+the cap also bounds compute, not just the payload.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from quack_reduce_spark import session as _session
+
+DEFAULT_LIMIT = 20  # reference default row cap, app.py:9
+
+
+@dataclass
+class QueryResult:
+    """Envelope mirroring the reference's wrap_response (app.py:70-85)."""
+
+    records: list[dict[str, Any]]
+    metadata: dict[str, Any]
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"metadata": self.metadata, "data": {"records": self.records}}
+
+
+@dataclass
+class Engine:
+    """A stateless lake query engine on a (warm-reused) SparkSession."""
+
+    spark: SparkSession | None = None
+    tables: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self._was_warm = _session.is_warm() or self.spark is not None
+        if self.spark is None:
+            self.spark = _session.get_spark()
+
+    # -- table registry (path-addressed lake, no persistent catalog) ----
+
+    def register(self, name: str, path: str, fmt: str = "parquet", **options: str) -> DataFrame:
+        """Register a lake path (file or hive-partitioned dir) as a view.
+
+        Partition discovery is automatic for directories, matching the
+        reference's HIVE_PARTITIONING=1 scans (benchmark.py:138,166).
+        """
+        reader = self.spark.read.options(**options)
+        df = reader.format(fmt).load(path)
+        df.createOrReplaceTempView(name)
+        self.tables[name] = path
+        return df
+
+    def register_dir(self, root: str, names: list[str], fmt: str = "parquet") -> None:
+        """Register ``root/{name}.parquet`` for each name (fixture layout)."""
+        ext = "" if fmt == "delta" else f".{fmt}"
+        for name in names:
+            self.register(name, f"{root.rstrip('/')}/{name}{ext}", fmt=fmt)
+
+    # -- query surface --------------------------------------------------
+
+    def df(self, query: str) -> DataFrame:
+        """Arbitrary SQL → lazy DataFrame (the reference's app.py:51)."""
+        return self.spark.sql(query)
+
+    def sql(self, query: str, limit: int | None = DEFAULT_LIMIT) -> QueryResult:
+        """Run SQL, cap rows, return the JSON-safe metadata envelope."""
+        start = time.time()
+        df = self.spark.sql(query)
+        if limit is not None:
+            df = df.limit(limit)
+        records = _records_json_safe(df)
+        took_ms = (time.time() - start) * 1000.0
+        metadata = {
+            "timeMs": took_ms,
+            "eventId": str(uuid.uuid4()),
+            "query": query,
+            "warm": self._was_warm,
+        }
+        self._was_warm = True
+        return QueryResult(records=records, metadata=metadata)
+
+    # -- sinks (reference run_me_first.py:83-100 / dbt external) --------
+
+    def write_partitioned(self, df: DataFrame, path: str, partition_by: list[str], mode: str = "overwrite") -> None:
+        """Hive-partitioned parquet sink (reference run_me_first.py:94-98)."""
+        df.write.partitionBy(*partition_by).mode(mode).parquet(path)
+
+    def materialize(self, df: DataFrame, path: str, mode: str = "overwrite") -> None:
+        """Single-artifact materialized view (reference dbt
+        ``materialized='external'``, top_pickup_locations.sql:1).
+
+        ``coalesce(1)`` so the artifact is one file — only for small
+        aggregate results; large outputs should use write_partitioned.
+        """
+        df.coalesce(1).write.mode(mode).parquet(path)
+
+    def create_view(self, name: str, query: str) -> DataFrame:
+        """SQL view composition (reference dbt ref()/view models)."""
+        df = self.spark.sql(query)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def cache_table(self, name: str) -> None:
+        """Pin a hot table in memory (reference README.md:188 future work)."""
+        self.spark.catalog.cacheTable(name)
+
+
+def _records_json_safe(df: DataFrame) -> list[dict[str, Any]]:
+    """Rows as JSON-safe dicts; timestamps/dates → str (app.py:61-67)."""
+    import datetime
+    import decimal
+
+    def conv(v: Any) -> Any:
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return str(v)
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, bytearray):
+            return bytes(v).hex()
+        if isinstance(v, bytes):
+            return v.hex()
+        return v
+
+    return [{k: conv(v) for k, v in row.asDict(recursive=True).items()} for row in df.collect()]

@@ -1,0 +1,109 @@
+"""Similarity-search inventory over the embeddings table (north-star).
+
+sim_cosine_topk (exact brute force) has a DuckDB oracle
+(list_dot_product-based cosine, identical formula + rounding + rank
+tiebreak). sim_lsh_topk is rows-only (deterministic seeded hyperplanes
+are not SQL-portable); its recall vs brute force is unit-tested.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from quack_reduce_spark.inventory._util import load, rnd
+from quack_reduce_spark.operators import similarity as S
+
+EMBED_DIM = 64
+N_QUERIES = 5
+TOP_K = 5
+
+
+def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "embedding")
+    return queries, corpus
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 5 vectors as queries."""
+    queries, corpus = _split(spark, sf_dir)
+    return S.cosine_topk(queries, corpus, k=TOP_K)
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-5 (rows-only driver check;
+    recall vs brute force asserted in tests/test_similarity.py)."""
+    queries, corpus = _split(spark, sf_dir)
+    return S.lsh_topk(queries, corpus, dim=EMBED_DIM, k=TOP_K)
+
+
+def sim_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-vector norm — array aggregate over groups, fully
+    JVM-side: aggregate component sums via posexplode + groupBy."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    ).select("label", "pos", F.col("val").cast("double").alias("val"))
+    centroid = comp.groupBy("label", "pos").agg(
+        F.avg("val").alias("mean_val"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        centroid.groupBy("label")
+        .agg(
+            rnd(F.sqrt(F.sum(F.col("mean_val") * F.col("mean_val"))), 6).alias("centroid_norm"),
+            F.max("n").alias("n_vectors"),
+        )
+    )
+
+
+QUERIES = {
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_lsh_topk": sim_lsh_topk,
+    "sim_label_centroid_norm": sim_label_centroid_norm,
+}
+
+
+ORACLES = {
+    "sim_cosine_topk": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id >= {N_QUERIES}
+        ),
+        scored AS (
+            SELECT query_id, vec_id,
+                   FLOOR((list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))) * 1e6 + 0.5) / 1e6 AS cos_sim
+            FROM q, c
+        )
+        SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT query_id, vec_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+            FROM scored
+        )
+        WHERE rank <= {TOP_K}
+    """,
+    "sim_label_centroid_norm": """
+        WITH comp AS (
+            SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+            FROM embeddings, generate_series(1, 64) t(i)
+        ),
+        centroid AS (
+            SELECT label, pos, AVG(val) AS mean_val, COUNT(*) AS n
+            FROM comp GROUP BY label, pos
+        )
+        SELECT label,
+               FLOOR((SQRT(SUM(mean_val * mean_val))) * 1e6 + 0.5) / 1e6 AS centroid_norm,
+               MAX(n) AS n_vectors
+        FROM centroid GROUP BY label
+    """,
+}

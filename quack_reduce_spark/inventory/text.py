@@ -1,0 +1,110 @@
+"""Text-analysis inventory over the documents table (north-star ops).
+
+Each query is a JVM-side expression pipeline (functions/text.py) with an
+exact DuckDB-SQL oracle. The shared STOPWORDS list is inlined into the
+SQL so both engines compute the identical closed form.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from quack_reduce_spark.functions import text as T
+from quack_reduce_spark.inventory._util import load
+
+_SW_SQL = "('the', 'a', 'and', 'of', 'to')"  # == functions.text.STOPWORDS
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + mean token length per doc."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.mean_token_len(F.col("text")).alias("mean_token_len"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + heuristic quality in [0,1]."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.stopword_count(F.col("text")).alias("n_stopwords"),
+        T.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column, aggregated."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text; duplicate-group
+    sizes per fingerprint."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+}
+
+
+ORACLES = {
+    "text_token_stats": """
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+               FLOOR((
+                   CAST(list_aggregate(list_transform(string_split_regex(trim(text), '\\s+'), t -> CAST(length(t) AS INT)), 'sum') AS DOUBLE)
+                   / len(string_split_regex(trim(text), '\\s+'))) * 1e4 + 0.5) / 1e4 AS mean_token_len
+        FROM documents
+    """,
+    "text_quality": """
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS n_sw
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_sw AS INT) AS n_stopwords,
+               FLOOR((CAST(n_sw AS DOUBLE) / n_tok) * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+               FLOOR(((LEAST(CAST(n_tok AS DOUBLE) / 50.0, 1.0)
+                      + (1.0 - LEAST(ABS(FLOOR((CAST(n_sw AS DOUBLE) / n_tok) * 1e6 + 0.5) / 1e6 - 0.4) * 2.0, 1.0))) / 2.0) * 1e6 + 0.5) / 1e6 AS quality
+        FROM t
+    """,
+    "text_lang_id": """
+        WITH t AS (
+            SELECT lang,
+                   CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                             x -> x IN ('the', 'a', 'and', 'of', 'to'))) >= 2
+                        THEN 'en' ELSE 'unk' END AS pred_lang
+            FROM documents
+        )
+        SELECT lang, pred_lang, COUNT(*) AS n FROM t GROUP BY lang, pred_lang
+    """,
+    "text_fingerprint": """
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               MIN(doc_id) AS first_doc,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+}

@@ -1,0 +1,176 @@
+"""Time-series / windowing inventory (events table).
+
+The reference has no streaming surface (SURVEY §2 Tier C — verified
+absence); these operators are the north-star additions, implemented
+batch-first with Spark's time-window primitives so the exact same
+expressions lift to Structured Streaming (see
+quack_reduce_spark.streaming). Every batch form is DuckDB-oracle
+testable; the streaming forms are unit-tested separately.
+
+Scale notes: ``window()``/``session_window()`` group-bys are ordinary
+partial/final hash aggregates — they scale like any groupBy. The as-of
+join is one shuffle + one per-partition sort (see operators/asof.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from quack_reduce_spark.inventory._util import load, rnd
+from quack_reduce_spark.operators.asof import asof_join
+
+
+def ts_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregate."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window(F.col("ts"), "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def ts_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour length, 30-minute slide (each event lands
+    in two windows)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def ts_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window with a 5-minute inactivity gap, per user.
+
+    Spark semantics: events merge while the next event starts before
+    last_ts + gap; the oracle reproduces this with a gaps-and-islands
+    window (break when the gap from the previous event is >= 5 min).
+    """
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window(F.col("ts"), "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the latest at-or-before purchase value
+    of the same user (operators/asof.py composite; the reference dialect
+    has ASOF JOIN as a Tier-B feature via its SQL passthrough).
+    """
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_value"],
+        suffix="",
+    )
+    return joined.select("event_id", "user_id", "purchase_value")
+
+
+def ts_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type rollup — the hypertable-style continuous-aggregate
+    shape (date_trunc + groupBy), the batch half of a streaming rollup."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+QUERIES = {
+    "ts_tumbling_window": ts_tumbling_window,
+    "ts_sliding_window": ts_sliding_window,
+    "ts_session_window": ts_session_window,
+    "ts_asof_join": ts_asof_join,
+    "ts_date_rollup": ts_date_rollup,
+}
+
+
+ORACLES = {
+    "ts_tumbling_window": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               COUNT(*) AS n_events,
+               FLOOR((SUM(value)) * 1e4 + 0.5) / 1e4 AS sum_value
+        FROM events GROUP BY 1
+    """,
+    "ts_sliding_window": """
+        WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b0 FROM events),
+        expanded AS (
+            SELECT b0 AS ws FROM b
+            UNION ALL
+            SELECT b0 - INTERVAL '30 minutes' AS ws FROM b
+        )
+        SELECT ws AS window_start, COUNT(*) AS n_events
+        FROM expanded GROUP BY 1
+    """,
+    "ts_session_window": """
+        WITH d AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '5 minutes'
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM d
+        )
+        SELECT user_id, MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               FLOOR((SUM(value)) * 1e4 + 0.5) / 1e4 AS sum_value
+        FROM s GROUP BY user_id, sid
+    """,
+    "ts_asof_join": """
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id, ts, MAX(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        )
+        SELECT c.event_id, c.user_id, p.purchase_value
+        FROM clicks c
+        ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "ts_date_rollup": """
+        SELECT date_trunc('day', ts) AS day, event_type,
+               COUNT(*) AS n,
+               FLOOR((AVG(value)) * 1e4 + 0.5) / 1e4 AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
+}

@@ -1,0 +1,117 @@
+"""Binary-column processors for multimodal data.
+
+Pattern (the part that matters at 100 TB): binary payloads ride in
+ordinary parquet ``binary`` columns; decode / feature-extract runs as
+``mapInPandas`` — Arrow-batched, zero-copy into pandas, one Python
+worker per partition, never a row-at-a-time UDF. Output schemas are
+explicit StructTypes so downstream relational ops stay fully typed.
+
+REAL DECODERS ARE STUBBED: this environment has no image/audio libs.
+``decode_image_meta(..., fake=True)`` (the default here) derives
+deterministic pseudo-metadata from the payload bytes so the plumbing
+(batching, schema, partition behavior) is testable end-to-end;
+``fake=False`` raises NotImplementedError where PIL would be called.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary payload column (UTF-8 bytes here;
+    in production this is the raw image/audio blob read from the lake).
+    """
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic pseudo image header derived from content bytes —
+    stands in for PIL.Image.open(...) which is unavailable here."""
+    digest = hashlib.md5(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    mode = ["RGB", "RGBA", "L"][digest[2] % 3]
+    return width, height, mode
+
+
+def decode_image_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", fake: bool = True) -> DataFrame:
+    """Arrow-batched decode of binary payloads → typed metadata rows.
+
+    mapInPandas: each partition arrives as an iterator of pandas
+    batches; output conforms to IMAGE_META_SCHEMA. No shuffle — runs
+    scan-side wherever the payload partitions already live.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires PIL/libvips — not available in this environment"
+                )
+            decoded = [_fake_decode(bytes(p)) for p in batch[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch[id_col].astype("int64"),
+                    "n_bytes": [len(bytes(p)) for p in batch[payload_col]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mode": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(process, IMAGE_META_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64, id_col: str = "doc_id", payload_col: str = "payload", fake: bool = True) -> DataFrame:
+    """Frame sampling stub: emit every Nth chunk of the payload as a
+    'frame' (stands in for ffmpeg keyframe extraction — one input row
+    fans out to many typed frame rows, the real plumbing pattern)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg bindings — not available here"
+                )
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                data = bytes(payload)
+                for i, off in enumerate(range(0, len(data), every_n_bytes)):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    frames.append(data[off : off + every_n_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(process, FRAME_SCHEMA)

@@ -1,0 +1,70 @@
+"""As-of join: for each left row, the latest right row at-or-before it.
+
+The reference's dialect exposes ``ASOF JOIN`` as a Tier-B feature
+(SURVEY §2, reachable via the reference's ``app.py:51`` SQL
+passthrough); Spark has no single primitive, so this is the documented
+composite (SURVEY §7 "custom composites"):
+
+    union(left-tagged, right-tagged)
+      → window last(right_value, ignorenulls=True)
+          over (partition by keys order by ts, side)
+      → keep left rows
+
+Scale notes: one shuffle on (keys), one window sort per partition —
+the same cost as a sort-merge join. No cross product, no range
+explosion; skewed keys can be salted upstream. Right rows sort before
+left rows at equal ts (side=0 < 1) so an exact-ts match is taken,
+i.e. the match predicate is ``right.ts <= left.ts``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join. Returns all left columns + ``{v}{suffix}`` for
+    each value col: the value from the latest right row with
+    ``right_ts <= left_ts`` matching on ``on`` (NULL if none).
+    """
+    from pyspark.sql import Window
+
+    left_cols = left.columns
+    tagged_left = left.select(
+        *[F.col(c) for c in left_cols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__v_{v}") for v in value_cols],
+    )
+    tagged_right = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in on],
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in left_cols],
+        F.col("__side"),
+        *[
+            F.last(F.col(f"__v_{v}"), ignorenulls=True).over(w).alias(f"{v}{suffix}")
+            for v in value_cols
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")

