@@ -72,13 +72,37 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) exploded pairs for docs with >= n tokens."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    return (
-        df.filter(F.size(words) >= n)
-        .select(F.col(id_col).alias("doc"), F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+def _shingle_table(
+    df: DataFrame, text_col: str, id_col: str, n: int, hashed: bool = False
+) -> DataFrame:
+    """(doc, sh) distinct-shingle pairs for docs with >= n tokens.
+
+    Fully relational: posexplode tokens ONCE, assemble n-grams with
+    lead() windows, dedupe with a distinct. The array-expression
+    alternative (transform over element_at(words, i)) re-inlines the
+    regex split into every element access under Catalyst's projection
+    collapse — O(tokens^2) per document — which is why it's not used.
+
+    ``hashed=True`` emits sh as xxhash64(shingle) int64 — the self-join
+    then shuffles/compares longs, the scale path (collision odds across
+    ~10^6 distinct shingles are ~1e-7; a collision would merge two
+    shingles for both docs symmetrically)."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
     )
+    win = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(win) for j in range(1, n)]
+    sh = (
+        tok.select("doc", F.concat_ws(" ", *parts).alias("sh"), F.lead("w", n - 1).over(win).alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .drop("__last")
+    )
+    if hashed:
+        sh = sh.select("doc", F.xxhash64("sh").alias("sh"))
+    return sh.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -96,7 +120,7 @@ def ngram_jaccard_pairs(
     that many docs (posting-list cap for scale); None keeps all, which
     is required for exact oracle parity.
     """
-    sh = _shingle_table(df, text_col, id_col, n)
+    sh = _shingle_table(df, text_col, id_col, n, hashed=True)
     if max_doc_freq is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
         sh = sh.join(F.broadcast(freq.filter(F.col("df_") <= max_doc_freq).select("sh")), "sh")
@@ -155,21 +179,40 @@ def minhash_lsh_pairs(
     groupBys (linear), never an all-pairs product.
     """
     rows_per_band = num_hashes // bands
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    docs = df.filter(F.size(words) >= n).select(
-        F.col(id_col).alias("doc"), F.col(text_col).alias("__text")
+    # Relational MinHash: explode shingles ONCE, cross with a literal
+    # 32-row permutation table, min-aggregate per (doc, perm). A pure
+    # column-expression signature (32 nested array_min(transform(...)))
+    # gets the shingle pipeline re-inlined into every permutation by
+    # Catalyst's projection collapse — O(perms x shingles x split) per
+    # row. This shape is one shingle scan + one vectorized hash
+    # aggregate, and it partial-aggregates map-side like any groupBy.
+    sh = _shingle_table(df, text_col, id_col, n, hashed=True)
+    hashed = sh.select("doc", F.shiftrightunsigned("sh", 32).alias("h"))
+    perm_table = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for i, (a, b) in enumerate(_perm_consts(num_hashes))
+        ]
     )
-    sig = docs.select("doc", "__text", minhash_signature(F.col("__text"), n, num_hashes).alias("sig"))
-
-    band_rows = []
-    for b_i in range(bands):
-        band_key = F.xxhash64(
-            *[F.element_at(F.col("sig"), b_i * rows_per_band + j + 1) for j in range(rows_per_band)]
+    expanded = hashed.select("doc", "h", F.explode(perm_table).alias("p"))
+    mins = expanded.groupBy("doc", F.col("p.i").alias("i")).agg(
+        F.min(F.col("p.a") * F.col("h") + F.col("p.b")).alias("mv")
+    )
+    banded = (
+        mins.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "mv"))),
+                        lambda s: s["mv"].cast("string"),
+                    ),
+                )
+            ).alias("bkey")
         )
-        band_rows.append(sig.select("doc", F.lit(b_i).alias("band"), band_key.alias("bkey")))
-    banded = band_rows[0]
-    for extra in band_rows[1:]:
-        banded = banded.unionByName(extra)
+    )
 
     left = banded.select("band", "bkey", F.col("doc").alias("doc1"))
     right = banded.select("band", "bkey", F.col("doc").alias("doc2"))

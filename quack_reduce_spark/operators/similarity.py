@@ -115,18 +115,30 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
+    probe_bits: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates = corpus vectors in the query's
-    sign-LSH bucket, exact cosine rerank inside the bucket.
+    """Approximate top-k: candidates = corpus vectors whose sign-LSH
+    bucket is within Hamming distance ``probe_bits`` of the query's
+    bucket (multi-probe LSH), exact cosine rerank inside.
 
     Returns (query_id, vec_id, cos_sim, rank) — possibly fewer than k
-    rows per query (LSH recall tradeoff). The bucket join shuffles on
-    an 8-bit key; at scale use more planes + multi-probe.
+    rows per query (recall tradeoff; on isotropic random vectors recall
+    is inherently low — LSH pays off when the corpus is clustered).
+    The bucket join shuffles on the bucket key; candidates per query =
+    (1 + n_planes) / 2^n_planes of the corpus at probe_bits=1.
     """
+    probe_offsets = [0] + ([1 << p for p in range(n_planes)] if probe_bits >= 1 else [])
     q = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(vec_col).alias("__qvec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("__bucket"),
+        F.explode(
+            F.array(
+                *[
+                    lsh_bucket(F.col(vec_col), dim, n_planes).bitwiseXOR(F.lit(off))
+                    for off in probe_offsets
+                ]
+            )
+        ).alias("__bucket"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("__cid"),

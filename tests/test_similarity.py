@@ -1,0 +1,84 @@
+"""Similarity search: crafted geometry + LSH recall vs brute force."""
+
+from __future__ import annotations
+
+import pytest
+
+from quack_reduce_spark.inventory._util import load
+from quack_reduce_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_ordering(crafted):
+    queries = crafted.filter("vec_id = 0").withColumnRenamed("vec_id", "query_id")
+    corpus = crafted.filter("vec_id != 0")
+    out = S.cosine_topk(queries, corpus, k=3).orderBy("rank").collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+    assert out[0]["cos_sim"] > 0.99
+    assert abs(out[1]["cos_sim"]) < 1e-6
+    assert out[2]["cos_sim"] == -1.0
+
+
+def test_lsh_recall_on_clustered_data(spark):
+    # Sign-LSH pays off on clustered corpora (the fixture embeddings
+    # are isotropic random — within-label cos ~= 0 — where no LSH can
+    # recall well). Build 10 tight clusters; top-1 must be recalled.
+    import math
+    import random
+
+    rng = random.Random(7)
+    centroids = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(10)]
+    rows = []
+    vid = 0
+    for label, c in enumerate(centroids):
+        for _ in range(20):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in c]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id % 20 = 0").withColumnRenamed("vec_id", "query_id")
+    corpus = df.filter("vec_id % 20 != 0")
+    brute_top1 = {
+        r["query_id"]: r["vec_id"] for r in S.cosine_topk(queries, corpus, k=1).collect()
+    }
+    lsh_top1 = {
+        r["query_id"]: r["vec_id"]
+        for r in S.lsh_topk(queries, corpus, dim=16, k=1).collect()
+    }
+    hits = sum(1 for q, v in lsh_top1.items() if brute_top1.get(q) == v)
+    assert hits >= math.ceil(0.8 * len(brute_top1))
+
+
+def test_lsh_scores_match_brute_for_returned_pairs(spark, sf_dir):
+    # On any corpus: whatever pairs LSH returns, the cosine must equal
+    # the brute-force cosine (rerank is exact).
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter("vec_id >= 5")
+    brute = {
+        (r["query_id"], r["vec_id"]): r["cos_sim"]
+        for r in S.cosine_topk(queries, corpus, k=1000).collect()
+    }
+    for r in S.lsh_topk(queries, corpus, dim=64, k=5).collect():
+        key = (r["query_id"], r["vec_id"])
+        assert key in brute and brute[key] == r["cos_sim"]
+
+
+def test_dot_and_norm(crafted):
+    import pyspark.sql.functions as F
+
+    row = (
+        crafted.filter("vec_id = 1")
+        .select(S.l2_norm(F.col("embedding")).alias("n"))
+        .collect()[0]
+    )
+    assert abs(row["n"] - (0.9**2 + 0.1**2) ** 0.5) < 1e-6

@@ -1,0 +1,63 @@
+"""Structured Streaming: stream results must equal batch results on the
+same input files (the only oracle available for streaming — the
+reference has no streaming surface at all, SURVEY §2 Tier C)."""
+
+from __future__ import annotations
+
+import pytest
+
+from quack_reduce_spark.inventory._util import load
+from quack_reduce_spark.streaming import (
+    read_event_stream,
+    run_stream_to_memory,
+    session_counts,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, sf_dir, tmp_path_factory):
+    """Re-write fixture events as a 4-file directory (µs timestamps) so
+    the file stream processes multiple triggers."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    events = load(spark, sf_dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(d)
+    return d, events
+
+
+def test_tumbling_stream_equals_batch(spark, event_files):
+    path, batch_events = event_files
+    schema = batch_events.schema
+    stream = read_event_stream(spark, path, schema, max_files_per_trigger=2)
+    run_stream_to_memory(tumbling_counts(stream), "t_tumble", mode="complete")
+    got = {
+        (r["window_start"], r["n_events"], r["sum_value"])
+        for r in spark.table("t_tumble").collect()
+    }
+    want = {
+        (r["window_start"], r["n_events"], r["sum_value"])
+        for r in tumbling_counts(batch_events).collect()
+    }
+    assert got == want and len(got) > 100
+
+
+def test_session_stream_equals_batch(spark, event_files):
+    path, batch_events = event_files
+    stream = read_event_stream(spark, path, batch_events.schema, max_files_per_trigger=2)
+    run_stream_to_memory(session_counts(stream), "t_sess", mode="complete")
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.table("t_sess").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in session_counts(batch_events).collect()
+    }
+    assert got == want and len(got) > 100
+
+
+def test_watermark_present_in_stream_plan(spark, event_files):
+    path, batch_events = event_files
+    stream = read_event_stream(spark, path, batch_events.schema)
+    agg = tumbling_counts(stream, watermark="30 minutes")
+    assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
