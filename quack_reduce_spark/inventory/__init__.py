@@ -25,12 +25,13 @@ from quack_reduce_spark.inventory import (
     dedup,
     multimodal,
     relational,
+    relational2,
     similarity,
     text,
     timeseries,
 )
 
-_MODULES = [relational, timeseries, text, dedup, similarity, multimodal]
+_MODULES = [relational, relational2, timeseries, text, dedup, similarity, multimodal]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
