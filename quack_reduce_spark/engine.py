@@ -62,10 +62,12 @@ class Engine:
         """Register a lake path (file or hive-partitioned dir) as a view.
 
         Partition discovery is automatic for directories, matching the
-        reference's HIVE_PARTITIONING=1 scans (benchmark.py:138,166).
+        reference's HIVE_PARTITIONING=1 scans (benchmark.py:138,166);
+        nanos-timestamp parquet is normalized (see sources module).
         """
-        reader = self.spark.read.options(**options)
-        df = reader.format(fmt).load(path)
+        from quack_reduce_spark.sources import read_table
+
+        df = read_table(self.spark, path, fmt=fmt, **options)
         df.createOrReplaceTempView(name)
         self.tables[name] = path
         return df

@@ -1,0 +1,48 @@
+"""Lake source readers (SURVEY §2 A1/A2 scans + format coverage).
+
+``read_parquet_table`` is the canonical path-addressed scan. It also
+absorbs a real-world lake wart: parquet files written with
+TIMESTAMP(NANOS) (pandas/pyarrow default), which Spark's vectorized
+reader rejects outright. Those columns are read as nanos-since-epoch
+longs (legacy conf, runtime-settable) and truncated to microsecond
+TimestampType — the same truncation DuckDB applies reading nanos into
+its µs TIMESTAMP, so differential oracles see identical instants.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.utils import AnalysisException
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Names of timestamp[ns] columns per the parquet footer."""
+    import pyarrow.dataset as ds
+
+    schema = ds.dataset(path, format="parquet").schema
+    return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (file or hive-partitioned dir) with nanos fallback."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "TIMESTAMP(NANOS" not in str(e):
+            raise
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for name in _nanos_columns(path):
+        df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
+    return df
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet", **options: str) -> DataFrame:
+    """Format-dispatching lake read (parquet/csv/json/orc/text)."""
+    if fmt == "parquet":
+        return read_parquet_table(spark, path)
+    reader = spark.read.options(**options)
+    if fmt == "csv" and "header" not in options:
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    return reader.format(fmt).load(path)

@@ -1,0 +1,71 @@
+"""Source/sink format coverage (SURVEY §2 Tier B scans/sinks): the
+reference dialect reads parquet/csv/json (via app.py:51 passthrough);
+here every format round-trips through the engine with schema fidelity.
+Also pins the TIMESTAMP(NANOS) normalization (sources module)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from quack_reduce_spark.inventory._util import load
+from quack_reduce_spark.sources import read_parquet_table, read_table
+
+
+@pytest.fixture(scope="module")
+def sample(spark, sf_dir):
+    return load(spark, sf_dir, "orders").limit(200)
+
+
+def test_csv_round_trip(spark, sample, tmp_path):
+    p = str(tmp_path / "orders_csv")
+    sample.write.option("header", "true").mode("overwrite").csv(p)
+    back = read_table(spark, p, fmt="csv")
+    assert back.count() == 200
+    assert set(back.columns) == set(sample.columns)
+    got = back.agg(F.sum("o_orderkey").alias("s")).collect()[0]["s"]
+    want = sample.agg(F.sum("o_orderkey").alias("s")).collect()[0]["s"]
+    assert got == want
+
+
+def test_json_round_trip(spark, sample, tmp_path):
+    p = str(tmp_path / "orders_json")
+    sample.write.mode("overwrite").json(p)
+    back = read_table(spark, p, fmt="json")
+    assert back.count() == 200
+    got = back.agg(F.sum("o_totalprice").alias("s")).collect()[0]["s"]
+    want = sample.agg(F.sum("o_totalprice").alias("s")).collect()[0]["s"]
+    assert abs(got - want) < 1e-6
+
+
+def test_orc_round_trip(spark, sample, tmp_path):
+    p = str(tmp_path / "orders_orc")
+    sample.write.mode("overwrite").orc(p)
+    back = read_table(spark, p, fmt="orc")
+    assert back.count() == 200
+    assert back.schema == sample.schema
+
+
+def test_nanos_timestamp_normalization(spark, sf_dir):
+    # events.parquet is TIMESTAMP(NANOS); reader must deliver µs
+    # TimestampType with DuckDB-identical truncation
+    import duckdb
+
+    events = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    assert events.schema["ts"].dataType.typeName() == "timestamp"
+    got = events.agg(F.min("ts").alias("m")).collect()[0]["m"]
+    want = duckdb.sql(
+        f"SELECT MIN(ts) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_partitioned_dir_scan_exposes_partition_column(spark, sample, tmp_path):
+    # reference A2: HIVE_PARTITIONING=1 glob scan -> partition discovery
+    p = str(tmp_path / "orders_part")
+    sample.withColumn("yr", F.year("o_orderdate")).write.partitionBy("yr").mode(
+        "overwrite"
+    ).parquet(p)
+    back = read_table(spark, p)
+    assert "yr" in back.columns
+    assert back.select("yr").distinct().count() >= 2
