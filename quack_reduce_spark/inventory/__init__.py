@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from quack_reduce_spark.inventory import (
+    approx,
     dedup,
     multimodal,
     relational,
@@ -29,9 +30,20 @@ from quack_reduce_spark.inventory import (
     similarity,
     text,
     timeseries,
+    tpch,
 )
 
-_MODULES = [relational, relational2, timeseries, text, dedup, similarity, multimodal]
+_MODULES = [
+    relational,
+    relational2,
+    tpch,
+    timeseries,
+    text,
+    dedup,
+    similarity,
+    multimodal,
+    approx,
+]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

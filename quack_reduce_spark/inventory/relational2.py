@@ -211,7 +211,7 @@ def b2_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.first_value(F.col("o_orderkey")).over(w).alias("first_order"),
         F.last_value(F.col("o_orderkey")).over(w).alias("last_order"),
-        F.nth_value(F.col("o_orderkey"), 2).over(w).alias("second_order"),
+        F.coalesce(F.nth_value(F.col("o_orderkey"), 2).over(w), F.lit(-1)).alias("second_order"),
         F.lead(F.col("o_orderkey"), 1, -1).over(w_seq).alias("next_order"),
     )
 
@@ -388,7 +388,7 @@ ORACLES = {
         SELECT o_orderkey, o_custkey,
                FIRST_VALUE(o_orderkey) OVER w_full AS first_order,
                LAST_VALUE(o_orderkey) OVER w_full AS last_order,
-               NTH_VALUE(o_orderkey, 2) OVER w_full AS second_order,
+               COALESCE(NTH_VALUE(o_orderkey, 2) OVER w_full, -1) AS second_order,
                COALESCE(LEAD(o_orderkey, 1) OVER w_seq, -1) AS next_order
         FROM orders
         WINDOW w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC

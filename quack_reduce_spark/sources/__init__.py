@@ -25,16 +25,25 @@ def _nanos_columns(path: str) -> list[str]:
 
 
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet scan (file or hive-partitioned dir) with nanos fallback."""
+    """Parquet scan (file or hive-partitioned dir) with nanos fallback.
+
+    Note the conf is session-sticky: once nanosAsLong is set (by this
+    function or anyone else), later reads of nanos files SUCCEED but
+    deliver raw longs — so the conversion must key off the conf state,
+    not off catching the analysis error.
+    """
     try:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
     except AnalysisException as e:
         if "TIMESTAMP(NANOS" not in str(e):
             raise
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for name in _nanos_columns(path):
-        df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true":
+        long_cols = {f.name for f in df.schema.fields if f.dataType.typeName() == "long"}
+        for name in _nanos_columns(path):
+            if name in long_cols:
+                df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
     return df
 
 

@@ -32,7 +32,11 @@ def norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"  # duckdb->pandas NULL doubles arrive as NaN
-        return f"f:{v:.9g}"
+        return f"n:{v:.9g}"
+    if isinstance(v, int) and abs(v) < (1 << 53):
+        # unify with float repr: pandas promotes nullable-int cols to
+        # float64, so 394 and 394.0 must hash identically
+        return f"n:{format(v, '.9g')}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_value(x) for x in v) + "]"
     return f"{type(v).__name__[:1]}:{v}"
