@@ -108,12 +108,23 @@ def ts_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts via the applyInPandas
+    grouped-map operator (operators/grouped.py) — a Python custom
+    operator whose semantics happen to have a SQL window equivalent,
+    so the DuckDB oracle fully verifies the Arrow/grouped-map path."""
+    from quack_reduce_spark.operators.grouped import event_transitions
+
+    return event_transitions(load(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "ts_tumbling_window": ts_tumbling_window,
     "ts_sliding_window": ts_sliding_window,
     "ts_session_window": ts_session_window,
     "ts_asof_join": ts_asof_join,
     "ts_date_rollup": ts_date_rollup,
+    "ts_event_transitions": ts_event_transitions,
 }
 
 
@@ -172,5 +183,18 @@ ORACLES = {
                COUNT(*) AS n,
                FLOOR((AVG(value)) * 1e4 + 0.5) / 1e4 AS avg_value
         FROM events GROUP BY 1, 2
+    """,
+    "ts_event_transitions": """
+        WITH seq AS (
+            SELECT user_id,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC) AS from_type,
+                   event_type AS to_type
+            FROM events
+        )
+        SELECT user_id, from_type, to_type, COUNT(*) AS n
+        FROM seq
+        WHERE from_type IS NOT NULL
+        GROUP BY user_id, from_type, to_type
     """,
 }

@@ -48,6 +48,30 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
     )
 
 
+def configure_s3a(builder: SparkSession.Builder) -> SparkSession.Builder:
+    """Object-store (s3a) lake configuration — the Spark analog of the
+    reference's ``LOAD httpfs; SET s3_region/...`` (app.py:18-21).
+
+    Credentials come from the standard AWS provider chain (env vars /
+    instance profile), mirroring the reference reading them from env.
+    Not exercised in this container (no S3); kept config-only so a
+    cluster deployment is a one-liner.
+    """
+    return (
+        builder.config("spark.hadoop.fs.s3a.aws.credentials.provider",
+                       "com.amazonaws.auth.DefaultAWSCredentialsProviderChain")
+        # magic committer: direct multipart commit, no rename phase
+        .config("spark.hadoop.fs.s3a.committer.magic.enabled", "true")
+        .config("spark.sql.sources.commitProtocolClass",
+                "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol")
+        .config("spark.sql.parquet.output.committer.class",
+                "org.apache.hadoop.mapreduce.lib.output.BindingPathOutputCommitter")
+        # read tuning: fewer, larger GETs for columnar scans
+        .config("spark.hadoop.fs.s3a.experimental.input.fadvise", "random")
+        .config("spark.hadoop.fs.s3a.connection.maximum", "96")
+    )
+
+
 def get_spark(app_name: str = "quack-reduce-spark", master: str | None = None) -> SparkSession:
     """Return the process-wide SparkSession, creating it on first call.
 
