@@ -1,0 +1,80 @@
+"""Property-based invariants (hypothesis): the cross-engine rounding
+formula and the as-of join, checked over generated inputs rather than
+fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# rnd() must agree with DuckDB's FLOOR((x)*1eN + 0.5)/1eN evaluated on
+# the same doubles — validate the python-level formula equivalence that
+# both engines compile to.
+@given(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False), st.integers(min_value=0, max_value=6))
+@settings(max_examples=300, deadline=None)
+def test_portable_round_formula_is_engine_agnostic(x, n):
+    import duckdb
+
+    scale = float(10**n)
+    py = math.floor(x * scale + 0.5) / scale
+    # CAST: duckdb parses bare decimal literals as DECIMAL(18), which
+    # overflows; our oracles always operate on DOUBLE columns
+    duck = duckdb.sql(
+        f"SELECT FLOOR(CAST({x!r} AS DOUBLE) * {scale} + 0.5) / {scale}"
+    ).fetchone()[0]
+    assert py == duck
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.floats(0, 100, allow_nan=False)),
+        min_size=0,
+        max_size=30,
+    ),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 10_000)), min_size=1, max_size=20),
+)
+@settings(max_examples=20, deadline=None)
+def test_asof_join_matches_naive_python(spark_global, right_rows, left_rows):
+    """asof_join == per-row 'latest right at-or-before' linear scan."""
+    from quack_reduce_spark.operators.asof import asof_join
+
+    spark = spark_global
+    base = dt.datetime(2024, 1, 1)
+    left = [(k, base + dt.timedelta(seconds=s)) for k, s in left_rows]
+    right = [
+        (k, base + dt.timedelta(seconds=s), float(v)) for k, s, v in right_rows
+    ]
+    # dedupe right on (k, ts) keeping max v — the operator's documented
+    # contract requires unique right timestamps per key
+    dedup: dict = {}
+    for k, ts, v in right:
+        dedup[(k, ts)] = max(v, dedup.get((k, ts), float("-inf")))
+    right = [(k, ts, v) for (k, ts), v in dedup.items()]
+
+    ldf = spark.createDataFrame(left, "k int, ts timestamp")
+    rdf = spark.createDataFrame(right, "k int, ts timestamp, v double") if right else None
+    if rdf is None:
+        return
+    out = asof_join(ldf, rdf, ["k"], "ts", "ts", ["v"]).collect()
+
+    def naive(k, ts):
+        cands = [(rts, v) for rk, rts, v in right if rk == k and rts <= ts]
+        return max(cands)[1] if cands else None
+
+    assert len(out) == len(left)
+    for row in out:
+        assert row["v_asof"] == naive(row["k"], row["ts"])
+
+
+# hypothesis can't use function-scoped pytest fixtures; expose the
+# session-scoped spark fixture under a stable name
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    return spark
