@@ -48,11 +48,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
+COS_THRESHOLD = 0.4
+EMBED_DIM = 64
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (round(cos,6) >= 0.4).
+
+    The oracle-checked ground truth (DuckDB list_cosine_similarity).
+    O(n^2) pair space — the 100 TB scale path is
+    ``dedup_embedding_lsh`` below; this stays the recall yardstick.
+    """
+    from quack_reduce_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_pairs(emb, "vec_id", "embedding", threshold=COS_THRESHOLD)
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH blocked embedding near-dup pairs, exact-cosine
+    verified (subset of dedup_embedding_cosine; precision 1.0).
+
+    No SQL oracle (seeded hyperplanes are not SQL-portable); recall vs
+    the exact pairs is unit-tested in tests/test_dedup.py.
+    """
+    from quack_reduce_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    return S.lsh_cosine_pairs(
+        emb, dim=EMBED_DIM, id_col="vec_id", vec_col="embedding", threshold=COS_THRESHOLD
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
 }
 
 
@@ -88,5 +122,18 @@ ORACLES = {
         JOIN sizes n1 ON common.doc1 = n1.doc
         JOIN sizes n2 ON common.doc2 = n2.doc
         WHERE FLOOR((CAST(common AS DOUBLE) / (n1.n_sh + n2.n_sh - common)) * 1e6 + 0.5) / 1e6 >= 0.5
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS n
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               FLOOR((list_dot_product(a.v, b.v) / (a.n * b.n)) * 1e6 + 0.5) / 1e6 AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE FLOOR((list_dot_product(a.v, b.v) / (a.n * b.n)) * 1e6 + 0.5) / 1e6
+              >= {COS_THRESHOLD}
     """,
 }

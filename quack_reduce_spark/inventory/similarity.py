@@ -60,9 +60,19 @@ def sim_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-5: coarse-quantize the corpus into 16
+    cells (deterministic seeds + one Lloyd step), probe the 4 nearest
+    cells per query, exact rerank inside. Rows-only driver check;
+    recall vs brute force asserted in tests/test_similarity.py."""
+    queries, corpus = _split(spark, sf_dir)
+    return S.ivf_topk(queries, corpus, k=TOP_K, nlist=16, nprobe=4)
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_topk": sim_lsh_topk,
+    "sim_ivf_topk": sim_ivf_topk,
     "sim_label_centroid_norm": sim_label_centroid_norm,
 }
 

@@ -72,3 +72,26 @@ def test_simhash_flags_exact_dups(spark, sf_dir):
     sim = {(r["doc1"], r["doc2"]) for r in D.simhash_pairs(docs, "text", "doc_id").collect()}
     # identical token streams have identical simhash -> hamming 0
     assert exact_dups <= sim
+
+
+def test_embedding_lsh_pairs_subset_and_recall(spark, sf_dir):
+    # Banded-LSH blocked pairs are exact-cosine verified: precision
+    # must be 1.0 (subset of the exact pairs); recall on the fixture
+    # embeddings must clear 60%.
+    from quack_reduce_spark.inventory._util import load
+    from quack_reduce_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in S.lsh_cosine_pairs(
+            emb, dim=64, id_col="vec_id", vec_col="embedding", threshold=0.4
+        ).collect()
+    }
+    assert lsh <= exact
+    assert exact, "fixture must contain near-dup pairs at 0.4"
+    assert len(lsh) / len(exact) >= 0.6

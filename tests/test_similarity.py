@@ -82,3 +82,48 @@ def test_dot_and_norm(crafted):
         .collect()[0]
     )
     assert abs(row["n"] - (0.9**2 + 0.1**2) ** 0.5) < 1e-6
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    # IVF with one Lloyd step should recover tight clusters as cells;
+    # probing 4/8 cells must recall the top-1 neighbor for most queries.
+    import math
+    import random
+
+    rng = random.Random(11)
+    centroids = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(8)]
+    rows = []
+    vid = 0
+    for c in centroids:
+        for _ in range(25):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in c]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id % 25 = 0").withColumnRenamed("vec_id", "query_id")
+    corpus = df.filter("vec_id % 25 != 0")
+    brute_top1 = {
+        r["query_id"]: r["vec_id"] for r in S.cosine_topk(queries, corpus, k=1).collect()
+    }
+    ivf_top1 = {
+        r["query_id"]: r["vec_id"]
+        for r in S.ivf_topk(queries, corpus, k=1, nlist=8, nprobe=4).collect()
+    }
+    hits = sum(1 for q, v in ivf_top1.items() if brute_top1.get(q) == v)
+    assert hits >= math.ceil(0.8 * len(brute_top1))
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    # nprobe == nlist probes every cell -> IVF degenerates to the exact
+    # scan; results must match brute force row-for-row.
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 3").withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter("vec_id >= 3")
+    brute = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in S.cosine_topk(queries, corpus, k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in S.ivf_topk(queries, corpus, k=3, nlist=4, nprobe=4).collect()
+    }
+    assert ivf == brute
