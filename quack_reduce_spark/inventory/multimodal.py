@@ -12,7 +12,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from quack_reduce_spark.inventory._util import load
-from quack_reduce_spark.multimodal import attach_binary_payload, decode_image_meta
+from quack_reduce_spark.multimodal import (
+    attach_binary_payload,
+    decode_image_meta,
+    extract_features,
+    resize_image,
+    sample_frames,
+)
 
 
 def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -32,13 +38,59 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(docs)
 
 
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (one row fans out to N typed frame rows via
+    mapInPandas). Oracle-checkable on the relational skeleton:
+    (doc_id, frame_idx, frame byte length) — both engines chunk the
+    identical UTF-8 payload into 64-byte frames."""
+    docs = attach_binary_payload(load(spark, sf_dir, "documents"))
+    frames = sample_frames(docs, every_n_bytes=64)
+    return frames.select(
+        "doc_id", "frame_idx", F.octet_length(F.col("frame")).alias("n_bytes")
+    )
+
+
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (fake codec): fixed 32x32 thumbnail per doc.
+    Rows-only driver check; determinism unit-tested."""
+    docs = attach_binary_payload(load(spark, sf_dir, "documents"))
+    resized = resize_image(docs, width=32, height=32)
+    return resized.select(
+        "doc_id", "width", "height", F.octet_length(F.col("thumb")).alias("thumb_bytes")
+    )
+
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing (fake encoder): 8-dim embedding per
+    payload, projected to its L2 norm so the driver sees a stable
+    scalar column. Rows-only; vector determinism unit-tested."""
+    from quack_reduce_spark.operators.similarity import l2_norm
+
+    docs = attach_binary_payload(load(spark, sf_dir, "documents"))
+    feats = extract_features(docs)
+    return feats.select("doc_id", l2_norm(F.col("feature")).alias("feature_norm"))
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_stub": mm_decode_stub,
+    "mm_frame_sample": mm_frame_sample,
+    "mm_resize_stub": mm_resize_stub,
+    "mm_feature_extract": mm_feature_extract,
 }
 
 
 ORACLES = {
+    "mm_frame_sample": """
+        -- static series (DuckDB lacks lateral generate_series params);
+        -- 0..1023 covers payloads up to 64 KiB (fixture max ~600 B)
+        SELECT d.doc_id,
+               CAST(s.i AS INT) AS frame_idx,
+               CAST(LEAST(64, d.len - s.i * 64) AS INT) AS n_bytes
+        FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents) d
+        CROSS JOIN generate_series(0, 1023) AS s(i)
+        WHERE s.i * 64 < d.len
+    """,
     "mm_binary_meta": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS INT) AS n_bytes,

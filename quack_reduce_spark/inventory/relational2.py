@@ -263,7 +263,45 @@ def b2_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b2_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample via Knuth multiplicative hashing on the
+    row key. Unlike ``df.sample`` (per-partition RNG — result depends
+    on the split layout), a seeded-hash predicate samples the SAME rows
+    on any cluster size, so pipelines stay reproducible at 100 TB; it
+    also pushes down to the scan like any filter."""
+    li = load(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 8 + F.col("l_linenumber")  # unique per row
+    bucket = F.pmod(key * F.lit(2654435761), F.lit(100))
+    return (
+        li.filter(bucket < 5)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def b2_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()/summary()-shaped profile battery as explicit aggs
+    (count / mean / stddev / min / max / n_distinct per measure)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        rnd(F.avg("l_quantity"), 6).alias("qty_mean"),
+        rnd(F.stddev_samp("l_quantity"), 6).alias("qty_std"),
+        rnd(F.min("l_quantity"), 2).alias("qty_min"),
+        rnd(F.max("l_quantity"), 2).alias("qty_max"),
+        rnd(F.avg("l_extendedprice"), 6).alias("price_mean"),
+        rnd(F.stddev_samp("l_extendedprice"), 6).alias("price_std"),
+        F.count_distinct(F.col("l_suppkey")).alias("n_suppliers"),
+    )
+
+
 QUERIES = {
+    "b2_sample_hash": b2_sample_hash,
+    "b2_summary_stats": b2_summary_stats,
     "b2_join_full_outer": b2_join_full_outer,
     "b2_join_cross": b2_join_cross,
     "b2_percentiles": b2_percentiles,
@@ -285,6 +323,26 @@ QUERIES = {
 
 
 ORACLES = {
+    "b2_sample_hash": """
+        SELECT l_returnflag,
+               COUNT(*) AS n_sampled,
+               FLOOR((AVG(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS avg_price
+        FROM lineitem
+        WHERE ((l_orderkey * 8 + l_linenumber) * 2654435761) % 100 < 5
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "b2_summary_stats": """
+        SELECT COUNT(*) AS n_rows,
+               FLOOR((AVG(l_quantity)) * 1e6 + 0.5) / 1e6 AS qty_mean,
+               FLOOR((stddev_samp(l_quantity)) * 1e6 + 0.5) / 1e6 AS qty_std,
+               FLOOR((MIN(l_quantity)) * 1e2 + 0.5) / 1e2 AS qty_min,
+               FLOOR((MAX(l_quantity)) * 1e2 + 0.5) / 1e2 AS qty_max,
+               FLOOR((AVG(l_extendedprice)) * 1e6 + 0.5) / 1e6 AS price_mean,
+               FLOOR((stddev_samp(l_extendedprice)) * 1e6 + 0.5) / 1e6 AS price_std,
+               COUNT(DISTINCT l_suppkey) AS n_suppliers
+        FROM lineitem
+    """,
     "b2_join_full_outer": """
         WITH sup AS (
             SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers

@@ -11,7 +11,15 @@ libraries are not in this environment (see codec.py).
 from quack_reduce_spark.multimodal.codec import (
     attach_binary_payload,
     decode_image_meta,
+    extract_features,
+    resize_image,
     sample_frames,
 )
 
-__all__ = ["attach_binary_payload", "decode_image_meta", "sample_frames"]
+__all__ = [
+    "attach_binary_payload",
+    "decode_image_meta",
+    "extract_features",
+    "resize_image",
+    "sample_frames",
+]

@@ -22,7 +22,9 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -45,6 +47,24 @@ FRAME_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("frame_idx", IntegerType()),
         StructField("frame", BinaryType()),
+    ]
+)
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
     ]
 )
 
@@ -115,3 +135,56 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, id_col: str = "doc_id"
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, payload_col).mapInPandas(process, FRAME_SCHEMA)
+
+
+def resize_image(df: DataFrame, width: int = 32, height: int = 32, id_col: str = "doc_id", payload_col: str = "payload", fake: bool = True) -> DataFrame:
+    """Resize stub: emit a fixed-size 'thumbnail' per payload (stands
+    in for PIL Image.resize). The fake codec tiles/truncates the
+    content bytes to exactly width*height bytes, so output size is
+    shape-correct and content-deterministic — the real plumbing
+    (Arrow batches, fixed output schema, no shuffle) is exercised."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for batch in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL/libvips — not available here"
+                )
+            thumbs = []
+            for payload in batch[payload_col]:
+                data = bytes(payload) or b"\x00"
+                reps = -(-n // len(data))  # ceil
+                thumbs.append((data * reps)[:n])
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "thumb": thumbs,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(process, RESIZED_SCHEMA)
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", fake: bool = True) -> DataFrame:
+    """Feature-extraction stub: a FEATURE_DIM-float 'embedding' per
+    payload (stands in for a vision/audio encoder forward pass). Fake
+    path derives unit-interval floats from the md5 digest — stable
+    across runs and partitionings, so downstream ANN plumbing
+    (array<double> column, similarity joins) is testable end-to-end."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real feature extraction requires a model runtime — not available here"
+                )
+            feats = []
+            for payload in batch[payload_col]:
+                digest = hashlib.md5(bytes(payload)).digest()
+                feats.append([digest[i * 2] / 255.0 for i in range(FEATURE_DIM)])
+            yield pd.DataFrame({"doc_id": batch[id_col].astype("int64"), "feature": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(process, FEATURE_SCHEMA)

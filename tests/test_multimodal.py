@@ -58,3 +58,34 @@ def test_binary_meta_matches_python_hashlib(payloads):
     expected = {r["doc_id"]: hashlib.sha256(bytes(r["payload"])).hexdigest() for r in rows}
     for m in metas:
         assert m["sha"] == expected[m["doc_id"]]
+
+
+def test_resize_shape_and_determinism(payloads):
+    from quack_reduce_spark.multimodal import resize_image
+
+    out1 = {r["doc_id"]: bytes(r["thumb"]) for r in resize_image(payloads, 32, 32).collect()}
+    out2 = {r["doc_id"]: bytes(r["thumb"]) for r in resize_image(payloads, 32, 32).collect()}
+    assert out1 == out2
+    assert len(out1) == 50
+    assert all(len(t) == 32 * 32 for t in out1.values())
+
+
+def test_resize_real_path_is_gated(payloads):
+    from quack_reduce_spark.multimodal import resize_image
+
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        resize_image(payloads, fake=False).collect()
+
+
+def test_feature_extraction_shape_and_determinism(payloads):
+    from quack_reduce_spark.multimodal import extract_features
+    from quack_reduce_spark.multimodal.codec import FEATURE_DIM
+
+    out1 = {r["doc_id"]: tuple(r["feature"]) for r in extract_features(payloads).collect()}
+    out2 = {
+        r["doc_id"]: tuple(r["feature"])
+        for r in extract_features(payloads.repartition(7)).collect()
+    }
+    assert out1 == out2  # partitioning-independent
+    assert all(len(f) == FEATURE_DIM for f in out1.values())
+    assert all(0.0 <= x <= 1.0 for f in out1.values() for x in f)

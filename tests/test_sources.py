@@ -69,3 +69,27 @@ def test_partitioned_dir_scan_exposes_partition_column(spark, sample, tmp_path):
     back = read_table(spark, p)
     assert "yr" in back.columns
     assert back.select("yr").distinct().count() >= 2
+
+
+def test_hash_sample_is_partitioning_independent(spark, sf_dir):
+    # seeded-hash sampling must pick the SAME rows regardless of split
+    # layout (unlike df.sample, whose per-partition RNG ties results to
+    # the physical partitioning).
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.inventory._util import load
+
+    li = load(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    bucket = F.pmod(key * F.lit(2654435761), F.lit(100))
+    a = {tuple(r) for r in li.filter(bucket < 5).select("l_orderkey", "l_linenumber").collect()}
+    b = {
+        tuple(r)
+        for r in li.repartition(13)
+        .filter(bucket < 5)
+        .select("l_orderkey", "l_linenumber")
+        .collect()
+    }
+    assert a == b
+    frac = len(a) / li.count()
+    assert 0.02 < frac < 0.09  # ~5% with slack for small fixtures
