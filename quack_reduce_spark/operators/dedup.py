@@ -73,7 +73,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _shingle_table(
-    df: DataFrame, text_col: str, id_col: str, n: int, hashed: bool = False
+    df: DataFrame, text_col: str, id_col: str, n: int, hashed: bool = False, distinct: bool = True
 ) -> DataFrame:
     """(doc, sh) distinct-shingle pairs for docs with >= n tokens.
 
@@ -102,7 +102,9 @@ def _shingle_table(
     )
     if hashed:
         sh = sh.select("doc", F.xxhash64("sh").alias("sh"))
-    return sh.distinct()
+    # distinct=False lets callers that immediately collect_set per doc
+    # skip the extra dedup shuffle (the set aggregation dedups anyway)
+    return sh.distinct() if distinct else sh
 
 
 def ngram_jaccard_pairs(
@@ -179,39 +181,38 @@ def minhash_lsh_pairs(
     groupBys (linear), never an all-pairs product.
     """
     rows_per_band = num_hashes // bands
-    # Relational MinHash: explode shingles ONCE, cross with a literal
-    # 32-row permutation table, min-aggregate per (doc, perm). A pure
-    # column-expression signature (32 nested array_min(transform(...)))
-    # gets the shingle pipeline re-inlined into every permutation by
-    # Catalyst's projection collapse — O(perms x shingles x split) per
-    # row. This shape is one shingle scan + one vectorized hash
-    # aggregate, and it partial-aggregates map-side like any groupBy.
-    sh = _shingle_table(df, text_col, id_col, n, hashed=True)
+    # Relational MinHash: ONE groupBy(doc) carrying all num_hashes
+    # min-aggregates (min(a_i*h + b_i) per permutation) — each shingle
+    # row touched once, partial-aggregated map-side, fully codegen'd.
+    # Duplicate shingles can't change a min, so the shingle frame skips
+    # its distinct shuffle entirely; the verification sets dedup inside
+    # collect_set for the same reason. (A pure column-expression
+    # signature — 32 nested array_min(transform(...)) over the raw text
+    # — would get the tokenizer re-inlined into every permutation by
+    # Catalyst's projection collapse: O(perms x shingles x split)/row.)
+    sh = _shingle_table(df, text_col, id_col, n, hashed=True, distinct=False)
     hashed = sh.select("doc", F.shiftrightunsigned("sh", 32).alias("h"))
-    perm_table = F.array(
+    consts = _perm_consts(num_hashes)
+    mins = hashed.groupBy("doc").agg(
         *[
-            F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for i, (a, b) in enumerate(_perm_consts(num_hashes))
+            F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"__m{i}")
+            for i, (a, b) in enumerate(consts)
         ]
     )
-    expanded = hashed.select("doc", "h", F.explode(perm_table).alias("p"))
-    mins = expanded.groupBy("doc", F.col("p.i").alias("i")).agg(
-        F.min(F.col("p.a") * F.col("h") + F.col("p.b")).alias("mv")
-    )
-    banded = (
-        mins.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "mv"))),
-                        lambda s: s["mv"].cast("string"),
-                    ),
-                )
-            ).alias("bkey")
+    docsets = sh.groupBy("doc").agg(F.collect_set("sh").alias("shset"))
+    band_structs = []
+    for b_i in range(bands):
+        members = [
+            F.col(f"__m{i}").cast("string")
+            for i in range(b_i * rows_per_band, (b_i + 1) * rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(b_i).alias("band"), F.md5(F.concat_ws(",", *members)).alias("bkey")
+            )
         )
+    banded = mins.select("doc", F.explode(F.array(*band_structs)).alias("__b")).select(
+        "doc", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey")
     )
 
     left = banded.select("band", "bkey", F.col("doc").alias("doc1"))
@@ -223,8 +224,27 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n=n, threshold=threshold)
-    return candidates.join(exact, ["doc1", "doc2"]).select("doc1", "doc2", "jaccard")
+    # Verify ONLY the candidates (never the all-pairs Jaccard): join
+    # each side's shingle set back in and intersect. Cost is
+    # |candidates| x avg shingle-set size — independent of the corpus
+    # pair space, which is what makes LSH the 100 TB path.
+    return (
+        candidates.join(
+            docsets.select(F.col("doc").alias("doc1"), F.col("shset").alias("__s1")), "doc1"
+        )
+        .join(docsets.select(F.col("doc").alias("doc2"), F.col("shset").alias("__s2")), "doc2")
+        .withColumn("__common", F.array_size(F.array_intersect("__s1", "__s2")))
+        .withColumn(
+            "jaccard",
+            rnd(
+                F.col("__common")
+                / (F.array_size("__s1") + F.array_size("__s2") - F.col("__common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
 
 
 def with_simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
