@@ -73,3 +73,35 @@ def fingerprint(text: Column) -> Column:
     collapsing runs of whitespace (rolling-hash document id)."""
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(normalized)
+
+
+# BPE-ish pre-tokenizer regex (GPT-2 style, simplified to the subset
+# both Java regex and RE2 support — no lookahead): a token is an
+# optionally-space-prefixed letter run, digit run, or punctuation run.
+BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+ROLLING_SEED = 7
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-style subword-ish token count via the pre-tokenizer regex
+    (the GPT-2 split step — the part of BPE that is pure regex; merge
+    ranks would need a vocab file)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0))
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling hash (Rabin-Karp) over the code points:
+    h = fold(h * 31 + cp) mod 1e9+7, seed 7. A content fingerprint
+    that incremental re-chunkers can maintain in O(1) per edit —
+    cheaper than md5 for dedup keys and SQL-portable (DuckDB
+    list_reduce oracle). Max intermediate: 31 * (1e9+6) + cp, safely
+    inside int64 under ANSI mode."""
+    codepoints = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codepoints,
+        F.lit(ROLLING_SEED).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + c) % ROLLING_MOD,
+    )

@@ -58,11 +58,36 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer count per doc (GPT-2 split regex,
+    lookahead-free so Java regex and RE2 tokenize identically),
+    plus the whitespace count for comparison."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_ws_tokens"),
+        T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint per doc (fold over code
+    points, JVM-side F.aggregate) with duplicate-group sizes."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.rolling_hash(F.col("text")).alias("rh"))
+        .groupBy("rh")
+        .agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_bpe_tokens": text_bpe_tokens,
+    "text_rolling_hash": text_rolling_hash,
 }
 
 
@@ -102,6 +127,24 @@ ORACLES = {
     """,
     "text_fingerprint": """
         SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               MIN(doc_id) AS first_doc,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    "text_bpe_tokens": """
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS INT) AS n_bpe_tokens
+        FROM documents
+    """,
+    "text_rolling_hash": """
+        SELECT list_reduce(
+                   list_prepend(CAST(7 AS BIGINT),
+                                list_transform(string_split(text, ''),
+                                               c -> CAST(unicode(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007
+               ) AS rh,
                MIN(doc_id) AS first_doc,
                COUNT(*) AS n_copies
         FROM documents
