@@ -61,6 +61,38 @@ def session_counts(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming deduplication: keep the first arrival per key, with
+    state expiring once the watermark passes (bounded state — the
+    streaming analog of the batch exact-dedup operator). Uses
+    dropDuplicatesWithinWatermark so re-deliveries arriving inside the
+    watermark horizon are dropped even when their event times differ
+    (the at-least-once-delivery case plain dropDuplicates mishandles:
+    it would keep state forever AND treat a retried event with a
+    touched timestamp as new)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked sliding-window counts (each event lands in
+    window/slide overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete"):
     """Drain a (bounded) file-source stream into an in-memory table;
     returns the query handle after processing all available input."""

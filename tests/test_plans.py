@@ -66,3 +66,39 @@ def test_limit_is_pushed_not_post_truncated(spark, sf_dir):
     df = load(spark, sf_dir, "lineitem").select("l_orderkey").limit(5)
     plan = plans.executed_plan(df)
     assert "CollectLimit" in plan or "GlobalLimit" in plan
+
+
+def test_tpch_q14_broadcasts_part(spark, sf_dir):
+    # dim side (part) under the threshold must broadcast — shuffling
+    # the lineitem fact for a dim lookup would be wrong at any scale
+    from quack_reduce_spark.inventory import tpch
+
+    assert plans.has_broadcast_join(tpch.tpch_q14_promo_revenue(spark, sf_dir))
+
+
+def test_tpch_q18_topk_is_take_ordered(spark, sf_dir):
+    # ORDER BY + LIMIT 20 must plan as TakeOrderedAndProject, never a
+    # full global sort followed by a limit
+    from quack_reduce_spark.inventory import tpch
+
+    df = tpch.tpch_q18_large_volume_customers(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q6_pushdown_and_no_shuffle_before_agg(spark, sf_dir):
+    # Q6 is scan + filter + global agg: predicates reach the parquet
+    # reader and the only exchange is the single-row final agg's
+    from quack_reduce_spark.inventory import tpch
+
+    df = tpch.tpch_q6_forecast_revenue(spark, sf_dir)
+    assert plans.has_pushed_filter(df, "l_shipdate")
+    assert plans.has_partial_final_agg(df)
+
+
+def test_q4_semi_join_plan(spark, sf_dir):
+    # EXISTS must plan as a (left) semi join, not an inner join + distinct
+    from quack_reduce_spark.inventory import tpch
+
+    plan = plans.formatted_plan(tpch.tpch_q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan

@@ -61,3 +61,52 @@ def test_watermark_present_in_stream_plan(spark, event_files):
     stream = read_event_stream(spark, path, batch_events.schema)
     agg = tumbling_counts(stream, watermark="30 minutes")
     assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
+
+
+def test_dedup_within_watermark_drops_redeliveries(spark, event_files):
+    # duplicate every event id (simulated at-least-once redelivery with
+    # a nudged timestamp); the streaming dedup must emit each id once.
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.streaming import dedup_within_watermark
+
+    path, batch_events = event_files
+    dup_dir = path + "_dup"
+    nudged = batch_events.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")
+    )
+    batch_events.unionByName(nudged).repartition(4).write.mode("overwrite").parquet(dup_dir)
+
+    stream = read_event_stream(spark, dup_dir, batch_events.schema, max_files_per_trigger=2)
+    q = run_stream_to_memory(
+        dedup_within_watermark(stream, ["event_id"], watermark="10 minutes"),
+        "dedup_stream",
+        mode="append",
+    )
+    try:
+        got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_stream").collect()[0]
+        total = batch_events.count()
+        assert got["d"] == total
+        assert got["n"] == total  # every id exactly once despite 2x input
+    finally:
+        q.stop()
+
+
+def test_sliding_stream_equals_batch(spark, event_files):
+    from quack_reduce_spark.streaming import sliding_counts
+
+    path, batch_events = event_files
+    stream = read_event_stream(spark, path, batch_events.schema, max_files_per_trigger=2)
+    q = run_stream_to_memory(sliding_counts(stream), "sliding_stream")
+    try:
+        got = {
+            (r["window_start"], r["n_events"])
+            for r in spark.sql("SELECT * FROM sliding_stream").collect()
+        }
+        want = {
+            (r["window_start"], r["n_events"])
+            for r in sliding_counts(batch_events).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
