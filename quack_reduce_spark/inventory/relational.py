@@ -234,6 +234,32 @@ def b_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b_join_interval_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key) via the banded composite: 25
+    overlapping acctbal intervals derived from nation, customers
+    point-joined into them. A naive inequality join here would plan
+    BroadcastNestedLoopJoin — O(|cust| x |intervals|); banding turns
+    it into a linear shuffle hash join (operators/rangejoin.py)."""
+    from quack_reduce_spark.operators.rangejoin import point_in_interval_join
+
+    nation = load(spark, sf_dir, "nation")
+    intervals = nation.select(
+        "n_nationkey",
+        (F.lit(-1000.0) + F.col("n_nationkey") * 440.0).alias("lo"),
+        (F.lit(-1000.0) + F.col("n_nationkey") * 440.0 + 880.0).alias("hi"),
+    )
+    customer = load(spark, sf_dir, "customer")
+    return (
+        point_in_interval_join(customer, intervals, "c_acctbal", "lo", "hi", band_width=440.0)
+        .groupBy("n_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            rnd(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
 def b_setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL of two homogeneous projections."""
     customer = load(spark, sf_dir, "customer")
@@ -530,6 +556,7 @@ QUERIES = {
     "b_join_semi": b_join_semi,
     "b_join_anti": b_join_anti,
     "b_join_range": b_join_range,
+    "b_join_interval_band": b_join_interval_band,
     "b_setop_union_all": b_setop_union_all,
     "b_setop_intersect": b_setop_intersect,
     "b_setop_except": b_setop_except,
@@ -630,6 +657,21 @@ ORACLES = {
     "b_join_anti": """
         SELECT c_custkey, c_name FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "b_join_interval_band": """
+        WITH intervals AS (
+            SELECT n_nationkey,
+                   -1000.0 + n_nationkey * 440.0 AS lo,
+                   -1000.0 + n_nationkey * 440.0 + 880.0 AS hi
+            FROM nation
+        )
+        SELECT n_nationkey,
+               COUNT(*) AS n_customers,
+               FLOOR((AVG(c_acctbal)) * 1e4 + 0.5) / 1e4 AS avg_bal
+        FROM customer JOIN intervals
+          ON c_acctbal >= lo AND c_acctbal < hi
+        GROUP BY n_nationkey
+        ORDER BY n_nationkey
     """,
     "b_join_range": """
         SELECT s_suppkey, COUNT(*) AS n_outbalanced
