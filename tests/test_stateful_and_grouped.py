@@ -72,3 +72,52 @@ def test_event_transitions_matches_window_equivalent(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_transform_with_state_anomalies_match_batch(spark, event_files):
+    # transformWithStateInPandas (Spark 4 API): streaming per-user
+    # Welford mean + anomaly flags must equal a batch recomputation.
+    # The state-server protocol is protobuf-encoded — skip where absent.
+    pytest.importorskip("google.protobuf")
+
+    from quack_reduce_spark.streaming.transform_state import (
+        ANOMALY_FACTOR,
+        flag_anomalies,
+    )
+
+    path, batch_events = event_files
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, path, batch_events.schema, max_files_per_trigger=100)
+        q = (
+            flag_anomalies(stream)
+            .writeStream.format("memory")
+            .queryName("anomaly_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table("anomaly_stream").toPandas()
+
+        # batch oracle: same Welford pass per user in ts order
+        pdf = batch_events.select("user_id", "ts", "value").toPandas()
+        n_anom = 0
+        for _, grp in pdf.sort_values("ts").groupby("user_id"):
+            n, mean = 0, 0.0
+            for v in grp["value"]:
+                if n > 0 and float(v) > ANOMALY_FACTOR * mean:
+                    n_anom += 1
+                n += 1
+                mean += (float(v) - mean) / n
+        assert len(got) == len(pdf)  # every event emitted exactly once
+        assert int(got["is_anomaly"].sum()) == n_anom
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
