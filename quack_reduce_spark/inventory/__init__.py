@@ -31,6 +31,7 @@ from quack_reduce_spark.inventory import (
     text,
     timeseries,
     tpch,
+    udfs,
 )
 
 _MODULES = [
@@ -43,6 +44,7 @@ _MODULES = [
     similarity,
     multimodal,
     approx,
+    udfs,
 ]
 
 
