@@ -122,25 +122,40 @@ def ngram_jaccard_pairs(
     that many docs (posting-list cap for scale); None keeps all, which
     is required for exact oracle parity.
     """
-    sh = _shingle_table(df, text_col, id_col, n, hashed=True)
+    # One aggregation produces the per-doc shingle set; each join side
+    # re-explodes it carrying the set SIZE alongside, so the pair loop
+    # needs no size-lookup joins afterward (Spark does not reuse
+    # identical exchange subtrees across self-join branches — every
+    # extra branch is a full recompute, so branch count is the cost
+    # model here: this shape is 2 scans, the naive
+    # rows->join->sizes->join->join shape is 4).
+    sh = _shingle_table(df, text_col, id_col, n, hashed=True, distinct=False)
+    docsets = sh.groupBy("doc").agg(F.collect_set("sh").alias("shset"))
     if max_doc_freq is not None:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(F.broadcast(freq.filter(F.col("df_") <= max_doc_freq).select("sh")), "sh")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+        freq = (
+            sh.distinct()
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_doc_freq)
+            .select(F.collect_set("sh").alias("__stop"))
+        )
+        docsets = docsets.crossJoin(F.broadcast(freq)).select(
+            "doc", F.array_except("shset", "__stop").alias("shset")
+        )
 
-    a = sh.select(F.col("doc").alias("doc1"), "sh")
-    b = sh.select(F.col("doc").alias("doc2"), "sh")
-    common = (
-        a.join(b, "sh")
+    def side(doc_alias: str, n_alias: str) -> DataFrame:
+        return docsets.select(
+            F.col("doc").alias(doc_alias),
+            F.array_size("shset").alias(n_alias),
+            F.explode("shset").alias("sh"),
+        )
+
+    return (
+        side("doc1", "n1")
+        .join(side("doc2", "n2"), "sh")
         .filter(F.col("doc1") < F.col("doc2"))
         .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    s1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_sh").alias("n2"))
-    return (
-        common.join(s1, "doc1")
-        .join(s2, "doc2")
+        .agg(F.count(F.lit(1)).alias("common"), F.first("n1").alias("n1"), F.first("n2").alias("n2"))
         .withColumn(
             "jaccard",
             rnd(F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 6),
