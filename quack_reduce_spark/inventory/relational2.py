@@ -263,6 +263,36 @@ def b2_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b2_setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops: INTERSECT ALL / EXCEPT ALL preserve duplicate
+    counts (vs the distinct variants in b_setop_*). Probe: nation keys
+    of customers vs suppliers, duplicates meaningful."""
+    cust_nations = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    supp_nations = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    both = cust_nations.intersectAll(supp_nations).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_intersect_all")
+    )
+    only = cust_nations.exceptAll(supp_nations).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_except_all")
+    )
+    return both.join(only, "nationkey", "full_outer").na.fill(0).orderBy("nationkey")
+
+
+def b2_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT + OFFSET pagination over a deterministic total order."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(10)
+        .limit(15)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
 def b2_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~5% sample via Knuth multiplicative hashing on the
     row key. Unlike ``df.sample`` (per-partition RNG — result depends
@@ -300,6 +330,8 @@ def b2_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "b2_setop_all_variants": b2_setop_all_variants,
+    "b2_limit_offset": b2_limit_offset,
     "b2_sample_hash": b2_sample_hash,
     "b2_summary_stats": b2_summary_stats,
     "b2_join_full_outer": b2_join_full_outer,
@@ -323,6 +355,31 @@ QUERIES = {
 
 
 ORACLES = {
+    "b2_setop_all_variants": """
+        WITH cn AS (SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer),
+             sn AS (SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier),
+             isect AS (
+                 SELECT nationkey, COUNT(*) AS n_intersect_all
+                 FROM (SELECT * FROM cn INTERSECT ALL SELECT * FROM sn)
+                 GROUP BY nationkey
+             ),
+             exc AS (
+                 SELECT nationkey, COUNT(*) AS n_except_all
+                 FROM (SELECT * FROM cn EXCEPT ALL SELECT * FROM sn)
+                 GROUP BY nationkey
+             )
+        SELECT COALESCE(isect.nationkey, exc.nationkey) AS nationkey,
+               COALESCE(n_intersect_all, 0) AS n_intersect_all,
+               COALESCE(n_except_all, 0) AS n_except_all
+        FROM isect FULL OUTER JOIN exc ON isect.nationkey = exc.nationkey
+        ORDER BY nationkey
+    """,
+    "b2_limit_offset": """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 15 OFFSET 10
+    """,
     "b2_sample_hash": """
         SELECT l_returnflag,
                COUNT(*) AS n_sampled,

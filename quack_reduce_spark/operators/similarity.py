@@ -271,14 +271,14 @@ def _centroids(corpus: DataFrame, vec_col: str, nlist: int, corpus_id: str) -> D
     JVM-side: the mean over array columns is posexplode -> avg ->
     array_sort(collect_list(struct(pos, mean))) rebuild.
     """
-    # cell ids derive from rank over corpus_id (stable across runs,
-    # unlike monotonically_increasing_id on a limited frame)
-    w_seed = Window.orderBy(F.col(corpus_id).asc())
+    # the seed row's own corpus_id IS the cell id: cells only need a
+    # distinct, deterministic key (join/group/tiebreak), and id order
+    # equals rank order — no global row_number window needed
     seeds = F.broadcast(
         corpus.orderBy(F.col(corpus_id).asc())
         .limit(nlist)
         .select(
-            (F.row_number().over(w_seed) - 1).alias("__cell"),
+            F.col(corpus_id).alias("__cell"),
             _as_double(F.col(vec_col)).alias("__seed_vec"),
         )
     )

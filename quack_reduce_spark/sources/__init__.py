@@ -30,8 +30,19 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     Note the conf is session-sticky: once nanosAsLong is set (by this
     function or anyone else), later reads of nanos files SUCCEED but
     deliver raw longs — so the conversion must key off the conf state,
-    not off catching the analysis error.
+    not off the footer probe.
+
+    The footer is probed (pyarrow, driver-side, metadata-only) BEFORE
+    the Spark read: setting the conf proactively avoids ever surfacing
+    the executor-side PARQUET_TYPE_ILLEGAL task failure in logs. The
+    catch block stays as a fallback for paths pyarrow can't enumerate
+    the same way (e.g. glob patterns).
     """
+    try:
+        if _nanos_columns(path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # probe is best-effort; the read fallback below still works
     try:
         df = spark.read.parquet(path)
     except AnalysisException as e:
