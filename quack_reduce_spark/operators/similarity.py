@@ -282,17 +282,20 @@ def _centroids(corpus: DataFrame, vec_col: str, nlist: int, corpus_id: str) -> D
             _as_double(F.col(vec_col)).alias("__seed_vec"),
         )
     )
+    # argmax via max_by in ONE hash aggregate (partial-aggregated
+    # map-side) — a window row_number would sort every (row x seed)
+    # pair instead; ordering key (__d, -__cell) ties to the lowest cell
     assigned = (
         corpus.crossJoin(seeds)
         .withColumn("__d", dot(F.col(vec_col), F.col("__seed_vec")))
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy(corpus_id).orderBy(F.col("__d").desc(), F.col("__cell").asc())
-            ),
+        .groupBy(corpus_id)
+        .agg(
+            F.max_by(
+                F.struct(F.col("__cell"), F.col(vec_col).alias("__vec")),
+                F.struct(F.col("__d"), (-F.col("__cell")).alias("__tb")),
+            ).alias("__best")
         )
-        .filter(F.col("__rk") == 1)
-        .select(corpus_id, "__cell", vec_col)
+        .select(corpus_id, F.col("__best.__cell").alias("__cell"), F.col(f"__best.__vec").alias(vec_col))
     )
     comp = assigned.select(
         "__cell", F.posexplode(_as_double(F.col(vec_col))).alias("__pos", "__val")
@@ -338,14 +341,18 @@ def ivf_topk(
         .withColumn(
             "__d", dot(F.col(vec_col), F.col("__centroid")) / l2_norm(F.col("__centroid"))
         )
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy(corpus_id).orderBy(F.col("__d").desc(), F.col("__cell").asc())
-            ),
+        .groupBy(corpus_id)
+        .agg(
+            F.max_by(
+                F.struct(F.col("__cell"), F.col(vec_col).alias("__vec")),
+                F.struct(F.col("__d"), (-F.col("__cell")).alias("__tb")),
+            ).alias("__best")
         )
-        .filter(F.col("__rk") == 1)
-        .select(F.col(corpus_id).alias("__cid"), F.col("__cell"), F.col(vec_col).alias("__cvec"))
+        .select(
+            F.col(corpus_id).alias("__cid"),
+            F.col("__best.__cell").alias("__cell"),
+            F.col("__best.__vec").alias("__cvec"),
+        )
     )
     probes = (
         queries.crossJoin(cents)
