@@ -99,7 +99,13 @@ def rolling_hash(text: Column) -> Column:
     cheaper than md5 for dedup keys and SQL-portable (DuckDB
     list_reduce oracle). Max intermediate: 31 * (1e9+6) + cp, safely
     inside int64 under ANSI mode."""
-    codepoints = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long"))
+    # split("", "") yields [""] (ascii 0) — filter empties so the fold
+    # over an empty string is the bare seed, matching DuckDB's
+    # string_split and the plain-Python definition
+    codepoints = F.transform(
+        F.filter(F.split(text, ""), lambda c: c != F.lit("")),
+        lambda c: F.ascii(c).cast("long"),
+    )
     return F.aggregate(
         codepoints,
         F.lit(ROLLING_SEED).cast("long"),

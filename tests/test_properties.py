@@ -78,3 +78,55 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def spark_global(spark):
     return spark
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_jaccard_pairs_bounded_and_symmetric(spark_global, texts):
+    """n-gram Jaccard: 0 < j <= 1, doc1 < doc2, and identical docs with
+    >= n tokens always pair at j == 1."""
+    from quack_reduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    spark = spark_global
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=2, threshold=0.0).collect()
+    for r in pairs:
+        assert r["doc1"] < r["doc2"]
+        assert 0.0 < r["jaccard"] <= 1.0
+    got = {(r["doc1"], r["doc2"]): r["jaccard"] for r in pairs}
+    for i, a in enumerate(rows):
+        for j in range(i + 1, len(rows)):
+            b = rows[j]
+            if a[1] == b[1] and len(a[1].split()) >= 2 and a[1].strip():
+                toks = [t for t in a[1].split() if t]
+                if len(toks) >= 2:
+                    assert got.get((a[0], b[0])) == 1.0
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_rolling_hash_matches_python_fold(spark_global, text):
+    """JVM rolling hash == the same fold computed in plain Python."""
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.functions.text import (
+        ROLLING_BASE,
+        ROLLING_MOD,
+        ROLLING_SEED,
+        rolling_hash,
+    )
+
+    spark = spark_global
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(rolling_hash(F.col("text")).alias("rh")).collect()[0]["rh"]
+    want = ROLLING_SEED
+    for ch in text:
+        want = (want * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+    assert got == want
