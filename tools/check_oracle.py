@@ -54,14 +54,23 @@ def table_hash(rows, columns):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    filters = sys.argv[2:]
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    filters = args[1:]
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
-    from quack_reduce_spark.session import get_spark
 
-    spark = get_spark()
+    if vanilla:
+        # mirror the driver exactly: default configs, no engine session
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from quack_reduce_spark.session import get_spark
+
+        spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
