@@ -1,0 +1,44 @@
+# Task runner — parity with the reference's src/Makefile (test /
+# test-distinct / benchmark / dbt-run), recast for the Spark engine.
+
+SF ?= /root/testdata/sf0.001
+
+.PHONY: test test-distinct oracle oracle-vanilla bench plans pipeline dashboard unit
+
+# reference `make test` (Makefile:22-24): canary count round trip
+test:
+	python -m quack_reduce_spark.cli --data $(SF)
+
+# reference `make test-distinct` (Makefile:26-28): filter+group+sort
+test-distinct:
+	python -m quack_reduce_spark.cli --data $(SF) -q \
+	  "SELECT l_suppkey, COUNT(*) AS counts FROM lineitem \
+	   WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' \
+	   GROUP BY 1 ORDER BY 2 DESC" -limit 10
+
+# full pytest suite
+unit:
+	python -m pytest tests/ -q
+
+# DuckDB differential harness over the whole inventory
+oracle:
+	python tools/check_oracle.py $(SF)
+
+# same, under the driver's default-config session
+oracle-vanilla:
+	python tools/check_oracle.py $(SF) --vanilla
+
+# reference `make benchmark` (Makefile:30-32)
+bench:
+	python bench.py
+
+# regenerate the annotated plan audit
+plans:
+	python tools/dump_plans.py
+
+# reference `make dbt-run` (Makefile:34-36): the two-model pipeline
+pipeline:
+	python examples/pipeline.py
+
+dashboard:
+	python examples/dashboard.py $(SF)
