@@ -116,6 +116,14 @@ class Engine:
         """
         df.coalesce(1).write.mode(mode).parquet(path)
 
+    def write(self, df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options: str) -> None:
+        """Format-dispatching sink (parquet/csv/json/orc) — the write
+        half of the dialect's COPY TO surface (SURVEY §2 Tier B)."""
+        writer = df.write.mode(mode).options(**options)
+        if fmt == "csv" and "header" not in options:
+            writer = writer.option("header", "true")
+        writer.format(fmt).save(path)
+
     def create_view(self, name: str, query: str) -> DataFrame:
         """SQL view composition (reference dbt ref()/view models)."""
         df = self.spark.sql(query)

@@ -24,7 +24,7 @@ def _nanos_columns(path: str) -> list[str]:
     return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
 
 
-def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet_table(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
     """Parquet scan (file or hive-partitioned dir) with nanos fallback.
 
     Note the conf is session-sticky: once nanosAsLong is set (by this
@@ -43,16 +43,21 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # probe is best-effort; the read fallback below still works
+    reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     try:
-        df = spark.read.parquet(path)
+        df = reader.parquet(path)
     except AnalysisException as e:
         if "TIMESTAMP(NANOS" not in str(e):
             raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = reader.parquet(path)
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true":
         long_cols = {f.name for f in df.schema.fields if f.dataType.typeName() == "long"}
-        for name in _nanos_columns(path):
+        try:
+            nanos = _nanos_columns(path)
+        except Exception:
+            nanos = []  # pyarrow can't probe globs/exotic paths; no footer, no conversion
+        for name in nanos:
             if name in long_cols:
                 df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
     return df

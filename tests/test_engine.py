@@ -71,3 +71,31 @@ def test_materialize_single_artifact(engine, tmp_path):
     engine.materialize(df, str(tmp_path / "view.parquet"))
     files = [f for f in os.listdir(tmp_path / "view.parquet") if f.endswith(".parquet")]
     assert len(files) == 1
+
+
+def test_format_dispatching_write_roundtrip(spark, sf_dir, tmp_path):
+    from quack_reduce_spark.engine import Engine
+
+    eng = Engine(spark=spark) if "spark" in Engine.__init__.__code__.co_varnames else Engine()
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    for fmt in ["parquet", "csv", "json", "orc"]:
+        out = str(tmp_path / fmt)
+        eng.write(df, out, fmt=fmt)
+        from quack_reduce_spark.sources import read_table
+
+        back = read_table(spark, out, fmt=fmt)
+        assert {(r["k"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_missing_table_error_does_not_kill_session(spark):
+    # analysis errors follow the same contract as parse errors: the
+    # exception propagates to the caller (the CLI renders it), and the
+    # session keeps serving queries
+    from pyspark.sql.utils import AnalysisException
+
+    from quack_reduce_spark.engine import Engine
+
+    eng = Engine()
+    with pytest.raises(AnalysisException):
+        eng.sql("SELECT * FROM definitely_not_a_table")
+    assert eng.sql("SELECT 1 AS one").records == [{"one": 1}]

@@ -93,3 +93,24 @@ def test_hash_sample_is_partitioning_independent(spark, sf_dir):
     assert a == b
     frac = len(a) / li.count()
     assert 0.02 < frac < 0.09  # ~5% with slack for small fixtures
+
+
+def test_merge_schema_reads_drifted_files(spark, tmp_path):
+    # schema evolution: two parquet files with drifting columns read as
+    # the union schema under merge_schema=True
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.sources import read_parquet_table
+
+    d = str(tmp_path / "drift")
+    spark.createDataFrame([(1, "x")], "id long, a string").write.parquet(d + "/f1")
+    spark.createDataFrame([(2, 3.5)], "id long, b double").write.parquet(d + "/f2")
+    # move files into one dir
+    import glob
+    import shutil
+
+    for i, f in enumerate(glob.glob(d + "/f*/part-*.parquet")):
+        shutil.copy(f, f"{d}/part-{i}.parquet")
+    merged = read_parquet_table(spark, d + "/part-*.parquet", merge_schema=True)
+    assert {"id", "a", "b"} <= set(merged.columns)
+    assert merged.count() == 2
