@@ -31,6 +31,7 @@ from quack_reduce_spark.inventory import (
     text,
     timeseries,
     tpch,
+    tpch2,
     udfs,
 )
 
@@ -38,6 +39,7 @@ _MODULES = [
     relational,
     relational2,
     tpch,
+    tpch2,
     timeseries,
     text,
     dedup,

@@ -1,0 +1,508 @@
+"""TPC-H remainder: the 10 queries completing the 22-query suite.
+
+The reference reaches these shapes through its arbitrary-SQL passthrough
+(``app.py:51``); together with inventory/tpch.py this gives the engine
+the full TPC-H workload. The fixture schema has no ``partsupp`` table,
+no commit/receipt dates and no phone/container/comment columns, so each
+query keeps its structural signature (the planner-stressing part) with
+shape-preserving substitutions:
+
+- part↔supplier relation (``partsupp``): derived from observed trade —
+  ``lineitem GROUP BY (l_partkey, l_suppkey)``; supply cost is
+  ``MIN(l_extendedprice)`` (an exact stored float: min is
+  order-insensitive, so cross-engine equality joins on it are safe,
+  unlike a computed average).
+- supply cost in Q9's profit: ``0.6 * p_retailprice * l_quantity``.
+- lateness (Q21): ``l_shipdate > o_orderdate + 90 days`` stands in for
+  ``l_receiptdate > l_commitdate``.
+- "customer complaints" supplier exclusion (Q16): ``s_acctbal < 2000``.
+
+Scale notes (100 TB): region/nation/supplier dims broadcast; the
+derived part↔supplier aggregates shuffle on their group keys and join
+partkey-to-partkey with ``part`` (AQE picks broadcast vs shuffled hash
+from runtime sizes — at 100 TB the per-part aggregate is NOT
+broadcastable, and nothing here assumes it is). Correlated
+EXISTS/NOT EXISTS become semi/anti joins co-partitioned on
+``l_orderkey``, so Q21's three lineitem passes reuse one shuffle key.
+Every LIMIT rides a deterministic total order with unique tiebreaks.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from quack_reduce_spark.inventory._util import load, rnd
+
+
+def _part_supplier(li: DataFrame) -> DataFrame:
+    """The derived part↔supplier relation (partsupp stand-in)."""
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("ps_cost")
+    )
+
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for each bracketed part, the EUROPE supplier offering
+    the minimum cost — correlated-MIN subquery decorrelated into a
+    per-part min aggregate joined back on (partkey, cost) equality."""
+    li = load(spark, sf_dir, "lineitem")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    supplier = load(spark, sf_dir, "supplier")
+    eu_supp = (
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eu = _part_supplier(li).join(
+        F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = ps_eu.groupBy("l_partkey").agg(F.min("ps_cost").alias("min_cost"))
+    min_cost = min_cost.select(F.col("l_partkey").alias("mc_partkey"), "min_cost")
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        part.join(ps_eu, part.p_partkey == ps_eu.l_partkey)
+        .join(
+            min_cost,
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_cost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("n_name"), F.col("s_name"), F.col("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 verbatim shape: bilateral trade volume between two nations by
+    ship year (supplier nation × customer nation via two nation joins)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    n1 = F.broadcast(load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    ))
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+        | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(n1, supplier.s_nationkey == F.col("nk1"))
+        .join(n2, customer.c_nationkey == F.col("nk2"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 verbatim shape: one nation's share of a region's ECONOMY-part
+    market per order year — conditional-sum ratio over a 7-table join."""
+    part = F.broadcast(load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY"))
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    n1 = F.broadcast(load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_regionkey").alias("rk1")
+    ))
+    n2 = F.broadcast(load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation")
+    ))
+    region = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(n1, customer.c_nationkey == F.col("nk1"))
+        .join(region, F.col("rk1") == region.r_regionkey)
+        .join(n2, supplier.s_nationkey == F.col("nk2"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            rnd(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit by supplier nation and order year over parts
+    matching a name pattern; supply cost ≈ 0.6·p_retailprice·quantity."""
+    part = F.broadcast(
+        load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(rnd(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose traded value (from two nations' suppliers)
+    clears a fraction-of-total threshold — grouped sum + scalar-subquery
+    HAVING via a broadcast cross join of the one-row total."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = F.broadcast(
+        load(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_3", "NATION_8"))
+    )
+    supp2 = supplier.join(nation, supplier.s_nationkey == nation.n_nationkey).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(supp2), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    total = per_part.agg((F.sum("value") * 0.001).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", rnd(F.col("value"), 2).alias("value"))
+    )
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 verbatim shape: supplier(s) with the maximum quarterly
+    revenue — revenue view + scalar-max subquery matched by equality."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        supplier.join(revenue, supplier.s_suppkey == F.col("supplier_no"))
+        .crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", rnd(F.col("total_revenue"), 2).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+def tpch_q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per (brand, type, size) for
+    non-excluded parts, minus low-balance suppliers (NOT IN → anti join)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    excluded = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 2000).select("s_suppkey")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(excluded), ps.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(part, ps.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue from orders below half a part's average
+    quantity — correlated scalar subquery decorrelated to a per-part
+    aggregate joined back (quantities are whole doubles, so the
+    computed average is FP-exact and the threshold cross-engine-safe)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = F.broadcast(load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3"))
+    avg_qty = li.groupBy(F.col("l_partkey").alias("aq_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("aq_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(rnd(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested IN-subquery chain — suppliers (in two regions)
+    who moved >100 units of cold-prefixed parts in 1997."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    part = F.broadcast(
+        load(spark, sf_dir, "part").filter(F.col("p_name").like("cold%")).select("p_partkey")
+    )
+    heavy = (
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    region = F.broadcast(
+        load(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    )
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey, "left_semi")
+        .join(F.broadcast(heavy), supplier.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def tpch_q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers whose line was the ONLY late one on a
+    multi-supplier finished order — EXISTS (semi) + NOT EXISTS (anti),
+    all three lineitem passes keyed on l_orderkey so the shuffles
+    co-partition. Lateness ≈ shipped >90 days after order date."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey", "l_linenumber")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    waiting = (
+        late.join(
+            others,
+            (late.l_orderkey == F.col("ok2")) & (late.l_suppkey != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("ok3")) & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supplier), waiting.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+QUERIES = {
+    "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+    "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q9_product_type_profit": tpch_q9_product_type_profit,
+    "tpch_q11_important_stock": tpch_q11_important_stock,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q16_parts_supplier_relationship": tpch_q16_parts_supplier_relationship,
+    "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
+    "tpch_q20_excess_shippers": tpch_q20_excess_shippers,
+    "tpch_q21_suppliers_who_kept_waiting": tpch_q21_suppliers_who_kept_waiting,
+}
+
+
+ORACLES = {
+    "tpch_q2_min_cost_supplier": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS ps_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), ps_eu AS (
+            SELECT ps.*, s_name, s_acctbal, n_name
+            FROM ps
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_cost
+        FROM part JOIN ps_eu ON p_partkey = l_partkey
+        WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+          AND ps_cost = (SELECT MIN(ps_cost) FROM ps_eu i
+                         WHERE i.l_partkey = p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "tpch_q7_volume_shipping": """
+        SELECT supp_nation, cust_nation, l_year,
+               FLOOR((SUM(volume)) * 1e2 + 0.5) / 1e2 AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+                OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "tpch_q8_market_share": """
+        SELECT o_year,
+               FLOOR((SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END)
+                      / SUM(volume)) * 1e6 + 0.5) / 1e6 AS mkt_share
+        FROM (
+            SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n2.n_name AS nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "tpch_q9_product_type_profit": """
+        SELECT nation, o_year, FLOOR((SUM(amount)) * 1e2 + 0.5) / 1e2 AS sum_profit
+        FROM (
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                   l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity AS amount
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+        ) profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year
+    """,
+    "tpch_q11_important_stock": """
+        WITH per_part AS (
+            SELECT l_partkey, SUM(l_extendedprice) AS value
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_3', 'NATION_8')
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, FLOOR(value * 1e2 + 0.5) / 1e2 AS value
+        FROM per_part
+        WHERE value > (SELECT SUM(value) * 0.001 FROM per_part)
+    """,
+    "tpch_q15_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               FLOOR(total_revenue * 1e2 + 0.5) / 1e2 AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "tpch_q16_parts_supplier_relationship": """
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "tpch_q17_small_quantity_revenue": """
+        SELECT FLOOR((SUM(l_extendedprice) / 7.0) * 1e2 + 0.5) / 1e2 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3'
+          AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem i
+                            WHERE i.l_partkey = p_partkey)
+    """,
+    "tpch_q20_excess_shippers": """
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                              WHERE r_name IN ('ASIA', 'EUROPE'))
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey
+            HAVING SUM(l_quantity) > 100
+          )
+        ORDER BY s_name
+    """,
+    "tpch_q21_suppliers_who_kept_waiting": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
+}
