@@ -27,6 +27,7 @@ from quack_reduce_spark.inventory import (
     multimodal,
     relational,
     relational2,
+    relational3,
     similarity,
     text,
     timeseries,
@@ -38,6 +39,7 @@ from quack_reduce_spark.inventory import (
 _MODULES = [
     relational,
     relational2,
+    relational3,
     tpch,
     tpch2,
     timeseries,
