@@ -41,6 +41,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    "tpch_q9_product_type_profit",
+    "tpch_q21_suppliers_who_kept_waiting",
 ]
 
 
