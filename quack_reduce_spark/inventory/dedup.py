@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from quack_reduce_spark.inventory._util import load
+from quack_reduce_spark.operators import components as C
 from quack_reduce_spark.operators import dedup as D
 
 
@@ -80,6 +81,19 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: ngram-Jaccard pairs -> connected
+    components (iterative min-label propagation) -> every doc mapped to
+    its cluster (min member id) with a deterministic canonical flag.
+    Transitivity is the point: A~B, B~C clusters A,B,C even though
+    (A,C) was never an emitted pair. Oracle: DuckDB recursive CTE
+    reachability over the identical pair list."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return C.canonical_docs(docs, pairs, "doc_id")
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -87,6 +101,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_components": dedup_components,
 }
 
 
@@ -135,5 +150,46 @@ ORACLES = {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE FLOOR((list_dot_product(a.v, b.v) / (a.n * b.n)) * 1e6 + 0.5) / 1e6
               >= {COS_THRESHOLD}
+    """,
+    "dedup_components": """
+        WITH RECURSIVE w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id AS doc,
+                   unnest(list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                         for i in generate_series(1, len(words) - 2)])) AS sh
+            FROM w
+            WHERE len(words) >= 3
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        common AS (
+            SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc1, doc2
+            FROM common
+            JOIN sizes n1 ON common.doc1 = n1.doc
+            JOIN sizes n2 ON common.doc2 = n2.doc
+            WHERE FLOOR((CAST(common AS DOUBLE) / (n1.n_sh + n2.n_sh - common)) * 1e6 + 0.5) / 1e6 >= 0.5
+        ),
+        und AS (
+            SELECT doc1 AS a, doc2 AS b FROM pairs
+            UNION
+            SELECT doc2, doc1 FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT DISTINCT a, a FROM und
+            UNION
+            SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.node
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(MIN(reach.r), d.doc_id) AS BIGINT) AS component,
+               COALESCE(MIN(reach.r), d.doc_id) = d.doc_id AS is_canonical
+        FROM documents d LEFT JOIN reach ON reach.node = d.doc_id
+        GROUP BY d.doc_id
     """,
 }

@@ -95,3 +95,31 @@ def test_embedding_lsh_pairs_subset_and_recall(spark, sf_dir):
     assert lsh <= exact
     assert exact, "fixture must contain near-dup pairs at 0.4"
     assert len(lsh) / len(exact) >= 0.6
+
+
+def test_connected_components_transitivity_and_chain(spark):
+    # A 4-node chain (diameter 3) plus an isolated edge pair: min-label
+    # propagation must cluster transitively-linked nodes even though
+    # (1,4) is never an emitted pair, and needs >1 round to converge.
+    from quack_reduce_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc1", "doc2"]
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_canonical_docs_keeps_min_and_isolated(spark):
+    from quack_reduce_spark.operators.components import canonical_docs
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    pairs = spark.createDataFrame([(5, 2), (2, 3)], ["doc1", "doc2"])
+    rows = {r["doc_id"]: (r["component"], r["is_canonical"]) for r in canonical_docs(docs, pairs, "doc_id").collect()}
+    # cluster {2,3,5} -> canonical 2; untouched docs are their own cluster
+    assert rows == {
+        1: (1, True), 2: (2, True), 3: (2, False),
+        4: (4, True), 5: (2, False), 6: (6, True),
+    }
