@@ -8,9 +8,10 @@ SQL so both engines compute the identical closed form.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from quack_reduce_spark.functions import text as T
+from quack_reduce_spark.functions.numeric import rnd
 from quack_reduce_spark.inventory._util import load
 
 _SW_SQL = "('the', 'a', 'and', 'of', 'to')"  # == functions.text.STOPWORDS
@@ -81,6 +82,49 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sample: per-source keep rates
+    (a training-mix recipe) applied with a Knuth-multiplicative-hash
+    bucket on doc_id, so the SAME docs are kept on any cluster size or
+    partition layout — unlike df.sampleBy's per-partition RNG. The
+    predicate is a plain filter, so it pushes to the scan."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000))
+    permille = (
+        F.when(F.col("source") == "src0", 100)
+        .when(F.col("source") == "src1", 500)
+        .otherwise(250)
+    )
+    return (
+        docs.filter(bucket < permille)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            rnd(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus cut: per source, admit docs in deterministic
+    order (doc_id) until a cumulative whitespace-token budget is
+    reached (700 here, sized to bite on the fixtures) — the window
+    cumsum runs distributed per source partition,
+    the canonical 'fill each data-mix slice to N tokens' curation op."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    win = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "source", ntok.alias("n_tok"))
+        .withColumn("cum_tok", F.sum("n_tok").over(win))
+        .filter(F.col("cum_tok") <= 700)
+        .select("doc_id", "source", "n_tok", "cum_tok")
+        .orderBy("source", "doc_id")
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -88,6 +132,8 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_bpe_tokens": text_bpe_tokens,
     "text_rolling_hash": text_rolling_hash,
+    "text_stratified_sample": text_stratified_sample,
+    "text_token_budget": text_token_budget,
 }
 
 
@@ -149,5 +195,25 @@ ORACLES = {
                COUNT(*) AS n_copies
         FROM documents
         GROUP BY 1
+    """,
+    "text_stratified_sample": """
+        SELECT source, COUNT(*) AS n_kept,
+               FLOOR((AVG(n_chars)) * 1e4 + 0.5) / 1e4 AS avg_chars
+        FROM documents
+        WHERE (doc_id * 2654435761) % 1000 <
+              CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 500 ELSE 250 END
+        GROUP BY source
+        ORDER BY source
+    """,
+    "text_token_budget": """
+        SELECT doc_id, source, n_tok, cum_tok FROM (
+            SELECT doc_id, source,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tok,
+                   CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+                        OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_tok
+            FROM documents
+        )
+        WHERE cum_tok <= 700
+        ORDER BY source, doc_id
     """,
 }
