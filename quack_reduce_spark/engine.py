@@ -149,6 +149,10 @@ def _records_json_safe(df: DataFrame) -> list[dict[str, Any]]:
             return bytes(v).hex()
         if isinstance(v, bytes):
             return v.hex()
+        if isinstance(v, dict):  # nested structs/maps from asDict(recursive=True)
+            return {k: conv(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):  # array columns may hold ts/Decimal too
+            return [conv(x) for x in v]
         return v
 
     return [{k: conv(v) for k, v in row.asDict(recursive=True).items()} for row in df.collect()]

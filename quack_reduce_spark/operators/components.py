@@ -49,6 +49,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             adj.join(labels, adj.b == labels.node)
@@ -71,6 +72,13 @@ def connected_components(
         labels = updated.drop("__changed")
         if changed == 0:
             break
+    if changed > 0:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing); the graph diameter "
+            f"exceeds the round budget — raise max_iter (labels would be "
+            f"partially propagated, i.e. WRONG, if returned silently)"
+        )
     return labels
 
 

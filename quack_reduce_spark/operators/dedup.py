@@ -52,9 +52,17 @@ def _perm_consts(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of a whitespace-tokenized text."""
+    """Distinct n-word shingles of a whitespace-tokenized text.
+
+    Docs with fewer than n tokens yield an empty array — the sequence
+    bound must be guarded, because F.sequence(1, stop) with stop < 1
+    descends (step -1) and produces 0/negative indexes that make
+    element_at abort the whole job.
+    """
     words = F.split(F.trim(text), r"\s+")
-    idx = F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     shingle_at = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(words, i + j) for j in range(n)]
     )

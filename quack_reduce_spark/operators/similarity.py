@@ -124,10 +124,19 @@ def lsh_topk(
     Returns (query_id, vec_id, cos_sim, rank) — possibly fewer than k
     rows per query (recall tradeoff; on isotropic random vectors recall
     is inherently low — LSH pays off when the corpus is clustered).
-    The bucket join shuffles on the bucket key; candidates per query =
-    (1 + n_planes) / 2^n_planes of the corpus at probe_bits=1.
+    The bucket join shuffles on the bucket key; probed buckets per
+    query = sum of C(n_planes, d) for d <= probe_bits (all XOR masks
+    of Hamming weight up to probe_bits, not just single-bit flips).
     """
-    probe_offsets = [0] + ([1 << p for p in range(n_planes)] if probe_bits >= 1 else [])
+    from itertools import combinations
+
+    probe_offsets = [0]
+    for dist in range(1, min(probe_bits, n_planes) + 1):
+        for bits in combinations(range(n_planes), dist):
+            mask = 0
+            for p in bits:
+                mask |= 1 << p
+            probe_offsets.append(mask)
     q = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(vec_col).alias("__qvec"),

@@ -27,10 +27,12 @@ def _nanos_columns(path: str) -> list[str]:
 def read_parquet_table(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
     """Parquet scan (file or hive-partitioned dir) with nanos fallback.
 
-    Note the conf is session-sticky: once nanosAsLong is set (by this
-    function or anyone else), later reads of nanos files SUCCEED but
-    deliver raw longs — so the conversion must key off the conf state,
-    not off the footer probe.
+    The nanosAsLong conf is scoped to this call: the prior value is
+    restored in a finally block, so other code paths doing plain
+    ``spark.read`` keep real timestamp decoding. That is safe because
+    Spark captures the conf at DataFrame-creation (schema inference)
+    time — the returned (lazy) DataFrame still collects correctly
+    after the restore (verified empirically on Spark 4).
 
     The footer is probed (pyarrow, driver-side, metadata-only) BEFORE
     the Spark read: setting the conf proactively avoids ever surfacing
@@ -38,29 +40,37 @@ def read_parquet_table(spark: SparkSession, path: str, merge_schema: bool = Fals
     catch block stays as a fallback for paths pyarrow can't enumerate
     the same way (e.g. glob patterns).
     """
+    _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(_NANOS_CONF, None)
     try:
-        if _nanos_columns(path):
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # probe is best-effort; the read fallback below still works
-    reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
-    try:
-        df = reader.parquet(path)
-    except AnalysisException as e:
-        if "TIMESTAMP(NANOS" not in str(e):
-            raise
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = reader.parquet(path)
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true":
-        long_cols = {f.name for f in df.schema.fields if f.dataType.typeName() == "long"}
         try:
-            nanos = _nanos_columns(path)
+            if _nanos_columns(path):
+                spark.conf.set(_NANOS_CONF, "true")
         except Exception:
-            nanos = []  # pyarrow can't probe globs/exotic paths; no footer, no conversion
-        for name in nanos:
-            if name in long_cols:
-                df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
-    return df
+            pass  # probe is best-effort; the read fallback below still works
+        reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+        try:
+            df = reader.parquet(path)
+        except AnalysisException as e:
+            if "TIMESTAMP(NANOS" not in str(e):
+                raise
+            spark.conf.set(_NANOS_CONF, "true")
+            df = reader.parquet(path)
+        if spark.conf.get(_NANOS_CONF, "false") == "true":
+            long_cols = {f.name for f in df.schema.fields if f.dataType.typeName() == "long"}
+            try:
+                nanos = _nanos_columns(path)
+            except Exception:
+                nanos = []  # pyarrow can't probe globs/exotic paths; no footer, no conversion
+            for name in nanos:
+                if name in long_cols:
+                    df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
+        return df
+    finally:
+        if prior is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prior)
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet", **options: str) -> DataFrame:

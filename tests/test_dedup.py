@@ -6,6 +6,7 @@ rows-only check (see inventory/dedup.py docstring)."""
 from __future__ import annotations
 
 import pytest
+import pyspark.sql.functions as F
 
 from quack_reduce_spark.inventory._util import load
 from quack_reduce_spark.operators import dedup as D
@@ -123,3 +124,32 @@ def test_canonical_docs_keeps_min_and_isolated(spark):
         1: (1, True), 2: (2, True), 3: (2, False),
         4: (4, True), 5: (2, False), 6: (6, True),
     }
+
+
+def test_word_shingles_short_docs_yield_empty(spark):
+    # ADVICE r1 (medium): docs with < n tokens used to crash the whole
+    # job (descending F.sequence -> element_at index 0/negative); they
+    # must instead contribute an empty shingle set
+    rows = [(1, "two tokens"), (2, "one"), (3, ""), (4, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select("doc_id", D.word_shingles(F.col("text"), 3).alias("sh")).collect()
+    by_id = {r["doc_id"]: r["sh"] for r in out}
+    assert by_id[1] == [] and by_id[2] == [] and by_id[3] == []
+    assert by_id[4] == ["a b c", "b c d"]
+    # and the signature path over a mixed corpus no longer aborts
+    sigs = df.select(D.minhash_signature(F.col("text"), 3, 8).alias("sig")).collect()
+    assert len(sigs) == 4
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    # ADVICE r1: hitting max_iter with labels still moving must raise,
+    # not silently return partially-propagated components
+    from quack_reduce_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc1 long, doc2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    ok = connected_components(chain, max_iter=20)
+    assert ok.select("component").distinct().count() == 1

@@ -99,3 +99,23 @@ def test_missing_table_error_does_not_kill_session(spark):
     with pytest.raises(AnalysisException):
         eng.sql("SELECT * FROM definitely_not_a_table")
     assert eng.sql("SELECT 1 AS one").records == [{"one": 1}]
+
+
+def test_records_json_safe_nested(spark):
+    # ADVICE r1: timestamps/dates/Decimals nested in arrays/structs
+    # must be converted too, not only top-level values
+    import json
+
+    from quack_reduce_spark.engine import _records_json_safe
+
+    df = spark.sql(
+        "SELECT array(timestamp'2024-01-01 00:00:00') AS ts_arr, "
+        "named_struct('d', date'2024-02-03', 'dec', cast(1.5 as decimal(5,2))) AS st, "
+        "map('k', timestamp'2024-06-07 08:09:10') AS m"
+    )
+    recs = _records_json_safe(df)
+    json.dumps(recs)  # would raise on any unconverted value
+    assert recs[0]["ts_arr"] == ["2024-01-01 00:00:00"]
+    assert recs[0]["st"]["d"] == "2024-02-03"
+    assert recs[0]["st"]["dec"] == 1.5
+    assert recs[0]["m"]["k"] == "2024-06-07 08:09:10"

@@ -127,3 +127,19 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
         for r in S.ivf_topk(queries, corpus, k=3, nlist=4, nprobe=4).collect()
     }
     assert ivf == brute
+
+
+def test_lsh_topk_probe_bits_2_expands_candidates(spark):
+    # ADVICE r1: probe_bits >= 2 used to silently behave like 1; the
+    # offset set must contain all masks of Hamming weight <= probe_bits
+    import pyspark.sql.functions as F
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    k = 4
+    r1 = S.lsh_topk(queries, corpus, dim=4, k=k, n_planes=6, probe_bits=1).count()
+    r2 = S.lsh_topk(queries, corpus, dim=4, k=k, n_planes=6, probe_bits=2).count()
+    rall = S.lsh_topk(queries, corpus, dim=4, k=k, n_planes=6, probe_bits=6).count()
+    assert r1 <= r2 <= rall
+    assert rall == k  # probing every bucket == brute force recall

@@ -114,3 +114,15 @@ def test_merge_schema_reads_drifted_files(spark, tmp_path):
     merged = read_parquet_table(spark, d + "/part-*.parquet", merge_schema=True)
     assert {"id", "a", "b"} <= set(merged.columns)
     assert merged.count() == 2
+
+
+def test_nanos_conf_not_left_session_sticky(spark, sf_dir):
+    # ADVICE r1: read_parquet_table must restore the nanosAsLong conf
+    # so OTHER plain spark.read paths keep real timestamp decoding
+    prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    df = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    after = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    assert after == prior
+    # the returned df still decodes (conf captured at creation time)
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    assert df.limit(1).count() == 1
