@@ -29,6 +29,7 @@ from quack_reduce_spark.inventory import (
     relational2,
     relational3,
     similarity,
+    streaming_live,
     text,
     timeseries,
     tpch,
@@ -43,6 +44,7 @@ _MODULES = [
     tpch,
     tpch2,
     timeseries,
+    streaming_live,
     text,
     dedup,
     similarity,
@@ -66,8 +68,7 @@ _HEAD = [
     "a06_group_count", "a07_global_count", "a09_topk", "a14_derived_date",
     # Tier B — representative SQL surface
     "b_agg_pricing_summary", "b_join_star_broadcast", "b_join_semi",
-    "b_window_rank", "b_rollup", "b_subquery_exists", "b_higher_order_fns",
-    "b2_pivot",
+    "b_window_rank", "b_rollup", "b_higher_order_fns", "b2_pivot",
     # TPC-H — join/subquery-heavy composites
     "tpch_q1_full", "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
     "tpch_q4_order_priority", "tpch_q6_forecast_revenue", "tpch_q8_market_share",
@@ -77,10 +78,11 @@ _HEAD = [
     # Time-series / windowing over events
     "ts_tumbling_window", "ts_sliding_window", "ts_session_window",
     "ts_asof_join", "ts_date_rollup", "ts_event_transitions",
+    # Live Structured Streaming (readStream → availableNow → sink)
+    "stream_tumbling_agg", "stream_session_agg", "stream_dedup_redelivery",
     # Text analysis
     "text_token_stats", "text_quality", "text_lang_id", "text_fingerprint",
-    "text_bpe_tokens", "text_rolling_hash", "text_stratified_sample",
-    "text_token_budget",
+    "text_stratified_sample", "text_token_budget",
     # Dedup
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_components",

@@ -125,8 +125,59 @@ def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for LLM training/embedding pipelines: split
+    each doc into overlapping token windows (32 tokens, stride 24 —
+    8-token overlap) with deterministic chunk ids. Pure array ops —
+    split once, slice per chunk start — so the whole thing is one
+    narrow projection + explode, no shuffle at all until a downstream
+    op needs one; at 100 TB chunking is scan-shaped and embarrassingly
+    parallel."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(CHUNK_STRIDE))
+    chunked = docs.select(
+        "doc_id",
+        words.alias("__w"),
+        F.explode(starts).alias("__start"),
+    )
+    return chunked.select(
+        "doc_id",
+        ((F.col("__start") - 1) / F.lit(CHUNK_STRIDE)).cast("int").alias("chunk_idx"),
+        F.array_join(F.slice("__w", F.col("__start"), CHUNK_TOKENS), " ").alias("chunk_text"),
+        F.size(F.slice("__w", F.col("__start"), CHUNK_TOKENS)).alias("n_chunk_tokens"),
+    )
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per doc (a standard
+    gibberish/boilerplate quality signal): H = log2(T) - Σ c·log2(c) / T
+    over per-char counts — ONE explode + two hash aggregates, all
+    partial-aggregated map-side, no window."""
+    docs = load(spark, sf_dir, "documents")
+    chars = docs.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    ln2 = 0.6931471805599453
+    return (
+        counts.groupBy("doc_id")
+        .agg(F.sum("c").alias("__t"), F.sum(F.col("c") * F.log("c")).alias("__s"))
+        .select(
+            "doc_id",
+            rnd(
+                (F.log("__t") - F.col("__s") / F.col("__t")) / F.lit(ln2), 4
+            ).alias("char_entropy"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_chunk_windows": text_chunk_windows,
+    "text_char_entropy": text_char_entropy,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -138,6 +189,36 @@ QUERIES = {
 
 
 ORACLES = {
+    "text_chunk_windows": """
+        WITH w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, words,
+                   unnest(generate_series(1, CAST(greatest(len(words), 1) AS BIGINT), 24)) AS start
+            FROM w
+        )
+        SELECT doc_id,
+               CAST((start - 1) / 24 AS INT) AS chunk_idx,
+               array_to_string(words[start : start + 31], ' ') AS chunk_text,
+               CAST(len(words[start : start + 31]) AS INT) AS n_chunk_tokens
+        FROM c
+    """,
+    "text_char_entropy": """
+        WITH ch AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+        ),
+        cnt AS (
+            SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch
+        ),
+        agg AS (
+            SELECT doc_id, SUM(c) AS t, SUM(c * ln(c)) AS s FROM cnt GROUP BY doc_id
+        )
+        SELECT doc_id,
+               FLOOR(((ln(t) - s / t) / 0.6931471805599453) * 1e4 + 0.5) / 1e4 AS char_entropy
+        FROM agg
+    """,
     "text_token_stats": """
         SELECT doc_id,
                CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,

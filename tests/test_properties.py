@@ -130,3 +130,41 @@ def test_rolling_hash_matches_python_fold(spark_global, text):
     for ch in text:
         want = (want * ROLLING_BASE + ord(ch)) % ROLLING_MOD
     assert got == want
+
+
+def test_chunk_windows_cover_all_tokens_no_gaps(spark):
+    # every token index must be covered by >= 1 chunk; consecutive
+    # chunks overlap by exactly CHUNK_TOKENS - CHUNK_STRIDE tokens
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.inventory.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        text_chunk_windows,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    chunks = text_chunk_windows(spark, sf)
+    from quack_reduce_spark.inventory._util import load
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok")
+    )
+    agg = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.sum("n_chunk_tokens").alias("sum_chunk_tok"),
+            F.max("chunk_idx").alias("max_idx"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .join(docs, "doc_id")
+        .collect()
+    )
+    for r in agg:
+        assert r["n_chunks"] == r["max_idx"] + 1
+        # total chunked tokens = n_tok + overlap * (n_chunks - 1)
+        overlap_total = sum(
+            min(CHUNK_TOKENS, r["n_tok"] - i * CHUNK_STRIDE)
+            for i in range(r["n_chunks"])
+        )
+        assert r["sum_chunk_tok"] == overlap_total

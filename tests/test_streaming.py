@@ -110,3 +110,30 @@ def test_sliding_stream_equals_batch(spark, event_files):
         assert got == want
     finally:
         q.stop()
+
+
+def test_stream_registry_queries_match_batch(spark):
+    # the live-streaming inventory entries must equal their batch twins
+    # (same expressions, streaming engine) on the bounded fixture
+    from quack_reduce_spark.inventory.streaming_live import (
+        stream_dedup_redelivery,
+        stream_tumbling_agg,
+    )
+    from quack_reduce_spark.inventory.timeseries import ts_tumbling_window
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["window_start"], r["n_events"], r["sum_value"])
+        for r in stream_tumbling_agg(spark, sf).collect()
+    }
+    want = {
+        (r["window_start"], r["n_events"], r["sum_value"])
+        for r in ts_tumbling_window(spark, sf).collect()
+    }
+    assert got == want
+
+    # redeliveries (10% of events duplicated in the stream) collapse
+    dd = stream_dedup_redelivery(spark, sf)
+    tot = sum(r["n_unique"] for r in dd.collect())
+    n_events = load(spark, sf, "events").count()
+    assert tot == n_events
