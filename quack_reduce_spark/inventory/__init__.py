@@ -72,7 +72,7 @@ _HEAD = [
     # TPC-H — join/subquery-heavy composites
     "tpch_q1_full", "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
     "tpch_q4_order_priority", "tpch_q6_forecast_revenue", "tpch_q8_market_share",
-    "tpch_q9_product_type_profit", "tpch_q13_customer_distribution",
+    "tpch_q9_product_type_profit",
     "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customers",
     "tpch_q20_excess_shippers", "tpch_q21_suppliers_who_kept_waiting",
     # Time-series / windowing over events
@@ -84,10 +84,10 @@ _HEAD = [
     "text_token_stats", "text_quality", "text_lang_id", "text_fingerprint",
     "text_stratified_sample", "text_token_budget",
     # Dedup
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_components",
+    "dedup_exact", "dedup_substring", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_components",
     # Similarity search
-    "sim_cosine_topk", "sim_label_centroid_norm",
+    "sim_cosine_topk", "sim_quantized_topk",
     # Multimodal + python UDF surface
     "mm_binary_meta", "mm_frame_sample", "udf_trimmed_mean",
 ]

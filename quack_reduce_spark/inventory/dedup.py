@@ -94,8 +94,19 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.canonical_docs(docs, pairs, "doc_id")
 
 
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication: doc pairs sharing >= 5 distinct
+    32-char grams (copied-passage detection; word-level Jaccard can
+    miss these). Oracle joins raw substrings; Spark joins xxhash64'd
+    grams — identical counts barring astronomically-unlikely (and
+    deterministic) 64-bit collisions."""
+    docs = load(spark, sf_dir, "documents")
+    return D.char_ngram_pairs(docs, "text", "doc_id", k=32, min_shared=5)
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_substring": dedup_substring,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -106,6 +117,20 @@ QUERIES = {
 
 
 ORACLES = {
+    "dedup_substring": """
+        WITH g AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, length(text) - 31),
+                       i -> substr(text, i, 32)))) AS g
+            FROM documents
+            WHERE length(text) >= 32
+        )
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_shared
+        FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 5
+    """,
     "dedup_exact": """
         SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
                MIN(doc_id) AS keep_id,

@@ -69,8 +69,18 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(queries, corpus, k=TOP_K, nlist=16, nprobe=4)
 
 
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-scalar-quantized dot-product top-5 (the bandwidth-scale
+    path: 4x smaller vectors; integer dots). Exact same half-up-floor
+    quantization in the DuckDB oracle, so this is hash-checked, not
+    rows-only."""
+    queries, corpus = _split(spark, sf_dir)
+    return S.quantized_topk(queries, corpus, k=TOP_K)
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
+    "sim_quantized_topk": sim_quantized_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_label_centroid_norm": sim_label_centroid_norm,
@@ -78,6 +88,32 @@ QUERIES = {
 
 
 ORACLES = {
+    "sim_quantized_topk": f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        quant AS (
+            SELECT vec_id,
+                   greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-12) AS s,
+                   list_transform(v,
+                       x -> floor(x / greatest(list_max(list_transform(v, y -> abs(y))) / 127.0, 1e-12) + 0.5)) AS q
+            FROM base
+        ),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                   FLOOR((a.s * b.s * list_dot_product(a.q, b.q)) * 1e6 + 0.5) / 1e6 AS approx_dot
+            FROM quant a, quant b
+            WHERE a.vec_id < {N_QUERIES} AND b.vec_id >= {N_QUERIES}
+        )
+        SELECT query_id, vec_id, approx_dot, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT query_id, vec_id, approx_dot,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY approx_dot DESC, vec_id ASC) AS rank
+            FROM scored
+        )
+        WHERE rank <= {TOP_K}
+    """,
     "sim_cosine_topk": f"""
         WITH q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

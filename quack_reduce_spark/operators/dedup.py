@@ -270,6 +270,48 @@ def minhash_lsh_pairs(
     )
 
 
+def char_ngram_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 32,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Substring-level duplication pairs: docs sharing >= ``min_shared``
+    distinct character k-grams (the signal behind exact-substring
+    training-data dedup, cf. Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better" — a long shared char run means
+    copied passages even when word-level Jaccard is low).
+
+    Grams are xxhash64-hashed so the self-join shuffles longs, not
+    32-char strings (collision odds across a corpus's distinct grams
+    are ~|grams|^2 / 2^65 — vanishing, and deterministic given the
+    fixed hash). Same inverted-index blocking shape as
+    ngram_jaccard_pairs: cost is sum over grams of bucket^2, so only
+    genuinely shared substrings pay."""
+    n = F.length(F.col(text_col))
+    idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.xxhash64(F.col(text_col).substr(i, F.lit(k))))
+            )
+        ).alias("g"),
+    )
+    left = grams.select(F.col("doc").alias("doc1"), "g")
+    right = grams.select(F.col("doc").alias("doc2"), "g")
+    return (
+        left.join(right, "g")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def with_simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc, sh64): 64-bit SimHash of the whitespace tokens per doc.
 

@@ -143,3 +143,39 @@ def test_lsh_topk_probe_bits_2_expands_candidates(spark):
     rall = S.lsh_topk(queries, corpus, dim=4, k=k, n_planes=6, probe_bits=6).count()
     assert r1 <= r2 <= rall
     assert rall == k  # probing every bucket == brute force recall
+
+
+def test_quantized_topk_agrees_with_exact(spark, sf_dir):
+    # int8 quantization at 64 dims should preserve most of the exact
+    # top-5 neighborhood (dot-product ranking)
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.inventory._util import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    quant = {
+        (r["query_id"], r["vec_id"])
+        for r in S.quantized_topk(queries, corpus, k=5).collect()
+    }
+    exact_dot = (
+        queries.crossJoin(corpus.withColumnRenamed("embedding", "c_emb"))
+        .select(
+            "query_id",
+            "vec_id",
+            S.dot(F.col("embedding"), F.col("c_emb")).alias("d"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("d").desc(), F.col("vec_id").asc())
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in exact_dot.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+    assert len(quant & exact) / len(exact) >= 0.8
