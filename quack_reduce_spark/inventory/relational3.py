@@ -112,7 +112,35 @@ def b3_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b3_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): expand a month calendar
+    series by recursion, then LEFT JOIN order counts per month —
+    empty months survive with 0. Identical SQL runs on DuckDB.
+
+    Scale: the recursive seed is tiny (one row per month, driver-side
+    cardinality); each iteration is a LocalRelation union, and the only
+    distributed work is the final join+aggregate against orders.
+    """
+    from quack_reduce_spark.inventory._util import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT DATE'1995-01-01'
+            UNION ALL
+            SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+            WHERE m < DATE'1996-12-01'
+        )
+        SELECT CAST(m AS TIMESTAMP) AS month_start, COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders ON trunc(o_orderdate, 'MM') = m
+        GROUP BY 1
+        """
+    )
+
+
 QUERIES = {
+    "b3_recursive_cte": b3_recursive_cte,
     "b3_from_json_struct": b3_from_json_struct,
     "b3_to_json_struct": b3_to_json_struct,
     "b3_posexplode_words": b3_posexplode_words,
@@ -123,6 +151,17 @@ QUERIES = {
 
 
 ORACLES = {
+    "b3_recursive_cte": """
+        WITH RECURSIVE months(m) AS (
+            SELECT DATE'1995-01-01'
+            UNION ALL
+            SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+            WHERE m < DATE'1996-12-01'
+        )
+        SELECT CAST(m AS TIMESTAMP) AS month_start, COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = CAST(m AS DATE)
+        GROUP BY 1
+    """,
     "b3_from_json_struct": """
         SELECT event_type,
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
