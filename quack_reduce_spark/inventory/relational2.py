@@ -329,7 +329,32 @@ def b2_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b2_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting demo through the correctness gate: the skew-mitigation
+    join (operators/skew.py — fact key salted into 8 sub-keys, dim
+    replicated per salt) must return EXACTLY the rows of the plain
+    equi-join it replaces. Oracle is the plain join + aggregate; the
+    plan-shape assertions live in tests/test_approx_and_skew.py."""
+    from quack_reduce_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, sup, on="suppkey", salt_buckets=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            rnd(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
 QUERIES = {
+    "b2_skew_salted_join": b2_skew_salted_join,
     "b2_setop_all_variants": b2_setop_all_variants,
     "b2_limit_offset": b2_limit_offset,
     "b2_sample_hash": b2_sample_hash,
@@ -355,6 +380,12 @@ QUERIES = {
 
 
 ORACLES = {
+    "b2_skew_salted_join": """
+        SELECT s_nationkey, COUNT(*) AS n_items,
+               FLOOR((SUM(l_quantity)) * 1e4 + 0.5) / 1e4 AS sum_qty
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+    """,
     "b2_setop_all_variants": """
         WITH cn AS (SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer),
              sn AS (SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier),
