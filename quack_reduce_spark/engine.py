@@ -84,6 +84,17 @@ class Engine:
         """Arbitrary SQL → lazy DataFrame (the reference's app.py:51)."""
         return self.spark.sql(query)
 
+    def explain(self, query: str, mode: str = "formatted") -> str:
+        """Physical-plan text for a SQL query without executing it —
+        the plan-inspection surface the scale discipline depends on
+        (check pushed filters, pruned ReadSchema, broadcast joins; see
+        docs/PLANS.md). ``mode``: simple | extended | formatted | cost.
+        """
+        df = self.spark.sql(query)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), mode
+        )
+
     def sql(self, query: str, limit: int | None = DEFAULT_LIMIT) -> QueryResult:
         """Run SQL, cap rows, return the JSON-safe metadata envelope."""
         start = time.time()

@@ -86,29 +86,76 @@ def _gen_query(rng: random.Random) -> str:
     )
 
 
+def _gen_join_query(rng: random.Random) -> str:
+    """Two-table join tier: lineitem x orders with mixed predicates and
+    grouped aggregates over columns from both sides."""
+    how = rng.choice(["JOIN", "LEFT JOIN"])
+    preds = []
+    if rng.random() < 0.8:
+        preds.append(f"o_totalprice > {rng.randint(1000, 300000)}")
+    if rng.random() < 0.6:
+        st = rng.sample(["O", "F", "P"], rng.randint(1, 2))
+        preds.append("o_orderstatus IN (" + ", ".join(f"'{s}'" for s in st) + ")")
+    if rng.random() < 0.5:
+        preds.append(f"l_quantity <= {rng.randint(5, 45)}")
+    where = ("WHERE " + " AND ".join(preds)) if preds else ""
+    group = rng.choice(["o_orderstatus", "l_returnflag", "o_orderpriority"])
+    aggs = ["COUNT(*) AS n", "CAST(SUM(l_orderkey) AS BIGINT) AS sum_key"]
+    if rng.random() < 0.5:
+        aggs.append("MAX(o_totalprice) AS max_price")
+    return (
+        f"SELECT {group}, {', '.join(aggs)} FROM lineitem "
+        f"{how} orders ON l_orderkey = o_orderkey {where} GROUP BY {group}"
+    )
+
+
+def _gen_window_query(rng: random.Random) -> str:
+    """Window tier: rank over a deterministic (unique-key-tiebroken)
+    order, filtered to a top-n — identical ANSI in both engines."""
+    n = rng.randint(2, 5)
+    part = rng.choice(["o_orderstatus", "o_orderpriority"])
+    return (
+        "SELECT * FROM ("
+        f"SELECT {part}, o_orderkey, "
+        f"ROW_NUMBER() OVER (PARTITION BY {part} "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk "
+        f"FROM orders) WHERE rk <= {n}"
+    )
+
+
 @pytest.fixture(scope="module")
 def engines(spark):
     from quack_reduce_spark.inventory._util import register_views
 
-    register_views(spark, SF_DIR, ["lineitem"])
+    register_views(spark, SF_DIR, ["lineitem", "orders"])
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_DIR}/lineitem.parquet'"
-    )
+    for t in ["lineitem", "orders"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return spark, con
 
 
-def test_differential_fuzz_30_queries(engines):
+def _run_differential(engines, gen, n, seed):
     spark, con = engines
-    rng = random.Random(20260813)
+    rng = random.Random(seed)
     mismatches = []
-    for i in range(30):
-        q = _gen_query(rng)
+    for i in range(n):
+        q = gen(rng)
         sdf = spark.sql(q)
         cols = sdf.columns
         s_rows = [r.asDict() for r in sdf.collect()]
-        d = con.execute(q).df()
-        d_rows = d.to_dict("records")
+        d_rows = con.execute(q).df().to_dict("records")
         if _rowset(s_rows, cols) != _rowset(d_rows, cols):
             mismatches.append((i, q))
     assert not mismatches, f"{len(mismatches)} differential mismatches: {mismatches[:3]}"
+
+
+def test_differential_fuzz_single_table(engines):
+    _run_differential(engines, _gen_query, 30, 20260813)
+
+
+def test_differential_fuzz_joins(engines):
+    _run_differential(engines, _gen_join_query, 20, 987654)
+
+
+def test_differential_fuzz_windows(engines):
+    _run_differential(engines, _gen_window_query, 10, 424242)

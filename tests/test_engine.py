@@ -119,3 +119,11 @@ def test_records_json_safe_nested(spark):
     assert recs[0]["st"]["d"] == "2024-02-03"
     assert recs[0]["st"]["dec"] == 1.5
     assert recs[0]["m"]["k"] == "2024-06-07 08:09:10"
+
+
+def test_explain_surfaces_pushdown(engine):
+    plan = engine.explain(
+        "SELECT l_suppkey, COUNT(*) AS n FROM lineitem "
+        "WHERE l_shipdate >= DATE'1995-01-01' GROUP BY l_suppkey"
+    )
+    assert "PushedFilters" in plan and "HashAggregate" in plan
