@@ -174,10 +174,45 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_DIGITRUN_RE = "[0-9]{6,}"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (training-corpus hygiene): redact email
+    addresses and long digit runs with typed placeholders, and report
+    per-doc redaction counts. Pure regexp_replace/regexp_count — JVM
+    expressions in codegen; the identical POSIX-ish patterns run in the
+    oracle. The fixture corpus is PII-free, so deterministic PII is
+    first injected into a derived column (every 7th doc an email, every
+    11th a long digit run) — the scrubber must redact exactly those and
+    pass every other doc through byte-identical (the unchanged flag)."""
+    docs = load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" ref 123456789")).otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(dirty, _EMAIL_RE, "<EMAIL>"), _DIGITRUN_RE, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(dirty, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(dirty, F.lit(_DIGITRUN_RE)).alias("n_digit_runs"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        (scrubbed == F.col("text")).alias("unchanged"),
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_chunk_windows": text_chunk_windows,
     "text_char_entropy": text_char_entropy,
+    "text_pii_scrub": text_pii_scrub,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -189,6 +224,31 @@ QUERIES = {
 
 
 ORACLES = {
+    "text_pii_scrub": """
+        WITH d AS (
+            SELECT doc_id, text,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' contact user' || doc_id || '@example.com now'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0 THEN ' ref 123456789' ELSE '' END
+                   AS dirty
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, text, dirty,
+                   regexp_replace(
+                       regexp_replace(dirty, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                       '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(dirty, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(dirty, '[0-9]{6,}')) AS INT) AS n_digit_runs,
+               CAST(length(scrubbed) AS INT) AS scrubbed_len,
+               scrubbed = text AS unchanged
+        FROM s
+    """,
     "text_chunk_windows": """
         WITH w AS (
             SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
