@@ -37,9 +37,15 @@ def main() -> None:
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     spark = get_spark("bench-modes")
 
+    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
     with tempfile.TemporaryDirectory(prefix="qrs_bench_") as d:
         lake = f"{d}/lineitem_by_month"
         li = read_parquet_table(spark, f"{sf_dir}/lineitem.parquet")
+        # replicate mult x so the scan cost is real, not task overhead —
+        # wall-clock separation between pruned and unpruned plans needs
+        # enough bytes that reading them dominates scheduling
+        li = li.crossJoin(spark.range(mult).select(F.col("id").alias("__rep")))
         li.withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM")).write.partitionBy(
             "ship_month"
         ).mode("overwrite").parquet(lake)
@@ -54,10 +60,19 @@ def main() -> None:
             )
 
         def run_naive() -> int:
+            # the reference's single-node glob scan: every partition is
+            # read (the predicate references the DATA column, so
+            # partition pruning cannot fire), row-group pushdown is off,
+            # and execution is one task
             spark.conf.set("spark.sql.parquet.filterPushdown", "false")
             try:
-                df = spark.read.parquet(lake).coalesce(1)  # one task, no pruning benefit inside
-                return agg_query(df).count()
+                df = spark.read.parquet(lake).coalesce(1)
+                return (
+                    df.filter(F.date_format("l_shipdate", "yyyy-MM").between(*months))
+                    .groupBy("l_suppkey")
+                    .agg(F.count(F.lit(1)).alias("counts"))
+                    .count()
+                )
             finally:
                 spark.conf.set("spark.sql.parquet.filterPushdown", "true")
 
