@@ -159,3 +159,24 @@ def test_differential_fuzz_joins(engines):
 
 def test_differential_fuzz_windows(engines):
     _run_differential(engines, _gen_window_query, 10, 424242)
+
+
+def _gen_setop_query(rng: random.Random) -> str:
+    """Set-operation tier: UNION/INTERSECT/EXCEPT (+ALL variants) of two
+    filtered projections of the same table — NULL-free columns so bag
+    semantics agree exactly."""
+    op = rng.choice(
+        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"]
+    )
+    cols = "l_returnflag, l_linestatus, l_linenumber"
+    a = rng.randint(1000, 4000)
+    b = rng.randint(1000, 4000)
+    return (
+        f"SELECT {cols} FROM lineitem WHERE l_orderkey < {a} "
+        f"{op} "
+        f"SELECT {cols} FROM lineitem WHERE l_orderkey < {b}"
+    )
+
+
+def test_differential_fuzz_setops(engines):
+    _run_differential(engines, _gen_setop_query, 12, 13579)

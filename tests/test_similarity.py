@@ -179,3 +179,14 @@ def test_quantized_topk_agrees_with_exact(spark, sf_dir):
         .collect()
     }
     assert len(quant & exact) / len(exact) >= 0.8
+
+
+def test_quantized_topk_zero_vector_safe(spark):
+    # all-zero vectors must not divide by zero (scale floor 1e-12)
+    import pyspark.sql.functions as F
+
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.5, 0.5])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.quantized_topk(q, emb.filter(F.col("vec_id") > 0), k=2).collect()
+    assert len(out) == 2 and all(r["approx_dot"] == 0.0 for r in out)
