@@ -37,3 +37,26 @@ def test_curation_invariants(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == len(rows)
     assert "lang" in back.columns
+
+
+def test_streaming_pipeline_writes_finalized_windows(spark, sf_dir, tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from examples.streaming_pipeline import run
+
+    n = run(sf_dir, str(tmp_path))
+    # append mode emits only watermark-finalized windows: non-empty but
+    # strictly fewer than the complete-mode window count
+    assert n > 0
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.inventory._util import load
+
+    full = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+        .count()
+    )
+    assert n < full
