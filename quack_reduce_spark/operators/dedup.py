@@ -226,13 +226,14 @@ def minhash_lsh_pairs(
     band_structs = []
     for b_i in range(bands):
         members = [
-            F.col(f"__m{i}").cast("string")
+            F.col(f"__m{i}")
             for i in range(b_i * rows_per_band, (b_i + 1) * rows_per_band)
         ]
+        # xxhash64 over the band's min values: an 8-byte join key (vs a
+        # 32-char md5 string) — cheaper to compute and 4x fewer shuffle
+        # bytes per band row
         band_structs.append(
-            F.struct(
-                F.lit(b_i).alias("band"), F.md5(F.concat_ws(",", *members)).alias("bkey")
-            )
+            F.struct(F.lit(b_i).alias("band"), F.xxhash64(*members).alias("bkey"))
         )
     banded = mins.select("doc", F.explode(F.array(*band_structs)).alias("__b")).select(
         "doc", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey")
