@@ -31,6 +31,7 @@ from quack_reduce_spark.inventory import (
     similarity,
     streaming_live,
     text,
+    text2,
     timeseries,
     tpch,
     tpch2,
@@ -46,6 +47,7 @@ _MODULES = [
     timeseries,
     streaming_live,
     text,
+    text2,
     dedup,
     similarity,
     multimodal,

@@ -1,0 +1,217 @@
+"""Corpus quality-filter inventory (Gopher/C4-style heuristics).
+
+The published rule families behind large-scale training-corpus
+curation — Gopher's document-quality bounds (Rae et al. 2021, §A1.1)
+and C4's cleanup heuristics (Raffel et al. 2020, §2.2) — recast as
+pure JVM expression pipelines over the documents table. The reference
+has no text surface at all (SURVEY §2 Tier C); these extend the
+north-star curation family (BASELINE.json) alongside
+``inventory/text.py``.
+
+Every metric is relational (posexplode + window + hash aggregates —
+no Python in the hot path) and every query has an exact DuckDB
+oracle. Scale shape: everything keys on doc_id, so the whole module
+is ordinary partial/final aggregation — no self-joins, no windows
+wider than one document.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from quack_reduce_spark.inventory._util import load, rnd
+
+# Gopher-style acceptance bounds (document-level quality gate).
+MIN_WORDS = 40
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MAX_TOP_BIGRAM_FRAC = 0.20
+
+
+def _doc_token_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(token stats, bigram stats) keyed by doc_id.
+
+    One posexplode feeds both: per-token aggregates directly, and
+    adjacent-pair (bigram) counts via a lead() window — the same
+    window-assembly shape as operators/dedup._shingle_table, chosen
+    over array expressions for the codegen reasons documented there.
+    """
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
+    )
+    tstats = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        rnd(F.avg(F.length("w")), 4).alias("mean_word_len"),
+        F.count_distinct(F.col("w")).alias("n_distinct"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select(
+            "doc_id",
+            F.col("w"),
+            F.lead("w", 1).over(win).alias("__nx"),
+        )
+        .filter(F.col("__nx").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "__nx").alias("bg"))
+    )
+    bstats = (
+        big.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams"))
+    )
+    return tstats, bstats
+
+
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher-style quality metrics + accept flag.
+
+    Metrics: word count, mean word length, type-token ratio (lexical
+    diversity), and the fraction of bigram slots taken by the single
+    most frequent bigram (the repetition signal behind Gopher's
+    'fraction of characters in most common n-gram' rules). ``accept``
+    applies the published-bounds gate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tstats, bstats = _doc_token_frames(docs)
+    ttr = rnd(F.col("n_distinct") / F.col("n_words"), 4)
+    top_frac = rnd(F.col("top_c") / F.col("n_bigrams"), 4)
+    return (
+        tstats.join(bstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            ttr.alias("type_token_ratio"),
+            top_frac.alias("top_bigram_frac"),
+            (
+                (F.col("n_words") >= MIN_WORDS)
+                & (F.col("n_words") <= MAX_WORDS)
+                & (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN)
+                & (F.col("mean_word_len") <= MAX_MEAN_WORD_LEN)
+                & (F.coalesce(top_frac <= MAX_TOP_BIGRAM_FRAC, F.lit(False)))
+            ).alias("accept"),
+        )
+    )
+
+
+def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel: per source, how many docs survive each quality
+    gate and the whole pipeline — the standard 'docs removed per rule'
+    report every corpus-cleaning paper publishes (C4 §2.2, Gopher A1).
+    Gates: word-count bounds, mean-word-length band, stopword evidence
+    (>= 2 stopword hits, C4's English heuristic), bigram repetition.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tstats, bstats = _doc_token_frames(docs)
+    sw = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda x: x.isin("the", "a", "and", "of", "to"),
+            )
+        ).alias("n_sw"),
+    )
+    per_doc = (
+        sw.join(tstats, "doc_id")
+        .join(bstats, "doc_id", "left")
+        .select(
+            "source",
+            (F.col("n_words").between(MIN_WORDS, MAX_WORDS)).alias("g_len"),
+            (
+                F.col("mean_word_len").between(MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN)
+            ).alias("g_wordlen"),
+            (F.col("n_sw") >= 2).alias("g_stopword"),
+            F.coalesce(
+                rnd(F.col("top_c") / F.col("n_bigrams"), 4) <= MAX_TOP_BIGRAM_FRAC,
+                F.lit(False),
+            ).alias("g_repetition"),
+        )
+    )
+    cnt = lambda c: F.count_if(F.col(c)).alias(f"n_{c}")  # noqa: E731
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt("g_len"),
+            cnt("g_wordlen"),
+            cnt("g_stopword"),
+            cnt("g_repetition"),
+            F.count_if(
+                F.col("g_len")
+                & F.col("g_wordlen")
+                & F.col("g_stopword")
+                & F.col("g_repetition")
+            ).alias("n_accept"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES = {
+    "text_gopher_quality": text_gopher_quality,
+    "text_filter_funnel": text_filter_funnel,
+}
+
+_METRICS_CTE = """
+        w AS (
+            SELECT doc_id, source,
+                   string_split_regex(trim(text), '\\s+') AS words
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id, source,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   FLOOR((list_aggregate(list_transform(words, x -> CAST(length(x) AS DOUBLE)), 'sum')
+                          / len(words)) * 1e4 + 0.5) / 1e4 AS mean_word_len,
+                   CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+                   CAST(len(list_filter(words, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT) AS n_sw
+            FROM w
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS bg
+            FROM w
+        ),
+        bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+        bs AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams FROM bc GROUP BY doc_id)
+"""
+
+ORACLES = {
+    "text_gopher_quality": f"""
+        WITH {_METRICS_CTE}
+        SELECT t.doc_id, n_words, mean_word_len,
+               FLOOR((CAST(n_distinct AS DOUBLE) / n_words) * 1e4 + 0.5) / 1e4 AS type_token_ratio,
+               FLOOR((CAST(top_c AS DOUBLE) / n_bigrams) * 1e4 + 0.5) / 1e4 AS top_bigram_frac,
+               (n_words >= 40 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND COALESCE(FLOOR((CAST(top_c AS DOUBLE) / n_bigrams) * 1e4 + 0.5) / 1e4 <= 0.20, FALSE)) AS accept
+        FROM t LEFT JOIN bs ON t.doc_id = bs.doc_id
+    """,
+    "text_filter_funnel": f"""
+        WITH {_METRICS_CTE},
+        flags AS (
+            SELECT t.source,
+                   (n_words BETWEEN 40 AND 100000) AS g_len,
+                   (mean_word_len BETWEEN 3.0 AND 10.0) AS g_wordlen,
+                   (n_sw >= 2) AS g_stopword,
+                   COALESCE(FLOOR((CAST(top_c AS DOUBLE) / n_bigrams) * 1e4 + 0.5) / 1e4 <= 0.20, FALSE) AS g_repetition
+            FROM t LEFT JOIN bs ON t.doc_id = bs.doc_id
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(count_if(g_len) AS BIGINT) AS n_g_len,
+               CAST(count_if(g_wordlen) AS BIGINT) AS n_g_wordlen,
+               CAST(count_if(g_stopword) AS BIGINT) AS n_g_stopword,
+               CAST(count_if(g_repetition) AS BIGINT) AS n_g_repetition,
+               CAST(count_if(g_len AND g_wordlen AND g_stopword AND g_repetition) AS BIGINT) AS n_accept
+        FROM flags
+        GROUP BY source
+        ORDER BY source
+    """,
+}
