@@ -28,6 +28,7 @@ from quack_reduce_spark.inventory import (
     relational,
     relational2,
     relational3,
+    relational4,
     similarity,
     streaming_live,
     text,
@@ -42,6 +43,7 @@ _MODULES = [
     relational,
     relational2,
     relational3,
+    relational4,
     tpch,
     tpch2,
     timeseries,

@@ -1,0 +1,122 @@
+"""Tier-B batch 4: extreme-value aggregates, array set algebra, and
+window-qualify filtering.
+
+All reachable in the reference only through its SQL passthrough
+(``app.py:51`` — SURVEY §2 Tier B); here each is a first-class
+DataFrame query with an exact DuckDB oracle.
+
+Scale shape: every query is a single partial/final hash aggregate or
+a per-key window — no joins over the fact table, nothing quadratic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from quack_reduce_spark.inventory._util import load, rnd
+
+
+def b3_extreme_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value / decision aggregates per order priority: argmax
+    and argmin (max_by/min_by), exact interpolated median, bool_and /
+    bool_or quantifiers, and count_if. The fixtures have no totalprice
+    ties at group extremes (checked), so max_by/min_by are
+    deterministic."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("top_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("bottom_order"),
+            rnd(F.median("o_totalprice"), 4).alias("median_price"),
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_above_400k"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_VOCAB = ["the", "a", "table", "query", "spark"]
+
+
+def b3_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra: each document's token set vs a fixed probe
+    vocabulary — union / intersect / except, sorted and re-serialized
+    (scalar output keeps the differential hash engine-portable).
+    Everything is a narrow per-row projection — zero shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    a = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    b = F.array(*[F.lit(v) for v in _VOCAB])
+    return docs.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_union(a, b)), ",").alias("tok_union"),
+        F.array_join(F.array_sort(F.array_intersect(a, b)), ",").alias("tok_intersect"),
+        F.array_join(F.array_sort(F.array_except(a, b)), ",").alias("tok_except"),
+        F.array_size(F.array_union(a, b)).alias("n_union"),
+        F.array_contains(a, "spark").alias("mentions_spark"),
+    )
+
+
+def b3_window_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by total price (deterministic
+    orderkey tiebreak) — the QUALIFY-clause pattern of the reference
+    dialect, expressed as window + filter; Spark plans the rank filter
+    as a WindowGroupLimit (top-k per partition, no full materialized
+    rank column) which is the shape that matters at 100 TB."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+QUERIES = {
+    "b3_extreme_aggs": b3_extreme_aggs,
+    "b3_array_setops": b3_array_setops,
+    "b3_window_qualify": b3_window_qualify,
+}
+
+
+ORACLES = {
+    "b3_extreme_aggs": """
+        SELECT o_orderpriority,
+               arg_max(o_orderkey, o_totalprice) AS top_order,
+               arg_min(o_orderkey, o_totalprice) AS bottom_order,
+               FLOOR((median(o_totalprice)) * 1e4 + 0.5) / 1e4 AS median_price,
+               bool_and(o_totalprice > 1000) AS all_above_1k,
+               bool_or(o_totalprice > 400000) AS any_above_400k,
+               CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "b3_array_setops": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(string_split_regex(trim(text), '\\s+')) AS a,
+                   ['the', 'a', 'table', 'query', 'spark'] AS b
+            FROM documents
+        )
+        SELECT doc_id,
+               array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS tok_union,
+               -- array_to_string([]) is NULL in the oracle dialect; Spark's array_join gives ''
+               COALESCE(array_to_string(list_sort(list_distinct(list_intersect(a, b))), ','), '') AS tok_intersect,
+               COALESCE(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS tok_except,
+               CAST(len(list_distinct(list_concat(a, b))) AS INT) AS n_union,
+               list_contains(a, 'spark') AS mentions_spark
+        FROM t
+    """,
+    "b3_window_qualify": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+        FROM orders
+        QUALIFY rk <= 3
+    """,
+}

@@ -92,6 +92,69 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", "purchase_value")
 
 
+def ts_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click gets the EARLIEST at-or-after
+    purchase value of the same user (pandas merge_asof
+    direction='forward'; the dialect's ASOF JOIN with l.ts <= r.ts).
+    Same one-shuffle composite as backward, fill flipped to
+    first-over-following."""
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_value"],
+        suffix="",
+        direction="forward",
+    )
+    return joined.select("event_id", "user_id", "purchase_value")
+
+
+ASOF_TOLERANCE_MIN = 30
+
+
+def ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance band (pandas merge_asof
+    ``tolerance=``): the latest at-or-before purchase counts only if
+    it is within 30 minutes of the click; older matches null out. The
+    matched right timestamp rides along as a second value column, so
+    tolerance is a post-window projection — no extra join."""
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .withColumn("purchase_ts", F.col("ts"))
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_value", "purchase_ts"],
+        suffix="",
+    )
+    in_band = F.col("purchase_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {ASOF_TOLERANCE_MIN} MINUTES"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(in_band, F.col("purchase_value")).alias("purchase_value"),
+        F.coalesce(in_band, F.lit(False)).alias("matched"),
+    )
+
+
 def ts_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily per-type rollup — the hypertable-style continuous-aggregate
     shape (date_trunc + groupBy), the batch half of a streaming rollup."""
@@ -123,6 +186,8 @@ QUERIES = {
     "ts_sliding_window": ts_sliding_window,
     "ts_session_window": ts_session_window,
     "ts_asof_join": ts_asof_join,
+    "ts_asof_forward": ts_asof_forward,
+    "ts_asof_tolerance": ts_asof_tolerance,
     "ts_date_rollup": ts_date_rollup,
     "ts_event_transitions": ts_event_transitions,
 }
@@ -174,6 +239,37 @@ ORACLES = {
             GROUP BY user_id, ts
         )
         SELECT c.event_id, c.user_id, p.purchase_value
+        FROM clicks c
+        ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "ts_asof_forward": """
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id, ts, MAX(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        )
+        SELECT c.event_id, c.user_id, p.purchase_value
+        FROM clicks c
+        ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+    "ts_asof_tolerance": """
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id, ts, MAX(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        )
+        SELECT c.event_id, c.user_id,
+               CASE WHEN p.ts >= c.ts - INTERVAL '30 minutes'
+                    THEN p.purchase_value END AS purchase_value,
+               COALESCE(p.ts >= c.ts - INTERVAL '30 minutes', FALSE) AS matched
         FROM clicks c
         ASOF LEFT JOIN purchases p
           ON c.user_id = p.user_id AND c.ts >= p.ts

@@ -31,13 +31,26 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join. Returns all left columns + ``{v}{suffix}`` for
-    each value col: the value from the latest right row with
-    ``right_ts <= left_ts`` matching on ``on`` (NULL if none).
+    each value col (NULL if no match):
+
+    - ``direction='backward'`` (default): the value from the latest
+      right row with ``right_ts <= left_ts`` matching on ``on``.
+    - ``direction='forward'``: the earliest right row with
+      ``right_ts >= left_ts`` (pandas merge_asof's forward mode; the
+      dialect's ``ASOF JOIN ... ON l.ts <= r.ts``).
+
+    Both directions are the same one-shuffle union + per-key window;
+    forward just flips the fill to first-over-following. At equal
+    timestamps the right row matches in either direction (side
+    ordering places right rows inside the fill frame).
     """
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_cols = left.columns
     tagged_left = left.select(
         *[F.col(c) for c in left_cols],
@@ -54,17 +67,28 @@ def asof_join(
     )
     unioned = tagged_left.unionByName(tagged_right)
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows (side 0) sort before left at equal ts → included
+        # in the preceding frame; fill = last non-null before me.
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # right rows sort after left at equal ts → included in the
+        # following frame; fill = first non-null at-or-after me.
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+
     filled = unioned.select(
         *[F.col(c) for c in left_cols],
         F.col("__side"),
-        *[
-            F.last(F.col(f"__v_{v}"), ignorenulls=True).over(w).alias(f"{v}{suffix}")
-            for v in value_cols
-        ],
+        *[fill(F.col(f"__v_{v}")).alias(f"{v}{suffix}") for v in value_cols],
     )
     return filled.filter(F.col("__side") == 1).drop("__side")
