@@ -39,6 +39,7 @@ from quack_reduce_spark.streaming import (
     read_event_stream,
     run_stream_to_memory,
     session_counts,
+    sliding_counts,
     tumbling_counts,
 )
 
@@ -86,6 +87,16 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(session_counts(stream), spark, mode="complete")
 
 
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/30-minute watermarked window counts computed by
+    the streaming engine — each event contributes to two overlapping
+    windows' state across triggers."""
+    path = _event_stream_dir(spark, sf_dir, with_redeliveries=False)
+    schema = load(spark, sf_dir, "events").schema
+    stream = read_event_stream(spark, path, schema, max_files_per_trigger=2)
+    return _drain(sliding_counts(stream), spark, mode="complete")
+
+
 def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-arrival dedup over an at-least-once corpus
     (every 10th event re-delivered in a later file):
@@ -106,6 +117,7 @@ def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_session_agg": stream_session_agg,
+    "stream_sliding_agg": stream_sliding_agg,
     "stream_dedup_redelivery": stream_dedup_redelivery,
 }
 
@@ -135,6 +147,16 @@ ORACLES = {
         )
         SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
         FROM s GROUP BY user_id, sid
+    """,
+    "stream_sliding_agg": """
+        WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b0 FROM events),
+        expanded AS (
+            SELECT b0 AS ws FROM b
+            UNION ALL
+            SELECT b0 - INTERVAL '30 minutes' AS ws FROM b
+        )
+        SELECT ws AS window_start, COUNT(*) AS n_events
+        FROM expanded GROUP BY 1
     """,
     "stream_dedup_redelivery": """
         SELECT event_type,

@@ -102,3 +102,22 @@ def test_q4_semi_join_plan(spark, sf_dir):
 
     plan = plans.formatted_plan(tpch.tpch_q4_order_priority(spark, sf_dir))
     assert "LeftSemi" in plan
+
+
+def test_window_qualify_uses_group_limit(spark, sf_dir):
+    # the QUALIFY pattern must plan as WindowGroupLimit (per-partition
+    # top-k before the rank materializes), not a full-rank-then-filter
+    from quack_reduce_spark.inventory import relational4
+
+    plan = plans.formatted_plan(relational4.b3_window_qualify(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_shingle_table_is_shuffle_free(spark, sf_dir):
+    # shingle assembly must stay scan-shaped: no Exchange anywhere
+    # before the explode (SCALE.md "chunking is scan-shaped" rule)
+    from quack_reduce_spark.operators.dedup import _shingle_table
+
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingle_table(docs, "text", "doc_id", 3, hashed=True, distinct=False)
+    assert "Exchange" not in plans.formatted_plan(sh)
