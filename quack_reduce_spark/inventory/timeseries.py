@@ -171,6 +171,73 @@ def ts_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion funnel: a click converts if the same
+    user's NEXT purchase (forward as-of) lands within 1 hour. Daily
+    click counts, conversions, and rate — the standard product-
+    analytics funnel, built on the forward as-of composite (one keyed
+    shuffle; no per-row subquery)."""
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .distinct()
+        .withColumn("purchase_ts", F.col("ts"))
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_ts"],
+        suffix="",
+        direction="forward",
+    )
+    converted = F.col("purchase_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    return (
+        joined.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.coalesce(converted, F.lit(False)).alias("conv"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count_if(F.col("conv")).alias("n_converted"),
+            rnd(F.count_if(F.col("conv")) / F.count(F.lit(1)), 6).alias("conv_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+RETENTION_MAX_OFFSET = 7
+
+
+def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each later active day (offset 0..7). Two keyed aggregates + one
+    join on user_id — the cohort table is tiny (distinct users) and
+    broadcast-eligible; nothing touches raw event rows twice."""
+    events = load(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    cohorts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        user_days.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= RETENTION_MAX_OFFSET)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 def ts_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition counts via the applyInPandas
     grouped-map operator (operators/grouped.py) — a Python custom
@@ -189,6 +256,8 @@ QUERIES = {
     "ts_asof_forward": ts_asof_forward,
     "ts_asof_tolerance": ts_asof_tolerance,
     "ts_date_rollup": ts_date_rollup,
+    "ts_conversion_funnel": ts_conversion_funnel,
+    "ts_retention_cohorts": ts_retention_cohorts,
     "ts_event_transitions": ts_event_transitions,
 }
 
@@ -279,6 +348,43 @@ ORACLES = {
                COUNT(*) AS n,
                FLOOR((AVG(value)) * 1e4 + 0.5) / 1e4 AS avg_value
         FROM events GROUP BY 1, 2
+    """,
+    "ts_conversion_funnel": """
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        j AS (
+            SELECT c.ts,
+                   COALESCE(p.ts <= c.ts + INTERVAL '1 hour', FALSE) AS conv
+            FROM clicks c
+            ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts <= p.ts
+        )
+        SELECT date_trunc('day', ts) AS day,
+               COUNT(*) AS n_clicks,
+               CAST(count_if(conv) AS BIGINT) AS n_converted,
+               FLOOR((CAST(count_if(conv) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS conv_rate
+        FROM j
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "ts_retention_cohorts": """
+        WITH user_days AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        ),
+        cohorts AS (
+            SELECT user_id, MIN(day) AS cohort_day FROM user_days GROUP BY user_id
+        )
+        SELECT c.cohort_day,
+               CAST(date_diff('day', c.cohort_day, d.day) AS INT) AS day_offset,
+               COUNT(DISTINCT d.user_id) AS n_users
+        FROM user_days d JOIN cohorts c ON d.user_id = c.user_id
+        WHERE date_diff('day', c.cohort_day, d.day) <= 7
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """,
     "ts_event_transitions": """
         WITH seq AS (
