@@ -73,20 +73,21 @@ _HEAD = [
     # Tier B — representative SQL surface
     "b_agg_pricing_summary", "b_join_star_broadcast", "b_join_semi",
     "b_window_rank", "b_rollup", "b_higher_order_fns", "b2_pivot",
+    "b3_extreme_aggs", "b3_window_qualify",
     # TPC-H — join/subquery-heavy composites
     "tpch_q1_full", "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
     "tpch_q4_order_priority", "tpch_q6_forecast_revenue", "tpch_q8_market_share",
     "tpch_q9_product_type_profit",
-    "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customers",
-    "tpch_q20_excess_shippers", "tpch_q21_suppliers_who_kept_waiting",
+    "tpch_q18_large_volume_customers", "tpch_q21_suppliers_who_kept_waiting",
     # Time-series / windowing over events
-    "ts_tumbling_window", "ts_sliding_window", "ts_session_window",
+    "ts_tumbling_window", "ts_session_window",
     "ts_asof_join", "ts_date_rollup", "ts_event_transitions",
+    "ts_conversion_funnel",
     # Live Structured Streaming (readStream → availableNow → sink)
     "stream_tumbling_agg", "stream_session_agg", "stream_dedup_redelivery",
-    # Text analysis
-    "text_token_stats", "text_quality", "text_lang_id", "text_fingerprint",
-    "text_stratified_sample", "text_token_budget",
+    # Text analysis + curation
+    "text_quality", "text_lang_id", "text_fingerprint",
+    "text_stratified_sample", "text_curation_pipeline",
     # Dedup
     "dedup_exact", "dedup_substring", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_components",

@@ -153,9 +153,65 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BUDGET_TOKENS = 2000
+
+
+def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation flow as ONE differential-checked query:
+    Gopher gate → exact dedup (keep min doc_id per fingerprint) →
+    deterministic stratified sample → per-source token budget →
+    per-source report. Every stage is the inventory operator it names;
+    chaining them proves the stages compose without driver-side
+    materialization (one job: three keyed shuffles — metrics, dedup
+    window, budget window — and a final small aggregate)."""
+    docs = load(spark, sf_dir, "documents")
+    tstats, bstats = _doc_token_frames(docs)
+    top_frac = rnd(F.col("top_c") / F.col("n_bigrams"), 4)
+    gated = (
+        docs.join(tstats, "doc_id")
+        .join(bstats, "doc_id", "left")
+        .filter(
+            (F.col("n_words") >= MIN_WORDS)
+            & (F.col("n_words") <= MAX_WORDS)
+            & (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN)
+            & (F.col("mean_word_len") <= MAX_MEAN_WORD_LEN)
+            & F.coalesce(top_frac <= MAX_TOP_BIGRAM_FRAC, F.lit(False))
+        )
+    )
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    deduped = (
+        gated.withColumn("__fp", fp)
+        .withColumn("__keep", F.min("doc_id").over(Window.partitionBy("__fp")))
+        .filter(F.col("doc_id") == F.col("__keep"))
+    )
+    permille = (
+        F.when(F.col("source") == "src0", 100)
+        .when(F.col("source") == "src1", 500)
+        .otherwise(250)
+    )
+    sampled = deduped.filter(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000)) < permille
+    )
+    budget_win = Window.partitionBy("source").orderBy("doc_id")
+    budgeted = sampled.withColumn(
+        "__cum", F.sum("n_words").over(budget_win)
+    ).filter(F.col("__cum") <= BUDGET_TOKENS)
+    return (
+        budgeted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "text_gopher_quality": text_gopher_quality,
     "text_filter_funnel": text_filter_funnel,
+    "text_curation_pipeline": text_curation_pipeline,
 }
 
 _METRICS_CTE = """
@@ -192,6 +248,44 @@ ORACLES = {
                 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
                 AND COALESCE(FLOOR((CAST(top_c AS DOUBLE) / n_bigrams) * 1e4 + 0.5) / 1e4 <= 0.20, FALSE)) AS accept
         FROM t LEFT JOIN bs ON t.doc_id = bs.doc_id
+    """,
+    "text_curation_pipeline": f"""
+        WITH {_METRICS_CTE},
+        gated AS (
+            SELECT d.doc_id, d.source, d.text, t.n_words
+            FROM documents d
+            JOIN t ON d.doc_id = t.doc_id
+            LEFT JOIN bs ON d.doc_id = bs.doc_id
+            WHERE t.n_words >= 40 AND t.n_words <= 100000
+              AND t.mean_word_len >= 3.0 AND t.mean_word_len <= 10.0
+              AND COALESCE(FLOOR((CAST(bs.top_c AS DOUBLE) / bs.n_bigrams) * 1e4 + 0.5) / 1e4 <= 0.20, FALSE)
+        ),
+        deduped AS (
+            SELECT doc_id, source, n_words
+            FROM gated
+            QUALIFY doc_id = MIN(doc_id) OVER (
+                PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+        ),
+        sampled AS (
+            SELECT doc_id, source, n_words
+            FROM deduped
+            WHERE (doc_id * 2654435761) % 1000 <
+                  CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 500 ELSE 250 END
+        ),
+        budgeted AS (
+            SELECT doc_id, source, n_words
+            FROM sampled
+            QUALIFY SUM(n_words) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 2000
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM budgeted
+        GROUP BY source
+        ORDER BY source
     """,
     "text_filter_funnel": f"""
         WITH {_METRICS_CTE},
