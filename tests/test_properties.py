@@ -168,3 +168,40 @@ def test_chunk_windows_cover_all_tokens_no_gaps(spark):
             for i in range(r["n_chunks"])
         )
         assert r["sum_chunk_tok"] == overlap_total
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.floats(0, 100, allow_nan=False)),
+        min_size=0,
+        max_size=30,
+    ),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 10_000)), min_size=1, max_size=20),
+)
+@settings(max_examples=20, deadline=None)
+def test_asof_forward_matches_naive_python(spark_global, right_rows, left_rows):
+    """direction='forward' == per-row 'earliest right at-or-after'."""
+    from quack_reduce_spark.operators.asof import asof_join
+
+    spark = spark_global
+    base = dt.datetime(2024, 1, 1)
+    left = [(k, base + dt.timedelta(seconds=s)) for k, s in left_rows]
+    right = [(k, base + dt.timedelta(seconds=s), float(v)) for k, s, v in right_rows]
+    dedup: dict = {}
+    for k, ts, v in right:
+        dedup[(k, ts)] = max(v, dedup.get((k, ts), float("-inf")))
+    right = [(k, ts, v) for (k, ts), v in dedup.items()]
+
+    ldf = spark.createDataFrame(left, "k int, ts timestamp")
+    if not right:
+        return
+    rdf = spark.createDataFrame(right, "k int, ts timestamp, v double")
+    out = asof_join(ldf, rdf, ["k"], "ts", "ts", ["v"], direction="forward").collect()
+
+    def naive(k, ts):
+        cands = [(rts, v) for rk, rts, v in right if rk == k and rts >= ts]
+        return min(cands)[1] if cands else None
+
+    assert len(out) == len(left)
+    for row in out:
+        assert row["v_asof"] == naive(row["k"], row["ts"])
