@@ -180,3 +180,29 @@ def _gen_setop_query(rng: random.Random) -> str:
 
 def test_differential_fuzz_setops(engines):
     _run_differential(engines, _gen_setop_query, 12, 13579)
+
+
+def _gen_extreme_agg_query(rng: random.Random) -> str:
+    """Extreme-value aggregate tier: max_by/min_by (no totalprice ties
+    in the fixtures, so argmax is deterministic), quantifiers, count_if,
+    interpolated median — identical function names in both dialects."""
+    group = rng.choice(["o_orderstatus", "o_orderpriority"])
+    thresh = rng.randint(10_000, 400_000)
+    aggs = [
+        "COUNT(*) AS n",
+        "max_by(o_orderkey, o_totalprice) AS top_order",
+        "min_by(o_orderkey, o_totalprice) AS bottom_order",
+        f"bool_and(o_totalprice > {thresh}) AS all_above",
+        f"bool_or(o_totalprice > {thresh}) AS any_above",
+        f"CAST(count_if(o_custkey % {rng.randint(2, 7)} = 0) AS BIGINT) AS n_mod",
+    ]
+    if rng.random() < 0.6:
+        aggs.append("median(o_totalprice) AS med")
+    return (
+        f"SELECT {group}, {', '.join(aggs)} FROM orders "
+        f"WHERE o_totalprice > {rng.randint(1000, 300000)} GROUP BY {group}"
+    )
+
+
+def test_differential_fuzz_extreme_aggs(engines):
+    _run_differential(engines, _gen_extreme_agg_query, 15, 11223344)
