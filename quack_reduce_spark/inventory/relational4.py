@@ -11,10 +11,14 @@ a per-key window — no joins over the fact table, nothing quadratic.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from quack_reduce_spark.inventory._util import load, rnd
+
+_RT_CACHE = "/tmp/quack_reduce_spark_roundtrip"
 
 
 def b3_extreme_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,10 +80,57 @@ def b3_window_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rt_dir(sf_dir: str, tag: str) -> str:
+    return os.path.join(_RT_CACHE, os.path.basename(os.path.normpath(sf_dir)), tag)
+
+
+def b3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source through the differential gate: nation written
+    as headered CSV, read back with the EXPLICIT original schema (no
+    inference — the 100 TB discipline), aggregated; the oracle computes
+    from the original parquet, so a hash match proves the roundtrip is
+    lossless (quoting included — n_comment contains free text)."""
+    nation = load(spark, sf_dir, "nation")
+    out = _rt_dir(sf_dir, "nation_csv")
+    nation.write.mode("overwrite").option("header", "true").csv(out)
+    back = spark.read.schema(nation.schema).option("header", "true").csv(out)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_name").alias("first_name"),
+            F.sum("n_nationkey").alias("sum_key"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+def b3_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source roundtrip (timestamps and doubles
+    included): orders written as JSON, read back with the explicit
+    schema, aggregated; oracle from the original parquet — proving
+    ISO-timestamp and double serialization are bit-faithful."""
+    orders = load(spark, sf_dir, "orders")
+    out = _rt_dir(sf_dir, "orders_json")
+    orders.write.mode("overwrite").json(out)
+    back = spark.read.schema(orders.schema).json(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("o_totalprice").alias("max_price"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES = {
     "b3_extreme_aggs": b3_extreme_aggs,
     "b3_array_setops": b3_array_setops,
     "b3_window_qualify": b3_window_qualify,
+    "b3_csv_roundtrip": b3_csv_roundtrip,
+    "b3_json_roundtrip": b3_json_roundtrip,
 }
 
 
@@ -111,6 +162,24 @@ ORACLES = {
                CAST(len(list_distinct(list_concat(a, b))) AS INT) AS n_union,
                list_contains(a, 'spark') AS mentions_spark
         FROM t
+    """,
+    "b3_csv_roundtrip": """
+        SELECT n_regionkey,
+               COUNT(*) AS n,
+               MIN(n_name) AS first_name,
+               CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+    """,
+    "b3_json_roundtrip": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               MAX(o_totalprice) AS max_price,
+               MAX(o_orderdate) AS last_date
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
     """,
     "b3_window_qualify": """
         SELECT o_custkey, o_orderkey, o_totalprice,
