@@ -56,6 +56,17 @@ def curate(spark, sf_dir: str):
         T.quality_score(F.col("text")).alias("quality"),
         T.lang_id(F.col("text")).alias("pred_lang"),
         T.rolling_hash(F.col("text")).alias("fp"),
+        T.mean_token_len(F.col("text")).alias("mean_word_len"),
+    )
+
+    # Gopher-style document gate (inventory/text2.py bounds): word-count
+    # band + mean-word-length band, applied before any shuffle so the
+    # rejected docs never enter the dedup joins
+    analyzed = analyzed.filter(
+        (F.col("n_tokens") >= 40)
+        & (F.col("n_tokens") <= 100_000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
     )
 
     # exact dedup: one survivor per fingerprint (min doc_id wins)
