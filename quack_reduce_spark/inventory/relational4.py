@@ -16,7 +16,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from quack_reduce_spark.inventory._util import load, rnd
+from quack_reduce_spark.inventory._util import load, register_views, rnd
 
 _RT_CACHE = "/tmp/quack_reduce_spark_roundtrip"
 
@@ -125,7 +125,29 @@ def b3_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUP_BY_ALL_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           MIN(l_orderkey) AS min_key,
+           MAX(l_orderkey) AS max_key
+    FROM lineitem
+    WHERE l_quantity < 30
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+def b3_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — the dialect-convenience grouping
+    the reference's engine popularized; the IDENTICAL SQL text runs on
+    both engines (Spark 4 and the oracle both resolve ALL to the
+    non-aggregate select items)."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
 QUERIES = {
+    "b3_group_by_all": b3_group_by_all,
     "b3_extreme_aggs": b3_extreme_aggs,
     "b3_array_setops": b3_array_setops,
     "b3_window_qualify": b3_window_qualify,
@@ -135,6 +157,7 @@ QUERIES = {
 
 
 ORACLES = {
+    "b3_group_by_all": _GROUP_BY_ALL_SQL,
     "b3_extreme_aggs": """
         SELECT o_orderpriority,
                arg_max(o_orderkey, o_totalprice) AS top_order,
