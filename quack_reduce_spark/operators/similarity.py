@@ -441,3 +441,97 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cos_sim", "rank")
     )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+) -> None:
+    """Precompute the IVF layout (the 100 TB deployment of ivf_topk):
+    cell-assign every corpus vector once, write the corpus
+    ``PARTITIONED BY cell`` plus the tiny centroid table. After this,
+    probing is partition pruning — queries read nprobe/nlist of the
+    data straight off the lake layout, no assignment scan.
+
+    Assignment is identical to ivf_topk's (normalized centroid dot,
+    lowest-cell tiebreak), so prebuilt results match the in-memory
+    operator exactly.
+    """
+    cents = _centroids(corpus, vec_col, nlist, corpus_id)
+    bc = F.broadcast(cents)
+    assigned = (
+        corpus.crossJoin(bc)
+        .withColumn(
+            "__d", dot(F.col(vec_col), F.col("__centroid")) / l2_norm(F.col("__centroid"))
+        )
+        .groupBy(corpus_id)
+        .agg(
+            F.max_by(
+                F.struct(F.col("__cell"), F.col(vec_col).alias("__vec")),
+                F.struct(F.col("__d"), (-F.col("__cell")).alias("__tb")),
+            ).alias("__best")
+        )
+        .select(
+            F.col(corpus_id),
+            F.col("__best.__vec").alias(vec_col),
+            F.col("__best.__cell").alias("cell"),
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
+    cents.select(
+        F.col("__cell").alias("cell"), F.col("__centroid").alias("centroid")
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_prebuilt(
+    spark,
+    queries: DataFrame,
+    path: str,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k over an ivf_build layout: rank cells per query against
+    the stored centroids, collect the probed cell ids (bounded by
+    nlist — this IS the 'probes become partition pruning' move: the
+    cell list becomes a literal IN filter on the partition column, so
+    the parquet scan plans with `nprobe parts selected`), then exact
+    cosine rerank inside the pruned partitions only. Result-identical
+    to ivf_topk on the same corpus."""
+    cents = F.broadcast(
+        spark.read.parquet(f"{path}/centroids").select(
+            F.col("cell").alias("__cell"), F.col("centroid").alias("__centroid")
+        )
+    )
+    probes = (
+        queries.crossJoin(cents)
+        .withColumn(
+            "__d", dot(F.col(vec_col), F.col("__centroid")) / l2_norm(F.col("__centroid"))
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(F.col("__d").desc(), F.col("__cell").asc())
+            ),
+        )
+        .filter(F.col("__rk") <= nprobe)
+        .select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec"), F.col("__cell").alias("cell"))
+    )
+    cells = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
+    pruned = spark.read.parquet(f"{path}/corpus").filter(F.col("cell").isin(cells))
+    scored = F.broadcast(probes).join(pruned, "cell").select(
+        F.col("__qid").alias(query_id),
+        F.col(corpus_id),
+        rnd(cosine(F.col("__qvec"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rank")
+    )

@@ -190,3 +190,41 @@ def test_quantized_topk_zero_vector_safe(spark):
     q = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
     out = S.quantized_topk(q, emb.filter(F.col("vec_id") > 0), k=2).collect()
     assert len(out) == 2 and all(r["approx_dot"] == 0.0 for r in out)
+
+
+def test_ivf_prebuilt_matches_inmemory_and_prunes(spark, sf_dir, tmp_path):
+    """ivf_build + ivf_topk_prebuilt == ivf_topk, and the probe scan is
+    partition-pruned to the probed cells (the 100 TB deployment:
+    ANN probing as partition pruning — SCALE.md similarity section)."""
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark import plans
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding")
+
+    path = str(tmp_path / "ivf")
+    S.ivf_build(corpus, path, nlist=16)
+    prebuilt = S.ivf_topk_prebuilt(spark, queries, path, k=5, nprobe=4)
+    inmem = S.ivf_topk(queries, corpus, k=5, nlist=16, nprobe=4)
+
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, prebuilt.collect()), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, inmem.collect()), key=lambda t: (t[0], t[3])
+    )
+
+    # plan evidence (same standard as the hive-layout pruning test):
+    # the cell predicate must land in PartitionFilters — a partition-
+    # pruned scan, not a data filter over a full read
+    cells_df = spark.read.parquet(f"{path}/corpus").filter(F.col("cell").isin([3, 4]))
+    plan = plans.formatted_plan(cells_df)
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:120]
+    # and the layout really is one directory per cell
+    import os
+
+    cells_on_disk = [d for d in os.listdir(f"{path}/corpus") if d.startswith("cell=")]
+    assert len(cells_on_disk) == 16
