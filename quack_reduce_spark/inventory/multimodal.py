@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from quack_reduce_spark.inventory._util import load
 from quack_reduce_spark.multimodal import (
     attach_binary_payload,
+    audio_windows,
     decode_image_meta,
     extract_features,
     resize_image,
@@ -50,6 +51,17 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping audio-style windows (128-byte window, 64-byte
+    stride) over the binary payload via mapInPandas — the sliding
+    counterpart of mm_frame_sample's tumbling chunks. Oracle checks
+    the full relational skeleton (window index + byte length); the
+    mean-byte energy stub is unit-tested."""
+    docs = attach_binary_payload(load(spark, sf_dir, "documents"))
+    wins = audio_windows(docs, window_bytes=128, stride=64)
+    return wins.select("doc_id", "window_idx", "n_bytes")
+
+
 def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing (fake codec): fixed 32x32 thumbnail per doc.
     Rows-only driver check; determinism unit-tested."""
@@ -75,6 +87,7 @@ QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_stub": mm_decode_stub,
     "mm_frame_sample": mm_frame_sample,
+    "mm_audio_windows": mm_audio_windows,
     "mm_resize_stub": mm_resize_stub,
     "mm_feature_extract": mm_feature_extract,
 }
@@ -87,6 +100,14 @@ ORACLES = {
         SELECT d.doc_id,
                CAST(s.i AS INT) AS frame_idx,
                CAST(LEAST(64, d.len - s.i * 64) AS INT) AS n_bytes
+        FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents) d
+        CROSS JOIN generate_series(0, 1023) AS s(i)
+        WHERE s.i * 64 < d.len
+    """,
+    "mm_audio_windows": """
+        SELECT d.doc_id,
+               CAST(s.i AS INT) AS window_idx,
+               CAST(LEAST(128, d.len - s.i * 64) AS INT) AS n_bytes
         FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents) d
         CROSS JOIN generate_series(0, 1023) AS s(i)
         WHERE s.i * 64 < d.len

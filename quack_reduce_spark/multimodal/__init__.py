@@ -10,6 +10,7 @@ libraries are not in this environment (see codec.py).
 
 from quack_reduce_spark.multimodal.codec import (
     attach_binary_payload,
+    audio_windows,
     decode_image_meta,
     extract_features,
     resize_image,
@@ -18,6 +19,7 @@ from quack_reduce_spark.multimodal.codec import (
 
 __all__ = [
     "attach_binary_payload",
+    "audio_windows",
     "decode_image_meta",
     "extract_features",
     "resize_image",

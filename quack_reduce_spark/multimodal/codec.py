@@ -188,3 +188,49 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
             yield pd.DataFrame({"doc_id": batch[id_col].astype("int64"), "feature": feats})
 
     return df.select(id_col, payload_col).mapInPandas(process, FEATURE_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("mean_byte", DoubleType()),
+    ]
+)
+
+
+def audio_windows(
+    df: DataFrame,
+    window_bytes: int = 128,
+    stride: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Overlapping audio-analysis windows (stands in for PCM frame
+    windowing — window/stride in bytes instead of samples) with a
+    per-window mean-byte energy stub standing in for RMS. Same
+    Arrow-batched mapInPandas fan-out pattern as sample_frames, but
+    overlapping: each byte lands in window_bytes/stride windows."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real PCM windowing requires audio bindings — not available here"
+                )
+            ids, idxs, sizes, means = [], [], [], []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                data = bytes(payload)
+                for i, off in enumerate(range(0, len(data), stride)):
+                    seg = data[off : off + window_bytes]
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    sizes.append(len(seg))
+                    means.append(sum(seg) / len(seg))
+            yield pd.DataFrame(
+                {"doc_id": ids, "window_idx": idxs, "n_bytes": sizes, "mean_byte": means}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(process, AUDIO_WINDOW_SCHEMA)

@@ -89,3 +89,28 @@ def test_feature_extraction_shape_and_determinism(payloads):
     assert out1 == out2  # partitioning-independent
     assert all(len(f) == FEATURE_DIM for f in out1.values())
     assert all(0.0 <= x <= 1.0 for f in out1.values() for x in f)
+
+
+def test_audio_windows_overlap_and_energy(spark):
+    """Overlapping windows: stride < window means interior bytes land
+    in two windows; mean_byte equals the python-side mean of the same
+    segment; deterministic across runs."""
+    from quack_reduce_spark.multimodal import attach_binary_payload, audio_windows
+
+    df = spark.createDataFrame(
+        [(1, "a" * 200)], "doc_id long, text string"
+    )
+    wins = audio_windows(
+        attach_binary_payload(df), window_bytes=128, stride=64
+    ).orderBy("window_idx").collect()
+    # 200 bytes, stride 64 -> starts 0,64,128,192 -> sizes 128,128,72,8
+    assert [(r["window_idx"], r["n_bytes"]) for r in wins] == [
+        (0, 128), (1, 128), (2, 72), (3, 8)
+    ]
+    # payload is all 'a' (0x61): every window's mean byte is exactly 97
+    assert all(r["mean_byte"] == 97.0 for r in wins)
+
+    again = audio_windows(
+        attach_binary_payload(df), window_bytes=128, stride=64
+    ).orderBy("window_idx").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in wins]
