@@ -153,6 +153,34 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_N = 5
+
+
+def text_vocab_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-5 bigrams per source by
+    document frequency (the n-gram table every dataset card reports).
+    Shape: narrow bigram assembly → one (source, bigram) distinct-doc
+    aggregate → per-source top-k via WindowGroupLimit — no joins over
+    raw text after the explode."""
+    from quack_reduce_spark.operators.dedup import _shingle_table
+
+    docs = load(spark, sf_dir, "documents")
+    bg = _shingle_table(docs, "text", "doc_id", 2, hashed=False, distinct=True)
+    dfreq = (
+        bg.join(docs.select(F.col("doc_id").alias("doc"), "source"), "doc")
+        .groupBy("source", F.col("sh").alias("bigram"))
+        .agg(F.count_distinct("doc").alias("df_docs"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("df_docs").desc(), F.col("bigram").asc()
+    )
+    return (
+        dfreq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= VOCAB_TOP_N)
+        .select("source", "bigram", "df_docs", "rank")
+    )
+
+
 BUDGET_TOKENS = 2000
 
 
@@ -212,6 +240,7 @@ QUERIES = {
     "text_gopher_quality": text_gopher_quality,
     "text_filter_funnel": text_filter_funnel,
     "text_curation_pipeline": text_curation_pipeline,
+    "text_vocab_ngrams": text_vocab_ngrams,
 }
 
 _METRICS_CTE = """
@@ -239,6 +268,29 @@ _METRICS_CTE = """
 """
 
 ORACLES = {
+    "text_vocab_ngrams": """
+        WITH w AS (
+            SELECT doc_id, source,
+                   string_split_regex(trim(text), '\\s+') AS words
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, source,
+                   unnest(list_distinct(list_transform(range(1, len(words)),
+                                                       i -> words[i] || ' ' || words[i+1]))) AS bigram
+            FROM w
+            WHERE len(words) >= 2
+        ),
+        dfreq AS (
+            SELECT source, bigram, COUNT(DISTINCT doc_id) AS df_docs
+            FROM bg GROUP BY source, bigram
+        )
+        SELECT source, bigram, df_docs,
+               CAST(row_number() OVER (PARTITION BY source
+                                       ORDER BY df_docs DESC, bigram ASC) AS INT) AS rank
+        FROM dfreq
+        QUALIFY rank <= 5
+    """,
     "text_gopher_quality": f"""
         WITH {_METRICS_CTE}
         SELECT t.doc_id, n_words, mean_word_len,
