@@ -54,6 +54,7 @@ def main() -> None:
     queries = all_queries()
 
     results: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         fn(spark, SF_DIR).count()  # warmup: plan + fill fs caches
@@ -63,6 +64,7 @@ def main() -> None:
             fn(spark, SF_DIR).count()
             times.append(time.time() - t0)
         results[name] = round(statistics.mean(times), 3)
+        mins[name] = round(min(times), 3)
 
     total = round(sum(results.values()), 3)
     print(
@@ -72,6 +74,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                # min-of-reps per query: the noise floor on a shared
+                # machine (mean is the headline; a mean far above min
+                # flags contention, not plan cost)
+                "queries_min": mins,
+                "total_min": round(sum(mins.values()), 3),
                 "sf": SF_DIR,
                 "reps": REPS,
             }
