@@ -146,8 +146,31 @@ def b3_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GROUP_BY_ALL_SQL)
 
 
+_LATERAL_SQL = """
+    SELECT o.o_orderkey, o.o_totalprice, l.n_lines, l.max_qty
+    FROM orders o,
+    LATERAL (
+        SELECT COUNT(*) AS n_lines, MAX(l_quantity) AS max_qty
+        FROM lineitem WHERE l_orderkey = o.o_orderkey
+    ) l
+    WHERE o.o_orderkey < 500
+    ORDER BY o.o_orderkey
+"""
+
+
+def b3_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery join — the IDENTICAL SQL text runs
+    on both engines; Catalyst decorrelates the per-row aggregate into
+    a keyed join (DecorrelateInnerQuery), so despite the row-at-a-time
+    surface syntax the physical plan is one aggregate + one join on
+    l_orderkey."""
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_LATERAL_SQL)
+
+
 QUERIES = {
     "b3_group_by_all": b3_group_by_all,
+    "b3_lateral_join": b3_lateral_join,
     "b3_extreme_aggs": b3_extreme_aggs,
     "b3_array_setops": b3_array_setops,
     "b3_window_qualify": b3_window_qualify,
@@ -158,6 +181,7 @@ QUERIES = {
 
 ORACLES = {
     "b3_group_by_all": _GROUP_BY_ALL_SQL,
+    "b3_lateral_join": _LATERAL_SQL,
     "b3_extreme_aggs": """
         SELECT o_orderpriority,
                arg_max(o_orderkey, o_totalprice) AS top_order,
