@@ -206,3 +206,38 @@ def _gen_extreme_agg_query(rng: random.Random) -> str:
 
 def test_differential_fuzz_extreme_aggs(engines):
     _run_differential(engines, _gen_extreme_agg_query, 15, 11223344)
+
+
+def _gen_scalar_fn_query(rng: random.Random) -> str:
+    """Scalar-function tier: string/date expressions from the exact
+    ANSI intersection (upper/lower/trim/substr/replace/length,
+    date_trunc/EXTRACT) — grouped so result sets stay small."""
+    str_col = rng.choice(["o_orderstatus", "o_orderpriority"])
+    exprs = [f"COUNT(*) AS n"]
+    pick = rng.sample(
+        [
+            f"MIN(upper({str_col})) AS min_upper",
+            f"MAX(lower({str_col})) AS max_lower",
+            f"MIN(substr({str_col}, 1, {rng.randint(1, 3)})) AS min_sub",
+            f"MAX(replace({str_col}, '-', '_')) AS max_repl",
+            f"CAST(MAX(length({str_col})) AS INT) AS max_len",
+            f"MIN(trim({str_col})) AS min_trim",
+        ],
+        rng.randint(2, 4),
+    )
+    exprs += pick
+    grp = rng.choice(
+        [
+            "CAST(EXTRACT(year FROM o_orderdate) AS INT)",
+            "CAST(EXTRACT(month FROM o_orderdate) AS INT)",
+            "date_trunc('month', o_orderdate)",
+        ]
+    )
+    return (
+        f"SELECT {grp} AS g, {', '.join(exprs)} FROM orders "
+        f"WHERE o_orderkey < {rng.randint(2000, 12000)} GROUP BY g"
+    )
+
+
+def test_differential_fuzz_scalar_fns(engines):
+    _run_differential(engines, _gen_scalar_fn_query, 20, 55667788)
