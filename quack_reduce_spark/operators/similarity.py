@@ -535,3 +535,63 @@ def ivf_topk_prebuilt(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cos_sim", "rank")
     )
+
+
+def cosine_topk_vectorized(
+    spark,
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k with the scoring kernel as an
+    Arrow-batched mapInPandas numpy matmul (the vectorized-UDF path for
+    dense numeric kernels, vs cosine_topk's interpreted JVM fold).
+
+    The query matrix is tiny and ships in the task closure (the
+    explicit broadcast analog); each corpus batch computes a
+    (batch x queries) score matrix in one BLAS call and keeps only its
+    LOCAL top-k per query, so the per-partition output is bounded at
+    k rows per query regardless of batch size — the same partial-top-k
+    discipline TakeOrderedAndProject applies. Final exact top-k via the
+    usual window. numpy's pairwise summation differs from the JVM fold
+    in the last ulp, so results are unit-tested for id-set equality
+    against cosine_topk, not hash-matched.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            c_ids = batch[corpus_id].to_numpy()
+            c_mat = np.array(list(batch[vec_col]), dtype=np.float64)
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_norm @ q_norm.T  # (batch, nq)
+            top = min(k, sims.shape[0])
+            out_q, out_c, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                idx = np.argpartition(-sims[:, j], top - 1)[:top]
+                out_q.extend([qid] * len(idx))
+                out_c.extend(c_ids[idx])
+                out_s.extend(sims[idx, j])
+            yield pd.DataFrame({query_id: out_q, corpus_id: out_c, "cos_sim": out_s})
+
+    scored = corpus.select(corpus_id, vec_col).mapInPandas(
+        score, f"{query_id} long, {corpus_id} long, cos_sim double"
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("cos_sim", rnd(F.col("cos_sim"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rank")
+    )

@@ -228,3 +228,21 @@ def test_ivf_prebuilt_matches_inmemory_and_prunes(spark, sf_dir, tmp_path):
 
     cells_on_disk = [d for d in os.listdir(f"{path}/corpus") if d.startswith("cell=")]
     assert len(cells_on_disk) == 16
+
+
+def test_vectorized_topk_matches_jvm_exact(spark, sf_dir):
+    """The numpy-kernel variant must return the same neighbor ids and
+    ranks as the interpreted-JVM exact operator (scores can differ in
+    the last ulp; rnd(6) absorbs it on this data)."""
+    import pyspark.sql.functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    a = S.cosine_topk(queries, corpus, k=5).collect()
+    b = S.cosine_topk_vectorized(spark, queries, corpus, k=5).collect()
+    ka = {(r["query_id"], r["rank"]): r["vec_id"] for r in a}
+    kb = {(r["query_id"], r["rank"]): r["vec_id"] for r in b}
+    assert ka == kb
