@@ -29,6 +29,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
 
 
+NGRAM_DOC_FREQ_CAP = 50
+
+
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The posting-cap variant of dedup_ngram_jaccard — shingles
+    appearing in more than 50 docs are dropped before the self-join
+    (the search-engine stop-list move that keeps the inverted index
+    sub-quadratic; REQUIRED at 100 TB, SCALE.md dedup section). The
+    oracle replicates the cap exactly, so the scale knob itself is
+    hash-verified: Jaccard is computed on the REDUCED shingle sets."""
+    docs = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=NGRAM_DOC_FREQ_CAP
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidates verified by exact Jaccard.
 
@@ -108,6 +124,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_substring": dedup_substring,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_capped": dedup_ngram_capped,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -154,6 +171,33 @@ ORACLES = {
         common AS (
             SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS common
             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+            GROUP BY 1, 2
+        )
+        SELECT doc1, doc2,
+               FLOOR((CAST(common AS DOUBLE) / (n1.n_sh + n2.n_sh - common)) * 1e6 + 0.5) / 1e6 AS jaccard
+        FROM common
+        JOIN sizes n1 ON common.doc1 = n1.doc
+        JOIN sizes n2 ON common.doc2 = n2.doc
+        WHERE FLOOR((CAST(common AS DOUBLE) / (n1.n_sh + n2.n_sh - common)) * 1e6 + 0.5) / 1e6 >= 0.5
+    """,
+    "dedup_ngram_capped": """
+        WITH w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id AS doc,
+                   unnest(list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                         for i in generate_series(1, len(words) - 2)])) AS sh
+            FROM w
+            WHERE len(words) >= 3
+        ),
+        hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > 50),
+        kept AS (SELECT doc, sh FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+        sizes AS (SELECT doc, COUNT(*) AS n_sh FROM kept GROUP BY doc),
+        common AS (
+            SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS common
+            FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc < b.doc
             GROUP BY 1, 2
         )
         SELECT doc1, doc2,
