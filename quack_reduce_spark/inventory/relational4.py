@@ -84,6 +84,37 @@ def _rt_dir(sf_dir: str, tag: str) -> str:
     return os.path.join(_RT_CACHE, os.path.basename(os.path.normpath(sf_dir)), tag)
 
 
+_HIVE_MATERIALIZED: set[str] = set()
+
+
+def a02_hive_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A2+A3 as a registry query: lineitem re-laid-out hive-
+    partitioned by ship month (the reference's run_me_first.py:83-100
+    layout), re-read with partition discovery, and pruned by a
+    partition-column filter — the scan touches 3/12 month directories
+    (plan-asserted in test_plans.py; the oracle computes the same
+    answer from the unpartitioned original, so discovery + pruning +
+    partition-column-to-data agreement are all hash-verified). The
+    layout is written once per process (immutable fixture)."""
+    out = _rt_dir(sf_dir, "lineitem_hive")
+    if out not in _HIVE_MATERIALIZED:
+        li = load(spark, sf_dir, "lineitem").withColumn(
+            "ship_month", F.month("l_shipdate")
+        )
+        li.write.partitionBy("ship_month").mode("overwrite").parquet(out)
+        _HIVE_MATERIALIZED.add(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("ship_month").isin(1, 2, 3))
+        .groupBy("ship_month", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .orderBy("ship_month", "l_returnflag")
+    )
+
+
 def b3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + source through the differential gate: nation written
     as headered CSV, read back with the EXPLICIT original schema (no
@@ -169,6 +200,7 @@ def b3_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "a02_hive_partition_scan": a02_hive_partition_scan,
     "b3_group_by_all": b3_group_by_all,
     "b3_lateral_join": b3_lateral_join,
     "b3_extreme_aggs": b3_extreme_aggs,
@@ -180,6 +212,16 @@ QUERIES = {
 
 
 ORACLES = {
+    "a02_hive_partition_scan": """
+        SELECT CAST(EXTRACT(month FROM l_shipdate) AS INT) AS ship_month,
+               l_returnflag,
+               COUNT(*) AS n,
+               FLOOR((SUM(l_quantity)) * 1e4 + 0.5) / 1e4 AS sum_qty
+        FROM lineitem
+        WHERE EXTRACT(month FROM l_shipdate) IN (1, 2, 3)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "b3_group_by_all": _GROUP_BY_ALL_SQL,
     "b3_lateral_join": _LATERAL_SQL,
     "b3_extreme_aggs": """
