@@ -238,6 +238,33 @@ def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series for one user: a dense hour spine
+    generated with sequence()+explode over the observed range, left-
+    joined with the hourly counts, empty hours zero-filled — the
+    standard sparse-to-dense densification every time-series chart
+    needs. The spine generation is a single-row sequence explode
+    (no driver loop); the join keys on the hour bucket."""
+    events = load(spark, sf_dir, "events").filter(F.col("user_id") == 7)
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    return (
+        spine.join(hourly, "hour", "left")
+        .select("hour", F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"))
+        .orderBy("hour")
+    )
+
+
 def ts_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition counts via the applyInPandas
     grouped-map operator (operators/grouped.py) — a Python custom
@@ -256,6 +283,7 @@ QUERIES = {
     "ts_asof_forward": ts_asof_forward,
     "ts_asof_tolerance": ts_asof_tolerance,
     "ts_date_rollup": ts_date_rollup,
+    "ts_gap_fill": ts_gap_fill,
     "ts_conversion_funnel": ts_conversion_funnel,
     "ts_retention_cohorts": ts_retention_cohorts,
     "ts_event_transitions": ts_event_transitions,
@@ -348,6 +376,24 @@ ORACLES = {
                COUNT(*) AS n,
                FLOOR((AVG(value)) * 1e4 + 0.5) / 1e4 AS avg_value
         FROM events GROUP BY 1, 2
+    """,
+    "ts_gap_fill": """
+        WITH e AS (SELECT ts FROM events WHERE user_id = 7),
+        b AS (
+            SELECT date_trunc('hour', MIN(ts)) AS lo,
+                   date_trunc('hour', MAX(ts)) AS hi
+            FROM e
+        ),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour FROM b
+        ),
+        hourly AS (
+            SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+            FROM e GROUP BY 1
+        )
+        SELECT s.hour, COALESCE(h.n_events, 0) AS n_events
+        FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+        ORDER BY s.hour
     """,
     "ts_conversion_funnel": """
         WITH clicks AS (
