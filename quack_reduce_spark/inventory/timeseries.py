@@ -15,7 +15,7 @@ join is one shuffle + one per-partition sort (see operators/asof.py).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from quack_reduce_spark.inventory._util import load, rnd
 from quack_reduce_spark.operators.asof import asof_join
@@ -265,6 +265,49 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the gap-filled hourly series: observed
+    hours keep their mean value; missing hours get the time-weighted
+    blend of the nearest observations on both sides (NULL outside the
+    observed range). Two ignore-nulls window fills (last-before,
+    first-after) carry value AND timestamp, so the blend is a pure
+    projection. Single-entity here; the multi-entity form adds
+    partitionBy(user) to both windows and scales like any keyed
+    window."""
+    events = load(spark, sf_dir, "events").filter(F.col("user_id") == 7)
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(rnd(F.avg("value"), 4).alias("v"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    joined = spine.join(hourly, "hour", "left")
+    w_prev = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = Window.orderBy("hour").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    prev_v = F.last("v", ignorenulls=True).over(w_prev)
+    prev_t = F.last(obs_hour, ignorenulls=True).over(w_prev)
+    next_v = F.first("v", ignorenulls=True).over(w_next)
+    next_t = F.first(obs_hour, ignorenulls=True).over(w_next)
+    frac = (
+        F.unix_timestamp("hour") - F.unix_timestamp(prev_t)
+    ) / F.nullif(F.unix_timestamp(next_t) - F.unix_timestamp(prev_t), F.lit(0))
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        rnd(prev_v + (next_v - prev_v) * frac, 4)
+    )
+    return joined.select(
+        "hour",
+        F.col("v").isNotNull().alias("observed"),
+        interp.alias("value"),
+    ).orderBy("hour")
+
+
 def ts_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition counts via the applyInPandas
     grouped-map operator (operators/grouped.py) — a Python custom
@@ -284,6 +327,7 @@ QUERIES = {
     "ts_asof_tolerance": ts_asof_tolerance,
     "ts_date_rollup": ts_date_rollup,
     "ts_gap_fill": ts_gap_fill,
+    "ts_interpolate": ts_interpolate,
     "ts_conversion_funnel": ts_conversion_funnel,
     "ts_retention_cohorts": ts_retention_cohorts,
     "ts_event_transitions": ts_event_transitions,
@@ -376,6 +420,48 @@ ORACLES = {
                COUNT(*) AS n,
                FLOOR((AVG(value)) * 1e4 + 0.5) / 1e4 AS avg_value
         FROM events GROUP BY 1, 2
+    """,
+    "ts_interpolate": """
+        WITH e AS (SELECT ts, value FROM events WHERE user_id = 7),
+        b AS (
+            SELECT date_trunc('hour', MIN(ts)) AS lo,
+                   date_trunc('hour', MAX(ts)) AS hi
+            FROM e
+        ),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour FROM b
+        ),
+        hourly AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                   FLOOR((AVG(value)) * 1e4 + 0.5) / 1e4 AS v
+            FROM e GROUP BY 1
+        ),
+        j AS (
+            SELECT s.hour, h.v FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+        ),
+        f AS (
+            SELECT hour, v,
+                   last_value(v IGNORE NULLS) OVER (ORDER BY hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+                   last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+                       OVER (ORDER BY hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+                   first_value(v IGNORE NULLS) OVER (ORDER BY hour
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+                   first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+                       OVER (ORDER BY hour
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+            FROM j
+        )
+        SELECT hour,
+               v IS NOT NULL AS observed,
+               CASE WHEN v IS NOT NULL THEN v
+                    ELSE FLOOR((prev_v + (next_v - prev_v) *
+                         (epoch(hour) - epoch(prev_t))
+                         / NULLIF(epoch(next_t) - epoch(prev_t), 0)) * 1e4 + 0.5) / 1e4
+               END AS value
+        FROM f
+        ORDER BY hour
     """,
     "ts_gap_fill": """
         WITH e AS (SELECT ts FROM events WHERE user_id = 7),
