@@ -308,6 +308,37 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hour")
 
 
+ANOMALY_WINDOW = 24  # trailing hours
+ANOMALY_Z = 2.0
+
+
+def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the hourly event-volume
+    series: each hour scored against the trailing 24-hour mean/stddev
+    (excluding itself); |z| > 2 flags an anomaly. One tumbling
+    aggregate plus one bounded ROWS window — at scale the window
+    partitions by entity and the trailing frame keeps state at 24 rows
+    per key."""
+    events = load(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("hour").rowsBetween(-ANOMALY_WINDOW, -1)
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    z = (F.col("n") - mu) / F.nullif(sd, F.lit(0.0))
+    return (
+        hourly.select(
+            "hour",
+            "n",
+            rnd(mu, 4).alias("trailing_mean"),
+            rnd(F.coalesce(z, F.lit(0.0)), 4).alias("zscore"),
+            F.coalesce(F.abs(z) > ANOMALY_Z, F.lit(False)).alias("is_anomaly"),
+        )
+        .orderBy("hour")
+    )
+
+
 def ts_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition counts via the applyInPandas
     grouped-map operator (operators/grouped.py) — a Python custom
@@ -328,6 +359,7 @@ QUERIES = {
     "ts_date_rollup": ts_date_rollup,
     "ts_gap_fill": ts_gap_fill,
     "ts_interpolate": ts_interpolate,
+    "ts_zscore_anomaly": ts_zscore_anomaly,
     "ts_conversion_funnel": ts_conversion_funnel,
     "ts_retention_cohorts": ts_retention_cohorts,
     "ts_event_transitions": ts_event_transitions,
@@ -420,6 +452,24 @@ ORACLES = {
                COUNT(*) AS n,
                FLOOR((AVG(value)) * 1e4 + 0.5) / 1e4 AS avg_value
         FROM events GROUP BY 1, 2
+    """,
+    "ts_zscore_anomaly": """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+            FROM events GROUP BY 1
+        ),
+        f AS (
+            SELECT hour, n,
+                   AVG(n) OVER (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS mu,
+                   stddev_samp(n) OVER (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS sd
+            FROM hourly
+        )
+        SELECT hour, n,
+               FLOOR((mu) * 1e4 + 0.5) / 1e4 AS trailing_mean,
+               FLOOR((COALESCE((n - mu) / NULLIF(sd, 0.0), 0.0)) * 1e4 + 0.5) / 1e4 AS zscore,
+               COALESCE(ABS((n - mu) / NULLIF(sd, 0.0)) > 2.0, FALSE) AS is_anomaly
+        FROM f
+        ORDER BY hour
     """,
     "ts_interpolate": """
         WITH e AS (SELECT ts, value FROM events WHERE user_id = 7),
