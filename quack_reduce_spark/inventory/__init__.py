@@ -70,6 +70,7 @@ _HEAD = [
     # Tier A — reference-exercised operators
     "a01_scan_project", "a04_filter_range", "a05_projection_expr",
     "a06_group_count", "a07_global_count", "a09_topk", "a14_derived_date",
+    "a02_hive_partition_scan",
     # Tier B — representative SQL surface
     "b_agg_pricing_summary", "b_join_star_broadcast", "b_join_semi",
     "b_window_rank", "b_rollup", "b_higher_order_fns", "b2_pivot",
