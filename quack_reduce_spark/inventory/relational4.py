@@ -199,8 +199,29 @@ def b3_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL_SQL)
 
 
+def b3_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source roundtrip (the third columnar format in the
+    reader matrix): customer written as ORC, read back, aggregated;
+    oracle from the original parquet — the roundtrip must be lossless
+    including doubles (ORC stores IEEE doubles bit-exactly)."""
+    customer = load(spark, sf_dir, "customer")
+    out = _rt_dir(sf_dir, "customer_orc")
+    customer.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.sum("c_acctbal"), 4).alias("sum_bal"),
+            F.min("c_custkey").alias("first_cust"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "a02_hive_partition_scan": a02_hive_partition_scan,
+    "b3_orc_roundtrip": b3_orc_roundtrip,
     "b3_group_by_all": b3_group_by_all,
     "b3_lateral_join": b3_lateral_join,
     "b3_extreme_aggs": b3_extreme_aggs,
@@ -251,6 +272,15 @@ ORACLES = {
                CAST(len(list_distinct(list_concat(a, b))) AS INT) AS n_union,
                list_contains(a, 'spark') AS mentions_spark
         FROM t
+    """,
+    "b3_orc_roundtrip": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n,
+               FLOOR((SUM(c_acctbal)) * 1e4 + 0.5) / 1e4 AS sum_bal,
+               MIN(c_custkey) AS first_cust
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
     """,
     "b3_csv_roundtrip": """
         SELECT n_regionkey,
