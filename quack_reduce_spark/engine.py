@@ -78,6 +78,34 @@ class Engine:
         for name in names:
             self.register(name, f"{root.rstrip('/')}/{name}{ext}", fmt=fmt)
 
+    def register_lake(self, root: str) -> list[str]:
+        """Auto-discover a lake directory: every ``*.parquet`` file
+        becomes a view named after its stem, and every subdirectory
+        containing parquet (flat or hive-partitioned) becomes a view
+        named after the directory. The reference's no-catalog,
+        path-addressed model (README.md:190) with the path typing
+        removed. Returns the registered names, sorted."""
+        import os
+
+        registered = []
+        root = root.rstrip("/")
+        for entry in sorted(os.listdir(root)):
+            full = os.path.join(root, entry)
+            if entry.endswith(".parquet") and os.path.isfile(full):
+                name = entry[: -len(".parquet")]
+                self.register(name, full)
+                registered.append(name)
+            elif os.path.isdir(full):
+                has_parquet = any(
+                    f.endswith(".parquet")
+                    for _, _, files in os.walk(full)
+                    for f in files
+                )
+                if has_parquet:
+                    self.register(entry, full)
+                    registered.append(entry)
+        return registered
+
     # -- query surface --------------------------------------------------
 
     def df(self, query: str) -> DataFrame:

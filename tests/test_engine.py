@@ -127,3 +127,31 @@ def test_explain_surfaces_pushdown(engine):
         "WHERE l_shipdate >= DATE'1995-01-01' GROUP BY l_suppkey"
     )
     assert "PushedFilters" in plan and "HashAggregate" in plan
+
+
+def test_register_lake_autodiscovers(spark, sf_dir, tmp_path):
+    """register_lake: flat parquet files AND a hive-partitioned subdir
+    register under their stems; non-parquet clutter ignored."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark import Engine
+    from quack_reduce_spark.inventory._util import load
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    shutil.copy(f"{sf_dir}/nation.parquet", lake / "nation.parquet")
+    shutil.copy(f"{sf_dir}/region.parquet", lake / "region.parquet")
+    (lake / "notes.txt").write_text("not a table")
+    load(spark, sf_dir, "orders").limit(100).withColumn(
+        "st", F.col("o_orderstatus")
+    ).write.partitionBy("st").parquet(str(lake / "orders_by_status"))
+
+    eng = Engine(spark=spark)
+    names = eng.register_lake(str(lake))
+    assert names == ["nation", "orders_by_status", "region"]
+    assert eng.sql("SELECT COUNT(*) AS n FROM nation").records[0]["n"] == 25
+    # the partition column is queryable (hive discovery)
+    r = eng.sql("SELECT COUNT(DISTINCT st) AS n FROM orders_by_status")
+    assert r.records[0]["n"] >= 2
