@@ -105,3 +105,31 @@ def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete"):
     )
     query.awaitTermination()
     return query
+
+
+def run_stream_foreach_batch(df: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Drain a (bounded) stream through the canonical production sink:
+    ``foreachBatch`` appending parquet stamped with the batch id. In
+    update mode each micro-batch emits only changed keys, so the
+    materialized history is an upsert log — readers take the latest
+    batch per key (the standard CDC-merge read). Checkpointing makes
+    redelivery idempotent: a restarted query re-runs only uncommitted
+    batches. Returns the query handle after all input is processed."""
+    import pyspark.sql.functions as F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    query = (
+        df.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

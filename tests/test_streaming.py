@@ -137,3 +137,38 @@ def test_stream_registry_queries_match_batch(spark):
     tot = sum(r["n_unique"] for r in dd.collect())
     n_events = load(spark, sf, "events").count()
     assert tot == n_events
+
+
+def test_foreach_batch_upsert_log_matches_batch(spark, sf_dir, tmp_path):
+    """foreachBatch update-mode sink: the latest-batch-per-window state
+    of the appended upsert log must equal the batch aggregate over the
+    same files."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from quack_reduce_spark.inventory._util import load
+    from quack_reduce_spark.streaming import (
+        read_event_stream,
+        run_stream_foreach_batch,
+        tumbling_counts,
+    )
+
+    src = str(tmp_path / "src")
+    events = load(spark, sf_dir, "events")
+    events.repartition(4).write.parquet(src)
+
+    stream = read_event_stream(spark, src, events.schema, max_files_per_trigger=2)
+    out = str(tmp_path / "sink")
+    run_stream_foreach_batch(
+        tumbling_counts(stream), out, str(tmp_path / "ckpt")
+    )
+
+    log = spark.read.parquet(out)
+    w = W.partitionBy("window_start").orderBy(F.col("__batch_id").desc())
+    final = (
+        log.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("window_start", "n_events", "sum_value")
+    )
+    batch = tumbling_counts(events)
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
