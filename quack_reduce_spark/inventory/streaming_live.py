@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from quack_reduce_spark.inventory._util import load
 from quack_reduce_spark.streaming import (
+    click_purchase_interval_join,
     dedup_within_watermark,
     read_event_stream,
     run_stream_to_memory,
@@ -120,8 +121,31 @@ def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join run by the streaming engine: clicks and
+    purchases as two watermarked streams over the same multi-file
+    source, joined on user + 30-minute event-time interval; the range
+    condition bounds the join state. Counts per user keep the result
+    order-free for the hash gate."""
+    path = _event_stream_dir(spark, sf_dir, with_redeliveries=False)
+    schema = load(spark, sf_dir, "events").schema
+    clicks = read_event_stream(spark, path, schema, max_files_per_trigger=2).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_event_stream(spark, path, schema, max_files_per_trigger=2).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = click_purchase_interval_join(clicks, purchases)
+    drained = _drain(joined, spark, mode="append")
+    return drained.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("click_id").alias("n_clicks_matched"),
+    )
+
+
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_interval_join": stream_interval_join,
     "stream_session_agg": stream_session_agg,
     "stream_sliding_agg": stream_sliding_agg,
     "stream_dedup_redelivery": stream_dedup_redelivery,
@@ -153,6 +177,26 @@ ORACLES = {
         )
         SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
         FROM s GROUP BY user_id, sid
+    """,
+    "stream_interval_join": """
+        WITH c AS (
+            SELECT event_id AS click_id, user_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT user_id AS p_user, ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        j AS (
+            SELECT c.click_id, c.user_id
+            FROM c JOIN p
+              ON c.user_id = p.p_user
+             AND p.purchase_ts >= c.click_ts
+             AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes'
+        )
+        SELECT user_id, COUNT(*) AS n_pairs,
+               COUNT(DISTINCT click_id) AS n_clicks_matched
+        FROM j GROUP BY user_id
     """,
     "stream_sliding_agg": """
         WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b0 FROM events),

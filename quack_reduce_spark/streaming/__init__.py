@@ -133,3 +133,42 @@ def run_stream_foreach_batch(df: DataFrame, out_dir: str, checkpoint_dir: str):
     )
     query.awaitTermination()
     return query
+
+
+def click_purchase_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each click pairs with the same user's
+    purchases landing within ``window_minutes`` AFTER it. Works
+    identically on static frames (the batch oracle) and on two
+    watermarked streams — the event-time range condition is what lets
+    the streaming engine bound join state (rows age out once the
+    watermark passes the interval)."""
+    import pyspark.sql.functions as F
+
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        ),
+    ).select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")

@@ -172,3 +172,46 @@ def test_foreach_batch_upsert_log_matches_batch(spark, sf_dir, tmp_path):
     )
     batch = tumbling_counts(events)
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Two watermarked streams joined on user + event-time interval
+    must produce exactly the batch join of the same files."""
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.inventory._util import load
+    from quack_reduce_spark.streaming import (
+        click_purchase_interval_join,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    src = str(tmp_path / "src")
+    events = load(spark, sf_dir, "events")
+    events.repartition(4).write.parquet(src)
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    s1 = read_event_stream(spark, src, events.schema, max_files_per_trigger=2)
+    s2 = read_event_stream(spark, src, events.schema, max_files_per_trigger=2)
+    joined_stream = click_purchase_interval_join(*[
+        f(s) for f, s in zip(
+            [lambda d: d.filter(F.col("event_type") == "click"),
+             lambda d: d.filter(F.col("event_type") == "purchase")],
+            [s1, s2],
+        )
+    ])
+    import uuid
+
+    name = f"ssj_{uuid.uuid4().hex[:10]}"
+    run_stream_to_memory(joined_stream, name, mode="append")
+    stream_rows = sorted(map(tuple, spark.table(name).collect()))
+
+    batch_rows = sorted(
+        map(tuple, click_purchase_interval_join(*split(events)).collect())
+    )
+    assert stream_rows == batch_rows and len(batch_rows) > 0
