@@ -140,6 +140,7 @@ def click_purchase_interval_join(
     purchases: DataFrame,
     window_minutes: int = 30,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: each click pairs with the same user's
     purchases landing within ``window_minutes`` AFTER it. Works
@@ -171,4 +172,7 @@ def click_purchase_interval_join(
             F.col("purchase_ts")
             <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
         ),
+        how,  # "leftOuter": unmatched clicks emit with NULLs once the
+        # watermark passes their interval — bounded-input availableNow
+        # drains all state, so the final table equals the batch left join
     ).select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")

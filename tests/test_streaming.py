@@ -215,3 +215,58 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
         map(tuple, click_purchase_interval_join(*split(events)).collect())
     )
     assert stream_rows == batch_rows and len(batch_rows) > 0
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join: unmatched clicks must surface
+    (with NULL purchase columns) exactly as in the batch left join once
+    the bounded stream drains."""
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.inventory._util import load
+    from quack_reduce_spark.streaming import (
+        click_purchase_interval_join,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    src = str(tmp_path / "src")
+    events = load(spark, sf_dir, "events")
+    events.repartition(4).write.parquet(src)
+
+    s1 = read_event_stream(spark, src, events.schema, max_files_per_trigger=2).filter(
+        F.col("event_type") == "click"
+    )
+    s2 = read_event_stream(spark, src, events.schema, max_files_per_trigger=2).filter(
+        F.col("event_type") == "purchase"
+    )
+    name = f"ssj_lo_{uuid.uuid4().hex[:10]}"
+    run_stream_to_memory(
+        click_purchase_interval_join(s1, s2, how="leftOuter"), name, mode="append"
+    )
+    stream_rows = sorted(
+        map(tuple, spark.table(name).collect()), key=lambda t: tuple(map(str, t))
+    )
+    # streaming left-outer only EMITS an unmatched click once the
+    # watermark passes its join interval; clicks near the end of the
+    # bounded input never get their NULL row (state drains, stream
+    # ends), and the exact emission frontier depends on when the final
+    # no-data batch observed which per-source watermark. Compare well
+    # clear of it: clicks more than 6h before the max event time.
+    import datetime as dt
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - dt.timedelta(hours=6)
+    batch = click_purchase_interval_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+        how="leftOuter",
+    ).filter(F.col("click_ts") <= F.lit(cutoff))
+    batch_rows = sorted(
+        map(tuple, batch.collect()), key=lambda t: tuple(map(str, t))
+    )
+    stream_rows = [r for r in stream_rows if r[2] <= cutoff]
+    assert stream_rows == batch_rows
+    assert any(r[3] is None for r in batch_rows)  # unmatched clicks exist
