@@ -339,6 +339,27 @@ def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: mean hourly event volume by (day-of-week,
+    hour-of-day) — the heatmap behind capacity planning. Two stacked
+    aggregates, both partial/final."""
+    events = load(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        hourly.groupBy(
+            F.dayofweek("hour").alias("dow"),
+            F.hour("hour").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            rnd(F.avg("n"), 4).alias("avg_events"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
 def ts_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition counts via the applyInPandas
     grouped-map operator (operators/grouped.py) — a Python custom
@@ -360,6 +381,7 @@ QUERIES = {
     "ts_gap_fill": ts_gap_fill,
     "ts_interpolate": ts_interpolate,
     "ts_zscore_anomaly": ts_zscore_anomaly,
+    "ts_seasonal_profile": ts_seasonal_profile,
     "ts_conversion_funnel": ts_conversion_funnel,
     "ts_retention_cohorts": ts_retention_cohorts,
     "ts_event_transitions": ts_event_transitions,
@@ -452,6 +474,19 @@ ORACLES = {
                COUNT(*) AS n,
                FLOOR((AVG(value)) * 1e4 + 0.5) / 1e4 AS avg_value
         FROM events GROUP BY 1, 2
+    """,
+    "ts_seasonal_profile": """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(EXTRACT(dow FROM hour) + 1 AS INT) AS dow,
+               CAST(EXTRACT(hour FROM hour) AS INT) AS hod,
+               COUNT(*) AS n_hours,
+               FLOOR((AVG(n)) * 1e4 + 0.5) / 1e4 AS avg_events
+        FROM hourly
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """,
     "ts_zscore_anomaly": """
         WITH hourly AS (
