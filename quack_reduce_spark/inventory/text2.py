@@ -236,7 +236,38 @@ def text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report per source: document duplication rate and
+    the token volume that exact dedup removes (the dataset-card
+    numbers). One fingerprint window + one aggregate — keep-min-id
+    duplicates are the removed set."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = Window.partitionBy("__fp")
+    flagged = docs.select(
+        "source",
+        ntok.alias("n_tok"),
+        fp.alias("__fp"),
+        "doc_id",
+    ).withColumn("__keep", F.col("doc_id") == F.min("doc_id").over(w))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("__keep")).alias("n_kept"),
+            rnd(1 - F.count_if(F.col("__keep")) / F.count(F.lit(1)), 6).alias("dup_rate"),
+            F.sum("n_tok").alias("tokens_total"),
+            F.sum(F.when(~F.col("__keep"), F.col("n_tok")).otherwise(0)).alias(
+                "tokens_removed"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "text_dedup_impact": text_dedup_impact,
     "text_gopher_quality": text_gopher_quality,
     "text_filter_funnel": text_filter_funnel,
     "text_curation_pipeline": text_curation_pipeline,
@@ -268,6 +299,25 @@ _METRICS_CTE = """
 """
 
 ORACLES = {
+    "text_dedup_impact": """
+        WITH f AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tok,
+                   doc_id = MIN(doc_id) OVER (
+                       PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   ) AS keep
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(count_if(keep) AS BIGINT) AS n_kept,
+               FLOOR((1 - CAST(count_if(keep) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS dup_rate,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+               CAST(SUM(CASE WHEN NOT keep THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_removed
+        FROM f
+        GROUP BY source
+        ORDER BY source
+    """,
     "text_vocab_ngrams": """
         WITH w AS (
             SELECT doc_id, source,
