@@ -9,7 +9,7 @@ are not SQL-portable); its recall vs brute force is unit-tested.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from quack_reduce_spark.inventory._util import load, rnd
 from quack_reduce_spark.operators import similarity as S
@@ -78,8 +78,60 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantized_topk(queries, corpus, k=TOP_K)
 
 
+def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification over the labeled embeddings:
+    per-label mean vectors (posexplode + avg, rebuilt as arrays), each
+    vector assigned to its max-cosine centroid, per-label accuracy
+    reported. The centroid table is tiny and broadcast; the corpus is
+    scanned once — the evaluation-loop shape of embedding-space
+    labeling jobs."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    ).select("label", "pos", F.col("val").cast("double").alias("val"))
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("clabel"), "cvec")
+    )
+    from quack_reduce_spark.operators.similarity import cosine
+
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        cosine(F.col("embedding"), F.col("cvec")).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("clabel").asc()
+    )
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", F.col("clabel").alias("pred"))
+    )
+    return (
+        pred.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("pred") == F.col("label")).alias("n_correct"),
+            rnd(F.count_if(F.col("pred") == F.col("label")) / F.count(F.lit(1)), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
+    "sim_nearest_centroid": sim_nearest_centroid,
     "sim_quantized_topk": sim_quantized_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
@@ -88,6 +140,38 @@ QUERIES = {
 
 
 ORACLES = {
+    "sim_nearest_centroid": """
+        WITH comp AS (
+            SELECT label, s.i AS pos, AVG(CAST(embedding[s.i] AS DOUBLE)) AS m
+            FROM embeddings CROSS JOIN generate_series(1, 64) AS s(i)
+            GROUP BY label, s.i
+        ),
+        cent AS (
+            SELECT label AS clabel, list(m ORDER BY pos) AS cvec
+            FROM comp GROUP BY label
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label, c.clabel,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(c.cvec, c.cvec))) AS score
+            FROM embeddings e CROSS JOIN cent c
+        ),
+        pred AS (
+            SELECT vec_id, label, clabel AS pred,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY score DESC, clabel ASC) AS rk
+            FROM scored
+            QUALIFY rk = 1
+        )
+        SELECT label,
+               COUNT(*) AS n,
+               CAST(count_if(pred = label) AS BIGINT) AS n_correct,
+               FLOOR((CAST(count_if(pred = label) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS accuracy
+        FROM pred
+        GROUP BY label
+        ORDER BY label
+    """,
     "sim_quantized_topk": f"""
         WITH base AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
