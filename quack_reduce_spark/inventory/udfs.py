@@ -19,6 +19,24 @@ from quack_reduce_spark.functions.udfs import register_udfs, sigmoid_calibrate, 
 from quack_reduce_spark.inventory._util import load, rnd
 
 
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized plain Python UDF (``useArrow=True`` — the Spark
+    4 fast path for row-at-a-time Python logic: Arrow batch transfer
+    without the pandas_udf signature change). Vowel-count feature per
+    doc; the oracle recomputes it with pure SQL regexp counting."""
+
+    @F.udf("int", useArrow=True)
+    def vowel_count(s: str) -> int:
+        return sum(1 for ch in s if ch in "aeiou")
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        vowel_count(F.col("text")).alias("n_vowels"),
+        F.length("text").alias("n_chars_text"),
+    )
+
+
 def udf_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas_udf over a JVM-computed feature: logistic
     calibration of the heuristic quality score (Arrow-batched numpy)."""
@@ -53,6 +71,7 @@ def udf_tokenize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "udf_arrow_scalar": udf_arrow_scalar,
     "udf_quality_calibrated": udf_quality_calibrated,
     "udf_trimmed_mean": udf_trimmed_mean,
     "udf_tokenize_rows": udf_tokenize_rows,
@@ -60,6 +79,12 @@ QUERIES = {
 
 
 ORACLES = {
+    "udf_arrow_scalar": """
+        SELECT doc_id,
+               CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels,
+               CAST(length(text) AS INT) AS n_chars_text
+        FROM documents
+    """,
     "udf_quality_calibrated": """
         WITH t AS (
             SELECT doc_id,
