@@ -28,6 +28,7 @@ import pyspark.sql.functions as F
 from quack_reduce_spark.functions.numeric import rnd
 from quack_reduce_spark.inventory._util import load
 from quack_reduce_spark.session import get_spark
+from quack_reduce_spark.streaming import read_event_stream
 
 
 def run(sf_dir: str, out_dir: str) -> int:
@@ -38,11 +39,9 @@ def run(sf_dir: str, out_dir: str) -> int:
     events = load(spark, sf_dir, "events")
     events.repartition(4).write.mode("overwrite").parquet(landing)
 
-    stream = (
-        spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 2)  # admission control
-        .parquet(landing)
-    )
+    # read_event_stream normalizes NTZ event time to watermark-
+    # compatible TIMESTAMP; maxFilesPerTrigger=2 is admission control
+    stream = read_event_stream(spark, landing, events.schema, max_files_per_trigger=2)
     hourly = (
         stream.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])

@@ -90,8 +90,13 @@ _HEAD = [
     "text_quality", "text_lang_id", "text_fingerprint",
     "text_stratified_sample", "text_curation_pipeline",
     # Dedup
+    # dedup_minhash_lsh deliberately NOT in the head: it is rows-only by
+    # design (engine-specific xxhash64 permutations aren't SQL-portable)
+    # and would burn a driver budget slot on a permanent "no_oracle" row;
+    # it stays in the tail + unit-tested (recall 1.0 vs exact Jaccard).
+    # dedup_ngram_capped is oracled AND is the 100 TB scale knob.
     "dedup_exact", "dedup_substring", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_components",
+    "dedup_ngram_capped", "dedup_components",
     # Similarity search
     "sim_cosine_topk", "sim_quantized_topk",
     # Multimodal + python UDF surface

@@ -62,11 +62,28 @@ def _event_stream_dir(spark: SparkSession, sf_dir: str, with_redeliveries: bool)
     if out in _MATERIALIZED:
         return out
     events = load(spark, sf_dir, "events")
+    # withWatermark demands TIMESTAMP (LTZ) event time; fixtures written
+    # as parquet timestamp[us] surface as TIMESTAMP_NTZ. Session tz is
+    # UTC, so the cast is wall-clock-preserving and the DuckDB oracle
+    # (naive µs timestamps) sees identical instants.
+    for f in events.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            events = events.withColumn(f.name, F.col(f.name).cast("timestamp"))
     if with_redeliveries:
         events = events.unionByName(events.filter(F.col("event_id") % 10 == 0))
     events.repartition(4).write.mode("overwrite").parquet(out)
     _MATERIALIZED.add(out)
     return out
+
+
+def _stream_source(spark: SparkSession, sf_dir: str, with_redeliveries: bool) -> DataFrame:
+    """Materialize (once) and open the event stream with the schema of
+    the MATERIALIZED files — not the raw fixture's — so event-time
+    columns are guaranteed watermark-compatible regardless of how the
+    fixture was written."""
+    path = _event_stream_dir(spark, sf_dir, with_redeliveries)
+    schema = spark.read.parquet(path).schema
+    return read_event_stream(spark, path, schema, max_files_per_trigger=2)
 
 
 def _drain(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
@@ -79,18 +96,14 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour watermarked window counts computed BY THE
     STREAMING ENGINE (availableNow over a 4-file source, complete
     mode), equal to the batch/oracle result on bounded input."""
-    path = _event_stream_dir(spark, sf_dir, with_redeliveries=False)
-    schema = load(spark, sf_dir, "events").schema
-    stream = read_event_stream(spark, path, schema, max_files_per_trigger=2)
+    stream = _stream_source(spark, sf_dir, with_redeliveries=False)
     return _drain(tumbling_counts(stream), spark, mode="complete")
 
 
 def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 5-minute-gap session windows computed by the streaming
     engine (stateful session_window merge across triggers)."""
-    path = _event_stream_dir(spark, sf_dir, with_redeliveries=False)
-    schema = load(spark, sf_dir, "events").schema
-    stream = read_event_stream(spark, path, schema, max_files_per_trigger=2)
+    stream = _stream_source(spark, sf_dir, with_redeliveries=False)
     return _drain(session_counts(stream), spark, mode="complete")
 
 
@@ -98,9 +111,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1-hour/30-minute watermarked window counts computed by
     the streaming engine — each event contributes to two overlapping
     windows' state across triggers."""
-    path = _event_stream_dir(spark, sf_dir, with_redeliveries=False)
-    schema = load(spark, sf_dir, "events").schema
-    stream = read_event_stream(spark, path, schema, max_files_per_trigger=2)
+    stream = _stream_source(spark, sf_dir, with_redeliveries=False)
     return _drain(sliding_counts(stream), spark, mode="complete")
 
 
@@ -110,9 +121,7 @@ def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicatesWithinWatermark collapses the stream back to exactly
     the distinct events. Returns per-type counts of surviving rows so
     the result is order-free and oracle-hashable."""
-    path = _event_stream_dir(spark, sf_dir, with_redeliveries=True)
-    schema = load(spark, sf_dir, "events").schema
-    stream = read_event_stream(spark, path, schema, max_files_per_trigger=2)
+    stream = _stream_source(spark, sf_dir, with_redeliveries=True)
     deduped = dedup_within_watermark(stream, keys=["event_id"])
     drained = _drain(deduped, spark, mode="append")
     return drained.groupBy("event_type").agg(
@@ -127,12 +136,10 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     source, joined on user + 30-minute event-time interval; the range
     condition bounds the join state. Counts per user keep the result
     order-free for the hash gate."""
-    path = _event_stream_dir(spark, sf_dir, with_redeliveries=False)
-    schema = load(spark, sf_dir, "events").schema
-    clicks = read_event_stream(spark, path, schema, max_files_per_trigger=2).filter(
+    clicks = _stream_source(spark, sf_dir, with_redeliveries=False).filter(
         F.col("event_type") == "click"
     )
-    purchases = read_event_stream(spark, path, schema, max_files_per_trigger=2).filter(
+    purchases = _stream_source(spark, sf_dir, with_redeliveries=False).filter(
         F.col("event_type") == "purchase"
     )
     joined = click_purchase_interval_join(clicks, purchases)

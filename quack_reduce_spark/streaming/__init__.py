@@ -27,12 +27,22 @@ def read_event_stream(
     max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """File-source event stream (schema must be supplied — streaming
-    readers never infer)."""
-    return (
+    readers never infer).
+
+    TIMESTAMP_NTZ columns are cast to TIMESTAMP (LTZ): ``withWatermark``
+    rejects NTZ event time, and parquet files written with plain
+    timestamp[us] (pandas/pyarrow default) surface as NTZ. The engine
+    pins the session timezone to UTC (session.py), so the cast is
+    wall-clock-preserving and batch/stream parity is unaffected."""
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+    for f in stream.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            stream = stream.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return stream
 
 
 def tumbling_counts(

@@ -46,18 +46,48 @@ def test_orc_round_trip(spark, sample, tmp_path):
     assert back.schema == sample.schema
 
 
-def test_nanos_timestamp_normalization(spark, sf_dir):
-    # events.parquet is TIMESTAMP(NANOS); reader must deliver µs
-    # TimestampType with DuckDB-identical truncation
+def test_fixture_timestamp_matches_duckdb(spark, sf_dir):
+    # whatever precision the fixture was written at (nanos in early
+    # rounds, µs/NTZ now), the reader must deliver a timestamp column
+    # whose instants match DuckDB reading the same file
     import duckdb
 
     events = read_parquet_table(spark, f"{sf_dir}/events.parquet")
-    assert events.schema["ts"].dataType.typeName() == "timestamp"
+    assert events.schema["ts"].dataType.typeName() in ("timestamp", "timestamp_ntz")
     got = events.agg(F.min("ts").alias("m")).collect()[0]["m"]
     want = duckdb.sql(
         f"SELECT MIN(ts) FROM '{sf_dir}/events.parquet'"
     ).fetchone()[0]
-    assert got == want
+    assert got.replace(tzinfo=None) == want.replace(tzinfo=None)
+
+
+def test_nanos_timestamp_normalization(spark, tmp_path):
+    # parquet written with TIMESTAMP(NANOS) (pandas/pyarrow default in
+    # older stacks) is rejected by Spark's vectorized reader; the
+    # source layer must absorb it as µs TimestampType with
+    # DuckDB-identical truncation. The fixture is now µs, so pin the
+    # nanos wart with a synthesized file.
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "nanos.parquet")
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00.123456789", "2024-06-30 23:59:59.999999999"]
+    )
+    pq.write_table(
+        pa.table({"id": [1, 2], "ts": pa.array(ts, type=pa.timestamp("ns"))}),
+        p,
+        coerce_timestamps=None,
+    )
+    df = read_parquet_table(spark, p)
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    got = sorted(r["ts"] for r in df.collect())
+    want = sorted(r[0] for r in duckdb.sql(f"SELECT ts FROM '{p}'").fetchall())
+    assert [g.replace(tzinfo=None) for g in got] == [
+        w.replace(tzinfo=None) for w in want
+    ]
 
 
 def test_partitioned_dir_scan_exposes_partition_column(spark, sample, tmp_path):
@@ -124,5 +154,5 @@ def test_nanos_conf_not_left_session_sticky(spark, sf_dir):
     after = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     assert after == prior
     # the returned df still decodes (conf captured at creation time)
-    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    assert df.schema["ts"].dataType.typeName() in ("timestamp", "timestamp_ntz")
     assert df.limit(1).count() == 1
