@@ -18,7 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from quack_reduce_spark.inventory._util import load, rnd
-from quack_reduce_spark.operators.asof import asof_join
+from quack_reduce_spark.operators.asof import asof_join, asof_join_broadcast
 
 
 def ts_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,6 +114,31 @@ def ts_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["purchase_value"],
         suffix="",
         direction="forward",
+    )
+    return joined.select("event_id", "user_id", "purchase_value")
+
+
+def ts_asof_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics as ts_asof_join but through the broadcast
+    small-right-side plan (operators/asof.py:asof_join_broadcast): the
+    per-user purchase history is packed into sorted arrays, broadcast,
+    and matched by projection — the click fact is never shuffled or
+    window-sorted. Oracle is the identical DuckDB ASOF LEFT JOIN."""
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join_broadcast(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_value"],
+        suffix="",
     )
     return joined.select("event_id", "user_id", "purchase_value")
 
@@ -377,6 +402,7 @@ QUERIES = {
     "ts_asof_join": ts_asof_join,
     "ts_asof_forward": ts_asof_forward,
     "ts_asof_tolerance": ts_asof_tolerance,
+    "ts_asof_join_broadcast": ts_asof_join_broadcast,
     "ts_date_rollup": ts_date_rollup,
     "ts_gap_fill": ts_gap_fill,
     "ts_interpolate": ts_interpolate,
@@ -425,6 +451,20 @@ ORACLES = {
         FROM s GROUP BY user_id, sid
     """,
     "ts_asof_join": """
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id, ts, MAX(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        )
+        SELECT c.event_id, c.user_id, p.purchase_value
+        FROM clicks c
+        ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "ts_asof_join_broadcast": """
         WITH clicks AS (
             SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
         ),

@@ -92,3 +92,65 @@ def asof_join(
         *[fill(F.col(f"__v_{v}")).alias(f"{v}{suffix}") for v in value_cols],
     )
     return filled.filter(F.col("__side") == 1).drop("__side")
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join specialized for a SMALL right side (dimension-sized:
+    prices, config history, slowly-changing reference data).
+
+    The union+window composite (``asof_join``) shuffles AND window-sorts
+    the fact table; on a 100 TB fact with a broadcast-able right side
+    that sort is pure waste. Here the right side is collapsed to ONE row
+    per key — a ts-sorted array of (ts, values) structs — broadcast
+    equi-joined to the fact, and the as-of match becomes a projection:
+    filter the array by the ts predicate, take the last (backward) or
+    first (forward) element. The fact is never shuffled, never sorted;
+    the plan is Scan → BroadcastHashJoin → Project, all inside
+    whole-stage codegen (plan-asserted in tests/test_asof.py).
+
+    Match semantics are identical to ``asof_join``: latest right row
+    with ``right_ts <= left_ts`` (backward) / earliest with
+    ``right_ts >= left_ts`` (forward), NULL when no match. Ties on
+    (key, right_ts) should be pre-aggregated away by the caller (same
+    requirement the windowed composite has for determinism).
+
+    ``F.get`` (not ``element_at``) keeps the empty-candidate case NULL
+    under ANSI mode instead of raising INVALID_ARRAY_INDEX.
+
+    Cost model: per-key array must fit in a row (~right rows per key),
+    and the whole collapsed right side under the broadcast threshold —
+    exactly the "small right" contract. For right sides beyond that,
+    use ``asof_join``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    entry = F.struct(
+        F.col(right_ts).alias("__ts"),
+        *[F.col(v).alias(v) for v in value_cols],
+    )
+    # sort_array orders structs by field order → __ts first → time order
+    packed = right.groupBy(*on).agg(
+        F.sort_array(F.collect_list(entry)).alias("__arr")
+    )
+    joined = left.join(F.broadcast(packed), on=on, how="left")
+    lts = F.col(left_ts)
+    if direction == "backward":
+        cand = F.filter(F.col("__arr"), lambda s: s["__ts"] <= lts)
+        pick = F.get(cand, F.size(cand) - 1)
+    else:
+        cand = F.filter(F.col("__arr"), lambda s: s["__ts"] >= lts)
+        pick = F.get(cand, F.lit(0))
+    staged = joined.withColumn("__pick", pick)
+    return staged.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("__pick")[v].alias(f"{v}{suffix}") for v in value_cols],
+    )

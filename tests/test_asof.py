@@ -66,3 +66,64 @@ def test_asof_forward_exact_ts_matches(spark):
     right = spark.createDataFrame([(1, TS("2024-01-01T10:00"), 7.0)], "k int, ts timestamp, v double")
     [row] = asof_join(left, right, ["k"], "ts", "ts", ["v"], direction="forward").collect()
     assert row["v_asof"] == 7.0
+
+
+def test_asof_broadcast_matches_windowed(spark, sf_dir):
+    # the broadcast small-right plan must produce exactly the windowed
+    # composite's result on the fixture, both directions
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.inventory._util import load
+    from quack_reduce_spark.operators.asof import asof_join_broadcast
+
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    for direction in ("backward", "forward"):
+        a = asof_join(clicks, purchases, ["user_id"], "ts", "ts", ["v"],
+                      direction=direction)
+        b = asof_join_broadcast(clicks, purchases, ["user_id"], "ts", "ts",
+                                ["v"], direction=direction)
+        got = sorted((r["event_id"], r["v_asof"]) for r in b.collect())
+        want = sorted((r["event_id"], r["v_asof"]) for r in a.collect())
+        assert got == want and len(got) > 100
+
+
+def test_asof_broadcast_plan_no_fact_shuffle(spark):
+    # the whole point: fact side is Scan -> BroadcastHashJoin -> Project.
+    # No Window, no Sort, and the ONLY exchanges are the packed right
+    # side's aggregate + broadcast (never a hashpartitioning of the fact)
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.operators.asof import asof_join_broadcast
+
+    left = spark.range(0, 10000).select(
+        (F.col("id") % 50).alias("k"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        F.col("id").alias("rowid"),
+    )
+    right = spark.range(0, 200).select(
+        (F.col("id") % 50).alias("k"),
+        F.timestamp_micros(F.col("id") * 37_000_000).alias("ts"),
+        F.col("id").cast("double").alias("v"),
+    )
+    out = asof_join_broadcast(left, right, ["k"], "ts", "ts", ["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    import re
+
+    # any hash-exchange must be on the packed right side (key k), and
+    # none may redistribute the 3-column fact
+    fact_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "rowid" in ln
+    ]
+    assert fact_exchanges == []
+    assert re.search(r"Exchange .*SinglePartition|BroadcastExchange", plan)
