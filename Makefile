@@ -3,7 +3,7 @@
 
 SF ?= /root/testdata/sf0.001
 
-.PHONY: test test-distinct oracle oracle-vanilla bench plans pipeline dashboard unit
+.PHONY: test test-distinct oracle oracle-vanilla bench plans pipeline dashboard unit recall-check
 
 # reference `make test` (Makefile:22-24): canary count round trip
 test:
@@ -31,6 +31,10 @@ oracle-vanilla:
 # reference `make benchmark` (Makefile:30-32)
 bench:
 	python bench.py
+
+# recall floors for every approximate operator (CI gate)
+recall-check:
+	python tools/recall_report.py /root/testdata/sf0.01 --check
 
 # regenerate the annotated plan audit
 plans:

@@ -140,6 +140,41 @@ class Engine:
         self._was_warm = True
         return QueryResult(records=records, metadata=metadata)
 
+    def sql_many(
+        self,
+        queries: list[str],
+        limit: int | None = DEFAULT_LIMIT,
+        max_threads: int = 8,
+    ) -> list[QueryResult]:
+        """Run N independent SQL queries CONCURRENTLY and return their
+        envelopes in input order — the engine analog of the reference's
+        client-side fan-out of 20 parallel Lambda invocations
+        (benchmark.py:207-211: ThreadPool(processes=20) over
+        run_lambda).
+
+        Each worker thread runs in its own FAIR scheduler pool
+        (session.py sets spark.scheduler.mode=FAIR), so a dashboard
+        firing a burst of queries gets round-robin task scheduling
+        instead of FIFO convoying behind the largest query. Spark local
+        properties are thread-local under PySpark's pinned-thread mode,
+        so pool assignment per worker is safe; the pool property is
+        cleared before the thread is returned to the executor's pool.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        sc = self.spark.sparkContext
+
+        def run_one(item: tuple[int, str]) -> QueryResult:
+            i, q = item
+            sc.setLocalProperty("spark.scheduler.pool", f"qrs_pool_{i % max_threads}")
+            try:
+                return self.sql(q, limit=limit)
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", None)
+
+        with ThreadPoolExecutor(max_workers=max_threads) as pool:
+            return list(pool.map(run_one, enumerate(queries)))
+
     # -- sinks (reference run_me_first.py:83-100 / dbt external) --------
 
     def write_partitioned(self, df: DataFrame, path: str, partition_by: list[str], mode: str = "overwrite") -> None:

@@ -129,8 +129,21 @@ def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 through the VECTORIZED kernel path
+    (mapInPandas + numpy BLAS matmul, operators/similarity.py:
+    cosine_topk_vectorized) — the Arrow-batched Python lane for dense
+    numeric kernels. Rows-only driver check: numpy's pairwise summation
+    can differ from the JVM fold in the last ulp, so exact-hash parity
+    is not contractual; id-set equality vs the JVM exact path is
+    asserted in tests/test_similarity.py."""
+    queries, corpus = _split(spark, sf_dir)
+    return S.cosine_topk_vectorized(spark, queries, corpus, k=TOP_K)
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
+    "sim_cosine_topk_np": sim_cosine_topk_np,
     "sim_nearest_centroid": sim_nearest_centroid,
     "sim_quantized_topk": sim_quantized_topk,
     "sim_lsh_topk": sim_lsh_topk,

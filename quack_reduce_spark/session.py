@@ -36,6 +36,10 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         builder.config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
+        # FAIR lets N concurrent client queries (Engine.sql_many — the
+        # reference fires 20 parallel Lambda calls, benchmark.py:207)
+        # share the cluster round-robin instead of convoying FIFO
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -155,3 +155,31 @@ def test_register_lake_autodiscovers(spark, sf_dir, tmp_path):
     # the partition column is queryable (hive discovery)
     r = eng.sql("SELECT COUNT(DISTINCT st) AS n FROM orders_by_status")
     assert r.records[0]["n"] >= 2
+
+
+def test_sql_many_concurrent_equals_serial(spark, sf_dir):
+    # reference benchmark.py:207-211 fires 20 parallel Lambda calls;
+    # the engine analog must return byte-identical envelopes for a
+    # concurrent burst vs the same queries run serially
+    from quack_reduce_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.register_dir(sf_dir, ["lineitem", "orders"])
+    burst = [
+        f"SELECT l_suppkey, COUNT(*) AS counts FROM lineitem "
+        f"WHERE l_quantity > {q} GROUP BY l_suppkey "
+        f"ORDER BY counts DESC, l_suppkey LIMIT 10"
+        for q in (5, 15, 25, 35, 45)
+    ] + [
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    ] * 3
+    serial = [eng.sql(q) for q in burst]
+    concurrent = eng.sql_many(burst, max_threads=4)
+    assert [r.records for r in concurrent] == [r.records for r in serial]
+    # every envelope is well-formed and tagged warm after the first
+    assert all(r.metadata["warm"] for r in concurrent)
+
+
+def test_fair_scheduler_mode_configured(spark):
+    assert spark.conf.get("spark.scheduler.mode") == "FAIR"

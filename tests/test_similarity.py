@@ -246,3 +246,18 @@ def test_vectorized_topk_matches_jvm_exact(spark, sf_dir):
     ka = {(r["query_id"], r["rank"]): r["vec_id"] for r in a}
     kb = {(r["query_id"], r["rank"]): r["vec_id"] for r in b}
     assert ka == kb
+
+
+def test_recall_floor_gate_runs_clean():
+    # the recall CI gate (tools/recall_report.py --check) must pass at
+    # the small fixture: floors only engage where the exact side has
+    # enough support, so this exercises the gate code path end-to-end
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/recall_report.py", "/root/testdata/sf0.001", "--check"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=500,
+    )
+    assert "RECALL CHECK FAILURES: 0" in r.stdout, r.stdout[-2000:] + r.stderr[-2000:]
+    assert r.returncode == 0

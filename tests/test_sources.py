@@ -156,3 +156,23 @@ def test_nanos_conf_not_left_session_sticky(spark, sf_dir):
     # the returned df still decodes (conf captured at creation time)
     assert df.schema["ts"].dataType.typeName() in ("timestamp", "timestamp_ntz")
     assert df.limit(1).count() == 1
+
+
+def test_configure_s3a_builder_options():
+    # the object-store path can't run in this container (no S3), but
+    # the committer/fadvise confs must at least be APPLIED by
+    # configure_s3a so the cluster deployment path can't bit-rot
+    from pyspark.sql import SparkSession
+
+    from quack_reduce_spark.session import configure_s3a
+
+    b = configure_s3a(SparkSession.builder)
+    opts = b._options
+    assert opts["spark.hadoop.fs.s3a.committer.magic.enabled"] == "true"
+    assert opts["spark.sql.sources.commitProtocolClass"].endswith(
+        "PathOutputCommitProtocol"
+    )
+    assert opts["spark.hadoop.fs.s3a.experimental.input.fadvise"] == "random"
+    assert "DefaultAWSCredentialsProviderChain" in opts[
+        "spark.hadoop.fs.s3a.aws.credentials.provider"
+    ]
