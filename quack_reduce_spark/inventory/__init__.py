@@ -33,6 +33,7 @@ from quack_reduce_spark.inventory import (
     streaming_live,
     text,
     text2,
+    text3,
     timeseries,
     tpch,
     tpch2,
@@ -50,6 +51,7 @@ _MODULES = [
     streaming_live,
     text,
     text2,
+    text3,
     dedup,
     similarity,
     multimodal,
@@ -87,7 +89,7 @@ _HEAD = [
     # Live Structured Streaming (readStream → availableNow → sink)
     "stream_tumbling_agg", "stream_session_agg", "stream_dedup_redelivery",
     # Text analysis + curation
-    "text_quality", "text_lang_id", "text_fingerprint",
+    "text_quality", "text_lang_id", "text_decontaminate",
     "text_stratified_sample", "text_curation_pipeline",
     # Dedup
     # dedup_minhash_lsh deliberately NOT in the head: it is rows-only by
