@@ -37,9 +37,30 @@ def connected_components(
     src: str = "doc1",
     dst: str = "doc2",
     max_iter: int = 20,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
-    node id reachable through the undirected pair graph."""
+    node id reachable through the undirected pair graph.
+
+    ``algorithm``:
+
+    - ``"label_prop"`` (default): min-label propagation, one hop per
+      round — rounds = graph diameter. The right choice for dedup
+      graphs (dense near-clique clusters, diameter ≲ 5).
+    - ``"two_phase"``: alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and
+      Beyond"), converging in O(log d) rounds — the opt-in for
+      high-diameter graphs (chain-shaped near-dup lineages, citation
+      or link graphs) where label propagation would need hundreds of
+      rounds. Each round is two keyed aggregates + joins on node id,
+      the same shuffle discipline as label_prop.
+    """
+    if algorithm == "two_phase":
+        return _two_phase_components(edges, src, dst, max_iter)
+    if algorithm != "label_prop":
+        raise ValueError(
+            f"algorithm must be label_prop|two_phase, got {algorithm!r}"
+        )
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = fwd.union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     adj = und.distinct().localCheckpoint(eager=False)
@@ -80,6 +101,85 @@ def connected_components(
             f"partially propagated, i.e. WRONG, if returned silently)"
         )
     return labels
+
+
+def _two_phase_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+) -> DataFrame:
+    """Large-star/small-star alternation. Invariants per round:
+
+    - large-star: every node u links each LARGER neighbor v to the
+      minimum of u's closed neighborhood — strictly decreases the sum
+      of parent pointers without disconnecting anything;
+    - small-star: every node u re-points itself and all its
+      not-larger neighbors at that minimum, producing star fragments.
+
+    At fixpoint (small-star output unchanged) every edge is
+    (node, component-min) directly — the paper proves O(log d)
+    rounds. Convergence is checked EXACTLY (count + exceptAll), not
+    by checksum, because a wrong early exit silently splits clusters.
+    """
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    converged = False
+    for _ in range(max_iter):
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: m = min over closed neighborhood of u
+        lmins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        lmins = lmins.select("u", F.least("u", "mn").alias("m"))
+        large = (
+            sym.join(lmins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the large-star output (re-symmetrized view is
+        # unnecessary: large's edges already point child -> parent)
+        sub = large.union(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).filter(F.col("v") < F.col("u"))
+        smins = sub.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            sub.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # exact fixpoint test: same edge set as last round
+        if (
+            small.count() == cur.count()
+            and small.exceptAll(cur).count() == 0
+        ):
+            converged = True
+            cur = small
+            break
+        cur = small
+    if not converged:
+        raise RuntimeError(
+            f"two-phase connected components did not converge within "
+            f"max_iter={max_iter} rounds — raise max_iter (edges would "
+            f"be partially contracted, i.e. WRONG, if returned silently)"
+        )
+    parents = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return all_nodes.join(parents, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
 
 
 def canonical_docs(

@@ -153,3 +153,51 @@ def test_connected_components_raises_on_nonconvergence(spark):
         connected_components(chain, max_iter=2)
     ok = connected_components(chain, max_iter=20)
     assert ok.select("component").distinct().count() == 1
+
+
+def test_two_phase_components_matches_label_prop(spark):
+    # random multi-component graph: both algorithms must agree exactly
+    import random
+
+    from quack_reduce_spark.operators.components import connected_components
+
+    rng = random.Random(11)
+    edges = []
+    for base in (0, 100, 200, 300):  # 4 disjoint blobs
+        nodes = list(range(base, base + rng.randint(5, 30)))
+        for n in nodes[1:]:
+            edges.append((rng.choice(nodes[: nodes.index(n)]), n))
+        for _ in range(10):  # extra random intra-blob edges
+            edges.append((rng.choice(nodes), rng.choice(nodes)))
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc1 long, doc2 long")
+    lp = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=50).collect()
+    }
+    tp = {
+        r["node"]: r["component"]
+        for r in connected_components(df, algorithm="two_phase").collect()
+    }
+    assert tp == lp and len({v for v in tp.values()}) == 4
+
+
+def test_two_phase_converges_on_high_diameter_chain(spark):
+    # a 120-node path has diameter 119: label propagation at
+    # max_iter=20 must refuse; two-phase contracts it in O(log d)
+    import pytest as _pytest
+
+    from quack_reduce_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc1 long, doc2 long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=20)
+    labels = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            chain, algorithm="two_phase", max_iter=20
+        ).collect()
+    }
+    assert set(labels.values()) == {0} and len(labels) == 121
