@@ -29,6 +29,7 @@ from quack_reduce_spark.inventory import (
     relational2,
     relational3,
     relational4,
+    retrieval,
     similarity,
     streaming_live,
     text,
@@ -52,6 +53,7 @@ _MODULES = [
     text,
     text2,
     text3,
+    retrieval,
     dedup,
     similarity,
     multimodal,

@@ -37,6 +37,7 @@ from quack_reduce_spark.inventory._util import load
 from quack_reduce_spark.streaming import (
     click_purchase_interval_join,
     dedup_within_watermark,
+    enrich_with_static,
     read_event_stream,
     run_stream_to_memory,
     session_counts,
@@ -150,8 +151,29 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join run by the streaming engine: the live event
+    stream is enriched with a STATIC per-user profile (computed batch-
+    side from the same fixture: events-per-user tier), then aggregated
+    per (event_type, tier). The static side is broadcast per micro-
+    batch — no state, no watermark. On bounded input this equals the
+    batch join, so it has a real SQL oracle."""
+    events = load(spark, sf_dir, "events")
+    profiles = events.groupBy("user_id").agg(
+        F.when(F.count(F.lit(1)) >= 15, F.lit("heavy"))
+        .otherwise(F.lit("light"))
+        .alias("tier")
+    )
+    stream = _stream_source(spark, sf_dir, with_redeliveries=False)
+    enriched = enrich_with_static(stream, profiles).groupBy(
+        "event_type", "tier"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return _drain(enriched, spark, mode="complete")
+
+
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_static_enrich": stream_static_enrich,
     "stream_interval_join": stream_interval_join,
     "stream_session_agg": stream_session_agg,
     "stream_sliding_agg": stream_sliding_agg,
@@ -220,5 +242,15 @@ ORACLES = {
                COUNT(*) AS n_unique,
                COUNT(DISTINCT event_id) AS n_distinct_ids
         FROM events GROUP BY event_type
+    """,
+    "stream_static_enrich": """
+        WITH profiles AS (
+            SELECT user_id,
+                   CASE WHEN COUNT(*) >= 15 THEN 'heavy' ELSE 'light' END AS tier
+            FROM events GROUP BY user_id
+        )
+        SELECT e.event_type, p.tier, COUNT(*) AS n_events
+        FROM events e LEFT JOIN profiles p USING (user_id)
+        GROUP BY e.event_type, p.tier
     """,
 }

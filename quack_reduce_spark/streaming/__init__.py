@@ -103,6 +103,21 @@ def sliding_counts(
     )
 
 
+def enrich_with_static(
+    events: DataFrame,
+    profiles: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Stream-static join: each (possibly streaming) event is enriched
+    with a STATIC dimension row (user profile) — the canonical
+    "stream against slowly-changing reference data" pattern. No
+    watermark needed: the static side is re-read per micro-batch and
+    requires no state. With a small static side Spark broadcasts it,
+    so the stream is enriched map-side — the same plan a 100 TB/day
+    stream wants."""
+    return events.join(F.broadcast(profiles), key, "left")
+
+
 def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete"):
     """Drain a (bounded) file-source stream into an in-memory table;
     returns the query handle after processing all available input."""

@@ -270,3 +270,31 @@ def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir, tmp_path):
     stream_rows = [r for r in stream_rows if r[2] <= cutoff]
     assert stream_rows == batch_rows
     assert any(r[3] is None for r in batch_rows)  # unmatched clicks exist
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    # a stream joined to a static broadcast dimension must equal the
+    # batch join of the same files (no state, no watermark involved)
+    from quack_reduce_spark.inventory.streaming_live import stream_static_enrich
+
+    sf = "/root/testdata/sf0.001"
+    import pyspark.sql.functions as F
+
+    events = load(spark, sf, "events")
+    profiles = events.groupBy("user_id").agg(
+        F.when(F.count(F.lit(1)) >= 15, F.lit("heavy"))
+        .otherwise(F.lit("light"))
+        .alias("tier")
+    )
+    want = {
+        (r["event_type"], r["tier"], r["n_events"])
+        for r in events.join(profiles, "user_id", "left")
+        .groupBy("event_type", "tier")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    got = {
+        (r["event_type"], r["tier"], r["n_events"])
+        for r in stream_static_enrich(spark, sf).collect()
+    }
+    assert got == want and len(got) > 0
