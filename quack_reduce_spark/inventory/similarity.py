@@ -141,9 +141,23 @@ def sim_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_vectorized(spark, queries, corpus, k=TOP_K)
 
 
+def sim_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative spherical k-means (k=8) over the embeddings
+    table, reported as per-cluster size/cohesion profile
+    (operators/clustering.py). Deterministic (seeded init + fixed
+    tiebreaks) but iterative-fixpoint, so non-SQL-expressible:
+    rows-only driver check + planted-cluster recovery tests in
+    tests/test_clustering.py."""
+    from quack_reduce_spark.operators.clustering import kmeans_profile
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_profile(emb, corpus_id="vec_id", vec_col="embedding", k=8)
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_cosine_topk_np": sim_cosine_topk_np,
+    "sim_kmeans_profile": sim_kmeans_profile,
     "sim_nearest_centroid": sim_nearest_centroid,
     "sim_quantized_topk": sim_quantized_topk,
     "sim_lsh_topk": sim_lsh_topk,
