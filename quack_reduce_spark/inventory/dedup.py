@@ -120,8 +120,94 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.char_ngram_pairs(docs, "text", "doc_id", k=32, min_shared=5)
 
 
+INCR_CUTOFF_FRAC = 0.8  # doc_id below 80th-percentile id = existing corpus
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: docs with doc_id below the cutoff
+    play the EXISTING corpus; the rest are the new batch. A new doc is
+    dropped if its content fingerprint already exists in the corpus, or
+    if an earlier doc in the same batch claimed it first. Reports the
+    per-source admission funnel — the daily-ingest accounting every
+    production pipeline runs.
+
+    Scale: the corpus side reduces to DISTINCT fingerprints (one
+    aggregate over the historical fingerprint store — in production a
+    maintained table, not a rescan); the batch is one groupBy + one
+    join on fingerprint. No self-joins.
+
+    Fingerprint = md5 of the 64-char document lead (copied-lead
+    detection): the fixture has no full-text duplicates, so the
+    full-content fingerprint would make this funnel trivially
+    all-admitted; the lead fingerprint exercises real collisions while
+    the fingerprint function stays pluggable in production.
+    """
+    import pyspark.sql.functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    cutoff = int(n_docs * INCR_CUTOFF_FRAC)
+    fp = docs.select(
+        "doc_id", "source", F.md5(F.substring(F.trim(F.col("text")), 1, 64)).alias("fp")
+    )
+    corpus_fps = (
+        fp.filter(F.col("doc_id") < cutoff).select("fp").distinct()
+        .withColumn("__in_corpus", F.lit(True))
+    )
+    batch = fp.filter(F.col("doc_id") >= cutoff)
+    first_in_batch = batch.groupBy("fp").agg(F.min("doc_id").alias("__first"))
+    verdicts = (
+        batch.join(first_in_batch, "fp")
+        .join(corpus_fps, "fp", "left")
+        .select(
+            "source",
+            F.when(F.col("__in_corpus").isNotNull(), F.lit("dup_vs_corpus"))
+            .when(F.col("doc_id") != F.col("__first"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("admitted"))
+            .alias("verdict"),
+        )
+    )
+    return (
+        verdicts.groupBy("source")
+        .pivot("verdict", ["admitted", "dup_vs_corpus", "dup_in_batch"])
+        .count()
+        .select(
+            "source",
+            F.coalesce("admitted", F.lit(0)).alias("n_admitted"),
+            F.coalesce("dup_vs_corpus", F.lit(0)).alias("n_dup_vs_corpus"),
+            F.coalesce("dup_in_batch", F.lit(0)).alias("n_dup_in_batch"),
+        )
+    )
+
+
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for each pair of sources,
+    how many distinct content fingerprints they share (who copies from
+    whom). The (fingerprint, source) table is distinct-reduced BEFORE
+    the self-join, so join input is one row per (fp, source) — group
+    sizes are the number of sources sharing a fp (≤ 20 here, small
+    always), never the number of copies. Fingerprint = 64-char lead
+    (see dedup_incremental — full-text fps never collide in this
+    fixture)."""
+    import pyspark.sql.functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    fps = docs.select(
+        F.md5(F.substring(F.trim(F.col("text")), 1, 64)).alias("fp"), "source"
+    ).distinct()
+    other = fps.select(F.col("fp"), F.col("source").alias("source_b"))
+    return (
+        fps.join(other, "fp")
+        .filter(F.col("source") < F.col("source_b"))
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_incremental": dedup_incremental,
+    "dedup_cross_source": dedup_cross_source,
     "dedup_substring": dedup_substring,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_capped": dedup_ngram_capped,
@@ -134,6 +220,45 @@ QUERIES = {
 
 
 ORACLES = {
+    "dedup_incremental": """
+        WITH fp AS (
+            SELECT doc_id, source, md5(substr(trim(text), 1, 64)) AS fp
+            FROM documents
+        ),
+        cut AS (
+            SELECT CAST(FLOOR(COUNT(*) * 0.8) AS BIGINT) AS c FROM documents
+        ),
+        corpus AS (
+            SELECT DISTINCT fp FROM fp WHERE doc_id < (SELECT c FROM cut)
+        ),
+        batch AS (SELECT * FROM fp WHERE doc_id >= (SELECT c FROM cut)),
+        firsts AS (SELECT fp, MIN(doc_id) AS first_id FROM batch GROUP BY fp),
+        verdicts AS (
+            SELECT b.source,
+                   CASE WHEN b.fp IN (SELECT fp FROM corpus) THEN 'dup_vs_corpus'
+                        WHEN b.doc_id != f.first_id THEN 'dup_in_batch'
+                        ELSE 'admitted' END AS verdict
+            FROM batch b JOIN firsts f USING (fp)
+        )
+        SELECT source,
+               CAST(COUNT(*) FILTER (WHERE verdict = 'admitted') AS BIGINT)
+                   AS n_admitted,
+               CAST(COUNT(*) FILTER (WHERE verdict = 'dup_vs_corpus') AS BIGINT)
+                   AS n_dup_vs_corpus,
+               CAST(COUNT(*) FILTER (WHERE verdict = 'dup_in_batch') AS BIGINT)
+                   AS n_dup_in_batch
+        FROM verdicts GROUP BY source
+    """,
+    "dedup_cross_source": """
+        WITH fps AS (
+            SELECT DISTINCT md5(substr(trim(text), 1, 64)) AS fp, source
+            FROM documents
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared_fps
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2
+    """,
     "dedup_substring": """
         WITH g AS (
             SELECT doc_id,
