@@ -19,6 +19,7 @@ from quack_reduce_spark.multimodal import (
     extract_features,
     resize_image,
     sample_frames,
+    scene_changes,
 )
 
 
@@ -83,8 +84,26 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", l2_norm(F.col("feature")).alias("feature_norm"))
 
 
+def mm_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection stub over 64-byte tumbling frames: a
+    frame opens a scene when its mean byte intensity jumps > 2.0 from
+    the previous frame. Unlike the decode stubs, the fake kernel is
+    exact integer math, so the WHOLE mapInPandas output (per-frame
+    mean + scene flags) is hash-ORACLED against a pure-SQL rebuild —
+    the strongest correctness gate the multimodal family has."""
+    docs = attach_binary_payload(load(spark, sf_dir, "documents"))
+    from quack_reduce_spark.inventory._util import rnd
+
+    scenes = scene_changes(docs, frame_bytes=64, threshold=2.0)
+    return scenes.select(
+        "doc_id", "frame_idx", rnd(F.col("mean_byte"), 4).alias("mean_byte"),
+        "is_scene_start",
+    )
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
+    "mm_video_scenes": mm_video_scenes,
     "mm_decode_stub": mm_decode_stub,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_windows": mm_audio_windows,
@@ -94,6 +113,29 @@ QUERIES = {
 
 
 ORACLES = {
+    "mm_video_scenes": """
+        -- rebuild the byte-frame kernel in SQL: per-char ascii codes
+        -- (fixture text is pure ASCII, so char == byte), 64-byte
+        -- tumbling frames, mean intensity, lag-diff scene flags
+        WITH chars AS (
+            SELECT doc_id, s.i AS i, ascii(substr(text, s.i + 1, 1)) AS b
+            FROM documents CROSS JOIN generate_series(0, 1023) AS s(i)
+            WHERE s.i < octet_length(encode(text))
+        ),
+        fr AS (
+            SELECT doc_id, CAST(FLOOR(i / 64) AS INT) AS frame_idx, AVG(b) AS m
+            FROM chars GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT doc_id, frame_idx, m,
+                   lag(m) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+            FROM fr
+        )
+        SELECT doc_id, frame_idx,
+               FLOOR(m * 1e4 + 0.5) / 1e4 AS mean_byte,
+               (prev IS NULL OR abs(m - prev) > 2.0) AS is_scene_start
+        FROM d
+    """,
     "mm_frame_sample": """
         -- static series (DuckDB lacks lateral generate_series params);
         -- 0..1023 covers payloads up to 64 KiB (fixture max ~600 B)

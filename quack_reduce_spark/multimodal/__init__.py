@@ -15,6 +15,7 @@ from quack_reduce_spark.multimodal.codec import (
     extract_features,
     resize_image,
     sample_frames,
+    scene_changes,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "extract_features",
     "resize_image",
     "sample_frames",
+    "scene_changes",
 ]

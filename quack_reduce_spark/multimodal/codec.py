@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -234,3 +235,64 @@ def audio_windows(
             )
 
     return df.select(id_col, payload_col).mapInPandas(process, AUDIO_WINDOW_SCHEMA)
+
+
+SCENE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("is_scene_start", BooleanType()),
+    ]
+)
+
+
+def scene_changes(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    threshold: float = 2.0,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Scene-change detection stub over tumbling byte frames: a frame
+    starts a 'scene' when its mean byte intensity jumps more than
+    ``threshold`` from the previous frame (stands in for ffmpeg
+    scdet / histogram-difference shot detection). The first frame is
+    always a scene start.
+
+    Intensity is exact integer math (sum of <=frame_bytes bytes in a
+    double), so unlike the decode stubs this skeleton is fully
+    SQL-expressible and the registry entry is hash-ORACLED, not
+    rows-only — the strongest check available for mapInPandas
+    plumbing.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real scene detection requires ffmpeg bindings — not available here"
+                )
+            ids, idxs, means, starts = [], [], [], []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                data = bytes(payload)
+                prev = None
+                for i, off in enumerate(range(0, len(data), frame_bytes)):
+                    seg = data[off : off + frame_bytes]
+                    m = sum(seg) / len(seg)
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    means.append(m)
+                    starts.append(prev is None or abs(m - prev) > threshold)
+                    prev = m
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "mean_byte": means,
+                    "is_scene_start": starts,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(process, SCENE_SCHEMA)

@@ -114,3 +114,17 @@ def test_audio_windows_overlap_and_energy(spark):
         attach_binary_payload(df), window_bytes=128, stride=64
     ).orderBy("window_idx").collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in wins]
+
+
+def test_scene_changes_flags_intensity_jumps(spark):
+    # frame 0 always opens a scene; a frame of high bytes after a frame
+    # of low bytes must open a new one; a flat continuation must not
+    from quack_reduce_spark.multimodal import scene_changes
+
+    payload = bytes([10] * 64 + [10] * 64 + [200] * 64)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    rows = {r["frame_idx"]: r for r in scene_changes(df, frame_bytes=64).collect()}
+    assert rows[0]["is_scene_start"] is True
+    assert rows[1]["is_scene_start"] is False  # identical intensity
+    assert rows[2]["is_scene_start"] is True   # |200-10| > 2
+    assert rows[2]["mean_byte"] == 200.0
