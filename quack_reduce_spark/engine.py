@@ -26,6 +26,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from quack_reduce_spark import session as _session
@@ -189,6 +190,50 @@ class Engine:
         aggregate results; large outputs should use write_partitioned.
         """
         df.coalesce(1).write.mode(mode).parquet(path)
+
+    def write_sharded(
+        self,
+        df: DataFrame,
+        path: str,
+        shard_by: str,
+        n_shards: int = 64,
+        mode: str = "overwrite",
+    ) -> dict[str, Any]:
+        """Training-data delivery sink: hash-shard ``df`` on
+        ``shard_by`` into exactly ``n_shards`` parquet files plus a
+        ``_manifest.json`` recording per-shard row counts and the
+        total — the layout dataloaders consume (deterministic shard
+        membership, uniform sizes, a manifest to plan epochs without
+        listing the bucket).
+
+        ``repartition(n, col)`` is one hash shuffle; each task writes
+        its own shard file, so the write parallelism IS the shard
+        count. Returns the manifest dict. The manifest counts come
+        from a post-write scan of the written files (counting what was
+        actually persisted, not what was intended).
+        """
+        import json
+        import os
+
+        sharded = df.repartition(n_shards, F.col(shard_by))
+        sharded.write.mode(mode).parquet(path)
+        per_file = (
+            self.spark.read.parquet(path)
+            .select(F.input_file_name().alias("f"))
+            .groupBy("f")
+            .count()
+            .collect()
+        )
+        manifest = {
+            "shard_by": shard_by,
+            "n_shards": n_shards,
+            "n_files": len(per_file),
+            "total_rows": int(sum(r["count"] for r in per_file)),
+            "files": {os.path.basename(r["f"]): int(r["count"]) for r in per_file},
+        }
+        with open(os.path.join(path, "_manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        return manifest
 
     def write(self, df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options: str) -> None:
         """Format-dispatching sink (parquet/csv/json/orc) — the write

@@ -183,3 +183,40 @@ def test_sql_many_concurrent_equals_serial(spark, sf_dir):
 
 def test_fair_scheduler_mode_configured(spark):
     assert spark.conf.get("spark.scheduler.mode") == "FAIR"
+
+
+def test_write_sharded_manifest_and_determinism(spark, sf_dir, tmp_path):
+    # hash-sharded output: exact shard count, manifest totals match,
+    # and shard membership is deterministic (same rows -> same shard
+    # regardless of input partitioning)
+    import json
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.inventory._util import load
+
+    eng = Engine(spark=spark)
+    docs = load(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    manifest = eng.write_sharded(docs, out, shard_by="doc_id", n_shards=8)
+    assert manifest["n_files"] == 8
+    assert manifest["total_rows"] == docs.count()
+    assert sum(manifest["files"].values()) == manifest["total_rows"]
+    on_disk = json.load(open(out + "/_manifest.json"))
+    assert on_disk == manifest
+
+    # determinism: a re-write from a differently-partitioned input
+    # produces identical per-shard doc_id sets
+    def shard_sets(p):
+        rows = (
+            spark.read.parquet(p)
+            .selectExpr("doc_id", "input_file_name() as f")
+            .collect()
+        )
+        by = {}
+        for r in rows:
+            by.setdefault(r["f"].rsplit("/", 1)[-1], set()).add(r["doc_id"])
+        return sorted(map(frozenset, by.values()), key=lambda s: min(s))
+
+    out2 = str(tmp_path / "shards2")
+    eng.write_sharded(docs.repartition(13), out2, shard_by="doc_id", n_shards=8)
+    assert shard_sets(out) == shard_sets(out2)
