@@ -199,8 +199,35 @@ def text_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality thresholds: instead of one global cutoff, each
+    source is gated against its OWN distribution — docs below their
+    source's p25 token count are flagged. The per-source quantile
+    (exact linear interpolation, same in both engines) is a tiny
+    aggregate broadcast back onto the doc stats; reports the funnel
+    per source. This is how heterogeneous-corpus filtering avoids
+    starving short-form sources that a global threshold would wipe out.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ntok = _tokens(docs).groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cuts = ntok.groupBy("source").agg(
+        F.percentile(F.col("n"), F.lit(0.25)).alias("p25")
+    )
+    gated = ntok.join(F.broadcast(cuts), "source").select(
+        "source", "p25", (F.col("n") < F.col("p25")).alias("below")
+    )
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("below")).alias("n_gated"),
+        rnd(F.first("p25"), 4).alias("p25_tokens"),
+    )
+
+
 QUERIES = {
     "text_decontaminate": text_decontaminate,
+    "text_adaptive_gate": text_adaptive_gate,
     "text_lm_score": text_lm_score,
     "text_mixture_weights": text_mixture_weights,
     "text_pack_windows": text_pack_windows,
@@ -284,6 +311,26 @@ ORACLES = {
                CAST(FLOOR(pw / (SELECT SUM(pw) FROM powed) * {MIX_BUDGET})
                     AS BIGINT) AS budget_tokens
         FROM powed
+    """,
+    "text_adaptive_gate": """
+        WITH ntok AS (
+            SELECT doc_id, source, COUNT(*) AS n
+            FROM (
+                SELECT doc_id, source,
+                       UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+                FROM documents
+            ) GROUP BY doc_id, source
+        ),
+        cuts AS (
+            SELECT source, quantile_cont(n, 0.25) AS p25
+            FROM ntok GROUP BY source
+        )
+        SELECT t.source,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(*) FILTER (WHERE t.n < c.p25) AS BIGINT) AS n_gated,
+               FLOOR(c.p25 * 1e4 + 0.5) / 1e4 AS p25_tokens
+        FROM ntok t JOIN cuts c USING (source)
+        GROUP BY t.source, c.p25
     """,
     "text_pack_windows": f"""
         WITH ntok AS (
