@@ -220,3 +220,22 @@ def test_write_sharded_manifest_and_determinism(spark, sf_dir, tmp_path):
     out2 = str(tmp_path / "shards2")
     eng.write_sharded(docs.repartition(13), out2, shard_by="doc_id", n_shards=8)
     assert shard_sets(out) == shard_sets(out2)
+
+
+def test_sql_many_isolates_failures(spark, sf_dir):
+    # one bad query in a concurrent burst must not poison the others
+    import pytest as _pytest
+
+    from quack_reduce_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.register_dir(sf_dir, ["orders"])
+    burst = [
+        "SELECT COUNT(*) AS n FROM orders",
+        "SELECT no_such_column FROM orders",
+        "SELECT MAX(o_orderkey) AS m FROM orders",
+    ]
+    with _pytest.raises(Exception):
+        eng.sql_many(burst, max_threads=3)
+    # the engine session survives and still answers
+    assert eng.sql("SELECT 1 AS one").records == [{"one": 1}]

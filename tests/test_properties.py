@@ -205,3 +205,43 @@ def test_asof_forward_matches_naive_python(spark_global, right_rows, left_rows):
     assert len(out) == len(left)
     for row in out:
         assert row["v_asof"] == naive(row["k"], row["ts"])
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=20)
+)
+@settings(max_examples=15, deadline=None)
+def test_pack_windows_matches_naive_simulation(spark_global, counts):
+    """Concat-and-chunk packing math vs a direct python simulation:
+    window count, boundary-straddling docs, and final fill must agree
+    for arbitrary per-doc token counts."""
+    import pyspark.sql.functions as F
+
+    import quack_reduce_spark.inventory.text3 as t3
+
+    spark = spark_global
+    rows = [
+        (i, " ".join(["t"] * n), "en", "sX", 0) for i, n in enumerate(counts)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    real_load = t3.load
+    t3.load = lambda spark, sf_dir, name: docs
+    try:
+        [r] = t3.text_pack_windows(spark, "_").collect()
+    finally:
+        t3.load = real_load
+
+    W = t3.PACK_WINDOW
+    total = sum(counts)
+    boundary = 0
+    pos = 0
+    for n in counts:
+        if pos // W != (pos + n - 1) // W:
+            boundary += 1
+        pos += n
+    assert r["total_tokens"] == total
+    assert r["n_windows"] == -(-total // W)
+    assert r["n_boundary_docs"] == boundary
+    assert r["final_window_fill"] == ((total - 1) % W) + 1
