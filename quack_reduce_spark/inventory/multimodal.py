@@ -90,8 +90,14 @@ def mm_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the previous frame. Unlike the decode stubs, the fake kernel is
     exact integer math, so the WHOLE mapInPandas output (per-frame
     mean + scene flags) is hash-ORACLED against a pure-SQL rebuild —
-    the strongest correctness gate the multimodal family has."""
-    docs = attach_binary_payload(load(spark, sf_dir, "documents"))
+    the strongest correctness gate the multimodal family has.
+
+    Both engines restrict to ASCII-only docs (octet length == char
+    length) because the SQL rebuild indexes characters while the
+    kernel reads bytes — the filter keeps the comparison exact even if
+    a future fixture regeneration introduces multi-byte text."""
+    ascii_only = F.octet_length(F.col("text")) == F.length(F.col("text"))
+    docs = attach_binary_payload(load(spark, sf_dir, "documents").filter(ascii_only))
     from quack_reduce_spark.inventory._util import rnd
 
     scenes = scene_changes(docs, frame_bytes=64, threshold=2.0)
@@ -117,9 +123,13 @@ ORACLES = {
         -- rebuild the byte-frame kernel in SQL: per-char ascii codes
         -- (fixture text is pure ASCII, so char == byte), 64-byte
         -- tumbling frames, mean intensity, lag-diff scene flags
-        WITH chars AS (
+        WITH ascii_docs AS (
+            SELECT doc_id, text FROM documents
+            WHERE octet_length(encode(text)) = length(text)
+        ),
+        chars AS (
             SELECT doc_id, s.i AS i, ascii(substr(text, s.i + 1, 1)) AS b
-            FROM documents CROSS JOIN generate_series(0, 1023) AS s(i)
+            FROM ascii_docs CROSS JOIN generate_series(0, 1023) AS s(i)
             WHERE s.i < octet_length(encode(text))
         ),
         fr AS (
