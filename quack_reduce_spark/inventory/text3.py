@@ -225,9 +225,44 @@ def text_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EPOCH_SEED = 3  # epoch number = shuffle seed
+EPOCH_SHARDS = 16
+KNUTH = 2654435761  # 2^32 / phi, the multiplicative-hash constant
+
+
+def text_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffling: every doc gets a pseudo-random
+    but fully reproducible (shard, position) for a given epoch seed —
+    the RNG-free global shuffle a distributed trainer needs (any
+    worker can recompute any shard's order; no shuffle-state files).
+    Key = Knuth multiplicative hash of (doc_id, epoch) in 32-bit
+    space; shard = key mod 16; position = rank of key within the
+    shard (ties impossible: key collisions fall back to doc_id
+    tiebreak, which the rank includes).
+
+    One hash shuffle into shards + one per-shard sort — at 100 TB this
+    is the write path of write_sharded with a computed order column.
+    """
+    docs = load(spark, sf_dir, "documents")
+    key = F.pmod(
+        (F.col("doc_id") + EPOCH_SEED) * F.lit(KNUTH), F.lit(2**32)
+    ).alias("shuffle_key")
+    keyed = docs.select("doc_id", key)
+    keyed = keyed.withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(EPOCH_SHARDS)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("shuffle_key").asc(), F.col("doc_id").asc()
+    )
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("position")
+    )
+
+
 QUERIES = {
     "text_decontaminate": text_decontaminate,
     "text_adaptive_gate": text_adaptive_gate,
+    "text_epoch_order": text_epoch_order,
     "text_lm_score": text_lm_score,
     "text_mixture_weights": text_mixture_weights,
     "text_pack_windows": text_pack_windows,
@@ -311,6 +346,21 @@ ORACLES = {
                CAST(FLOOR(pw / (SELECT SUM(pw) FROM powed) * {MIX_BUDGET})
                     AS BIGINT) AS budget_tokens
         FROM powed
+    """,
+    "text_epoch_order": f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   ((doc_id + {EPOCH_SEED}) * {KNUTH}) % 4294967296
+                       AS shuffle_key
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(shuffle_key % {EPOCH_SHARDS} AS INT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY shuffle_key % {EPOCH_SHARDS}
+                   ORDER BY shuffle_key ASC, doc_id ASC
+               ) AS INT) AS position
+        FROM keyed
     """,
     "text_adaptive_gate": """
         WITH ntok AS (

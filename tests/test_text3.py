@@ -112,3 +112,35 @@ def test_registry_exposes_text3_with_oracles():
         "text_pack_windows",
     ):
         assert k in qs and k in os_
+
+
+def test_epoch_order_is_partitioning_invariant_and_balanced(spark, monkeypatch):
+    # the epoch shuffle must assign identical (shard, position) no
+    # matter how the input is physically partitioned, and shards must
+    # be roughly balanced
+    import pyspark.sql.functions as F
+
+    import quack_reduce_spark.inventory.text3 as t3
+
+    rows = [(i, "x", "en", "s", 0) for i in range(1000)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    t3_load = t3.load
+    try:
+        t3.load = lambda spark, sf_dir, name: docs
+        a = sorted(map(tuple, t3.text_epoch_order(spark, "_").collect()))
+        t3.load = lambda spark, sf_dir, name: docs.repartition(17)
+        b = sorted(map(tuple, t3.text_epoch_order(spark, "_").collect()))
+    finally:
+        t3.load = t3_load
+    assert a == b
+    sizes = {}
+    for _, shard, _pos in a:
+        sizes[shard] = sizes.get(shard, 0) + 1
+    assert len(sizes) == t3.EPOCH_SHARDS
+    assert max(sizes.values()) < 2.2 * min(sizes.values())  # hash balance
+    # the order is a permutation: positions within a shard are 1..n
+    for shard, n in sizes.items():
+        poss = sorted(p for _, s, p in a if s == shard)
+        assert poss == list(range(1, n + 1))
