@@ -60,3 +60,26 @@ def test_streaming_pipeline_writes_finalized_windows(spark, sf_dir, tmp_path):
         .count()
     )
     assert n < full
+
+
+def test_corpus_assembly_pipeline(spark, sf_dir, tmp_path):
+    # end-to-end assembly: decontaminated + gated corpus sharded with a
+    # consistent manifest, mixture weights sum to 1
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from examples.corpus_assembly import assemble
+
+    from quack_reduce_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    ordered, weights = assemble(spark, sf_dir)
+    manifest = eng.write_sharded(
+        ordered, str(tmp_path / "epoch0"), shard_by="doc_id", n_shards=16
+    )
+    n = ordered.count()
+    assert manifest["total_rows"] == n and n > 100
+    ws = [r["weight"] for r in weights.collect()]
+    assert abs(sum(ws) - 1.0) < 1e-9 and all(w > 0 for w in ws)
+    # eval docs (doc_id % 25 == 0) never appear in the training corpus
+    assert ordered.filter("doc_id % 25 = 0").count() == 0
