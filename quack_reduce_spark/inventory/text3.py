@@ -259,10 +259,61 @@ def text_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED form of text_pack_windows: one row per
+    (doc, window) overlap with the doc's token span inside that window
+    — the actual packing map a dataloader consumes (which windows to
+    build from which docs, and how many tokens each contributes).
+    A doc spanning windows w_a..w_b explodes to b-a+1 rows via a
+    sequence over its window range; contribution arithmetic is pure
+    integer math, so the whole fan-out is exactly oracle-checkable.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ntok = _tokens(docs).groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = ntok.select(
+        "source",
+        "doc_id",
+        "n",
+        (F.sum("n").over(w) - F.col("n")).alias("start"),
+        (F.sum("n").over(w) - 1).alias("last"),
+    )
+    W_ = PACK_WINDOW
+    exploded = placed.select(
+        "source",
+        "doc_id",
+        "start",
+        "last",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / W_).cast("long"),
+                F.floor(F.col("last") / W_).cast("long"),
+            )
+        ).alias("window_idx"),
+    )
+    return exploded.select(
+        "source",
+        "doc_id",
+        "window_idx",
+        (
+            F.least(F.col("last"), (F.col("window_idx") + 1) * W_ - 1)
+            - F.greatest(F.col("start"), F.col("window_idx") * W_)
+            + 1
+        ).alias("n_tokens_in_window"),
+    )
+
+
 QUERIES = {
     "text_decontaminate": text_decontaminate,
     "text_adaptive_gate": text_adaptive_gate,
     "text_epoch_order": text_epoch_order,
+    "text_pack_assignments": text_pack_assignments,
     "text_lm_score": text_lm_score,
     "text_mixture_weights": text_mixture_weights,
     "text_pack_windows": text_pack_windows,
@@ -381,6 +432,38 @@ ORACLES = {
                FLOOR(c.p25 * 1e4 + 0.5) / 1e4 AS p25_tokens
         FROM ntok t JOIN cuts c USING (source)
         GROUP BY t.source, c.p25
+    """,
+    "text_pack_assignments": f"""
+        WITH ntok AS (
+            SELECT doc_id, source, COUNT(*) AS n
+            FROM (
+                SELECT doc_id, source,
+                       UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS w
+                FROM documents
+            ) GROUP BY doc_id, source
+        ),
+        placed AS (
+            SELECT source, doc_id, n,
+                   SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n AS start,
+                   SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - 1 AS last
+            FROM ntok
+        ),
+        exploded AS (
+            SELECT source, doc_id, start, last, s.w AS window_idx
+            FROM placed,
+                 UNNEST(range(CAST(FLOOR(start / {PACK_WINDOW}) AS BIGINT),
+                              CAST(FLOOR(last / {PACK_WINDOW}) AS BIGINT) + 1))
+                     AS s(w)
+        )
+        SELECT source, doc_id, window_idx,
+               LEAST(last, (window_idx + 1) * {PACK_WINDOW} - 1)
+                   - GREATEST(start, window_idx * {PACK_WINDOW}) + 1
+                   AS n_tokens_in_window
+        FROM exploded
     """,
     "text_pack_windows": f"""
         WITH ntok AS (

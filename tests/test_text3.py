@@ -144,3 +144,33 @@ def test_epoch_order_is_partitioning_invariant_and_balanced(spark, monkeypatch):
     for shard, n in sizes.items():
         poss = sorted(p for _, s, p in a if s == shard)
         assert poss == list(range(1, n + 1))
+
+
+def test_pack_assignments_conserve_tokens_and_fill_windows(spark, monkeypatch):
+    # the assignment fan-out must conserve every token exactly: sums per
+    # doc equal doc lengths, sums per window equal 2048 (except the
+    # final ragged window), and a boundary doc splits correctly
+    import quack_reduce_spark.inventory.text3 as t3
+
+    rows = [(i, " ".join(["t"] * 1500), "en", "sA", 0) for i in (1, 2, 3)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    t3_load = t3.load
+    try:
+        t3.load = lambda spark, sf_dir, name: docs
+        out = t3.text_pack_assignments(spark, "_").collect()
+    finally:
+        t3.load = t3_load
+    per_doc = {}
+    per_win = {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_tokens_in_window"]
+        per_win[r["window_idx"]] = per_win.get(r["window_idx"], 0) + r["n_tokens_in_window"]
+    assert per_doc == {1: 1500, 2: 1500, 3: 1500}
+    assert per_win == {0: 2048, 1: 2048, 2: 4500 - 4096}
+    # doc 2 splits 548/952 across windows 0/1
+    d2 = sorted(
+        (r["window_idx"], r["n_tokens_in_window"]) for r in out if r["doc_id"] == 2
+    )
+    assert d2 == [(0, 548), (1, 952)]
