@@ -141,6 +141,17 @@ def sim_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_vectorized(spark, queries, corpus, k=TOP_K)
 
 
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization two-stage top-5 (ADC over 8x16 codebooks,
+    exact rerank of the ADC top-32): the compression-based ANN scale
+    path — at 100 TB the 8-byte code table scans instead of the full
+    vectors, which are fetched for the candidate set only. Rows-only
+    driver check (seeded codebooks are not SQL-portable); recall vs
+    exact is unit-tested on clustered data in tests/test_similarity.py."""
+    queries, corpus = _split(spark, sf_dir)
+    return S.pq_topk(queries, corpus, k=TOP_K, m=8, ksub=16, rerank=32)
+
+
 def sim_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full iterative spherical k-means (k=8) over the embeddings
     table, reported as per-cluster size/cohesion profile
@@ -158,6 +169,7 @@ QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_cosine_topk_np": sim_cosine_topk_np,
     "sim_kmeans_profile": sim_kmeans_profile,
+    "sim_pq_topk": sim_pq_topk,
     "sim_nearest_centroid": sim_nearest_centroid,
     "sim_quantized_topk": sim_quantized_topk,
     "sim_lsh_topk": sim_lsh_topk,

@@ -595,3 +595,220 @@ def cosine_topk_vectorized(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cos_sim", "rank")
     )
+
+
+def _pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    corpus_id: str,
+    m: int,
+    ksub: int,
+) -> DataFrame:
+    """Product-quantization codebooks: the vector splits into ``m``
+    contiguous subvectors; each subspace gets ``ksub`` centroids via
+    the same deterministic scheme as the IVF coarse quantizer
+    (_centroids): seed with the ksub lowest-id subvectors, one Lloyd
+    step. Returns (sub_j, code, cvec) with code = dense 0..ksub-1 rank
+    of the seed order. Codebook size is m*ksub rows — broadcast
+    everywhere, trained once per corpus snapshot at scale."""
+    subs = corpus.orderBy(F.col(corpus_id).asc()).limit(ksub).select(
+        F.col(corpus_id).alias("__sid"),
+        _norm_unit(_as_double(F.col(vec_col))).alias("__v"),
+    )
+    dim_row = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()[0]
+    dsub = dim_row["d"] // m
+
+    pieces = []
+    for j in range(m):
+        sl = F.slice(F.col("__v"), j * dsub + 1, dsub)
+        pieces.append(
+            subs.select(
+                F.lit(j).alias("sub_j"), F.col("__sid").alias("__sid"), sl.alias("__seed")
+            )
+        )
+    seeds = pieces[0]
+    for p in pieces[1:]:
+        seeds = seeds.unionByName(p)
+    w = Window.partitionBy("sub_j").orderBy(F.col("__sid").asc())
+    seeds = seeds.select(
+        "sub_j", (F.row_number().over(w) - 1).alias("code"), F.col("__seed")
+    )
+
+    # one Lloyd step per subspace: assign every corpus subvector to its
+    # nearest seed (L2), mean per (sub_j, code)
+    corpus_subs = corpus.select(
+        F.col(corpus_id).alias("__id"),
+        _norm_unit(_as_double(F.col(vec_col))).alias("__v"),
+    ).select(
+        "__id",
+        F.posexplode(
+            F.array(*[F.slice(F.col("__v"), j * dsub + 1, dsub) for j in range(m)])
+        ).alias("sub_j", "__sv"),
+    )
+    l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        corpus_subs.join(F.broadcast(seeds), "sub_j")
+        .withColumn("__d", l2(F.col("__sv"), F.col("__seed")))
+        .groupBy("__id", "sub_j")
+        .agg(
+            F.min_by(
+                F.struct(F.col("code"), F.col("__sv")),
+                F.struct(F.col("__d"), F.col("code").alias("__tb")),
+            ).alias("__best")
+        )
+        .select("sub_j", F.col("__best.code").alias("code"), F.col("__best.__sv").alias("__sv"))
+    )
+    comp = assigned.select(
+        "sub_j", "code", F.posexplode("__sv").alias("pos", "val")
+    )
+    return (
+        comp.groupBy("sub_j", "code", "pos")
+        .agg(F.avg("val").alias("mval"))
+        .groupBy("sub_j", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                lambda s: s["mval"],
+            ).alias("cvec")
+        )
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 32,
+) -> DataFrame:
+    """Product-quantization approximate top-k: two-stage retrieve —
+    ADC (asymmetric distance computation) over compressed codes, then
+    EXACT cosine rerank of the ADC top-``rerank`` candidates (the
+    standard PQ deployment: quantization collapses within-cell order,
+    so raw ADC ranks clusters, and the rerank restores member order
+    by touching only rerank/|corpus| of the real vectors).
+
+    Corpus vectors compress to ``m`` one-byte codes (64x smaller at
+    m=8 over 64-dim doubles) — at 100 TB the code table is what scans;
+    the full vectors are fetched (join by id) for the tiny candidate
+    set only.
+
+    Plan shape: codebooks (m*ksub rows) and the per-query score table
+    (queries x codebooks, also tiny) broadcast; the corpus encodes via
+    one broadcast join + min_by aggregate, ADC scoring is a broadcast
+    join on (sub_j, code) + one sum aggregate, and the rerank joins
+    the candidate ids back to the corpus (broadcast-sized candidate
+    set). Rows-only in the registry (seeded codebooks are not
+    SQL-portable); recall vs exact is unit-tested on clustered data
+    like IVF/LSH.
+    """
+    books = F.broadcast(_pq_codebooks(corpus, vec_col, corpus_id, m, ksub))
+    dim_row = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()[0]
+    dsub = dim_row["d"] // m
+
+    l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # encode corpus: nearest codebook entry per subspace
+    corpus_subs = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        _norm_unit(_as_double(F.col(vec_col))).alias("__v"),
+    ).select(
+        "__cid",
+        F.posexplode(
+            F.array(*[F.slice(F.col("__v"), j * dsub + 1, dsub) for j in range(m)])
+        ).alias("sub_j", "__sv"),
+    )
+    codes = (
+        corpus_subs.join(books, "sub_j")
+        .withColumn("__d", l2(F.col("__sv"), F.col("cvec")))
+        .groupBy("__cid", "sub_j")
+        .agg(
+            F.min_by(
+                F.col("code"), F.struct(F.col("__d"), F.col("code").alias("__tb"))
+            ).alias("code")
+        )
+    )
+    # per-query ADC table: dot(query_subvector, codebook entry)
+    qsubs = queries.select(
+        F.col(query_id).alias("__qid"),
+        _norm_unit(_as_double(F.col(vec_col))).alias("__q"),
+    ).select(
+        "__qid",
+        F.posexplode(
+            F.array(*[F.slice(F.col("__q"), j * dsub + 1, dsub) for j in range(m)])
+        ).alias("sub_j", "__qsv"),
+    )
+    table = F.broadcast(
+        qsubs.join(books, "sub_j").select(
+            "__qid",
+            "sub_j",
+            "code",
+            dot(F.col("__qsv"), F.col("cvec")).alias("__pdot"),
+        )
+    )
+    scored = (
+        codes.join(table, ["sub_j", "code"])
+        .groupBy("__qid", "__cid")
+        .agg(rnd(F.sum("__pdot"), 6).alias("adc_score"))
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("adc_score").desc(), F.col("__cid").asc()
+    )
+    candidates = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= max(rerank, k))
+        .select("__qid", "__cid")
+    )
+    # exact rerank of the candidate set only
+    exact = (
+        F.broadcast(candidates)
+        .join(
+            corpus.select(
+                F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cv")
+            ),
+            "__cid",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qv")
+                )
+            ),
+            "__qid",
+        )
+        .select(
+            "__qid",
+            "__cid",
+            rnd(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("__qid").orderBy(
+        F.col("cos_sim").desc(), F.col("__cid").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
+def _norm_unit(vec: Column) -> Column:
+    """L2-normalize (so PQ's ADC dot approximates cosine)."""
+    n = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(vec, lambda x: x / n)

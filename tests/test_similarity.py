@@ -261,3 +261,52 @@ def test_recall_floor_gate_runs_clean():
     )
     assert "RECALL CHECK FAILURES: 0" in r.stdout, r.stdout[-2000:] + r.stderr[-2000:]
     assert r.returncode == 0
+
+
+def test_pq_topk_recall_on_clustered_data(spark):
+    # PQ-ADC on clustered vectors: top-1 must recover the true nearest
+    # cluster members with high recall (the regime PQ compresses for)
+    import random
+
+    from quack_reduce_spark.operators import similarity as S
+
+    rng = random.Random(9)
+    cents = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(8)]
+    rows, vid = [], 0
+    for c in cents:
+        for _ in range(20):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in c]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id % 20 = 0").withColumnRenamed("vec_id", "query_id")
+    corpus = df.filter("vec_id % 20 != 0")
+
+    brute1 = {
+        (r["query_id"], r["vec_id"])
+        for r in S.cosine_topk(queries, corpus, k=1).collect()
+    }
+    pq1 = {
+        (r["query_id"], r["vec_id"])
+        for r in S.pq_topk(queries, corpus, k=1, m=4, ksub=16, rerank=24).collect()
+    }
+    assert len(pq1 & brute1) >= int(0.8 * len(brute1))
+
+
+def test_pq_deterministic_and_bounded(spark):
+    from quack_reduce_spark.operators import similarity as S
+
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 3").withColumnRenamed("vec_id", "query_id")
+    c = df.filter("vec_id >= 3")
+    a = sorted(map(tuple, S.pq_topk(q, c, k=5, m=4, ksub=8).collect()))
+    b = sorted(map(tuple, S.pq_topk(q, c, k=5, m=4, ksub=8).collect()))
+    assert a == b
+    # exactly k rows per query, ranks 1..k
+    per_q = {}
+    for qid, _vid, _s, rank in a:
+        per_q.setdefault(qid, []).append(rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
