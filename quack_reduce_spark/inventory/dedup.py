@@ -110,6 +110,20 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.canonical_docs(docs, pairs, "doc_id")
 
 
+def dedup_components_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical clustering contract to dedup_components, computed by
+    the large-star/small-star two-phase algorithm
+    (operators/components.py) — O(log d) rounds instead of O(d), the
+    opt-in for high-diameter duplicate graphs. Same DuckDB recursive-
+    CTE oracle as the label-propagation entry: both algorithms must
+    land on the exact same (doc, component, canonical) labeling, so
+    the algorithm swap itself is hash-verified through the driver
+    gate."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return C.canonical_docs(docs, pairs, "doc_id", algorithm="two_phase")
+
+
 def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication: doc pairs sharing >= 5 distinct
     32-char grams (copied-passage detection; word-level Jaccard can
@@ -216,6 +230,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_components": dedup_components,
+    "dedup_components_twophase": dedup_components_twophase,
 }
 
 
@@ -346,6 +361,47 @@ ORACLES = {
               >= {COS_THRESHOLD}
     """,
     "dedup_components": """
+        WITH RECURSIVE w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id AS doc,
+                   unnest(list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                         for i in generate_series(1, len(words) - 2)])) AS sh
+            FROM w
+            WHERE len(words) >= 3
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        common AS (
+            SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc1, doc2
+            FROM common
+            JOIN sizes n1 ON common.doc1 = n1.doc
+            JOIN sizes n2 ON common.doc2 = n2.doc
+            WHERE FLOOR((CAST(common AS DOUBLE) / (n1.n_sh + n2.n_sh - common)) * 1e6 + 0.5) / 1e6 >= 0.5
+        ),
+        und AS (
+            SELECT doc1 AS a, doc2 AS b FROM pairs
+            UNION
+            SELECT doc2, doc1 FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT DISTINCT a, a FROM und
+            UNION
+            SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.node
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(MIN(reach.r), d.doc_id) AS BIGINT) AS component,
+               COALESCE(MIN(reach.r), d.doc_id) = d.doc_id AS is_canonical
+        FROM documents d LEFT JOIN reach ON reach.node = d.doc_id
+        GROUP BY d.doc_id
+    """,
+    "dedup_components_twophase": """
         WITH RECURSIVE w AS (
             SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
             FROM documents

@@ -183,12 +183,19 @@ def _two_phase_components(
 
 
 def canonical_docs(
-    df: DataFrame, pairs: DataFrame, id_col: str, src: str = "doc1", dst: str = "doc2"
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "doc1",
+    dst: str = "doc2",
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """(id, component, is_canonical): every doc in ``df`` mapped to its
     duplicate cluster (its own id when untouched by any pair); the
-    cluster minimum survives — the deterministic keep-one policy."""
-    comp = connected_components(pairs, src, dst)
+    cluster minimum survives — the deterministic keep-one policy.
+    ``algorithm`` selects the connectivity engine (see
+    connected_components); both produce identical labelings."""
+    comp = connected_components(pairs, src, dst, algorithm=algorithm)
     ids = df.select(F.col(id_col).alias("__id"))
     return (
         ids.join(comp, ids["__id"] == comp["node"], "left")
