@@ -49,19 +49,29 @@ def run(sf_dir: str, top_k: int) -> None:
     eng.materialize(view, artifact)
     eng.register("my_view", artifact)
 
-    # dashboard query 1: trip count over the artifact (dashboard.py:37)
-    total = eng.sql("SELECT COUNT(*) AS counts FROM my_view", limit=1)
+    # the dashboard's widget refresh fires its queries as ONE concurrent
+    # burst on FAIR pools (Engine.sql_many) — the engine analog of the
+    # reference's parallel Lambda fan-out (benchmark.py:207-211)
+    total, top, by_tail = eng.sql_many(
+        [
+            "SELECT COUNT(*) AS counts FROM my_view",
+            "SELECT location_id, counts FROM my_view "
+            "ORDER BY counts DESC, location_id ASC "
+            f"LIMIT {top_k}",
+            "SELECT location_id, counts FROM my_view "
+            "ORDER BY counts ASC, location_id ASC LIMIT 5",
+        ],
+        limit=None,
+    )
     print(f"rows in view: {total.records[0]['counts']}")
     print(f"  [{total.metadata['timeMs']} ms, warm={total.metadata['warm']}]")
 
-    # dashboard query 2: top-k locations, k user-chosen (dashboard.py:42-52)
-    top = eng.sql(
-        "SELECT location_id, counts FROM my_view ORDER BY counts DESC, location_id ASC",
-        limit=top_k,
-    )
     print(f"\ntop {top_k} locations by trips:")
     print(bar_chart(top.records, "location_id", "counts"))
     print(f"  [{top.metadata['timeMs']} ms, warm={top.metadata['warm']}]")
+
+    print("\nquietest 5 locations:")
+    print(bar_chart(by_tail.records, "location_id", "counts"))
 
 
 if __name__ == "__main__":
