@@ -160,6 +160,41 @@ def run_stream_foreach_batch(df: DataFrame, out_dir: str, checkpoint_dir: str):
     return query
 
 
+def read_upsert_log(spark: SparkSession, out_dir: str, keys: list[str]) -> DataFrame:
+    """Reader for the ``run_stream_foreach_batch`` upsert log: the
+    current state is the LATEST batch's row per key (standard
+    CDC-merge read). One window on (keys) ordered by __batch_id desc —
+    at scale the log is periodically compacted (Engine.compact) so the
+    window scans bounded history."""
+    from pyspark.sql import Window as W
+
+    log = spark.read.parquet(out_dir)
+    w = W.partitionBy(*keys).orderBy(F.col("__batch_id").desc())
+    return (
+        log.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__batch_id")
+    )
+
+
+def stream_progress_summary(query) -> dict:
+    """Operational metrics from a (finished or running) streaming
+    query's progress events: batches, rows processed, and processing
+    rate — the numbers an operator dashboards for admission-control
+    tuning (maxFilesPerTrigger vs observed rows/sec)."""
+    progs = [p for p in (query.recentProgress or []) if p]
+    rows = sum(int(p.get("numInputRows", 0)) for p in progs)
+    secs = sum(
+        float(p.get("batchDuration", 0)) / 1000.0 for p in progs
+    )
+    return {
+        "n_batches": len(progs),
+        "input_rows": rows,
+        "wall_sec": round(secs, 3),
+        "rows_per_sec": round(rows / secs, 1) if secs else None,
+    }
+
+
 def click_purchase_interval_join(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -298,3 +298,35 @@ def test_stream_static_enrich_matches_batch(spark):
         for r in stream_static_enrich(spark, sf).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_read_upsert_log_returns_latest_state(spark, sf_dir, tmp_path):
+    # the CDC-merge reader over the foreachBatch upsert log must equal
+    # the batch aggregate (latest batch per window wins)
+    from quack_reduce_spark.streaming import (
+        read_event_stream,
+        read_upsert_log,
+        run_stream_foreach_batch,
+        tumbling_counts,
+    )
+
+    src = str(tmp_path / "src")
+    events = load(spark, sf_dir, "events")
+    events.repartition(4).write.parquet(src)
+    stream = read_event_stream(spark, src, events.schema, max_files_per_trigger=2)
+    q = run_stream_foreach_batch(
+        tumbling_counts(stream), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+
+    state = read_upsert_log(spark, str(tmp_path / "sink"), keys=["window_start"])
+    batch = tumbling_counts(events)
+    assert sorted(map(tuple, state.select(*batch.columns).collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+    # progress summary exposes sane operational numbers
+    from quack_reduce_spark.streaming import stream_progress_summary
+
+    m = stream_progress_summary(q)
+    assert m["n_batches"] >= 2  # maxFilesPerTrigger=2 over 4 files
+    assert m["input_rows"] == events.count()
