@@ -218,10 +218,43 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure diagnostics of the near-dup graph: nodes, edges,
+    triangles, and max degree. Triangle density separates paste-chains
+    (A~B~C without A~C — risky for transitive dedup, clusters merge
+    text that isn't mutually similar) from true duplicate cliques.
+    Triangles count via the standard oriented two-hop join: edges kept
+    as a<b, joined (a,b)x(b,c) then closed by (a,c) — each triangle
+    counted exactly once; the pair list is small (near-dup output),
+    so both joins are broadcast-sized."""
+    import pyspark.sql.functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    e = pairs.select("doc1", "doc2")  # already doc1 < doc2
+    deg = (
+        e.select(F.col("doc1").alias("n")).union(e.select(F.col("doc2").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    )
+    ab = e.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+    bc = e.select(F.col("doc1").alias("b"), F.col("doc2").alias("c"))
+    ac = e.select(F.col("doc1").alias("a"), F.col("doc2").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    stats_deg = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.max("d").alias("max_degree")
+    )
+    stats_e = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    stats_t = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return stats_deg.crossJoin(stats_e).crossJoin(stats_t).select(
+        "n_nodes", "n_edges", "n_triangles", "max_degree"
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
     "dedup_cross_source": dedup_cross_source,
+    "dedup_graph_stats": dedup_graph_stats,
     "dedup_substring": dedup_substring,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_capped": dedup_ngram_capped,
@@ -359,6 +392,47 @@ ORACLES = {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE FLOOR((list_dot_product(a.v, b.v) / (a.n * b.n)) * 1e6 + 0.5) / 1e6
               >= {COS_THRESHOLD}
+    """,
+    "dedup_graph_stats": """
+        WITH w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id AS doc,
+                   unnest(list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                         for i in generate_series(1, len(words) - 2)])) AS sh
+            FROM w
+            WHERE len(words) >= 3
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        common AS (
+            SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc1, doc2
+            FROM common
+            JOIN sizes n1 ON common.doc1 = n1.doc
+            JOIN sizes n2 ON common.doc2 = n2.doc
+            WHERE FLOOR((CAST(common AS DOUBLE) / (n1.n_sh + n2.n_sh - common)) * 1e6 + 0.5) / 1e6 >= 0.5
+        ),
+        deg AS (
+            SELECT n, COUNT(*) AS d FROM (
+                SELECT doc1 AS n FROM pairs UNION ALL SELECT doc2 FROM pairs
+            ) GROUP BY n
+        ),
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM pairs ab
+            JOIN pairs bc ON ab.doc2 = bc.doc1
+            JOIN pairs ac ON ac.doc1 = ab.doc1 AND ac.doc2 = bc.doc2
+        )
+        SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+               (SELECT COUNT(*) FROM pairs) AS n_edges,
+               (SELECT n_triangles FROM tri) AS n_triangles,
+               (SELECT MAX(d) FROM deg) AS max_degree
     """,
     "dedup_components": """
         WITH RECURSIVE w AS (

@@ -68,6 +68,35 @@ def ts_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap: purchases close a session
+    after 2 minutes of silence, other events after 5 (dynamic-gap
+    ``session_window``, the Spark 3.2+ feature fixed-gap sessions
+    can't express). Oracle: gaps-and-islands where a session breaks
+    when an event's ts reaches the RUNNING MAX of previous
+    (ts + its own gap) — the interval-union semantics the engine
+    implements; the fixed-gap lag() trick is insufficient here because
+    a long-gap event can outlast several short-gap successors."""
+    events = load(spark, sf_dir, "events")
+    # string gaps (not INTERVAL exprs): dynamic session_window demands
+    # CalendarIntervalType, and the analyzer converts string literals
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("2 minutes")
+    ).otherwise(F.lit("5 minutes"))
+    return (
+        events.groupBy(
+            "user_id", F.session_window(F.col("ts"), gap).alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click gets the latest at-or-before purchase value
     of the same user (operators/asof.py composite; the reference dialect
@@ -399,6 +428,7 @@ QUERIES = {
     "ts_tumbling_window": ts_tumbling_window,
     "ts_sliding_window": ts_sliding_window,
     "ts_session_window": ts_session_window,
+    "ts_session_dynamic_gap": ts_session_dynamic_gap,
     "ts_asof_join": ts_asof_join,
     "ts_asof_forward": ts_asof_forward,
     "ts_asof_tolerance": ts_asof_tolerance,
@@ -448,6 +478,36 @@ ORACLES = {
         SELECT user_id, MIN(ts) AS session_start,
                COUNT(*) AS n_events,
                FLOOR((SUM(value)) * 1e4 + 0.5) / 1e4 AS sum_value
+        FROM s GROUP BY user_id, sid
+    """,
+    "ts_session_dynamic_gap": """
+        WITH d AS (
+            SELECT user_id, ts,
+                   CASE WHEN event_type = 'purchase'
+                        THEN INTERVAL '2 minutes' ELSE INTERVAL '5 minutes'
+                   END AS gap
+            FROM events
+        ),
+        x AS (
+            SELECT user_id, ts, gap,
+                   MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS horizon
+            FROM d
+        ),
+        s AS (
+            SELECT user_id, ts, gap,
+                   SUM(CASE WHEN horizon IS NULL OR ts >= horizon
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+            FROM x
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts + gap) AS session_end,
+               COUNT(*) AS n_events
         FROM s GROUP BY user_id, sid
     """,
     "ts_asof_join": """
