@@ -116,6 +116,30 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(sliding_counts(stream), spark, mode="complete")
 
 
+def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows computed BY THE STREAMING ENGINE:
+    purchases close their session after 2 idle minutes, other events
+    after 5 (per-event CalendarInterval gap — stateful interval-union
+    merge across triggers). Same oracle as the batch twin
+    ts_session_dynamic_gap: on bounded input stream == batch."""
+    stream = _stream_source(spark, sf_dir, with_redeliveries=False)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("2 minutes")
+    ).otherwise(F.lit("5 minutes"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _drain(agg, spark, mode="complete")
+
+
 def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-arrival dedup over an at-least-once corpus
     (every 10th event re-delivered in a later file):
@@ -174,6 +198,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_static_enrich": stream_static_enrich,
+    "stream_session_dynamic": stream_session_dynamic,
     "stream_interval_join": stream_interval_join,
     "stream_session_agg": stream_session_agg,
     "stream_sliding_agg": stream_sliding_agg,
@@ -242,6 +267,36 @@ ORACLES = {
                COUNT(*) AS n_unique,
                COUNT(DISTINCT event_id) AS n_distinct_ids
         FROM events GROUP BY event_type
+    """,
+    "stream_session_dynamic": """
+        WITH d AS (
+            SELECT user_id, ts,
+                   CASE WHEN event_type = 'purchase'
+                        THEN INTERVAL '2 minutes' ELSE INTERVAL '5 minutes'
+                   END AS gap
+            FROM events
+        ),
+        x AS (
+            SELECT user_id, ts, gap,
+                   MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS horizon
+            FROM d
+        ),
+        s AS (
+            SELECT user_id, ts, gap,
+                   SUM(CASE WHEN horizon IS NULL OR ts >= horizon
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+            FROM x
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts + gap) AS session_end,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid
     """,
     "stream_static_enrich": """
         WITH profiles AS (

@@ -68,6 +68,21 @@ def ts_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_tumbling_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-aligned tumbling windows: hourly buckets starting at
+    :30 (``F.window`` startTime — billing-period / timezone-alignment
+    shifts fixed-epoch buckets can't express). Oracle: DuckDB
+    time_bucket with the same 30-minute origin offset."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), "1 hour", "1 hour", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
 def ts_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a PER-EVENT gap: purchases close a session
     after 2 minutes of silence, other events after 5 (dynamic-gap
@@ -429,6 +444,7 @@ QUERIES = {
     "ts_sliding_window": ts_sliding_window,
     "ts_session_window": ts_session_window,
     "ts_session_dynamic_gap": ts_session_dynamic_gap,
+    "ts_tumbling_offset": ts_tumbling_offset,
     "ts_asof_join": ts_asof_join,
     "ts_asof_forward": ts_asof_forward,
     "ts_asof_tolerance": ts_asof_tolerance,
@@ -479,6 +495,12 @@ ORACLES = {
                COUNT(*) AS n_events,
                FLOOR((SUM(value)) * 1e4 + 0.5) / 1e4 AS sum_value
         FROM s GROUP BY user_id, sid
+    """,
+    "ts_tumbling_offset": """
+        SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes')
+                   AS window_start,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
     """,
     "ts_session_dynamic_gap": """
         WITH d AS (
