@@ -330,3 +330,52 @@ def test_read_upsert_log_returns_latest_state(spark, sf_dir, tmp_path):
     m = stream_progress_summary(q)
     assert m["n_batches"] >= 2  # maxFilesPerTrigger=2 over 4 files
     assert m["input_rows"] == events.count()
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    # three ordered files: on-time events, a small on-time follow-up
+    # (commits the advanced watermark — Spark applies watermarks with a
+    # one-batch lag), then a file of events six hours behind. The late
+    # rows belong to windows behind the committed watermark and must be
+    # dropped; only finalized on-time windows emit in append mode.
+    import datetime as dt
+    import glob
+    import os
+    import time
+    import uuid
+
+    from quack_reduce_spark.streaming import (
+        read_event_stream,
+        run_stream_to_memory,
+        tumbling_counts,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    on_time = [(i, base + dt.timedelta(minutes=i), 1, "click", 1.0, "{}") for i in range(120)]
+    mid = [(500, base + dt.timedelta(minutes=121), 1, "click", 1.0, "{}")]
+    late = [(1000 + i, base - dt.timedelta(hours=6), 2, "click", 1.0, "{}") for i in range(10)]
+    src = str(tmp_path / "src")
+    for i, batch in enumerate([on_time, mid, late]):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(src + f"/f={i}")
+    # file source takes oldest mtime first; space them out explicitly
+    now = time.time()
+    for i in range(3):
+        for f in glob.glob(src + f"/f={i}/*.parquet"):
+            os.utime(f, (now - 600 + i * 200, now - 600 + i * 200))
+
+    stream = read_event_stream(
+        spark, src + "/f=*", spark.createDataFrame([], schema).schema,
+        max_files_per_trigger=1,
+    )
+    name = f"late_{uuid.uuid4().hex[:10]}"
+    run_stream_to_memory(
+        tumbling_counts(stream, watermark="30 minutes"), name, mode="append"
+    )
+    got = {r["window_start"]: r["n_events"] for r in spark.table(name).collect()}
+    late_window = (base - dt.timedelta(hours=6)).replace(minute=0)
+    assert late_window not in got          # late rows dropped
+    assert got.get(base) == 60             # finalized on-time window emitted
