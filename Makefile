@@ -3,7 +3,7 @@
 
 SF ?= /root/testdata/sf0.001
 
-.PHONY: test test-distinct oracle oracle-vanilla bench plans pipeline dashboard unit recall-check
+.PHONY: test test-distinct oracle oracle-vanilla bench plans pipeline dashboard unit recall-check concurrent assembly
 
 # reference `make test` (Makefile:22-24): canary count round trip
 test:
@@ -35,6 +35,14 @@ bench:
 # recall floors for every approximate operator (CI gate)
 recall-check:
 	python tools/recall_report.py /root/testdata/sf0.01 --check
+
+# concurrent 16-query burst: serial vs FAIR-pool fan-out, result parity
+concurrent:
+	python tools/concurrent_queries.py /root/testdata/sf0.01 8
+
+# corpus assembly end-to-end (decontaminate -> gate -> mix -> shard)
+assembly:
+	python examples/corpus_assembly.py $(SF)
 
 # regenerate the annotated plan audit
 plans:
