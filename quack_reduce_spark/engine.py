@@ -240,14 +240,21 @@ class Engine:
         target_path: str,
         updates: DataFrame,
         key: str,
+        partition_by: list[str] | None = None,
     ) -> dict[str, int]:
         """MERGE-style upsert into a parquet lake table: rows in
         ``updates`` replace target rows with the same ``key``; new keys
         append. Plain-parquet lakes have no transactional MERGE, so
         this is the standard copy-on-write rewrite: anti-join the
-        target against the update keys, union the updates, atomically
-        swap via a staging directory (write-then-rename, never a
-        partial overwrite of live data).
+        target against the update keys, union the updates, commit the
+        rewrite without ever partially overwriting live data (see
+        ``_commit_rewrite`` for the two commit protocols).
+
+        Hive-partitioned targets are preserved: partition columns are
+        discovered from the directory layout (or passed explicitly via
+        ``partition_by``) and the rewrite goes through
+        ``write.partitionBy``, so partition pruning keeps working after
+        maintenance.
 
         Scale: one broadcast-able anti-join on the key (update batches
         are small next to the table) + a full rewrite of the table —
@@ -255,21 +262,25 @@ class Engine:
         hive-partitioned and only affected partitions are rewritten
         (filter the anti-join + write per partition). Returns counts.
         """
-        import os
-        import shutil
+        from quack_reduce_spark import lake
 
-        target = self.spark.read.parquet(target_path)
+        data_path = lake.resolve(target_path)
+        target = self.spark.read.parquet(data_path)
         if key not in target.columns:
             raise ValueError(f"key column {key!r} not in target {target.columns}")
+        parts = self._partition_cols(data_path, partition_by, target.columns)
         n_target = target.count()
         n_updates = updates.count()
         kept = target.join(updates.select(key).distinct(), key, "left_anti")
         merged = kept.unionByName(updates.select(*target.columns))
-        staging = target_path.rstrip("/") + "__staging"
-        merged.write.mode("overwrite").parquet(staging)
-        n_merged = self.spark.read.parquet(staging).count()
-        shutil.rmtree(target_path)
-        os.rename(staging, target_path)
+
+        def write_to(dest: str) -> None:
+            writer = merged.write.mode("overwrite")
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(dest)
+
+        n_merged = self._commit_rewrite(target_path, write_to, expected_rows=None)
         return {
             "target_rows_before": n_target,
             "update_rows": n_updates,
@@ -281,37 +292,123 @@ class Engine:
         self,
         path: str,
         target_rows_per_file: int = 1_000_000,
+        partition_by: list[str] | None = None,
     ) -> dict[str, int]:
-        """Small-file compaction: rewrite a parquet directory into
-        ceil(rows / target_rows_per_file) files (staging + atomic
-        rename, like merge_upsert). Streaming sinks and incremental
-        ingest produce file counts that degrade scan planning at
-        scale; periodic compaction is standard lake maintenance.
-        Returns before/after file and row counts."""
-        import glob
-        import os
-        import shutil
+        """Small-file compaction: rewrite a parquet table into few
+        large files (same crash-safe commit as merge_upsert). Streaming
+        sinks and incremental ingest produce file counts that degrade
+        scan planning at scale; periodic compaction is standard lake
+        maintenance.
 
-        df = self.spark.read.parquet(path)
+        Hive-partitioned layouts are preserved (discovered from the
+        directory tree or passed via ``partition_by``): rows are
+        hash-repartitioned on the partition columns so each partition
+        value compacts to one file, with ``maxRecordsPerFile`` splitting
+        oversized partitions at ``target_rows_per_file``. Flat layouts
+        compact to ceil(rows / target_rows_per_file) files. Returns
+        before/after file and row counts (counted recursively, so the
+        numbers are correct on nested layouts)."""
+        from quack_reduce_spark import lake
+
+        data_path = lake.resolve(path)
+        df = self.spark.read.parquet(data_path)
+        parts = self._partition_cols(data_path, partition_by, df.columns)
         n_rows = df.count()
-        files_before = len(glob.glob(os.path.join(path, "*.parquet")))
-        n_files = max(1, -(-n_rows // target_rows_per_file))
-        staging = path.rstrip("/") + "__staging"
-        df.repartition(n_files).write.mode("overwrite").parquet(staging)
-        n_after = self.spark.read.parquet(staging).count()
-        if n_after != n_rows:
-            shutil.rmtree(staging)
-            raise RuntimeError(
-                f"compaction row-count drift ({n_rows} -> {n_after}); staging kept out"
-            )
-        shutil.rmtree(path)
-        os.rename(staging, path)
-        files_after = len(glob.glob(os.path.join(path, "*.parquet")))
+        files_before = _count_parquet_files(data_path)
+
+        def write_to(dest: str) -> None:
+            if parts:
+                writer = (
+                    df.repartition(*[F.col(c) for c in parts])
+                    .write.mode("overwrite")
+                    .option("maxRecordsPerFile", target_rows_per_file)
+                    .partitionBy(*parts)
+                )
+            else:
+                n_files = max(1, -(-n_rows // target_rows_per_file))
+                writer = df.repartition(n_files).write.mode("overwrite")
+            writer.parquet(dest)
+
+        self._commit_rewrite(path, write_to, expected_rows=n_rows)
+        files_after = _count_parquet_files(lake.resolve(path))
         return {
             "rows": n_rows,
             "files_before": files_before,
             "files_after": files_after,
         }
+
+    def _partition_cols(
+        self, data_path: str, partition_by: list[str] | None, columns: list[str]
+    ) -> list[str]:
+        """Partition columns for a maintenance rewrite: the caller's
+        explicit list, else the ``name=value`` layout discovered from
+        the directory tree. Validated against the table schema."""
+        parts = (
+            partition_by
+            if partition_by is not None
+            else _discover_partition_cols(data_path)
+        )
+        unknown = [c for c in parts if c not in columns]
+        if unknown:
+            raise ValueError(f"partition columns {unknown} not in table {columns}")
+        return parts
+
+    def _commit_rewrite(
+        self, path: str, write_to, expected_rows: int | None
+    ) -> int:
+        """Write a full rewrite of table ``path`` and make it live
+        without ever leaving the table unreadable. Two protocols:
+
+        - **Versioned root** (``lake.is_versioned``): the object-store-
+          safe path. Data lands in a fresh ``vNNNNNNNN/`` directory that
+          readers cannot see; after verification the commit is ONE
+          pointer write (single PUT on S3). A crash anywhere before the
+          pointer write leaves the old version live; orphaned staging
+          is reclaimed by ``lake.vacuum``.
+        - **Plain directory** (local FS only — POSIX renames): staging
+          write, then rename live aside (``__old``), staging into
+          place, delete the aside copy. A complete copy of the table
+          exists at some path at every instant, unlike a naive
+          rmtree-then-rename.
+
+        Verifies the staged row count before commit (if
+        ``expected_rows`` is given, mismatch aborts and the live table
+        is untouched). Returns the committed row count.
+        """
+        import shutil
+
+        from quack_reduce_spark import lake
+
+        def verify(staged_dir: str) -> int:
+            n_after = self.spark.read.parquet(staged_dir).count()
+            if expected_rows is not None and n_after != expected_rows:
+                shutil.rmtree(staged_dir)
+                raise RuntimeError(
+                    f"rewrite row-count drift ({expected_rows} -> {n_after}); "
+                    f"staging discarded, live table untouched"
+                )
+            return n_after
+
+        if lake.is_versioned(path):
+            version, data_dir = lake.stage_version(path)
+            write_to(data_dir)
+            n_after = verify(data_dir)
+            lake.commit(path, version)
+            return n_after
+
+        import os
+
+        staging = path.rstrip("/") + "__staging"
+        aside = path.rstrip("/") + "__old"
+        for leftover in (staging, aside):  # debris from a prior crash
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+        write_to(staging)
+        n_after = verify(staging)
+        os.rename(path, aside)
+        os.rename(staging, path)
+        shutil.rmtree(aside)
+        return n_after
 
     def write(self, df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options: str) -> None:
         """Format-dispatching sink (parquet/csv/json/orc) — the write
@@ -330,6 +427,40 @@ class Engine:
     def cache_table(self, name: str) -> None:
         """Pin a hot table in memory (reference README.md:188 future work)."""
         self.spark.catalog.cacheTable(name)
+
+
+def _discover_partition_cols(path: str) -> list[str]:
+    """Hive partition columns implied by a directory layout: the
+    ``name=value`` segments on the path from ``path`` down to the first
+    parquet leaf (the same convention Spark's partition discovery
+    reads). Empty for flat layouts and single files."""
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames.sort()
+        if any(f.endswith(".parquet") for f in filenames):
+            rel = os.path.relpath(dirpath, path)
+            if rel == ".":
+                return []
+            return [seg.split("=", 1)[0] for seg in rel.split(os.sep) if "=" in seg]
+    return []
+
+
+def _count_parquet_files(path: str) -> int:
+    """Recursive parquet file count (correct on hive-partitioned trees,
+    where a flat glob would see zero files)."""
+    import os
+
+    if os.path.isfile(path):
+        return 1 if path.endswith(".parquet") else 0
+    return sum(
+        1
+        for _, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
 
 
 def _records_json_safe(df: DataFrame) -> list[dict[str, Any]]:

@@ -1,0 +1,140 @@
+"""Versioned-table commit protocol for lake maintenance ops.
+
+Plain-parquet lake tables have no transaction log, so maintenance
+operations (``Engine.merge_upsert``, ``Engine.compact``) must replace a
+live directory. POSIX rename tricks do not exist on object stores —
+S3 "rename" is copy+delete, non-atomic, and a crash mid-swap can leave
+the table path missing entirely. The standard fix (the essence of what
+Delta/Iceberg commit logs do) is: data files are immutable, written
+ONCE under a brand-new version directory, and the only mutation is a
+single small pointer write naming the current version. Readers resolve
+the pointer, then scan only that version's directory.
+
+Crash at ANY point before the pointer write leaves the previous version
+fully readable; the pointer write itself is one small object — a
+single PUT on S3 (atomic), and write-temp + ``os.replace`` locally
+(atomic). There is never a moment when no complete table exists.
+
+Layout::
+
+    table_root/
+      _CURRENT          # text file holding e.g. "v00000002"
+      v00000001/        # immutable parquet data (optionally hive-partitioned)
+      v00000002/
+
+The reference's lake is rewrite-in-place with no transactionality
+(``run_me_first.py:83-100`` re-uploads artifacts; ``README.md:190``
+lists table formats as future work) — this module is the minimal
+object-store-safe protocol that closes that gap without adopting a
+full table format. Old versions stay readable until :func:`vacuum`.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import uuid
+
+CURRENT = "_CURRENT"
+_VERSION_RE = re.compile(r"^v\d{8}$")
+
+
+def is_versioned(path: str) -> bool:
+    """True if ``path`` is a versioned table root (has a _CURRENT pointer)."""
+    return os.path.isfile(os.path.join(path, CURRENT))
+
+
+def current_version(path: str) -> str:
+    """The live version name recorded in the pointer file."""
+    with open(os.path.join(path, CURRENT)) as fh:
+        version = fh.read().strip()
+    if not _VERSION_RE.match(version):
+        raise ValueError(f"corrupt {CURRENT} pointer in {path}: {version!r}")
+    return version
+
+
+def resolve(path: str) -> str:
+    """Data directory to scan: ``path/<current version>`` for a
+    versioned root, ``path`` itself otherwise. Safe on files and
+    non-table paths (returns them unchanged)."""
+    if os.path.isdir(path) and is_versioned(path):
+        return os.path.join(path, current_version(path))
+    return path
+
+
+def list_versions(path: str) -> list[str]:
+    """All version directories present under the root, sorted ascending."""
+    return sorted(
+        e for e in os.listdir(path)
+        if _VERSION_RE.match(e) and os.path.isdir(os.path.join(path, e))
+    )
+
+
+def stage_version(path: str) -> tuple[str, str]:
+    """Allocate the next version: returns ``(version, data_dir)``.
+
+    The caller writes (and verifies) data under ``data_dir``, then calls
+    :func:`commit`. Until then the new directory is invisible to readers
+    — resolve() still points at the old version — so a crash between
+    stage and commit costs only orphaned files (removed by vacuum).
+    """
+    versions = list_versions(path)
+    n = int(versions[-1][1:]) + 1 if versions else 1
+    version = f"v{n:08d}"
+    data_dir = os.path.join(path, version)
+    return version, data_dir
+
+
+def commit(path: str, version: str) -> None:
+    """Flip the pointer to ``version`` — the ONE mutating step.
+
+    Locally: write a temp file then ``os.replace`` (atomic). On an
+    object store the equivalent is a single small PUT of the pointer
+    object — also atomic. Either way, readers see the old version or
+    the new version, never an absent or partial table.
+    """
+    if not os.path.isdir(os.path.join(path, version)):
+        raise ValueError(f"cannot commit {version}: no such data dir under {path}")
+    tmp = os.path.join(path, f".{CURRENT}.tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(version + "\n")
+    os.replace(tmp, os.path.join(path, CURRENT))
+
+
+def convert_to_versioned(path: str) -> str:
+    """Convert a plain parquet directory into a versioned root in place:
+    existing contents move under ``v00000001/`` and the pointer is
+    written last (so a crash mid-convert leaves either the original
+    layout or a complete v1). Returns the initial version name.
+
+    Local-FS utility (uses renames); on an object store a table is
+    born versioned by writing v1 directly then the pointer.
+    """
+    if is_versioned(path):
+        return current_version(path)
+    version = "v00000001"
+    data_dir = os.path.join(path, version)
+    os.makedirs(data_dir)
+    for entry in os.listdir(path):
+        if entry != version:
+            os.rename(os.path.join(path, entry), os.path.join(data_dir, entry))
+    commit(path, version)
+    return version
+
+
+def vacuum(path: str, keep: int = 1) -> list[str]:
+    """Delete old version directories (and orphaned uncommitted stages),
+    keeping the newest ``keep`` committed versions — always including
+    the current one. Returns the removed directory names."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    current = current_version(path)
+    versions = list_versions(path)
+    protect = set(versions[-keep:]) | {current}
+    removed = []
+    for v in versions:
+        if v not in protect:
+            shutil.rmtree(os.path.join(path, v))
+            removed.append(v)
+    return removed

@@ -74,7 +74,15 @@ def read_parquet_table(spark: SparkSession, path: str, merge_schema: bool = Fals
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet", **options: str) -> DataFrame:
-    """Format-dispatching lake read (parquet/csv/json/orc/text)."""
+    """Format-dispatching lake read (parquet/csv/json/orc/text).
+
+    Versioned table roots (quack_reduce_spark.lake layout, a _CURRENT
+    pointer naming the live ``vNNNNNNNN/`` data dir) resolve to their
+    current version, so registered tables always read the last
+    committed maintenance rewrite."""
+    from quack_reduce_spark import lake
+
+    path = lake.resolve(path)
     if fmt == "parquet":
         return read_parquet_table(spark, path)
     reader = spark.read.options(**options)

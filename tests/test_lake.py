@@ -1,0 +1,180 @@
+"""Lake maintenance: partition-preserving rewrites + versioned commits.
+
+Covers the two round-4 verdict items: (1) compact/merge_upsert must
+preserve hive-partitioned layouts (they used to silently flatten them,
+killing partition pruning), and (2) the commit protocol must be
+object-store-safe — a crash before the pointer write leaves the old
+version fully readable (no rmtree-then-rename window where the table
+path does not exist).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from quack_reduce_spark import lake
+from quack_reduce_spark.engine import Engine, _count_parquet_files, _discover_partition_cols
+from quack_reduce_spark.inventory._util import load
+from quack_reduce_spark.plans import formatted_plan
+
+
+def _partition_dirs(path: str) -> list[str]:
+    return sorted(e for e in os.listdir(path) if "=" in e)
+
+
+def test_compact_preserves_hive_partitions_and_pruning(spark, sf_dir, tmp_path):
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "hive")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_shipdate")
+        .withColumn("ship_month", F.month("l_shipdate"))
+        .repartition(4)  # several files per partition value
+    )
+    eng.write_partitioned(li, path, ["ship_month"])
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(path).select("l_orderkey", "l_quantity").collect())
+    )
+    months = _partition_dirs(path)
+    files_before = _count_parquet_files(path)
+    assert files_before > len(months)  # genuinely fragmented
+
+    stats = eng.compact(path, target_rows_per_file=1_000_000)
+    assert stats["files_before"] == files_before  # recursive count, not 0
+    assert stats["rows"] == len(before_rows)
+    # layout preserved: same partition dirs, one file per partition
+    assert _partition_dirs(path) == months
+    assert stats["files_after"] == len(months)
+    # partition pruning still fires after maintenance
+    back = spark.read.parquet(path)
+    plan = formatted_plan(back.filter(F.col("ship_month") == 3))
+    assert "PartitionFilters" in plan and "ship_month" in plan
+    after_rows = sorted(
+        map(tuple, back.select("l_orderkey", "l_quantity").collect())
+    )
+    assert after_rows == before_rows
+
+
+def test_merge_upsert_preserves_hive_partitions(spark, sf_dir, tmp_path):
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "hive_t")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", F.year("o_orderdate").alias("yr"))
+        .limit(500)
+    )
+    eng.write_partitioned(orders, path, ["yr"])
+    years = _partition_dirs(path)
+
+    updates = spark.read.parquet(path).limit(10).select(
+        "o_orderkey", F.lit(0.0).alias("o_totalprice"), "yr"
+    )
+    stats = eng.merge_upsert(path, updates, key="o_orderkey")
+    assert stats["rows_after"] == 500 and stats["rows_replaced"] == 10
+    assert _partition_dirs(path) == years  # layout survived the rewrite
+    back = spark.read.parquet(path)
+    assert back.filter("o_totalprice = 0.0").count() == 10
+    plan = formatted_plan(back.filter(F.col("yr") == int(years[0].split("=")[1])))
+    assert "PartitionFilters" in plan
+
+
+def test_merge_upsert_rejects_unknown_partition_col(spark, sf_dir, tmp_path):
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "flat")
+    load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice").limit(
+        50
+    ).write.parquet(path)
+    with pytest.raises(ValueError, match="partition columns"):
+        eng.compact(path, partition_by=["no_such_col"])
+
+
+def test_versioned_pointer_roundtrip(tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    open(os.path.join(root, "part-0.parquet"), "w").write("x")
+    assert not lake.is_versioned(root)
+    assert lake.resolve(root) == root
+
+    v1 = lake.convert_to_versioned(root)
+    assert v1 == "v00000001" and lake.is_versioned(root)
+    assert lake.resolve(root) == os.path.join(root, v1)
+    assert os.path.exists(os.path.join(root, v1, "part-0.parquet"))
+
+    version, data_dir = lake.stage_version(root)
+    assert version == "v00000002"
+    # staged but uncommitted: readers still resolve v1
+    os.makedirs(data_dir)
+    assert lake.resolve(root) == os.path.join(root, v1)
+    lake.commit(root, version)
+    assert lake.resolve(root) == data_dir
+
+    removed = lake.vacuum(root, keep=1)
+    assert removed == [v1]
+    assert lake.list_versions(root) == [version]
+
+
+def test_commit_requires_existing_data_dir(tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    lake.convert_to_versioned(root)
+    with pytest.raises(ValueError, match="no such data dir"):
+        lake.commit(root, "v00000099")
+
+
+def test_versioned_crash_before_pointer_write_keeps_old_version(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Kill the maintenance op between data write and pointer write —
+    the table must still read as the OLD version (the object-store-safe
+    property the rmtree+rename protocol lacked)."""
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "vt")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice").limit(100)
+    orders.write.parquet(path)
+    lake.convert_to_versioned(path)
+    before = sorted(map(tuple, spark.read.parquet(lake.resolve(path)).collect()))
+
+    updates = orders.limit(5).select("o_orderkey", F.lit(0.0).alias("o_totalprice"))
+
+    def killed(*a, **k):
+        raise RuntimeError("simulated crash before pointer write")
+
+    monkeypatch.setattr("quack_reduce_spark.lake.commit", killed)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.merge_upsert(path, updates, key="o_orderkey")
+    # live table untouched and fully readable
+    assert lake.current_version(path) == "v00000001"
+    assert sorted(map(tuple, spark.read.parquet(lake.resolve(path)).collect())) == before
+
+    # retry after "restart": succeeds, pointer flips, old version intact on disk
+    monkeypatch.undo()
+    stats = eng.merge_upsert(path, updates, key="o_orderkey")
+    assert stats["rows_after"] == 100 and stats["rows_replaced"] == 5
+    assert spark.read.parquet(lake.resolve(path)).filter("o_totalprice = 0.0").count() == 5
+    assert "v00000001" in lake.list_versions(path)  # rollback stays possible
+    lake.vacuum(path, keep=1)
+
+
+def test_register_reads_versioned_root_current_version(spark, sf_dir, tmp_path):
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "vreg")
+    load(spark, sf_dir, "orders").select("o_orderkey").limit(10).write.parquet(path)
+    lake.convert_to_versioned(path)
+    eng.compact(path)  # creates + commits v2
+    assert lake.current_version(path) == "v00000002"
+    eng.register("vorders", path)
+    assert eng.sql("SELECT COUNT(*) AS n FROM vorders").records == [{"n": 10}]
+
+
+def test_discover_partition_cols(tmp_path):
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    (flat / "a.parquet").write_text("x")
+    assert _discover_partition_cols(str(flat)) == []
+    nested = tmp_path / "nested" / "yr=2024" / "m=3"
+    nested.mkdir(parents=True)
+    (nested / "a.parquet").write_text("x")
+    assert _discover_partition_cols(str(tmp_path / "nested")) == ["yr", "m"]
