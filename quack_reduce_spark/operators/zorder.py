@@ -8,39 +8,65 @@ on either (or both) columns skip most files — the clustering move
 behind Delta/Iceberg OPTIMIZE ZORDER, rebuilt here on plain parquet
 with pure JVM expressions.
 
-Construction: each column is rank-normalized to a 16-bit integer with
-``percent_rank`` (rank-based, so skew cannot collapse the curve the
-way value-based scaling would), then the two 16-bit codes interleave
-into one 32-bit Morton key; the write range-partitions and sorts by
-that key, so file boundaries follow the curve.
-
-Scale: percent_rank needs a global sort of (col) pairs — at 100 TB
-replace with approxQuantile-derived bucket edges (the rank table is a
-scalar array, the normalization a broadcast binary search); the Morton
-expression and write path are unchanged. One range shuffle total,
-identical to any sorted write.
+Construction (the scale path, no global sort anywhere): each column's
+bucket edges come from ONE ``approxQuantile`` pass (a distributed
+Greenwald-Khanna aggregate returning a 255-double array to the
+driver); each row is then rank-normalized by an 8-step expression
+binary search over that broadcast edge array — rank-based, so skew
+cannot collapse the curve the way value-based scaling would. The two
+8-bit codes interleave into a 16-bit Morton key; the write
+range-partitions and sorts by that key, so file boundaries follow the
+curve. Total distributed work: two quantile aggregates + one range
+shuffle — identical to any sorted write, with NO single-task
+``Window.orderBy`` stage (plan-asserted in tests/test_zorder.py).
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 
-BITS = 16
-
-
-def _rank16(col: str) -> F.Column:
-    """percent_rank of ``col`` scaled to [0, 65535]."""
-    w = Window.orderBy(F.col(col))
-    return F.floor(F.percent_rank().over(w) * ((1 << BITS) - 1)).cast("long")
+BITS = 16  # morton_key default: two 16-bit codes -> 32-bit key
+QUANTILE_BITS = 8  # rank resolution of the quantile path: 256 buckets/dim
 
 
-def morton_key(a: F.Column, b: F.Column) -> F.Column:
-    """Interleave two 16-bit codes into one 32-bit Morton key (a in
-    even bits, b in odd) — a fixed 32-term bitwise expression, fully
+def quantile_edges(df: DataFrame, col: str, bits: int = QUANTILE_BITS) -> list[float]:
+    """Bucket edges for rank normalization: the 2^bits - 1 interior
+    quantiles of ``col``, from one distributed approxQuantile pass
+    (driver receives a scalar array, never row data)."""
+    n = 1 << bits
+    probs = [i / n for i in range(1, n)]
+    return (
+        df.select(F.col(col).cast("double").alias("__v"))
+        .approxQuantile("__v", probs, 1.0 / (4 * n))
+    )
+
+
+def bucket_code(value: Column, edges: list[float]) -> Column:
+    """Rank code in [0, len(edges)]: how many edges ``value`` has
+    passed, via ONE higher-order ``aggregate`` over the broadcast
+    sorted-edges literal. A chained-conditional binary search would be
+    O(log n) comparisons but its expression tree re-nests the previous
+    step at every level (3^depth node blowup — measured JVM OOM at
+    depth 8); the linear fold is a constant-size expression doing 2^bits
+    comparisons per row against an in-register array — noise next to
+    scan+shuffle cost, with no shuffle and no window. NULLs code to 0,
+    matching percent_rank's nulls-first ordering."""
+    arr = F.lit([float(e) for e in edges])
+    v = value.cast("double")
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, x: acc + F.when(v >= x, 1).otherwise(0),
+    ).cast("long")
+
+
+def morton_key(a: Column, b: Column, bits: int = BITS) -> Column:
+    """Interleave two ``bits``-bit codes into one 2*bits-bit Morton key
+    (a in even bits, b in odd) — a fixed bitwise expression, fully
     inside whole-stage codegen."""
     parts = []
-    for i in range(BITS):
+    for i in range(bits):
         parts.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
         parts.append(
             F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
@@ -49,6 +75,18 @@ def morton_key(a: F.Column, b: F.Column) -> F.Column:
     for p in parts[1:]:
         out = out.bitwiseOR(p)
     return out
+
+
+def zorder_key(df: DataFrame, col_a: str, col_b: str) -> Column:
+    """The Morton key expression for ``df``'s (col_a, col_b): quantile
+    edges fitted on ``df``, rank codes by broadcast binary search."""
+    ea = quantile_edges(df, col_a)
+    eb = quantile_edges(df, col_b)
+    return morton_key(
+        bucket_code(F.col(col_a), ea),
+        bucket_code(F.col(col_b), eb),
+        bits=QUANTILE_BITS,
+    )
 
 
 def zorder_write(
@@ -63,13 +101,10 @@ def zorder_write(
     Morton curve of (col_a, col_b). Each output file covers a compact
     2-D region, so selective filters on either column prune files via
     parquet min/max stats — asserted by measurement in
-    tests/test_zorder.py."""
-    keyed = (
-        df.withColumn("__ra", _rank16(col_a))
-        .withColumn("__rb", _rank16(col_b))
-        .withColumn("__z", morton_key(F.col("__ra"), F.col("__rb")))
-        .drop("__ra", "__rb")
-    )
+    tests/test_zorder.py, which also asserts the plan has no
+    single-partition Window exchange (the quantile rank path scales
+    where a percent_rank global sort would not)."""
+    keyed = df.withColumn("__z", zorder_key(df, col_a, col_b))
     (
         keyed.repartitionByRange(n_files, F.col("__z"))
         .sortWithinPartitions("__z")

@@ -51,6 +51,32 @@ def test_zorder_write_skips_files_on_both_dimensions(spark, sf_dir, tmp_path):
     assert n == spark.read.parquet(zpath).count()
 
 
+def test_zorder_plan_has_no_global_sort_window(spark, sf_dir):
+    # the rank normalization must come from approxQuantile + broadcast
+    # binary search — a percent_rank Window.orderBy would funnel the
+    # whole table through ONE task (the 100 TB scale-killer)
+    from quack_reduce_spark.operators.zorder import zorder_key
+    from quack_reduce_spark.plans import formatted_plan
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    keyed = orders.withColumn(
+        "__z", zorder_key(orders, "o_custkey", "o_totalprice")
+    ).repartitionByRange(16, F.col("__z"))
+    plan = formatted_plan(keyed)
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_bucket_code_is_rank_bucket(spark):
+    from quack_reduce_spark.operators.zorder import bucket_code
+
+    df = spark.createDataFrame(
+        [(5.0,), (10.0,), (15.0,), (25.0,), (35.0,), (None,)], "v double"
+    ).select("v", bucket_code(F.col("v"), [10.0, 20.0, 30.0]).alias("b"))
+    got = {r["v"]: r["b"] for r in df.collect()}
+    assert got == {5.0: 0, 10.0: 1, 15.0: 1, 25.0: 2, 35.0: 3, None: 0}
+
+
 def test_morton_key_interleaves_bits(spark):
     from quack_reduce_spark.operators.zorder import morton_key
 
