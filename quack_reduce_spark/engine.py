@@ -157,21 +157,35 @@ class Engine:
         (session.py sets spark.scheduler.mode=FAIR), so a dashboard
         firing a burst of queries gets round-robin task scheduling
         instead of FIFO convoying behind the largest query. Spark local
-        properties are thread-local under PySpark's pinned-thread mode,
-        so pool assignment per worker is safe; the pool property is
-        cleared before the thread is returned to the executor's pool.
+        properties are thread-local ONLY under PySpark's pinned-thread
+        mode (the default since 3.2): if the user disabled it via
+        PYSPARK_PIN_THREAD=false, setLocalProperty would race across
+        worker threads, so pool assignment is skipped and the burst
+        runs in the default pool (correct, just FIFO-scheduled). The
+        warm flag is resolved once at burst start — with concurrent
+        workers "first query of the burst" is not well-defined, so
+        every envelope reports the session's warmth when the burst was
+        submitted.
         """
+        import os
         from concurrent.futures import ThreadPoolExecutor
 
         sc = self.spark.sparkContext
+        pinned = os.environ.get("PYSPARK_PIN_THREAD", "true").lower() != "false"
+        burst_warm = self._was_warm
+        self._was_warm = True  # set once, before workers run: no racy mutation
 
         def run_one(item: tuple[int, str]) -> QueryResult:
             i, q = item
-            sc.setLocalProperty("spark.scheduler.pool", f"qrs_pool_{i % max_threads}")
+            if pinned:
+                sc.setLocalProperty("spark.scheduler.pool", f"qrs_pool_{i % max_threads}")
             try:
-                return self.sql(q, limit=limit)
+                res = self.sql(q, limit=limit)
+                res.metadata["warm"] = burst_warm
+                return res
             finally:
-                sc.setLocalProperty("spark.scheduler.pool", None)
+                if pinned:
+                    sc.setLocalProperty("spark.scheduler.pool", None)
 
         with ThreadPoolExecutor(max_workers=max_threads) as pool:
             return list(pool.map(run_one, enumerate(queries)))

@@ -103,6 +103,19 @@ def kmeans_assign(
             .select("__cell", _normalize(F.col("__mean")).alias("__cvec"))
             .localCheckpoint(eager=True)
         )
+        n_cells = new_cents.count()
+        if n_cells < k:
+            # A centroid with zero members vanishes from the re-mean;
+            # the movement join below would silently drop its cell and
+            # convergence could be declared with < k clusters. Surface
+            # the collapse instead (same contract as non-convergence:
+            # a silently degenerate clustering is wrong). Callers pick
+            # a smaller k or better-separated seeds.
+            raise RuntimeError(
+                f"k-means cluster collapse: {k - n_cells} of {k} centroids "
+                f"received zero members this round (duplicate/degenerate "
+                f"seeds or k too large for the data)"
+            )
         moved = (
             cents.alias("o")
             .join(new_cents.alias("n"), "__cell")

@@ -165,11 +165,22 @@ def read_upsert_log(spark: SparkSession, out_dir: str, keys: list[str]) -> DataF
     current state is the LATEST batch's row per key (standard
     CDC-merge read). One window on (keys) ordered by __batch_id desc —
     at scale the log is periodically compacted (Engine.compact) so the
-    window scans bounded history."""
+    window scans bounded history.
+
+    Aggregated update-mode streams write one row per key per batch, but
+    a non-aggregated stream routed through the same sink can write
+    several; the struct-of-remaining-columns secondary sort makes the
+    survivor deterministic in that case (greatest payload under
+    Spark's struct ordering) instead of whichever row the scan happened
+    to order first."""
     from pyspark.sql import Window as W
 
     log = spark.read.parquet(out_dir)
-    w = W.partitionBy(*keys).orderBy(F.col("__batch_id").desc())
+    payload = sorted(c for c in log.columns if c not in keys and c != "__batch_id")
+    order = [F.col("__batch_id").desc()]
+    if payload:
+        order.append(F.struct(*[F.col(c) for c in payload]).desc())
+    w = W.partitionBy(*keys).orderBy(*order)
     return (
         log.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
@@ -181,8 +192,19 @@ def stream_progress_summary(query) -> dict:
     """Operational metrics from a (finished or running) streaming
     query's progress events: batches, rows processed, and processing
     rate — the numbers an operator dashboards for admission-control
-    tuning (maxFilesPerTrigger vs observed rows/sec)."""
+    tuning (maxFilesPerTrigger vs observed rows/sec).
+
+    ``recentProgress`` is a bounded ring buffer
+    (spark.sql.streaming.numRecentProgressUpdates, default 100), so for
+    queries longer than the buffer these sums undercount — reported
+    honestly via ``truncated``; exact lifetime totals need a
+    StreamingQueryListener accumulating per-batch."""
     progs = [p for p in (query.recentProgress or []) if p]
+    try:
+        spark = SparkSession.getActiveSession()
+        cap = int(spark.conf.get("spark.sql.streaming.numRecentProgressUpdates"))
+    except Exception:
+        cap = 100
     rows = sum(int(p.get("numInputRows", 0)) for p in progs)
     secs = sum(
         float(p.get("batchDuration", 0)) / 1000.0 for p in progs
@@ -192,6 +214,7 @@ def stream_progress_summary(query) -> dict:
         "input_rows": rows,
         "wall_sec": round(secs, 3),
         "rows_per_sec": round(rows / secs, 1) if secs else None,
+        "truncated": len(progs) >= cap,
     }
 
 

@@ -61,3 +61,17 @@ def test_kmeans_profile_shape(spark, clustered):
     # tight planted clusters -> very high cohesion
     assert all(r["mean_cohesion"] > 0.95 for r in rows)
     assert all(r["min_cohesion"] <= r["mean_cohesion"] for r in rows)
+
+
+def test_kmeans_raises_on_cluster_collapse(spark):
+    # two identical seed vectors: every point ties to both centroids and
+    # the deterministic tiebreak sends all members to the lower cell, so
+    # the other centroid gets zero members — must raise, not silently
+    # converge with fewer than k clusters
+    from quack_reduce_spark.operators.clustering import kmeans_assign
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(6)]
+    rows.append((6, [0.0, 1.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(RuntimeError, match="cluster collapse"):
+        kmeans_assign(df, k=2)

@@ -330,6 +330,32 @@ def test_read_upsert_log_returns_latest_state(spark, sf_dir, tmp_path):
     m = stream_progress_summary(q)
     assert m["n_batches"] >= 2  # maxFilesPerTrigger=2 over 4 files
     assert m["input_rows"] == events.count()
+    assert m["truncated"] is False  # well under the ring-buffer cap
+
+
+def test_read_upsert_log_deterministic_on_multi_row_batches(spark, tmp_path):
+    # non-aggregated streams can write several rows per key per batch;
+    # the survivor must be deterministic (greatest payload struct), not
+    # scan-order luck
+    from quack_reduce_spark.streaming import read_upsert_log
+
+    log = spark.createDataFrame(
+        [
+            ("k1", "a", 7, 0),
+            ("k1", "z", 3, 0),  # same key, same batch
+            ("k2", "m", 1, 0),
+        ],
+        "k string, payload string, n int, __batch_id long",
+    )
+    log.write.parquet(str(tmp_path / "log"))
+    for _ in range(3):
+        got = {
+            (r["k"], r["payload"], r["n"])
+            for r in read_upsert_log(spark, str(tmp_path / "log"), keys=["k"]).collect()
+        }
+        # payload columns compare alphabetically (n before payload):
+        # the n=7 row deterministically survives
+        assert got == {("k1", "a", 7), ("k2", "m", 1)}
 
 
 def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
