@@ -107,8 +107,28 @@ def mm_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end to end: each document id parameterizes a
+    spec-conformant RIFF/PCM-16 WAV payload (square wave, n_samples =
+    50 + id % 100, amplitude = 500 + id % 30000), and ``wav_stats``
+    parses the actual bytes — chunk walk, fmt header, int16 frames —
+    then computes RMS/peak with numpy. A square wave's RMS and peak
+    both equal its amplitude EXACTLY in float64, so the whole decode
+    path is hash-oracled against the analytic closed form (the same
+    trick mm_video_scenes uses for its kernel). The one modality this
+    environment can decode without external libs."""
+    from quack_reduce_spark.multimodal import attach_wav_payload, wav_stats
+
+    docs = load(spark, sf_dir, "documents")
+    clips = attach_wav_payload(docs)
+    return wav_stats(clips).select(
+        "doc_id", "sample_rate", "n_channels", "n_samples", "rms", "peak"
+    )
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
+    "mm_audio_rms": mm_audio_rms,
     "mm_video_scenes": mm_video_scenes,
     "mm_decode_stub": mm_decode_stub,
     "mm_frame_sample": mm_frame_sample,
@@ -119,6 +139,18 @@ QUERIES = {
 
 
 ORACLES = {
+    "mm_audio_rms": """
+        -- analytic closed form of the synthesized square-wave clips:
+        -- RMS and peak of an alternating ±A wave are exactly A, and
+        -- the header fields are the synthesis parameters
+        SELECT doc_id,
+               8000 AS sample_rate,
+               1 AS n_channels,
+               CAST(50 + doc_id % 100 AS INT) AS n_samples,
+               CAST(500 + doc_id % 30000 AS DOUBLE) AS rms,
+               CAST(500 + doc_id % 30000 AS INT) AS peak
+        FROM documents
+    """,
     "mm_video_scenes": """
         -- rebuild the byte-frame kernel in SQL: per-char ascii codes
         -- (fixture text is pure ASCII, so char == byte), 64-byte
