@@ -18,7 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from quack_reduce_spark.inventory._util import load, rnd
-from quack_reduce_spark.operators.asof import asof_join, asof_join_broadcast
+from quack_reduce_spark.operators.asof import asof_join, asof_join_auto, asof_join_broadcast
 
 
 def ts_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,6 +176,32 @@ def ts_asof_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("purchase_value"))
     )
     joined = asof_join_broadcast(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_value"],
+        suffix="",
+    )
+    return joined.select("event_id", "user_id", "purchase_value")
+
+
+def ts_asof_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-dispatched as-of join (operators/asof.py:asof_join_auto):
+    a bounded size probe routes the dimension-sized purchase history to
+    the broadcast plan here (same result as ts_asof_join_broadcast;
+    the big-right route to the union+window composite is plan-asserted
+    in tests/test_asof.py). Oracle is the identical DuckDB ASOF LEFT
+    JOIN — dispatch must never change semantics."""
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join_auto(
         clicks,
         purchases,
         on=["user_id"],
@@ -449,6 +475,7 @@ QUERIES = {
     "ts_asof_forward": ts_asof_forward,
     "ts_asof_tolerance": ts_asof_tolerance,
     "ts_asof_join_broadcast": ts_asof_join_broadcast,
+    "ts_asof_auto": ts_asof_auto,
     "ts_date_rollup": ts_date_rollup,
     "ts_gap_fill": ts_gap_fill,
     "ts_interpolate": ts_interpolate,
@@ -547,6 +574,20 @@ ORACLES = {
           ON c.user_id = p.user_id AND c.ts >= p.ts
     """,
     "ts_asof_join_broadcast": """
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id, ts, MAX(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        )
+        SELECT c.event_id, c.user_id, p.purchase_value
+        FROM clicks c
+        ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "ts_asof_auto": """
         WITH clicks AS (
             SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
         ),

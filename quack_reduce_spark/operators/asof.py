@@ -94,6 +94,45 @@ def asof_join(
     return filled.filter(F.col("__side") == 1).drop("__side")
 
 
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+    direction: str = "backward",
+    broadcast_row_limit: int = 1_000_000,
+) -> DataFrame:
+    """Dispatch between the two as-of plans so callers can't pick the
+    wrong one at scale: a dimension-sized right side routes to
+    ``asof_join_broadcast`` (fact never shuffled), anything bigger to
+    the union+window composite (``asof_join``), which has no
+    fits-in-a-broadcast requirement.
+
+    The size probe is a BOUNDED count — ``right.limit(threshold+1)``
+    — so deciding never scans more than threshold+1 rows even when the
+    right side is a 100 TB table; at the default threshold the
+    collapsed per-key arrays of ≤1M (ts, value) structs sit comfortably
+    under Spark's broadcast limit. The probe is one extra small job;
+    callers that already know their shape keep calling the specific
+    variant directly.
+    """
+    n_right = right.limit(broadcast_row_limit + 1).count()
+    impl = asof_join_broadcast if n_right <= broadcast_row_limit else asof_join
+    return impl(
+        left,
+        right,
+        on=on,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        value_cols=value_cols,
+        suffix=suffix,
+        direction=direction,
+    )
+
+
 def asof_join_broadcast(
     left: DataFrame,
     right: DataFrame,

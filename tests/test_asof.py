@@ -127,3 +127,34 @@ def test_asof_broadcast_plan_no_fact_shuffle(spark):
     ]
     assert fact_exchanges == []
     assert re.search(r"Exchange .*SinglePartition|BroadcastExchange", plan)
+
+
+def test_asof_auto_routes_small_right_to_broadcast_plan(spark):
+    from quack_reduce_spark.operators.asof import asof_join_auto
+    from quack_reduce_spark.plans import formatted_plan
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20)], "id long, k string, ts long"
+    )
+    right = spark.createDataFrame([("a", 5, 1.0)], "k string, ts long, v double")
+    out = asof_join_auto(left, right, ["k"], "ts", "ts", ["v"])
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan and "Window" not in plan
+    assert {(r["id"], r["v_asof"]) for r in out.collect()} == {(1, 1.0), (2, 1.0)}
+
+
+def test_asof_auto_routes_large_right_to_windowed_composite(spark):
+    from quack_reduce_spark.operators.asof import asof_join, asof_join_auto
+    from quack_reduce_spark.plans import formatted_plan
+
+    left = spark.createDataFrame(
+        [(i, "k", i * 10) for i in range(5)], "id long, k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k", i * 7, float(i)) for i in range(5)], "k string, ts long, v double"
+    )
+    # force the big-right route with a tiny threshold
+    out = asof_join_auto(left, right, ["k"], "ts", "ts", ["v"], broadcast_row_limit=2)
+    assert "Window" in formatted_plan(out)
+    want = sorted(map(tuple, asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()))
+    assert sorted(map(tuple, out.collect())) == want
