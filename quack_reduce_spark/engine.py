@@ -21,6 +21,7 @@ the cap also bounds compute, not just the payload.
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -294,7 +295,9 @@ class Engine:
                 writer = writer.partitionBy(*parts)
             writer.parquet(dest)
 
-        n_merged = self._commit_rewrite(target_path, write_to, expected_rows=None)
+        n_merged = self._commit_rewrite(
+            target_path, write_to, expected_rows=None, op="merge_upsert"
+        )
         return {
             "target_rows_before": n_target,
             "update_rows": n_updates,
@@ -343,13 +346,140 @@ class Engine:
                 writer = df.repartition(n_files).write.mode("overwrite")
             writer.parquet(dest)
 
-        self._commit_rewrite(path, write_to, expected_rows=n_rows)
+        self._commit_rewrite(path, write_to, expected_rows=n_rows, op="compact")
         files_after = _count_parquet_files(lake.resolve(path))
         return {
             "rows": n_rows,
             "files_before": files_before,
             "files_after": files_after,
         }
+
+    def write_versioned(
+        self,
+        df: DataFrame,
+        path: str,
+        partition_by: list[str] | None = None,
+        op: str = "write",
+    ) -> str:
+        """Write ``df`` as a NEW VERSION of the versioned table at
+        ``path`` (creating the table on first call). Data lands in a
+        fresh immutable ``vNNNNNNNN/`` directory with a manifest; the
+        commit is one pointer write — the object-store-safe protocol
+        (see lake.py). Returns the committed version name.
+
+        Every snapshot stays readable via ``read_table(version=...)``
+        until ``vacuum`` — this is the time-travel write path."""
+        from quack_reduce_spark import lake
+
+        os.makedirs(path, exist_ok=True)
+        version, data_dir = lake.stage_version(path)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        rows = self.spark.read.parquet(data_dir).count()
+        lake.write_manifest(path, version, op, rows)
+        lake.commit(path, version)
+        return version
+
+    def read_table(self, path: str, version: int | str | None = None) -> DataFrame:
+        """Time-travel read: the live snapshot by default, or any
+        still-present historical version of a versioned table. Plain
+        directories read as-is (version must be None)."""
+        from quack_reduce_spark import lake
+
+        if version is None:
+            return self.spark.read.parquet(lake.resolve(path))
+        return self.spark.read.parquet(lake.version_path(path, version))
+
+    def history(self, path: str) -> list[dict]:
+        """Commit history of a versioned table (ascending), with op /
+        row-count / is_current per version — the time-travel index."""
+        from quack_reduce_spark import lake
+
+        return lake.history(path)
+
+    def rollback(self, path: str, version: int | str) -> str:
+        """Restore a previous snapshot: O(1) pointer flip, no data
+        movement (Delta RESTORE semantics); see lake.rollback."""
+        from quack_reduce_spark import lake
+
+        return lake.rollback(path, version)
+
+    def delete_where(
+        self,
+        path: str,
+        predicate: str,
+        partition_by: list[str] | None = None,
+    ) -> dict[str, int]:
+        """Copy-on-write DELETE: rewrite the table keeping rows that do
+        NOT match ``predicate`` (a SQL boolean expression) — the GDPR /
+        right-to-be-forgotten maintenance op every lake needs. Same
+        crash-safe commit as merge_upsert/compact; hive partition
+        layouts preserved. On a versioned table the pre-delete snapshot
+        remains time-travel-readable until vacuum (which is what makes
+        the delete auditable AND reversible until retention expires).
+
+        Scale: predicate pushdown makes the scan cheap; the rewrite
+        cost is the table — at 100 TB, partition-restrict the rewrite
+        by running delete_where per affected partition (the predicate
+        prunes untouched partitions' scans, and unchanged partitions
+        can be skipped entirely by first aggregating match counts per
+        partition)."""
+        from quack_reduce_spark import lake
+
+        data_path = lake.resolve(path)
+        df = self.spark.read.parquet(data_path)
+        parts = self._partition_cols(data_path, partition_by, df.columns)
+        n_before = df.count()
+        kept = df.filter(f"NOT ({predicate})")
+
+        def write_to(dest: str) -> None:
+            writer = kept.write.mode("overwrite")
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(dest)
+
+        n_after = self._commit_rewrite(path, write_to, expected_rows=None, op="delete")
+        return {
+            "rows_before": n_before,
+            "rows_deleted": n_before - n_after,
+            "rows_after": n_after,
+        }
+
+    def table_changes(
+        self, path: str, v_from: int | str, v_to: int | str, key: str
+    ) -> DataFrame:
+        """Change feed between two snapshots of a versioned table —
+        what CDC consumers read after the fact. Keyed full-outer join
+        of the two versions: absent-in-from → ``insert``, absent-in-to
+        → ``delete``, present in both with any non-key column changed
+        (murmur3 hash over all columns) → ``update``; unchanged rows
+        are dropped. Returns (key, change_type).
+
+        Scale: one shuffle per side on the key (co-partitioned join);
+        the hash comparison is JVM-side F.hash, no Python. At 100 TB
+        both snapshots usually share most data files — a file-level
+        manifest diff would skip identical files first; with plain
+        parquet versions the honest cost is the two scans."""
+        a = self.read_table(path, v_from)
+        b = self.read_table(path, v_to)
+        if set(a.columns) != set(b.columns):
+            raise ValueError(f"schema drift between versions: {a.columns} vs {b.columns}")
+        cols = sorted(a.columns)
+        ah = a.select(F.col(key).alias("__k"), F.hash(*[F.col(c) for c in cols]).alias("__ha"))
+        bh = b.select(F.col(key).alias("__k"), F.hash(*[F.col(c) for c in cols]).alias("__hb"))
+        joined = ah.join(bh, "__k", "full_outer")
+        return (
+            joined.withColumn(
+                "change_type",
+                F.when(F.col("__ha").isNull(), F.lit("insert"))
+                .when(F.col("__hb").isNull(), F.lit("delete"))
+                .when(F.col("__ha") != F.col("__hb"), F.lit("update")),
+            )
+            .filter(F.col("change_type").isNotNull())
+            .select(F.col("__k").alias(key), "change_type")
+        )
 
     def _partition_cols(
         self, data_path: str, partition_by: list[str] | None, columns: list[str]
@@ -368,7 +498,7 @@ class Engine:
         return parts
 
     def _commit_rewrite(
-        self, path: str, write_to, expected_rows: int | None
+        self, path: str, write_to, expected_rows: int | None, op: str = "rewrite"
     ) -> int:
         """Write a full rewrite of table ``path`` and make it live
         without ever leaving the table unreadable. Two protocols:
@@ -407,6 +537,7 @@ class Engine:
             version, data_dir = lake.stage_version(path)
             write_to(data_dir)
             n_after = verify(data_dir)
+            lake.write_manifest(path, version, op, n_after)
             lake.commit(path, version)
             return n_after
 

@@ -85,8 +85,9 @@ _HEAD = [
     "dedup_exact",
     "sim_cosine_topk",
     "mm_binary_meta",
-    # Round-5 additions (first-time keys)
-    "mm_audio_rms", "ts_asof_auto",
+    # Round-5 additions (first-time keys): real WAV + real PNG codecs,
+    # size-dispatched as-of
+    "mm_audio_rms", "mm_image_stats", "mm_image_resize", "ts_asof_auto",
     # Tier B SQL surface — never driver-sampled
     "b3_recursive_cte", "b3_lateral_join", "b3_from_json_struct",
     "b3_sequence_zip_aggregate", "b2_window_range_frame",
@@ -99,7 +100,6 @@ _HEAD = [
     # Time-series — never driver-sampled
     "ts_sliding_window", "ts_retention_cohorts", "ts_gap_fill",
     "ts_interpolate", "ts_zscore_anomaly", "ts_asof_forward",
-    "ts_asof_tolerance",
     # Live Structured Streaming — never driver-sampled
     "stream_interval_join", "stream_static_enrich", "stream_session_dynamic",
     # Text analysis / corpus assembly — never driver-sampled
@@ -109,7 +109,7 @@ _HEAD = [
     # Dedup — never driver-sampled
     "dedup_cross_source", "dedup_embedding_cosine", "dedup_components_twophase",
     # Similarity — never driver-sampled
-    "sim_nearest_centroid", "sim_label_centroid_norm",
+    "sim_nearest_centroid",
     # Python-UDF surface — never driver-sampled
     "udf_arrow_scalar",
 ]

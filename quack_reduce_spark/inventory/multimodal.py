@@ -126,9 +126,69 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end to end: each document id parameterizes a
+    spec-conformant 8-bit RGB PNG (w = 8 + id%9, h = 8 + (id//3)%9,
+    pixel[y,x,c] = (3x + 7y + 11*(id%251) + 13c) % 256, scanline
+    filter cycling through ALL FIVE PNG filter types), and
+    ``png_image_stats`` decodes the actual bytes — chunk walk, zlib
+    inflate, unfilter — then computes per-channel means with numpy.
+    The pixel formula is closed-form integer math, so the whole
+    encode→decode pipeline (including every unfilter branch) is
+    hash-ORACLED against a pure-SQL rebuild. Second real-codec
+    modality after mm_audio_rms's WAV; no PIL anywhere."""
+    from quack_reduce_spark.multimodal import attach_png_payload, png_image_stats
+
+    docs = load(spark, sf_dir, "documents")
+    stats = png_image_stats(attach_png_payload(docs))
+    from quack_reduce_spark.inventory._util import rnd
+
+    return stats.select(
+        "doc_id", "width", "height", "mode",
+        rnd(F.col("mean_r"), 4).alias("mean_r"),
+        rnd(F.col("mean_g"), 4).alias("mean_g"),
+        rnd(F.col("mean_b"), 4).alias("mean_b"),
+    )
+
+
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize roundtrip: synthesize PNG → decode → 4x4
+    nearest-neighbor resize (integer floor-div index mapping) →
+    RE-ENCODE as PNG → decode AGAIN → exact pixel sum. Two full codec
+    roundtrips per row, hash-oracled against the SQL rebuild of the
+    nearest-neighbor sample of the generator formula."""
+    from quack_reduce_spark.multimodal import (
+        attach_png_payload,
+        png_thumb_sums,
+        resize_image,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    thumbs = resize_image(
+        attach_png_payload(docs), width=4, height=4, payload_col="png", fake=False
+    )
+    return png_thumb_sums(thumbs).select("doc_id", "thumb_w", "thumb_h", "pixel_sum")
+
+
+def mm_image_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decoded-pixel feature: per-image 8-bucket greyscale
+    histogram (grey = (r+g+b)//3, bucket = grey//32 — pure integer
+    math) over fully decoded PNGs, exploded to rows and hash-oracled.
+    This is the counting form of ``extract_features(fake=False)``'s
+    normalized histogram feature vector."""
+    from quack_reduce_spark.multimodal.codec import png_gray_hist
+    from quack_reduce_spark.multimodal import attach_png_payload
+
+    docs = load(spark, sf_dir, "documents")
+    return png_gray_hist(attach_png_payload(docs)).select("doc_id", "bucket", "n")
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_audio_rms": mm_audio_rms,
+    "mm_image_stats": mm_image_stats,
+    "mm_image_resize": mm_image_resize,
+    "mm_image_hist": mm_image_hist,
     "mm_video_scenes": mm_video_scenes,
     "mm_decode_stub": mm_decode_stub,
     "mm_frame_sample": mm_frame_sample,
@@ -139,6 +199,86 @@ QUERIES = {
 
 
 ORACLES = {
+    "mm_image_stats": """
+        -- analytic rebuild of the synthesized PNGs: header fields are
+        -- the synthesis parameters, channel means re-derive from the
+        -- closed-form pixel formula (3x + 7y + 11s + 13c) % 256 over
+        -- the image extent. A hash match proves the Spark side's
+        -- zlib inflate + all-five-filter unfilter reconstructed every
+        -- pixel exactly.
+        WITH p AS (
+            SELECT doc_id,
+                   CAST(8 + doc_id % 9 AS INT) AS w,
+                   CAST(8 + (doc_id // 3) % 9 AS INT) AS h,
+                   doc_id % 251 AS s
+            FROM documents
+        ),
+        px AS (
+            SELECT p.doc_id, p.w, p.h, c.i AS c,
+                   (3 * x.i + 7 * y.i + 11 * p.s + 13 * c.i) % 256 AS v
+            FROM p
+            CROSS JOIN generate_series(0, 15) AS x(i)
+            CROSS JOIN generate_series(0, 15) AS y(i)
+            CROSS JOIN generate_series(0, 2) AS c(i)
+            WHERE x.i < p.w AND y.i < p.h
+        )
+        SELECT doc_id, w AS width, h AS height, 'RGB' AS mode,
+               FLOOR(AVG(CASE WHEN c = 0 THEN v END) * 1e4 + 0.5) / 1e4 AS mean_r,
+               FLOOR(AVG(CASE WHEN c = 1 THEN v END) * 1e4 + 0.5) / 1e4 AS mean_g,
+               FLOOR(AVG(CASE WHEN c = 2 THEN v END) * 1e4 + 0.5) / 1e4 AS mean_b
+        FROM px GROUP BY doc_id, w, h
+    """,
+    "mm_image_resize": """
+        -- nearest-neighbor sample of the generator formula at
+        -- src = (dst * extent) // 4 — the same floor-division
+        -- convention as png.resize_nearest, so the double-roundtrip
+        -- (encode, decode, resize, re-encode, decode) pixel sum
+        -- matches exactly
+        WITH p AS (
+            SELECT doc_id,
+                   8 + doc_id % 9 AS w,
+                   8 + (doc_id // 3) % 9 AS h,
+                   doc_id % 251 AS s
+            FROM documents
+        ),
+        px AS (
+            SELECT p.doc_id,
+                   (3 * ((x.i * p.w) // 4) + 7 * ((y.i * p.h) // 4)
+                    + 11 * p.s + 13 * c.i) % 256 AS v
+            FROM p
+            CROSS JOIN generate_series(0, 3) AS x(i)
+            CROSS JOIN generate_series(0, 3) AS y(i)
+            CROSS JOIN generate_series(0, 2) AS c(i)
+        )
+        SELECT doc_id, 4 AS thumb_w, 4 AS thumb_h,
+               CAST(SUM(v) AS BIGINT) AS pixel_sum
+        FROM px GROUP BY doc_id
+    """,
+    "mm_image_hist": """
+        -- integer greyscale bucketing of the generator formula:
+        -- grey = (r + g + b) // 3 with each channel reduced mod 256
+        -- FIRST (matching the decoded uint8 pixels), bucket = grey//32
+        WITH p AS (
+            SELECT doc_id,
+                   8 + doc_id % 9 AS w,
+                   8 + (doc_id // 3) % 9 AS h,
+                   doc_id % 251 AS s
+            FROM documents
+        ),
+        px AS (
+            SELECT p.doc_id,
+                   ((3 * x.i + 7 * y.i + 11 * p.s) % 256
+                    + (3 * x.i + 7 * y.i + 11 * p.s + 13) % 256
+                    + (3 * x.i + 7 * y.i + 11 * p.s + 26) % 256) // 3 AS grey
+            FROM p
+            CROSS JOIN generate_series(0, 15) AS x(i)
+            CROSS JOIN generate_series(0, 15) AS y(i)
+            WHERE x.i < p.w AND y.i < p.h
+        )
+        SELECT doc_id, CAST(grey // 32 AS INT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM px GROUP BY doc_id, grey // 32
+    """,
     "mm_audio_rms": """
         -- analytic closed form of the synthesized square-wave clips:
         -- RMS and peak of an alternating ±A wave are exactly A, and

@@ -31,12 +31,15 @@ full table format. Old versions stay readable until :func:`vacuum`.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
+import time
 import uuid
 
 CURRENT = "_CURRENT"
+MANIFEST = "_meta.json"
 _VERSION_RE = re.compile(r"^v\d{8}$")
 
 
@@ -121,6 +124,79 @@ def convert_to_versioned(path: str) -> str:
             os.rename(os.path.join(path, entry), os.path.join(data_dir, entry))
     commit(path, version)
     return version
+
+
+def normalize_version(version: int | str) -> str:
+    """Accept ``3`` / ``"3"`` / ``"v00000003"`` and return the
+    canonical directory name."""
+    if isinstance(version, int) or (isinstance(version, str) and version.isdigit()):
+        return f"v{int(version):08d}"
+    if isinstance(version, str) and _VERSION_RE.match(version):
+        return version
+    raise ValueError(f"bad version {version!r}")
+
+
+def write_manifest(path: str, version: str, op: str, rows: int | None) -> None:
+    """Record commit metadata INSIDE the version directory (file name
+    starts with ``_`` so Spark's parquet reader treats it as hidden
+    metadata). Written before the pointer flip — the manifest is part
+    of the immutable staged version, never mutated after commit, and
+    vacuum reclaims it with the data it describes."""
+    meta = {
+        "version": version,
+        "op": op,
+        "rows": rows,
+        "committed_at": time.time(),
+    }
+    with open(os.path.join(path, version, MANIFEST), "w") as fh:
+        json.dump(meta, fh, indent=1, sort_keys=True)
+
+
+def read_manifest(path: str, version: str) -> dict | None:
+    p = os.path.join(path, version, MANIFEST)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def history(path: str) -> list[dict]:
+    """Commit history, ascending: one row per version directory with
+    its manifest metadata (op, rows, committed_at) and whether it is
+    the live version. This is the time-travel index — any listed
+    version can be read (:meth:`Engine.read_table`) or restored
+    (:func:`rollback`) until vacuum removes it."""
+    current = current_version(path)
+    out = []
+    for v in list_versions(path):
+        meta = read_manifest(path, v) or {"version": v, "op": None, "rows": None}
+        meta["is_current"] = v == current
+        out.append(meta)
+    return out
+
+
+def version_path(path: str, version: int | str) -> str:
+    """Data directory of a specific version (time-travel read target).
+    Raises if the version directory does not exist (vacuumed or never
+    committed)."""
+    v = normalize_version(version)
+    p = os.path.join(path, v)
+    if not os.path.isdir(p):
+        raise ValueError(f"version {v} not present under {path} (vacuumed?)")
+    return p
+
+
+def rollback(path: str, version: int | str) -> str:
+    """Restore a previous version by flipping the pointer back — O(1)
+    metadata-only, no data movement (the Delta RESTORE semantics).
+    Later versions stay on disk (re-rollback-able) until vacuum; the
+    next staged write continues numbering after the HIGHEST existing
+    version, so roll-forward history is never overwritten."""
+    v = normalize_version(version)
+    if not os.path.isdir(os.path.join(path, v)):
+        raise ValueError(f"cannot rollback to {v}: not present under {path}")
+    commit(path, v)
+    return v
 
 
 def vacuum(path: str, keep: int = 1) -> list[str]:

@@ -6,14 +6,20 @@ ordinary parquet ``binary`` columns; decode / feature-extract runs as
 worker per partition, never a row-at-a-time UDF. Output schemas are
 explicit StructTypes so downstream relational ops stay fully typed.
 
-AUDIO IS DECODED FOR REAL: 16-bit PCM WAV parsing needs only stdlib
-``struct`` + numpy (``decode_wav`` / ``wav_stats`` below, and
-``audio_windows(fake=False)``), so that path has no stub. IMAGE/VIDEO
-DECODERS REMAIN STUBBED: this environment has no PIL/libvips/ffmpeg.
-``decode_image_meta(..., fake=True)`` (the default here) derives
-deterministic pseudo-metadata from the payload bytes so the plumbing
-(batching, schema, partition behavior) is testable end-to-end;
-``fake=False`` raises NotImplementedError where PIL would be called.
+AUDIO AND PNG ARE DECODED FOR REAL: 16-bit PCM WAV parsing needs only
+stdlib ``struct`` + numpy (``decode_wav`` / ``wav_stats`` below, and
+``audio_windows(fake=False)``), and PNG needs only stdlib ``zlib`` +
+``struct`` + numpy (png.py: full inflate + all five scanline
+unfilters), so ``decode_image_meta`` / ``resize_image`` /
+``extract_features`` with ``fake=False`` run a REAL codec end to end
+(hash-oracled in inventory/multimodal.py). What remains stubbed is
+what genuinely needs external libraries — JPEG/WebP (libjpeg/PIL) and
+video frame extraction / scene detection (ffmpeg):
+``sample_frames(fake=False)`` / ``scene_changes(fake=False)`` raise
+NotImplementedError with the reason. The ``fake=True`` defaults keep
+deriving deterministic pseudo-outputs from the payload bytes so the
+plumbing (batching, schema, partition behavior) stays testable on any
+binary column, PNG or not.
 """
 
 from __future__ import annotations
@@ -96,15 +102,19 @@ def decode_image_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = 
     mapInPandas: each partition arrives as an iterator of pandas
     batches; output conforms to IMAGE_META_SCHEMA. No shuffle — runs
     scan-side wherever the payload partitions already live.
-    """
+
+    ``fake=False`` is REAL for PNG payloads: signature + IHDR parse
+    only (:func:`png.parse_png_header`) — a metadata pass never pays
+    for inflate. ``fake=True`` (default) derives deterministic
+    pseudo-metadata from arbitrary bytes so the plumbing works on any
+    binary column."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from quack_reduce_spark.multimodal.png import parse_png_header
+
         for batch in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/libvips — not available in this environment"
-                )
-            decoded = [_fake_decode(bytes(p)) for p in batch[payload_col]]
+            decoder = parse_png_header if not fake else _fake_decode
+            decoded = [decoder(bytes(p)) for p in batch[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": batch[id_col].astype("int64"),
@@ -142,21 +152,31 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, id_col: str = "doc_id"
 
 
 def resize_image(df: DataFrame, width: int = 32, height: int = 32, id_col: str = "doc_id", payload_col: str = "payload", fake: bool = True) -> DataFrame:
-    """Resize stub: emit a fixed-size 'thumbnail' per payload (stands
-    in for PIL Image.resize). The fake codec tiles/truncates the
-    content bytes to exactly width*height bytes, so output size is
-    shape-correct and content-deterministic — the real plumbing
-    (Arrow batches, fixed output schema, no shuffle) is exercised."""
+    """Thumbnail generation per payload. ``fake=False`` is REAL for
+    PNG payloads: full decode (zlib inflate + unfilter), exact
+    nearest-neighbor resize (``src = dst * extent // extent``, the
+    floor-division convention the SQL oracle reproduces), and
+    re-ENCODE — the thumb column holds a valid PNG, so the pipeline
+    exercises both codec directions per row. ``fake=True`` (default)
+    tiles/truncates the content bytes to exactly width*height bytes,
+    so output size is shape-correct and content-deterministic on any
+    binary column."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from quack_reduce_spark.multimodal.png import (
+            decode_png,
+            encode_png,
+            resize_nearest,
+        )
+
         n = width * height
         for batch in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image resize requires PIL/libvips — not available here"
-                )
             thumbs = []
             for payload in batch[payload_col]:
+                if not fake:
+                    _, _, _, arr = decode_png(bytes(payload))
+                    thumbs.append(encode_png(resize_nearest(arr, width, height)))
+                    continue
                 data = bytes(payload) or b"\x00"
                 reps = -(-n // len(data))  # ceil
                 thumbs.append((data * reps)[:n])
@@ -173,20 +193,29 @@ def resize_image(df: DataFrame, width: int = 32, height: int = 32, id_col: str =
 
 
 def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", fake: bool = True) -> DataFrame:
-    """Feature-extraction stub: a FEATURE_DIM-float 'embedding' per
-    payload (stands in for a vision/audio encoder forward pass). Fake
-    path derives unit-interval floats from the md5 digest — stable
-    across runs and partitionings, so downstream ANN plumbing
-    (array<double> column, similarity joins) is testable end-to-end."""
+    """Feature extraction per payload → FEATURE_DIM-float vector.
+    ``fake=False`` is REAL for PNG payloads: full decode, then a
+    normalized FEATURE_DIM-bucket greyscale-intensity histogram (pure
+    integer bucketing — see :func:`png.gray_histogram` — so the
+    registry's mm_image_hist query can hash-oracle the same buckets
+    in SQL). Not a learned embedding (no model runtime here), but a
+    real decoded-pixel feature, and the downstream ANN plumbing
+    (array<double> column, similarity joins) is identical either way.
+    ``fake=True`` (default) derives unit-interval floats from the md5
+    digest — stable across runs and partitionings on any binary
+    column."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from quack_reduce_spark.multimodal.png import decode_png, gray_histogram
+
         for batch in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real feature extraction requires a model runtime — not available here"
-                )
             feats = []
             for payload in batch[payload_col]:
+                if not fake:
+                    _, _, _, arr = decode_png(bytes(payload))
+                    hist = gray_histogram(arr, FEATURE_DIM)
+                    feats.append((hist / hist.sum()).tolist())
+                    continue
                 digest = hashlib.md5(bytes(payload)).digest()
                 feats.append([digest[i * 2] / 255.0 for i in range(FEATURE_DIM)])
             yield pd.DataFrame({"doc_id": batch[id_col].astype("int64"), "feature": feats})
@@ -377,6 +406,143 @@ def wav_stats(df: DataFrame, id_col: str = "doc_id", payload_col: str = "wav") -
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(process, WAV_STATS_SCHEMA)
+
+
+# -- real PNG codec wrappers (decode itself lives in png.py: stdlib
+# zlib + struct + numpy, all five scanline filters, no PIL needed).
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a real PNG payload per row, parameterized by the row
+    id (see :func:`png.synthesize_png` for the closed-form pixel
+    formula that makes downstream stats SQL-oracle-able). mapInPandas
+    so synthesis scales with partitions like any ingest."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from quack_reduce_spark.multimodal.png import synthesize_png
+
+        for batch in batches:
+            ids = batch[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "png": [synthesize_png(int(i)) for i in ids]}
+            )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("png", BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(process, schema)
+
+
+def png_image_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "png"
+) -> DataFrame:
+    """REAL full-decode path: zlib inflate + unfilter every scanline
+    of each PNG payload, emit per-image header fields and exact
+    per-channel pixel means. Arrow-batched mapInPandas; no fake
+    parameter because nothing here is stubbed. Greyscale images
+    report their single channel in all three mean columns."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from quack_reduce_spark.multimodal.png import decode_png
+
+        for batch in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "mode", "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                w, h, mode, arr = decode_png(bytes(payload))
+                a = arr.astype("float64")
+                means = [float(a[:, :, min(c, arr.shape[2] - 1)].mean()) for c in range(3)]
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mode"].append(mode)
+                out["mean_r"].append(means[0])
+                out["mean_g"].append(means[1])
+                out["mean_b"].append(means[2])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(process, IMAGE_STATS_SCHEMA)
+
+
+THUMB_SUM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("thumb_w", IntegerType()),
+        StructField("thumb_h", IntegerType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def png_thumb_sums(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "thumb"
+) -> DataFrame:
+    """Decode (real) PNG thumbnails back to pixels and emit the exact
+    integer sum of all channel values — the second decode leg of the
+    encode→resize→re-encode→decode roundtrip that lets the resize
+    query be hash-oracled."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from quack_reduce_spark.multimodal.png import decode_png
+
+        for batch in batches:
+            out = {k: [] for k in ("doc_id", "thumb_w", "thumb_h", "pixel_sum")}
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                w, h, _, arr = decode_png(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["thumb_w"].append(w)
+                out["thumb_h"].append(h)
+                out["pixel_sum"].append(int(arr.astype("int64").sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(process, THUMB_SUM_SCHEMA)
+
+
+GRAY_HIST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bucket", IntegerType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def png_gray_hist(
+    df: DataFrame, n_buckets: int = 8, id_col: str = "doc_id", payload_col: str = "png"
+) -> DataFrame:
+    """Decode (real) PNGs and emit per-image greyscale-intensity
+    histogram buckets as rows — pure integer math
+    (:func:`png.gray_histogram`), so the SQL oracle rebuilds the same
+    buckets exactly. Empty buckets are omitted (SQL GROUP BY
+    semantics)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from quack_reduce_spark.multimodal.png import decode_png, gray_histogram
+
+        for batch in batches:
+            ids, buckets, counts = [], [], []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                _, _, _, arr = decode_png(bytes(payload))
+                hist = gray_histogram(arr, n_buckets)
+                for b in range(n_buckets):
+                    if hist[b]:
+                        ids.append(int(doc_id))
+                        buckets.append(b)
+                        counts.append(int(hist[b]))
+            yield pd.DataFrame({"doc_id": ids, "bucket": buckets, "n": counts})
+
+    return df.select(id_col, payload_col).mapInPandas(process, GRAY_HIST_SCHEMA)
 
 
 SCENE_SCHEMA = StructType(

@@ -26,9 +26,22 @@ def test_decode_schema_and_determinism(payloads):
     assert 64 <= w < 256 and 64 <= h < 256 and m in {"RGB", "RGBA", "L"}
 
 
-def test_decode_real_path_is_gated(payloads):
-    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+def test_decode_real_path_rejects_non_png(payloads):
+    # fake=False is now a REAL PNG header parse (png.py); on non-PNG
+    # bytes (these payloads are UTF-8 text) it must fail loudly, not
+    # fabricate metadata
+    with pytest.raises(Exception, match="not a PNG payload"):
         decode_image_meta(payloads, fake=False).collect()
+
+
+def test_video_paths_remain_gated(payloads):
+    # frame extraction / scene detection genuinely need ffmpeg
+    from quack_reduce_spark.multimodal import sample_frames, scene_changes
+
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        sample_frames(payloads, fake=False).collect()
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        scene_changes(payloads, fake=False).collect()
 
 
 def test_frame_sampling_fanout(payloads):
@@ -70,10 +83,12 @@ def test_resize_shape_and_determinism(payloads):
     assert all(len(t) == 32 * 32 for t in out1.values())
 
 
-def test_resize_real_path_is_gated(payloads):
+def test_resize_real_path_rejects_non_png(payloads):
+    # fake=False is a REAL PNG decode→resize→re-encode; on non-PNG
+    # bytes it must fail loudly
     from quack_reduce_spark.multimodal import resize_image
 
-    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+    with pytest.raises(Exception, match="not a PNG payload"):
         resize_image(payloads, fake=False).collect()
 
 
