@@ -31,6 +31,7 @@ from quack_reduce_spark.inventory import (
     relational4,
     retrieval,
     similarity,
+    lakeops,
     streaming_live,
     text,
     text2,
@@ -49,6 +50,7 @@ _MODULES = [
     tpch,
     tpch2,
     timeseries,
+    lakeops,
     streaming_live,
     text,
     text2,
@@ -86,8 +88,9 @@ _HEAD = [
     "sim_cosine_topk",
     "mm_binary_meta",
     # Round-5 additions (first-time keys): real WAV + real PNG codecs,
-    # size-dispatched as-of
+    # size-dispatched as-of, versioned-lake time travel + change feed
     "mm_audio_rms", "mm_image_stats", "mm_image_resize", "ts_asof_auto",
+    "lake_time_travel", "lake_change_feed",
     # Tier B SQL surface — never driver-sampled
     "b3_recursive_cte", "b3_lateral_join", "b3_from_json_struct",
     "b3_sequence_zip_aggregate", "b2_window_range_frame",
@@ -98,12 +101,12 @@ _HEAD = [
     "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
     "tpch_q20_excess_shippers", "tpch_q22_sales_opportunity",
     # Time-series — never driver-sampled
-    "ts_sliding_window", "ts_retention_cohorts", "ts_gap_fill",
+    "ts_sliding_window", "ts_retention_cohorts",
     "ts_interpolate", "ts_zscore_anomaly", "ts_asof_forward",
     # Live Structured Streaming — never driver-sampled
     "stream_interval_join", "stream_static_enrich", "stream_session_dynamic",
     # Text analysis / corpus assembly — never driver-sampled
-    "text_lm_score", "text_mixture_weights", "text_pack_windows",
+    "text_lm_score", "text_mixture_weights",
     "text_tfidf_terms", "text_gopher_quality", "text_pii_scrub",
     "text_token_budget",
     # Dedup — never driver-sampled

@@ -1,0 +1,217 @@
+"""Lake time-travel / CDC inventory (versioned-table layer).
+
+These queries exercise the FULL maintenance lifecycle of a versioned
+lake table — create, MERGE upsert, copy-on-write DELETE, time-travel
+reads of every historical snapshot, O(1) rollback, and the keyed
+change feed between snapshots — through the differential oracle gate:
+the DuckDB oracle recomputes every snapshot's state directly from the
+``orders`` fixture, so a hash match proves each commit produced
+exactly the rows the op contract promises AND that old versions stay
+byte-stable while new ones land.
+
+The reference has no transactional layer at all (plain parquet
+re-uploads, ``run_me_first.py:83-100``; table formats listed as future
+work in its ``README.md:190``) — this module verifies the minimal
+object-store-safe protocol this repo adds (lake.py: immutable version
+directories + one-pointer-write commits).
+
+Hermeticity: each call rebuilds its table under a fresh /tmp scratch
+dir, EAGERLY collects the (tiny) per-snapshot aggregates, removes the
+scratch dir, and returns a local DataFrame with an explicit schema —
+so repeated driver/bench runs never see each other's state. The heavy
+work (anti-join, rewrites, snapshot scans) is all distributed; only
+the few-row summary is collected, same as the fit steps elsewhere.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from quack_reduce_spark.inventory._util import load, rnd
+
+_SCRATCH = "/tmp/quack_reduce_spark_roundtrip"
+
+
+def _fresh_dir(sf_dir: str, tag: str) -> str:
+    path = os.path.join(_SCRATCH, os.path.basename(os.path.normpath(sf_dir)), tag)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def _build_versions(spark: SparkSession, sf_dir: str, path: str):
+    """The shared three-commit scenario:
+
+    - v1: orders with o_orderkey % 7 = 0
+    - v2: MERGE upsert — existing keys % 21 = 0 get o_totalprice
+      doubled (update), keys with % 7 = 3 AND % 5 = 0 are new
+      (insert)
+    - v3: copy-on-write DELETE of o_orderkey % 14 = 0
+    """
+    from quack_reduce_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    orders = load(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 7 == 0)
+    eng.write_versioned(v1, path, op="create")
+
+    updates = orders.filter(F.col("o_orderkey") % 21 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    ).unionByName(
+        orders.filter((F.col("o_orderkey") % 7 == 3) & (F.col("o_orderkey") % 5 == 0))
+    )
+    eng.merge_upsert(path, updates, key="o_orderkey")
+    eng.delete_where(path, "o_orderkey % 14 = 0")
+    return eng
+
+
+_TT_SCHEMA = StructType(
+    [
+        StructField("snapshot", StringType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("sum_price", DoubleType(), False),
+    ]
+)
+
+
+def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel over a versioned table's full maintenance
+    lifecycle: after create → merge_upsert → delete_where, read ALL
+    THREE snapshots plus the post-ROLLBACK live table (pointer flipped
+    back to v1 — O(1), no data movement) and aggregate each. The
+    oracle recomputes every state from ``orders``, so the hash match
+    proves (a) each commit's row-level contract, (b) historical
+    versions are immutable under later commits, and (c) rollback
+    restores v1 bit-exactly."""
+    path = _fresh_dir(sf_dir, "lake_tt")
+    eng = _build_versions(spark, sf_dir, path)
+
+    def summarize(tag: str, df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.sum("o_totalprice"), 2).alias("s"),
+        ).collect()[0]
+        return (tag, int(row["n"]), float(row["s"]))
+
+    rows = [
+        summarize("v1", eng.read_table(path, 1)),
+        summarize("v2", eng.read_table(path, 2)),
+        summarize("v3", eng.read_table(path, 3)),
+    ]
+    assert [h["op"] for h in eng.history(path)] == ["create", "merge_upsert", "delete"]
+    eng.rollback(path, 1)
+    rows.append(summarize("restored", eng.read_table(path)))
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, _TT_SCHEMA)
+
+
+_CDC_SCHEMA = StructType(
+    [
+        StructField("step", StringType(), False),
+        StructField("change_type", StringType(), False),
+        StructField("n", LongType(), False),
+        StructField("sum_keys", LongType(), False),
+    ]
+)
+
+
+def lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed change feed between committed snapshots (CDC-after-the-
+    fact): v1→v2 must show exactly the merge's inserts and updates,
+    v2→v3 exactly the delete's removals — classified by a full-outer
+    join + whole-row murmur3 comparison, summarized per change type
+    with a key-sum so the oracle pins WHICH keys changed, not just how
+    many."""
+    path = _fresh_dir(sf_dir, "lake_cdc")
+    eng = _build_versions(spark, sf_dir, path)
+
+    def summarize(step: str, v_from: int, v_to: int):
+        out = (
+            eng.table_changes(path, v_from, v_to, key="o_orderkey")
+            .groupBy("change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").alias("sum_keys"),
+            )
+            .collect()
+        )
+        return [
+            (step, r["change_type"], int(r["n"]), int(r["sum_keys"])) for r in out
+        ]
+
+    rows = summarize("v1_v2", 1, 2) + summarize("v2_v3", 2, 3)
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, _CDC_SCHEMA)
+
+
+QUERIES = {
+    "lake_time_travel": lake_time_travel,
+    "lake_change_feed": lake_change_feed,
+}
+
+
+_SCENARIO_CTES = """
+        WITH v1 AS (
+            SELECT * FROM orders WHERE o_orderkey % 7 = 0
+        ),
+        upd AS (
+            SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)
+            FROM orders WHERE o_orderkey % 21 = 0
+            UNION ALL
+            SELECT * FROM orders WHERE o_orderkey % 7 = 3 AND o_orderkey % 5 = 0
+        ),
+        v2 AS (
+            SELECT * FROM v1
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+            UNION ALL SELECT * FROM upd
+        ),
+        v3 AS (
+            SELECT * FROM v2 WHERE NOT (o_orderkey % 14 = 0)
+        )
+"""
+
+ORACLES = {
+    "lake_time_travel": _SCENARIO_CTES
+    + """
+        SELECT 'v1' AS snapshot, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               FLOOR(SUM(o_totalprice) * 1e2 + 0.5) / 1e2 AS sum_price FROM v1
+        UNION ALL
+        SELECT 'v2', CAST(COUNT(*) AS BIGINT),
+               FLOOR(SUM(o_totalprice) * 1e2 + 0.5) / 1e2 FROM v2
+        UNION ALL
+        SELECT 'v3', CAST(COUNT(*) AS BIGINT),
+               FLOOR(SUM(o_totalprice) * 1e2 + 0.5) / 1e2 FROM v3
+        UNION ALL
+        SELECT 'restored', CAST(COUNT(*) AS BIGINT),
+               FLOOR(SUM(o_totalprice) * 1e2 + 0.5) / 1e2 FROM v1
+    """,
+    "lake_change_feed": _SCENARIO_CTES
+    + """
+        , feed AS (
+            -- v1 -> v2: new keys are inserts, doubled-price keys are
+            -- updates (no deletes in a MERGE upsert)
+            SELECT 'v1_v2' AS step, 'insert' AS change_type, o_orderkey
+            FROM orders WHERE o_orderkey % 7 = 3 AND o_orderkey % 5 = 0
+            UNION ALL
+            SELECT 'v1_v2', 'update', o_orderkey
+            FROM orders WHERE o_orderkey % 21 = 0
+            UNION ALL
+            -- v2 -> v3: the delete predicate's rows
+            SELECT 'v2_v3', 'delete', o_orderkey
+            FROM v2 WHERE o_orderkey % 14 = 0
+        )
+        SELECT step, change_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+        FROM feed GROUP BY step, change_type
+    """,
+}

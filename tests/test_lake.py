@@ -178,3 +178,90 @@ def test_discover_partition_cols(tmp_path):
     nested.mkdir(parents=True)
     (nested / "a.parquet").write_text("x")
     assert _discover_partition_cols(str(tmp_path / "nested")) == ["yr", "m"]
+
+
+# -- time travel / CDC (round-5 versioned-table layer) ----------------
+
+
+def _mk_versions(spark, tmp_path):
+    """create -> upsert -> delete on a tiny versioned table."""
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "tt")
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i * 10)) for i in range(10)],
+        "k long, grp string, val double",
+    )
+    eng.write_versioned(base, path, op="create")
+    updates = spark.createDataFrame(
+        [(2, "a", 999.0), (100, "z", 1.0)], "k long, grp string, val double"
+    )
+    eng.merge_upsert(path, updates, key="k")
+    eng.delete_where(path, "k % 3 = 0")
+    return eng, path
+
+
+def test_time_travel_reads_and_history(spark, tmp_path):
+    eng, path = _mk_versions(spark, tmp_path)
+    v1 = {r.k: r.val for r in eng.read_table(path, 1).collect()}
+    v2 = {r.k: r.val for r in eng.read_table(path, 2).collect()}
+    v3 = {r.k: r.val for r in eng.read_table(path, 3).collect()}
+    assert v1 == {i: i * 10.0 for i in range(10)}
+    assert v2[2] == 999.0 and v2[100] == 1.0 and len(v2) == 11
+    assert set(v3) == {k for k in v2 if k % 3 != 0}
+    # live == v3
+    assert {r.k: r.val for r in eng.read_table(path).collect()} == v3
+
+    hist = eng.history(path)
+    assert [h["op"] for h in hist] == ["create", "merge_upsert", "delete"]
+    assert [h["rows"] for h in hist] == [10, 11, len(v3)]
+    assert [h["is_current"] for h in hist] == [False, False, True]
+
+
+def test_rollback_is_pointer_only_and_roll_forward_safe(spark, tmp_path):
+    eng, path = _mk_versions(spark, tmp_path)
+    assert eng.rollback(path, 1) == "v00000001"
+    assert {r.k for r in eng.read_table(path).collect()} == set(range(10))
+    # later versions still present (re-rollback-able)
+    assert eng.read_table(path, 3).count() > 0
+    # next write continues AFTER the max version — history never overwritten
+    eng.delete_where(path, "k >= 5")
+    assert lake.current_version(path) == "v00000004"
+    assert {r.k for r in eng.read_table(path).collect()} == set(range(5))
+    assert eng.read_table(path, 2).count() == 11  # untouched
+    with pytest.raises(ValueError, match="not present"):
+        eng.read_table(path, 99)
+
+
+def test_delete_where_counts_and_partition_preservation(spark, tmp_path):
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "pdel")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "k long, p int, val double"
+    )
+    eng.write_partitioned(df, path, ["p"])
+    stats = eng.delete_where(path, "k < 10")
+    assert stats == {"rows_before": 30, "rows_deleted": 10, "rows_after": 20}
+    # hive layout preserved, pruning still fires
+    assert _partition_dirs(path) == ["p=0", "p=1", "p=2"]
+    plan = formatted_plan(spark.read.parquet(path).filter(F.col("p") == 1))
+    assert "PartitionFilters" in plan
+
+
+def test_table_changes_classification(spark, tmp_path):
+    eng, path = _mk_versions(spark, tmp_path)
+    ch12 = {(r.k, r.change_type) for r in eng.table_changes(path, 1, 2, "k").collect()}
+    assert ch12 == {(2, "update"), (100, "insert")}
+    ch23 = {(r.k, r.change_type) for r in eng.table_changes(path, 2, 3, "k").collect()}
+    assert ch23 == {(k, "delete") for k in (0, 3, 6, 9)}
+    # composed hop v1 -> v3
+    ch13 = {(r.k, r.change_type) for r in eng.table_changes(path, 1, 3, "k").collect()}
+    assert (2, "update") in ch13 and (100, "insert") in ch13 and (0, "delete") in ch13
+
+
+def test_vacuum_respects_current_after_rollback(spark, tmp_path):
+    eng, path = _mk_versions(spark, tmp_path)
+    eng.rollback(path, 1)
+    removed = lake.vacuum(path, keep=1)
+    # current (v1) is protected even though it is not the newest
+    assert "v00000001" not in removed
+    assert eng.read_table(path).count() == 10
