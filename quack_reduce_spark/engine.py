@@ -371,7 +371,7 @@ class Engine:
         until ``vacuum`` — this is the time-travel write path."""
         from quack_reduce_spark import lake
 
-        os.makedirs(path, exist_ok=True)
+        lake.mkdirs(path)
         version, data_dir = lake.stage_version(path)
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -543,6 +543,15 @@ class Engine:
 
         import os
 
+        if lake._URI_RE.match(path) and not path.startswith("file:"):
+            raise ValueError(
+                f"non-versioned rewrite of {path!r} would need rename semantics "
+                f"the object store does not have; create the table via "
+                f"write_versioned (pointer-commit protocol) instead"
+            )
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+
         staging = path.rstrip("/") + "__staging"
         aside = path.rstrip("/") + "__old"
         for leftover in (staging, aside):  # debris from a prior crash
@@ -578,9 +587,14 @@ def _discover_partition_cols(path: str) -> list[str]:
     """Hive partition columns implied by a directory layout: the
     ``name=value`` segments on the path from ``path`` down to the first
     parquet leaf (the same convention Spark's partition discovery
-    reads). Empty for flat layouts and single files."""
+    reads). Empty for flat layouts and single files. ``file:`` URIs
+    are walked locally; other URI schemes (s3a/...) return [] — pass
+    ``partition_by`` explicitly for object-store maintenance (listing
+    a remote tree per rewrite is a cost the caller should opt into)."""
     import os
 
+    if path.startswith("file:"):
+        path = path[len("file:"):]
     if not os.path.isdir(path):
         return []
     for dirpath, dirnames, filenames in os.walk(path):
@@ -595,9 +609,12 @@ def _discover_partition_cols(path: str) -> list[str]:
 
 def _count_parquet_files(path: str) -> int:
     """Recursive parquet file count (correct on hive-partitioned trees,
-    where a flat glob would see zero files)."""
+    where a flat glob would see zero files). Local / ``file:`` paths
+    only (maintenance stats)."""
     import os
 
+    if path.startswith("file:"):
+        path = path[len("file:"):]
     if os.path.isfile(path):
         return 1 if path.endswith(".parquet") else 0
     return sum(

@@ -27,6 +27,19 @@ The reference's lake is rewrite-in-place with no transactionality
 lists table formats as future work) — this module is the minimal
 object-store-safe protocol that closes that gap without adopting a
 full table format. Old versions stay readable until :func:`vacuum`.
+
+FILESYSTEM DISPATCH: bare paths (``/data/table``) use pure-``os``
+operations — no JVM needed, the hot path for local work and tests.
+Paths with a URI scheme (``s3a://bucket/table``, ``hdfs://...``,
+``file:/...``) route every metadata operation through the Hadoop
+FileSystem API of the active SparkSession, the same abstraction the
+S3A/ABFS/GCS connectors implement — so the identical protocol code
+runs against a real object store on a cluster. The sandbox has no S3;
+the Hadoop path is exercised in tests via ``file:`` URIs, which go
+through the same ``FileSystem.get`` dispatch and API surface. The
+pointer write maps to ``FileSystem.create(overwrite=true)`` — one
+small PUT on S3A (atomic at the object level), ``create tmp +
+rename`` on HDFS-like stores where rename is atomic.
 """
 
 from __future__ import annotations
@@ -41,17 +54,125 @@ import uuid
 CURRENT = "_CURRENT"
 MANIFEST = "_meta.json"
 _VERSION_RE = re.compile(r"^v\d{8}$")
+_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def _join(path: str, *parts: str) -> str:
+    return "/".join([path.rstrip("/"), *parts])
+
+
+class _LocalFS:
+    """Pure-os filesystem ops — the no-JVM fast path for bare paths."""
+
+    def is_file(self, p: str) -> bool:
+        return os.path.isfile(p)
+
+    def is_dir(self, p: str) -> bool:
+        return os.path.isdir(p)
+
+    def read_text(self, p: str) -> str:
+        with open(p) as fh:
+            return fh.read()
+
+    def write_text_atomic(self, p: str, text: str) -> None:
+        tmp = os.path.join(
+            os.path.dirname(p), f".{os.path.basename(p)}.tmp.{uuid.uuid4().hex}"
+        )
+        with open(tmp, "w") as fh:
+            fh.write(text)
+        os.replace(tmp, p)
+
+    def list_names(self, p: str) -> list[str]:
+        return os.listdir(p)
+
+    def mkdirs(self, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
+    def delete_recursive(self, p: str) -> None:
+        shutil.rmtree(p)
+
+
+class _HadoopFS:
+    """The same ops via the active SparkSession's Hadoop FileSystem —
+    the abstraction S3A/ABFS/GCS/HDFS implement. Used for any path
+    with a URI scheme; on this sandbox it is exercised with ``file:``
+    URIs (LocalFileSystem), on a cluster the identical code hits the
+    object store. py4j round-trips are per-METADATA-op (a handful per
+    commit), never per-row, so driver overhead is negligible next to
+    the data write."""
+
+    def __init__(self, path: str) -> None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"URI path {path!r} needs an active SparkSession for Hadoop FS access"
+            )
+        self._jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.get(
+            self._jvm.java.net.URI(path), conf
+        )
+
+    def _p(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def is_file(self, p: str) -> bool:
+        jp = self._p(p)
+        return bool(self._fs.exists(jp) and self._fs.getFileStatus(jp).isFile())
+
+    def is_dir(self, p: str) -> bool:
+        jp = self._p(p)
+        return bool(self._fs.exists(jp) and self._fs.getFileStatus(jp).isDirectory())
+
+    def read_text(self, p: str) -> str:
+        stream = self._fs.open(self._p(p))
+        try:
+            out = bytearray()
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                out.append(b)
+            return out.decode()
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, p: str, text: str) -> None:
+        # FileSystem.create(overwrite=true): one small PUT on S3A
+        # (atomic object replace); HDFS overwrites via its own
+        # create-then-commit. Either way readers see old or new
+        # content, never partial.
+        stream = self._fs.create(self._p(p), True)
+        try:
+            stream.write(bytearray(text.encode()))
+        finally:
+            stream.close()
+
+    def list_names(self, p: str) -> list[str]:
+        return [s.getPath().getName() for s in self._fs.listStatus(self._p(p))]
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._p(p))
+
+    def delete_recursive(self, p: str) -> None:
+        self._fs.delete(self._p(p), True)
+
+
+def _fs_for(path: str):
+    return _HadoopFS(path) if _URI_RE.match(path) else _LocalFS()
 
 
 def is_versioned(path: str) -> bool:
     """True if ``path`` is a versioned table root (has a _CURRENT pointer)."""
-    return os.path.isfile(os.path.join(path, CURRENT))
+    fs = _fs_for(path)
+    return fs.is_file(_join(path, CURRENT))
 
 
 def current_version(path: str) -> str:
     """The live version name recorded in the pointer file."""
-    with open(os.path.join(path, CURRENT)) as fh:
-        version = fh.read().strip()
+    version = _fs_for(path).read_text(_join(path, CURRENT)).strip()
     if not _VERSION_RE.match(version):
         raise ValueError(f"corrupt {CURRENT} pointer in {path}: {version!r}")
     return version
@@ -61,16 +182,18 @@ def resolve(path: str) -> str:
     """Data directory to scan: ``path/<current version>`` for a
     versioned root, ``path`` itself otherwise. Safe on files and
     non-table paths (returns them unchanged)."""
-    if os.path.isdir(path) and is_versioned(path):
-        return os.path.join(path, current_version(path))
+    fs = _fs_for(path)
+    if fs.is_dir(path) and fs.is_file(_join(path, CURRENT)):
+        return _join(path, current_version(path))
     return path
 
 
 def list_versions(path: str) -> list[str]:
     """All version directories present under the root, sorted ascending."""
+    fs = _fs_for(path)
     return sorted(
-        e for e in os.listdir(path)
-        if _VERSION_RE.match(e) and os.path.isdir(os.path.join(path, e))
+        e for e in fs.list_names(path)
+        if _VERSION_RE.match(e) and fs.is_dir(_join(path, e))
     )
 
 
@@ -85,24 +208,21 @@ def stage_version(path: str) -> tuple[str, str]:
     versions = list_versions(path)
     n = int(versions[-1][1:]) + 1 if versions else 1
     version = f"v{n:08d}"
-    data_dir = os.path.join(path, version)
-    return version, data_dir
+    return version, _join(path, version)
 
 
 def commit(path: str, version: str) -> None:
     """Flip the pointer to ``version`` — the ONE mutating step.
 
-    Locally: write a temp file then ``os.replace`` (atomic). On an
-    object store the equivalent is a single small PUT of the pointer
-    object — also atomic. Either way, readers see the old version or
-    the new version, never an absent or partial table.
+    Locally: write a temp file then ``os.replace`` (atomic). Through
+    the Hadoop FS: ``create(overwrite=true)`` — a single small PUT of
+    the pointer object on S3A. Either way, readers see the old version
+    or the new version, never an absent or partial table.
     """
-    if not os.path.isdir(os.path.join(path, version)):
+    fs = _fs_for(path)
+    if not fs.is_dir(_join(path, version)):
         raise ValueError(f"cannot commit {version}: no such data dir under {path}")
-    tmp = os.path.join(path, f".{CURRENT}.tmp.{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        fh.write(version + "\n")
-    os.replace(tmp, os.path.join(path, CURRENT))
+    fs.write_text_atomic(_join(path, CURRENT), version + "\n")
 
 
 def convert_to_versioned(path: str) -> str:
@@ -114,6 +234,11 @@ def convert_to_versioned(path: str) -> str:
     Local-FS utility (uses renames); on an object store a table is
     born versioned by writing v1 directly then the pointer.
     """
+    if _URI_RE.match(path):
+        raise ValueError(
+            "convert_to_versioned is local-FS-only (it renames in place); "
+            "on an object store write v1 via Engine.write_versioned instead"
+        )
     if is_versioned(path):
         return current_version(path)
     version = "v00000001"
@@ -124,6 +249,11 @@ def convert_to_versioned(path: str) -> str:
             os.rename(os.path.join(path, entry), os.path.join(data_dir, entry))
     commit(path, version)
     return version
+
+
+def mkdirs(path: str) -> None:
+    """Create a table root (scheme-dispatched; no-op if present)."""
+    _fs_for(path).mkdirs(path)
 
 
 def normalize_version(version: int | str) -> str:
@@ -148,16 +278,17 @@ def write_manifest(path: str, version: str, op: str, rows: int | None) -> None:
         "rows": rows,
         "committed_at": time.time(),
     }
-    with open(os.path.join(path, version, MANIFEST), "w") as fh:
-        json.dump(meta, fh, indent=1, sort_keys=True)
+    _fs_for(path).write_text_atomic(
+        _join(path, version, MANIFEST), json.dumps(meta, indent=1, sort_keys=True)
+    )
 
 
 def read_manifest(path: str, version: str) -> dict | None:
-    p = os.path.join(path, version, MANIFEST)
-    if not os.path.isfile(p):
+    fs = _fs_for(path)
+    p = _join(path, version, MANIFEST)
+    if not fs.is_file(p):
         return None
-    with open(p) as fh:
-        return json.load(fh)
+    return json.loads(fs.read_text(p))
 
 
 def history(path: str) -> list[dict]:
@@ -180,8 +311,8 @@ def version_path(path: str, version: int | str) -> str:
     Raises if the version directory does not exist (vacuumed or never
     committed)."""
     v = normalize_version(version)
-    p = os.path.join(path, v)
-    if not os.path.isdir(p):
+    p = _join(path, v)
+    if not _fs_for(path).is_dir(p):
         raise ValueError(f"version {v} not present under {path} (vacuumed?)")
     return p
 
@@ -193,7 +324,7 @@ def rollback(path: str, version: int | str) -> str:
     next staged write continues numbering after the HIGHEST existing
     version, so roll-forward history is never overwritten."""
     v = normalize_version(version)
-    if not os.path.isdir(os.path.join(path, v)):
+    if not _fs_for(path).is_dir(_join(path, v)):
         raise ValueError(f"cannot rollback to {v}: not present under {path}")
     commit(path, v)
     return v
@@ -205,12 +336,13 @@ def vacuum(path: str, keep: int = 1) -> list[str]:
     the current one. Returns the removed directory names."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
+    fs = _fs_for(path)
     current = current_version(path)
     versions = list_versions(path)
     protect = set(versions[-keep:]) | {current}
     removed = []
     for v in versions:
         if v not in protect:
-            shutil.rmtree(os.path.join(path, v))
+            fs.delete_recursive(_join(path, v))
             removed.append(v)
     return removed
