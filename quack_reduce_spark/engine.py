@@ -75,10 +75,16 @@ class Engine:
         return df
 
     def register_dir(self, root: str, names: list[str], fmt: str = "parquet") -> None:
-        """Register ``root/{name}.parquet`` for each name (fixture layout)."""
-        ext = "" if fmt == "delta" else f".{fmt}"
+        """Register ``root/{name}.{fmt}`` for each name (fixture
+        layout). ``fmt="versioned"`` registers extension-less versioned
+        table roots (lake.py pointer layout — read_table resolves the
+        live snapshot); external table formats (Delta/Iceberg) are out
+        of scope here, matching the reference's own future-work note
+        (README.md:190)."""
+        ext = "" if fmt == "versioned" else f".{fmt}"
+        read_fmt = "parquet" if fmt == "versioned" else fmt
         for name in names:
-            self.register(name, f"{root.rstrip('/')}/{name}{ext}", fmt=fmt)
+            self.register(name, f"{root.rstrip('/')}/{name}{ext}", fmt=read_fmt)
 
     def register_lake(self, root: str) -> list[str]:
         """Auto-discover a lake directory: every ``*.parquet`` file

@@ -195,8 +195,74 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(enriched, spark, mode="complete")
 
 
+def stream_upsert_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE into a versioned lake table, run end to end BY
+    THE STREAMING ENGINE: an update-mode per-user aggregation over the
+    live event stream is drained through foreachBatch, each non-empty
+    micro-batch committing one MERGE-upsert version (lake.py pointer
+    protocol). The returned result is the LIVE TABLE after the stream
+    finishes — per-user event counts and value sums — which on bounded
+    input must equal the plain batch aggregate, so the whole
+    stream→state→merge→commit→read pipeline is hash-ORACLED. History
+    invariants (≥1 commit, ops are create-then-merge, monotone row
+    counts) are asserted in-query; per-version contents are
+    unit-tested in test_streaming.py.
+
+    Hermetic: fresh scratch dirs per call, results collected eagerly,
+    scratch removed before returning a local DataFrame."""
+    import shutil
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.inventory._util import rnd
+    from quack_reduce_spark.streaming import run_stream_merge_versioned
+
+    scratch = os.path.join(
+        _CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)),
+        f"upsert_versioned_{uuid.uuid4().hex[:12]}",
+    )
+    table = os.path.join(scratch, "table")
+    ckpt = os.path.join(scratch, "ckpt")
+    stream = _stream_source(spark, sf_dir, with_redeliveries=False)
+    per_user = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    run_stream_merge_versioned(per_user, table, key="user_id", checkpoint_dir=ckpt)
+
+    eng = Engine(spark=spark)
+    hist = eng.history(table)
+    assert hist and hist[0]["op"].startswith("stream_create"), hist
+    assert all(h["op"] == "merge_upsert" for h in hist[1:]), hist
+    assert [h["rows"] for h in hist] == sorted(h["rows"] for h in hist), (
+        "per-user upsert stream must never shrink the table"
+    )
+    rows = [
+        (int(r["user_id"]), int(r["n_events"]), float(r["sum_value"]))
+        for r in eng.read_table(table)
+        .select("user_id", "n_events", rnd(F.col("sum_value"), 2).alias("sum_value"))
+        .collect()
+    ]
+    shutil.rmtree(scratch, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("n_events", LongType(), False),
+            StructField("sum_value", DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_upsert_versioned": stream_upsert_versioned,
     "stream_static_enrich": stream_static_enrich,
     "stream_session_dynamic": stream_session_dynamic,
     "stream_interval_join": stream_interval_join,
@@ -209,6 +275,14 @@ QUERIES = {
 # __init__.py; oracle mirrors the batch ts_session_window gaps-and-
 # islands construction minus the value sum.
 ORACLES = {
+    "stream_upsert_versioned": """
+        -- bounded-input equivalence: the live versioned table after
+        -- the streaming MERGE drain is exactly the batch aggregate
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               FLOOR(SUM(value) * 1e2 + 0.5) / 1e2 AS sum_value
+        FROM events GROUP BY user_id
+    """,
     "stream_tumbling_agg": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                COUNT(*) AS n_events,

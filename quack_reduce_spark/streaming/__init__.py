@@ -132,6 +132,47 @@ def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete"):
     return query
 
 
+def run_stream_merge_versioned(
+    df: DataFrame, table_path: str, key: str, checkpoint_dir: str
+):
+    """Drain a (bounded) update-mode stream into a VERSIONED lake
+    table: every non-empty micro-batch lands as one MERGE-upsert
+    commit (first batch creates the table), so the table's history is
+    the stream's commit log — each version time-travel-readable, the
+    live pointer always a complete consistent snapshot, and the commit
+    protocol object-store-safe (lake.py). This is the
+    streaming-ingest-to-queryable-table pattern (what Delta calls a
+    streaming MERGE sink) on the repo's own pointer-commit layer.
+
+    Exactly-once note: foreachBatch is at-least-once on retry; a
+    replayed batch re-merges the same keys with the same values, so
+    the MERGE makes redelivery idempotent for deterministic batch
+    content (the standard foreachBatch-upsert argument). Returns the
+    query handle after all input is processed."""
+    from quack_reduce_spark import lake
+    from quack_reduce_spark.engine import Engine
+
+    eng = Engine(spark=df.sparkSession)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not lake.is_versioned(table_path):
+            eng.write_versioned(batch_df, table_path, op=f"stream_create_b{batch_id}")
+        else:
+            eng.merge_upsert(table_path, batch_df, key=key)
+
+    query = (
+        df.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def run_stream_foreach_batch(df: DataFrame, out_dir: str, checkpoint_dir: str):
     """Drain a (bounded) stream through the canonical production sink:
     ``foreachBatch`` appending parquet stamped with the batch id. In

@@ -405,3 +405,46 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     late_window = (base - dt.timedelta(hours=6)).replace(minute=0)
     assert late_window not in got          # late rows dropped
     assert got.get(base) == 60             # finalized on-time window emitted
+
+
+def test_stream_merge_versioned_commits_and_history(spark, event_files, tmp_path):
+    """Streaming MERGE sink into a versioned table: each non-empty
+    micro-batch is one commit; the live table equals the batch
+    aggregate; every intermediate version stays time-travel-readable
+    and row counts grow monotonically (per-user upserts never shrink
+    the table)."""
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.streaming import (
+        read_event_stream,
+        run_stream_merge_versioned,
+    )
+
+    d, events = event_files
+    for f in events.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            events = events.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    schema = spark.read.parquet(d).schema
+    stream = read_event_stream(spark, d, schema, max_files_per_trigger=2)
+    per_user = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    table = str(tmp_path / "vt")
+    run_stream_merge_versioned(
+        per_user, table, key="user_id", checkpoint_dir=str(tmp_path / "ck")
+    )
+
+    eng = Engine(spark=spark)
+    hist = eng.history(table)
+    assert len(hist) >= 2  # 4 files, 2 per trigger -> >= 2 commits
+    assert hist[0]["op"].startswith("stream_create")
+    assert all(h["op"] == "merge_upsert" for h in hist[1:])
+    rows = [h["rows"] for h in hist]
+    assert rows == sorted(rows)
+
+    batch = {r.user_id: r.n for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    live = {r.user_id: r.n for r in eng.read_table(table).collect()}
+    assert live == batch
+    # an intermediate version is a consistent partial state: subset of
+    # users, counts <= final
+    mid = {r.user_id: r.n for r in eng.read_table(table, 1).collect()}
+    assert mid and all(mid[u] <= batch[u] for u in mid)
