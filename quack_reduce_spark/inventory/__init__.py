@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from quack_reduce_spark.inventory import (
     approx,
     dedup,
+    graph,
     multimodal,
     relational,
     relational2,
@@ -57,6 +58,7 @@ _MODULES = [
     text3,
     retrieval,
     dedup,
+    graph,
     similarity,
     multimodal,
     approx,

@@ -1,0 +1,102 @@
+"""PageRank on DataFrames — fixed-iteration power method.
+
+The repo's graph family (duplicate-cluster resolution in
+operators/components.py, dup-graph triangle stats) lacked a
+centrality operator; PageRank is the canonical one for LLM-corpus
+work (page/domain authority as a quality prior, citation weighting in
+dedup-cluster canonical-doc selection).
+
+Spark-first shape: ranks and out-degrees are (node, value) tables;
+one iteration is
+
+    contribs = edges ⋈ ranks/deg on src  →  groupBy dst sum
+    rank'    = (1-d)/N + d * (contribs + dangling_mass/N)
+
+with the dangling mass (rank parked on nodes with no out-edges)
+redistributed uniformly — the standard correction that keeps ranks a
+probability distribution on graphs like supplier→customer bipartite
+trade where one side has no out-edges at all.
+
+Scale: the per-iteration cost is ONE shuffle of the edge table keyed
+on src (the join) plus one on dst (the aggregate). For many
+iterations pre-partition AND cache the degree-annotated edge table on
+src so the join side of every round reuses the same partitioning, and
+truncate the rank lineage every few rounds (checkpoint) so the plan
+does not grow with the iteration count. The dangling term is a
+one-row scalar aggregate broadcast into the update — no driver loop
+over nodes. Iterations are a fixed small number (power iteration
+converges geometrically at rate ~damping); the fixed count is also
+what makes the result EXACTLY reproducible in unrolled SQL, which is
+how the registry entry is hash-oracled rather than rows-only.
+
+No counterpart in the reference (756-line DuckDB Lambda client; no
+graph surface).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Ranks after ``iters`` power-method rounds from a uniform start.
+
+    ``edges`` is a directed edge list (duplicates should be
+    pre-distinct'd if multiplicity is not meant to weight the edge —
+    this function uses the rows as given). Returns (node, rank) for
+    every node appearing as src or dst; ranks sum to 1.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # cache: reused every iteration AND for N; at scale pre-partition
+    # by node so the per-round joins co-locate
+    nodes = nodes.cache()
+    n_nodes = nodes.count()
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # degree-annotated nodes: deg NULL -> dangling
+    nd = nodes.join(out_deg, "node", "left").cache()
+
+    ranks = nd.select("node", "deg", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iters):
+        # scalar dangling mass (one tiny aggregate, broadcast via
+        # crossJoin of a 1-row frame — no driver round-trip)
+        dangling = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+        )
+        contribs = (
+            e.join(
+                ranks.select("node", (F.col("rank") / F.col("deg")).alias("__c")),
+                e["src"] == F.col("node"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nd.join(contribs, "node", "left")
+            .crossJoin(dangling)
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dm") / n_nodes)
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")

@@ -1,0 +1,64 @@
+"""PageRank operator: analytic fixed points and a numpy differential
+on a random bipartite graph (the registry query's shape)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from quack_reduce_spark.operators.pagerank import pagerank
+
+
+def _ranks(spark, edges, iters, damping=0.85):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.rank for r in pagerank(df, iters=iters, damping=damping).collect()}
+
+
+def test_ring_is_uniform_fixed_point(spark):
+    n = 6
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    for iters in (0, 1, 4):
+        ranks = _ranks(spark, ring, iters)
+        assert ranks == pytest.approx({i: 1.0 / n for i in range(n)})
+
+
+def test_ranks_sum_to_one_with_dangling(spark):
+    # star: 0 -> {1,2,3}; leaves dangle
+    ranks = _ranks(spark, [(0, 1), (0, 2), (0, 3)], iters=5)
+    assert sum(ranks.values()) == pytest.approx(1.0)
+    assert ranks[1] == ranks[2] == ranks[3] > ranks[0]
+
+
+def _numpy_pagerank(edges, iters, damping):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[idx[d]] += r[idx[s]] / out[idx[s]]
+        dm = r[out == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dm / n)
+    return {u: r[idx[u]] for u in nodes}
+
+
+def test_matches_numpy_power_iteration_on_bipartite(spark):
+    rng = np.random.RandomState(7)
+    edges = sorted(
+        {(int(s), int(1000 + d)) for s, d in zip(rng.randint(0, 12, 80), rng.randint(0, 30, 80))}
+    )
+    got = _ranks(spark, edges, iters=3)
+    want = _numpy_pagerank(edges, iters=3, damping=0.85)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u] == pytest.approx(want[u], rel=1e-12)
+
+
+def test_negative_iters_rejected(spark):
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, iters=-1)
