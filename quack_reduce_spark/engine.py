@@ -454,14 +454,24 @@ class Engine:
         }
 
     def table_changes(
-        self, path: str, v_from: int | str, v_to: int | str, key: str
+        self,
+        path: str,
+        v_from: int | str,
+        v_to: int | str,
+        key: str,
+        payload: list[str] | None = None,
     ) -> DataFrame:
         """Change feed between two snapshots of a versioned table —
         what CDC consumers read after the fact. Keyed full-outer join
         of the two versions: absent-in-from → ``insert``, absent-in-to
         → ``delete``, present in both with any non-key column changed
         (murmur3 hash over all columns) → ``update``; unchanged rows
-        are dropped. Returns (key, change_type).
+        are dropped. Returns (key, change_type), plus — when
+        ``payload`` names columns — ``old_<c>`` / ``new_<c>`` value
+        pairs (NULL on the absent side), which is what downstream
+        incremental consumers (aggregate maintenance, audit logs)
+        need: an update contributes ``-old +new``, a delete ``-old``,
+        an insert ``+new``.
 
         Scale: one shuffle per side on the key (co-partitioned join);
         the hash comparison is JVM-side F.hash, no Python. At 100 TB
@@ -472,9 +482,21 @@ class Engine:
         b = self.read_table(path, v_to)
         if set(a.columns) != set(b.columns):
             raise ValueError(f"schema drift between versions: {a.columns} vs {b.columns}")
+        payload = payload or []
+        unknown = [c for c in payload if c not in a.columns]
+        if unknown:
+            raise ValueError(f"payload columns {unknown} not in table {a.columns}")
         cols = sorted(a.columns)
-        ah = a.select(F.col(key).alias("__k"), F.hash(*[F.col(c) for c in cols]).alias("__ha"))
-        bh = b.select(F.col(key).alias("__k"), F.hash(*[F.col(c) for c in cols]).alias("__hb"))
+        ah = a.select(
+            F.col(key).alias("__k"),
+            F.hash(*[F.col(c) for c in cols]).alias("__ha"),
+            *[F.col(c).alias(f"old_{c}") for c in payload],
+        )
+        bh = b.select(
+            F.col(key).alias("__k"),
+            F.hash(*[F.col(c) for c in cols]).alias("__hb"),
+            *[F.col(c).alias(f"new_{c}") for c in payload],
+        )
         joined = ah.join(bh, "__k", "full_outer")
         return (
             joined.withColumn(
@@ -484,7 +506,12 @@ class Engine:
                 .when(F.col("__ha") != F.col("__hb"), F.lit("update")),
             )
             .filter(F.col("change_type").isNotNull())
-            .select(F.col("__k").alias(key), "change_type")
+            .select(
+                F.col("__k").alias(key),
+                "change_type",
+                *[f"old_{c}" for c in payload],
+                *[f"new_{c}" for c in payload],
+            )
         )
 
     def _partition_cols(

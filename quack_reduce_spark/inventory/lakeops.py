@@ -154,9 +154,100 @@ def lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _CDC_SCHEMA)
 
 
+_MV_SCHEMA = StructType(
+    [
+        StructField("o_orderstatus", StringType(), False),
+        StructField("n_orders", LongType(), False),
+        StructField("sum_price", DoubleType(), False),
+    ]
+)
+
+
+def lake_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance off the CDC feed —
+    the 100 TB pattern where recomputing an aggregate over the whole
+    table per refresh is unaffordable: a per-status (count, sum)
+    MV is built once over snapshot v1, then ADVANCED TO v3 by applying
+    only the change feed (insert → +new, delete → −old, update →
+    −old +new), never rescanning unchanged rows. The in-query
+    cross-check asserts the incrementally-maintained MV equals a full
+    recompute over v3 (float sums compared to 1e-6); the oracle then
+    hash-matches the result against DuckDB's direct aggregate of the
+    v3 state — so BOTH the delta algebra and the change feed it
+    consumes are verified end to end."""
+    path = _fresh_dir(sf_dir, "lake_mv")
+    eng = _build_versions(spark, sf_dir, path)
+
+    mv = (
+        eng.read_table(path, 1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("sum_price"),
+        )
+    )
+    ch = eng.table_changes(
+        path, 1, 3, key="o_orderkey", payload=["o_orderstatus", "o_totalprice"]
+    )
+    # each change row contributes up to two signed deltas
+    minus = ch.filter(F.col("change_type").isin("delete", "update")).select(
+        F.col("old_o_orderstatus").alias("o_orderstatus"),
+        F.lit(-1).alias("dn"),
+        (-F.col("old_o_totalprice")).alias("dp"),
+    )
+    plus = ch.filter(F.col("change_type").isin("insert", "update")).select(
+        F.col("new_o_orderstatus").alias("o_orderstatus"),
+        F.lit(1).alias("dn"),
+        F.col("new_o_totalprice").alias("dp"),
+    )
+    deltas = (
+        minus.unionByName(plus)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("dn").alias("dn"), F.sum("dp").alias("dp"))
+    )
+    refreshed = (
+        mv.join(deltas, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (F.coalesce(F.col("n_orders"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias("n_orders"),
+            (F.coalesce(F.col("sum_price"), F.lit(0.0)) + F.coalesce(F.col("dp"), F.lit(0.0))).alias("sum_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    got = {
+        r["o_orderstatus"]: (int(r["n_orders"]), float(r["sum_price"]))
+        for r in refreshed.collect()
+    }
+    want = {
+        r["o_orderstatus"]: (int(r["n"]), float(r["s"]))
+        for r in eng.read_table(path, 3)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want), (got, want)
+    for k in want:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        assert abs(got[k][1] - want[k][1]) < 1e-6 * max(1.0, abs(want[k][1])), (
+            k, got[k], want[k],
+        )
+    shutil.rmtree(path, ignore_errors=True)
+    # emit the RECOMPUTED sums (identical to the incremental ones to
+    # float tolerance, asserted above) so the oracle hash is immune to
+    # the engines' differing summation orders; same floor-half-up
+    # rounding as functions.numeric.rnd / the oracle SQL
+    import math
+
+    rows = [
+        (k, want[k][0], math.floor(want[k][1] * 100 + 0.5) / 100) for k in sorted(want)
+    ]
+    return spark.createDataFrame(rows, _MV_SCHEMA)
+
+
 QUERIES = {
     "lake_time_travel": lake_time_travel,
     "lake_change_feed": lake_change_feed,
+    "lake_incremental_mv": lake_incremental_mv,
 }
 
 
@@ -194,6 +285,13 @@ ORACLES = {
         UNION ALL
         SELECT 'restored', CAST(COUNT(*) AS BIGINT),
                FLOOR(SUM(o_totalprice) * 1e2 + 0.5) / 1e2 FROM v1
+    """,
+    "lake_incremental_mv": _SCENARIO_CTES
+    + """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               FLOOR(SUM(o_totalprice) * 1e2 + 0.5) / 1e2 AS sum_price
+        FROM v3 GROUP BY o_orderstatus
     """,
     "lake_change_feed": _SCENARIO_CTES
     + """

@@ -308,3 +308,61 @@ def test_non_versioned_object_store_rewrite_refused(spark, tmp_path):
     # build a local plain table, then present it under a fake scheme
     with pytest.raises(Exception, match="s3a|rename|write_versioned|No FileSystem|not exist"):
         eng.delete_where("s3a://no-such-bucket/table", "1 = 1")
+
+
+def test_table_changes_payload_values(spark, tmp_path):
+    eng, path = _mk_versions(spark, tmp_path)
+    ch = {
+        (r.k, r.change_type): (r.old_val, r.new_val)
+        for r in eng.table_changes(path, 1, 2, "k", payload=["val"]).collect()
+    }
+    assert ch[(2, "update")] == (20.0, 999.0)
+    assert ch[(100, "insert")] == (None, 1.0)
+    ch23 = {
+        (r.k, r.change_type): (r.old_val, r.new_val)
+        for r in eng.table_changes(path, 2, 3, "k", payload=["val"]).collect()
+    }
+    assert ch23[(0, "delete")] == (0.0, None)
+    with pytest.raises(ValueError, match="payload columns"):
+        eng.table_changes(path, 1, 2, "k", payload=["nope"]).collect()
+
+
+def test_incremental_aggregate_from_change_feed(spark, tmp_path):
+    """MV delta algebra: applying insert/update/delete payload deltas
+    to the v1 aggregate reproduces the v3 aggregate exactly."""
+    eng, path = _mk_versions(spark, tmp_path)
+    v1 = eng.read_table(path, 1).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("val").alias("s")
+    )
+    ch = eng.table_changes(path, 1, 3, "k", payload=["grp", "val"])
+    minus = ch.filter(F.col("change_type").isin("delete", "update")).select(
+        F.col("old_grp").alias("grp"), F.lit(-1).alias("dn"), (-F.col("old_val")).alias("ds")
+    )
+    plus = ch.filter(F.col("change_type").isin("insert", "update")).select(
+        F.col("new_grp").alias("grp"), F.lit(1).alias("dn"), F.col("new_val").alias("ds")
+    )
+    deltas = minus.unionByName(plus).groupBy("grp").agg(
+        F.sum("dn").alias("dn"), F.sum("ds").alias("ds")
+    )
+    refreshed = {
+        r.grp: (r.n, r.s)
+        for r in v1.join(deltas, "grp", "full_outer")
+        .select(
+            "grp",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (F.coalesce("s", F.lit(0.0)) + F.coalesce("ds", F.lit(0.0))).alias("s"),
+        )
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    want = {
+        r.grp: (r.n, r.s)
+        for r in eng.read_table(path, 3)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    assert set(refreshed) == set(want)
+    for g in want:
+        assert refreshed[g][0] == want[g][0]
+        assert refreshed[g][1] == pytest.approx(want[g][1])
