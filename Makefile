@@ -3,7 +3,7 @@
 
 SF ?= /root/testdata/sf0.001
 
-.PHONY: test test-distinct oracle oracle-vanilla bench plans pipeline dashboard unit recall-check concurrent assembly
+.PHONY: test test-distinct oracle oracle-vanilla bench plans pipeline dashboard unit recall-check concurrent assembly lakehouse
 
 # reference `make test` (Makefile:22-24): canary count round trip
 test:
@@ -39,6 +39,11 @@ recall-check:
 # concurrent 16-query burst: serial vs FAIR-pool fan-out, result parity
 concurrent:
 	python tools/concurrent_queries.py /root/testdata/sf0.01 8
+
+# lakehouse lifecycle (versioned create -> merge -> delete -> time
+# travel -> CDC feed -> incremental MV -> rollback -> vacuum)
+lakehouse:
+	python examples/lakehouse.py $(SF)
 
 # corpus assembly end-to-end (decontaminate -> gate -> mix -> shard)
 assembly:

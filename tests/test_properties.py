@@ -245,3 +245,49 @@ def test_pack_windows_matches_naive_simulation(spark_global, counts):
     assert r["n_windows"] == -(-total // W)
     assert r["n_boundary_docs"] == boundary
     assert r["final_window_fill"] == ((total - 1) % W) + 1
+
+
+# PNG codec: encode->decode must be the identity for every 8-bit image
+# shape/channel-count the codec claims, under arbitrary pixel content
+# (all five scanline filters participate once height >= 5).
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_identity(w, h, ch, seed):
+    import numpy as np
+
+    from quack_reduce_spark.multimodal.png import decode_png, encode_png
+
+    arr = np.random.RandomState(seed).randint(0, 256, (h, w, ch)).astype(np.uint8)
+    gw, gh, mode, back = decode_png(encode_png(arr))
+    assert (gw, gh) == (w, h)
+    assert mode == {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[ch]
+    assert (back == arr).all()
+
+
+# WAV codec: synthesize->decode returns the exact synthesis parameters
+# (RMS/peak of a square wave are its amplitude, exactly, in float64).
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=1, max_value=32767),
+    st.sampled_from([8000, 16000, 44100]),
+    st.sampled_from([1, 2]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_parameters(n_samples, amplitude, rate, channels):
+    import numpy as np
+
+    from quack_reduce_spark.multimodal.codec import decode_wav, synthesize_wav
+
+    got_rate, got_ch, samples = decode_wav(
+        synthesize_wav(n_samples, amplitude, sample_rate=rate, n_channels=channels)
+    )
+    assert (got_rate, got_ch) == (rate, channels)
+    assert len(samples) == n_samples * channels
+    assert int(np.max(np.abs(samples))) == amplitude
+    x = samples.astype("float64")
+    assert float(np.sqrt(np.mean(x * x))) == float(amplitude)
