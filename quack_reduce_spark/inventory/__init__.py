@@ -25,6 +25,7 @@ from quack_reduce_spark.inventory import (
     approx,
     dedup,
     graph,
+    mlprep,
     multimodal,
     relational,
     relational2,
@@ -63,6 +64,7 @@ _MODULES = [
     multimodal,
     approx,
     udfs,
+    mlprep,
 ]
 
 # Deliberate registry ordering: the external driver differential-checks

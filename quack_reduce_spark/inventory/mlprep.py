@@ -1,0 +1,296 @@
+"""ML data-preparation inventory: deterministic splits, k-fold
+assignment, feature hashing, equi-depth binning, standardization,
+and class weighting.
+
+These are the operations between "curated corpus" and "training run":
+every one is expressed as pure DataFrame algebra (no RNG, no driver
+loops) so the same code yields the same assignment on any cluster
+size — the property a 100 TB pipeline actually needs from its split
+step. The reference delegates this surface to ad-hoc client SQL
+(reference ``app.py:51`` runs arbitrary DuckDB statements); here each
+op is a named, oracle-gated query.
+
+Cross-engine hash discipline: split/fold assignment hashes the row key
+with ``md5`` (identical bytes in Spark and DuckDB) and converts the
+first 8 hex chars to an integer — Spark ``conv(substring(md5(k),1,8),
+16,10)``, DuckDB ``CAST('0x' || substring(md5(k),1,8) AS BIGINT)`` —
+so the oracle replays the exact assignment, not a statistical
+approximation. At 100 TB the hash is a narrow projection computed
+inside the scan; no shuffle is needed until the per-split aggregate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from quack_reduce_spark.inventory._util import load, rnd
+
+
+def _md5_bucket(key, mod: int):
+    """Deterministic integer bucket from a string column: first 32
+    bits of md5, mod `mod`. Portable to any engine with md5()."""
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % mod
+
+
+def _md5_bucket_sql(key_sql: str, mod: int) -> str:
+    return f"CAST('0x' || substring(md5({key_sql}), 1, 8) AS BIGINT) % {mod}"
+
+
+def ml_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split of the documents corpus by
+    content-independent key hash, with per-(split, source) counts and
+    length stats. Hash-of-key (not ``df.sample``) keeps the assignment
+    stable under repartitioning, backfill, and cluster resizing —
+    ``randomSplit`` re-deals rows whenever the partition layout
+    changes, which silently leaks eval docs into train."""
+    docs = load(spark, sf_dir, "documents")
+    b = _md5_bucket(F.col("doc_id").cast("string"), 100)
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            rnd(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def ml_kfold_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation assignment over customers with a
+    per-fold balance audit (row count, mean balance, distinct
+    segments). The audit IS the point: hash-folding is only valid if
+    the folds come out statistically interchangeable, and this query
+    is the check a pipeline runs before trusting CV numbers."""
+    cust = load(spark, sf_dir, "customer")
+    fold = _md5_bucket(F.col("c_custkey").cast("string"), 5)
+    return (
+        cust.withColumn("fold", fold)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            rnd(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.count_distinct("c_mktsegment").alias("n_segments"),
+        )
+        .orderBy("fold")
+    )
+
+
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words: tokenize, hash every token into 256
+    buckets, aggregate term frequency and document frequency per
+    bucket, return the 20 heaviest buckets. The fixed-width feature
+    space is what makes vocabulary-free vectorization possible at
+    100 TB — no vocab broadcast, no OOV handling, one explode + one
+    aggregate, and the bucket id is computed inside the scan
+    projection."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    return (
+        tok.withColumn("bucket", _md5_bucket(F.col("term"), 256))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("bucket").asc())
+        .limit(20)
+    )
+
+
+def ml_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width discretization of order totalprice into 10 bins:
+    fit (min, max) in one scalar aggregate, broadcast the two edges,
+    bucket arithmetically inside the scan, aggregate per bin. No sort
+    anywhere — deliberately NOT ntile(), whose single unpartitioned
+    Window funnels the whole table through one task (the same
+    scale-killer operators/zorder.py:35 removed in favor of
+    approxQuantile edges; equi-DEPTH binning at scale goes through
+    that quantile-edge path, which is sketch-based and therefore not
+    oracle-replayable)."""
+    orders = load(spark, sf_dir, "orders")
+    edges = orders.agg(
+        F.min("o_totalprice").alias("lo_all"),
+        F.max("o_totalprice").alias("hi_all"),
+    )
+    raw = F.floor(
+        (F.col("o_totalprice") - F.col("lo_all"))
+        / (F.col("hi_all") - F.col("lo_all"))
+        * F.lit(10.0)
+    )
+    bin_ = F.least(raw, F.lit(9)).cast("long")
+    return (
+        orders.crossJoin(F.broadcast(edges))
+        .withColumn("bin", bin_)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            rnd(F.min("o_totalprice"), 2).alias("lo"),
+            rnd(F.max("o_totalprice"), 2).alias("hi"),
+            rnd(F.avg("o_totalprice"), 4).alias("mean_price"),
+        )
+        .orderBy("bin")
+    )
+
+
+def ml_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score standardization: fit (mean, stddev) in one aggregate,
+    broadcast the two scalars back over the table, return the 15 most
+    extreme customers. Fit-then-transform as a broadcast join — never
+    a window over an unpartitioned sort — is the shape that survives
+    100 TB; the fit side is a single row regardless of input size."""
+    cust = load(spark, sf_dir, "customer")
+    stats = cust.agg(
+        F.avg("c_acctbal").alias("mu"),
+        F.stddev_samp("c_acctbal").alias("sigma"),
+    )
+    z = (F.col("c_acctbal") - F.col("mu")) / F.col("sigma")
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .select(
+            "c_custkey",
+            rnd(F.col("c_acctbal"), 2).alias("acctbal"),
+            rnd(z, 6).alias("zscore"),
+        )
+        .orderBy(F.abs(F.col("zscore")).desc(), F.col("c_custkey").asc())
+        .limit(15)
+    )
+
+
+def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights (sklearn 'balanced' formula:
+    n_total / (n_classes * n_class)) for the market-segment label.
+    Two tiny aggregates and a broadcast of one scalar row — the
+    weight table itself is then broadcast-joinable onto any fact."""
+    cust = load(spark, sf_dir, "customer")
+    per = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_class"))
+    tot = per.agg(
+        F.sum("n_class").alias("n_total"),
+        F.count(F.lit(1)).alias("n_classes"),
+    )
+    w = F.col("n_total") / (F.col("n_classes") * F.col("n_class"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            F.col("n_class"),
+            rnd(w, 6).alias("weight"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES = {
+    "ml_train_split": ml_train_split,
+    "ml_kfold_stats": ml_kfold_stats,
+    "ml_feature_hashing": ml_feature_hashing,
+    "ml_quantile_bins": ml_quantile_bins,
+    "ml_standardize": ml_standardize,
+    "ml_class_weights": ml_class_weights,
+}
+
+ORACLES = {
+    "ml_train_split": f"""
+        WITH assigned AS (
+            SELECT *,
+                   {_md5_bucket_sql("CAST(doc_id AS VARCHAR)", 100)} AS b
+            FROM documents
+        )
+        SELECT CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               source,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               FLOOR((AVG(n_chars)) * 1e4 + 0.5) / 1e4 AS avg_chars
+        FROM assigned
+        GROUP BY 1, 2
+        ORDER BY split, source
+    """,
+    "ml_kfold_stats": f"""
+        SELECT {_md5_bucket_sql("CAST(c_custkey AS VARCHAR)", 5)} AS fold,
+               COUNT(*) AS n_rows,
+               FLOOR((AVG(c_acctbal)) * 1e4 + 0.5) / 1e4 AS avg_bal,
+               COUNT(DISTINCT c_mktsegment) AS n_segments
+        FROM customer
+        GROUP BY 1
+        ORDER BY fold
+    """,
+    "ml_feature_hashing": f"""
+        WITH tok AS (
+            SELECT doc_id, t.term
+            FROM documents,
+                 UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+            WHERE t.term <> ''
+        )
+        SELECT {_md5_bucket_sql("term", 256)} AS bucket,
+               COUNT(*) AS tf,
+               COUNT(DISTINCT doc_id) AS df
+        FROM tok
+        GROUP BY 1
+        ORDER BY tf DESC, bucket ASC
+        LIMIT 20
+    """,
+    "ml_quantile_bins": """
+        WITH edges AS (
+            SELECT MIN(o_totalprice) AS lo_all, MAX(o_totalprice) AS hi_all
+            FROM orders
+        ),
+        binned AS (
+            SELECT o_totalprice,
+                   CAST(LEAST(FLOOR((o_totalprice - lo_all)
+                                    / (hi_all - lo_all) * 10.0),
+                              9) AS BIGINT) AS bin
+            FROM orders, edges
+        )
+        SELECT bin,
+               COUNT(*) AS n_rows,
+               FLOOR((MIN(o_totalprice)) * 1e2 + 0.5) / 1e2 AS lo,
+               FLOOR((MAX(o_totalprice)) * 1e2 + 0.5) / 1e2 AS hi,
+               FLOOR((AVG(o_totalprice)) * 1e4 + 0.5) / 1e4 AS mean_price
+        FROM binned
+        GROUP BY bin
+        ORDER BY bin
+    """,
+    "ml_standardize": """
+        WITH stats AS (
+            SELECT AVG(c_acctbal) AS mu,
+                   stddev_samp(c_acctbal) AS sigma
+            FROM customer
+        ),
+        scored AS (
+            SELECT c_custkey,
+                   FLOOR(c_acctbal * 1e2 + 0.5) / 1e2 AS acctbal,
+                   FLOOR(((c_acctbal - mu) / sigma) * 1e6 + 0.5) / 1e6
+                       AS zscore
+            FROM customer, stats
+        )
+        SELECT * FROM scored
+        ORDER BY ABS(zscore) DESC, c_custkey ASC
+        LIMIT 15
+    """,
+    "ml_class_weights": """
+        WITH per AS (
+            SELECT c_mktsegment, COUNT(*) AS n_class
+            FROM customer GROUP BY c_mktsegment
+        ),
+        tot AS (
+            SELECT SUM(n_class) AS n_total, COUNT(*) AS n_classes FROM per
+        )
+        SELECT c_mktsegment, n_class,
+               FLOOR((CAST(n_total AS DOUBLE) / (n_classes * n_class)) * 1e6
+                     + 0.5) / 1e6 AS weight
+        FROM per, tot
+        ORDER BY c_mktsegment
+    """,
+}

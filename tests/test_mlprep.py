@@ -1,0 +1,72 @@
+"""Semantic invariants for the ML data-prep inventory (the oracle
+harness checks value equality; these check the *contracts*)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from quack_reduce_spark.inventory import mlprep
+from quack_reduce_spark.inventory._util import load
+
+
+def test_train_split_partitions_the_corpus(spark, sf_dir):
+    out = mlprep.ml_train_split(spark, sf_dir).collect()
+    total = sum(r.n_docs for r in out)
+    assert total == load(spark, sf_dir, "documents").count()
+    splits = {r.split for r in out}
+    assert splits == {"train", "val", "test"}
+    by_split = {}
+    for r in out:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    # 80/10/10 by hash: tolerate sampling noise but not a broken mod
+    assert by_split["train"] > by_split["val"]
+    assert by_split["train"] > by_split["test"]
+
+
+def test_train_split_is_deterministic(spark, sf_dir):
+    a = {tuple(r) for r in mlprep.ml_train_split(spark, sf_dir).collect()}
+    b = {tuple(r) for r in mlprep.ml_train_split(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_kfold_covers_all_rows_with_5_folds(spark, sf_dir):
+    out = mlprep.ml_kfold_stats(spark, sf_dir).collect()
+    assert [r.fold for r in out] == [0, 1, 2, 3, 4]
+    assert sum(r.n_rows for r in out) == load(spark, sf_dir, "customer").count()
+
+
+def test_feature_hashing_buckets_in_range(spark, sf_dir):
+    out = mlprep.ml_feature_hashing(spark, sf_dir).collect()
+    assert len(out) == 20
+    assert all(0 <= r.bucket < 256 for r in out)
+    assert all(r.tf >= r.df >= 1 for r in out)
+    tfs = [r.tf for r in out]
+    assert tfs == sorted(tfs, reverse=True)
+
+
+def test_quantile_bins_cover_range_without_sort(spark, sf_dir):
+    df = mlprep.ml_quantile_bins(spark, sf_dir)
+    out = df.collect()
+    assert sum(r.n_rows for r in out) == load(spark, sf_dir, "orders").count()
+    # bin edges are monotone and non-overlapping
+    for prev, cur in zip(out, out[1:]):
+        assert prev.hi <= cur.lo
+    # the scale contract: no Window/Sort before the aggregate
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_standardize_extremes_and_class_weights(spark, sf_dir):
+    z = mlprep.ml_standardize(spark, sf_dir).collect()
+    assert len(z) == 15
+    mags = [abs(r.zscore) for r in z]
+    assert mags == sorted(mags, reverse=True)
+
+    w = mlprep.ml_class_weights(spark, sf_dir).collect()
+    # inverse-frequency: the rarest class gets the largest weight
+    by_n = sorted(w, key=lambda r: r.n_class)
+    weights = [r.weight for r in by_n]
+    assert weights == sorted(weights, reverse=True)
+    # balanced-weights identity: sum(n_class * weight) == n_total
+    total = sum(r.n_class for r in w)
+    assert abs(sum(r.n_class * r.weight for r in w) - total) < 1e-3 * total
