@@ -66,9 +66,57 @@ def graph_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-hop BFS distances from suppliers {1,2,3} on the
+    UNDIRECTED trade graph — the 'blast radius' primitive behind
+    contamination tracing (how far does a tainted source's influence
+    reach through shared customers?). Every (node, dist) row is
+    hash-oracled against a 3-stage unrolled-SQL frontier replay."""
+    from quack_reduce_spark.operators.bfs import bfs_levels, undirect
+
+    edges = undirect(_trade_edges(spark, sf_dir))
+    seeds = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 3)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return bfs_levels(edges, seeds, rounds=3)
+
+
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hop reach profile of the same BFS: node counts per distance
+    split by side of the bipartition (supplier vs customer). The
+    readout a pipeline checks before trusting a contamination cutoff
+    ('95% of the graph is within 2 hops' means hop-based quarantine
+    is meaningless)."""
+    from quack_reduce_spark.operators.bfs import bfs_levels, undirect
+
+    edges = undirect(_trade_edges(spark, sf_dir))
+    seeds = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 3)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return (
+        bfs_levels(edges, seeds, rounds=3)
+        .groupBy("dist")
+        .agg(
+            F.sum(F.when(F.col("node") < _OFFSET, 1).otherwise(0)).alias(
+                "n_suppliers"
+            ),
+            F.sum(F.when(F.col("node") >= _OFFSET, 1).otherwise(0)).alias(
+                "n_customers"
+            ),
+        )
+        .orderBy("dist")
+    )
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_pagerank_top": graph_pagerank_top,
+    "graph_bfs_layers": graph_bfs_layers,
+    "graph_bfs_reach": graph_bfs_reach,
 }
 
 
@@ -129,7 +177,61 @@ _PR_CTES = """
         )
 """
 
+_BFS_CTES = """
+        WITH e0 AS (
+            SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS src,
+                   CAST(o.o_custkey + 1000000 AS BIGINT) AS dst
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        e AS (
+            SELECT src, dst FROM e0
+            UNION
+            SELECT dst AS src, src AS dst FROM e0
+        ),
+        l0 AS (
+            SELECT CAST(s_suppkey AS BIGINT) AS node
+            FROM supplier WHERE s_suppkey <= 3
+        ),
+        f1 AS (
+            SELECT DISTINCT e.dst AS node
+            FROM e JOIN l0 ON e.src = l0.node
+            WHERE e.dst NOT IN (SELECT node FROM l0)
+        ),
+        f2 AS (
+            SELECT DISTINCT e.dst AS node
+            FROM e JOIN f1 ON e.src = f1.node
+            WHERE e.dst NOT IN (SELECT node FROM l0)
+              AND e.dst NOT IN (SELECT node FROM f1)
+        ),
+        f3 AS (
+            SELECT DISTINCT e.dst AS node
+            FROM e JOIN f2 ON e.src = f2.node
+            WHERE e.dst NOT IN (SELECT node FROM l0)
+              AND e.dst NOT IN (SELECT node FROM f1)
+              AND e.dst NOT IN (SELECT node FROM f2)
+        ),
+        layers AS (
+            SELECT node, 0 AS dist FROM l0
+            UNION ALL SELECT node, 1 FROM f1
+            UNION ALL SELECT node, 2 FROM f2
+            UNION ALL SELECT node, 3 FROM f3
+        )
+"""
+
 ORACLES = {
+    "graph_bfs_layers": _BFS_CTES + """
+        SELECT node, dist FROM layers
+    """,
+    "graph_bfs_reach": _BFS_CTES + """
+        SELECT dist,
+               CAST(SUM(CASE WHEN node < 1000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_suppliers,
+               CAST(SUM(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_customers
+        FROM layers
+        GROUP BY dist
+        ORDER BY dist
+    """,
     "graph_pagerank": _PR_CTES
     + """
         SELECT node, FLOOR(rank * 1e7 + 0.5) / 1e7 AS rank FROM r3

@@ -1,0 +1,75 @@
+"""Multi-source BFS (shortest-path layers) over an edge list.
+
+Level-synchronous frontier expansion: each round is ONE equality join
+(frontier ⋈ edges on the source key) plus an anti-join against the
+visited set — the textbook Pregel iteration expressed as DataFrame
+algebra. Distances are exact BFS levels, so the whole computation is
+deterministic and, for a FIXED round count, replayable as unrolled SQL
+stages (the same oracle trick pagerank.py and components.py use).
+
+Scale design (100 TB graph):
+- The per-round join shuffles on the node key only; pre-bucketing the
+  edge table by ``src`` makes every round's big join co-located, and
+  AQE handles hub-node skew (a power-law graph's frontier join is
+  exactly the skew-join shape).
+- ``visited`` grows monotonically but stays (node, dist) — two narrow
+  columns; the anti-join against it is a shuffle on the same key the
+  frontier join just used, so the partitioning is reused.
+- Frontiers are ``localCheckpoint``-ed each round: without it, round k
+  re-executes all k-1 prior joins (lineage doubling), which is the
+  classic iterative-algorithm trap on Spark.
+- A bounded round count is not a shortcut — it is the production
+  contract ("within k hops" reachability); unbounded BFS on a 100 TB
+  graph is run as this operator inside a driver loop with a
+  convergence check on the frontier count (see bfs_levels' return).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def undirect(edges: DataFrame) -> DataFrame:
+    """Symmetrize a directed (src, dst) edge list. DISTINCT after the
+    union so parallel edges can't double-expand frontiers."""
+    return (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    *,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Exact BFS distances from a seed set, bounded at ``rounds`` hops.
+
+    ``edges``: (src, dst) — pass through :func:`undirect` first for an
+    undirected traversal. ``seeds``: a 1-column (node) DataFrame.
+    Returns (node, dist) with dist in [0, rounds]; nodes farther than
+    ``rounds`` hops are absent (the caller decides whether absence
+    means "unreachable" or "beyond horizon").
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    frontier = seeds.select(F.col("node").cast("long")).distinct()
+    if checkpoint:
+        frontier = frontier.localCheckpoint(eager=True)
+    visited = frontier.withColumn("dist", F.lit(0))
+    for r in range(1, rounds + 1):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").cast("long").alias("node"))
+            .distinct()
+            .join(visited.select("node"), on="node", how="left_anti")
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        frontier = nxt
+        visited = visited.union(frontier.withColumn("dist", F.lit(r)))
+    return visited

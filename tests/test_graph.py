@@ -62,3 +62,58 @@ def test_negative_iters_rejected(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank(df, iters=-1)
+
+
+# ---------------------------------------------------------------- BFS
+
+from quack_reduce_spark.operators.bfs import bfs_levels, undirect
+
+
+def _bfs(spark, edges, seeds, rounds):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    return {
+        (r.node, r.dist)
+        for r in bfs_levels(undirect(e), s, rounds=rounds).collect()
+    }
+
+
+def test_bfs_path_graph_levels_exact(spark):
+    # 0-1-2-3-4 chain: distances from 0 are the node ids
+    edges = [(i, i + 1) for i in range(4)]
+    got = _bfs(spark, edges, [0], rounds=4)
+    assert got == {(i, i) for i in range(5)}
+
+
+def test_bfs_horizon_bounds_and_multi_source(spark):
+    edges = [(i, i + 1) for i in range(6)]
+    # two seeds: distance is min over sources; horizon cuts at 2 hops
+    got = _bfs(spark, edges, [0, 6], rounds=2)
+    assert got == {
+        (0, 0), (6, 0), (1, 1), (5, 1), (2, 2), (4, 2),
+    }  # node 3 is 3 hops from both seeds -> absent
+
+
+def test_bfs_cycle_and_parallel_edges_no_double_visit(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (0, 1), (2, 1)]
+    got = _bfs(spark, edges, [0], rounds=5)
+    assert got == {(0, 0), (1, 1), (2, 1)}
+
+
+def test_bfs_matches_networkx_style_reference(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    edges = sorted({(int(a), int(b)) for a, b in rng.randint(0, 40, (120, 2)) if a != b})
+    # pure-python BFS reference
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want, frontier = {0: 0}, {0}
+    for d in range(1, 4):
+        frontier = {v for u in frontier for v in adj.get(u, ()) if v not in want}
+        for v in frontier:
+            want[v] = d
+    got = _bfs(spark, edges, [0], rounds=3)
+    assert got == {(n, d) for n, d in want.items()}
