@@ -465,7 +465,58 @@ def ts_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(load(spark, sf_dir, "events"))
 
 
+EWMA_ALPHA = 0.3
+EWMA_LAGS = 7  # current observation + 6 trailing
+# Exact double weights alpha*(1-alpha)^j, computed ONCE in Python and
+# embedded verbatim (repr) in both engines so the FP inputs are
+# bit-identical — the same literal-discipline trick the PageRank
+# oracle uses for (1-d)/n.
+EWMA_WEIGHTS = [EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** j for j in range(EWMA_LAGS)]
+
+
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average of daily event
+    volume per event type: y_t = Σ_{j<7} w_j·x_{t-j} / Σ w_j over the
+    weights that actually exist (series head uses fewer terms), with
+    w_j = α(1-α)^j, α=0.3.
+
+    The truncation is the scale decision, not a shortcut: the exact
+    recursive EWMA needs either a sequential scan per key or the
+    (1-α)^{-i} prefix-sum rewrite whose intermediates overflow double
+    range after ~2000 observations; a 7-term window carries 97.7% of
+    the weight mass at α=0.3, is a bounded ROWS frame (7 rows of state
+    per key at any scale), and — unlike the recursion — is exactly
+    replayable in any engine with lag(). Window partitions by
+    event_type, so no global sort exists at any size."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("event_type"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = F.lit(EWMA_WEIGHTS[0]) * F.col("n")
+    den = F.lit(EWMA_WEIGHTS[0])
+    for j in range(1, EWMA_LAGS):
+        lagged = F.lag("n", j).over(w)
+        num = num + F.coalesce(
+            F.lit(EWMA_WEIGHTS[j]) * lagged.cast("double"), F.lit(0.0)
+        )
+        den = den + F.when(lagged.isNotNull(), F.lit(EWMA_WEIGHTS[j])).otherwise(
+            F.lit(0.0)
+        )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "n",
+            rnd(num / den, 6).alias("ewma"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 QUERIES = {
+    "ts_ewma_smooth": ts_ewma_smooth,
     "ts_tumbling_window": ts_tumbling_window,
     "ts_sliding_window": ts_sliding_window,
     "ts_session_window": ts_session_window,
@@ -487,7 +538,41 @@ QUERIES = {
 }
 
 
+def _ewma_oracle() -> str:
+    """Build the EWMA oracle with the SAME Python-computed double
+    weights the Spark side embeds (repr round-trips doubles exactly),
+    and the same left-associative summation order."""
+    lag_cols = ", ".join(
+        f"LAG(n, {j}) OVER (PARTITION BY event_type ORDER BY day) AS l{j}"
+        for j in range(1, EWMA_LAGS)
+    )
+    num = f"{EWMA_WEIGHTS[0]!r} * n"
+    den = f"{EWMA_WEIGHTS[0]!r}"
+    for j in range(1, EWMA_LAGS):
+        num += f" + COALESCE({EWMA_WEIGHTS[j]!r} * CAST(l{j} AS DOUBLE), 0.0)"
+        den += (
+            f" + CASE WHEN l{j} IS NOT NULL THEN {EWMA_WEIGHTS[j]!r}"
+            " ELSE 0.0 END"
+        )
+    return f"""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, day, n, {lag_cols}
+            FROM daily
+        )
+        SELECT event_type, day, n,
+               FLOOR((({num}) / ({den})) * 1e6 + 0.5) / 1e6 AS ewma
+        FROM lagged
+        ORDER BY event_type, day
+    """
+
+
 ORACLES = {
+    "ts_ewma_smooth": _ewma_oracle(),
     "ts_tumbling_window": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                COUNT(*) AS n_events,
