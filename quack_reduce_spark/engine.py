@@ -262,6 +262,7 @@ class Engine:
         updates: DataFrame,
         key: str,
         partition_by: list[str] | None = None,
+        evolve_schema: bool = False,
     ) -> dict[str, int]:
         """MERGE-style upsert into a parquet lake table: rows in
         ``updates`` replace target rows with the same ``key``; new keys
@@ -270,6 +271,16 @@ class Engine:
         target against the update keys, union the updates, commit the
         rewrite without ever partially overwriting live data (see
         ``_commit_rewrite`` for the two commit protocols).
+
+        Schema evolution: by default, updates carrying columns the
+        target lacks are REJECTED (a typo'd column silently widening a
+        100 TB table is worse than an error). Pass
+        ``evolve_schema=True`` to accept them — new columns are added
+        to the table, surviving target rows get NULL for them, and
+        update rows missing any target column get NULL there (the
+        Delta Lake ``mergeSchema`` contract). Because the rewrite is
+        copy-on-write, every live file carries the evolved schema —
+        readers never need mixed-schema reconciliation.
 
         Hive-partitioned targets are preserved: partition columns are
         discovered from the directory layout (or passed explicitly via
@@ -293,7 +304,16 @@ class Engine:
         n_target = target.count()
         n_updates = updates.count()
         kept = target.join(updates.select(key).distinct(), key, "left_anti")
-        merged = kept.unionByName(updates.select(*target.columns))
+        extra = [c for c in updates.columns if c not in target.columns]
+        if extra and not evolve_schema:
+            raise ValueError(
+                f"updates carry columns not in the target: {extra}; "
+                "pass evolve_schema=True to widen the table"
+            )
+        if evolve_schema:
+            merged = kept.unionByName(updates, allowMissingColumns=True)
+        else:
+            merged = kept.unionByName(updates.select(*target.columns))
 
         def write_to(dest: str) -> None:
             writer = merged.write.mode("overwrite")

@@ -244,10 +244,88 @@ def lake_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _MV_SCHEMA)
 
 
+_SE_SCHEMA = StructType(
+    [
+        StructField("priority_flag", StringType(), True),
+        StructField("n_rows", LongType(), False),
+        StructField("sum_price", DoubleType(), False),
+        StructField("n_columns", LongType(), False),
+    ]
+)
+
+
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with automatic schema evolution: v1 is a 3-column orders
+    projection; the update batch carries a NEW ``priority_flag``
+    column (plus doubled prices on existing keys and brand-new keys).
+    ``merge_upsert(evolve_schema=True)`` widens the table — surviving
+    v1 rows read back with NULL in the new column, update rows carry
+    their flag, and the pre-evolution snapshot stays 3-column. The
+    oracle rebuilds the evolved state from ``orders``, so the hash
+    match proves the Delta-mergeSchema contract (NULL backfill, no row
+    loss, new keys inserted) held through the copy-on-write commit.
+    Also asserts the strict default REJECTS the widening (the typo
+    guard) and that v1's snapshot schema is untouched."""
+    from quack_reduce_spark.engine import Engine
+
+    path = _fresh_dir(sf_dir, "lake_se")
+    eng = Engine(spark=spark)
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    eng.write_versioned(base.filter(F.col("o_orderkey") % 7 == 0), path, op="create")
+
+    upd = (
+        orders.filter(F.col("o_orderkey") % 21 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.substring("o_orderpriority", 1, 1).alias("priority_flag"),
+        )
+        .unionByName(
+            orders.filter(
+                (F.col("o_orderkey") % 7 == 3) & (F.col("o_orderkey") % 5 == 0)
+            ).select(
+                "o_orderkey",
+                "o_custkey",
+                (F.col("o_totalprice")).alias("o_totalprice"),
+                F.substring("o_orderpriority", 1, 1).alias("priority_flag"),
+            )
+        )
+    )
+    try:
+        eng.merge_upsert(path, upd, key="o_orderkey")
+        raise AssertionError("strict merge must reject unknown columns")
+    except ValueError:
+        pass
+    eng.merge_upsert(path, upd, key="o_orderkey", evolve_schema=True)
+
+    assert len(eng.read_table(path, 1).columns) == 3  # snapshot immutable
+    evolved = eng.read_table(path)
+    n_cols = len(evolved.columns)
+    rows = [
+        (
+            r["priority_flag"],
+            int(r["n"]),
+            float(r["s"]),
+            n_cols,
+        )
+        for r in evolved.groupBy("priority_flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.sum("o_totalprice"), 2).alias("s"),
+        )
+        .collect()
+    ]
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, _SE_SCHEMA)
+
+
 QUERIES = {
     "lake_time_travel": lake_time_travel,
     "lake_change_feed": lake_change_feed,
     "lake_incremental_mv": lake_incremental_mv,
+    "lake_schema_evolution": lake_schema_evolution,
 }
 
 
@@ -292,6 +370,33 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_orders,
                FLOOR(SUM(o_totalprice) * 1e2 + 0.5) / 1e2 AS sum_price
         FROM v3 GROUP BY o_orderstatus
+    """,
+    "lake_schema_evolution": """
+        WITH v1 AS (
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_orderkey % 7 = 0
+        ),
+        upd AS (
+            SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+                   substring(o_orderpriority, 1, 1) AS priority_flag
+            FROM orders WHERE o_orderkey % 21 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   substring(o_orderpriority, 1, 1)
+            FROM orders WHERE o_orderkey % 7 = 3 AND o_orderkey % 5 = 0
+        ),
+        evolved AS (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST(NULL AS VARCHAR) AS priority_flag
+            FROM v1
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+            UNION ALL SELECT * FROM upd
+        )
+        SELECT priority_flag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               FLOOR(SUM(o_totalprice) * 1e2 + 0.5) / 1e2 AS sum_price,
+               CAST(4 AS BIGINT) AS n_columns
+        FROM evolved GROUP BY priority_flag
     """,
     "lake_change_feed": _SCENARIO_CTES
     + """

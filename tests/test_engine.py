@@ -270,6 +270,44 @@ def test_merge_upsert_replaces_and_appends(spark, sf_dir, tmp_path):
     assert back.select("o_orderkey").distinct().count() == 505
 
 
+def test_merge_upsert_schema_evolution(spark, sf_dir, tmp_path):
+    import pytest
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.inventory._util import load
+
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "tbl")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).limit(100)
+    orders.write.parquet(path)
+
+    upd = spark.createDataFrame(
+        [(10_000_000, 9.5, "HI")],
+        "o_orderkey long, o_totalprice double, tier string",
+    )
+    # strict default rejects the unknown column with a clear message
+    with pytest.raises(ValueError, match="tier"):
+        eng.merge_upsert(path, upd, key="o_orderkey")
+
+    stats = eng.merge_upsert(path, upd, key="o_orderkey", evolve_schema=True)
+    assert stats["rows_after"] == 101
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {"o_orderkey", "o_totalprice", "tier"}
+    assert back.filter(F.col("tier").isNull()).count() == 100
+    assert back.filter("tier = 'HI'").count() == 1
+
+    # update missing a target column -> NULL there (mergeSchema contract)
+    upd2 = spark.createDataFrame([(10_000_001, "LO")], "o_orderkey long, tier string")
+    eng.merge_upsert(path, upd2, key="o_orderkey", evolve_schema=True)
+    row = (
+        spark.read.parquet(path).filter("o_orderkey = 10000001").collect()[0]
+    )
+    assert row["o_totalprice"] is None and row["tier"] == "LO"
+
+
 def test_compact_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     from quack_reduce_spark.engine import Engine
     from quack_reduce_spark.inventory._util import load
