@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from quack_reduce_spark.inventory import (
     approx,
     dedup,
+    dq,
     graph,
     mlprep,
     multimodal,
@@ -65,6 +66,7 @@ _MODULES = [
     approx,
     udfs,
     mlprep,
+    dq,
 ]
 
 # Deliberate registry ordering: the external driver differential-checks
