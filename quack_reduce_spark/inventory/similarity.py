@@ -8,6 +8,8 @@ are not SQL-portable); its recall vs brute force is unit-tested.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -165,8 +167,83 @@ def sim_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_profile(emb, corpus_id="vec_id", vec_col="embedding", k=8)
 
 
+PCA_ROUNDS = 3
+
+
+def sim_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most extreme projections onto the corpus's first
+    principal component (operators/pca.py: centered fixed-round power
+    iteration, deterministic init ⇒ deterministic sign). The
+    anisotropy readout of an embedding table — these are the rows that
+    dominate any un-whitened cosine ranking. Every score is
+    hash-oracled against a 3-round unrolled-SQL replay of the same
+    iteration."""
+    from quack_reduce_spark.operators.pca import pca_scores
+
+    emb = load(spark, sf_dir, "embeddings")
+    scores = pca_scores(emb, "vec_id", "embedding", dim=EMBED_DIM, rounds=PCA_ROUNDS)
+    return (
+        scores.join(emb.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", rnd(F.col("score"), 6).alias("score"))
+        .orderBy(F.abs(F.col("score")).desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+def _pca_oracle(dim: int = EMBED_DIM, rounds: int = PCA_ROUNDS) -> str:
+    """Unrolled-SQL replay of the power iteration. v0 = 1/sqrt(dim)
+    (0.125 for d=64 — exactly representable, so both engines start
+    from the identical double)."""
+    v0 = 1.0 / math.sqrt(dim)
+    parts = [
+        f"""
+        WITH e AS (
+            SELECT vec_id, s.i AS pos,
+                   CAST(embedding[s.i] AS DOUBLE) AS val
+            FROM embeddings CROSS JOIN generate_series(1, {dim}) AS s(i)
+        ),
+        mu AS (SELECT pos, AVG(val) AS m FROM e GROUP BY pos),
+        c AS (
+            SELECT e.vec_id, e.pos, e.val - mu.m AS cv
+            FROM e JOIN mu USING (pos)
+        ),
+        s1 AS (
+            SELECT vec_id, SUM(cv * {v0!r}) AS s FROM c GROUP BY vec_id
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        w{r} AS (
+            SELECT c.pos, SUM(c.cv * s{r}.s) AS w
+            FROM c JOIN s{r} USING (vec_id) GROUP BY c.pos
+        ),
+        n{r} AS (SELECT SQRT(SUM(w * w)) AS n FROM w{r}),
+        v{r} AS (SELECT pos, w / (SELECT n FROM n{r}) AS v FROM w{r})""")
+        if r < rounds:
+            parts.append(f""",
+        s{r + 1} AS (
+            SELECT c.vec_id, SUM(c.cv * v{r}.v) AS s
+            FROM c JOIN v{r} USING (pos) GROUP BY c.vec_id
+        )""")
+    parts.append(f""",
+        score AS (
+            SELECT c.vec_id, SUM(c.cv * v{rounds}.v) AS sc
+            FROM c JOIN v{rounds} USING (pos) GROUP BY c.vec_id
+        ),
+        rounded AS (
+            SELECT score.vec_id, emb.label,
+                   FLOOR(score.sc * 1e6 + 0.5) / 1e6 AS score
+            FROM score JOIN embeddings emb ON score.vec_id = emb.vec_id
+        )
+        SELECT vec_id, label, score FROM rounded
+        ORDER BY ABS(score) DESC, vec_id ASC
+        LIMIT 20""")
+    return "".join(parts)
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
+    "sim_pca_topk": sim_pca_topk,
     "sim_cosine_topk_np": sim_cosine_topk_np,
     "sim_kmeans_profile": sim_kmeans_profile,
     "sim_pq_topk": sim_pq_topk,
@@ -179,6 +256,7 @@ QUERIES = {
 
 
 ORACLES = {
+    "sim_pca_topk": _pca_oracle(),
     "sim_nearest_centroid": """
         WITH comp AS (
             SELECT label, s.i AS pos, AVG(CAST(embedding[s.i] AS DOUBLE)) AS m

@@ -310,3 +310,50 @@ def test_pq_deterministic_and_bounded(spark):
     for qid, _vid, _s, rank in a:
         per_q.setdefault(qid, []).append(rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+# ---------------------------------------------------------------- PCA
+
+def test_pca_scores_match_numpy_power_iteration(spark):
+    import numpy as np
+
+    from quack_reduce_spark.operators.pca import pca_scores
+
+    rng = np.random.RandomState(3)
+    d, n = 16, 200
+    # anisotropic cloud: one dominant direction
+    base = rng.randn(n, d) * 0.1
+    direction = rng.randn(d)
+    base += np.outer(rng.randn(n) * 2.0, direction / np.linalg.norm(direction))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        r.vec_id: r.score
+        for r in pca_scores(df, "vec_id", "embedding", dim=d, rounds=3).collect()
+    }
+
+    X = np.array([[np.float32(x) for x in base[i]] for i in range(n)], dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(3):
+        w = Xc.T @ (Xc @ v)
+        v = w / np.linalg.norm(w)
+    want = Xc @ v
+    assert set(got) == set(range(n))
+    for i in range(n):
+        assert abs(got[i] - want[i]) < 1e-9 * max(1.0, abs(want[i]))
+
+
+def test_pca_rejects_zero_variance_and_bad_rounds(spark):
+    import pytest
+
+    from quack_reduce_spark.operators.pca import pca_scores
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="zero-variance"):
+        pca_scores(df, "vec_id", "embedding", dim=2, rounds=1).collect()
+    with pytest.raises(ValueError, match="rounds"):
+        pca_scores(df, "vec_id", "embedding", dim=2, rounds=0)
