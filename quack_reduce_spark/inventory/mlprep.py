@@ -190,8 +190,68 @@ def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized outlier clipping: fit exact p01/p99 of order
+    totalprice (one aggregate; F.percentile and DuckDB quantile_cont
+    share the linear-interpolation definition, so the cut points are
+    engine-identical — the text_adaptive_gate precedent), broadcast
+    the two scalars, clip in the scan projection, and report
+    before/after stats plus clip counts. At 100 TB the exact
+    percentile swaps for percentile_approx with the same downstream
+    shape."""
+    orders = load(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.01)).alias("p01"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.99)).alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99"))
+    return (
+        orders.crossJoin(F.broadcast(cuts))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("o_totalprice") < F.col("p01")).alias("n_clipped_lo"),
+            F.count_if(F.col("o_totalprice") > F.col("p99")).alias("n_clipped_hi"),
+            rnd(F.first("p01"), 4).alias("p01"),
+            rnd(F.first("p99"), 4).alias("p99"),
+            rnd(F.avg("o_totalprice"), 4).alias("mean_raw"),
+            rnd(F.avg(clipped), 4).alias("mean_winsorized"),
+        )
+    )
+
+
+def ml_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling per market segment: fit (median,
+    IQR) per class in one grouped aggregate, broadcast the 5-row fit
+    table back, and report the scaled extremes per segment. Robust
+    scaling is what survives the heavy-tailed value columns a web
+    corpus actually has — mean/std (ml_standardize) is one fat outlier
+    away from useless."""
+    cust = load(spark, sf_dir, "customer")
+    fit = cust.groupBy("c_mktsegment").agg(
+        F.percentile(F.col("c_acctbal"), F.lit(0.5)).alias("med"),
+        (
+            F.percentile(F.col("c_acctbal"), F.lit(0.75))
+            - F.percentile(F.col("c_acctbal"), F.lit(0.25))
+        ).alias("iqr"),
+    )
+    scaled = (F.col("c_acctbal") - F.col("med")) / F.col("iqr")
+    return (
+        cust.join(F.broadcast(fit), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            rnd(F.first("med"), 4).alias("median"),
+            rnd(F.first("iqr"), 4).alias("iqr"),
+            rnd(F.min(scaled), 6).alias("scaled_min"),
+            rnd(F.max(scaled), 6).alias("scaled_max"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "ml_train_split": ml_train_split,
+    "ml_winsorize": ml_winsorize,
+    "ml_robust_scale": ml_robust_scale,
     "ml_kfold_stats": ml_kfold_stats,
     "ml_feature_hashing": ml_feature_hashing,
     "ml_quantile_bins": ml_quantile_bins,
@@ -216,6 +276,43 @@ ORACLES = {
         FROM assigned
         GROUP BY 1, 2
         ORDER BY split, source
+    """,
+    "ml_winsorize": """
+        WITH cuts AS (
+            SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+                   quantile_cont(o_totalprice, 0.99) AS p99
+            FROM orders
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (o_totalprice < p01) AS BIGINT)
+                   AS n_clipped_lo,
+               CAST(COUNT(*) FILTER (o_totalprice > p99) AS BIGINT)
+                   AS n_clipped_hi,
+               FLOOR(ANY_VALUE(p01) * 1e4 + 0.5) / 1e4 AS p01,
+               FLOOR(ANY_VALUE(p99) * 1e4 + 0.5) / 1e4 AS p99,
+               FLOOR(AVG(o_totalprice) * 1e4 + 0.5) / 1e4 AS mean_raw,
+               FLOOR(AVG(LEAST(GREATEST(o_totalprice, p01), p99)) * 1e4
+                     + 0.5) / 1e4 AS mean_winsorized
+        FROM orders, cuts
+    """,
+    "ml_robust_scale": """
+        WITH fit AS (
+            SELECT c_mktsegment,
+                   quantile_cont(c_acctbal, 0.5) AS med,
+                   quantile_cont(c_acctbal, 0.75)
+                       - quantile_cont(c_acctbal, 0.25) AS iqr
+            FROM customer GROUP BY c_mktsegment
+        )
+        SELECT c.c_mktsegment,
+               FLOOR(ANY_VALUE(f.med) * 1e4 + 0.5) / 1e4 AS median,
+               FLOOR(ANY_VALUE(f.iqr) * 1e4 + 0.5) / 1e4 AS iqr,
+               FLOOR(MIN((c.c_acctbal - f.med) / f.iqr) * 1e6 + 0.5) / 1e6
+                   AS scaled_min,
+               FLOOR(MAX((c.c_acctbal - f.med) / f.iqr) * 1e6 + 0.5) / 1e6
+                   AS scaled_max
+        FROM customer c JOIN fit f USING (c_mktsegment)
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
     """,
     "ml_kfold_stats": f"""
         SELECT {_md5_bucket_sql("CAST(c_custkey AS VARCHAR)", 5)} AS fold,

@@ -70,3 +70,22 @@ def test_standardize_extremes_and_class_weights(spark, sf_dir):
     # balanced-weights identity: sum(n_class * weight) == n_total
     total = sum(r.n_class for r in w)
     assert abs(sum(r.n_class * r.weight for r in w) - total) < 1e-3 * total
+
+
+def test_winsorize_clip_fractions(spark, sf_dir):
+    r = mlprep.ml_winsorize(spark, sf_dir).collect()[0]
+    # ~1% clipped each side (exact percentile => at most ceil(n*0.01))
+    assert 0 < r.n_clipped_lo <= r.n_rows * 0.012 + 1
+    assert 0 < r.n_clipped_hi <= r.n_rows * 0.012 + 1
+    assert r.p01 < r.p99
+    # clipping pulls the mean toward the center but not past the cuts
+    assert r.p01 <= r.mean_winsorized <= r.p99
+
+
+def test_robust_scale_centers_on_median(spark, sf_dir):
+    out = mlprep.ml_robust_scale(spark, sf_dir).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.iqr > 0
+        # median maps to 0 => extremes straddle it
+        assert r.scaled_min < 0 < r.scaled_max
