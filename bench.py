@@ -55,6 +55,12 @@ HEADLINE = [
     # totals across rounds compare on the original 12)
     "text_decontaminate",
     "text_bm25_topk",
+    # round 5 additions (same protocol: the original 12 stay the
+    # cross-round comparison basis)
+    "graph_pagerank",
+    "sim_pca_topk",
+    "ml_feature_hashing",
+    "dq_expectations",
 ]
 
 

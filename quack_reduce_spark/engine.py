@@ -55,6 +55,7 @@ class Engine:
 
     def __post_init__(self) -> None:
         self._was_warm = _session.is_warm() or self.spark is not None
+        self._table_meta: dict[str, dict] = {}
         if self.spark is None:
             self.spark = _session.get_spark()
 
@@ -72,6 +73,7 @@ class Engine:
         df = read_table(self.spark, path, fmt=fmt, **options)
         df.createOrReplaceTempView(name)
         self.tables[name] = path
+        self._table_meta[name] = {"fmt": fmt, "options": dict(options)}
         return df
 
     def register_dir(self, root: str, names: list[str], fmt: str = "parquet") -> None:
@@ -85,6 +87,59 @@ class Engine:
         read_fmt = "parquet" if fmt == "versioned" else fmt
         for name in names:
             self.register(name, f"{root.rstrip('/')}/{name}{ext}", fmt=read_fmt)
+
+    CATALOG_FILE = "_catalog.json"
+
+    def save_catalog(self, root: str) -> str:
+        """Persist the current registrations as a JSON catalog at
+        ``root/_catalog.json`` and return its path. The reference
+        lists catalog services as future work (``README.md:190``);
+        this is the minimal durable form that actually closes the
+        loop: a name → {path, fmt, options} manifest a fresh session
+        re-attaches with :meth:`load_catalog`. No server, no lock —
+        the write is a single atomic file swap through the same
+        Hadoop-FileSystem helpers the versioned-table pointer uses,
+        so it is object-store-safe and last-writer-wins (the commit
+        model the rest of the lake layer already promises)."""
+        import json as _json
+
+        from quack_reduce_spark import lake
+
+        entries = {
+            name: {"path": self.tables[name], **self._table_meta.get(name, {})}
+            for name in sorted(self.tables)
+        }
+        fs = lake._fs_for(root)
+        fs.mkdirs(root)
+        target = f"{root.rstrip('/')}/{self.CATALOG_FILE}"
+        fs.write_text_atomic(
+            target, _json.dumps({"version": 1, "tables": entries}, indent=1)
+        )
+        return target
+
+    def load_catalog(self, root: str) -> list[str]:
+        """Attach every table recorded by :meth:`save_catalog` at
+        ``root`` and return the registered names, sorted. Unknown
+        catalog versions are rejected rather than half-read."""
+        import json as _json
+
+        from quack_reduce_spark import lake
+
+        fs = lake._fs_for(root)
+        target = f"{root.rstrip('/')}/{self.CATALOG_FILE}"
+        if not fs.is_file(target):
+            raise FileNotFoundError(f"no {self.CATALOG_FILE} at {root}")
+        doc = _json.loads(fs.read_text(target))
+        if doc.get("version") != 1:
+            raise ValueError(f"unsupported catalog version: {doc.get('version')!r}")
+        for name, entry in sorted(doc["tables"].items()):
+            self.register(
+                name,
+                entry["path"],
+                fmt=entry.get("fmt", "parquet"),
+                **entry.get("options", {}),
+            )
+        return sorted(doc["tables"])
 
     def register_lake(self, root: str) -> list[str]:
         """Auto-discover a lake directory: every ``*.parquet`` file

@@ -323,3 +323,69 @@ def test_compact_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     assert stats["files_after"] == 1
     after = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert after == before
+
+
+def test_catalog_roundtrip_and_versioned_entry(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.inventory._util import load
+
+    root = str(tmp_path / "lake")
+    eng = Engine(spark=spark)
+    # a plain table, a csv table, and a versioned table
+    orders = load(spark, sf_dir, "orders").limit(50)
+    orders.write.parquet(f"{root}/orders_tbl")
+    orders.write.option("header", "true").csv(f"{root}/orders_csv")
+    eng.write_versioned(orders, f"{root}/orders_v", op="create")
+
+    eng.register("orders_tbl", f"{root}/orders_tbl")
+    eng.register("orders_csv", f"{root}/orders_csv", fmt="csv", header="true", inferSchema="true")
+    eng.register("orders_v", f"{root}/orders_v")
+    cat_path = eng.save_catalog(root)
+    assert cat_path.endswith("_catalog.json")
+
+    # a brand-new engine re-attaches everything from the manifest
+    eng2 = Engine(spark=spark)
+    names = eng2.load_catalog(root)
+    assert names == ["orders_csv", "orders_tbl", "orders_v"]
+    n = spark.sql("SELECT COUNT(*) AS n FROM orders_tbl").collect()[0]["n"]
+    assert n == 50
+    n_csv = spark.sql("SELECT COUNT(*) AS n FROM orders_csv").collect()[0]["n"]
+    assert n_csv == 50
+    n_v = spark.sql("SELECT COUNT(*) AS n FROM orders_v").collect()[0]["n"]
+    assert n_v == 50
+
+    # catalog survives a version bump on the versioned table: the
+    # catalog stores the TABLE root, not a snapshot path
+    eng.merge_upsert(
+        f"{root}/orders_v",
+        orders.withColumn("o_totalprice", F.lit(0.0)).limit(5),
+        key="o_orderkey",
+    )
+    eng3 = Engine(spark=spark)
+    eng3.load_catalog(root)
+    zeroed = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders_v WHERE o_totalprice = 0.0"
+    ).collect()[0]["n"]
+    assert zeroed == 5
+
+
+def test_load_catalog_missing_and_bad_version(spark, tmp_path):
+    import json
+
+    import pytest
+
+    from quack_reduce_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    with pytest.raises(FileNotFoundError):
+        eng.load_catalog(str(tmp_path / "nope"))
+    root = str(tmp_path / "lake2")
+    import os
+
+    os.makedirs(root)
+    with open(f"{root}/_catalog.json", "w") as f:
+        json.dump({"version": 99, "tables": {}}, f)
+    with pytest.raises(ValueError, match="version"):
+        eng.load_catalog(root)
