@@ -98,29 +98,32 @@ _HEAD = [
     "mm_audio_rms", "mm_image_stats", "mm_image_resize", "ts_asof_auto",
     "lake_time_travel", "lake_change_feed",
     # Tier B SQL surface — never driver-sampled
-    "b3_recursive_cte", "b3_lateral_join", "b3_from_json_struct",
-    "b3_sequence_zip_aggregate", "b2_window_range_frame",
+    "b3_recursive_cte", "b3_lateral_join",
     "b2_skew_salted_join", "b3_group_by_all",
     # TPC-H remainder — never driver-sampled
     "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items", "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+    "tpch_q10_returned_items",
     "tpch_q20_excess_shippers", "tpch_q22_sales_opportunity",
     # Time-series — never driver-sampled
-    "ts_sliding_window", "ts_retention_cohorts",
-    "ts_interpolate", "ts_zscore_anomaly", "ts_asof_forward",
+    "ts_sliding_window", "ts_retention_cohorts", "ts_zscore_anomaly",
+    "ts_ewma_smooth",
     # Live Structured Streaming — never driver-sampled
     "stream_interval_join", "stream_static_enrich", "stream_session_dynamic",
     # Text analysis / corpus assembly — never driver-sampled
     "text_lm_score", "text_mixture_weights",
-    "text_tfidf_terms", "text_gopher_quality", "text_pii_scrub",
-    "text_token_budget",
+    "text_gopher_quality", "text_pii_scrub",
     # Dedup — never driver-sampled
     "dedup_cross_source", "dedup_embedding_cosine", "dedup_components_twophase",
     # Similarity — never driver-sampled
     "sim_nearest_centroid",
     # Python-UDF surface — never driver-sampled
     "udf_arrow_scalar",
+    # Round-5 session additions (all first-time keys): graph analytics,
+    # embedding PCA, ML prep, data quality, schema-evolving MERGE
+    "graph_pagerank", "graph_bfs_layers", "sim_pca_topk",
+    "ml_train_split", "ml_feature_hashing", "ml_winsorize",
+    "dq_expectations", "dq_referential_integrity",
+    "lake_schema_evolution",
 ]
 
 
