@@ -260,7 +260,42 @@ def stream_upsert_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY-stateful streaming through the oracle gate: the
+    applyInPandasWithState per-user accumulator
+    (streaming/stateful.py — custom (n, Σvalue, last_ts) state, not a
+    built-in window) runs live over the 4-file stream in update mode,
+    emitting each user's running state once per micro-batch it appears
+    in. The final emission per user (n_events is strictly increasing,
+    so max_by on it is exact, not a heuristic) must equal the batch
+    aggregate — which is the DuckDB oracle. This closes the gap between
+    'the stateful operator has unit tests' and 'the stateful operator
+    hash-matches SQL on real stream input'."""
+    from quack_reduce_spark.inventory._util import rnd
+    from quack_reduce_spark.streaming.stateful import running_user_stats
+
+    stream = _stream_source(spark, sf_dir, with_redeliveries=False).select(
+        "user_id", "ts", "value"
+    )
+    drained = _drain(running_user_stats(stream), spark, mode="update")
+    return (
+        drained.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("tv"),
+            F.max_by("last_ts", "n_events").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            rnd(F.col("tv"), 4).alias("total_value"),
+            "last_ts",
+        )
+    )
+
+
 QUERIES = {
+    "stream_stateful_user_stats": stream_stateful_user_stats,
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_upsert_versioned": stream_upsert_versioned,
     "stream_static_enrich": stream_static_enrich,
@@ -275,6 +310,15 @@ QUERIES = {
 # __init__.py; oracle mirrors the batch ts_session_window gaps-and-
 # islands construction minus the value sum.
 ORACLES = {
+    "stream_stateful_user_stats": """
+        -- bounded-input equivalence for the custom stateful operator:
+        -- final per-user state == batch aggregate
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               FLOOR(SUM(value) * 1e4 + 0.5) / 1e4 AS total_value,
+               MAX(ts) AS last_ts
+        FROM events GROUP BY user_id
+    """,
     "stream_upsert_versioned": """
         -- bounded-input equivalence: the live versioned table after
         -- the streaming MERGE drain is exactly the batch aggregate
