@@ -3,7 +3,7 @@
 
 SF ?= /root/testdata/sf0.001
 
-.PHONY: test test-distinct oracle oracle-vanilla bench plans pipeline dashboard unit recall-check concurrent assembly lakehouse
+.PHONY: test test-distinct oracle oracle-vanilla bench plans pipeline dashboard unit recall-check concurrent assembly lakehouse datamart
 
 # reference `make test` (Makefile:22-24): canary count round trip
 test:
@@ -44,6 +44,10 @@ concurrent:
 # travel -> CDC feed -> incremental MV -> rollback -> vacuum)
 lakehouse:
 	python examples/lakehouse.py $(SF)
+
+# round-5 train-ready datamart (DQ gate -> split -> features -> shards -> catalog)
+datamart:
+	python examples/ml_datamart.py $(SF)
 
 # corpus assembly end-to-end (decontaminate -> gate -> mix -> shard)
 assembly:

@@ -83,3 +83,22 @@ def test_corpus_assembly_pipeline(spark, sf_dir, tmp_path):
     assert abs(sum(ws) - 1.0) < 1e-9 and all(w > 0 for w in ws)
     # eval docs (doc_id % 25 == 0) never appear in the training corpus
     assert ordered.filter("doc_id % 25 = 0").count() == 0
+
+
+def test_ml_datamart_end_to_end(spark, sf_dir, tmp_path):
+    """The round-5 composition: DQ gate -> hash split -> hashed
+    features -> sharded/versioned delivery -> catalog round-trip."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from examples.ml_datamart import build
+
+    report = build(spark, sf_dir, str(tmp_path / "mart"))
+    assert report["shards"] == 4
+    assert set(report["cataloged"]) == {
+        "train_features", "val_features", "test_features",
+    }
+    s = report["splits"]
+    assert s["train"] > s["val"] and s["train"] > s["test"]
+    assert report["train_feature_rows"] > 0
+    assert report["winsor_cuts"][0] < report["winsor_cuts"][1]
