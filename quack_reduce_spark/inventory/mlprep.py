@@ -248,10 +248,59 @@ def ml_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEG_K = 4  # negatives per anchor
+
+
+def ml_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative sampling: for every anchor doc (1 in 25),
+    derive K pseudo-random negative partners with pure integer
+    arithmetic — neg = (anchor + j·stride) mod N, stride a per-anchor
+    md5 hash in [1, N-1] — then join back to prove each negative
+    exists and carry its source. No RNG: the same anchor gets the
+    same negatives on any cluster, any partitioning, any rerun, which
+    is what makes contrastive training reproducible AND resumable
+    (re-deriving epoch e's pairs after a crash needs only e, not a
+    saved RNG state). Corpus size N is a one-row aggregate broadcast
+    into the projection; the only shuffle is the join back to the
+    documents table on the derived key."""
+    docs = load(spark, sf_dir, "documents")
+    n_tbl = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    anchors = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .crossJoin(F.broadcast(n_tbl))
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("source").alias("anchor_source"),
+            "n_docs",
+            (
+                _md5_bucket(F.col("doc_id").cast("string"), 997) % (F.col("n_docs") - 1)
+                + 1
+            ).alias("stride"),
+        )
+    )
+    pairs = anchors.select(
+        "anchor_id",
+        "anchor_source",
+        F.explode(F.sequence(F.lit(1), F.lit(NEG_K))).alias("j"),
+        F.pmod(F.col("anchor_id") + F.col("j") * F.col("stride"), F.col("n_docs")).alias(
+            "neg_id"
+        ),
+    ).filter(F.col("neg_id") != F.col("anchor_id"))
+    return (
+        pairs.join(
+            docs.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")),
+            "neg_id",
+        )
+        .select("anchor_id", "anchor_source", "j", "neg_id", "neg_source")
+        .orderBy("anchor_id", "j")
+    )
+
+
 QUERIES = {
     "ml_train_split": ml_train_split,
     "ml_winsorize": ml_winsorize,
     "ml_robust_scale": ml_robust_scale,
+    "ml_negative_pairs": ml_negative_pairs,
     "ml_kfold_stats": ml_kfold_stats,
     "ml_feature_hashing": ml_feature_hashing,
     "ml_quantile_bins": ml_quantile_bins,
@@ -276,6 +325,26 @@ ORACLES = {
         FROM assigned
         GROUP BY 1, 2
         ORDER BY split, source
+    """,
+    "ml_negative_pairs": f"""
+        WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        anchors AS (
+            SELECT doc_id AS anchor_id, source AS anchor_source, n_docs,
+                   ({_md5_bucket_sql("CAST(doc_id AS VARCHAR)", 997)})
+                       % (n_docs - 1) + 1 AS stride
+            FROM documents, n
+            WHERE doc_id % 25 = 0
+        ),
+        pairs AS (
+            SELECT anchor_id, anchor_source, s.j,
+                   (anchor_id + s.j * stride) % n_docs AS neg_id
+            FROM anchors CROSS JOIN generate_series(1, {NEG_K}) AS s(j)
+        )
+        SELECT p.anchor_id, p.anchor_source, CAST(p.j AS INT) AS j,
+               p.neg_id, d.source AS neg_source
+        FROM pairs p JOIN documents d ON p.neg_id = d.doc_id
+        WHERE p.neg_id <> p.anchor_id
+        ORDER BY p.anchor_id, p.j
     """,
     "ml_winsorize": """
         WITH cuts AS (

@@ -89,3 +89,19 @@ def test_robust_scale_centers_on_median(spark, sf_dir):
         assert r.iqr > 0
         # median maps to 0 => extremes straddle it
         assert r.scaled_min < 0 < r.scaled_max
+
+
+def test_negative_pairs_contract(spark, sf_dir):
+    out = mlprep.ml_negative_pairs(spark, sf_dir).collect()
+    # every anchor keeps >= K-1 negatives (self-collisions filtered)
+    from collections import Counter
+
+    per_anchor = Counter(r.anchor_id for r in out)
+    assert all(mlprep.NEG_K - 1 <= c <= mlprep.NEG_K for c in per_anchor.values())
+    assert all(r.neg_id != r.anchor_id for r in out)
+    # deterministic: two runs agree exactly
+    again = mlprep.ml_negative_pairs(spark, sf_dir).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+    # negatives are spread out, not clustered on a few docs
+    neg_ids = {r.neg_id for r in out}
+    assert len(neg_ids) > len(per_anchor)
