@@ -463,12 +463,23 @@ class Engine:
         lake.commit(path, version)
         return version
 
-    def read_table(self, path: str, version: int | str | None = None) -> DataFrame:
-        """Time-travel read: the live snapshot by default, or any
-        still-present historical version of a versioned table. Plain
-        directories read as-is (version must be None)."""
+    def read_table(
+        self,
+        path: str,
+        version: int | str | None = None,
+        as_of: float | None = None,
+    ) -> DataFrame:
+        """Time-travel read: the live snapshot by default, a specific
+        ``version``, or the snapshot live at wall-clock time ``as_of``
+        (epoch seconds; Delta ``TIMESTAMP AS OF`` — resolved against
+        commit times, so it is stable across later rollbacks). Plain
+        directories read as-is (version/as_of must be None)."""
         from quack_reduce_spark import lake
 
+        if version is not None and as_of is not None:
+            raise ValueError("pass version OR as_of, not both")
+        if as_of is not None:
+            version = lake.version_as_of(path, as_of)
         if version is None:
             return self.spark.read.parquet(lake.resolve(path))
         return self.spark.read.parquet(lake.version_path(path, version))

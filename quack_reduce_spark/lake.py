@@ -306,6 +306,24 @@ def history(path: str) -> list[dict]:
     return out
 
 
+def version_as_of(path: str, ts: float) -> str:
+    """Latest committed version whose ``committed_at`` <= ``ts`` —
+    Delta's ``TIMESTAMP AS OF`` semantics. Resolution walks the
+    wall-clock commit history, NOT the current pointer, so an
+    ``as_of`` read is stable across later rollbacks (a rollback flips
+    the pointer; it does not rewrite when versions were committed).
+    Raises if the table has no commit at or before ``ts`` (reading
+    "before the table existed" is an error, not an empty frame)."""
+    best: str | None = None
+    for v in list_versions(path):
+        meta = read_manifest(path, v)
+        if meta and meta.get("committed_at") is not None and meta["committed_at"] <= ts:
+            best = v  # list_versions is ascending
+    if best is None:
+        raise ValueError(f"no version of {path} committed at or before {ts}")
+    return best
+
+
 def version_path(path: str, version: int | str) -> str:
     """Data directory of a specific version (time-travel read target).
     Raises if the version directory does not exist (vacuumed or never

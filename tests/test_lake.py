@@ -366,3 +366,40 @@ def test_incremental_aggregate_from_change_feed(spark, tmp_path):
     for g in want:
         assert refreshed[g][0] == want[g][0]
         assert refreshed[g][1] == pytest.approx(want[g][1])
+
+
+def test_timestamp_as_of_reads(spark, sf_dir, tmp_path):
+    """TIMESTAMP AS OF: commit-time resolution, boundary inclusivity,
+    stability across rollback, pre-creation error."""
+    import time
+
+    import pytest
+
+    from quack_reduce_spark import lake
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.inventory._util import load
+
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "tbl")
+    orders = load(spark, sf_dir, "orders")
+
+    before_create = time.time()
+    eng.write_versioned(orders.limit(10), path, op="create")
+    t1 = lake.read_manifest(path, lake.current_version(path))["committed_at"]
+    eng.write_versioned(orders.limit(25), path, op="write")
+    t2 = lake.read_manifest(path, lake.current_version(path))["committed_at"]
+
+    assert eng.read_table(path, as_of=t1).count() == 10
+    assert eng.read_table(path, as_of=(t1 + t2) / 2).count() == 10
+    assert eng.read_table(path, as_of=t2).count() == 25
+    assert eng.read_table(path, as_of=time.time()).count() == 25
+
+    # rollback flips the live pointer but not the as_of timeline
+    eng.rollback(path, 1)
+    assert eng.read_table(path).count() == 10
+    assert eng.read_table(path, as_of=t2).count() == 25
+
+    with pytest.raises(ValueError, match="at or before"):
+        eng.read_table(path, as_of=before_create - 10)
+    with pytest.raises(ValueError, match="not both"):
+        eng.read_table(path, version=1, as_of=t1)
