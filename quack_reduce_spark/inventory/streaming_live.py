@@ -294,8 +294,43 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join run by the streaming
+    engine: unmatched clicks must surface with NULL purchase columns
+    once the watermark passes their interval — the semantics (and the
+    state-eviction behavior behind them) that an inner join never
+    exercises. A streaming left-outer only EMITS an unmatched click
+    once the watermark passes its join interval, so clicks near the
+    bounded input's end never get their NULL row (state drains, the
+    stream ends) — both sides of the differential therefore compare
+    only clicks ≥ 6 h clear of the emission frontier, the same
+    contract tests/test_streaming.py pins for this operator. Per-user
+    matched/unmatched counts keep the hash order-free."""
+    clicks = _stream_source(spark, sf_dir, with_redeliveries=False).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = _stream_source(spark, sf_dir, with_redeliveries=False).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = click_purchase_interval_join(clicks, purchases, how="leftOuter")
+    drained = _drain(joined, spark, mode="append")
+    max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    return (
+        drained.filter(
+            F.col("click_ts") <= F.lit(max_ts) - F.expr("INTERVAL 6 HOURS")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("purchase_ts").isNull()).alias("n_unmatched"),
+            F.count_distinct("click_id").alias("n_clicks"),
+        )
+    )
+
+
 QUERIES = {
     "stream_stateful_user_stats": stream_stateful_user_stats,
+    "stream_interval_join_left": stream_interval_join_left,
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_upsert_versioned": stream_upsert_versioned,
     "stream_static_enrich": stream_static_enrich,
@@ -368,6 +403,30 @@ ORACLES = {
         )
         SELECT user_id, COUNT(*) AS n_pairs,
                COUNT(DISTINCT click_id) AS n_clicks_matched
+        FROM j GROUP BY user_id
+    """,
+    "stream_interval_join_left": """
+        WITH c AS (
+            SELECT event_id AS click_id, user_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+            SELECT user_id AS p_user, ts AS purchase_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        j AS (
+            SELECT c.click_id, c.user_id, p.purchase_ts
+            FROM c LEFT JOIN p
+              ON c.user_id = p.p_user
+             AND p.purchase_ts >= c.click_ts
+             AND p.purchase_ts <= c.click_ts + INTERVAL '30 minutes'
+            WHERE c.click_ts <= (SELECT MAX(ts) FROM events)
+                                - INTERVAL '6 hours'
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (purchase_ts IS NULL) AS BIGINT)
+                   AS n_unmatched,
+               COUNT(DISTINCT click_id) AS n_clicks
         FROM j GROUP BY user_id
     """,
     "stream_sliding_agg": """
