@@ -27,6 +27,7 @@ from quack_reduce_spark.inventory import (
     dq,
     graph,
     mlprep,
+    mleval,
     multimodal,
     relational,
     relational2,
@@ -67,6 +68,7 @@ _MODULES = [
     udfs,
     mlprep,
     dq,
+    mleval,
 ]
 
 # Deliberate registry ordering: the external driver differential-checks
