@@ -49,12 +49,21 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-q", "--query", default=None, help="SQL to run (default: canary count)")
     ap.add_argument("-limit", "--limit", type=int, default=20, help="server-side row cap")
     ap.add_argument("--data", default="/root/testdata/sf0.001", help="lake dir with <table>.parquet files")
+    ap.add_argument(
+        "--catalog",
+        default=None,
+        help="attach tables from a _catalog.json manifest dir "
+        "(Engine.save_catalog output) instead of the fixture layout",
+    )
     args = ap.parse_args(argv)
 
     from quack_reduce_spark.engine import Engine
 
     eng = Engine()
-    eng.register_dir(args.data, FIXTURE_TABLES)
+    if args.catalog:
+        eng.load_catalog(args.catalog)
+    else:
+        eng.register_dir(args.data, FIXTURE_TABLES)
 
     res = eng.sql(args.query or CANARY, limit=args.limit)
     print(render(res.records))
