@@ -190,6 +190,27 @@ def sim_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy report of the embedding table: total centered
+    variance vs variance along the power-iterated top component, and
+    the ratio. THE diagnostic for 'is raw cosine similarity here
+    dominated by one direction' (the all-but-the-top phenomenon);
+    oracled against the same unrolled-SQL power iteration as
+    sim_pca_topk."""
+    from quack_reduce_spark.operators.pca import pca_variance_profile
+
+    emb = load(spark, sf_dir, "embeddings")
+    prof = pca_variance_profile(
+        emb, "vec_id", "embedding", dim=EMBED_DIM, rounds=PCA_ROUNDS
+    )
+    return prof.select(
+        "n_vectors",
+        rnd(F.col("var_total"), 6).alias("var_total"),
+        rnd(F.col("var_top"), 6).alias("var_top"),
+        rnd(F.col("var_top") / F.col("var_total"), 6).alias("top_share"),
+    )
+
+
 def _pca_oracle(dim: int = EMBED_DIM, rounds: int = PCA_ROUNDS) -> str:
     """Unrolled-SQL replay of the power iteration. v0 = 1/sqrt(dim)
     (0.125 for d=64 — exactly representable, so both engines start
@@ -241,9 +262,29 @@ def _pca_oracle(dim: int = EMBED_DIM, rounds: int = PCA_ROUNDS) -> str:
     return "".join(parts)
 
 
+def _pca_variance_oracle(dim: int = EMBED_DIM, rounds: int = PCA_ROUNDS) -> str:
+    """Same unrolled iteration, variance-profile readout."""
+    base = _pca_oracle(dim, rounds)
+    # reuse everything up to (and including) v{rounds}, swap the readout
+    cut = base.index(",\n        score AS (")
+    return base[:cut] + f""",
+        prof AS (
+            SELECT c.vec_id,
+                   SUM(c.cv * v{rounds}.v) AS s,
+                   SUM(c.cv * c.cv) AS sq
+            FROM c JOIN v{rounds} USING (pos) GROUP BY c.vec_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               FLOOR(AVG(sq) * 1e6 + 0.5) / 1e6 AS var_total,
+               FLOOR(AVG(s * s) * 1e6 + 0.5) / 1e6 AS var_top,
+               FLOOR((AVG(s * s) / AVG(sq)) * 1e6 + 0.5) / 1e6 AS top_share
+        FROM prof"""
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_pca_topk": sim_pca_topk,
+    "sim_pca_variance": sim_pca_variance,
     "sim_cosine_topk_np": sim_cosine_topk_np,
     "sim_kmeans_profile": sim_kmeans_profile,
     "sim_pq_topk": sim_pq_topk,
@@ -257,6 +298,7 @@ QUERIES = {
 
 ORACLES = {
     "sim_pca_topk": _pca_oracle(),
+    "sim_pca_variance": _pca_variance_oracle(),
     "sim_nearest_centroid": """
         WITH comp AS (
             SELECT label, s.i AS pos, AVG(CAST(embedding[s.i] AS DOUBLE)) AS m

@@ -50,17 +50,31 @@ def pca_scores(
     the component's deterministic sign."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    centered = _center(df, id_col, vec_col, dim)
+    v = _power_fit(centered, dim, rounds)
+    return centered.select(
+        id_col,
+        F.aggregate(
+            F.zip_with(F.col("cv"), _lit_array(v), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+
+
+def _center(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
+    """(id, cv:array<double>) — vectors minus the corpus mean. The mean
+    is one posexplode aggregate; the d collected doubles are the only
+    driver-side data."""
     e = df.select(
         F.col(id_col),
         F.posexplode(F.col(vec_col)).alias("pos", "val"),
     ).select(id_col, "pos", F.col("val").cast("double").alias("val"))
-
     mu_rows = e.groupBy("pos").agg(F.avg("val").alias("m")).collect()
     mu = [0.0] * dim
     for r in mu_rows:
         mu[r["pos"]] = float(r["m"])
-
-    centered = df.select(
+    return df.select(
         F.col(id_col),
         F.zip_with(
             F.transform(F.col(vec_col), lambda x: x.cast("double")),
@@ -69,6 +83,11 @@ def pca_scores(
         ).alias("cv"),
     )
 
+
+def _power_fit(centered: DataFrame, dim: int, rounds: int) -> list[float]:
+    """The iteration itself: returns the unit top-eigenvector estimate
+    after ``rounds`` passes over ``centered`` (a (_, cv:array<double>)
+    frame). Each round's driver read is the d-double w vector."""
     v = [1.0 / math.sqrt(dim)] * dim
     for _ in range(rounds):
         s = centered.withColumn(
@@ -92,12 +111,38 @@ def pca_scores(
         if norm == 0.0:
             raise ValueError("power iteration collapsed: zero-variance input")
         v = [x / norm for x in w]
+    return v
 
+
+def pca_variance_profile(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    rounds: int = 3,
+) -> DataFrame:
+    """One-row anisotropy report: total centered variance, variance
+    captured by the power-iterated top component, and their ratio —
+    the number that says whether un-whitened cosine similarity over
+    this embedding table is dominated by one direction. Same fit as
+    :func:`pca_scores`; one extra corpus pass for the two variance
+    aggregates."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    centered = _center(df, id_col, vec_col, dim)
+    v = _power_fit(centered, dim, rounds)
+    dot_v = F.aggregate(
+        F.zip_with(F.col("cv"), _lit_array(v), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = F.aggregate(
+        F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
     return centered.select(
-        id_col,
-        F.aggregate(
-            F.zip_with(F.col("cv"), _lit_array(v), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("score"),
+        dot_v.alias("s"), sq.alias("sq")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.avg("sq").alias("var_total"),
+        F.avg(F.col("s") * F.col("s")).alias("var_top"),
     )

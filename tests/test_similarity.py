@@ -357,3 +357,23 @@ def test_pca_rejects_zero_variance_and_bad_rounds(spark):
         pca_scores(df, "vec_id", "embedding", dim=2, rounds=1).collect()
     with pytest.raises(ValueError, match="rounds"):
         pca_scores(df, "vec_id", "embedding", dim=2, rounds=0)
+
+
+def test_pca_variance_profile_bounds(spark):
+    import numpy as np
+
+    from quack_reduce_spark.operators.pca import pca_variance_profile
+
+    rng = np.random.RandomState(5)
+    d, n = 8, 120
+    base = rng.randn(n, d) * 0.05
+    direction = np.ones(d) / np.sqrt(d)
+    base += np.outer(rng.randn(n) * 3.0, direction)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = pca_variance_profile(df, "vec_id", "embedding", dim=d, rounds=3).collect()[0]
+    assert r.n_vectors == n
+    # top component can't exceed total variance; planted anisotropy
+    # means it captures almost everything
+    assert 0 < r.var_top <= r.var_total
+    assert r.var_top / r.var_total > 0.95
