@@ -77,12 +77,12 @@ _MODULES = [
 # that budget where it yields NEW information. Driver rounds r1-r4
 # sampled 93 distinct keys (all green); the round-5 head keeps ~10
 # stable sentinels (Tier A + one per operator family) and fills the
-# other 40 slots with oracled keys the driver has NEVER sampled —
-# including this round's new mm_audio_rms (real WAV decode) and
-# ts_asof_auto (size-dispatched as-of). No rows-only keys in the head:
-# they would burn budget on a permanent "no_oracle" row (the r3
-# lesson). The full registry passes tools/check_oracle.py locally at
-# sf0.001/sf0.01 regardless of head selection; see
+# other 40 slots with oracled keys the driver has NEVER sampled,
+# prioritizing code that is NEW this round (real codecs, versioned
+# lake, graph/PCA/ML-prep/DQ/schema-evolution). No rows-only keys in
+# the head: they would burn budget on a permanent "no_oracle" row (the
+# r3 lesson). The full registry passes tools/check_oracle.py locally
+# at sf0.001/sf0.01 regardless of head selection; see
 # tests/test_inventory_counts.py for the registry-size drift gate.
 _HEAD = [
     # Stable sentinels — Tier A + one per family, driver-green 4 rounds
