@@ -498,6 +498,16 @@ class Engine:
 
         return lake.rollback(path, version)
 
+    def vacuum(self, path: str, keep: int = 1, dry_run: bool = False) -> list[str]:
+        """Expire old snapshots of a versioned table, keeping the
+        newest ``keep`` plus whatever the live pointer targets.
+        ``dry_run=True`` previews the reclaim list without deleting —
+        after a vacuum, those versions are gone for time travel,
+        ``as_of`` reads, and rollback alike (see lake.vacuum)."""
+        from quack_reduce_spark import lake
+
+        return lake.vacuum(path, keep=keep, dry_run=dry_run)
+
     def delete_where(
         self,
         path: str,

@@ -348,10 +348,13 @@ def rollback(path: str, version: int | str) -> str:
     return v
 
 
-def vacuum(path: str, keep: int = 1) -> list[str]:
+def vacuum(path: str, keep: int = 1, dry_run: bool = False) -> list[str]:
     """Delete old version directories (and orphaned uncommitted stages),
     keeping the newest ``keep`` committed versions — always including
-    the current one. Returns the removed directory names."""
+    the current one. Returns the removed directory names;
+    ``dry_run=True`` returns what WOULD be removed without touching
+    anything (vacuum is the one irreversible lake operation — Delta's
+    VACUUM has the same preview idiom for the same reason)."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     fs = _fs_for(path)
@@ -361,6 +364,7 @@ def vacuum(path: str, keep: int = 1) -> list[str]:
     removed = []
     for v in versions:
         if v not in protect:
-            fs.delete_recursive(_join(path, v))
+            if not dry_run:
+                fs.delete_recursive(_join(path, v))
             removed.append(v)
     return removed

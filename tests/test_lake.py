@@ -403,3 +403,28 @@ def test_timestamp_as_of_reads(spark, sf_dir, tmp_path):
         eng.read_table(path, as_of=before_create - 10)
     with pytest.raises(ValueError, match="not both"):
         eng.read_table(path, version=1, as_of=t1)
+
+
+def test_vacuum_dry_run_previews_without_deleting(spark, sf_dir, tmp_path):
+    import pytest
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.inventory._util import load
+
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "tbl")
+    orders = load(spark, sf_dir, "orders")
+    for n in (10, 20, 30):
+        eng.write_versioned(orders.limit(n), path, op="write")
+
+    preview = eng.vacuum(path, keep=1, dry_run=True)
+    assert preview == ["v00000001", "v00000002"]
+    # nothing was touched: every version still readable
+    assert eng.read_table(path, 1).count() == 10
+    assert eng.read_table(path, 2).count() == 20
+
+    removed = eng.vacuum(path, keep=1)
+    assert removed == preview
+    assert eng.read_table(path).count() == 30
+    with pytest.raises(ValueError, match="vacuumed"):
+        eng.read_table(path, 1)
