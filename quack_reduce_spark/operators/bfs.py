@@ -60,10 +60,11 @@ def bfs_levels(
     if checkpoint and rounds > 1:
         # Materialize the (possibly derived) edge list once: every
         # round joins against it, and without this each round re-runs
-        # the edge derivation's full lineage (for the trade graph,
-        # a join + distinct — 3x the cost at 3 rounds, measured 2.2x
-        # wall-clock on sf0.1). At cluster scale the same role is
-        # played by writing the edge list to a bucketed table first.
+        # the edge derivation's full lineage (for the trade graph, a
+        # join + distinct per round; measured ~1.25x wall-clock saved
+        # at sf0.1 — the derivation is cheap there, the win grows with
+        # derivation cost). At cluster scale the same role is played
+        # by writing the edge list to a bucketed table first.
         edges = edges.localCheckpoint(eager=True)
     frontier = seeds.select(F.col("node").cast("long")).distinct()
     if checkpoint:
