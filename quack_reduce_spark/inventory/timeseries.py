@@ -390,12 +390,22 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_t = F.last(obs_hour, ignorenulls=True).over(w_prev)
     next_v = F.first("v", ignorenulls=True).over(w_next)
     next_t = F.first(obs_hour, ignorenulls=True).over(w_next)
-    frac = (
-        F.unix_timestamp("hour") - F.unix_timestamp(prev_t)
-    ) / F.nullif(F.unix_timestamp(next_t) - F.unix_timestamp(prev_t), F.lit(0))
-    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
-        rnd(prev_v + (next_v - prev_v) * frac, 4)
+    # Exact-integer blend: the hourly values are integral in 1e-4
+    # units and the time deltas integral seconds, so the interpolation
+    # (pi·(dn−dh) + ni·dh)/dn and its half-up rounding
+    # floor((2p+q)/(2q)) are computed on BIGINTs — no floating-point
+    # anywhere until the final /1e4, which is exact. A pure-double
+    # blend lands on exact .5 boundaries (seen at sf0.1) where the two
+    # engines' last-ulp differences flip the rounded value.
+    pi = F.floor(prev_v * F.lit(1e4) + F.lit(0.5)).cast("long")
+    ni = F.floor(next_v * F.lit(1e4) + F.lit(0.5)).cast("long")
+    dh = F.unix_timestamp("hour") - F.unix_timestamp(prev_t)
+    dn = F.nullif(
+        F.unix_timestamp(next_t) - F.unix_timestamp(prev_t), F.lit(0)
     )
+    p = pi * (dn - dh) + ni * dh
+    blended = F.floor((2 * p + dn) / (2 * dn)) / F.lit(1e4)
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(blended)
     return joined.select(
         "hour",
         F.col("v").isNotNull().alias("observed"),
@@ -786,14 +796,24 @@ ORACLES = {
                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
             FROM j
         )
+        , g AS (
+            SELECT hour, v,
+                   CAST(FLOOR(prev_v * 1e4 + 0.5) AS BIGINT) AS pi,
+                   CAST(FLOOR(next_v * 1e4 + 0.5) AS BIGINT) AS ni,
+                   CAST(epoch(hour) - epoch(prev_t) AS BIGINT) AS dh,
+                   NULLIF(CAST(epoch(next_t) - epoch(prev_t) AS BIGINT), 0)
+                       AS dn
+            FROM f
+        )
         SELECT hour,
                v IS NOT NULL AS observed,
+               -- exact-integer half-up blend: floor((2p+q)/(2q))/1e4,
+               -- p = pi*(dn-dh) + ni*dh — see the Spark twin
                CASE WHEN v IS NOT NULL THEN v
-                    ELSE FLOOR((prev_v + (next_v - prev_v) *
-                         (epoch(hour) - epoch(prev_t))
-                         / NULLIF(epoch(next_t) - epoch(prev_t), 0)) * 1e4 + 0.5) / 1e4
+                    ELSE FLOOR((2 * (pi * (dn - dh) + ni * dh) + dn)
+                               / (2 * dn)) / 1e4
                END AS value
-        FROM f
+        FROM g
         ORDER BY hour
     """,
     "ts_gap_fill": """
