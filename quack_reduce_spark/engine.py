@@ -68,12 +68,20 @@ class Engine:
         reference's HIVE_PARTITIONING=1 scans (benchmark.py:138,166);
         nanos-timestamp parquet is normalized (see sources module).
         """
+        from quack_reduce_spark import lake
         from quack_reduce_spark.sources import read_table
 
         df = read_table(self.spark, path, fmt=fmt, **options)
         df.createOrReplaceTempView(name)
         self.tables[name] = path
-        self._table_meta[name] = {"fmt": fmt, "options": dict(options)}
+        meta: dict = {"fmt": fmt, "options": dict(options)}
+        resolved = lake.resolve(path)
+        if resolved != path:
+            # versioned table: a temp view binds to the files of ONE
+            # snapshot, so remember which — sql()/df() re-resolve the
+            # pointer and re-register when a maintenance commit moved it
+            meta["resolved"] = resolved
+        self._table_meta[name] = meta
         return df
 
     def register_dir(self, root: str, names: list[str], fmt: str = "parquet") -> None:
@@ -171,8 +179,27 @@ class Engine:
 
     # -- query surface --------------------------------------------------
 
+    def _refresh_versioned_views(self) -> None:
+        """Rebind any registered view whose versioned table has moved
+        its live pointer since registration (merge/compact/delete/
+        rollback all commit new versions; a temp view is bound to one
+        snapshot's files). Cost: one pointer-file read per REGISTERED
+        VERSIONED table per query — zero for plain tables."""
+        from quack_reduce_spark import lake
+
+        for name, meta in list(self._table_meta.items()):
+            cached = meta.get("resolved")
+            if cached is None:
+                continue
+            live = lake.resolve(self.tables[name])
+            if live != cached:
+                self.register(
+                    name, self.tables[name], fmt=meta["fmt"], **meta["options"]
+                )
+
     def df(self, query: str) -> DataFrame:
         """Arbitrary SQL → lazy DataFrame (the reference's app.py:51)."""
+        self._refresh_versioned_views()
         return self.spark.sql(query)
 
     def explain(self, query: str, mode: str = "formatted") -> str:
@@ -189,6 +216,7 @@ class Engine:
     def sql(self, query: str, limit: int | None = DEFAULT_LIMIT) -> QueryResult:
         """Run SQL, cap rows, return the JSON-safe metadata envelope."""
         start = time.time()
+        self._refresh_versioned_views()
         df = self.spark.sql(query)
         if limit is not None:
             df = df.limit(limit)
@@ -561,8 +589,10 @@ class Engine:
         what CDC consumers read after the fact. Keyed full-outer join
         of the two versions: absent-in-from → ``insert``, absent-in-to
         → ``delete``, present in both with any non-key column changed
-        (murmur3 hash over all columns) → ``update``; unchanged rows
-        are dropped. Returns (key, change_type), plus — when
+        (EXACT null-safe struct comparison over all columns — not a
+        hash, so no collision can ever drop a change from the feed) →
+        ``update``; unchanged rows are dropped. Returns
+        (key, change_type), plus — when
         ``payload`` names columns — ``old_<c>`` / ``new_<c>`` value
         pairs (NULL on the absent side), which is what downstream
         incremental consumers (aggregate maintenance, audit logs)
@@ -570,8 +600,10 @@ class Engine:
         an insert ``+new``.
 
         Scale: one shuffle per side on the key (co-partitioned join);
-        the hash comparison is JVM-side F.hash, no Python. At 100 TB
-        both snapshots usually share most data files — a file-level
+        the struct comparison is a JVM-side expression, no Python, and
+        the shuffled row carries the full column struct (the same
+        width the payload columns would anyway). At 100 TB both
+        snapshots usually share most data files — a file-level
         manifest diff would skip identical files first; with plain
         parquet versions the honest cost is the two scans."""
         a = self.read_table(path, v_from)
@@ -585,21 +617,23 @@ class Engine:
         cols = sorted(a.columns)
         ah = a.select(
             F.col(key).alias("__k"),
-            F.hash(*[F.col(c) for c in cols]).alias("__ha"),
+            F.struct(*[F.col(c) for c in cols]).alias("__ra"),
             *[F.col(c).alias(f"old_{c}") for c in payload],
         )
         bh = b.select(
             F.col(key).alias("__k"),
-            F.hash(*[F.col(c) for c in cols]).alias("__hb"),
+            F.struct(*[F.col(c) for c in cols]).alias("__rb"),
             *[F.col(c).alias(f"new_{c}") for c in payload],
         )
         joined = ah.join(bh, "__k", "full_outer")
         return (
             joined.withColumn(
                 "change_type",
-                F.when(F.col("__ha").isNull(), F.lit("insert"))
-                .when(F.col("__hb").isNull(), F.lit("delete"))
-                .when(F.col("__ha") != F.col("__hb"), F.lit("update")),
+                F.when(F.col("__ra").isNull(), F.lit("insert"))
+                .when(F.col("__rb").isNull(), F.lit("delete"))
+                .when(
+                    ~F.col("__ra").eqNullSafe(F.col("__rb")), F.lit("update")
+                ),
             )
             .filter(F.col("change_type").isNotNull())
             .select(

@@ -42,9 +42,29 @@ from quack_reduce_spark.inventory._util import load, rnd
 
 _SCRATCH = "/tmp/quack_reduce_spark_roundtrip"
 
+def _require(cond: bool, msg: str, *detail) -> None:
+    """In-query invariant check that survives ``python -O`` (a bare
+    assert would silently vanish and let a violated contract flow into
+    the oracle comparison misattributed)."""
+    if not cond:
+        raise RuntimeError(f"{msg}: {detail}" if detail else msg)
+
+
+
 
 def _fresh_dir(sf_dir: str, tag: str) -> str:
-    path = os.path.join(_SCRATCH, os.path.basename(os.path.normpath(sf_dir)), tag)
+    """A genuinely private scratch dir per CALL (uuid suffix): two
+    concurrent invocations — bench + a driver round, say — must never
+    rmtree each other's live table mid-scan. The caller removes it
+    before returning; the rmtree here only covers a crashed prior
+    call's leftovers never being reused."""
+    import uuid as _uuid
+
+    path = os.path.join(
+        _SCRATCH,
+        os.path.basename(os.path.normpath(sf_dir)),
+        f"{tag}_{_uuid.uuid4().hex[:10]}",
+    )
     shutil.rmtree(path, ignore_errors=True)
     return path
 
@@ -108,7 +128,11 @@ def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         summarize("v2", eng.read_table(path, 2)),
         summarize("v3", eng.read_table(path, 3)),
     ]
-    assert [h["op"] for h in eng.history(path)] == ["create", "merge_upsert", "delete"]
+    _require(
+        [h["op"] for h in eng.history(path)]
+        == ["create", "merge_upsert", "delete"],
+        "unexpected commit history",
+    )
     eng.rollback(path, 1)
     rows.append(summarize("restored", eng.read_table(path)))
     shutil.rmtree(path, ignore_errors=True)
@@ -129,7 +153,7 @@ def lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed change feed between committed snapshots (CDC-after-the-
     fact): v1→v2 must show exactly the merge's inserts and updates,
     v2→v3 exactly the delete's removals — classified by a full-outer
-    join + whole-row murmur3 comparison, summarized per change type
+    join + exact null-safe whole-row comparison, summarized per change type
     with a key-sum so the oracle pins WHICH keys changed, not just how
     many."""
     path = _fresh_dir(sf_dir, "lake_cdc")
@@ -225,11 +249,12 @@ def lake_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
         .collect()
     }
-    assert set(got) == set(want), (got, want)
+    _require(set(got) == set(want), "MV key sets diverge", got, want)
     for k in want:
-        assert got[k][0] == want[k][0], (k, got[k], want[k])
-        assert abs(got[k][1] - want[k][1]) < 1e-6 * max(1.0, abs(want[k][1])), (
-            k, got[k], want[k],
+        _require(got[k][0] == want[k][0], "MV count diverges", k, got[k], want[k])
+        _require(
+            abs(got[k][1] - want[k][1]) < 1e-6 * max(1.0, abs(want[k][1])),
+            "MV sum diverges", k, got[k], want[k],
         )
     shutil.rmtree(path, ignore_errors=True)
     # emit the RECOMPUTED sums (identical to the incremental ones to
@@ -300,7 +325,10 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     eng.merge_upsert(path, upd, key="o_orderkey", evolve_schema=True)
 
-    assert len(eng.read_table(path, 1).columns) == 3  # snapshot immutable
+    _require(
+        len(eng.read_table(path, 1).columns) == 3,
+        "pre-evolution snapshot schema must stay 3-column",
+    )
     evolved = eng.read_table(path)
     n_cols = len(evolved.columns)
     rows = [

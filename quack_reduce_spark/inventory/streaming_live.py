@@ -238,10 +238,13 @@ def stream_upsert_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eng = Engine(spark=spark)
     hist = eng.history(table)
-    assert hist and hist[0]["op"].startswith("stream_create"), hist
-    assert all(h["op"] == "merge_upsert" for h in hist[1:]), hist
-    assert [h["rows"] for h in hist] == sorted(h["rows"] for h in hist), (
-        "per-user upsert stream must never shrink the table"
+    from quack_reduce_spark.inventory.lakeops import _require
+
+    _require(bool(hist) and hist[0]["op"].startswith("stream_create"), "bad first commit", hist)
+    _require(all(h["op"] == "merge_upsert" for h in hist[1:]), "non-merge commit in stream history", hist)
+    _require(
+        [h["rows"] for h in hist] == sorted(h["rows"] for h in hist),
+        "per-user upsert stream must never shrink the table",
     )
     rows = [
         (int(r["user_id"]), int(r["n_events"]), float(r["sum_value"]))

@@ -53,6 +53,7 @@ import uuid
 
 CURRENT = "_CURRENT"
 MANIFEST = "_meta.json"
+COMMITTED_MARK = "_COMMITTED"
 _VERSION_RE = re.compile(r"^v\d{8}$")
 _URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
 
@@ -223,6 +224,32 @@ def commit(path: str, version: str) -> None:
     if not fs.is_dir(_join(path, version)):
         raise ValueError(f"cannot commit {version}: no such data dir under {path}")
     fs.write_text_atomic(_join(path, CURRENT), version + "\n")
+    # Post-commit marker: distinguishes committed versions from
+    # orphaned stages (crash between stage and commit leaves data +
+    # manifest but NO marker). The pointer flip above IS the commit;
+    # the marker just records it durably per version, so history /
+    # version_as_of / vacuum never mistake an orphan for a commit. If
+    # a crash lands between pointer and marker, the version is still
+    # recognized as committed because the pointer targets it
+    # (committed_versions checks both); the marker write is idempotent
+    # and re-done by any later rollback to this version.
+    fs.write_text_atomic(_join(path, version, COMMITTED_MARK), "committed\n")
+
+
+def committed_versions(path: str) -> list[str]:
+    """Version directories that were actually committed (pointer
+    flipped to them at some point), ascending. A version counts as
+    committed iff it carries the post-commit marker OR is the current
+    pointer target (covers a crash between pointer write and marker
+    write). Orphaned stages — data dirs a crashed writer never
+    committed — are excluded; vacuum reclaims them."""
+    fs = _fs_for(path)
+    current = current_version(path)
+    return [
+        v
+        for v in list_versions(path)
+        if v == current or fs.is_file(_join(path, v, COMMITTED_MARK))
+    ]
 
 
 def convert_to_versioned(path: str) -> str:
@@ -299,7 +326,7 @@ def history(path: str) -> list[dict]:
     (:func:`rollback`) until vacuum removes it."""
     current = current_version(path)
     out = []
-    for v in list_versions(path):
+    for v in committed_versions(path):
         meta = read_manifest(path, v) or {"version": v, "op": None, "rows": None}
         meta["is_current"] = v == current
         out.append(meta)
@@ -312,13 +339,17 @@ def version_as_of(path: str, ts: float) -> str:
     wall-clock commit history, NOT the current pointer, so an
     ``as_of`` read is stable across later rollbacks (a rollback flips
     the pointer; it does not rewrite when versions were committed).
-    Raises if the table has no commit at or before ``ts`` (reading
-    "before the table existed" is an error, not an empty frame)."""
+    Only COMMITTED versions participate: an orphaned stage left by a
+    crash between manifest write and pointer flip carries a
+    ``committed_at`` but no commit marker, and must never satisfy an
+    as-of read. Raises if the table has no commit at or before ``ts``
+    (reading "before the table existed" is an error, not an empty
+    frame)."""
     best: str | None = None
-    for v in list_versions(path):
+    for v in committed_versions(path):
         meta = read_manifest(path, v)
         if meta and meta.get("committed_at") is not None and meta["committed_at"] <= ts:
-            best = v  # list_versions is ascending
+            best = v  # committed_versions is ascending
     if best is None:
         raise ValueError(f"no version of {path} committed at or before {ts}")
     return best
@@ -344,27 +375,43 @@ def rollback(path: str, version: int | str) -> str:
     v = normalize_version(version)
     if not _fs_for(path).is_dir(_join(path, v)):
         raise ValueError(f"cannot rollback to {v}: not present under {path}")
+    if v not in committed_versions(path):
+        raise ValueError(
+            f"cannot rollback to {v}: it was never committed (orphaned "
+            "stage from a crashed writer — unverified data)"
+        )
     commit(path, v)
     return v
 
 
 def vacuum(path: str, keep: int = 1, dry_run: bool = False) -> list[str]:
-    """Delete old version directories (and orphaned uncommitted stages),
-    keeping the newest ``keep`` committed versions — always including
-    the current one. Returns the removed directory names;
-    ``dry_run=True`` returns what WOULD be removed without touching
-    anything (vacuum is the one irreversible lake operation — Delta's
-    VACUUM has the same preview idiom for the same reason)."""
+    """Delete old version directories and stale orphaned stages,
+    keeping the newest ``keep`` COMMITTED versions — always including
+    the current one. ``keep`` counts committed versions only, so an
+    orphaned stage (crashed writer, no commit marker) can never
+    displace a committed snapshot from the retention window. Orphans
+    BELOW the current pointer are reclaimed (a stage always numbers
+    above every version that existed when it was allocated, so one
+    below current cannot belong to an in-flight writer); orphans above
+    current are left alone — they may be a concurrent writer mid-
+    stage. Returns the removed directory names; ``dry_run=True``
+    returns what WOULD be removed without touching anything (vacuum is
+    the one irreversible lake operation — Delta's VACUUM has the same
+    preview idiom for the same reason)."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     fs = _fs_for(path)
     current = current_version(path)
-    versions = list_versions(path)
-    protect = set(versions[-keep:]) | {current}
+    committed = committed_versions(path)
+    protect = set(committed[-keep:]) | {current}
     removed = []
-    for v in versions:
-        if v not in protect:
-            if not dry_run:
-                fs.delete_recursive(_join(path, v))
-            removed.append(v)
+    for v in list_versions(path):
+        if v in protect:
+            continue
+        is_orphan = v not in committed
+        if is_orphan and v > current:
+            continue  # possibly a concurrent writer's in-flight stage
+        if not dry_run:
+            fs.delete_recursive(_join(path, v))
+        removed.append(v)
     return removed

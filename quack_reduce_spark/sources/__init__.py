@@ -77,9 +77,12 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet", **options: 
     """Format-dispatching lake read (parquet/csv/json/orc/text).
 
     Versioned table roots (quack_reduce_spark.lake layout, a _CURRENT
-    pointer naming the live ``vNNNNNNNN/`` data dir) resolve to their
-    current version, so registered tables always read the last
-    committed maintenance rewrite."""
+    pointer naming the live ``vNNNNNNNN/`` data dir) resolve to the
+    version that is live AT READ TIME; the returned DataFrame stays
+    bound to that snapshot's files. Engine keeps registered views
+    current across later commits (``_refresh_versioned_views`` re-
+    resolves the pointer before every sql()/df()); callers holding a
+    raw DataFrame re-call read_table to see a newer snapshot."""
     from quack_reduce_spark import lake
 
     path = lake.resolve(path)

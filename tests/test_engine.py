@@ -389,3 +389,31 @@ def test_load_catalog_missing_and_bad_version(spark, tmp_path):
         json.dump({"version": 99, "tables": {}}, f)
     with pytest.raises(ValueError, match="version"):
         eng.load_catalog(root)
+
+
+def test_registered_versioned_view_tracks_commits_and_survives_vacuum(
+    spark, sf_dir, tmp_path
+):
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.inventory._util import load
+
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "tbl")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    eng.write_versioned(orders.limit(50), path, op="create")
+    eng.register("vt", path)
+    assert eng.sql("SELECT COUNT(*) AS n FROM vt").records[0]["n"] == 50
+
+    # a maintenance commit moves the pointer; the view must follow
+    eng.merge_upsert(
+        path,
+        spark.createDataFrame([(99_000_001, 1.0)], "o_orderkey long, o_totalprice double"),
+        key="o_orderkey",
+    )
+    assert eng.sql("SELECT COUNT(*) AS n FROM vt").records[0]["n"] == 51
+
+    # vacuum the old snapshot: the refreshed view must keep working
+    eng.vacuum(path, keep=1)
+    assert eng.sql("SELECT COUNT(*) AS n FROM vt").records[0]["n"] == 51

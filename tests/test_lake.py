@@ -428,3 +428,46 @@ def test_vacuum_dry_run_previews_without_deleting(spark, sf_dir, tmp_path):
     assert eng.read_table(path).count() == 30
     with pytest.raises(ValueError, match="vacuumed"):
         eng.read_table(path, 1)
+
+
+def test_orphaned_stage_is_not_a_commit(spark, sf_dir, tmp_path):
+    """Crash between stage and commit leaves an orphan: it must not
+    appear in history, satisfy as-of reads, count toward vacuum keep,
+    or be a rollback target — and vacuum must reclaim it once it sits
+    below the live pointer."""
+    import time
+
+    import pytest
+
+    from quack_reduce_spark import lake
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.inventory._util import load
+
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "tbl")
+    orders = load(spark, sf_dir, "orders")
+    eng.write_versioned(orders.limit(10), path, op="create")
+    eng.write_versioned(orders.limit(20), path, op="write")
+
+    # simulate the crash window: stage v3 with data + manifest, no commit
+    v, data_dir = lake.stage_version(path)
+    orders.limit(5).write.parquet(data_dir)
+    lake.write_manifest(path, v, op="crashed_write", rows=5)
+
+    assert [h["version"] for h in eng.history(path)] == ["v00000001", "v00000002"]
+    assert eng.read_table(path, as_of=time.time()).count() == 20  # not 5
+    with pytest.raises(ValueError, match="never committed"):
+        eng.rollback(path, 3)
+
+    # keep=2 must protect BOTH committed versions (the orphan doesn't
+    # consume a retention slot) and must not touch the orphan above
+    # the pointer (possible in-flight writer)
+    assert eng.vacuum(path, keep=2, dry_run=True) == []
+
+    # once the table moves on, the orphan falls below the pointer and
+    # becomes reclaimable
+    eng.write_versioned(orders.limit(30), path, op="write")
+    removed = eng.vacuum(path, keep=2)
+    assert v in removed  # orphan reclaimed
+    assert eng.read_table(path, 2).count() == 20  # committed v2 kept
+    assert eng.read_table(path).count() == 30
