@@ -379,6 +379,7 @@ class Engine:
         """
         from quack_reduce_spark import lake
 
+        self._recover_plain(target_path)
         data_path = lake.resolve(target_path)
         target = self.spark.read.parquet(data_path)
         if key not in target.columns:
@@ -436,6 +437,7 @@ class Engine:
         numbers are correct on nested layouts)."""
         from quack_reduce_spark import lake
 
+        self._recover_plain(path)
         data_path = lake.resolve(path)
         df = self.spark.read.parquet(data_path)
         parts = self._partition_cols(data_path, partition_by, df.columns)
@@ -558,6 +560,7 @@ class Engine:
         partition)."""
         from quack_reduce_spark import lake
 
+        self._recover_plain(path)
         data_path = lake.resolve(path)
         df = self.spark.read.parquet(data_path)
         parts = self._partition_cols(data_path, partition_by, df.columns)
@@ -660,23 +663,49 @@ class Engine:
             raise ValueError(f"partition columns {unknown} not in table {columns}")
         return parts
 
+    def _recover_plain(self, path: str) -> None:
+        """Self-heal a plain-directory table whose last rewrite crashed
+        between the two renames (table path absent, ``__old`` holding
+        the only complete copy) — called at the top of every
+        maintenance op, BEFORE the target is read. No-op for versioned
+        roots (their commit protocol has no such window) and URI
+        paths (plain rewrites are refused there anyway)."""
+        import os
+
+        from quack_reduce_spark import lake
+
+        if lake._URI_RE.match(path) and not path.startswith("file:"):
+            return
+        local = path[len("file:"):] if path.startswith("file:") else path
+        if lake.is_versioned(local):
+            return
+        aside = local.rstrip("/") + "__old"
+        if not os.path.exists(local) and os.path.exists(aside):
+            os.rename(aside, local)
+
     def _commit_rewrite(
         self, path: str, write_to, expected_rows: int | None, op: str = "rewrite"
     ) -> int:
         """Write a full rewrite of table ``path`` and make it live
-        without ever leaving the table unreadable. Two protocols:
+        without ever losing a complete copy of the data. Two protocols:
 
         - **Versioned root** (``lake.is_versioned``): the object-store-
           safe path. Data lands in a fresh ``vNNNNNNNN/`` directory that
           readers cannot see; after verification the commit is ONE
           pointer write (single PUT on S3). A crash anywhere before the
           pointer write leaves the old version live; orphaned staging
-          is reclaimed by ``lake.vacuum``.
+          is reclaimed by ``lake.vacuum``. NO window exists in which
+          the table is unreadable.
         - **Plain directory** (local FS only — POSIX renames): staging
           write, then rename live aside (``__old``), staging into
           place, delete the aside copy. A complete copy of the table
           exists at some path at every instant, unlike a naive
-          rmtree-then-rename.
+          rmtree-then-rename — but there IS a crash window between the
+          two renames in which the table path itself is briefly absent
+          (reads fail until recovery). The next maintenance call
+          self-heals: it renames the ``__old`` copy back before doing
+          anything else. Versioned tables are the fix for readers that
+          can't tolerate that instant.
 
         Verifies the staged row count before commit (if
         ``expected_rows`` is given, mismatch aborts and the live table
@@ -717,6 +746,12 @@ class Engine:
 
         staging = path.rstrip("/") + "__staging"
         aside = path.rstrip("/") + "__old"
+        if not os.path.exists(path) and os.path.exists(aside):
+            # prior run crashed between its two renames: the aside copy
+            # is the ONLY complete table — restore it before anything
+            # (in particular before the debris sweep below, which would
+            # otherwise delete it)
+            os.rename(aside, path)
         for leftover in (staging, aside):  # debris from a prior crash
             if os.path.exists(leftover):
                 shutil.rmtree(leftover)

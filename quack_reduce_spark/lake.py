@@ -128,15 +128,15 @@ class _HadoopFS:
         return bool(self._fs.exists(jp) and self._fs.getFileStatus(jp).isDirectory())
 
     def read_text(self, p: str) -> str:
+        # One py4j call for the whole file (commons-io ships with
+        # Spark) — a byte-at-a-time stream.read() loop would cost one
+        # driver round trip PER BYTE, turning every pointer/catalog
+        # read on an object store into seconds.
         stream = self._fs.open(self._p(p))
         try:
-            out = bytearray()
-            while True:
-                b = stream.read()
-                if b < 0:
-                    break
-                out.append(b)
-            return out.decode()
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
         finally:
             stream.close()
 

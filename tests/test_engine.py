@@ -417,3 +417,28 @@ def test_registered_versioned_view_tracks_commits_and_survives_vacuum(
     # vacuum the old snapshot: the refreshed view must keep working
     eng.vacuum(path, keep=1)
     assert eng.sql("SELECT COUNT(*) AS n FROM vt").records[0]["n"] == 51
+
+
+def test_commit_rewrite_recovers_crashed_swap(spark, sf_dir, tmp_path):
+    """Simulate a crash between the two renames (table path absent,
+    __old holds the only copy): the next maintenance call must restore
+    the copy FIRST — not sweep it as debris — then apply its rewrite."""
+    import os
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.inventory._util import load
+
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "tbl")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    orders.limit(40).write.parquet(path)
+
+    # crash state: live dir renamed aside, replacement never arrived
+    os.rename(path, path + "__old")
+    assert not os.path.exists(path)
+
+    upd = spark.createDataFrame([(5_000_000, 2.0)], "o_orderkey long, o_totalprice double")
+    stats = eng.merge_upsert(path, upd, key="o_orderkey")
+    assert stats["rows_after"] == 41
+    assert spark.read.parquet(path).count() == 41
+    assert not os.path.exists(path + "__old")
