@@ -1,10 +1,12 @@
 """Deduplication inventory over the documents table (north-star ops).
 
-dedup_exact / dedup_ngram_jaccard have exact DuckDB oracles.
-dedup_minhash_lsh / dedup_simhash are genuinely non-SQL-expressible
-(banded LSH with engine-specific hash permutations) → driver rows-only
-check + unit tests in tests/test_dedup.py asserting agreement with the
-exact-Jaccard ground truth on the fixtures.
+dedup_exact / dedup_ngram_jaccard have exact DuckDB oracles, and
+dedup_minhash_portable puts banded MinHash-LSH ITSELF through the hash
+gate (md5-based permutations both engines can compute). The xxhash64
+production variants (dedup_minhash_lsh / dedup_simhash) stay rows-only
+— engine-specific hash families — with unit tests in
+tests/test_dedup.py asserting agreement with the exact-Jaccard ground
+truth on the fixtures.
 """
 
 from __future__ import annotations
@@ -53,6 +55,95 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+MINHASH_PORTABLE_HASHES = 16
+MINHASH_PORTABLE_BANDS = 4
+
+
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) with md5-based permutations — the
+    FULLY ORACLE-REPLAYED LSH: the DuckDB twin recomputes the same
+    32-bit md5 shingle hashes, the same (a·h+b) permutation mins, the
+    same band keys, the same candidate join, and the same exact-Jaccard
+    verify, so the differential gate checks the exact pair set, not
+    just recall. Companion to dedup_minhash_lsh (the xxhash64
+    production variant, rows-only by design)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs_portable(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=MINHASH_PORTABLE_HASHES,
+        bands=MINHASH_PORTABLE_BANDS,
+        threshold=0.5,
+    )
+
+
+def _minhash_portable_oracle() -> str:
+    from quack_reduce_spark.operators.dedup import _perm_consts
+
+    consts = _perm_consts(MINHASH_PORTABLE_HASHES)
+    rows_per_band = MINHASH_PORTABLE_HASHES // MINHASH_PORTABLE_BANDS
+    values = ",\n                ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(consts)
+    )
+    return f"""
+        WITH w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+            FROM documents
+        ),
+        shs AS (
+            SELECT doc_id AS doc,
+                   unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                           for i in generate_series(1, len(words) - 2)]) AS sh
+            FROM w
+            WHERE len(words) >= 3
+        ),
+        sh AS (
+            SELECT doc,
+                   CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) AS h
+            FROM shs
+        ),
+        consts AS (
+            SELECT * FROM (VALUES
+                {values}
+            ) AS t(i, a, b)
+        ),
+        sig AS (
+            SELECT sh.doc, c.i, MIN(sh.h * c.a + c.b) AS m
+            FROM sh CROSS JOIN consts c
+            GROUP BY sh.doc, c.i
+        ),
+        bandkeys AS (
+            SELECT doc, i // {rows_per_band} AS band,
+                   string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS bkey
+            FROM sig GROUP BY doc, i // {rows_per_band}
+        ),
+        cand AS (
+            SELECT DISTINCT l.doc AS doc1, r.doc AS doc2
+            FROM bandkeys l
+            JOIN bandkeys r ON l.band = r.band AND l.bkey = r.bkey
+                           AND l.doc < r.doc
+        ),
+        sets AS (SELECT doc, COUNT(DISTINCT h) AS sz FROM sh GROUP BY doc),
+        inter AS (
+            SELECT c.doc1, c.doc2, COUNT(DISTINCT a.h) AS common
+            FROM cand c
+            JOIN sh a ON a.doc = c.doc1
+            JOIN sh b ON b.doc = c.doc2 AND b.h = a.h
+            GROUP BY c.doc1, c.doc2
+        )
+        SELECT i.doc1, i.doc2,
+               FLOOR((CAST(i.common AS DOUBLE)
+                      / (s1.sz + s2.sz - i.common)) * 1e6 + 0.5) / 1e6
+                   AS jaccard
+        FROM inter i
+        JOIN sets s1 ON i.doc1 = s1.doc
+        JOIN sets s2 ON i.doc2 = s2.doc
+        WHERE FLOOR((CAST(i.common AS DOUBLE)
+                     / (s1.sz + s2.sz - i.common)) * 1e6 + 0.5) / 1e6 >= 0.5
+    """
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,6 +350,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_capped": dedup_ngram_capped,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_portable": dedup_minhash_portable,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -268,6 +360,7 @@ QUERIES = {
 
 
 ORACLES = {
+    "dedup_minhash_portable": _minhash_portable_oracle(),
     "dedup_incremental": """
         WITH fp AS (
             SELECT doc_id, source, md5(substr(trim(text), 1, 64)) AS fp

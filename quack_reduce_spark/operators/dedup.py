@@ -269,6 +269,93 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded MinHash-LSH whose EVERY step is engine-portable — the
+    differentially-verifiable twin of :func:`minhash_lsh_pairs`.
+
+    Same algorithm (shingle → per-permutation min → band keys →
+    candidate join → exact-Jaccard verify), but the base hash is the
+    first 32 bits of md5 (computable in any engine) instead of
+    xxhash64, and band keys are the concatenated min values instead of
+    an xxhash64 fold — so a SQL oracle can replay the *identical*
+    candidate generation and the output hash-matches end to end. That
+    closes the usual LSH verification gap: not just "recall is high
+    vs brute force" but "these exact pairs, via these exact bands".
+
+    The production variant keeps xxhash64 (cheaper per shingle, 8-byte
+    band keys = 4x fewer shuffle bytes); this one trades ~2x hash cost
+    for replayability — the right trade for audits and cross-engine
+    regression gates, not for the 100 TB hot path.
+    """
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    sh = _shingle_table(df, text_col, id_col, n, hashed=False, distinct=False)
+    h32 = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long")
+    hashed = sh.select("doc", h32.alias("h"))
+    consts = _perm_consts(num_hashes)
+    mins = hashed.groupBy("doc").agg(
+        *[
+            F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"__m{i}")
+            for i, (a, b) in enumerate(consts)
+        ]
+    )
+    band_structs = []
+    for b_i in range(bands):
+        members = [
+            F.col(f"__m{i}").cast("string")
+            for i in range(b_i * rows_per_band, (b_i + 1) * rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(b_i).alias("band"),
+                F.concat_ws("_", *members).alias("bkey"),
+            )
+        )
+    banded = mins.select(
+        "doc", F.explode(F.array(*band_structs)).alias("__b")
+    ).select("doc", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey"))
+
+    left = banded.select("band", "bkey", F.col("doc").alias("doc1"))
+    right = banded.select("band", "bkey", F.col("doc").alias("doc2"))
+    candidates = (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    docsets = hashed.groupBy("doc").agg(F.collect_set("h").alias("shset"))
+    return (
+        candidates.join(
+            docsets.select(F.col("doc").alias("doc1"), F.col("shset").alias("__s1")),
+            "doc1",
+        )
+        .join(
+            docsets.select(F.col("doc").alias("doc2"), F.col("shset").alias("__s2")),
+            "doc2",
+        )
+        .withColumn("__common", F.array_size(F.array_intersect("__s1", "__s2")))
+        .withColumn(
+            "jaccard",
+            rnd(
+                F.col("__common")
+                / (F.array_size("__s1") + F.array_size("__s2") - F.col("__common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
 def char_ngram_pairs(
     df: DataFrame,
     text_col: str,
