@@ -189,6 +189,85 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+LSH_PORTABLE_BANDS = 4
+LSH_PORTABLE_PLANES = 4
+
+
+def dedup_embedding_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH embedding near-dup pairs, FULLY ORACLE-REPLAYED:
+    md5-parity ±1 hyperplanes and integer-quantized projections mean
+    the DuckDB twin derives the same planes, the same bucket bits, the
+    same candidates, and the same exact-cosine verification — the
+    whole LSH pipeline goes through the hash gate, not just its
+    recall. Companion to dedup_embedding_lsh (the seeded-Gaussian
+    production variant, rows-only by design)."""
+    from quack_reduce_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    return S.lsh_cosine_pairs_portable(
+        emb,
+        dim=EMBED_DIM,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=COS_THRESHOLD,
+        n_bands=LSH_PORTABLE_BANDS,
+        planes_per_band=LSH_PORTABLE_PLANES,
+    )
+
+
+def _embedding_lsh_portable_oracle() -> str:
+    n_planes = LSH_PORTABLE_BANDS * LSH_PORTABLE_PLANES
+    return f"""
+        WITH dims AS (SELECT i FROM generate_series(0, {EMBED_DIM - 1}) s(i)),
+        planes AS (SELECT p FROM generate_series(0, {n_planes - 1}) s(p)),
+        sgns AS (
+            SELECT p, i,
+                   CASE WHEN CAST('0x' || substring(
+                            md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+                            1, 2) AS INT) % 2 = 0
+                        THEN 1 ELSE -1 END AS sgn
+            FROM planes, dims
+        ),
+        q AS (
+            SELECT vec_id, d.i,
+                   CAST(FLOOR(CAST(embedding[d.i + 1] AS DOUBLE) * 1e6 + 0.5)
+                        AS BIGINT) AS xq
+            FROM embeddings, dims d
+        ),
+        proj AS (
+            SELECT q.vec_id, s.p, SUM(q.xq * s.sgn) AS pr
+            FROM q JOIN sgns s ON q.i = s.i
+            GROUP BY q.vec_id, s.p
+        ),
+        bits AS (
+            SELECT vec_id, p // {LSH_PORTABLE_PLANES} AS band,
+                   string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END,
+                              '' ORDER BY p) AS bkey
+            FROM proj GROUP BY vec_id, p // {LSH_PORTABLE_PLANES}
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bits a
+            JOIN bits b ON a.band = b.band AND a.bkey = b.bkey
+                       AND a.vec_id < b.vec_id
+        ),
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS n
+            FROM embeddings
+        )
+        SELECT c.id_a, c.id_b,
+               FLOOR((list_dot_product(a.v, b.v) / (a.n * b.n)) * 1e6 + 0.5)
+                   / 1e6 AS cos_sim
+        FROM cand c
+        JOIN e a ON c.id_a = a.vec_id
+        JOIN e b ON c.id_b = b.vec_id
+        WHERE FLOOR((list_dot_product(a.v, b.v) / (a.n * b.n)) * 1e6 + 0.5)
+                  / 1e6 >= {COS_THRESHOLD}
+    """
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: ngram-Jaccard pairs -> connected
     components (iterative min-label propagation) -> every doc mapped to
@@ -354,6 +433,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_embedding_lsh_portable": dedup_embedding_lsh_portable,
     "dedup_components": dedup_components,
     "dedup_components_twophase": dedup_components_twophase,
 }
@@ -361,6 +441,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_minhash_portable": _minhash_portable_oracle(),
+    "dedup_embedding_lsh_portable": _embedding_lsh_portable_oracle(),
     "dedup_incremental": """
         WITH fp AS (
             SELECT doc_id, source, md5(substr(trim(text), 1, 64)) AS fp

@@ -326,6 +326,109 @@ def lsh_cosine_pairs(
     ).filter(F.col("cos_sim") >= threshold)
 
 
+def portable_plane_signs(planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane components from md5 parity —
+    integers ANY engine can re-derive (md5 of "p:j", first byte's
+    parity). A ±1 random projection is a valid sign-LSH family
+    (Achlioptas-style sparse projections), and unlike seeded float
+    Gaussians it is exactly portable to a SQL oracle."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1
+            for j in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def lsh_cosine_pairs_portable(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_bands: int = 4,
+    planes_per_band: int = 4,
+) -> DataFrame:
+    """Banded sign-LSH near-dup pairs whose EVERY step is engine-
+    portable — the differentially-verifiable twin of
+    :func:`lsh_cosine_pairs` (same algorithm; md5-parity ±1 planes
+    instead of seeded Gaussian hyperplanes).
+
+    Projections are computed on INTEGER-quantized components
+    (floor(x·1e6+0.5) as int64), so the sign of Σ ±x_q is exact
+    integer arithmetic — no floating-point summation order can flip a
+    bucket bit between engines. Candidates collide in ≥1 band; every
+    candidate is verified with the exact cosine, so the output is a
+    precision-1.0 subset of :func:`cosine_pairs` and the SQL oracle
+    replays the identical pair set.
+    """
+    planes = portable_plane_signs(n_bands * planes_per_band, dim)
+    q = F.transform(
+        _as_double(F.col(vec_col)),
+        lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
+    )
+    bits = []
+    for signs in planes:
+        proj = F.aggregate(
+            F.zip_with(
+                q,
+                F.array(*[F.lit(s) for s in signs]),
+                lambda a, b: a * b.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*bits[b * planes_per_band : (b + 1) * planes_per_band]).alias(
+                "bkey"
+            ),
+        )
+        for b in range(n_bands)
+    ]
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.explode(F.array(*band_structs)).alias("__b"),
+    ).select(
+        "__id",
+        "__vec",
+        F.col("__b.band").alias("__band"),
+        F.col("__b.bkey").alias("__bucket"),
+    )
+    other = keyed.select(
+        F.col("__id").alias("__id_b"),
+        F.col("__vec").alias("__vec_b"),
+        F.col("__band").alias("__band_b"),
+        F.col("__bucket").alias("__bucket_b"),
+    )
+    candidates = (
+        keyed.join(
+            other,
+            (F.col("__band") == F.col("__band_b"))
+            & (F.col("__bucket") == F.col("__bucket_b"))
+            & (F.col("__id") < F.col("__id_b")),
+        )
+        .select(
+            F.col("__id").alias("id_a"),
+            F.col("__id_b").alias("id_b"),
+            F.col("__vec").alias("__va"),
+            F.col("__vec_b").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return candidates.select(
+        "id_a",
+        "id_b",
+        rnd(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+
+
 def _centroids(corpus: DataFrame, vec_col: str, nlist: int, corpus_id: str) -> DataFrame:
     """Deterministic IVF coarse centroids: seed with the ``nlist``
     lowest-id corpus vectors, then one distributed Lloyd iteration

@@ -229,3 +229,34 @@ def test_minhash_portable_matches_production_contract(spark, sf_dir):
     # recall on the seeded fixture: LSH with 4 bands x 4 rows should
     # recover most true pairs
     assert len(portable) >= 0.6 * len(exact)
+
+
+def test_embedding_lsh_portable_precision_and_recall(spark, sf_dir):
+    """Portable sign-LSH: precision-1.0 subset of the exact cosine
+    pairs with identical cos_sim values, decent recall, and
+    deterministic plane construction."""
+    from quack_reduce_spark.inventory._util import load
+    from quack_reduce_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4).collect()
+    }
+    port = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.lsh_cosine_pairs_portable(
+            emb, dim=64, threshold=0.4, n_bands=4, planes_per_band=4
+        ).collect()
+    }
+    assert port, "portable sign-LSH found no pairs"
+    assert set(port) <= set(exact)
+    for k, v in port.items():
+        assert v == exact[k]
+    assert len(port) >= 0.5 * len(exact)
+
+    # the plane matrix is a pure function of (planes, dim)
+    a = S.portable_plane_signs(4, 8)
+    b = S.portable_plane_signs(4, 8)
+    assert a == b
+    assert all(s in (-1, 1) for row in a for s in row)
