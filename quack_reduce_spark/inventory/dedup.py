@@ -1,9 +1,11 @@
 """Deduplication inventory over the documents table (north-star ops).
 
-dedup_exact / dedup_ngram_jaccard have exact DuckDB oracles, and
-dedup_minhash_portable puts banded MinHash-LSH ITSELF through the hash
-gate (md5-based permutations both engines can compute). The xxhash64
-production variants (dedup_minhash_lsh / dedup_simhash) stay rows-only
+dedup_exact / dedup_ngram_jaccard have exact DuckDB oracles, and the
+portable trilogy (dedup_minhash_portable, dedup_simhash_portable,
+dedup_embedding_lsh_portable) puts banded LSH ITSELF through the hash
+gate — md5-derived hash families and integer-exact projections both
+engines can compute. The xxhash64/seeded-Gaussian production variants
+(dedup_minhash_lsh / dedup_simhash / dedup_embedding_lsh) stay rows-only
 — engine-specific hash families — with unit tests in
 tests/test_dedup.py asserting agreement with the exact-Jaccard ground
 truth on the fixtures.
@@ -144,6 +146,58 @@ def _minhash_portable_oracle() -> str:
         WHERE FLOOR((CAST(i.common AS DOUBLE)
                      / (s1.sz + s2.sz - i.common)) * 1e6 + 0.5) / 1e6 >= 0.5
     """
+
+
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-60 near-dup pairs (Hamming <= 3), FULLY ORACLE-REPLAYED:
+    per-token bits come from md5 (15 hex chars = 60 bits, positive in
+    int64 in any engine), and votes / fingerprint / pigeonhole bands /
+    bit_count(xor) verify are all integer arithmetic — the DuckDB twin
+    derives the identical fingerprints and the identical pair set.
+    Companion to dedup_simhash (the xxhash64 production variant,
+    rows-only by design). Completes the portable-dedup trilogy with
+    dedup_minhash_portable and dedup_embedding_lsh_portable."""
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash_pairs_portable(docs, "text", "doc_id", max_hamming=3)
+
+
+_SIMHASH_PORTABLE_ORACLE = """
+        WITH toks AS (
+            SELECT DISTINCT doc_id AS doc, t.tok
+            FROM documents,
+                 UNNEST(string_split_regex(trim(text), '\\s+')) AS t(tok)
+        ),
+        h AS (
+            SELECT doc,
+                   CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+            FROM toks
+        ),
+        bits AS (SELECT j FROM generate_series(0, 59) s(j)),
+        votes AS (
+            SELECT doc, b.j,
+                   SUM(CASE WHEN (h.h >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM h CROSS JOIN bits b
+            GROUP BY doc, b.j
+        ),
+        fp AS (
+            SELECT doc,
+                   CAST(SUM(CASE WHEN v > 0
+                                 THEN (CAST(1 AS BIGINT) << j)
+                                 ELSE 0 END) AS BIGINT) AS sh60
+            FROM votes GROUP BY doc
+        ),
+        banded AS (
+            SELECT doc, sh60, b.b AS band,
+                   (sh60 >> (15 * b.b)) & 32767 AS bkey
+            FROM fp CROSS JOIN generate_series(0, 3) b(b)
+        )
+        SELECT DISTINCT l.doc AS doc1, r.doc AS doc2,
+               bit_count(xor(l.sh60, r.sh60)) AS hamming
+        FROM banded l
+        JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+                     AND l.doc < r.doc
+        WHERE bit_count(xor(l.sh60, r.sh60)) <= 3
+"""
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,6 +485,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_portable": dedup_minhash_portable,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_portable": dedup_simhash_portable,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_lsh_portable": dedup_embedding_lsh_portable,
@@ -442,6 +497,7 @@ QUERIES = {
 ORACLES = {
     "dedup_minhash_portable": _minhash_portable_oracle(),
     "dedup_embedding_lsh_portable": _embedding_lsh_portable_oracle(),
+    "dedup_simhash_portable": _SIMHASH_PORTABLE_ORACLE,
     "dedup_incremental": """
         WITH fp AS (
             SELECT doc_id, source, md5(substr(trim(text), 1, 64)) AS fp

@@ -269,6 +269,80 @@ def minhash_lsh_pairs(
     )
 
 
+SIMHASH_PORTABLE_BITS = 60  # 15 md5 hex chars: fits signed int64 positively
+
+
+def simhash_pairs_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs whose EVERY step is engine-portable —
+    the differentially-verifiable twin of :func:`simhash_pairs`.
+
+    The per-token bit source is the first 60 bits of md5 (15 hex
+    chars — stays positive in a signed int64, so the identical CAST
+    works in any engine) over the DISTINCT token set; votes, the
+    60-bit fingerprint, the 4×15-bit pigeonhole bands, and the
+    bit_count(xor) Hamming verify are all integer arithmetic, so the
+    SQL oracle replays the exact pair set. Production
+    :func:`simhash_pairs` keeps xxhash64 (one cheap hash, full 64
+    bits); this one trades a crypto hash per distinct token for
+    replayability.
+    """
+    bits = SIMHASH_PORTABLE_BITS
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .distinct()
+        .select(
+            "doc",
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    voted = toks.groupBy("doc").agg(*votes)
+    sh = F.lit(0).cast("long")
+    for j in range(bits):
+        sh = sh + F.when(
+            F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    docs = voted.select("doc", sh.alias("sh60"))
+
+    bands = []
+    for b_i in range(4):
+        key = F.shiftrightunsigned(F.col("sh60"), 15 * b_i).bitwiseAND(F.lit(0x7FFF))
+        bands.append(
+            docs.select("doc", "sh60", F.lit(b_i).alias("band"), key.alias("bkey"))
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    left = banded.select("band", "bkey", F.col("doc").alias("doc1"), F.col("sh60").alias("h1"))
+    right = banded.select("band", "bkey", F.col("doc").alias("doc2"), F.col("sh60").alias("h2"))
+    return (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select(
+            "doc1",
+            "doc2",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs_portable(
     df: DataFrame,
     text_col: str,
