@@ -65,8 +65,11 @@ def sim_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-5: coarse-quantize the corpus into 16
     cells (deterministic seeds + one Lloyd step), probe the 4 nearest
-    cells per query, exact rerank inside. Rows-only driver check;
-    recall vs brute force asserted in tests/test_similarity.py."""
+    cells per query, exact rerank inside. FULLY HASH-ORACLED: the
+    index build, probes, and rerank are replayed step-for-step in SQL
+    (_ivf_oracle) — IVF has no seeded RNG, so 'approximate' never
+    meant 'unverifiable'. Recall vs brute force additionally asserted
+    in tests/test_similarity.py."""
     queries, corpus = _split(spark, sf_dir)
     return S.ivf_topk(queries, corpus, k=TOP_K, nlist=16, nprobe=4)
 
@@ -296,7 +299,83 @@ QUERIES = {
 }
 
 
+def _ivf_oracle(nlist: int = 16, nprobe: int = 4, k: int = TOP_K) -> str:
+    """Full SQL replay of sim_ivf_topk: the INDEX BUILD (lowest-id
+    seeds → plain-dot argmax assignment → one Lloyd mean step) and the
+    probe/rerank both reproduced step for step. IVF here has no seeded
+    RNG — its determinism was always total — so the 'approximate' ANN
+    path is hash-gated end to end, not rows-only."""
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        c AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id >= {N_QUERIES}
+        ),
+        seeds AS (
+            SELECT cid AS cell, v AS sv FROM c ORDER BY cid LIMIT {nlist}
+        ),
+        a0 AS (
+            SELECT cid, v, cell FROM (
+                SELECT c.cid, c.v, s.cell,
+                       row_number() OVER (
+                           PARTITION BY c.cid
+                           ORDER BY list_dot_product(c.v, s.sv) DESC,
+                                    s.cell ASC) AS rk
+                FROM c CROSS JOIN seeds s
+            ) WHERE rk = 1
+        ),
+        cent AS (
+            SELECT cell, i.i AS pos, AVG(v[i.i]) AS m
+            FROM a0 CROSS JOIN generate_series(1, {EMBED_DIM}) AS i(i)
+            GROUP BY cell, i.i
+        ),
+        centv AS (
+            SELECT cell, list(m ORDER BY pos) AS cv FROM cent GROUP BY cell
+        ),
+        a1 AS (
+            SELECT cid, v, cell FROM (
+                SELECT c.cid, c.v, t.cell,
+                       row_number() OVER (
+                           PARTITION BY c.cid
+                           ORDER BY list_dot_product(c.v, t.cv)
+                                    / sqrt(list_dot_product(t.cv, t.cv)) DESC,
+                                    t.cell ASC) AS rk
+                FROM c CROSS JOIN centv t
+            ) WHERE rk = 1
+        ),
+        probes AS (
+            SELECT qid, qv, cell FROM (
+                SELECT q.qid, q.v AS qv, t.cell,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY list_dot_product(q.v, t.cv)
+                                    / sqrt(list_dot_product(t.cv, t.cv)) DESC,
+                                    t.cell ASC) AS rk
+                FROM q CROSS JOIN centv t
+            ) WHERE rk <= {nprobe}
+        ),
+        scored AS (
+            SELECT p.qid AS query_id, a.cid AS vec_id,
+                   FLOOR((list_dot_product(p.qv, a.v)
+                          / (sqrt(list_dot_product(p.qv, p.qv))
+                             * sqrt(list_dot_product(a.v, a.v))))
+                         * 1e6 + 0.5) / 1e6 AS cos_sim
+            FROM probes p JOIN a1 a ON p.cell = a.cell
+        )
+        SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 ORACLES = {
+    "sim_ivf_topk": _ivf_oracle(),
     "sim_pca_topk": _pca_oracle(),
     "sim_pca_variance": _pca_variance_oracle(),
     "sim_nearest_centroid": """
