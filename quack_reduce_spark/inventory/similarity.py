@@ -2,8 +2,10 @@
 
 sim_cosine_topk (exact brute force) has a DuckDB oracle
 (list_dot_product-based cosine, identical formula + rounding + rank
-tiebreak). sim_lsh_topk is rows-only (deterministic seeded hyperplanes
-are not SQL-portable); its recall vs brute force is unit-tested.
+tiebreak), sim_ivf_topk's whole index build is SQL-replayed, and
+sim_lsh_topk_portable hash-gates multi-probe LSH with md5-parity
+planes. The seeded-Gaussian production sim_lsh_topk stays rows-only;
+its recall vs brute force is unit-tested.
 """
 
 from __future__ import annotations
@@ -284,6 +286,22 @@ def _pca_variance_oracle(dim: int = EMBED_DIM, rounds: int = PCA_ROUNDS) -> str:
         FROM prof"""
 
 
+LSH_TOPK_PLANES = 8
+
+
+def sim_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH top-5 with md5-parity ±1 planes and
+    integer-quantized projections — FULLY HASH-ORACLED (buckets,
+    Hamming-≤1 probes, and exact-cosine rerank replayed in SQL).
+    Companion to sim_lsh_topk, the seeded-Gaussian production variant
+    (rows-only by design)."""
+    queries, corpus = _split(spark, sf_dir)
+    return S.lsh_topk_portable(
+        queries, corpus, dim=EMBED_DIM, k=TOP_K, n_planes=LSH_TOPK_PLANES
+    )
+
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_pca_topk": sim_pca_topk,
@@ -294,9 +312,72 @@ QUERIES = {
     "sim_nearest_centroid": sim_nearest_centroid,
     "sim_quantized_topk": sim_quantized_topk,
     "sim_lsh_topk": sim_lsh_topk,
+    "sim_lsh_topk_portable": sim_lsh_topk_portable,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_label_centroid_norm": sim_label_centroid_norm,
 }
+
+
+def _lsh_topk_portable_oracle(n_planes: int = LSH_TOPK_PLANES, k: int = TOP_K) -> str:
+    offsets = ", ".join(
+        f"({off})" for off in [0] + [1 << p for p in range(n_planes)]
+    )
+    return f"""
+        WITH dims AS (SELECT i FROM generate_series(0, {EMBED_DIM - 1}) s(i)),
+        planes AS (SELECT p FROM generate_series(0, {n_planes - 1}) s(p)),
+        sgns AS (
+            SELECT p, i,
+                   CASE WHEN CAST('0x' || substring(
+                            md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+                            1, 2) AS INT) % 2 = 0
+                        THEN 1 ELSE -1 END AS sgn
+            FROM planes, dims
+        ),
+        q AS (
+            SELECT vec_id, d.i,
+                   CAST(FLOOR(CAST(embedding[d.i + 1] AS DOUBLE) * 1e6 + 0.5)
+                        AS BIGINT) AS xq
+            FROM embeddings, dims d
+        ),
+        proj AS (
+            SELECT q.vec_id, s.p, SUM(q.xq * s.sgn) AS pr
+            FROM q JOIN sgns s ON q.i = s.i
+            GROUP BY q.vec_id, s.p
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN pr > 0 THEN (1 << p) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id
+        ),
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS n
+            FROM embeddings
+        ),
+        probes AS (
+            SELECT b.vec_id AS qid, xor(b.bucket, o.off) AS bucket
+            FROM buckets b CROSS JOIN (VALUES {offsets}) AS o(off)
+            WHERE b.vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT p.qid AS query_id, c.vec_id,
+                   FLOOR((list_dot_product(qe.v, ce.v) / (qe.n * ce.n))
+                         * 1e6 + 0.5) / 1e6 AS cos_sim
+            FROM probes p
+            JOIN buckets c ON c.bucket = p.bucket
+                          AND c.vec_id >= {N_QUERIES}
+            JOIN e qe ON qe.vec_id = p.qid
+            JOIN e ce ON ce.vec_id = c.vec_id
+        )
+        SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
 
 
 def _ivf_oracle(nlist: int = 16, nprobe: int = 4, k: int = TOP_K) -> str:
@@ -376,6 +457,7 @@ def _ivf_oracle(nlist: int = 16, nprobe: int = 4, k: int = TOP_K) -> str:
 
 ORACLES = {
     "sim_ivf_topk": _ivf_oracle(),
+    "sim_lsh_topk_portable": _lsh_topk_portable_oracle(),
     "sim_pca_topk": _pca_oracle(),
     "sim_pca_variance": _pca_variance_oracle(),
     "sim_nearest_centroid": """

@@ -224,6 +224,86 @@ def lsh_topk(
     )
 
 
+def _portable_bucket(vec_col, planes: list[list[int]]):
+    """Integer sign-LSH bucket from md5-parity ±1 planes over
+    quantized components (see lsh_cosine_pairs_portable) — bit p set
+    iff Σ s(p,j)·floor(x_j·1e6+0.5) > 0. Exact in any engine."""
+    q = F.transform(
+        _as_double(vec_col),
+        lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
+    )
+    b = F.lit(0)
+    for p, signs in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                q,
+                F.array(*[F.lit(s) for s in signs]),
+                lambda a, sb: a * sb.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        b = b + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return b
+
+
+def lsh_topk_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k whose buckets are engine-portable —
+    the differentially-verifiable twin of :func:`lsh_topk` (md5-parity
+    ±1 planes + integer-quantized projections instead of seeded
+    Gaussian hyperplanes). Queries probe their own bucket plus every
+    single-bit flip (Hamming ≤ 1); candidates rerank by exact cosine.
+    The SQL oracle replays buckets, probes, and rerank identically."""
+    planes = portable_plane_signs(n_planes, dim)
+    probe_offsets = [0] + [1 << p for p in range(n_planes)]
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(
+            F.array(
+                *[
+                    _portable_bucket(F.col(vec_col), planes).bitwiseXOR(F.lit(off))
+                    for off in probe_offsets
+                ]
+            )
+        ).alias("__bucket"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(vec_col).alias("__cvec"),
+        _portable_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "__bucket")
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            rnd(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
+        )
+        # no dedup needed: each corpus vector owns exactly one bucket
+        # and the probe offsets are distinct, so (query, candidate)
+        # pairs are unique by construction
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rank")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
