@@ -104,8 +104,9 @@ _HEAD = [
     "b2_skew_salted_join", "b3_group_by_all",
     # TPC-H remainder — never driver-sampled
     "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
-    "tpch_q20_excess_shippers", "tpch_q22_sales_opportunity",
+    # Round-5 late additions: the portable (fully hash-gated) LSH
+    # family and the SQL-replayed IVF index build + exact AUC
+    "dedup_minhash_portable", "sim_ivf_topk", "ml_auc_rank",
     # Time-series — never driver-sampled
     "ts_sliding_window", "ts_retention_cohorts", "ts_zscore_anomaly",
     "ts_ewma_smooth",
