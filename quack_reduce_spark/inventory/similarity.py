@@ -286,6 +286,118 @@ def _pca_variance_oracle(dim: int = EMBED_DIM, rounds: int = PCA_ROUNDS) -> str:
         FROM prof"""
 
 
+KMEANS_FIXED_K = 8
+
+
+def sim_kmeans_fixed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-ROUND spherical k-means profile, fully hash-oracled: seed
+    with the k lowest-id vectors, one Lloyd step (the sim_ivf_topk
+    index build), one final max-cosine assignment, then per-cluster
+    size / mean-cosine / exemplar. The fixed round count is what makes
+    the SQL replay possible (the pagerank/BFS/PCA trick applied to
+    clustering); the CONVERGED variant sim_kmeans_profile stays
+    rows-only — its round count is data-dependent by contract — with
+    this query pinning the algebra both share."""
+    from quack_reduce_spark.operators.similarity import (
+        _centroids,
+        cosine,
+        dot,
+        l2_norm,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    cents = F.broadcast(_centroids(corpus, "embedding", KMEANS_FIXED_K, "vec_id"))
+    assigned = (
+        corpus.crossJoin(cents)
+        .withColumn(
+            "__d",
+            dot(F.col("embedding"), F.col("__centroid"))
+            / l2_norm(F.col("__centroid")),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("__cell"),
+                    F.col("__centroid").alias("__cv"),
+                    F.col("embedding").alias("__vec"),
+                ),
+                F.struct(F.col("__d"), (-F.col("__cell")).alias("__tb")),
+            ).alias("__best")
+        )
+        .select(
+            "vec_id",
+            F.col("__best.__cell").alias("cell"),
+            cosine(F.col("__best.__vec"), F.col("__best.__cv")).alias("__cos"),
+        )
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            rnd(F.avg("__cos"), 6).alias("avg_cos"),
+            F.min("vec_id").alias("exemplar"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _kmeans_fixed_oracle(k: int = KMEANS_FIXED_K) -> str:
+    """Unrolled replay: seeds → plain-dot assign → Lloyd mean →
+    cosine re-assign → profile (the _ivf_oracle CTE chain with a
+    per-cluster readout instead of query probes)."""
+    return f"""
+        WITH c AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT cid AS cell, v AS sv FROM c ORDER BY cid LIMIT {k}
+        ),
+        a0 AS (
+            SELECT cid, v, cell FROM (
+                SELECT c.cid, c.v, s.cell,
+                       row_number() OVER (
+                           PARTITION BY c.cid
+                           ORDER BY list_dot_product(c.v, s.sv) DESC,
+                                    s.cell ASC) AS rk
+                FROM c CROSS JOIN seeds s
+            ) WHERE rk = 1
+        ),
+        cent AS (
+            SELECT cell, i.i AS pos, AVG(v[i.i]) AS m
+            FROM a0 CROSS JOIN generate_series(1, {EMBED_DIM}) AS i(i)
+            GROUP BY cell, i.i
+        ),
+        centv AS (
+            SELECT cell, list(m ORDER BY pos) AS cv FROM cent GROUP BY cell
+        ),
+        a1 AS (
+            SELECT cid, cell,
+                   list_dot_product(v, cv)
+                   / (sqrt(list_dot_product(v, v))
+                      * sqrt(list_dot_product(cv, cv))) AS cos
+            FROM (
+                SELECT c.cid, c.v, t.cell, t.cv,
+                       row_number() OVER (
+                           PARTITION BY c.cid
+                           ORDER BY list_dot_product(c.v, t.cv)
+                                    / sqrt(list_dot_product(t.cv, t.cv)) DESC,
+                                    t.cell ASC) AS rk
+                FROM c CROSS JOIN centv t
+            ) WHERE rk = 1
+        )
+        SELECT cell,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               FLOOR(AVG(cos) * 1e6 + 0.5) / 1e6 AS avg_cos,
+               MIN(cid) AS exemplar
+        FROM a1
+        GROUP BY cell
+        ORDER BY cell
+    """
+
+
 LSH_TOPK_PLANES = 8
 
 
@@ -308,6 +420,7 @@ QUERIES = {
     "sim_pca_variance": sim_pca_variance,
     "sim_cosine_topk_np": sim_cosine_topk_np,
     "sim_kmeans_profile": sim_kmeans_profile,
+    "sim_kmeans_fixed_profile": sim_kmeans_fixed_profile,
     "sim_pq_topk": sim_pq_topk,
     "sim_nearest_centroid": sim_nearest_centroid,
     "sim_quantized_topk": sim_quantized_topk,
@@ -457,6 +570,7 @@ def _ivf_oracle(nlist: int = 16, nprobe: int = 4, k: int = TOP_K) -> str:
 
 ORACLES = {
     "sim_ivf_topk": _ivf_oracle(),
+    "sim_kmeans_fixed_profile": _kmeans_fixed_oracle(),
     "sim_lsh_topk_portable": _lsh_topk_portable_oracle(),
     "sim_pca_topk": _pca_oracle(),
     "sim_pca_variance": _pca_variance_oracle(),
