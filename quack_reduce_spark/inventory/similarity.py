@@ -152,9 +152,12 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization two-stage top-5 (ADC over 8x16 codebooks,
     exact rerank of the ADC top-32): the compression-based ANN scale
     path — at 100 TB the 8-byte code table scans instead of the full
-    vectors, which are fetched for the candidate set only. Rows-only
-    driver check (seeded codebooks are not SQL-portable); recall vs
-    exact is unit-tested on clustered data in tests/test_similarity.py."""
+    vectors, which are fetched for the candidate set only. FULLY
+    HASH-ORACLED (_pq_oracle): codebook training, corpus encoding,
+    ADC tables, candidate cut, and exact rerank are all replayed in
+    SQL — 'seeded' always meant lowest-id, never RNG. Recall vs
+    exact additionally unit-tested on clustered data in
+    tests/test_similarity.py."""
     queries, corpus = _split(spark, sf_dir)
     return S.pq_topk(queries, corpus, k=TOP_K, m=8, ksub=16, rerank=32)
 
@@ -284,6 +287,127 @@ def _pca_variance_oracle(dim: int = EMBED_DIM, rounds: int = PCA_ROUNDS) -> str:
                FLOOR(AVG(s * s) * 1e6 + 0.5) / 1e6 AS var_top,
                FLOOR((AVG(s * s) / AVG(sq)) * 1e6 + 0.5) / 1e6 AS top_share
         FROM prof"""
+
+
+def _pq_oracle(
+    m: int = 8, ksub: int = 16, rerank: int = 32, k: int = TOP_K
+) -> str:
+    """Full SQL replay of sim_pq_topk: codebook training (lowest-id
+    seeds per subspace → L2 argmin assignment → Lloyd mean), corpus
+    encoding to m codes, per-query ADC tables, top-``rerank`` ADC
+    candidates, exact-cosine rerank. PQ has no RNG — 'seeded' means
+    lowest-id — so the entire compressed-retrieval path is
+    hash-gated. list_distance (an sqrt of the Spark side's raw
+    squared sum) is order-equivalent, so every argmin matches."""
+    dsub = EMBED_DIM // m
+    return f"""
+        WITH craw AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id >= {N_QUERIES}
+        ),
+        qraw AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        cn AS (
+            SELECT cid,
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                       AS u
+            FROM craw
+        ),
+        qn AS (
+            SELECT qid,
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                       AS u
+            FROM qraw
+        ),
+        subs AS (SELECT j FROM generate_series(0, {m - 1}) s(j)),
+        cs AS (
+            SELECT cid, s.j AS sub_j,
+                   u[(s.j * {dsub} + 1):(s.j * {dsub} + {dsub})] AS sv
+            FROM cn, subs s
+        ),
+        seeds AS (
+            SELECT sub_j, code, sv AS seed FROM (
+                SELECT cs.sub_j, cs.sv,
+                       row_number() OVER (PARTITION BY cs.sub_j
+                                          ORDER BY cs.cid ASC) - 1 AS code
+                FROM cs
+                WHERE cs.cid IN (SELECT cid FROM craw
+                                 ORDER BY cid LIMIT {ksub})
+            )
+        ),
+        a0 AS (
+            SELECT sub_j, code, sv FROM (
+                SELECT cs.sub_j, sd.code, cs.sv,
+                       row_number() OVER (
+                           PARTITION BY cs.cid, cs.sub_j
+                           ORDER BY list_distance(cs.sv, sd.seed) ASC,
+                                    sd.code ASC) AS rk
+                FROM cs JOIN seeds sd ON cs.sub_j = sd.sub_j
+            ) WHERE rk = 1
+        ),
+        cent AS (
+            SELECT sub_j, code, i.i AS pos, AVG(sv[i.i]) AS mval
+            FROM a0 CROSS JOIN generate_series(1, {dsub}) AS i(i)
+            GROUP BY sub_j, code, i.i
+        ),
+        books AS (
+            SELECT sub_j, code, list(mval ORDER BY pos) AS cvec
+            FROM cent GROUP BY sub_j, code
+        ),
+        codes AS (
+            SELECT cid, sub_j, code FROM (
+                SELECT cs.cid, cs.sub_j, b.code,
+                       row_number() OVER (
+                           PARTITION BY cs.cid, cs.sub_j
+                           ORDER BY list_distance(cs.sv, b.cvec) ASC,
+                                    b.code ASC) AS rk
+                FROM cs JOIN books b ON cs.sub_j = b.sub_j
+            ) WHERE rk = 1
+        ),
+        qsubs AS (
+            SELECT qid, s.j AS sub_j,
+                   u[(s.j * {dsub} + 1):(s.j * {dsub} + {dsub})] AS qsv
+            FROM qn, subs s
+        ),
+        adc_table AS (
+            SELECT q.qid, q.sub_j, b.code,
+                   list_dot_product(q.qsv, b.cvec) AS pdot
+            FROM qsubs q JOIN books b ON q.sub_j = b.sub_j
+        ),
+        scored AS (
+            SELECT t.qid, c.cid,
+                   FLOOR(SUM(t.pdot) * 1e6 + 0.5) / 1e6 AS adc
+            FROM codes c
+            JOIN adc_table t ON c.sub_j = t.sub_j AND c.code = t.code
+            GROUP BY t.qid, c.cid
+        ),
+        cand AS (
+            SELECT qid, cid FROM (
+                SELECT qid, cid,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY adc DESC, cid ASC) AS r
+                FROM scored
+            ) WHERE r <= {max(rerank, k)}
+        ),
+        exact AS (
+            SELECT cand.qid AS query_id, cand.cid AS vec_id,
+                   FLOOR((list_dot_product(qe.v, ce.v)
+                          / (sqrt(list_dot_product(qe.v, qe.v))
+                             * sqrt(list_dot_product(ce.v, ce.v))))
+                         * 1e6 + 0.5) / 1e6 AS cos_sim
+            FROM cand
+            JOIN qraw qe ON qe.qid = cand.qid
+            JOIN craw ce ON ce.cid = cand.cid
+        )
+        SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+            FROM exact
+        ) WHERE rank <= {k}
+    """
 
 
 KMEANS_FIXED_K = 8
@@ -570,6 +694,7 @@ def _ivf_oracle(nlist: int = 16, nprobe: int = 4, k: int = TOP_K) -> str:
 
 ORACLES = {
     "sim_ivf_topk": _ivf_oracle(),
+    "sim_pq_topk": _pq_oracle(),
     "sim_kmeans_fixed_profile": _kmeans_fixed_oracle(),
     "sim_lsh_topk_portable": _lsh_topk_portable_oracle(),
     "sim_pca_topk": _pca_oracle(),
