@@ -291,3 +291,60 @@ def test_wav_roundtrip_parameters(n_samples, amplitude, rate, channels):
     assert int(np.max(np.abs(samples))) == amplitude
     x = samples.astype("float64")
     assert float(np.sqrt(np.mean(x * x))) == float(amplitude)
+
+
+def test_md5_bucket_matches_python_hashlib_on_tricky_strings(spark):
+    """The portable-oracle keystone: Spark's conv(substring(md5(s),1,8),16,10)
+    must equal Python's int(md5(utf8(s)).hexdigest()[:8], 16) for any
+    string — unicode, whitespace, empties, long runs — because every
+    portable split/fold/LSH derivation assumes all three engines hash
+    identical bytes."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.inventory.mlprep import _md5_bucket
+
+    cases = [
+        "", " ", "a", "hello world", "naïve café", "日本語テキスト",
+        "emoji 🤖🚀", "tab\tsep", "new\nline", "x" * 10_000,
+        "0", "-1", "3.14159", "NULL", "None",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {
+        r["s"]: r["b"]
+        for r in df.select("s", _md5_bucket(F.col("s"), 1_000_003).alias("b")).collect()
+    }
+    for c in cases:
+        want = int(hashlib.md5(c.encode("utf-8")).hexdigest()[:8], 16) % 1_000_003
+        assert got[c] == want, (c, got[c], want)
+
+
+def test_md5_bucket_matches_duckdb_on_random_strings(spark):
+    """Differential keystone, DuckDB side: random printable strings
+    through Spark and DuckDB's CAST('0x'||substring(md5(s),1,8) AS
+    BIGINT) land in identical buckets."""
+    import random
+    import string
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.inventory.mlprep import _md5_bucket
+
+    rng = random.Random(17)
+    cases = [
+        "".join(rng.choices(string.printable.strip() + " ", k=rng.randint(0, 40)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {
+        r["s"]: r["b"]
+        for r in df.select("s", _md5_bucket(F.col("s"), 4096).alias("b")).collect()
+    }
+    con = duckdb.connect()
+    for c in cases:
+        want = con.execute(
+            "SELECT CAST('0x' || substring(md5(?), 1, 8) AS BIGINT) % 4096", [c]
+        ).fetchone()[0]
+        assert got[c] == want, (c, got[c], want)
