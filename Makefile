@@ -3,7 +3,7 @@
 
 SF ?= /root/testdata/sf0.001
 
-.PHONY: test test-distinct oracle oracle-vanilla bench plans pipeline dashboard unit recall-check concurrent assembly lakehouse datamart
+.PHONY: test test-distinct oracle oracle-vanilla bench plans pipeline dashboard unit recall-check concurrent assembly lakehouse datamart ann-audit
 
 # reference `make test` (Makefile:22-24): canary count round trip
 test:
@@ -48,6 +48,10 @@ lakehouse:
 # round-5 train-ready datamart (DQ gate -> split -> features -> shards -> catalog)
 datamart:
 	python examples/ml_datamart.py $(SF)
+
+# production-vs-portable ANN soundness audit (precision-1.0 invariant)
+ann-audit:
+	python examples/ann_audit.py $(SF)
 
 # corpus assembly end-to-end (decontaminate -> gate -> mix -> shard)
 assembly:

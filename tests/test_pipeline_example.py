@@ -102,3 +102,18 @@ def test_ml_datamart_end_to_end(spark, sf_dir, tmp_path):
     assert s["train"] > s["val"] and s["train"] > s["test"]
     assert report["train_feature_rows"] > 0
     assert report["winsor_cuts"][0] < report["winsor_cuts"][1]
+
+
+def test_ann_audit_soundness(spark, sf_dir):
+    """Both flavors of every approximate family are precision-1.0
+    subsets of exact ground truth — the audit's exit-code contract."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from examples.ann_audit import audit
+
+    rows = audit(spark, sf_dir)
+    assert {r["family"] for r in rows} == {"minhash_lsh", "embedding_sign_lsh"}
+    for r in rows:
+        assert r["prod_sound"] and r["port_sound"], r
+        assert r["production"] > 0 and r["portable"] > 0
