@@ -320,7 +320,7 @@ ORACLES = {
                     ELSE 'test' END AS split,
                source,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                FLOOR((AVG(n_chars)) * 1e4 + 0.5) / 1e4 AS avg_chars
         FROM assigned
         GROUP BY 1, 2

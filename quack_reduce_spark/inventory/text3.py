@@ -460,9 +460,9 @@ ORACLES = {
                      AS s(w)
         )
         SELECT source, doc_id, window_idx,
-               LEAST(last, (window_idx + 1) * {PACK_WINDOW} - 1)
+               CAST(LEAST(last, (window_idx + 1) * {PACK_WINDOW} - 1)
                    - GREATEST(start, window_idx * {PACK_WINDOW}) + 1
-                   AS n_tokens_in_window
+                   AS BIGINT) AS n_tokens_in_window
         FROM exploded
     """,
     "text_pack_windows": f"""
