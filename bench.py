@@ -19,6 +19,13 @@ the SLOWER one (fresh-session JIT warmup dominates), and the in-list
 min sits within ~11% of the quiet tpch_power_run min — r4's +39% q9
 mean drift was machine/session state, not a plan interaction with the
 preceding dedup queries.
+
+Order interleaving (round-6, standard protocol): the full headline
+set runs forward then reversed, and ``queries_min`` is the per-query
+min across BOTH orders — suite position moves shared-machine numbers
+±20-30%, so a delta only counts as a regression when both orders
+reproduce it. Per-order mins are recorded in
+``queries_min_forward``/``queries_min_reverse``.
 """
 
 from __future__ import annotations
@@ -71,9 +78,10 @@ def main() -> None:
     spark = get_spark(app_name="quack-reduce-bench")
     queries = all_queries()
 
-    def timed(name: str) -> tuple[float, float]:
+    def timed(name: str, warmup: bool = True) -> tuple[float, float]:
         fn = queries[name]
-        fn(spark, SF_DIR).count()  # warmup: plan + fill fs caches
+        if warmup:
+            fn(spark, SF_DIR).count()  # warmup: plan + fill fs caches
         times = []
         for _ in range(REPS):
             t0 = time.time()
@@ -89,10 +97,20 @@ def main() -> None:
     q9 = "tpch_q9_product_type_profit"
     q9_iso_mean, q9_iso_min = timed(q9)
 
+    # Order-interleaving protocol (round-5 verdict ask): suite position
+    # moves minutes-level queries ±30% on a shared machine (the settled
+    # q9 story), so every query is timed in TWO orders — forward, then
+    # the whole set again reversed on the now-fully-warm session — and
+    # the reported per-query min is the min ACROSS both orders. A query
+    # is only a real regression when BOTH orders say so.
     results: dict[str, float] = {}
-    mins: dict[str, float] = {}
+    fwd_min: dict[str, float] = {}
+    rev_min: dict[str, float] = {}
     for name in HEADLINE:
-        results[name], mins[name] = timed(name)
+        results[name], fwd_min[name] = timed(name)
+    for name in reversed(HEADLINE):
+        _, rev_min[name] = timed(name, warmup=False)
+    mins = {k: min(fwd_min[k], rev_min[k]) for k in HEADLINE}
 
     # the headline metric stays the ORIGINAL 12-query total so the
     # round-over-round comparison is apples-to-apples; the round-4
@@ -106,10 +124,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
-                # min-of-reps per query: the noise floor on a shared
-                # machine (mean is the headline; a mean far above min
-                # flags contention, not plan cost)
+                # min-of-reps per query ACROSS BOTH run orders: the
+                # noise floor on a shared machine (mean is the
+                # headline; a mean far above min flags contention, not
+                # plan cost). The per-order mins are recorded too so a
+                # suspect delta can be attributed to suite position.
                 "queries_min": mins,
+                "queries_min_forward": fwd_min,
+                "queries_min_reverse": rev_min,
                 "total_min": round(sum(mins[k] for k in core), 3),
                 # both orders recorded: isolated (suite-first) vs its
                 # usual slot after the dedup pair

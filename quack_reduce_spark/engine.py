@@ -528,15 +528,23 @@ class Engine:
 
         return lake.rollback(path, version)
 
-    def vacuum(self, path: str, keep: int = 1, dry_run: bool = False) -> list[str]:
+    def vacuum(
+        self,
+        path: str,
+        keep: int = 1,
+        dry_run: bool = False,
+        orphan_grace: float = 3600.0,
+    ) -> list[str]:
         """Expire old snapshots of a versioned table, keeping the
         newest ``keep`` plus whatever the live pointer targets.
         ``dry_run=True`` previews the reclaim list without deleting —
         after a vacuum, those versions are gone for time travel,
-        ``as_of`` reads, and rollback alike (see lake.vacuum)."""
+        ``as_of`` reads, and rollback alike. Uncommitted stages
+        younger than ``orphan_grace`` seconds are spared — they may
+        belong to a concurrent in-flight writer (see lake.vacuum)."""
         from quack_reduce_spark import lake
 
-        return lake.vacuum(path, keep=keep, dry_run=dry_run)
+        return lake.vacuum(path, keep=keep, dry_run=dry_run, orphan_grace=orphan_grace)
 
     def delete_where(
         self,

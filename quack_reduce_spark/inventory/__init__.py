@@ -74,18 +74,22 @@ _MODULES = [
 # Deliberate registry ordering: the external driver differential-checks
 # queries in dict insertion order with a bounded budget (50 keys per
 # round), so the head of the registry is curated each round to spend
-# that budget where it yields NEW information. Driver rounds r1-r4
-# sampled 93 distinct keys (all green); the round-5 head keeps ~10
-# stable sentinels (Tier A + one per operator family) and fills the
-# other 40 slots with oracled keys the driver has NEVER sampled,
-# prioritizing code that is NEW this round (real codecs, versioned
-# lake, graph/PCA/ML-prep/DQ/schema-evolution). No rows-only keys in
-# the head: they would burn budget on a permanent "no_oracle" row (the
-# r3 lesson). The full registry passes tools/check_oracle.py locally
-# at sf0.001/sf0.01 regardless of head selection; see
-# tests/test_inventory_counts.py for the registry-size drift gate.
+# that budget where it yields NEW information. Driver rounds r1-r5
+# sampled 133 distinct keys (132 green + the ml_train_split
+# oracle-representation defect fixed this round); the round-6 head
+# keeps 10 stable sentinels (Tier A + one per operator family),
+# re-samples ml_train_split so its HUGEINT-cast fix lands green, and
+# fills the other 39 slots with oracled keys the driver has NEVER
+# sampled — the remaining TPC-H composites, the portable hash-gated
+# ANN/dedup twins, the ML-prep/eval battery, streaming leftovers, and
+# the queries touched this round (pack-assignments cast, rounded
+# nearest-centroid ranking). No rows-only keys in the head: they would
+# burn budget on a permanent "no_oracle" row (the r3 lesson). The full
+# registry passes tools/check_oracle.py locally at sf0.001/sf0.01
+# regardless of head selection; see tests/test_inventory_counts.py for
+# the registry-size drift gate.
 _HEAD = [
-    # Stable sentinels — Tier A + one per family, driver-green 4 rounds
+    # Stable sentinels — Tier A + one per family, driver-green 5 rounds
     "a01_scan_project", "a09_topk",
     "b_join_star_broadcast",
     "tpch_q1_full",
@@ -95,38 +99,33 @@ _HEAD = [
     "dedup_exact",
     "sim_cosine_topk",
     "mm_binary_meta",
-    # Round-5 additions (first-time keys): real WAV + real PNG codecs,
-    # size-dispatched as-of, versioned-lake time travel + change feed
-    "mm_audio_rms", "mm_image_stats", "mm_image_resize", "ts_asof_auto",
-    "lake_time_travel", "lake_change_feed",
-    # Tier B SQL surface — never driver-sampled
-    "b3_recursive_cte", "b3_lateral_join",
-    "b2_skew_salted_join", "b3_group_by_all",
+    # Round-6 fixes to round-5 reds/latents: BIGINT-cast oracles and
+    # the rounded-before-ranking centroid queries
+    "ml_train_split", "text_pack_assignments",
+    "ml_confusion_matrix",
     # TPC-H remainder — never driver-sampled
-    "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
-    # Round-5 late additions: the portable (fully hash-gated) LSH
-    # family and the SQL-replayed IVF index build + exact AUC
-    "dedup_minhash_portable", "sim_ivf_topk", "ml_auc_rank",
-    # Time-series — never driver-sampled
-    "ts_sliding_window", "ts_retention_cohorts", "ts_zscore_anomaly",
-    "ts_ewma_smooth",
-    # Live Structured Streaming — never driver-sampled
-    "stream_interval_join", "stream_static_enrich", "stream_session_dynamic",
-    # Text analysis / corpus assembly — never driver-sampled
-    "text_lm_score", "text_mixture_weights",
-    "text_gopher_quality", "text_pii_scrub",
-    # Dedup — never driver-sampled
-    "dedup_cross_source", "dedup_embedding_cosine", "dedup_components_twophase",
-    # Similarity — never driver-sampled
-    "sim_nearest_centroid",
-    # Python-UDF surface — never driver-sampled
-    "udf_arrow_scalar",
-    # Round-5 session additions (all first-time keys): graph analytics,
-    # embedding PCA, ML prep, data quality, schema-evolving MERGE
-    "graph_pagerank", "graph_bfs_layers", "sim_pca_topk",
-    "ml_train_split", "ml_feature_hashing", "ml_winsorize",
-    "dq_expectations", "dq_referential_integrity",
-    "lake_schema_evolution",
+    "tpch_q10_returned_items", "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_relationship", "tpch_q17_small_quantity_revenue",
+    "tpch_q19_bracket_revenue", "tpch_q20_excess_shippers",
+    "tpch_q22_sales_opportunity",
+    # Portable hash-gated approximate twins — never driver-sampled
+    "dedup_simhash_portable", "dedup_embedding_lsh_portable",
+    "sim_lsh_topk_portable", "sim_pq_topk", "sim_kmeans_fixed_profile",
+    # ML prep / eval battery — never driver-sampled
+    "ml_kfold_stats", "ml_negative_pairs", "ml_quantile_bins",
+    "ml_standardize", "ml_class_weights", "ml_robust_scale",
+    # Graph + DQ + lake leftovers — never driver-sampled
+    "graph_pagerank_top", "graph_bfs_reach", "dedup_graph_stats",
+    "dq_partition_profile", "lake_incremental_mv",
+    # Live Structured Streaming leftovers — never driver-sampled
+    "stream_stateful_user_stats", "stream_interval_join_left",
+    "stream_upsert_versioned", "stream_sliding_agg",
+    # Similarity / multimodal / UDF surface — never driver-sampled
+    "sim_pca_variance", "sim_label_centroid_norm",
+    "mm_image_hist", "mm_audio_windows",
+    "udf_quality_calibrated", "udf_tokenize_rows",
 ]
 
 

@@ -57,7 +57,11 @@ def _centroid_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "clabel",
-        cosine(F.col("embedding"), F.col("cvec")).alias("score"),
+        # round before ranking: at a near-tie between two centroids a
+        # last-ulp gap between Spark's fold-based cosine and DuckDB's
+        # list_dot_product could flip the argmax; at 1e-6 both engines
+        # see the same score and the clabel tiebreak is deterministic
+        rnd(cosine(F.col("embedding"), F.col("cvec")), 6).alias("score"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("score").desc(), F.col("clabel").asc()
@@ -162,10 +166,11 @@ _PRED_CTES = """
         ),
         scored AS (
             SELECT e.vec_id, e.label, c.clabel,
-                   list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                   FLOOR((list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
                    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                             CAST(e.embedding AS DOUBLE[])))
-                      * sqrt(list_dot_product(c.cvec, c.cvec))) AS score
+                      * sqrt(list_dot_product(c.cvec, c.cvec))))
+                      * 1e6 + 0.5) / 1e6 AS score
             FROM embeddings e CROSS JOIN cent c
         ),
         pred AS (

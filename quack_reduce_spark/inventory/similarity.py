@@ -113,7 +113,9 @@ def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "clabel",
-        cosine(F.col("embedding"), F.col("cvec")).alias("score"),
+        # rounded before ranking so a last-ulp cosine gap between the
+        # two engines cannot flip the argmax at a centroid near-tie
+        rnd(cosine(F.col("embedding"), F.col("cvec")), 6).alias("score"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("score").desc(), F.col("clabel").asc()
@@ -711,9 +713,10 @@ ORACLES = {
         ),
         scored AS (
             SELECT e.vec_id, e.label, c.clabel,
-                   list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                   FLOOR((list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
                    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-                      * sqrt(list_dot_product(c.cvec, c.cvec))) AS score
+                      * sqrt(list_dot_product(c.cvec, c.cvec))))
+                      * 1e6 + 0.5) / 1e6 AS score
             FROM embeddings e CROSS JOIN cent c
         ),
         pred AS (

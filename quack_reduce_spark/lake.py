@@ -231,9 +231,49 @@ def commit(path: str, version: str) -> None:
     # version_as_of / vacuum never mistake an orphan for a commit. If
     # a crash lands between pointer and marker, the version is still
     # recognized as committed because the pointer targets it
-    # (committed_versions checks both); the marker write is idempotent
-    # and re-done by any later rollback to this version.
-    fs.write_text_atomic(_join(path, version, COMMITTED_MARK), "committed\n")
+    # (committed_versions checks both); the marker write is re-done by
+    # any later rollback to this version.
+    #
+    # The marker carries the ACTUAL pointer-flip times — the manifest's
+    # committed_at is stamped when the stage is written, BEFORE the
+    # flip, so a slow write would otherwise make an as-of read resolve
+    # to a version not yet visible at that wall-clock time. Each
+    # commit (including a rollback's re-commit) APPENDS its flip time,
+    # so the full visibility timeline survives rollbacks.
+    events = _commit_events(fs, path, version)
+    events.append(time.time())
+    fs.write_text_atomic(
+        _join(path, version, COMMITTED_MARK),
+        json.dumps({"committed_at": events}) + "\n",
+    )
+
+
+def _commit_events(fs, path: str, version: str) -> list[float]:
+    """Pointer-flip timestamps recorded in the version's commit marker
+    (ascending). Empty for orphans and for legacy/crash-window markers
+    with no parseable payload — callers fall back to the manifest's
+    stage-time stamp for those."""
+    p = _join(path, version, COMMITTED_MARK)
+    if not fs.is_file(p):
+        return []
+    try:
+        events = json.loads(fs.read_text(p)).get("committed_at", [])
+        return [float(t) for t in events]
+    except (ValueError, AttributeError):
+        return []  # legacy "committed\n" marker
+
+
+def commit_time(path: str, version: int | str) -> float | None:
+    """Wall-clock time of the version's most recent pointer flip (the
+    authoritative TIMESTAMP AS OF coordinate), or the manifest's
+    stage-time stamp for legacy tables, or None for orphans."""
+    fs = _fs_for(path)
+    v = normalize_version(version)
+    events = _commit_events(fs, path, v)
+    if events:
+        return events[-1]
+    meta = read_manifest(path, v)
+    return meta.get("committed_at") if meta else None
 
 
 def committed_versions(path: str) -> list[str]:
@@ -325,34 +365,52 @@ def history(path: str) -> list[dict]:
     version can be read (:meth:`Engine.read_table`) or restored
     (:func:`rollback`) until vacuum removes it."""
     current = current_version(path)
+    fs = _fs_for(path)
     out = []
     for v in committed_versions(path):
         meta = read_manifest(path, v) or {"version": v, "op": None, "rows": None}
+        # the manifest stamp is stage time (pre-flip); surface it as
+        # staged_at and report the authoritative pointer-flip time —
+        # the TIMESTAMP AS OF coordinate — as committed_at
+        events = _commit_events(fs, path, v)
+        if events:
+            meta["staged_at"] = meta.get("committed_at")
+            meta["committed_at"] = events[-1]
         meta["is_current"] = v == current
         out.append(meta)
     return out
 
 
 def version_as_of(path: str, ts: float) -> str:
-    """Latest committed version whose ``committed_at`` <= ``ts`` —
-    Delta's ``TIMESTAMP AS OF`` semantics. Resolution walks the
-    wall-clock commit history, NOT the current pointer, so an
-    ``as_of`` read is stable across later rollbacks (a rollback flips
-    the pointer; it does not rewrite when versions were committed).
-    Only COMMITTED versions participate: an orphaned stage left by a
-    crash between manifest write and pointer flip carries a
-    ``committed_at`` but no commit marker, and must never satisfy an
-    as-of read. Raises if the table has no commit at or before ``ts``
-    (reading "before the table existed" is an error, not an empty
-    frame)."""
-    best: str | None = None
+    """The version that was LIVE at wall-clock time ``ts`` — Delta's
+    ``TIMESTAMP AS OF`` semantics: the target of the most recent
+    pointer flip at or before ``ts``. Resolution walks the commit-
+    event timeline recorded in the post-commit markers (every flip,
+    including a rollback's re-commit, appends its time), NOT the
+    current pointer — so an ``as_of`` read for a past instant is
+    stable across later rollbacks, while instants after a rollback
+    correctly resolve to the restored version. Only COMMITTED versions
+    participate: an orphaned stage left by a crash between manifest
+    write and pointer flip carries a manifest stamp but no commit
+    marker, and must never satisfy an as-of read. Legacy tables whose
+    markers predate event stamping fall back to the manifest's
+    stage-time stamp. Raises if the table has no commit at or before
+    ``ts`` (reading "before the table existed" is an error, not an
+    empty frame)."""
+    fs = _fs_for(path)
+    best: tuple[float, str] | None = None
     for v in committed_versions(path):
-        meta = read_manifest(path, v)
-        if meta and meta.get("committed_at") is not None and meta["committed_at"] <= ts:
-            best = v  # committed_versions is ascending
+        events = _commit_events(fs, path, v)
+        if not events:
+            meta = read_manifest(path, v)
+            if meta and meta.get("committed_at") is not None:
+                events = [float(meta["committed_at"])]
+        for t in events:
+            if t <= ts and (best is None or t > best[0]):
+                best = (t, v)
     if best is None:
         raise ValueError(f"no version of {path} committed at or before {ts}")
-    return best
+    return best[1]
 
 
 def version_path(path: str, version: int | str) -> str:
@@ -384,33 +442,57 @@ def rollback(path: str, version: int | str) -> str:
     return v
 
 
-def vacuum(path: str, keep: int = 1, dry_run: bool = False) -> list[str]:
+def vacuum(
+    path: str,
+    keep: int = 1,
+    dry_run: bool = False,
+    orphan_grace: float = 3600.0,
+) -> list[str]:
     """Delete old version directories and stale orphaned stages,
     keeping the newest ``keep`` COMMITTED versions — always including
     the current one. ``keep`` counts committed versions only, so an
     orphaned stage (crashed writer, no commit marker) can never
-    displace a committed snapshot from the retention window. Orphans
-    BELOW the current pointer are reclaimed (a stage always numbers
-    above every version that existed when it was allocated, so one
-    below current cannot belong to an in-flight writer); orphans above
-    current are left alone — they may be a concurrent writer mid-
-    stage. Returns the removed directory names; ``dry_run=True``
-    returns what WOULD be removed without touching anything (vacuum is
-    the one irreversible lake operation — Delta's VACUUM has the same
-    preview idiom for the same reason)."""
+    displace a committed snapshot from the retention window.
+
+    Orphan reclamation is age-gated: a stage numbered below the
+    current pointer USUALLY belongs to a crashed writer (a stage
+    always numbers above every version that existed when it was
+    allocated), but two CONCURRENT writers can violate that — A
+    stages v5 slowly, B stages and commits v6, and v5 is now a live
+    in-flight stage below the pointer. So below-pointer orphans are
+    reclaimed only when their manifest's stage-time stamp is more than
+    ``orphan_grace`` seconds old (default 1h — an in-flight writer
+    staging for longer should fail its commit anyway); an orphan with
+    no readable manifest is reclaimed only with ``orphan_grace=0``
+    (its age is unknown). Pass ``orphan_grace=0`` for immediate
+    reclamation when you KNOW no writer is in flight. Orphans above
+    the current pointer are always left alone. Delta's VACUUM has the
+    same retention-window idiom for the same race.
+
+    Returns the removed directory names; ``dry_run=True`` returns what
+    WOULD be removed without touching anything (vacuum is the one
+    irreversible lake operation — Delta's VACUUM has the same preview
+    idiom for the same reason)."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     fs = _fs_for(path)
     current = current_version(path)
     committed = committed_versions(path)
     protect = set(committed[-keep:]) | {current}
+    now = time.time()
     removed = []
     for v in list_versions(path):
         if v in protect:
             continue
         is_orphan = v not in committed
-        if is_orphan and v > current:
-            continue  # possibly a concurrent writer's in-flight stage
+        if is_orphan:
+            if v > current:
+                continue  # possibly a concurrent writer's in-flight stage
+            if orphan_grace > 0:
+                meta = read_manifest(path, v)
+                staged_at = meta.get("committed_at") if meta else None
+                if staged_at is None or now - float(staged_at) <= orphan_grace:
+                    continue  # unknown or recent stage — may be in flight
         if not dry_run:
             fs.delete_recursive(_join(path, v))
         removed.append(v)

@@ -45,6 +45,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Ranks after ``iters`` power-method rounds from a uniform start.
 
@@ -52,6 +53,15 @@ def pagerank(
     pre-distinct'd if multiplicity is not meant to weight the edge —
     this function uses the rows as given). Returns (node, rank) for
     every node appearing as src or dst; ranks sum to 1.
+
+    ``checkpoint_every``: truncate the rank lineage with an eager
+    localCheckpoint every this-many rounds (0 disables). Without it
+    the unrolled plan grows linearly with ``iters`` — the classic
+    iterative-Spark trap; with it the plan depth is bounded by the
+    checkpoint interval regardless of iteration count (mirrors
+    ``bfs_levels``' per-round frontier checkpoint). On a cluster use
+    ``spark.sparkContext.setCheckpointDir`` + reliable checkpoints if
+    executor loss during a long run must be survivable.
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
@@ -72,7 +82,8 @@ def pagerank(
     nd = nodes.join(out_deg, "node", "left").cache()
 
     ranks = nd.select("node", "deg", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(iters):
+    checkpointed = False
+    for it in range(iters):
         # scalar dangling mass (one tiny aggregate, broadcast via
         # crossJoin of a 1-row frame — no driver round-trip)
         dangling = ranks.filter(F.col("deg").isNull()).agg(
@@ -99,4 +110,17 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-    return ranks.select("node", "rank")
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+            checkpointed = True
+    out = ranks.select("node", "rank")
+    if checkpointed:
+        # the in-loop checkpoints already materialized everything the
+        # caches feed, so release them now (short runs stay fully lazy
+        # and keep their caches: evicting before first use would just
+        # force a recompute); one final checkpoint makes the returned
+        # frame independent of the released caches
+        out = out.localCheckpoint(eager=True)
+        nd.unpersist()
+        nodes.unpersist()
+    return out

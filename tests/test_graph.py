@@ -64,6 +64,32 @@ def test_negative_iters_rejected(spark):
         pagerank(df, iters=-1)
 
 
+def test_checkpoint_bounds_plan_depth_and_keeps_answer(spark):
+    # 10 unrolled iterations without lineage truncation produce a plan
+    # that grows with the round count; checkpoint_every=4 must (a) keep
+    # the answer bit-compatible with the lazy build and (b) cap the
+    # logical plan at roughly the size of one checkpoint interval.
+    rng = np.random.RandomState(11)
+    edges = sorted(
+        {(int(s), int(100 + d)) for s, d in zip(rng.randint(0, 10, 60), rng.randint(0, 15, 60))}
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    lazy = pagerank(df, iters=10, checkpoint_every=0)
+    ckpt = pagerank(df, iters=10, checkpoint_every=4)
+    want = _numpy_pagerank(edges, iters=10, damping=0.85)
+    for frame in (lazy, ckpt):
+        got = {r.node: r.rank for r in frame.collect()}
+        for u in want:
+            assert got[u] == pytest.approx(want[u], rel=1e-9)
+
+    lazy_plan = lazy._jdf.queryExecution().logical().toString()
+    ckpt_plan = ckpt._jdf.queryExecution().logical().toString()
+    # checkpointed plan must be drastically smaller than the 10-round
+    # unroll — at most the depth of the final (<=4-round) tail
+    assert len(ckpt_plan) * 2 < len(lazy_plan)
+
+
 # ---------------------------------------------------------------- BFS
 
 from quack_reduce_spark.operators.bfs import bfs_levels, undirect

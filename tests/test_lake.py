@@ -267,37 +267,63 @@ def test_vacuum_respects_current_after_rollback(spark, tmp_path):
     assert eng.read_table(path).count() == 10
 
 
-def test_versioned_protocol_through_hadoop_filesystem_api(spark, tmp_path):
-    """Drive the ENTIRE versioned lifecycle through a `file:` URI so
-    every metadata op dispatches to the Hadoop FileSystem API — the
-    same FileSystem.get + create/listStatus/exists/delete surface the
-    S3A connector implements. On a cluster the identical code runs
-    against s3a:// paths; this is the closest an S3-less sandbox can
-    get to exercising the object-store code path."""
-    from quack_reduce_spark.lake import _HadoopFS, _fs_for
+@pytest.mark.parametrize("dispatch", ["local", "hadoop_uri"])
+def test_versioned_lifecycle_on_both_filesystem_dispatches(
+    spark, tmp_path, dispatch
+):
+    """Drive the ENTIRE maintenance lifecycle — write_versioned,
+    merge_upsert, delete_where, compact, time-travel read, as-of read,
+    rollback, vacuum, plus a crash-window stage — through BOTH
+    filesystem dispatches: a bare path (pure-os fast path) and a
+    `file:` URI, where every metadata op goes through the Hadoop
+    FileSystem API — the same FileSystem.get + create/listStatus/
+    exists/delete surface the S3A connector implements. On a cluster
+    the identical code runs against s3a:// paths; this is the closest
+    an S3-less sandbox can get to exercising the object-store path."""
+    from quack_reduce_spark.lake import _HadoopFS, _LocalFS, _fs_for
 
     eng = Engine(spark=spark)
-    uri = "file:" + str(tmp_path / "huri")
-    assert isinstance(_fs_for(uri), _HadoopFS)  # dispatch really goes Hadoop-side
+    if dispatch == "hadoop_uri":
+        path = "file:" + str(tmp_path / "huri")
+        assert isinstance(_fs_for(path), _HadoopFS)  # really Hadoop-side
+    else:
+        path = str(tmp_path / "bare")
+        assert isinstance(_fs_for(path), _LocalFS)
 
     base = spark.createDataFrame(
         [(i, float(i)) for i in range(8)], "k long, val double"
     )
-    eng.write_versioned(base, uri, op="create")
+    eng.write_versioned(base, path, op="create")
+    t1 = lake.commit_time(path, 1)
     upd = spark.createDataFrame([(1, 100.0), (50, 5.0)], "k long, val double")
-    eng.merge_upsert(uri, upd, key="k")
-    eng.delete_where(uri, "k % 2 = 0")
+    eng.merge_upsert(path, upd, key="k")
+    eng.delete_where(path, "k % 2 = 0")
+    stats = eng.compact(path, target_rows_per_file=100)
+    assert stats["files_after"] <= stats["files_before"]
 
-    hist = eng.history(uri)
-    assert [h["op"] for h in hist] == ["create", "merge_upsert", "delete"]
-    assert {r.k: r.val for r in eng.read_table(uri, 2).collect()}[1] == 100.0
-    live = {r.k for r in eng.read_table(uri).collect()}
+    hist = eng.history(path)
+    assert [h["op"] for h in hist] == ["create", "merge_upsert", "delete", "compact"]
+    assert {r.k: r.val for r in eng.read_table(path, 2).collect()}[1] == 100.0
+    live = {r.k for r in eng.read_table(path).collect()}
     assert live == {1, 3, 5, 7}  # evens (incl. the upserted 50) deleted
+    assert eng.read_table(path, as_of=t1).count() == 8
 
-    eng.rollback(uri, 1)
-    assert {r.k for r in eng.read_table(uri).collect()} == set(range(8))
-    removed = lake.vacuum(uri, keep=1)
-    assert removed and all(v.startswith("v") for v in removed)
+    # crash window on this dispatch: a staged-but-never-committed
+    # version must stay invisible and never satisfy reads/history
+    v_orphan, data_dir = lake.stage_version(path)
+    base.limit(2).write.parquet(data_dir)
+    lake.write_manifest(path, v_orphan, op="crashed_write", rows=2)
+    assert v_orphan not in [h["version"] for h in eng.history(path)]
+    assert {r.k for r in eng.read_table(path).collect()} == live
+
+    # a later commit moves the pointer past the orphan; with the
+    # in-flight grace waived it is reclaimed as crashed-writer garbage
+    eng.write_versioned(base, path, op="write")
+    removed = lake.vacuum(path, keep=5, orphan_grace=0.0)
+    assert removed == [v_orphan]  # committed history all retained
+
+    eng.rollback(path, 1)
+    assert {r.k for r in eng.read_table(path).collect()} == set(range(8))
 
 
 def test_non_versioned_object_store_rewrite_refused(spark, tmp_path):
@@ -385,19 +411,27 @@ def test_timestamp_as_of_reads(spark, sf_dir, tmp_path):
 
     before_create = time.time()
     eng.write_versioned(orders.limit(10), path, op="create")
-    t1 = lake.read_manifest(path, lake.current_version(path))["committed_at"]
+    t1 = lake.commit_time(path, lake.current_version(path))
     eng.write_versioned(orders.limit(25), path, op="write")
-    t2 = lake.read_manifest(path, lake.current_version(path))["committed_at"]
+    t2 = lake.commit_time(path, lake.current_version(path))
+
+    # commit_time is the pointer-flip instant — at or after the
+    # manifest's pre-flip stage stamp, never before
+    assert t2 >= lake.read_manifest(path, "v00000002")["committed_at"]
 
     assert eng.read_table(path, as_of=t1).count() == 10
     assert eng.read_table(path, as_of=(t1 + t2) / 2).count() == 10
     assert eng.read_table(path, as_of=t2).count() == 25
     assert eng.read_table(path, as_of=time.time()).count() == 25
 
-    # rollback flips the live pointer but not the as_of timeline
+    # rollback flips the live pointer; past instants stay stable, and
+    # instants AFTER the rollback resolve to the restored version (the
+    # rollback's re-commit appends a fresh flip time to v1's marker)
     eng.rollback(path, 1)
     assert eng.read_table(path).count() == 10
     assert eng.read_table(path, as_of=t2).count() == 25
+    assert eng.read_table(path, as_of=time.time()).count() == 10
+    assert lake.commit_time(path, 1) > t2  # refreshed by the re-commit
 
     with pytest.raises(ValueError, match="at or before"):
         eng.read_table(path, as_of=before_create - 10)
@@ -464,10 +498,14 @@ def test_orphaned_stage_is_not_a_commit(spark, sf_dir, tmp_path):
     # the pointer (possible in-flight writer)
     assert eng.vacuum(path, keep=2, dry_run=True) == []
 
-    # once the table moves on, the orphan falls below the pointer and
-    # becomes reclaimable
+    # once the table moves on, the orphan falls below the pointer —
+    # but a FRESH below-pointer orphan may be a concurrent writer
+    # mid-stage (A stages v3 slowly, B commits v4), so the default
+    # staging-age grace protects it
     eng.write_versioned(orders.limit(30), path, op="write")
-    removed = eng.vacuum(path, keep=2)
+    assert v not in eng.vacuum(path, keep=2, dry_run=True)
+    # past the grace window it is a crashed writer's garbage
+    removed = eng.vacuum(path, keep=2, orphan_grace=0.0)
     assert v in removed  # orphan reclaimed
     assert eng.read_table(path, 2).count() == 20  # committed v2 kept
     assert eng.read_table(path).count() == 30
