@@ -183,6 +183,11 @@ def mm_image_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_gray_hist(attach_png_payload(docs)).select("doc_id", "bucket", "n")
 
 
+# mm_decode_stub / mm_resize_stub retired from the registry (r6): the
+# real PNG/WAV codec paths (mm_image_stats / mm_image_resize /
+# mm_audio_rms, all hash-oracled and driver-green) now carry the
+# decode/resize coverage; the fake-codec plumbing they exercised stays
+# unit-tested in tests/test_multimodal.py.
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_audio_rms": mm_audio_rms,
@@ -190,10 +195,8 @@ QUERIES = {
     "mm_image_resize": mm_image_resize,
     "mm_image_hist": mm_image_hist,
     "mm_video_scenes": mm_video_scenes,
-    "mm_decode_stub": mm_decode_stub,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_windows": mm_audio_windows,
-    "mm_resize_stub": mm_resize_stub,
     "mm_feature_extract": mm_feature_extract,
 }
 

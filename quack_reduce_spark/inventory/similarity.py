@@ -142,12 +142,18 @@ def sim_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 through the VECTORIZED kernel path
     (mapInPandas + numpy BLAS matmul, operators/similarity.py:
     cosine_topk_vectorized) — the Arrow-batched Python lane for dense
-    numeric kernels. Rows-only driver check: numpy's pairwise summation
-    can differ from the JVM fold in the last ulp, so exact-hash parity
-    is not contractual; id-set equality vs the JVM exact path is
-    asserted in tests/test_similarity.py."""
+    numeric kernels. HASH-ORACLED on the (query_id, vec_id, rank)
+    projection: the kernel rounds scores to 1e-6 with a vec_id
+    tiebreak before ranking, so the neighbor ids and their order are
+    engine-exact even though numpy's pairwise-summed raw score can
+    differ from SQL's fold in the last ulp (the score column itself
+    stays out of the hash for exactly that reason; full-row id-set
+    equality vs the JVM exact path is additionally asserted in
+    tests/test_similarity.py)."""
     queries, corpus = _split(spark, sf_dir)
-    return S.cosine_topk_vectorized(spark, queries, corpus, k=TOP_K)
+    return S.cosine_topk_vectorized(spark, queries, corpus, k=TOP_K).select(
+        "query_id", "vec_id", "rank"
+    )
 
 
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,6 +784,34 @@ ORACLES = {
         SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
         FROM (
             SELECT query_id, vec_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+            FROM scored
+        )
+        WHERE rank <= {TOP_K}
+    """,
+    # the numpy-kernel variant oracles the id/rank projection only —
+    # scores round to 1e-6 before ranking in both engines, making the
+    # neighbor ids and their order exact, while the raw float stays out
+    # of the hash (BLAS pairwise summation vs SQL fold last-ulp noise)
+    "sim_cosine_topk_np": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id >= {N_QUERIES}
+        ),
+        scored AS (
+            SELECT query_id, vec_id,
+                   FLOOR((list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))) * 1e6 + 0.5) / 1e6 AS cos_sim
+            FROM q, c
+        )
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT query_id, vec_id,
                    ROW_NUMBER() OVER (PARTITION BY query_id
                                       ORDER BY cos_sim DESC, vec_id ASC) AS rank
             FROM scored
