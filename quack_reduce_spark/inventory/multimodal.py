@@ -151,6 +151,33 @@ def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode, end to end (third real-codec modality after
+    WAV and PNG): each document id parameterizes a spec-conformant
+    baseline-DCT grayscale JPEG — Huffman-entropy-coded with the ITU
+    T.81 Annex K tables, uniform q=16 quantization — and
+    ``jpeg_image_stats`` decodes the actual bytes: marker walk,
+    canonical Huffman reconstruction, entropy decode with 0xFF00
+    unstuffing, DC differential EXTEND, dequantize, float 8x8 IDCT.
+    The synthesized images are block-constant with even level-shifted
+    values, which pins them in the lossy codec's LOSSLESS subspace
+    (see jpeg.synthesize_gray_jpeg), so per-image dimensions, exact
+    pixel sum and mean are hash-ORACLED against a pure-SQL rebuild of
+    the generator formula. The lossy path (AC coefficients,
+    run-lengths) is exercised by tests/test_jpeg.py's encode→decode
+    differential with a derived quantization-error bound."""
+    from quack_reduce_spark.multimodal import attach_jpeg_payload, jpeg_image_stats
+
+    docs = load(spark, sf_dir, "documents")
+    stats = jpeg_image_stats(attach_jpeg_payload(docs))
+    from quack_reduce_spark.inventory._util import rnd
+
+    return stats.select(
+        "doc_id", "width", "height", "n_blocks", "px_sum",
+        rnd(F.col("mean_px"), 4).alias("mean_px"),
+    )
+
+
 def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL resize roundtrip: synthesize PNG → decode → 4x4
     nearest-neighbor resize (integer floor-div index mapping) →
@@ -192,6 +219,7 @@ QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_audio_rms": mm_audio_rms,
     "mm_image_stats": mm_image_stats,
+    "mm_jpeg_stats": mm_jpeg_stats,
     "mm_image_resize": mm_image_resize,
     "mm_image_hist": mm_image_hist,
     "mm_video_scenes": mm_video_scenes,
@@ -230,6 +258,39 @@ ORACLES = {
                FLOOR(AVG(CASE WHEN c = 1 THEN v END) * 1e4 + 0.5) / 1e4 AS mean_g,
                FLOOR(AVG(CASE WHEN c = 2 THEN v END) * 1e4 + 0.5) / 1e4 AS mean_b
         FROM px GROUP BY doc_id, w, h
+    """,
+    "mm_jpeg_stats": """
+        -- analytic rebuild of the synthesized JPEGs: dimensions are
+        -- the synthesis parameters; because each 8x8 block is constant
+        -- with an even level-shifted value, the lossy codec is exact
+        -- on these images (quantized DC = (v-128)/2 is an integer a
+        -- full 0.5 from every rounding boundary), so pixel sum/mean
+        -- re-derive from the block formula v = 2*((37bx+53by+11s)%128)
+        -- scaled by the 64 pixels per block. A hash match proves the
+        -- Spark side's Huffman entropy decode + dequant + float IDCT
+        -- reconstructed every pixel exactly.
+        WITH p AS (
+            SELECT doc_id,
+                   2 + doc_id % 3 AS wb,
+                   2 + (doc_id // 3) % 3 AS hb,
+                   doc_id % 251 AS s
+            FROM documents
+        ),
+        blk AS (
+            SELECT p.doc_id, p.wb, p.hb,
+                   2 * ((37 * gx.i + 53 * gy.i + 11 * p.s) % 128) AS v
+            FROM p
+            CROSS JOIN generate_series(0, 3) AS gx(i)
+            CROSS JOIN generate_series(0, 3) AS gy(i)
+            WHERE gx.i < p.wb AND gy.i < p.hb
+        )
+        SELECT doc_id,
+               CAST(8 * wb AS INT) AS width,
+               CAST(8 * hb AS INT) AS height,
+               CAST(wb * hb AS INT) AS n_blocks,
+               CAST(64 * SUM(v) AS BIGINT) AS px_sum,
+               FLOOR(AVG(v) * 1e4 + 0.5) / 1e4 AS mean_px
+        FROM blk GROUP BY doc_id, wb, hb
     """,
     "mm_image_resize": """
         -- nearest-neighbor sample of the generator formula at

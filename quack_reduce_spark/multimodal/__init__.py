@@ -8,19 +8,25 @@ PCM WAV (stdlib ``struct`` + numpy — ``decode_wav`` / ``wav_stats``)
 and PNG (stdlib ``zlib`` + ``struct`` + numpy — png.py implements
 both encode and decode with all five scanline filters, driving
 ``decode_image_meta`` / ``resize_image`` / ``extract_features`` with
-``fake=False``). JPEG/WebP and video codec calls (libjpeg/PIL/ffmpeg)
-remain stubbed behind ``NotImplementedError`` / deterministic fakes
-because those libraries are not in this environment (see codec.py).
+``fake=False``). A THIRD real codec, baseline-DCT grayscale JPEG
+(stdlib ``struct`` + numpy — jpeg.py: Huffman entropy coding, float
+IDCT, full marker-walk decoder), drives ``attach_jpeg_payload`` /
+``jpeg_image_stats``. Color/progressive JPEG, WebP and video codec
+calls (libjpeg/PIL/ffmpeg) remain stubbed behind
+``NotImplementedError`` / deterministic fakes because those libraries
+are not in this environment (see codec.py).
 """
 
 from quack_reduce_spark.multimodal.codec import (
     attach_binary_payload,
+    attach_jpeg_payload,
     attach_png_payload,
     attach_wav_payload,
     audio_windows,
     decode_image_meta,
     decode_wav,
     extract_features,
+    jpeg_image_stats,
     png_image_stats,
     png_thumb_sums,
     resize_image,
@@ -28,6 +34,11 @@ from quack_reduce_spark.multimodal.codec import (
     scene_changes,
     synthesize_wav,
     wav_stats,
+)
+from quack_reduce_spark.multimodal.jpeg import (
+    decode_gray_jpeg,
+    encode_gray_jpeg,
+    synthesize_gray_jpeg,
 )
 from quack_reduce_spark.multimodal.png import (
     decode_png,
@@ -40,15 +51,19 @@ from quack_reduce_spark.multimodal.png import (
 
 __all__ = [
     "attach_binary_payload",
+    "attach_jpeg_payload",
     "attach_png_payload",
     "attach_wav_payload",
     "audio_windows",
+    "decode_gray_jpeg",
     "decode_image_meta",
     "decode_png",
     "decode_wav",
+    "encode_gray_jpeg",
     "encode_png",
     "extract_features",
     "gray_histogram",
+    "jpeg_image_stats",
     "parse_png_header",
     "png_image_stats",
     "png_thumb_sums",
@@ -56,6 +71,7 @@ __all__ = [
     "resize_nearest",
     "sample_frames",
     "scene_changes",
+    "synthesize_gray_jpeg",
     "synthesize_png",
     "synthesize_wav",
     "wav_stats",

@@ -6,15 +6,19 @@ ordinary parquet ``binary`` columns; decode / feature-extract runs as
 worker per partition, never a row-at-a-time UDF. Output schemas are
 explicit StructTypes so downstream relational ops stay fully typed.
 
-AUDIO AND PNG ARE DECODED FOR REAL: 16-bit PCM WAV parsing needs only
-stdlib ``struct`` + numpy (``decode_wav`` / ``wav_stats`` below, and
-``audio_windows(fake=False)``), and PNG needs only stdlib ``zlib`` +
-``struct`` + numpy (png.py: full inflate + all five scanline
-unfilters), so ``decode_image_meta`` / ``resize_image`` /
+AUDIO, PNG AND JPEG ARE DECODED FOR REAL: 16-bit PCM WAV parsing
+needs only stdlib ``struct`` + numpy (``decode_wav`` / ``wav_stats``
+below, and ``audio_windows(fake=False)``), PNG needs only stdlib
+``zlib`` + ``struct`` + numpy (png.py: full inflate + all five
+scanline unfilters), so ``decode_image_meta`` / ``resize_image`` /
 ``extract_features`` with ``fake=False`` run a REAL codec end to end
-(hash-oracled in inventory/multimodal.py). What remains stubbed is
-what genuinely needs external libraries — JPEG/WebP (libjpeg/PIL) and
-video frame extraction / scene detection (ffmpeg):
+(hash-oracled in inventory/multimodal.py), and baseline-DCT grayscale
+JPEG is a pure stdlib+numpy codec too (jpeg.py: Huffman entropy
+coding, float IDCT — ``attach_jpeg_payload`` / ``jpeg_image_stats``
+below, hash-oracled via the lossless-subspace trick). What remains
+stubbed is what genuinely needs external libraries — color/progressive
+JPEG interchange and WebP (libjpeg/PIL) and video frame extraction /
+scene detection (ffmpeg):
 ``sample_frames(fake=False)`` / ``scene_changes(fake=False)`` raise
 NotImplementedError with the reason. The ``fake=True`` defaults keep
 deriving deterministic pseudo-outputs from the payload bytes so the
@@ -543,6 +547,72 @@ def png_gray_hist(
             yield pd.DataFrame({"doc_id": ids, "bucket": buckets, "n": counts})
 
     return df.select(id_col, payload_col).mapInPandas(process, GRAY_HIST_SCHEMA)
+
+
+JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_blocks", IntegerType()),
+        StructField("px_sum", LongType()),
+        StructField("mean_px", DoubleType()),
+    ]
+)
+
+
+def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a real baseline-DCT JPEG payload per row,
+    parameterized by the row id (see :func:`jpeg.synthesize_gray_jpeg`
+    for the block-constant formula that pins each image inside the
+    codec's lossless subspace, making downstream stats
+    SQL-oracle-able). mapInPandas so synthesis scales with partitions
+    like any ingest."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from quack_reduce_spark.multimodal.jpeg import synthesize_gray_jpeg
+
+        for batch in batches:
+            ids = batch[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "jpeg": [synthesize_gray_jpeg(int(i)) for i in ids]}
+            )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("jpeg", BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(process, schema)
+
+
+def jpeg_image_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "jpeg"
+) -> DataFrame:
+    """REAL JPEG decode path (third real codec after WAV and PNG):
+    full marker walk, canonical Huffman reconstruction, entropy decode
+    with byte unstuffing, DC prediction, dequantize, float 8x8 IDCT —
+    :func:`jpeg.decode_gray_jpeg` — then per-image dimensions and
+    exact pixel sum/mean with numpy. Arrow-batched mapInPandas; no
+    fake parameter because nothing here is stubbed."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from quack_reduce_spark.multimodal.jpeg import decode_gray_jpeg
+
+        for batch in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_blocks", "px_sum", "mean_px")}
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                arr = decode_gray_jpeg(bytes(payload))
+                h, w = arr.shape
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["n_blocks"].append((h // 8) * (w // 8))
+                out["px_sum"].append(int(arr.astype(np.int64).sum()))
+                out["mean_px"].append(float(arr.astype(np.float64).mean()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(process, JPEG_STATS_SCHEMA)
 
 
 SCENE_SCHEMA = StructType(

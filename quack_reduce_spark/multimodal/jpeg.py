@@ -226,7 +226,7 @@ def encode_gray_jpeg(arr: np.ndarray, q: int = DEFAULT_Q) -> bytes:
     out += b"\xff\xd8"  # SOI
     # DQT: Pq=0 (8-bit), Tq=0, entries in zigzag order (uniform, so
     # the order is moot, but emit spec-shaped anyway)
-    out += b"\xff\xdb" + struct.pack(">BB", 0, 67)[1:] + b"\x43\x00" + bytes([q] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([q] * 64)
     # SOF0: 8-bit precision, 1 component (id 1, 1x1 sampling, table 0)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
     # DHT: DC table class 0 id 0, AC table class 1 id 0

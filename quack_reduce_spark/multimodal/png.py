@@ -28,8 +28,9 @@ at all (its surface is DuckDB SQL over parquet scalars — app.py:51);
 this module is part of the north-star multimodal layer the brief asks
 for beyond reference parity.
 
-What remains stubbed: JPEG/WebP decode (needs libjpeg/PIL) and video
-(needs ffmpeg) — those sites in codec.py still raise
+Sibling real codecs: WAV (codec.py) and baseline grayscale JPEG
+(jpeg.py). What remains stubbed: WebP decode (needs libwebp/PIL) and
+video (needs ffmpeg) — those sites in codec.py still raise
 NotImplementedError with the reason.
 """
 
