@@ -266,12 +266,19 @@ def _commit_events(fs, path: str, version: str) -> list[float]:
 def commit_time(path: str, version: int | str) -> float | None:
     """Wall-clock time of the version's most recent pointer flip (the
     authoritative TIMESTAMP AS OF coordinate), or the manifest's
-    stage-time stamp for legacy tables, or None for orphans."""
+    stage-time stamp for legacy tables, or None for orphans.
+
+    The committed_versions() gate runs BEFORE the manifest fallback:
+    an orphaned stage has a manifest too (written before the pointer
+    flip that never happened), so without the gate an orphan would
+    masquerade as a legacy commit stamped at stage time."""
     fs = _fs_for(path)
     v = normalize_version(version)
     events = _commit_events(fs, path, v)
     if events:
         return events[-1]
+    if v not in committed_versions(path):
+        return None
     meta = read_manifest(path, v)
     return meta.get("committed_at") if meta else None
 
@@ -398,15 +405,40 @@ def version_as_of(path: str, ts: float) -> str:
     ``ts`` (reading "before the table existed" is an error, not an
     empty frame)."""
     fs = _fs_for(path)
-    best: tuple[float, str] | None = None
+    cur = current_version(path)
+    timeline: dict[str, list[float]] = {}
     for v in committed_versions(path):
         events = _commit_events(fs, path, v)
         if not events:
             meta = read_manifest(path, v)
             if meta and meta.get("committed_at") is not None:
                 events = [float(meta["committed_at"])]
+        timeline[v] = events
+    # Rollback crash-window repair: commit() flips the pointer FIRST,
+    # then appends the flip event to the target's marker. A crash in
+    # between (only observable after a rollback — a fresh commit's
+    # target is recognized via the pointer even with no marker) leaves
+    # the live pointer on a version whose last recorded flip is OLDER
+    # than another version's, so as-of(now) would disagree with the
+    # live pointer until the next commit. Synthesize the missing flip
+    # at the newest foreign event (the true flip time is unknowable
+    # but is >= that instant), with ties breaking toward the pointer
+    # target.
+    max_other = max(
+        (t for v, ev in timeline.items() if v != cur for t in ev), default=None
+    )
+    if (
+        cur in timeline
+        and max_other is not None
+        and (not timeline[cur] or timeline[cur][-1] < max_other)
+    ):
+        timeline[cur] = timeline[cur] + [max_other]
+    best: tuple[float, str] | None = None
+    for v, events in timeline.items():
         for t in events:
-            if t <= ts and (best is None or t > best[0]):
+            if t <= ts and (
+                best is None or t > best[0] or (t == best[0] and v == cur)
+            ):
                 best = (t, v)
     if best is None:
         raise ValueError(f"no version of {path} committed at or before {ts}")

@@ -759,13 +759,21 @@ def cosine_topk_vectorized(
             c_mat = np.array(list(batch[vec_col]), dtype=np.float64)
             c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
             sims = c_norm @ q_norm.T  # (batch, nq)
+            # round to 1e-6 BEFORE the local prune with the same
+            # floor(x*1e6+0.5)/1e6 rule the final window applies, and
+            # break ties by ascending corpus id — the window's exact
+            # total order. Pruning under any other order (e.g.
+            # argpartition on raw BLAS scores) could locally drop a
+            # candidate that ties the k-th ROUNDED score yet wins the
+            # global id tiebreak — a data-dependent oracle mismatch.
+            rounded = np.floor(sims * 1e6 + 0.5) / 1e6
             top = min(k, sims.shape[0])
             out_q, out_c, out_s = [], [], []
             for j, qid in enumerate(q_ids):
-                idx = np.argpartition(-sims[:, j], top - 1)[:top]
+                idx = np.lexsort((c_ids, -rounded[:, j]))[:top]
                 out_q.extend([qid] * len(idx))
                 out_c.extend(c_ids[idx])
-                out_s.extend(sims[idx, j])
+                out_s.extend(rounded[idx, j])
             yield pd.DataFrame({query_id: out_q, corpus_id: out_c, "cos_sim": out_s})
 
     scored = corpus.select(corpus_id, vec_col).mapInPandas(

@@ -509,3 +509,65 @@ def test_orphaned_stage_is_not_a_commit(spark, sf_dir, tmp_path):
     assert v in removed  # orphan reclaimed
     assert eng.read_table(path, 2).count() == 20  # committed v2 kept
     assert eng.read_table(path).count() == 30
+
+
+def test_commit_time_none_for_orphaned_stage(spark, sf_dir, tmp_path):
+    """commit_time must return None for an orphan even though the
+    orphan HAS a manifest (written before the pointer flip that never
+    happened) — the manifest-stamp fallback is only for LEGACY
+    committed tables, and the committed_versions gate is what tells
+    the two apart."""
+    from quack_reduce_spark import lake
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.inventory._util import load
+
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "tbl")
+    orders = load(spark, sf_dir, "orders")
+    eng.write_versioned(orders.limit(10), path, op="create")
+    v, data_dir = lake.stage_version(path)
+    orders.limit(5).write.parquet(data_dir)
+    lake.write_manifest(path, v, op="crashed_write", rows=5)
+
+    assert lake.commit_time(path, v) is None  # orphan: no commit ever
+    assert isinstance(lake.commit_time(path, 1), float)  # real commit
+
+
+def test_rollback_crash_window_as_of_agrees_with_pointer(spark, tmp_path):
+    """Crash between rollback's pointer flip and its marker append:
+    the live pointer targets the restored version but that version's
+    marker still records only the ORIGINAL (older) flip. version_as_of
+    must synthesize the missing flip so as-of(now) agrees with the
+    live pointer instead of resolving to the previously-live version
+    until the next commit."""
+    import time
+
+    from quack_reduce_spark import lake
+    from quack_reduce_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1,)], "k long")
+    eng.write_versioned(df1, path, op="create")
+    t1 = lake.commit_time(path, 1)
+    time.sleep(0.05)
+    eng.write_versioned(spark.createDataFrame([(2,)], "k long"), path, op="write")
+    t2 = lake.commit_time(path, 2)
+    time.sleep(0.05)
+
+    # simulate the crashed rollback: flip the pointer back to v1
+    # WITHOUT the marker append commit() would have done next
+    fs = lake._fs_for(path)
+    fs.write_text_atomic(lake._join(path, lake.CURRENT), "v00000001\n")
+    assert lake.current_version(path) == "v00000001"
+    assert lake._commit_events(fs, path, "v00000001")[-1] == t1  # stale marker
+
+    # as-of(now) must agree with the live pointer
+    assert lake.version_as_of(path, time.time()) == "v00000001"
+    # history before the crash is untouched: instants in v1's original
+    # reign still resolve to v1
+    assert lake.version_as_of(path, (t1 + t2) / 2) == "v00000001"
+
+    # the next real commit records its flip normally and reigns after
+    eng.write_versioned(spark.createDataFrame([(3,)], "k long"), path, op="write")
+    assert lake.version_as_of(path, time.time()) == lake.current_version(path)
