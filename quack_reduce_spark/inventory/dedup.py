@@ -4,11 +4,15 @@ dedup_exact / dedup_ngram_jaccard have exact DuckDB oracles, and the
 portable trilogy (dedup_minhash_portable, dedup_simhash_portable,
 dedup_embedding_lsh_portable) puts banded LSH ITSELF through the hash
 gate — md5-derived hash families and integer-exact projections both
-engines can compute. The xxhash64/seeded-Gaussian production variants
-(dedup_minhash_lsh / dedup_simhash / dedup_embedding_lsh) stay rows-only
-— engine-specific hash families — with unit tests in
-tests/test_dedup.py asserting agreement with the exact-Jaccard ground
-truth on the fixtures.
+engines can compute. dedup_minhash_lsh was promoted to the hash
+gate in r7: its verified output equals the exact-Jaccard pair set on
+the fixtures (recall exhaustive, asserted at all three SFs), so the
+exact-pairs SQL is its oracle of record. The remaining
+xxhash64/seeded-Gaussian production variants (dedup_simhash /
+dedup_embedding_lsh) stay rows-only — engine-specific hash families
+whose outputs genuinely depend on unreplayable bands — with unit tests
+in tests/test_dedup.py asserting agreement with the exact ground truth
+on the fixtures.
 """
 
 from __future__ import annotations
@@ -52,8 +56,18 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidates verified by exact Jaccard.
 
-    No SQL oracle (engine-specific xxhash64 permutations); unit-tested
-    against dedup_ngram_jaccard for recall on the fixtures.
+    Oracle of record (promoted r7): the exact-Jaccard pair set. The
+    xxhash64 permutation mins never leave the engine, so the oracle
+    cannot replay the bands — instead it relies on the verified-output
+    contract: every emitted pair passes the exact-Jaccard >= 0.5
+    verify (so Spark ⊆ oracle by construction), and the banded recall
+    (1-(1-j^4)^8, >= 0.985 at the fixtures' minimum true-pair j = 0.8,
+    >= 0.9998 at their p10 j = 0.94) is exhaustive on the fixed
+    fixture data — asserted at all three SFs by
+    tests/test_dedup.py::test_minhash_lsh_matches_exact_pairs, and
+    deterministic because both the data and xxhash64 are. The md5
+    twin dedup_minhash_portable additionally hash-replays the band
+    construction itself.
     """
     docs = load(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
@@ -104,7 +118,7 @@ def _minhash_portable_oracle() -> str:
         ),
         sh AS (
             SELECT doc,
-                   CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) AS h
+                   CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) % 2147483647 AS h
             FROM shs
         ),
         consts AS (
@@ -113,7 +127,10 @@ def _minhash_portable_oracle() -> str:
             ) AS t(i, a, b)
         ),
         sig AS (
-            SELECT sh.doc, c.i, MIN(sh.h * c.a + c.b) AS m
+            -- the % modulus is what makes these real permutations:
+            -- without it min(a*h+b) = a*min(h)+b degenerates every
+            -- permutation to the same argmin (see operators/dedup.py)
+            SELECT sh.doc, c.i, MIN((sh.h * c.a + c.b) % 2147483647) AS m
             FROM sh CROSS JOIN consts c
             GROUP BY sh.doc, c.i
         ),
@@ -495,6 +512,37 @@ QUERIES = {
 
 
 ORACLES = {
+    # dedup_minhash_lsh: LSH candidates + exact-Jaccard verify. The
+    # oracle is the full exact-Jaccard pair set (same SQL family as
+    # dedup_ngram_jaccard); equality holds because the verify step
+    # guarantees Spark ⊆ oracle and the banded recall is exhaustive on
+    # the fixtures (verified at sf0.001/0.01/0.1 — see the query
+    # docstring and test_minhash_lsh_matches_exact_pairs).
+    "dedup_minhash_lsh": """
+        WITH w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id AS doc,
+                   unnest(list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                         for i in generate_series(1, len(words) - 2)])) AS sh
+            FROM w
+            WHERE len(words) >= 3
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        common AS (
+            SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+            GROUP BY 1, 2
+        )
+        SELECT doc1, doc2,
+               FLOOR((CAST(common AS DOUBLE) / (n1.n_sh + n2.n_sh - common)) * 1e6 + 0.5) / 1e6 AS jaccard
+        FROM common
+        JOIN sizes n1 ON common.doc1 = n1.doc
+        JOIN sizes n2 ON common.doc2 = n2.doc
+        WHERE FLOOR((CAST(common AS DOUBLE) / (n1.n_sh + n2.n_sh - common)) * 1e6 + 0.5) / 1e6 >= 0.5
+    """,
     "dedup_minhash_portable": _minhash_portable_oracle(),
     "dedup_embedding_lsh_portable": _embedding_lsh_portable_oracle(),
     "dedup_simhash_portable": _SIMHASH_PORTABLE_ORACLE,

@@ -36,11 +36,29 @@ _MERSENNE_A = 0x9E3779B97F4A7C15  # golden-ratio odd constant
 _MERSENNE_B = 0xC2B2AE3D27D4EB4F
 
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime modulus for the permutations
+
+
 def _perm_consts(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic distinct (a, b) pairs, both < 2^30 and a odd.
 
-    The base hash is folded to 32 bits, so a*h + b < 2^62 + 2^30 —
-    comfortably inside signed-64 with Spark's ANSI overflow checks on.
+    Each permutation is (a*h + b) % MINHASH_P over a base hash FOLDED
+    TO 31 BITS (h < MINHASH_P, a,b < MINHASH_P, prime modulus — the
+    classic 2-universal family; a*h < 2^61 stays comfortably inside
+    signed-64 with Spark's ANSI overflow checks on).
+
+    Two constructions that LOOK like this one are degenerate, and both
+    shipped before round 7 caught fixture pairs at j=0.98 missed by
+    all 8 bands:
+    - no modulus at all: a > 0 makes a*h+b monotone in h, so
+      min(a*h+b) = a*min(h)+b — every "permutation" selects the same
+      argmin shingle and the signature is one hash repeated;
+    - a modulus much larger than a*h (e.g. 2^61-1 over 32-bit h with
+      a < 2^30): the product wraps AT MOST ONCE, so each permutation
+      is monotone-except-one-cut — argmins stay heavily correlated
+      across permutations and pair recall still collapses.
+    The modulus must be comparable to the folded hash range so a*h
+    wraps ~2^30 times.
     """
     out = []
     a, b = _MERSENNE_A, _MERSENNE_B
@@ -175,11 +193,13 @@ def minhash_signature(text: Column, n: int = 3, num_hashes: int = 32) -> Column:
     """MinHash signature (array<long>) over word shingles — JVM-side:
     xxhash64 base hash + affine permutations; min per permutation."""
     shingles = word_shingles(text, n)
-    base = F.transform(shingles, lambda s: F.shiftrightunsigned(F.xxhash64(s), 32))
+    base = F.transform(shingles, lambda s: F.shiftrightunsigned(F.xxhash64(s), 33))
     sig = []
     for a, b in _perm_consts(num_hashes):
         sig.append(
-            F.array_min(F.transform(base, lambda h: h * F.lit(a) + F.lit(b)))
+            F.array_min(
+                F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
+            )
         )
     return F.array(*sig)
 
@@ -212,11 +232,11 @@ def minhash_lsh_pairs(
     # — would get the tokenizer re-inlined into every permutation by
     # Catalyst's projection collapse: O(perms x shingles x split)/row.)
     sh = _shingle_table(df, text_col, id_col, n, hashed=True, distinct=False)
-    hashed = sh.select("doc", F.shiftrightunsigned("sh", 32).alias("h"))
+    hashed = sh.select("doc", F.shiftrightunsigned("sh", 33).alias("h"))
     consts = _perm_consts(num_hashes)
     mins = hashed.groupBy("doc").agg(
         *[
-            F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"__m{i}")
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"__m{i}")
             for i, (a, b) in enumerate(consts)
         ]
     )
@@ -374,11 +394,12 @@ def minhash_lsh_pairs_portable(
         raise ValueError("bands must divide num_hashes")
     sh = _shingle_table(df, text_col, id_col, n, hashed=False, distinct=False)
     h32 = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long")
-    hashed = sh.select("doc", h32.alias("h"))
+    # fold below the permutation modulus (engine-portable: plain %)
+    hashed = sh.select("doc", (h32 % F.lit(MINHASH_P)).alias("h"))
     consts = _perm_consts(num_hashes)
     mins = hashed.groupBy("doc").agg(
         *[
-            F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"__m{i}")
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"__m{i}")
             for i, (a, b) in enumerate(consts)
         ]
     )

@@ -64,6 +64,55 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     assert len(lsh) >= 0.8 * len(exact)
 
 
+def test_minhash_lsh_matches_exact_pairs(spark):
+    """The dedup_minhash_lsh ORACLE CONTRACT: on the fixture data the
+    banded LSH recalls every exact-Jaccard pair (min fixture pair
+    j = 0.8 → per-pair recall 1-(1-j^4)^8 >= 0.985; determinism of the
+    data + xxhash64 makes the equality stable). If fixture
+    regeneration ever plants pairs near the 0.5 threshold, THIS test
+    fails before the driver's differential does — move the key back to
+    rows-only in that case."""
+    for sf in ("sf0.001", "sf0.01"):
+        docs = load(spark, f"/root/testdata/{sf}", "documents")
+        exact = {
+            (r["doc1"], r["doc2"], r["jaccard"])
+            for r in D.ngram_jaccard_pairs(
+                docs, "text", "doc_id", threshold=0.5
+            ).collect()
+        }
+        lsh = {
+            (r["doc1"], r["doc2"], r["jaccard"])
+            for r in D.minhash_lsh_pairs(
+                docs, "text", "doc_id", threshold=0.5
+            ).collect()
+        }
+        assert lsh == exact, sf
+
+
+def test_minhash_permutations_not_degenerate(spark):
+    """Regression for the r7 find: min((a*h+b)) without a modulus (or
+    with a modulus so large the product wraps at most once) makes every
+    permutation pick the SAME argmin shingle — signature agreement
+    becomes all-or-nothing instead of ~j. Two docs sharing 2/3 of
+    their shingles must agree on SOME but not ALL permutations with
+    overwhelming probability under a healthy family."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = base.replace("delta", "delta2").replace("theta", "theta2").replace(
+        "kappa", "kappa2"
+    )
+    df = spark.createDataFrame([(1, base), (2, other)], "doc_id long, text string")
+    sigs = {
+        r["doc_id"]: list(r["s"])
+        for r in df.select(
+            "doc_id", D.minhash_signature(F.col("text"), num_hashes=64).alias("s")
+        ).collect()
+    }
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    # true jaccard of the 3-gram sets is well inside (0, 1): a healthy
+    # family agrees on a nontrivial strict subset of permutations
+    assert 0 < agree < 64, f"degenerate all-or-nothing signature: {agree}/64"
+
+
 def test_simhash_flags_exact_dups(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     exact_dups = {
