@@ -12,20 +12,25 @@ Spark: the reference's three deployment modes collapse into one
 engine whose physical plan already is the partition-parallel
 partial/final aggregation the reference hand-rolled.
 
-q9 A/B (round-5): every run now times tpch_q9 BOTH suite-first
-(isolated) and in its usual slot after the heavy dedup pair
-(``q9_ab`` in the JSON). Measured result: the isolated-first number is
-the SLOWER one (fresh-session JIT warmup dominates), and the in-list
-min sits within ~11% of the quiet tpch_power_run min — r4's +39% q9
-mean drift was machine/session state, not a plan interaction with the
-preceding dedup queries.
+Protocol layers (each added by a round's verdict ask):
 
-Order interleaving (round-6, standard protocol): the full headline
-set runs forward then reversed, and ``queries_min`` is the per-query
-min across BOTH orders — suite position moves shared-machine numbers
-±20-30%, so a delta only counts as a regression when both orders
-reproduce it. Per-order mins are recorded in
-``queries_min_forward``/``queries_min_reverse``.
+- q9 A/B (r5): tpc-h q9 timed suite-first (isolated) AND in its usual
+  slot. Finding: the in-list number is the better one; fresh-session
+  JIT warmup dominates the isolated first run.
+- Order interleaving (r6): the full headline set runs forward then
+  reversed; ``queries_min`` is the per-query min across BOTH orders.
+  Suite position moves shared-machine numbers ±20-30%.
+- Heavy-query isolation + load telemetry (r7): the five queries that
+  regressed 25-35% in r6 with NO code change (graph_pagerank,
+  sim_pca_topk, tpch_q21, ml_feature_hashing, dq_expectations) get
+  the q9 treatment — a suite-first isolated timing each — and every
+  phase records os.getloadavg() so cross-round deltas can be
+  attributed to machine contention instead of guessed about
+  (``heavy_ab`` + ``load`` in the JSON).
+- Concurrent burst (r7): ``concurrent_burst`` records serial vs
+  Engine.sql_many wall-clock for a 16-query mixed burst on the same
+  session, with result equality asserted — the FAIR-pool concurrency
+  story in a driver-visible artifact.
 """
 
 from __future__ import annotations
@@ -70,6 +75,62 @@ HEADLINE = [
     "dq_expectations",
 ]
 
+# r6 regressed 25-35% with no code change; each gets a suite-first
+# isolated timing + load samples so contention is measured, not argued
+HEAVY_AB = [
+    "tpch_q9_product_type_profit",
+    "graph_pagerank",
+    "sim_pca_topk",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "ml_feature_hashing",
+    "dq_expectations",
+]
+
+BURST_N = 16
+BURST_THREADS = 8
+
+
+def _load() -> list[float]:
+    return [round(x, 2) for x in os.getloadavg()]
+
+
+def _concurrent_burst(spark, sf_dir: str) -> dict:
+    """Serial vs sql_many wall-clock for a mixed 16-query burst with
+    result-hash equality asserted (concurrency must never change
+    answers — only scheduling)."""
+    import hashlib
+
+    from quack_reduce_spark.engine import Engine
+    from tools.concurrent_queries import build_burst
+
+    eng = Engine(spark=spark)
+    eng.register_dir(sf_dir, ["lineitem", "orders", "customer", "nation"])
+    burst = build_burst(BURST_N)
+    # warm both paths' plans once so the comparison is scheduling, not
+    # first-parse cost
+    eng.sql(burst[0])
+
+    t0 = time.time()
+    serial = [eng.sql(q) for q in burst]
+    t_serial = time.time() - t0
+
+    t0 = time.time()
+    concurrent = eng.sql_many(burst, max_threads=BURST_THREADS)
+    t_concurrent = time.time() - t0
+
+    def h(results) -> str:
+        payload = json.dumps([r.records for r in results], sort_keys=True, default=str)
+        return hashlib.md5(payload.encode()).hexdigest()
+
+    return {
+        "n_queries": len(burst),
+        "n_threads": BURST_THREADS,
+        "serial_sec": round(t_serial, 3),
+        "concurrent_sec": round(t_concurrent, 3),
+        "speedup": round(t_serial / max(t_concurrent, 1e-9), 2),
+        "results_equal": h(serial) == h(concurrent),
+    }
+
 
 def main() -> None:
     from quack_reduce_spark.inventory import all_queries
@@ -77,6 +138,7 @@ def main() -> None:
 
     spark = get_spark(app_name="quack-reduce-bench")
     queries = all_queries()
+    load_samples: dict[str, list[float]] = {"start": _load()}
 
     def timed(name: str, warmup: bool = True) -> tuple[float, float]:
         fn = queries[name]
@@ -89,34 +151,50 @@ def main() -> None:
             times.append(time.time() - t0)
         return round(statistics.mean(times), 3), round(min(times), 3)
 
-    # A/B probe (round-4 verdict ask): q9's bench-slot number ran right
-    # after the two heaviest dedup queries and drifted +39% mean while
-    # the quiet power run stayed flat — time it ISOLATED, first thing
-    # on the warm session, to separate contention from plan cost. The
-    # in-list measurement below keeps its usual slot for continuity.
-    q9 = "tpch_q9_product_type_profit"
-    q9_iso_mean, q9_iso_min = timed(q9)
+    # Isolated block (suite-first, warm session, quiet suite): each
+    # heavy query timed before any interleaved ordering so its number
+    # carries no suite-position effect. Load sampled around each.
+    heavy_ab: dict[str, dict] = {}
+    for name in HEAVY_AB:
+        before = _load()
+        iso_mean, iso_min = timed(name)
+        heavy_ab[name] = {
+            "isolated_mean": iso_mean,
+            "isolated_min": iso_min,
+            "load_before": before,
+            "load_after": _load(),
+        }
+    load_samples["after_isolated"] = _load()
 
     # Order-interleaving protocol (round-5 verdict ask): suite position
-    # moves minutes-level queries ±30% on a shared machine (the settled
-    # q9 story), so every query is timed in TWO orders — forward, then
-    # the whole set again reversed on the now-fully-warm session — and
-    # the reported per-query min is the min ACROSS both orders. A query
-    # is only a real regression when BOTH orders say so.
+    # moves minutes-level queries ±30% on a shared machine, so every
+    # query is timed in TWO orders — forward, then the whole set again
+    # reversed on the now-fully-warm session — and the reported
+    # per-query min is the min ACROSS both orders. A query is only a
+    # real regression when BOTH orders say so.
     results: dict[str, float] = {}
     fwd_min: dict[str, float] = {}
     rev_min: dict[str, float] = {}
     for name in HEADLINE:
         results[name], fwd_min[name] = timed(name)
+    load_samples["after_forward"] = _load()
     for name in reversed(HEADLINE):
         _, rev_min[name] = timed(name, warmup=False)
+    load_samples["after_reverse"] = _load()
     mins = {k: min(fwd_min[k], rev_min[k]) for k in HEADLINE}
+    for name in HEAVY_AB:
+        heavy_ab[name]["inlist_mean"] = results[name]
+        heavy_ab[name]["inlist_min"] = mins[name]
+
+    burst = _concurrent_burst(spark, SF_DIR)
+    load_samples["after_burst"] = _load()
 
     # the headline metric stays the ORIGINAL 12-query total so the
-    # round-over-round comparison is apples-to-apples; the round-4
-    # additions report per-query only
+    # round-over-round comparison is apples-to-apples; later additions
+    # report per-query only
     core = HEADLINE[:12]
     total = round(sum(results[k] for k in core), 3)
+    q9 = "tpch_q9_product_type_profit"
     print(
         json.dumps(
             {
@@ -133,14 +211,16 @@ def main() -> None:
                 "queries_min_forward": fwd_min,
                 "queries_min_reverse": rev_min,
                 "total_min": round(sum(mins[k] for k in core), 3),
-                # both orders recorded: isolated (suite-first) vs its
-                # usual slot after the dedup pair
+                # kept for cross-round continuity (superset in heavy_ab)
                 "q9_ab": {
-                    "isolated_mean": q9_iso_mean,
-                    "isolated_min": q9_iso_min,
+                    "isolated_mean": heavy_ab[q9]["isolated_mean"],
+                    "isolated_min": heavy_ab[q9]["isolated_min"],
                     "inlist_mean": results[q9],
                     "inlist_min": mins[q9],
                 },
+                "heavy_ab": heavy_ab,
+                "load": load_samples,
+                "concurrent_burst": burst,
                 "sf": SF_DIR,
                 "reps": REPS,
             }

@@ -89,7 +89,7 @@ _MODULES = [
 # regardless of head selection; see tests/test_inventory_counts.py for
 # the registry-size drift gate.
 _HEAD = [
-    # Stable sentinels — Tier A + one per family, driver-green 5 rounds
+    # Stable sentinels — Tier A + one per family, driver-green 6 rounds
     "a01_scan_project", "a09_topk",
     "b_join_star_broadcast",
     "tpch_q1_full",
@@ -99,33 +99,28 @@ _HEAD = [
     "dedup_exact",
     "sim_cosine_topk",
     "mm_binary_meta",
-    # Round-6 fixes to round-5 reds/latents: BIGINT-cast oracles and
-    # the rounded-before-ranking centroid queries
-    "ml_train_split", "text_pack_assignments",
-    "ml_confusion_matrix",
-    # TPC-H remainder — never driver-sampled
-    "tpch_q10_returned_items", "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping", "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_relationship", "tpch_q17_small_quantity_revenue",
-    "tpch_q19_bracket_revenue", "tpch_q20_excess_shippers",
-    "tpch_q22_sales_opportunity",
-    # Portable hash-gated approximate twins — never driver-sampled
-    "dedup_simhash_portable", "dedup_embedding_lsh_portable",
-    "sim_lsh_topk_portable", "sim_pq_topk", "sim_kmeans_fixed_profile",
-    # ML prep / eval battery — never driver-sampled
-    "ml_kfold_stats", "ml_negative_pairs", "ml_quantile_bins",
-    "ml_standardize", "ml_class_weights", "ml_robust_scale",
-    # Graph + DQ + lake leftovers — never driver-sampled
-    "graph_pagerank_top", "graph_bfs_reach", "dedup_graph_stats",
-    "dq_partition_profile", "lake_incremental_mv",
-    # Live Structured Streaming leftovers — never driver-sampled
-    "stream_stateful_user_stats", "stream_interval_join_left",
-    "stream_upsert_versioned", "stream_sliding_agg",
-    # Similarity / multimodal / UDF surface — never driver-sampled
-    "sim_pca_variance", "sim_label_centroid_norm",
-    "mm_image_hist", "mm_audio_windows",
-    "udf_quality_calibrated", "udf_tokenize_rows",
+    # Round-7 code changes — must be driver-re-verified this round:
+    # minhash permutation-family fix + oracle promotion, and the lake
+    # as-of/commit_time crash-window fixes
+    "dedup_minhash_lsh", "dedup_minhash_portable",
+    "lake_incremental_mv",
+    # The final 37 never-driver-sampled oracled keys (completes full
+    # registry coverage: every oracled key driver-green at least once)
+    "b2_window_range_frame", "b2_window_nav", "b2_corr_covar",
+    "b2_histogram_bucket", "b2_in_subquery",
+    "b3_from_json_struct", "b3_to_json_struct", "b3_posexplode_words",
+    "b3_map_roundtrip", "b3_sequence_zip_aggregate",
+    "b3_unpivot_measures", "b3_array_setops",
+    "b3_orc_roundtrip", "b3_csv_roundtrip", "b3_json_roundtrip",
+    "ts_tumbling_offset", "ts_session_dynamic_gap",
+    "ts_asof_join_broadcast", "ts_asof_forward", "ts_asof_tolerance",
+    "ts_seasonal_profile", "ts_interpolate", "ts_gap_fill",
+    "text_chunk_windows", "text_char_entropy", "text_token_stats",
+    "text_bpe_tokens", "text_rolling_hash", "text_token_budget",
+    "text_dedup_impact", "text_vocab_ngrams", "text_filter_funnel",
+    "text_adaptive_gate", "text_pack_windows", "text_tfidf_terms",
+    "sim_cosine_topk_np",
+    "mm_jpeg_stats",
 ]
 
 
