@@ -96,7 +96,7 @@ _HEAD = [
     "ts_asof_join",
     "stream_tumbling_agg",
     "text_quality",
-    "dedup_exact",
+    "dedup_lsh_index_probe",  # r7: new persisted-index probe (dedup_exact rotates out, 6x green)
     "sim_cosine_topk",
     "mm_binary_meta",
     # Round-7 code changes — must be driver-re-verified this round:

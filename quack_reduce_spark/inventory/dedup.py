@@ -84,7 +84,8 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     same band keys, the same candidate join, and the same exact-Jaccard
     verify, so the differential gate checks the exact pair set, not
     just recall. Companion to dedup_minhash_lsh (the xxhash64
-    production variant, rows-only by design)."""
+    production variant, whose r7 oracle of record is the exact-pairs
+    set rather than a band replay)."""
     docs = load(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs_portable(
         docs,
@@ -94,6 +95,171 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=MINHASH_PORTABLE_BANDS,
         threshold=0.5,
     )
+
+
+INDEX_PROBE_CUTOFF_FRAC = 0.8
+
+
+def dedup_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection against a PERSISTED LSH index —
+    the daily-crawl shape at 100 TB: the historical corpus's banded
+    MinHash keys live as a maintained table (built once, appended per
+    ingest), and each new batch computes ONLY ITS OWN band keys and
+    probes the index with an equality join. Nothing rescans the
+    corpus text: probe cost is O(batch) + one keyed join against the
+    index, and verification touches candidate pairs only.
+
+    Here docs below the 80% id cutoff play the corpus (same convention
+    as dedup_incremental, which does the exact-fingerprint version of
+    this funnel); the index is genuinely written to and read back from
+    parquet (built once per process — immutable fixture), so the
+    persisted-roundtrip contract is exercised, not simulated. Band
+    keys use the engine-portable md5 family
+    (operators/dedup.py::minhash_band_keys_portable), so the DuckDB
+    oracle replays the identical index build, probe join, and
+    exact-Jaccard verify — the full incremental pipeline through the
+    hash gate."""
+    import os
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    cutoff = int(n_docs * INDEX_PROBE_CUTOFF_FRAC)
+    import pyspark.sql.functions as F
+
+    corpus = docs.filter(F.col("doc_id") < cutoff)
+    batch = docs.filter(F.col("doc_id") >= cutoff)
+
+    index_dir = os.path.join(
+        tempfile.gettempdir(),
+        "qrs_lsh_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    if index_dir not in _LSH_INDEX_MATERIALIZED:
+        D.minhash_band_keys_portable(
+            corpus,
+            "text",
+            "doc_id",
+            num_hashes=MINHASH_PORTABLE_HASHES,
+            bands=MINHASH_PORTABLE_BANDS,
+        ).write.mode("overwrite").parquet(index_dir)
+        _LSH_INDEX_MATERIALIZED.add(index_dir)
+    index = spark.read.parquet(index_dir)
+
+    probe = D.minhash_band_keys_portable(
+        batch,
+        "text",
+        "doc_id",
+        num_hashes=MINHASH_PORTABLE_HASHES,
+        bands=MINHASH_PORTABLE_BANDS,
+    )
+    candidates = (
+        probe.select("band", "bkey", F.col("doc").alias("batch_doc"))
+        .join(
+            index.select("band", "bkey", F.col("doc").alias("corpus_doc")),
+            ["band", "bkey"],
+        )
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    hashes = D._portable_doc_hashes(docs, "text", "doc_id")
+    docsets = hashes.groupBy("doc").agg(F.collect_set("h").alias("shset"))
+    from quack_reduce_spark.functions.numeric import rnd
+
+    return (
+        candidates.join(
+            docsets.select(F.col("doc").alias("batch_doc"), F.col("shset").alias("__s1")),
+            "batch_doc",
+        )
+        .join(
+            docsets.select(F.col("doc").alias("corpus_doc"), F.col("shset").alias("__s2")),
+            "corpus_doc",
+        )
+        .withColumn("__common", F.array_size(F.array_intersect("__s1", "__s2")))
+        .withColumn(
+            "jaccard",
+            rnd(
+                F.col("__common")
+                / (F.array_size("__s1") + F.array_size("__s2") - F.col("__common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("batch_doc", "corpus_doc", "jaccard")
+    )
+
+
+_LSH_INDEX_MATERIALIZED: set[str] = set()
+
+
+def _lsh_index_probe_oracle() -> str:
+    from quack_reduce_spark.operators.dedup import _perm_consts
+
+    consts = _perm_consts(MINHASH_PORTABLE_HASHES)
+    rows_per_band = MINHASH_PORTABLE_HASHES // MINHASH_PORTABLE_BANDS
+    values = ",\n                ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(consts)
+    )
+    return f"""
+        WITH cut AS (
+            SELECT CAST(FLOOR(COUNT(*) * {INDEX_PROBE_CUTOFF_FRAC}) AS BIGINT) AS c
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+            FROM documents
+        ),
+        shs AS (
+            SELECT doc_id AS doc,
+                   unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                           for i in generate_series(1, len(words) - 2)]) AS sh
+            FROM w
+            WHERE len(words) >= 3
+        ),
+        sh AS (
+            SELECT doc,
+                   CAST('0x' || substring(md5(sh), 1, 8) AS BIGINT) % 2147483647 AS h
+            FROM shs
+        ),
+        consts AS (
+            SELECT * FROM (VALUES
+                {values}
+            ) AS t(i, a, b)
+        ),
+        sig AS (
+            SELECT sh.doc, c.i, MIN((sh.h * c.a + c.b) % 2147483647) AS m
+            FROM sh CROSS JOIN consts c
+            GROUP BY sh.doc, c.i
+        ),
+        bandkeys AS (
+            SELECT doc, i // {rows_per_band} AS band,
+                   string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS bkey
+            FROM sig GROUP BY doc, i // {rows_per_band}
+        ),
+        cand AS (
+            SELECT DISTINCT p.doc AS batch_doc, x.doc AS corpus_doc
+            FROM bandkeys p
+            JOIN bandkeys x ON p.band = x.band AND p.bkey = x.bkey
+            WHERE p.doc >= (SELECT c FROM cut) AND x.doc < (SELECT c FROM cut)
+        ),
+        sets AS (SELECT doc, COUNT(DISTINCT h) AS sz FROM sh GROUP BY doc),
+        inter AS (
+            SELECT c.batch_doc, c.corpus_doc, COUNT(DISTINCT a.h) AS common
+            FROM cand c
+            JOIN sh a ON a.doc = c.batch_doc
+            JOIN sh b ON b.doc = c.corpus_doc AND b.h = a.h
+            GROUP BY c.batch_doc, c.corpus_doc
+        )
+        SELECT i.batch_doc, i.corpus_doc,
+               FLOOR((CAST(i.common AS DOUBLE)
+                      / (s1.sz + s2.sz - i.common)) * 1e6 + 0.5) / 1e6
+                   AS jaccard
+        FROM inter i
+        JOIN sets s1 ON i.batch_doc = s1.doc
+        JOIN sets s2 ON i.corpus_doc = s2.doc
+        WHERE FLOOR((CAST(i.common AS DOUBLE)
+                     / (s1.sz + s2.sz - i.common)) * 1e6 + 0.5) / 1e6 >= 0.5
+    """
 
 
 def _minhash_portable_oracle() -> str:
@@ -501,6 +667,7 @@ QUERIES = {
     "dedup_ngram_capped": dedup_ngram_capped,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_portable": dedup_minhash_portable,
+    "dedup_lsh_index_probe": dedup_lsh_index_probe,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_portable": dedup_simhash_portable,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -544,6 +711,7 @@ ORACLES = {
         WHERE FLOOR((CAST(common AS DOUBLE) / (n1.n_sh + n2.n_sh - common)) * 1e6 + 0.5) / 1e6 >= 0.5
     """,
     "dedup_minhash_portable": _minhash_portable_oracle(),
+    "dedup_lsh_index_probe": _lsh_index_probe_oracle(),
     "dedup_embedding_lsh_portable": _embedding_lsh_portable_oracle(),
     "dedup_simhash_portable": _SIMHASH_PORTABLE_ORACLE,
     "dedup_incremental": """

@@ -363,6 +363,59 @@ def simhash_pairs_portable(
     )
 
 
+def _portable_doc_hashes(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, h) shingle hashes in the engine-portable md5 family,
+    folded below the permutation modulus (plain %, identical in any
+    engine)."""
+    sh = _shingle_table(df, text_col, id_col, n, hashed=False, distinct=False)
+    h32 = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long")
+    return sh.select("doc", (h32 % F.lit(MINHASH_P)).alias("h"))
+
+
+def minhash_band_keys_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc, band, bkey) banded MinHash keys in the engine-portable md5
+    family — the INDEX half of LSH dedup, factored out so it can be
+    PERSISTED (a maintained band-key table a production pipeline
+    probes each new batch against — see dedup_lsh_index_probe) as well
+    as self-joined for one-shot pair finding
+    (:func:`minhash_lsh_pairs_portable`)."""
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    hashed = _portable_doc_hashes(df, text_col, id_col, n)
+    consts = _perm_consts(num_hashes)
+    mins = hashed.groupBy("doc").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"__m{i}")
+            for i, (a, b) in enumerate(consts)
+        ]
+    )
+    band_structs = []
+    for b_i in range(bands):
+        members = [
+            F.col(f"__m{i}").cast("string")
+            for i in range(b_i * rows_per_band, (b_i + 1) * rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(b_i).alias("band"),
+                F.concat_ws("_", *members).alias("bkey"),
+            )
+        )
+    return mins.select(
+        "doc", F.explode(F.array(*band_structs)).alias("__b")
+    ).select("doc", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey"))
+
+
 def minhash_lsh_pairs_portable(
     df: DataFrame,
     text_col: str,
@@ -389,35 +442,8 @@ def minhash_lsh_pairs_portable(
     for replayability — the right trade for audits and cross-engine
     regression gates, not for the 100 TB hot path.
     """
-    rows_per_band = num_hashes // bands
-    if rows_per_band * bands != num_hashes:
-        raise ValueError("bands must divide num_hashes")
-    sh = _shingle_table(df, text_col, id_col, n, hashed=False, distinct=False)
-    h32 = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long")
-    # fold below the permutation modulus (engine-portable: plain %)
-    hashed = sh.select("doc", (h32 % F.lit(MINHASH_P)).alias("h"))
-    consts = _perm_consts(num_hashes)
-    mins = hashed.groupBy("doc").agg(
-        *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"__m{i}")
-            for i, (a, b) in enumerate(consts)
-        ]
-    )
-    band_structs = []
-    for b_i in range(bands):
-        members = [
-            F.col(f"__m{i}").cast("string")
-            for i in range(b_i * rows_per_band, (b_i + 1) * rows_per_band)
-        ]
-        band_structs.append(
-            F.struct(
-                F.lit(b_i).alias("band"),
-                F.concat_ws("_", *members).alias("bkey"),
-            )
-        )
-    banded = mins.select(
-        "doc", F.explode(F.array(*band_structs)).alias("__b")
-    ).select("doc", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey"))
+    banded = minhash_band_keys_portable(df, text_col, id_col, n, num_hashes, bands)
+    hashed = _portable_doc_hashes(df, text_col, id_col, n)
 
     left = banded.select("band", "bkey", F.col("doc").alias("doc1"))
     right = banded.select("band", "bkey", F.col("doc").alias("doc2"))

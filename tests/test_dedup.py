@@ -325,3 +325,30 @@ def test_simhash_portable_agrees_with_hamming_ground_truth(spark, sf_dir):
     # determinism: a second full run yields the identical pair set
     again = D.simhash_pairs_portable(docs, "text", "doc_id", max_hamming=3).collect()
     assert sorted(map(tuple, pairs)) == sorted(map(tuple, again))
+
+
+def test_lsh_index_probe_equals_cross_cutoff_pairs(spark):
+    """The persisted-index probe must find EXACTLY the cross-cutoff
+    subset of the one-shot portable LSH pairs (same band keys, same
+    verify) — persistence and the corpus/batch split change the data
+    flow, never the answer. Also proves the parquet roundtrip of the
+    band-key table is lossless."""
+    from quack_reduce_spark.inventory.dedup import (
+        INDEX_PROBE_CUTOFF_FRAC,
+        dedup_lsh_index_probe,
+        dedup_minhash_portable,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    probe = {
+        (r["corpus_doc"], r["batch_doc"], r["jaccard"])
+        for r in dedup_lsh_index_probe(spark, sf).collect()
+    }
+    docs = load(spark, sf, "documents")
+    cutoff = int(docs.count() * INDEX_PROBE_CUTOFF_FRAC)
+    one_shot = {
+        (r["doc1"], r["doc2"], r["jaccard"])
+        for r in dedup_minhash_portable(spark, sf).collect()
+        if r["doc1"] < cutoff <= r["doc2"]
+    }
+    assert probe == one_shot and probe  # non-empty on the fixtures
