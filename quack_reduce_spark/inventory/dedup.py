@@ -161,8 +161,25 @@ def dedup_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("batch_doc", "corpus_doc")
         .distinct()
+        # referenced three times below (both verify joins + the id
+        # semi-join); Spark never shares subtrees across references,
+        # so materialize the (tiny) candidate list once
+        .localCheckpoint(eager=True)
     )
-    hashes = D._portable_doc_hashes(docs, "text", "doc_id")
+    # verify ONLY candidate docs' shingle sets: semi-join the corpus
+    # down to candidate ids BEFORE shingling, so the expensive
+    # shingle+collect_set runs over |candidates| docs, not the whole
+    # historical corpus (in production the shingle sets would be a
+    # second persisted table; the semi-join keeps the rebuild honest
+    # at the same asymptotic cost)
+    cand_ids = (
+        candidates.select(F.col("batch_doc").alias("doc_id"))
+        .unionByName(candidates.select(F.col("corpus_doc").alias("doc_id")))
+        .distinct()
+    )
+    hashes = D._portable_doc_hashes(
+        docs.join(cand_ids, "doc_id", "left_semi"), "text", "doc_id"
+    )
     docsets = hashes.groupBy("doc").agg(F.collect_set("h").alias("shset"))
     from quack_reduce_spark.functions.numeric import rnd
 
