@@ -178,7 +178,7 @@ def dedup_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     hashes = D._portable_doc_hashes(
-        docs.join(cand_ids, "doc_id", "left_semi"), "text", "doc_id"
+        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi"), "text", "doc_id"
     )
     docsets = hashes.groupBy("doc").agg(F.collect_set("h").alias("shset"))
     from quack_reduce_spark.functions.numeric import rnd
