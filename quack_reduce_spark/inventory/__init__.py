@@ -98,7 +98,7 @@ _HEAD = [
     "text_quality",
     "dedup_lsh_index_probe",  # r7: new persisted-index probe (dedup_exact rotates out, 6x green)
     "sim_cosine_topk",
-    "mm_binary_meta",
+    "graph_triangles",  # r7: new (mm family repped by mm_jpeg_stats below)
     # Round-7 code changes — must be driver-re-verified this round:
     # minhash permutation-family fix + oracle promotion, and the lake
     # as-of/commit_time crash-window fixes

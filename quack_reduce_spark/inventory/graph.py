@@ -112,11 +112,50 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIANGLE_QTY_MIN = 48
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by triangle participation in the high-quantity
+    co-supply graph (suppliers co-occurring on an order with
+    l_quantity >= 48 — the >= 48 cut keeps the projection sparse; the
+    unfiltered order-projection of TPC-H is near-complete and
+    triangle-degenerate). Counting uses degree-ordered edge
+    orientation (operators/triangles.py — Suri & Vassilvitskii's
+    MapReduce formulation): each triangle is found exactly once from
+    its lowest-(degree, id) corner and the wedge join's fan-out is
+    bounded by oriented out-degree ≤ O(sqrt(m)), the cap that
+    survives power-law hubs at 100 TB. Every step is relational
+    (degree aggregate + two equi-joins), so the DuckDB oracle replays
+    the identical count."""
+    from quack_reduce_spark.operators.triangles import triangle_counts
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= TRIANGLE_QTY_MIN)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    x = li.select("ok", F.col("s").alias("sa"))
+    y = li.select("ok", F.col("s").alias("sb"))
+    pairs = (
+        x.join(y, "ok")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("a"), F.col("sb").alias("b"))
+    )
+    return (
+        triangle_counts(pairs)
+        .orderBy(F.col("n_triangles").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_pagerank_top": graph_pagerank_top,
     "graph_bfs_layers": graph_bfs_layers,
     "graph_bfs_reach": graph_bfs_reach,
+    "graph_triangles": graph_triangles,
 }
 
 
@@ -219,6 +258,48 @@ _BFS_CTES = """
 """
 
 ORACLES = {
+    # exact replay of the degree-ordered orientation: same (deg, id)
+    # total order, same wedge + closing-edge joins, so the per-node
+    # counts (not just the global total) must hash-match
+    "graph_triangles": """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+            FROM lineitem WHERE l_quantity >= 48
+        ),
+        raw AS (
+            SELECT DISTINCT x.s AS a, y.s AS b
+            FROM li x JOIN li y ON x.ok = y.ok AND x.s < y.s
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS d FROM (
+                SELECT a AS node FROM raw UNION ALL SELECT b FROM raw
+            ) GROUP BY node
+        ),
+        o AS (
+            SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND r.a < r.b)
+                        THEN r.a ELSE r.b END AS src,
+                   CASE WHEN da.d < db.d OR (da.d = db.d AND r.a < r.b)
+                        THEN r.b ELSE r.a END AS dst
+            FROM raw r
+            JOIN deg da ON r.a = da.node
+            JOIN deg db ON r.b = db.node
+        ),
+        tri AS (
+            SELECT w1.src AS n1, w1.dst AS n2, w2.dst AS n3
+            FROM o w1
+            JOIN o w2 ON w1.src = w2.src AND w1.dst <> w2.dst
+            JOIN o c ON c.src = w1.dst AND c.dst = w2.dst
+        ),
+        corners AS (
+            SELECT n1 AS node FROM tri
+            UNION ALL SELECT n2 FROM tri
+            UNION ALL SELECT n3 FROM tri
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY node
+        ORDER BY n_triangles DESC, node ASC
+        LIMIT 20
+    """,
     "graph_bfs_layers": _BFS_CTES + """
         SELECT node, dist FROM layers
     """,

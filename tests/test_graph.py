@@ -143,3 +143,31 @@ def test_bfs_matches_networkx_style_reference(spark):
             want[v] = d
     got = _bfs(spark, edges, [0], rounds=3)
     assert got == {(n, d) for n, d in want.items()}
+
+
+def test_triangle_counts_on_crafted_graph(spark):
+    """K4 plus a pendant and a disconnected edge: K4 has C(4,3)=4
+    triangles, every K4 corner sits in exactly 3 of them; pendant and
+    disconnected nodes appear in none (absent rows). Duplicate and
+    reversed input edges must not change counts."""
+    from quack_reduce_spark.operators.triangles import triangle_counts
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+             (4, 5),          # pendant
+             (10, 11),        # disconnected edge
+             (2, 1), (3, 1)]  # duplicates reversed
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_orientation_counts_each_once(spark):
+    """A 5-cycle with one chord: exactly one triangle, despite every
+    node having degree >= 2 — a shape where naive wedge counting
+    triple-counts and unoriented closing-edge joins double-count."""
+    from quack_reduce_spark.operators.triangles import triangle_counts
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (1, 3)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    rows = triangle_counts(df).collect()
+    assert {r["node"]: r["n_triangles"] for r in rows} == {1: 1, 2: 1, 3: 1}
