@@ -73,6 +73,11 @@ HEADLINE = [
     "sim_pca_topk",
     "ml_feature_hashing",
     "dq_expectations",
+    # round 7 additions (warmup builds dedup_lsh_index_probe's
+    # persisted index, so its timed reps measure the warm probe path —
+    # the per-batch cost that matters)
+    "dedup_lsh_index_probe",
+    "graph_triangles",
 ]
 
 # r6 regressed 25-35% with no code change; each gets a suite-first

@@ -72,8 +72,13 @@ def triangle_counts(df: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     and credits all three of its corners. Nodes in no triangle are
     absent (SQL GROUP BY semantics — the oracle matches).
     """
-    edges = undirected_edges(df, a, b)
-    o = oriented_edges(edges)
+    # the edge list is referenced three times (degree aggregate + two
+    # orientation joins) and the oriented list three more (wedge
+    # self-join + closing join); Spark never shares subtrees across
+    # references, so materialize both once — they are the REDUCED
+    # graph (distinct node pairs), tiny next to the base tables
+    edges = undirected_edges(df, a, b).localCheckpoint(eager=True)
+    o = oriented_edges(edges).localCheckpoint(eager=True)
     # wedges: two oriented out-edges of the same apex; order the pair
     # ends by the orientation itself (b1 "before" b2 in the oriented
     # order ⇔ edge b1→b2 could exist) — closing edge then matches in
