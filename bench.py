@@ -31,6 +31,12 @@ Protocol layers (each added by a round's verdict ask):
   Engine.sql_many wall-clock for a 16-query mixed burst on the same
   session, with result equality asserted — the FAIR-pool concurrency
   story in a driver-visible artifact.
+- Compact artifact split (r8): the r6/r7 protocol additions pushed the
+  single JSON line past the driver's 2000-char stdout tail window, so
+  BENCH_r6/r7 recorded ``parsed: null``. The FULL blob now goes to a
+  committed ``bench_full.json``; stdout's LAST line is a compact
+  summary (metric/value/total_min/per-query mins, 3-decimal) that fits
+  the tail window. ``tests/test_bench_contract.py`` pins the size.
 """
 
 from __future__ import annotations
@@ -200,6 +206,41 @@ def main() -> None:
     core = HEADLINE[:12]
     total = round(sum(results[k] for k in core), 3)
     q9 = "tpch_q9_product_type_profit"
+    full = {
+        "metric": "headline_queries_total_mean_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        # min-of-reps per query ACROSS BOTH run orders: the
+        # noise floor on a shared machine (mean is the
+        # headline; a mean far above min flags contention, not
+        # plan cost). The per-order mins are recorded too so a
+        # suspect delta can be attributed to suite position.
+        "queries_min": mins,
+        "queries_min_forward": fwd_min,
+        "queries_min_reverse": rev_min,
+        "total_min": round(sum(mins[k] for k in core), 3),
+        # kept for cross-round continuity (superset in heavy_ab)
+        "q9_ab": {
+            "isolated_mean": heavy_ab[q9]["isolated_mean"],
+            "isolated_min": heavy_ab[q9]["isolated_min"],
+            "inlist_mean": results[q9],
+            "inlist_min": mins[q9],
+        },
+        "heavy_ab": heavy_ab,
+        "load": load_samples,
+        "concurrent_burst": burst,
+        "sf": SF_DIR,
+        "reps": REPS,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    print(f"full bench blob (heavy_ab/load/per-order mins) -> {full_path}")
+
+    # Compact summary: the driver stores only the LAST ~2000 chars of
+    # stdout and parses the final JSON line, so this line must stay
+    # small — per-query means only, everything else lives in the file.
     print(
         json.dumps(
             {
@@ -207,28 +248,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
-                # min-of-reps per query ACROSS BOTH run orders: the
-                # noise floor on a shared machine (mean is the
-                # headline; a mean far above min flags contention, not
-                # plan cost). The per-order mins are recorded too so a
-                # suspect delta can be attributed to suite position.
-                "queries_min": mins,
-                "queries_min_forward": fwd_min,
-                "queries_min_reverse": rev_min,
-                "total_min": round(sum(mins[k] for k in core), 3),
-                # kept for cross-round continuity (superset in heavy_ab)
-                "q9_ab": {
-                    "isolated_mean": heavy_ab[q9]["isolated_mean"],
-                    "isolated_min": heavy_ab[q9]["isolated_min"],
-                    "inlist_mean": results[q9],
-                    "inlist_min": mins[q9],
-                },
-                "heavy_ab": heavy_ab,
-                "load": load_samples,
-                "concurrent_burst": burst,
+                "total_min": full["total_min"],
+                "burst_speedup": burst["speedup"],
+                "burst_equal": burst["results_equal"],
+                "load1_start": load_samples["start"][0],
                 "sf": SF_DIR,
                 "reps": REPS,
-            }
+                "full": "bench_full.json",
+            },
+            separators=(",", ":"),
         )
     )
 

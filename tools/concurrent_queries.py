@@ -29,9 +29,12 @@ QUERY_TEMPLATES = [
     "SELECT n_name, COUNT(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
     "JOIN nation n ON c.c_nationkey = n.n_nationkey WHERE o.o_totalprice > {p} "
     "GROUP BY n_name ORDER BY n DESC, n_name LIMIT 5",
-    # window
+    # window — o_custkey tie-break makes ROW_NUMBER deterministic: ties
+    # on o_totalprice within a priority partition would otherwise get
+    # arbitrary rank order and the rk <= k row set could differ between
+    # a serial and a concurrent run without any real concurrency bug
     "SELECT * FROM (SELECT o_custkey, o_totalprice, o_orderpriority, "
-    "ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rk "
+    "ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_custkey) AS rk "
     "FROM orders) WHERE rk <= {k} ORDER BY o_orderpriority, rk, o_custkey LIMIT 20",
 ]
 
