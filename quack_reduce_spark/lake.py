@@ -54,8 +54,27 @@ import uuid
 CURRENT = "_CURRENT"
 MANIFEST = "_meta.json"
 COMMITTED_MARK = "_COMMITTED"
+COMMIT_LOCK = "_CURRENT.lock"
+# A lock whose payload timestamp is older than this is presumed to
+# belong to a crashed writer and is broken (a healthy commit holds the
+# lock for milliseconds). Clock skew between writers eats into this
+# margin — keep it generous.
+LOCK_STALE_SECS = 60.0
+# How long a conditional commit waits for a live contender's lock
+# before concluding the head is about to move and raising.
+LOCK_WAIT_SECS = 5.0
+_LOCK_POLL_SECS = 0.05
 _VERSION_RE = re.compile(r"^v\d{8}$")
 _URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+_UNCONDITIONAL = object()  # sentinel: commit() without a head check
+
+
+class ConcurrentCommitError(RuntimeError):
+    """A conditional commit lost the race: the table head moved past
+    ``expected_head`` (or a live writer holds the commit lock). The
+    loser must re-read the head, re-stage against the new snapshot if
+    its data depends on it, and retry — the Delta/Iceberg optimistic-
+    concurrency contract."""
 
 
 def _join(path: str, *parts: str) -> str:
@@ -82,6 +101,23 @@ class _LocalFS:
         with open(tmp, "w") as fh:
             fh.write(text)
         os.replace(tmp, p)
+
+    def create_excl(self, p: str, text: str) -> bool:
+        """Create ``p`` with ``text`` iff it does not exist (O_EXCL —
+        atomic on POSIX). Returns False if it already exists."""
+        try:
+            fd = os.open(p, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            fh.write(text)
+        return True
+
+    def delete_file(self, p: str) -> None:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
 
     def list_names(self, p: str) -> list[str]:
         return os.listdir(p)
@@ -151,6 +187,28 @@ class _HadoopFS:
         finally:
             stream.close()
 
+    def create_excl(self, p: str, text: str) -> bool:
+        """``FileSystem.create(overwrite=false)``: atomic
+        exclusive-create on HDFS and local; on S3A this is a
+        HEAD-then-PUT (no native compare-and-swap), so the lock is
+        best-effort there — the honest limitation shared by every
+        non-catalog commit protocol on S3 (Delta on S3 needs DynamoDB
+        for the same reason). The head re-check under the lock still
+        catches most interleavings; a true same-millisecond S3 race
+        can last-wins."""
+        try:
+            stream = self._fs.create(self._p(p), False)
+        except Exception:  # FileAlreadyExistsException via py4j
+            return False
+        try:
+            stream.write(bytearray(text.encode()))
+        finally:
+            stream.close()
+        return True
+
+    def delete_file(self, p: str) -> None:
+        self._fs.delete(self._p(p), False)
+
     def list_names(self, p: str) -> list[str]:
         return [s.getPath().getName() for s in self._fs.listStatus(self._p(p))]
 
@@ -212,17 +270,84 @@ def stage_version(path: str) -> tuple[str, str]:
     return version, _join(path, version)
 
 
-def commit(path: str, version: str) -> None:
+def commit(
+    path: str, version: str, expected_head: str | int | None = _UNCONDITIONAL
+) -> None:
     """Flip the pointer to ``version`` — the ONE mutating step.
 
     Locally: write a temp file then ``os.replace`` (atomic). Through
     the Hadoop FS: ``create(overwrite=true)`` — a single small PUT of
     the pointer object on S3A. Either way, readers see the old version
     or the new version, never an absent or partial table.
+
+    **Optimistic concurrency** (pass ``expected_head``): the commit
+    succeeds only if the table head is still ``expected_head`` (a
+    version name/number, or ``None`` for "table has no pointer yet").
+    Two writers staging from the same snapshot then both committing:
+    exactly one wins; the loser gets :class:`ConcurrentCommitError`
+    and must re-read the head, re-stage if its data depends on the
+    snapshot, and retry — the Delta/Iceberg commit contract. The
+    check-then-flip is serialized behind an exclusive lock marker
+    (``_CURRENT.lock``, atomic ``O_EXCL`` locally, atomic
+    ``create(overwrite=false)`` on HDFS; best-effort HEAD-then-PUT on
+    S3A — S3 has no native CAS, the same gap that makes Delta-on-S3
+    require an external LogStore; see docs/SCALE.md). A lock older
+    than ``LOCK_STALE_SECS`` is presumed crashed and broken; a LIVE
+    contender's lock held past ``LOCK_WAIT_SECS`` raises
+    ConcurrentCommitError (the head is about to move anyway).
+
+    Without ``expected_head`` the flip is unconditional — the
+    single-writer paths (rollback, convert, maintenance ops that own
+    the table) keep their existing semantics.
     """
     fs = _fs_for(path)
     if not fs.is_dir(_join(path, version)):
         raise ValueError(f"cannot commit {version}: no such data dir under {path}")
+    if expected_head is _UNCONDITIONAL:
+        _flip(fs, path, version)
+        return
+
+    expected = None if expected_head is None else normalize_version(expected_head)
+    lock = _join(path, COMMIT_LOCK)
+    token = uuid.uuid4().hex
+    deadline = time.time() + LOCK_WAIT_SECS
+    while not fs.create_excl(lock, json.dumps({"token": token, "t": time.time()})):
+        # lock exists: break it if stale (crashed writer), else wait
+        try:
+            holder = json.loads(fs.read_text(lock))
+            stale = time.time() - float(holder.get("t", 0)) > LOCK_STALE_SECS
+        except Exception:  # unreadable/partial lock: age unknowable
+            stale = False
+        if stale:
+            fs.delete_file(lock)
+            continue
+        if time.time() > deadline:
+            raise ConcurrentCommitError(
+                f"commit lock on {path} held by a live writer for >"
+                f"{LOCK_WAIT_SECS}s — head is moving; re-read and retry"
+            )
+        time.sleep(_LOCK_POLL_SECS)
+    try:
+        head = current_version(path) if fs.is_file(_join(path, CURRENT)) else None
+        if head != expected:
+            raise ConcurrentCommitError(
+                f"head of {path} is {head!r}, expected {expected!r} — "
+                "another writer committed first; re-read the head, "
+                "re-stage if needed, and retry"
+            )
+        _flip(fs, path, version)
+    finally:
+        # release only our own lock (a stale-break race could have
+        # replaced it with another writer's)
+        try:
+            if json.loads(fs.read_text(lock)).get("token") == token:
+                fs.delete_file(lock)
+        except Exception:
+            pass
+
+
+def _flip(fs, path: str, version: str) -> None:
+    """The unconditional pointer flip + commit-marker append."""
     fs.write_text_atomic(_join(path, CURRENT), version + "\n")
     # Post-commit marker: distinguishes committed versions from
     # orphaned stages (crash between stage and commit leaves data +
@@ -263,24 +388,65 @@ def _commit_events(fs, path: str, version: str) -> list[float]:
         return []  # legacy "committed\n" marker
 
 
+def _effective_timeline(path: str) -> tuple[dict[str, list[float]], str, float | None]:
+    """Per-committed-version pointer-flip timeline with the rollback
+    crash-window repair applied. Returns ``(timeline, cur, synth)``
+    where ``synth`` is the synthesized flip time appended to the
+    current pointer target's events (or None if no repair was needed).
+
+    The repair: commit() flips the pointer FIRST, then appends the
+    flip event to the target's marker. A crash in between (only
+    observable after a rollback — a fresh commit's target is
+    recognized via the pointer even with no marker) leaves the live
+    pointer on a version whose last recorded flip is OLDER than
+    another version's. The missing flip is synthesized at the newest
+    foreign event (the true flip time is unknowable but is >= that
+    instant). Both :func:`version_as_of` and :func:`commit_time` read
+    this one timeline so their as-of coordinates always agree —
+    including inside the crash window."""
+    fs = _fs_for(path)
+    cur = current_version(path)
+    timeline: dict[str, list[float]] = {}
+    for v in committed_versions(path):
+        events = _commit_events(fs, path, v)
+        if not events:
+            meta = read_manifest(path, v)
+            if meta and meta.get("committed_at") is not None:
+                events = [float(meta["committed_at"])]
+        timeline[v] = events
+    max_other = max(
+        (t for v, ev in timeline.items() if v != cur for t in ev), default=None
+    )
+    synth: float | None = None
+    if (
+        cur in timeline
+        and max_other is not None
+        and (not timeline[cur] or timeline[cur][-1] < max_other)
+    ):
+        timeline[cur] = timeline[cur] + [max_other]
+        synth = max_other
+    return timeline, cur, synth
+
+
 def commit_time(path: str, version: int | str) -> float | None:
     """Wall-clock time of the version's most recent pointer flip (the
     authoritative TIMESTAMP AS OF coordinate), or the manifest's
     stage-time stamp for legacy tables, or None for orphans.
 
-    The committed_versions() gate runs BEFORE the manifest fallback:
-    an orphaned stage has a manifest too (written before the pointer
-    flip that never happened), so without the gate an orphan would
-    masquerade as a legacy commit stamped at stage time."""
-    fs = _fs_for(path)
+    Reads the same repaired timeline as :func:`version_as_of`, so in
+    the rollback crash window (pointer flipped, marker append lost)
+    ``commit_time(path, current_version(path))`` reports the
+    synthesized flip time — the two as-of coordinates agree instead of
+    the pre-r8 behavior where this returned the stale pre-rollback
+    stamp while version_as_of(now) resolved to the current version.
+
+    Orphans return None: an orphaned stage has a manifest too (written
+    before the pointer flip that never happened), but it is excluded
+    from committed_versions and hence from the timeline."""
     v = normalize_version(version)
-    events = _commit_events(fs, path, v)
-    if events:
-        return events[-1]
-    if v not in committed_versions(path):
-        return None
-    meta = read_manifest(path, v)
-    return meta.get("committed_at") if meta else None
+    timeline, _cur, _synth = _effective_timeline(path)
+    events = timeline.get(v)
+    return events[-1] if events else None
 
 
 def committed_versions(path: str) -> list[str]:
@@ -403,43 +569,32 @@ def version_as_of(path: str, ts: float) -> str:
     markers predate event stamping fall back to the manifest's
     stage-time stamp. Raises if the table has no commit at or before
     ``ts`` (reading "before the table existed" is an error, not an
-    empty frame)."""
-    fs = _fs_for(path)
-    cur = current_version(path)
-    timeline: dict[str, list[float]] = {}
-    for v in committed_versions(path):
-        events = _commit_events(fs, path, v)
-        if not events:
-            meta = read_manifest(path, v)
-            if meta and meta.get("committed_at") is not None:
-                events = [float(meta["committed_at"])]
-        timeline[v] = events
-    # Rollback crash-window repair: commit() flips the pointer FIRST,
-    # then appends the flip event to the target's marker. A crash in
-    # between (only observable after a rollback — a fresh commit's
-    # target is recognized via the pointer even with no marker) leaves
-    # the live pointer on a version whose last recorded flip is OLDER
-    # than another version's, so as-of(now) would disagree with the
-    # live pointer until the next commit. Synthesize the missing flip
-    # at the newest foreign event (the true flip time is unknowable
-    # but is >= that instant), with ties breaking toward the pointer
-    # target.
-    max_other = max(
-        (t for v, ev in timeline.items() if v != cur for t in ev), default=None
-    )
-    if (
-        cur in timeline
-        and max_other is not None
-        and (not timeline[cur] or timeline[cur][-1] < max_other)
-    ):
-        timeline[cur] = timeline[cur] + [max_other]
+    empty frame).
+
+    Ties: the crash-window repair (see :func:`_effective_timeline`)
+    synthesizes the current pointer target's missing flip AT the
+    newest foreign event time, so exactly that tie breaks toward the
+    pointer target (its true flip happened at-or-after the foreign
+    one). Any OTHER genuine timestamp tie — two versions whose
+    recorded flips carry identical stamps — breaks toward the higher
+    version number (the deterministic Delta-style rule; r8 fix: the
+    r7 code broke ALL ties toward the live pointer, which let a
+    historical as-of resolve to a version that was not live then)."""
+    timeline, cur, synth = _effective_timeline(path)
     best: tuple[float, str] | None = None
     for v, events in timeline.items():
         for t in events:
-            if t <= ts and (
-                best is None or t > best[0] or (t == best[0] and v == cur)
-            ):
+            if t > ts:
+                continue
+            if best is None or t > best[0]:
                 best = (t, v)
+            elif t == best[0]:
+                repaired_tie = synth is not None and t == synth and cur in (v, best[1])
+                if repaired_tie:
+                    if v == cur:
+                        best = (t, v)
+                elif v > best[1]:
+                    best = (t, v)
     if best is None:
         raise ValueError(f"no version of {path} committed at or before {ts}")
     return best[1]

@@ -571,3 +571,162 @@ def test_rollback_crash_window_as_of_agrees_with_pointer(spark, tmp_path):
     # the next real commit records its flip normally and reigns after
     eng.write_versioned(spark.createDataFrame([(3,)], "k long"), path, op="write")
     assert lake.version_as_of(path, time.time()) == lake.current_version(path)
+
+
+# ---------------------------------------------------------------------------
+# round 8: optimistic concurrency on the commit pointer
+
+
+def _mk_versioned(tmp_path, name="occ"):
+    root = str(tmp_path / name)
+    os.makedirs(root)
+    open(os.path.join(root, "part-0.parquet"), "w").write("x")
+    lake.convert_to_versioned(root)
+    return root
+
+
+def test_conditional_commit_two_writer_interleaving(tmp_path):
+    """A stages v2 and B stages v3 from the same head v1; B commits
+    first. A's conditional commit must be REJECTED (head moved) —
+    pre-r8 it silently last-wins-overwrote B — and A's retry against
+    the new head succeeds."""
+    root = _mk_versioned(tmp_path)
+    head = lake.current_version(root)  # v1
+
+    va, da = lake.stage_version(root)
+    os.makedirs(da)
+    vb, db = lake.stage_version(root)
+    os.makedirs(db)
+    assert va != vb  # stage allocates distinct versions
+
+    lake.commit(root, vb, expected_head=head)  # B wins the race
+    assert lake.current_version(root) == vb
+
+    with pytest.raises(lake.ConcurrentCommitError, match="another writer"):
+        lake.commit(root, va, expected_head=head)
+    assert lake.current_version(root) == vb  # loser changed nothing
+
+    # the retry contract: re-read the head, commit against it
+    lake.commit(root, va, expected_head=lake.current_version(root))
+    assert lake.current_version(root) == va
+    # no lock residue after success or failure
+    assert not os.path.exists(os.path.join(root, lake.COMMIT_LOCK))
+
+
+def test_conditional_commit_live_lock_raises(tmp_path, monkeypatch):
+    """A LIVE contender's lock (fresh timestamp) blocks, then raises
+    ConcurrentCommitError after LOCK_WAIT_SECS — never breaks the
+    lock, never flips the pointer."""
+    import json as _json
+    import time as _time
+
+    root = _mk_versioned(tmp_path)
+    head = lake.current_version(root)
+    v2, d2 = lake.stage_version(root)
+    os.makedirs(d2)
+    lock = os.path.join(root, lake.COMMIT_LOCK)
+    open(lock, "w").write(_json.dumps({"token": "other", "t": _time.time()}))
+
+    monkeypatch.setattr(lake, "LOCK_WAIT_SECS", 0.3)
+    with pytest.raises(lake.ConcurrentCommitError, match="lock.*live writer"):
+        lake.commit(root, v2, expected_head=head)
+    assert lake.current_version(root) == head
+    assert os.path.exists(lock)  # the live lock was respected
+
+
+def test_conditional_commit_breaks_stale_lock(tmp_path):
+    """A crashed writer's lock (timestamp older than LOCK_STALE_SECS)
+    is broken and the commit proceeds."""
+    import json as _json
+    import time as _time
+
+    root = _mk_versioned(tmp_path)
+    head = lake.current_version(root)
+    v2, d2 = lake.stage_version(root)
+    os.makedirs(d2)
+    lock = os.path.join(root, lake.COMMIT_LOCK)
+    open(lock, "w").write(
+        _json.dumps({"token": "crashed", "t": _time.time() - 2 * lake.LOCK_STALE_SECS})
+    )
+
+    lake.commit(root, v2, expected_head=head)
+    assert lake.current_version(root) == v2
+    assert not os.path.exists(lock)
+
+
+def test_unconditional_commit_unchanged(tmp_path):
+    """Without expected_head the flip stays unconditional — the
+    single-writer paths (rollback, convert) keep last-wins."""
+    root = _mk_versioned(tmp_path)
+    v2, d2 = lake.stage_version(root)
+    os.makedirs(d2)
+    v3, d3 = lake.stage_version(root)
+    os.makedirs(d3)
+    lake.commit(root, v3)
+    lake.commit(root, v2)  # no head check: allowed
+    assert lake.current_version(root) == v2
+
+
+def test_commit_time_agrees_with_as_of_in_crash_window(tmp_path):
+    """r8 consistency fix: in the rollback crash window (pointer
+    flipped back, marker append lost) commit_time(current) must report
+    the SAME synthesized flip instant version_as_of uses — pre-r8 it
+    returned the stale pre-rollback time, so the two as-of coordinates
+    disagreed."""
+    import time as _time
+
+    root = _mk_versioned(tmp_path)
+    v1 = lake.current_version(root)
+    _time.sleep(0.05)
+    v2, d2 = lake.stage_version(root)
+    os.makedirs(d2)
+    lake.commit(root, v2)
+    t2 = lake.commit_time(root, v2)
+
+    # crashed rollback: pointer back to v1, no marker append
+    fs = lake._fs_for(root)
+    fs.write_text_atomic(lake._join(root, lake.CURRENT), v1 + "\n")
+
+    t_cur = lake.commit_time(root, lake.current_version(root))
+    assert t_cur == t2  # synthesized at the newest foreign flip
+    assert lake.version_as_of(root, t_cur) == v1  # same coordinate, same answer
+    assert lake.version_as_of(root, _time.time()) == v1
+
+
+def test_genuine_timestamp_tie_resolves_to_higher_version(tmp_path):
+    """r8 tie-break scoping: two versions with genuinely identical
+    recorded flip stamps (no crash repair in play) resolve to the
+    HIGHER version number — not blanket-toward-the-live-pointer, which
+    let a historical as-of resolve to a version that was not live at
+    that instant (e.g. after a rollback to the OLDER of the pair)."""
+    import json as _json
+
+    root = _mk_versioned(tmp_path)
+    v1 = lake.current_version(root)
+    v2, d2 = lake.stage_version(root)
+    os.makedirs(d2)
+    lake.commit(root, v2)
+
+    # force identical stamps: copy v2's flip time onto v1's marker
+    fs = lake._fs_for(root)
+    t = lake._commit_events(fs, root, v2)[-1]
+    fs.write_text_atomic(
+        lake._join(root, v1, lake.COMMITTED_MARK),
+        _json.dumps({"committed_at": [t]}) + "\n",
+    )
+
+    # live pointer on v2 (higher) — tie goes to v2 regardless
+    assert lake.version_as_of(root, t) == v2
+
+    # roll back so the LIVE pointer is the older of the tied pair;
+    # unconditional flip then marker-strip reproduces a pure tie with
+    # cur == v1 (rollback's own flip event is removed again)
+    lake.commit(root, v1)
+    fs.write_text_atomic(
+        lake._join(root, v1, lake.COMMITTED_MARK),
+        _json.dumps({"committed_at": [t]}) + "\n",
+    )
+    # both carry exactly [t] / [t2-events...]; no repair is triggered
+    # (cur's last event == max foreign event, not <), so the genuine
+    # tie resolves to the higher version even though cur is v1
+    assert lake.version_as_of(root, t) == v2
