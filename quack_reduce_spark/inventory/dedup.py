@@ -120,7 +120,6 @@ def dedup_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verify — the full incremental pipeline through the
     hash gate."""
     import os
-    import tempfile
 
     docs = load(spark, sf_dir, "documents")
     n_docs = docs.count()
@@ -130,20 +129,33 @@ def dedup_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") < cutoff)
     batch = docs.filter(F.col("doc_id") >= cutoff)
 
-    index_dir = os.path.join(
-        tempfile.gettempdir(),
-        "qrs_lsh_index",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    if index_dir not in _LSH_INDEX_MATERIALIZED:
-        D.minhash_band_keys_portable(
-            corpus,
-            "text",
-            "doc_id",
-            num_hashes=MINHASH_PORTABLE_HASHES,
-            bands=MINHASH_PORTABLE_BANDS,
-        ).write.mode("overwrite").parquet(index_dir)
-        _LSH_INDEX_MATERIALIZED.add(index_dir)
+    # Index path is keyed on a fingerprint of the FULL sf_dir (two
+    # fixture dirs sharing a basename must not collide) AND the pid
+    # (concurrent processes — bench.py + check_oracle.py on one
+    # machine — must never plan a read over each other's in-flight
+    # overwrite). Built under a unique temp dir, then atomically
+    # renamed into place; the memo + lock make the build once-per-
+    # process even under the threaded burst.
+    index_dir = _lsh_index_dir(sf_dir)
+    with _LSH_INDEX_LOCK:
+        if index_dir not in _LSH_INDEX_MATERIALIZED:
+            import shutil
+            import uuid
+
+            tmp = f"{index_dir}.tmp.{uuid.uuid4().hex}"
+            D.minhash_band_keys_portable(
+                corpus,
+                "text",
+                "doc_id",
+                num_hashes=MINHASH_PORTABLE_HASHES,
+                bands=MINHASH_PORTABLE_BANDS,
+            ).write.mode("overwrite").parquet(tmp)
+            if os.path.isdir(index_dir):
+                # pid-reuse leftover from a previous boot; nothing
+                # live can be reading our pid-keyed path
+                shutil.rmtree(index_dir)
+            os.rename(tmp, index_dir)
+            _LSH_INDEX_MATERIALIZED.add(index_dir)
     index = spark.read.parquet(index_dir)
 
     probe = D.minhash_band_keys_portable(
@@ -207,6 +219,26 @@ def dedup_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LSH_INDEX_MATERIALIZED: set[str] = set()
+import threading as _threading  # noqa: E402
+
+_LSH_INDEX_LOCK = _threading.Lock()
+
+
+def _lsh_index_dir(sf_dir: str) -> str:
+    """Per-process, full-path-keyed location of the persisted LSH
+    index for ``sf_dir``. md5 of the absolute path (not the basename —
+    /a/sf0.01 and /b/sf0.01 are different corpora) + pid (no
+    cross-process sharing: a concurrent process overwriting a shared
+    dir could race a reader's file listing into silently-missing
+    candidate pairs)."""
+    import hashlib
+    import os
+    import tempfile
+
+    fp = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "qrs_lsh_index")
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, f"{fp}-pid{os.getpid()}")
 
 
 def _lsh_index_probe_oracle() -> str:

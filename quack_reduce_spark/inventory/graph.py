@@ -118,7 +118,7 @@ TRIANGLE_QTY_MIN = 48
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 suppliers by triangle participation in the high-quantity
     co-supply graph (suppliers co-occurring on an order with
-    l_quantity >= 48 — the >= 48 cut keeps the projection sparse; the
+    l_quantity >= TRIANGLE_QTY_MIN — the cut keeps the projection sparse; the
     unfiltered order-projection of TPC-H is near-complete and
     triangle-degenerate). Counting uses degree-ordered edge
     orientation (operators/triangles.py — Suri & Vassilvitskii's
@@ -260,11 +260,13 @@ _BFS_CTES = """
 ORACLES = {
     # exact replay of the degree-ordered orientation: same (deg, id)
     # total order, same wedge + closing-edge joins, so the per-node
-    # counts (not just the global total) must hash-match
-    "graph_triangles": """
+    # counts (not just the global total) must hash-match. The quantity
+    # cut is interpolated from TRIANGLE_QTY_MIN so editing the
+    # constant can never desynchronize query from oracle.
+    "graph_triangles": f"""
         WITH li AS (
             SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
-            FROM lineitem WHERE l_quantity >= 48
+            FROM lineitem WHERE l_quantity >= {TRIANGLE_QTY_MIN}
         ),
         raw AS (
             SELECT DISTINCT x.s AS a, y.s AS b

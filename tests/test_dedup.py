@@ -71,8 +71,13 @@ def test_minhash_lsh_matches_exact_pairs(spark):
     data + xxhash64 makes the equality stable). If fixture
     regeneration ever plants pairs near the 0.5 threshold, THIS test
     fails before the driver's differential does — move the key back to
-    rows-only in that case."""
-    for sf in ("sf0.001", "sf0.01"):
+    rows-only in that case.
+
+    ALL THREE fixture SFs are asserted (r8, advice): sf0.1 is where
+    the scale sweep and bench run, and with per-pair banded recall
+    ~0.985 at the fixtures' min j=0.8 the LARGEST fixture is exactly
+    where a missed pair (silent oracle red) is most likely."""
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
         docs = load(spark, f"/root/testdata/{sf}", "documents")
         exact = {
             (r["doc1"], r["doc2"], r["jaccard"])
