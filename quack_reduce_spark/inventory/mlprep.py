@@ -29,7 +29,11 @@ from quack_reduce_spark.inventory._util import load, rnd
 
 def _md5_bucket(key, mod: int):
     """Deterministic integer bucket from a string column: first 32
-    bits of md5, mod `mod`. Portable to any engine with md5()."""
+    bits of md5, mod `mod`. Portable to any engine with md5().
+    Bucket uniformity, split-fraction accuracy, and key-range
+    independence property-tested: tests/test_properties.py
+    ``test_feature_hash_buckets_uniform_and_order_free`` /
+    ``test_train_split_fractions_and_key_range_independence``."""
     return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % mod
 
 

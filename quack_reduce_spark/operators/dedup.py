@@ -59,6 +59,11 @@ def _perm_consts(num_hashes: int) -> list[tuple[int, int]]:
       across permutations and pair recall still collapses.
     The modulus must be comparable to the folded hash range so a*h
     wraps ~2^30 times.
+
+    Diversity property-tested: tests/test_properties.py
+    ``test_minhash_family_agreement_tracks_jaccard`` asserts
+    E[component agreement] == Jaccard and its meta-test proves the
+    statistic rejects both degenerate look-alikes above.
     """
     out = []
     a, b = _MERSENNE_A, _MERSENNE_B
@@ -310,6 +315,10 @@ def simhash_pairs_portable(
     :func:`simhash_pairs` keeps xxhash64 (one cheap hash, full 64
     bits); this one trades a crypto hash per distinct token for
     replayability.
+
+    Bit-source diversity property-tested: tests/test_properties.py
+    ``test_simhash_bit_source_balanced_and_uncorrelated`` (per-bit
+    balance + pairwise bit independence over the md5 family).
     """
     bits = SIMHASH_PORTABLE_BITS
     toks = (
@@ -368,7 +377,8 @@ def _portable_doc_hashes(
 ) -> DataFrame:
     """(doc, h) shingle hashes in the engine-portable md5 family,
     folded below the permutation modulus (plain %, identical in any
-    engine)."""
+    engine). Fold uniformity + order-independence property-tested:
+    tests/test_properties.py ``test_portable_shingle_fold_uniform``."""
     sh = _shingle_table(df, text_col, id_col, n, hashed=False, distinct=False)
     h32 = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long")
     return sh.select("doc", (h32 % F.lit(MINHASH_P)).alias("h"))

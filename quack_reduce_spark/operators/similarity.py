@@ -132,19 +132,47 @@ def quantized_topk(
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random unit-free hyperplanes (public
-    splitmix64-style integer mixing → uniform in [-1, 1])."""
-    planes = []
+    """Deterministic pseudo-random hyperplanes: splitmix64-style
+    integer mixing → uniform in [-1, 1], then block Gram-Schmidt
+    orthonormalization.
+
+    Orthogonalization matters (r8, found by the hash-family diversity
+    battery in tests/test_properties.py): raw uniform draws at
+    dim=16 gave plane pairs with |cos| up to 0.48, i.e. bucket-bit
+    agreements as far as 0.64 from the ideal 0.5 — correlated planes
+    shrink the effective bit count of the bucket key, the same
+    family-correlation disease (milder) as the r7 MinHash permutation
+    bug. Orthonormal planes make every bit-pair agreement exactly 0.5
+    in expectation. When n_planes > dim, planes are orthogonalized in
+    blocks of ``dim`` (full mutual orthogonality is impossible; each
+    block is independent of the others' draws)."""
     state = seed & 0xFFFFFFFFFFFFFFFF
+
+    def draw() -> float:
+        nonlocal state
+        state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = z ^ (z >> 31)
+        return (z / float(1 << 64)) * 2.0 - 1.0
+
+    planes: list[list[float]] = []
+    block: list[list[float]] = []
     for _ in range(n_planes):
-        row = []
-        for _ in range(dim):
-            state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-            z = state
-            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-            z = z ^ (z >> 31)
-            row.append((z / float(1 << 64)) * 2.0 - 1.0)
+        if len(block) == dim:
+            block = []
+        while True:
+            row = [draw() for _ in range(dim)]
+            # modified Gram-Schmidt against this block's previous rows
+            for prev in block:
+                proj = sum(a * b for a, b in zip(row, prev))
+                row = [a - proj * b for a, b in zip(row, prev)]
+            norm = sum(a * a for a in row) ** 0.5
+            if norm > 1e-9:  # a.s. true; redraw on degenerate remainder
+                break
+        row = [a / norm for a in row]
+        block.append(row)
         planes.append(row)
     return planes
 
