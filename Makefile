@@ -28,6 +28,11 @@ oracle:
 oracle-vanilla:
 	python tools/check_oracle.py $(SF) --vanilla
 
+# full registry differential at sf0.1 — the bigger SF has caught real
+# divergences the small fixtures missed (r5); log kept in docs/ORACLE_SF01.md
+oracle-sf01:
+	python tools/check_oracle.py /root/testdata/sf0.1 2>&1 | python tools/oracle_log.py docs/ORACLE_SF01.md
+
 # reference `make benchmark` (Makefile:30-32)
 bench:
 	python bench.py

@@ -74,53 +74,52 @@ _MODULES = [
 # Deliberate registry ordering: the external driver differential-checks
 # queries in dict insertion order with a bounded budget (50 keys per
 # round), so the head of the registry is curated each round to spend
-# that budget where it yields NEW information. Driver rounds r1-r5
-# sampled 133 distinct keys (132 green + the ml_train_split
-# oracle-representation defect fixed this round); the round-6 head
-# keeps 10 stable sentinels (Tier A + one per operator family),
-# re-samples ml_train_split so its HUGEINT-cast fix lands green, and
-# fills the other 39 slots with oracled keys the driver has NEVER
-# sampled — the remaining TPC-H composites, the portable hash-gated
-# ANN/dedup twins, the ML-prep/eval battery, streaming leftovers, and
-# the queries touched this round (pack-assignments cast, rounded
-# nearest-centroid ranking). No rows-only keys in the head: they would
-# burn budget on a permanent "no_oracle" row (the r3 lesson). The full
-# registry passes tools/check_oracle.py locally at sf0.001/sf0.01
-# regardless of head selection; see tests/test_inventory_counts.py for
-# the registry-size drift gate.
+# that budget where it yields NEW information. As of round 7 every
+# oracled key has been driver-sampled green at least once (full
+# coverage); from round 8 on, the budget goes to (a) the stable
+# sentinels, (b) keys whose code changed this round, and (c) the keys
+# with the STALEST evidence — oldest last-sampled round first — so the
+# median evidence age keeps falling. No rows-only keys in the head:
+# they would burn budget on a permanent "no_oracle" row (the r3
+# lesson). The full registry passes tools/check_oracle.py locally at
+# sf0.001/sf0.01 regardless of head selection; see
+# tests/test_inventory_counts.py for the registry-size drift gate.
 _HEAD = [
-    # Stable sentinels — Tier A + one per family, driver-green 6 rounds
+    # Stable sentinels — Tier A + one per family, driver-green 7 rounds
     "a01_scan_project", "a09_topk",
     "b_join_star_broadcast",
     "tpch_q1_full",
     "ts_asof_join",
     "stream_tumbling_agg",
     "text_quality",
-    "dedup_lsh_index_probe",  # r7: new persisted-index probe (dedup_exact rotates out, 6x green)
+    "dedup_lsh_index_probe",  # r8: index-path race fix — re-verify
     "sim_cosine_topk",
-    "graph_triangles",  # r7: new (mm family repped by mm_jpeg_stats below)
-    # Round-7 code changes — must be driver-re-verified this round:
-    # minhash permutation-family fix + oracle promotion, and the lake
-    # as-of/commit_time crash-window fixes
-    "dedup_minhash_lsh", "dedup_minhash_portable",
+    "graph_triangles",  # r8: oracle now interpolates TRIANGLE_QTY_MIN — re-verify
+    # Round-8 code change — lake.py commit/_effective_timeline rework
+    # (optimistic concurrency + as-of coordinate consistency) sits
+    # under this key's version lifecycle
     "lake_incremental_mv",
-    # The final 37 never-driver-sampled oracled keys (completes full
-    # registry coverage: every oracled key driver-green at least once)
-    "b2_window_range_frame", "b2_window_nav", "b2_corr_covar",
-    "b2_histogram_bucket", "b2_in_subquery",
-    "b3_from_json_struct", "b3_to_json_struct", "b3_posexplode_words",
-    "b3_map_roundtrip", "b3_sequence_zip_aggregate",
-    "b3_unpivot_measures", "b3_array_setops",
-    "b3_orc_roundtrip", "b3_csv_roundtrip", "b3_json_roundtrip",
-    "ts_tumbling_offset", "ts_session_dynamic_gap",
-    "ts_asof_join_broadcast", "ts_asof_forward", "ts_asof_tolerance",
-    "ts_seasonal_profile", "ts_interpolate", "ts_gap_fill",
-    "text_chunk_windows", "text_char_entropy", "text_token_stats",
-    "text_bpe_tokens", "text_rolling_hash", "text_token_budget",
-    "text_dedup_impact", "text_vocab_ngrams", "text_filter_funnel",
-    "text_adaptive_gate", "text_pack_windows", "text_tfidf_terms",
-    "sim_cosine_topk_np",
-    "mm_jpeg_stats",
+    # Full coverage was reached in r7; the next-best use of the budget
+    # is refreshing the STALEST evidence (r8 verdict task 6): the 37
+    # keys whose only green is from round 1 — six rounds of engine
+    # churn ago — plus 2 of the 5 round-3 stragglers (the other three
+    # rotate in next round)
+    "b_join_inner_group", "b_join_left_counts", "b_join_anti",
+    "b_join_range", "b_join_interval_band",
+    "b_setop_union_all", "b_setop_intersect", "b_setop_except",
+    "b_distinct_agg", "b_having",
+    "b_window_lag", "b_window_frame_sum",
+    "b_cube", "b_grouping_sets",
+    "b_expr_case_string", "b_datetime_fns", "b_math_fns",
+    "b_json_extract",
+    "b_subquery_exists", "b_subquery_scalar", "b_cte_query",
+    "b_explode_array",
+    "b2_setop_all_variants", "b2_limit_offset", "b2_sample_hash",
+    "b2_summary_stats", "b2_join_full_outer", "b2_join_cross",
+    "b2_percentiles", "b2_conditional_agg", "b2_string_agg",
+    "b2_levenshtein", "b2_string_fns2", "b2_regexp_extract",
+    "b2_date_fns2", "b2_null_fns", "b2_window_ranks",
+    "b_rollup", "b_higher_order_fns",
 ]
 
 
