@@ -1,0 +1,358 @@
+"""Portable-sketch inventory: KMV / theta-union / HLL / count-min,
+hash-oracled end to end.
+
+inventory/approx.py covers Spark's NATIVE sketches
+(approx_count_distinct = HLL++, approx_percentile) rows-only — their
+register internals are engine-specific by construction. These queries
+are the differential-verification twins: the same public sketch math
+over the engine-portable md5 32-bit hash family, so the DuckDB oracle
+replays every register/counter and the driver hash-gates the final
+ESTIMATES, not just row counts. The pairing mirrors the
+minhash/simhash production-vs-portable pattern (inventory/dedup.py).
+
+Why sketches are first-class for the 100 TB pipeline: distinct users/
+URLs/doc-ids per slice and heavy-hitter detection are the metadata
+queries a curation pipeline runs constantly; exact distinct shuffles
+every key, while a sketch ships a FIXED-size, associatively-mergeable
+summary per partition (k hashes / 256 registers / 4x256 counters) —
+partition count, not data volume, bounds the final reduce.
+
+Cross-engine FP notes: estimates divide exact integers into doubles
+and multiply by dyadic constants (2^32, 2^-M) — IEEE-deterministic in
+both engines; the one non-dyadic constant (HLL's alpha_256) is
+embedded via Python repr in BOTH expressions; all reported floats go
+through the portable floor-half-up rnd.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from quack_reduce_spark.inventory._util import load, rnd
+from quack_reduce_spark.operators.sketches import (
+    HLL_ALPHA,
+    HLL_M,
+    HLL_W_BITS,
+    H32_SPAN,
+    cms_bucket_sql,
+    cms_buckets,
+    hll_registers,
+    hll_rho_sql,
+    kmv_estimate,
+    kmv_per_group,
+    md5_h32,
+    md5_h32_sql,
+)
+
+KMV_K = 64
+CMS_ROWS = 4
+CMS_WIDTH = 256
+CMS_TOP = 10
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority distinct-customer estimate from a k=64 KMV sketch,
+    reported against the exact distinct with its relative error — the
+    sliced-cardinality readout (distinct users per slice) every
+    curation pipeline runs. One hashed distinct + one rank window +
+    one tiny aggregate; the sketch frame never exceeds k rows per
+    group."""
+    orders = load(spark, sf_dir, "orders")
+    hashed = orders.select(
+        "o_orderpriority", md5_h32(F.col("o_custkey").cast("string")).alias("h")
+    ).distinct()
+    summary = kmv_per_group(hashed, "o_orderpriority", KMV_K)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_custs")
+    )
+    est = kmv_estimate(F.col("kth"), F.col("got"), KMV_K)
+    return (
+        summary.join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("got").alias("sketch_size"),
+            rnd(est, 4).alias("est_custs"),
+            "exact_custs",
+            rnd(
+                F.abs(est - F.col("exact_custs")) / F.col("exact_custs"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style sketch UNION: the five per-priority KMV sketches
+    from sketch_kmv_distinct merge — k smallest of the union of the
+    per-group k-smallest — into one global distinct-customer estimate.
+    The merge is the whole point of sketches at 100 TB: partial
+    sketches flow up the tree as k-row frames; the raw keys are never
+    re-shuffled. Output: one row (k, est, exact, rel_err)."""
+    orders = load(spark, sf_dir, "orders")
+    hashed = orders.select(
+        "o_orderpriority", md5_h32(F.col("o_custkey").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("o_orderpriority").orderBy("h")
+    partials = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= KMV_K)
+        .select("h")
+        .distinct()  # same hash can sit in two groups' sketches
+    )
+    merged = (
+        partials.withColumn(
+            "__rn", F.row_number().over(Window.orderBy("h"))
+        )
+        .filter(F.col("__rn") <= KMV_K)
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("got"))
+    )
+    exact = orders.agg(F.count_distinct("o_custkey").alias("exact_custs"))
+    est = kmv_estimate(F.col("kth"), F.col("got"), KMV_K)
+    return merged.crossJoin(exact).select(
+        F.lit(KMV_K).alias("k"),
+        rnd(est, 4).alias("est_custs"),
+        "exact_custs",
+        rnd(F.abs(est - F.col("exact_custs")) / F.col("exact_custs"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HLL (p=8, 256 registers) distinct-part estimate over
+    lineitem — register index = top 8 hash bits, rho = first-1-bit
+    ladder (no float log2: libm-dependent at exact powers of two),
+    Flajolet bias-corrected harmonic mean with empty registers folded
+    in as 2^0 terms, plus the published small-range linear-counting
+    branch (m*ln(m/V) when the raw estimate is under 2.5m and empty
+    registers exist). max(rho) is idempotent so the scan needs NO distinct
+    pass and partials merge map-side — the fixed-256-row shape is the
+    whole scale story. Output: one row with the register census,
+    estimate, exact, rel_err."""
+    li = load(spark, sf_dir, "lineitem")
+    hashed = li.select(md5_h32(F.col("l_partkey").cast("string")).alias("h"))
+    regs = hll_registers(hashed)
+    sums = regs.agg(
+        F.count(F.lit(1)).alias("nonzero"),
+        F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("present_sum"),
+    )
+    exact = li.agg(F.count_distinct("l_partkey").alias("exact_parts"))
+    raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M))
+        * F.lit(float(HLL_M))
+        / (F.col("present_sum") + (F.lit(HLL_M) - F.col("nonzero")))
+    )
+    # Flajolet small-range correction: below ~2.5m the raw harmonic
+    # estimator is heavily biased; with empty registers present,
+    # linear counting m*ln(m/V) is the published fix. F.log vs DuckDB
+    # ln() is the established cross-engine pairing here
+    # (text_char_entropy et al.).
+    est = F.when(
+        (F.col("nonzero") < HLL_M) & (raw <= F.lit(2.5 * HLL_M)),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / (F.lit(HLL_M) - F.col("nonzero"))),
+    ).otherwise(raw)
+    return sums.crossJoin(exact).select(
+        F.lit(HLL_M).alias("m"),
+        F.col("nonzero").alias("regs_nonzero"),
+        rnd(est, 4).alias("est_parts"),
+        "exact_parts",
+        rnd(F.abs(est - F.col("exact_parts")) / F.col("exact_parts"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters: 4x256 salted-md5 counters over
+    lineitem rows, per-supplier estimate = min over the 4 rows'
+    counters, top-10 by estimate with the exact count and the
+    (provably non-negative) overcount alongside. The counter table is
+    1024 cells regardless of data volume — partials merge by cell-wise
+    sum in the map-side combine, and the per-key probe joins a
+    broadcast-sized frame."""
+    li = load(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        "l_suppkey",
+        F.posexplode(cms_buckets(F.col("l_suppkey").cast("string"), CMS_ROWS, CMS_WIDTH)).alias(
+            "r", "bucket"
+        ),
+    )
+    counters = keyed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    probes = keyed.distinct()  # (suppkey, r, bucket): 4 rows per key
+    est = (
+        probes.join(counters, ["r", "bucket"])
+        .groupBy("l_suppkey")
+        .agg(F.min("cnt").alias("est_rows"))
+    )
+    exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("exact_rows"))
+    return (
+        est.join(exact, "l_suppkey")
+        .select(
+            "l_suppkey",
+            "est_rows",
+            "exact_rows",
+            (F.col("est_rows") - F.col("exact_rows")).alias("overcount"),
+        )
+        .orderBy(F.col("est_rows").desc(), F.col("l_suppkey").asc())
+        .limit(CMS_TOP)
+    )
+
+
+QUERIES = {
+    "sketch_kmv_distinct": sketch_kmv_distinct,
+    "sketch_kmv_union": sketch_kmv_union,
+    "sketch_hll_estimate": sketch_hll_estimate,
+    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+}
+
+_H32 = md5_h32_sql("CAST(o_custkey AS VARCHAR)")
+_RND4 = "FLOOR(({x}) * 1e4 + 0.5) / 1e4"
+
+
+def _kmv_distinct_oracle() -> str:
+    est = f"CASE WHEN got < {KMV_K} THEN CAST(got AS DOUBLE) ELSE ({KMV_K} - 1) * {H32_SPAN!r} / CAST(kth AS DOUBLE) END"
+    return f"""
+        WITH hashed AS (
+            SELECT DISTINCT o_orderpriority, {_H32} AS h FROM orders
+        ),
+        topk AS (
+            SELECT o_orderpriority, h,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+            FROM hashed
+        ),
+        summary AS (
+            SELECT o_orderpriority, MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS got
+            FROM topk WHERE rn <= {KMV_K} GROUP BY o_orderpriority
+        ),
+        exact AS (
+            SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT s.o_orderpriority,
+               s.got AS sketch_size,
+               {_RND4.format(x=est)} AS est_custs,
+               e.exact_custs,
+               {_RND4.format(x=f"ABS(({est}) - e.exact_custs) / e.exact_custs")} AS rel_err
+        FROM summary s JOIN exact e USING (o_orderpriority)
+        ORDER BY s.o_orderpriority
+    """
+
+
+def _kmv_union_oracle() -> str:
+    est = f"CASE WHEN got < {KMV_K} THEN CAST(got AS DOUBLE) ELSE ({KMV_K} - 1) * {H32_SPAN!r} / CAST(kth AS DOUBLE) END"
+    return f"""
+        WITH hashed AS (
+            SELECT DISTINCT o_orderpriority, {_H32} AS h FROM orders
+        ),
+        topk AS (
+            SELECT o_orderpriority, h,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+            FROM hashed
+        ),
+        partials AS (
+            SELECT DISTINCT h FROM topk WHERE rn <= {KMV_K}
+        ),
+        reranked AS (
+            SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM partials
+        ),
+        merged AS (
+            SELECT MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS got
+            FROM reranked WHERE rn <= {KMV_K}
+        ),
+        exact AS (
+            SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs FROM orders
+        )
+        SELECT CAST({KMV_K} AS INT) AS k,
+               {_RND4.format(x=est)} AS est_custs,
+               e.exact_custs,
+               {_RND4.format(x=f"ABS(({est}) - e.exact_custs) / e.exact_custs")} AS rel_err
+        FROM merged, exact e
+    """
+
+
+def _hll_oracle() -> str:
+    h = md5_h32_sql("CAST(l_partkey AS VARCHAR)")
+    rho = hll_rho_sql(f"(h % {1 << HLL_W_BITS})")
+    # CAST: duckdb parses bare decimal literals as DECIMAL(18), which
+    # overflows in the multiplication; Spark's F.lit is a double
+    raw = (
+        f"CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_M)!r} AS DOUBLE) "
+        f"* CAST({float(HLL_M)!r} AS DOUBLE) / "
+        f"(present_sum + ({HLL_M} - nonzero))"
+    )
+    # small-range linear counting, same branch + ln form as the Spark
+    # expression (F.log == duckdb ln(), the text_char_entropy pairing)
+    est = (
+        f"CASE WHEN nonzero < {HLL_M} AND ({raw}) <= CAST({2.5 * HLL_M!r} AS DOUBLE) "
+        f"THEN CAST({float(HLL_M)!r} AS DOUBLE) * "
+        f"LN(CAST({float(HLL_M)!r} AS DOUBLE) / ({HLL_M} - nonzero)) "
+        f"ELSE ({raw}) END"
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT {h} AS h FROM lineitem
+        ),
+        regs AS (
+            SELECT h // {1 << HLL_W_BITS} AS idx, MAX({rho}) AS M
+            FROM hashed GROUP BY idx
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nonzero,
+                   SUM(POWER(2.0, -M)) AS present_sum
+            FROM regs
+        ),
+        exact AS (
+            SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts FROM lineitem
+        )
+        SELECT CAST({HLL_M} AS INT) AS m,
+               s.nonzero AS regs_nonzero,
+               {_RND4.format(x=est)} AS est_parts,
+               e.exact_parts,
+               {_RND4.format(x=f"ABS(({est}) - e.exact_parts) / e.exact_parts")} AS rel_err
+        FROM sums s, exact e
+    """
+
+
+def _cms_oracle() -> str:
+    key = "CAST(l_suppkey AS VARCHAR)"
+    rows = "\n            UNION ALL ".join(
+        f"SELECT l_suppkey, {r} AS r, {cms_bucket_sql(key, r, CMS_WIDTH)} AS bucket FROM lineitem"
+        for r in range(CMS_ROWS)
+    )
+    return f"""
+        WITH keyed AS (
+            {rows}
+        ),
+        counters AS (
+            SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM keyed GROUP BY r, bucket
+        ),
+        probes AS (
+            SELECT DISTINCT l_suppkey, r, bucket FROM keyed
+        ),
+        est AS (
+            SELECT p.l_suppkey, MIN(c.cnt) AS est_rows
+            FROM probes p JOIN counters c USING (r, bucket)
+            GROUP BY p.l_suppkey
+        ),
+        exact AS (
+            SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS exact_rows
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT e.l_suppkey, e.est_rows, x.exact_rows,
+               e.est_rows - x.exact_rows AS overcount
+        FROM est e JOIN exact x USING (l_suppkey)
+        ORDER BY e.est_rows DESC, e.l_suppkey ASC
+        LIMIT {CMS_TOP}
+    """
+
+
+ORACLES = {
+    "sketch_kmv_distinct": _kmv_distinct_oracle(),
+    "sketch_kmv_union": _kmv_union_oracle(),
+    "sketch_hll_estimate": _hll_oracle(),
+    "sketch_cms_heavy_hitters": _cms_oracle(),
+}

@@ -1,0 +1,142 @@
+"""Portable mergeable cardinality/frequency sketches (KMV, HLL,
+count-min) built from deterministic md5 arithmetic.
+
+THE 100 TB pattern for distinct-counting and heavy-hitters is a
+mergeable fixed-size sketch: each partition folds its rows into a
+bounded summary (k hash values / 2^p registers / d*w counters),
+partials merge associatively in the map-side combine, and the final
+answer never shuffles more than the sketch. Spark ships engine-native
+versions (approx_count_distinct = HLL++, approx_percentile) — those
+are the production defaults and are covered rows-only in
+inventory/approx.py, because their register internals are
+engine-specific. THIS module is the differential-verification path:
+the same sketch mathematics expressed in the engine-portable md5
+family (the `conv(substring(md5(k),1,8),16,10)` 32-bit hash every
+ml_* query uses), so a DuckDB oracle replays register-for-register
+and the driver hash-gates the whole estimate, not just a row count.
+
+Sketch math is public-textbook material: KMV/theta (Bar-Yossef et al.
+"Counting distinct elements in a data stream"; Dasgupta et al., the
+DataSketches theta formulation), HLL (Flajolet et al. 2007), count-min
+(Cormode & Muthukrishnan 2005). The reference engine exposes none of
+these (DuckDB's approx_count_distinct is its own HLL) — this family is
+part of the beyond-reference training-data-pipeline layer.
+
+Scale discipline: every builder here is ONE groupBy over a hashed
+projection (map-side combinable) plus joins that touch only
+sketch-sized frames. The KMV "k smallest per group" uses a rank
+window over the hashed DISTINCT frame — at true 100 TB you would cap
+per-partition candidates first (any h beyond a partition's k-th
+smallest can never enter the global top-k); the window form keeps the
+fixture-scale plan simple and the oracle replay exact.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+H32_SPAN = 4294967296.0  # 2^32 as an exact double
+
+# HLL parameters: p=8 -> m=256 registers, 24-bit rho domain
+HLL_P = 8
+HLL_M = 1 << HLL_P
+HLL_W_BITS = 32 - HLL_P
+# Flajolet's bias correction alpha_m for m >= 128
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def md5_h32(col: Column) -> Column:
+    """First 32 bits of md5 as an unsigned value in a long — the
+    engine-portable uniform hash (DuckDB:
+    ``CAST('0x'||substring(md5(x),1,8) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def md5_h32_sql(key_sql: str) -> str:
+    return f"CAST('0x' || substring(md5({key_sql}), 1, 8) AS BIGINT)"
+
+
+def kmv_per_group(
+    hashed: DataFrame, group_col: str, k: int
+) -> DataFrame:
+    """Per-group KMV summary from a ``(group_col, h)`` DISTINCT-hash
+    frame: ``(group_col, kth, got)`` where ``kth`` is the k-th
+    smallest hash and ``got`` = min(k, distinct hashes). Estimate =
+    (k-1) * 2^32 / kth when the sketch filled, else ``got`` exactly
+    (fewer distinct values than k means the sketch IS the exact set).
+    """
+    w = Window.partitionBy(group_col).orderBy("h")
+    topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return topk.groupBy(group_col).agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).alias("got")
+    )
+
+
+def kmv_estimate(kth: Column, got: Column, k: int) -> Column:
+    """The KMV estimator over a :func:`kmv_per_group` summary."""
+    return F.when(got < k, got.cast("double")).otherwise(
+        (k - 1) * F.lit(H32_SPAN) / kth.cast("double")
+    )
+
+
+def hll_rho(w: Column) -> Column:
+    """Position of the first 1-bit (from the MSB of the 24-bit
+    window), 1-based; 25 for w == 0 — pure comparison ladder so any
+    engine replays it exactly (no log2: float logs are libm-dependent
+    at exact powers of two)."""
+    expr = F.lit(HLL_W_BITS + 1)  # w == 0
+    # w in [2^(b-1), 2^b) -> bit_length b -> rho = W_BITS - b + 1
+    for b in range(1, HLL_W_BITS + 1):
+        expr = F.when(w >= (1 << (b - 1)), F.lit(HLL_W_BITS - b + 1)).otherwise(expr)
+    return expr
+
+
+def hll_rho_sql(w_sql: str) -> str:
+    """The same ladder as DuckDB-runnable SQL (descending WHENs: the
+    first matching branch wins, mirroring the Spark expression where
+    the LAST constructed .when — the largest bound — dominates)."""
+    cases = " ".join(
+        f"WHEN {w_sql} >= {1 << (b - 1)} THEN {HLL_W_BITS - b + 1}"
+        for b in range(HLL_W_BITS, 0, -1)
+    )
+    return f"CASE {cases} ELSE {HLL_W_BITS + 1} END"
+
+
+def hll_registers(hashed: DataFrame) -> DataFrame:
+    """(idx, M) register table from a 1-column ``h`` frame: idx = top
+    p bits, M = max rho over the low bits. max() is idempotent, so no
+    distinct pass is needed and partials merge map-side — the whole
+    sketch is one fixed-width aggregate."""
+    return (
+        hashed.select(
+            F.shiftrightunsigned(F.col("h"), HLL_W_BITS).alias("idx"),
+            hll_rho(F.col("h").bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))).alias("rho"),
+        )
+        .groupBy("idx")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def cms_buckets(key: Column, rows: int, width: int) -> Column:
+    """Array of ``rows`` independent count-min bucket ids for a key —
+    row r's hash family is md5 over an ``r:``-salted key."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{r}:"), key)), 1, 8), 16, 10
+                ).cast("long")
+                % width
+            )
+            for r in range(rows)
+        ]
+    )
+
+
+def cms_bucket_sql(key_sql: str, r: int, width: int) -> str:
+    return (
+        f"CAST('0x' || substring(md5('{r}:' || {key_sql}), 1, 8) AS BIGINT) % {width}"
+    )

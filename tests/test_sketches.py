@@ -1,0 +1,131 @@
+"""Portable mergeable sketches: estimator properties the oracle can't
+express.
+
+The DuckDB differential proves Spark and the oracle compute the SAME
+estimate; these tests prove the estimate is a CORRECT sketch — error
+within the published bounds, merge associativity, and count-min's
+one-sided error guarantee. Sketch math sources: KMV/theta
+(Bar-Yossef et al.), HLL (Flajolet et al. 2007), count-min (Cormode &
+Muthukrishnan 2005).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from quack_reduce_spark.inventory import sketches as SK
+from quack_reduce_spark.operators import sketches as OP
+
+
+def test_kmv_estimate_within_theoretical_error(spark, sf_dir):
+    """KMV relative standard error is ~1/sqrt(k-2) (k=64 -> ~0.127);
+    every per-group estimate must land within 4x that (the fixture is
+    one fixed draw, not an expectation — 4 RSE is a deterministic
+    pass/fail line far above any healthy draw)."""
+    rows = SK.sketch_kmv_distinct(spark, sf_dir).collect()
+    assert len(rows) == 5
+    rse = (SK.KMV_K - 2) ** -0.5
+    for r in rows:
+        if r["sketch_size"] < SK.KMV_K:
+            assert r["est_custs"] == r["exact_custs"]  # exact below k
+        else:
+            assert r["rel_err"] <= 4 * rse, (r["o_orderpriority"], r["rel_err"])
+
+
+def test_kmv_union_matches_sketch_of_union(spark, sf_dir):
+    """Merge correctness, the theta-sketch identity: k smallest of the
+    union of per-group k-smallest == k smallest of the union's hashes
+    (every global top-k hash is necessarily in its own group's top-k).
+    So the merged sketch must equal the sketch built directly on the
+    ungrouped data — exactly, not approximately."""
+    from quack_reduce_spark.inventory._util import load
+
+    orders = load(spark, sf_dir, "orders")
+    hashed = orders.select(
+        OP.md5_h32(F.col("o_custkey").cast("string")).alias("h")
+    ).distinct()
+    direct = (
+        hashed.orderBy("h").limit(SK.KMV_K).agg(F.max("h").alias("kth")).first()["kth"]
+    )
+    merged = SK.sketch_kmv_union(spark, sf_dir).first()
+    est_direct = (SK.KMV_K - 1) * OP.H32_SPAN / float(direct)
+    # same kth -> same estimate (to the query's 1e-4 rounding)
+    assert abs(merged["est_custs"] - round(est_direct, 4)) < 1e-3
+
+
+def test_hll_estimate_within_error(spark, sf_dir):
+    """HLL relative standard error is 1.04/sqrt(m) (m=256 -> ~0.065);
+    one fixed draw must land within 4x that."""
+    r = SK.sketch_hll_estimate(spark, sf_dir).first()
+    assert r["m"] == 256
+    assert 0 < r["regs_nonzero"] <= 256
+    assert r["rel_err"] <= 4 * (1.04 / 16.0), r["rel_err"]
+
+
+def test_cms_overestimates_only_and_finds_true_heavies(spark, sf_dir):
+    """Count-min's defining guarantee: est >= exact ALWAYS (counters
+    only ever add other keys' rows). And with 4x256 cells over this
+    key space, the top-10 by estimate must contain the true top-3
+    suppliers by row count."""
+    from quack_reduce_spark.inventory._util import load
+
+    rows = SK.sketch_cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == SK.CMS_TOP
+    for r in rows:
+        assert r["overcount"] >= 0, r
+        assert r["est_rows"] == r["exact_rows"] + r["overcount"]
+
+    li = load(spark, sf_dir, "lineitem")
+    true_top3 = {
+        r["l_suppkey"]
+        for r in li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("l_suppkey"))
+        .limit(3)
+        .collect()
+    }
+    reported = {r["l_suppkey"] for r in rows}
+    assert true_top3 <= reported
+
+
+def test_hll_rho_ladder_matches_python_bit_length(spark):
+    """The comparison-ladder rho against Python's int.bit_length on
+    the full edge set: 0, 1, powers of two, 2^k-1, and the 24-bit max
+    — exactly the values where a float log2 implementation can differ
+    by an ulp and silently shift a register."""
+    ws = sorted(
+        {0, 1, 2, 3}
+        | {1 << k for k in range(24)}
+        | {(1 << k) - 1 for k in range(1, 25)}
+        | {(1 << 24) - 1}
+    )
+    df = spark.createDataFrame([(w,) for w in ws], "w long")
+    got = {
+        r["w"]: r["rho"]
+        for r in df.select("w", OP.hll_rho(F.col("w")).alias("rho")).collect()
+    }
+    for w in ws:
+        expected = OP.HLL_W_BITS + 1 if w == 0 else OP.HLL_W_BITS - w.bit_length() + 1
+        assert got[w] == expected, (w, got[w], expected)
+
+
+def test_sketches_shrink_shuffle_not_answers(spark, sf_dir):
+    """The scale claim in one assertion: the HLL register frame is
+    fixed-width (<= 256 rows) no matter the input, and the CMS counter
+    frame is <= 4*256 cells."""
+    from quack_reduce_spark.inventory._util import load
+
+    li = load(spark, sf_dir, "lineitem")
+    regs = OP.hll_registers(
+        li.select(OP.md5_h32(F.col("l_partkey").cast("string")).alias("h"))
+    )
+    assert regs.count() <= 256
+    keyed = li.select(
+        "l_suppkey",
+        F.posexplode(
+            OP.cms_buckets(F.col("l_suppkey").cast("string"), SK.CMS_ROWS, SK.CMS_WIDTH)
+        ).alias("r", "bucket"),
+    )
+    counters = keyed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    assert counters.count() <= SK.CMS_ROWS * SK.CMS_WIDTH
