@@ -471,6 +471,7 @@ class Engine:
         path: str,
         partition_by: list[str] | None = None,
         op: str = "write",
+        concurrent: bool = False,
     ) -> str:
         """Write ``df`` as a NEW VERSION of the versioned table at
         ``path`` (creating the table on first call). Data lands in a
@@ -478,19 +479,44 @@ class Engine:
         commit is one pointer write — the object-store-safe protocol
         (see lake.py). Returns the committed version name.
 
+        ``concurrent=True`` turns on the optimistic-concurrency
+        protocol (r8): the stage directory is exclusively CLAIMED (two
+        racing writers can never write into the same version dir) and
+        the commit is conditional on the head still being the snapshot
+        observed before staging — if another writer committed first,
+        :class:`lake.ConcurrentCommitError` is raised with the staged
+        data intact. The caller decides the retry: for a blind write
+        (this df does not derive from the table's current contents)
+        re-commit the SAME version against the new head
+        (``lake.commit(path, version, expected_head=
+        lake.current_version(path))``); for a derived write
+        (read-modify-write), re-read, re-stage, retry the whole call —
+        the Delta/Iceberg loser-retries contract.
+
         Every snapshot stays readable via ``read_table(version=...)``
         until ``vacuum`` — this is the time-travel write path."""
         from quack_reduce_spark import lake
 
         lake.mkdirs(path)
-        version, data_dir = lake.stage_version(path)
-        writer = df.write.mode("overwrite")
+        head = lake.current_version(path) if lake.is_versioned(path) else None
+        version, data_dir = lake.stage_version(path, claim=concurrent)
+        # claimed dirs hold the exclusive _STAGED marker: parquet
+        # "overwrite" would DELETE the dir (marker included) and reopen
+        # the claim race, so the concurrent path appends into the
+        # freshly-claimed (otherwise-empty) directory instead. All
+        # concurrent writers of a table must pass concurrent=True —
+        # mixing with unclaimed stagers reintroduces the shared-dir
+        # hazard.
+        writer = df.write.mode("append" if concurrent else "overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
         rows = self.spark.read.parquet(data_dir).count()
         lake.write_manifest(path, version, op, rows)
-        lake.commit(path, version)
+        if concurrent:
+            lake.commit(path, version, expected_head=head)
+        else:
+            lake.commit(path, version)
         return version
 
     def read_table(

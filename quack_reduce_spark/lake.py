@@ -55,6 +55,7 @@ CURRENT = "_CURRENT"
 MANIFEST = "_meta.json"
 COMMITTED_MARK = "_COMMITTED"
 COMMIT_LOCK = "_CURRENT.lock"
+STAGE_CLAIM = "_STAGED"
 # A lock whose payload timestamp is older than this is presumed to
 # belong to a crashed writer and is broken (a healthy commit holds the
 # lock for milliseconds). Clock skew between writers eats into this
@@ -256,18 +257,39 @@ def list_versions(path: str) -> list[str]:
     )
 
 
-def stage_version(path: str) -> tuple[str, str]:
+def stage_version(path: str, claim: bool = False) -> tuple[str, str]:
     """Allocate the next version: returns ``(version, data_dir)``.
 
     The caller writes (and verifies) data under ``data_dir``, then calls
     :func:`commit`. Until then the new directory is invisible to readers
     — resolve() still points at the old version — so a crash between
     stage and commit costs only orphaned files (removed by vacuum).
+
+    ``claim=True`` (required for CONCURRENT writers): two writers
+    listing the same table would both allocate the same next number
+    and stage into the SAME directory, corrupting each other's data
+    before either commits. Claiming writes an exclusive ``_STAGED``
+    marker into the candidate dir (atomic ``O_EXCL`` locally, atomic
+    exclusive-create on HDFS-like stores; best-effort on S3A — see
+    :func:`commit`) and walks to the next number on collision, so
+    every concurrent writer stages into a private directory. The
+    underscore-prefixed marker is ignored by parquet readers.
     """
+    fs = _fs_for(path)
     versions = list_versions(path)
     n = int(versions[-1][1:]) + 1 if versions else 1
-    version = f"v{n:08d}"
-    return version, _join(path, version)
+    if not claim:
+        version = f"v{n:08d}"
+        return version, _join(path, version)
+    while True:
+        version = f"v{n:08d}"
+        data_dir = _join(path, version)
+        fs.mkdirs(data_dir)
+        if fs.create_excl(
+            _join(data_dir, STAGE_CLAIM), json.dumps({"t": time.time()}) + "\n"
+        ):
+            return version, data_dir
+        n += 1
 
 
 def commit(

@@ -730,3 +730,66 @@ def test_genuine_timestamp_tie_resolves_to_higher_version(tmp_path):
     # (cur's last event == max foreign event, not <), so the genuine
     # tie resolves to the higher version even though cur is v1
     assert lake.version_as_of(root, t) == v2
+
+
+def test_stage_claim_gives_private_dirs(tmp_path):
+    """Two writers staging from the same listing must get DISTINCT
+    version dirs under claim=True (unclaimed staging hands both the
+    same next number — the shared-dir corruption hazard)."""
+    root = _mk_versioned(tmp_path)
+    va, da = lake.stage_version(root, claim=True)
+    vb, db = lake.stage_version(root, claim=True)
+    assert va != vb and da != db
+    assert os.path.isfile(os.path.join(da, lake.STAGE_CLAIM))
+    assert os.path.isfile(os.path.join(db, lake.STAGE_CLAIM))
+    # unclaimed staging (single-writer paths) still allocates past them
+    vc, _ = lake.stage_version(root)
+    assert vc not in (va, vb)
+
+
+def test_write_versioned_concurrent_two_threads(spark, tmp_path):
+    """End-to-end engine OCC: two threads write_versioned(
+    concurrent=True) against the same table simultaneously. Invariants
+    regardless of interleaving: private version dirs, at most one
+    ConcurrentCommitError, the final table equals the last committed
+    writer's frame, and a rejected writer's blind-write retry
+    (re-commit same staged version against the new head) succeeds."""
+    import threading
+
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "occ_tbl")
+    eng.write_versioned(spark.createDataFrame([(0,)], "k long"), path, op="create")
+
+    results: dict[str, object] = {}
+
+    def writer(name, val):
+        df = spark.createDataFrame([(val,)], "k long")
+        try:
+            results[name] = eng.write_versioned(df, path, op="write", concurrent=True)
+        except lake.ConcurrentCommitError:
+            results[name] = "rejected"
+
+    t1 = threading.Thread(target=writer, args=("a", 1))
+    t2 = threading.Thread(target=writer, args=("b", 2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    committed = [v for v in results.values() if v != "rejected"]
+    assert len(committed) >= 1  # at least one writer always wins
+    assert len(set(committed)) == len(committed)  # distinct versions
+    # staged dirs are private even for the rejected writer
+    assert len(lake.list_versions(path)) == 3  # v1 + both stages
+    head_val = eng.read_table(path).collect()[0]["k"]
+    assert head_val in (1, 2)
+
+    if "rejected" in results.values():
+        # blind-write retry: the loser's data is still staged; commit
+        # it against the freshly-read head
+        loser = next(k for k, v in results.items() if v == "rejected")
+        staged = [
+            v for v in lake.list_versions(path)
+            if v not in lake.committed_versions(path)
+        ]
+        assert len(staged) == 1
+        lake.commit(path, staged[0], expected_head=lake.current_version(path))
+        assert lake.current_version(path) == staged[0]
+        assert eng.read_table(path).collect()[0]["k"] == (1 if loser == "a" else 2)
