@@ -17,8 +17,21 @@ family so the SEMANTICS survive replication):
 - trade graph (pagerank): node ids offset per replica — k disjoint
   copies of the graph, linear edge growth, identical per-node degree
   distribution.
-- embeddings (pca): vec_id offset per replica, vectors kept — power
-  iteration cost depends on row count and dim only.
+- embeddings (pca, quantized top-k): vec_id offset per replica,
+  vectors kept — scan/iteration cost depends on row count and dim
+  only. For top-k the QUERY set stays fixed (replica-0 ids only) while
+  the corpus grows — the production shape.
+- co-supply graph (triangles): both endpoints offset per replica — k
+  disjoint copies, triangle structure preserved exactly, linear
+  triangle growth.
+- BFS: seeds replicated WITH the graph ({1,2,3}+offset per replica) so
+  per-replica frontier work grows with the data instead of pinning the
+  frontier to one copy.
+- LSH index probe: the CORPUS (and its persisted band-key index) grows
+  with the replica factor while the probe BATCH stays fixed — the
+  incremental-ingest claim under test is that probe cost grows only
+  with the index SCAN (tiny 3-long columns), never with corpus text.
+  Index build time is recorded separately from probe time.
 
 For each family the operator runs at mult = 1, 2, 5, 10 on a real
 parquet roundtrip (write replica, read back — scan cost is real).
@@ -27,9 +40,10 @@ log2(t10/t5) isolates the asymptotic step where fixed overhead has
 washed out. Values <= ~1 mean linear-or-better; anything persistently
 above ~1.2 in tail_exp would flag a super-linear design.
 
-Usage: python tools/scale_rehearsal.py [sf_dir] [out_md]
+Usage: python tools/scale_rehearsal.py [sf_dir] [out_md] [fam1,fam2,...]
 Prints one JSON line; with out_md, rewrites the "Measured rehearsal"
-section of docs/SCALING.md.
+section of docs/SCALING.md. The optional third arg restricts to a
+comma-separated family subset (default: all).
 """
 
 from __future__ import annotations
@@ -65,9 +79,27 @@ def _timed(thunk, reps: int = 2) -> float:
     return min((lambda t0=time.time(): (thunk(), time.time() - t0)[1])() for _ in range(reps))
 
 
+ALL_FAMILIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "graph_pagerank",
+    "sim_pca_topk",
+    # round-8 additions: the sweep's steepest 10x-step growers + the
+    # two new r7 operators
+    "dedup_substring",
+    "mm_jpeg_stats",
+    "ml_feature_hashing",
+    "sim_quantized_topk",
+    "graph_bfs_layers",
+    "graph_triangles",
+    "dedup_lsh_index_probe",
+]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_md = sys.argv[2] if len(sys.argv) > 2 else None
+    wanted = sys.argv[3].split(",") if len(sys.argv) > 3 else ALL_FAMILIES
     spark = get_spark("scale-rehearsal")
 
     from quack_reduce_spark.inventory._util import load
@@ -91,6 +123,19 @@ def main() -> None:
             )
             .distinct()
         )
+        # co-supply projection for triangles (inventory.graph shape:
+        # suppliers sharing a high-quantity order)
+        from quack_reduce_spark.inventory.graph import TRIANGLE_QTY_MIN
+
+        li_hi = li.filter(F.col("l_quantity") >= TRIANGLE_QTY_MIN).select(
+            F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+        ).distinct()
+        cosupply = (
+            li_hi.alias("x")
+            .join(li_hi.alias("y"), F.expr("x.ok = y.ok AND x.s < y.s"))
+            .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+            .distinct()
+        )
         dim = emb.select(F.size("embedding").alias("d")).first()["d"]
 
         fixtures: dict[int, dict[str, str]] = {}
@@ -100,6 +145,7 @@ def main() -> None:
                 "docs": f"{tmp}/docs_x{m}",
                 "edges": f"{tmp}/edges_x{m}",
                 "emb": f"{tmp}/emb_x{m}",
+                "cosupply": f"{tmp}/cosupply_x{m}",
             }
             reps = spark.range(m).select(F.col("id").alias("__rep"))
             # F.translate needs literal match/replace strings: build the
@@ -127,18 +173,26 @@ def main() -> None:
                 "embedding",
             )
             v.write.mode("overwrite").parquet(paths["emb"])
+            c = cosupply.crossJoin(reps).select(
+                (F.col("a") + F.col("__rep") * 100_000_000).alias("a"),
+                (F.col("b") + F.col("__rep") * 100_000_000).alias("b"),
+            )
+            c.write.mode("overwrite").parquet(paths["cosupply"])
             fixtures[m] = paths
         base_counts["docs"] = docs.count()
         base_counts["edges"] = edges.count()
         base_counts["emb"] = emb.count()
+        base_counts["cosupply"] = cosupply.count()
 
         # ---- families -------------------------------------------------
         def run_family(name: str, table: str, thunk_of_path) -> None:
-            ns, ts, extra = [], [], []
+            if name not in wanted:
+                return
+            ns, ts = [], []
             for m in MULTS:
                 path = fixtures[m][table]
                 t = _timed(thunk_of_path(path))
-                ns.append(base_counts[{"docs": "docs", "edges": "edges", "emb": "emb"}[table]] * m)
+                ns.append(base_counts[table] * m)
                 ts.append(round(t, 3))
             results[name] = {
                 "mults": MULTS,
@@ -147,6 +201,7 @@ def main() -> None:
                 "fit_exp": round(_fit_exponent(ns, ts), 3),
                 "tail_exp": round(math.log(ts[-1] / ts[-2]) / math.log(MULTS[-1] / MULTS[-2]), 3),
             }
+            print(f"  {name}: {ts}", file=sys.stderr)
 
         def dedup_ngram(path):
             def thunk():
@@ -172,27 +227,213 @@ def main() -> None:
                 pca_scores(v, "vec_id", "embedding", dim=dim, rounds=3).count()
             return thunk
 
+        # ---- round-8 families: the sweep's steepest growers ----------
+
+        def dedup_sub(path):
+            def thunk():
+                df = spark.read.parquet(path)
+                D.char_ngram_pairs(df, "text", "doc_id", k=32, min_shared=5).count()
+            return thunk
+
+        def jpeg(path):
+            def thunk():
+                from quack_reduce_spark.multimodal import (
+                    attach_jpeg_payload,
+                    jpeg_image_stats,
+                )
+
+                df = spark.read.parquet(path)
+                jpeg_image_stats(attach_jpeg_payload(df)).count()
+            return thunk
+
+        def feat_hash(path):
+            # mirrors inventory.mlprep.ml_feature_hashing's body (the
+            # inventory fn is sf_dir-addressed; replicas carry only
+            # doc_id/text, which is all it reads)
+            def thunk():
+                from quack_reduce_spark.inventory.mlprep import _md5_bucket
+
+                df = spark.read.parquet(path)
+                tok = df.select(
+                    "doc_id",
+                    F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+                ).filter(F.col("term") != "")
+                (
+                    tok.withColumn("bucket", _md5_bucket(F.col("term"), 256))
+                    .groupBy("bucket")
+                    .agg(F.count(F.lit(1)).alias("tf"), F.count_distinct("doc_id").alias("df"))
+                    .orderBy(F.col("tf").desc(), F.col("bucket").asc())
+                    .limit(20)
+                    .count()
+                )
+            return thunk
+
+        def quant_topk(path):
+            # fixed query set (replica-0 ids only: offsets keep every
+            # other replica's vec_id >= 10^7), corpus grows linearly —
+            # the production retrieval shape
+            def thunk():
+                from quack_reduce_spark.inventory.similarity import N_QUERIES, TOP_K
+                from quack_reduce_spark.operators.similarity import quantized_topk
+
+                v = spark.read.parquet(path)
+                queries = v.filter(F.col("vec_id") < N_QUERIES).select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                )
+                corpus = v.filter(F.col("vec_id") >= N_QUERIES).select(
+                    "vec_id", "embedding"
+                )
+                quantized_topk(queries, corpus, k=TOP_K).count()
+            return thunk
+
+        def bfs(path):
+            def thunk():
+                from quack_reduce_spark.operators.bfs import bfs_levels, undirect
+
+                e = spark.read.parquet(path)
+                # seeds replicated with the graph: {1,2,3} + offset
+                m = int(path.rsplit("_x", 1)[1])
+                seeds = spark.createDataFrame(
+                    [(s + r * 100_000_000,) for r in range(m) for s in (1, 2, 3)],
+                    "node long",
+                )
+                bfs_levels(undirect(e), seeds, rounds=3).count()
+            return thunk
+
+        def triangles(path):
+            def thunk():
+                from quack_reduce_spark.operators.triangles import triangle_counts
+
+                c = spark.read.parquet(path)
+                triangle_counts(c, "a", "b").count()
+            return thunk
+
         run_family("dedup_ngram_jaccard", "docs", dedup_ngram)
         run_family("dedup_minhash_lsh", "docs", dedup_minhash)
         run_family("graph_pagerank", "edges", graph_pr)
         run_family("sim_pca_topk", "emb", pca)
+        run_family("dedup_substring", "docs", dedup_sub)
+        run_family("mm_jpeg_stats", "docs", jpeg)
+        run_family("ml_feature_hashing", "docs", feat_hash)
+        run_family("sim_quantized_topk", "emb", quant_topk)
+        run_family("graph_bfs_layers", "edges", bfs)
+        run_family("graph_triangles", "cosupply", triangles)
+
+        # ---- LSH index probe: the incremental-ingest claim -----------
+        # The CORPUS (and its persisted band-key index) grows with the
+        # replica factor while the probe BATCH stays fixed (replica-0
+        # ids >= 80% cutoff). Index BUILD is timed separately; PROBE
+        # (batch band keys -> equality join on the parquet index ->
+        # candidate-only exact-Jaccard verify) is the reported family —
+        # its cost should track the index's tiny 3-long-column scan,
+        # never the corpus text.
+        if "dedup_lsh_index_probe" in wanted:
+            from quack_reduce_spark.inventory.dedup import (
+                INDEX_PROBE_CUTOFF_FRAC,
+                MINHASH_PORTABLE_BANDS,
+                MINHASH_PORTABLE_HASHES,
+            )
+            from quack_reduce_spark.functions.numeric import rnd as _rnd
+
+            n_base = base_counts["docs"]
+            cutoff = int(n_base * INDEX_PROBE_CUTOFF_FRAC)
+            ns, ts, builds = [], [], []
+            for m in MULTS:
+                all_docs = spark.read.parquet(fixtures[m]["docs"])
+                # corpus = everything except the fixed batch slice
+                corpus = all_docs.filter(
+                    (F.col("doc_id") >= 10_000_000) | (F.col("doc_id") < cutoff)
+                )
+                batch = all_docs.filter(
+                    (F.col("doc_id") >= cutoff) & (F.col("doc_id") < 10_000_000)
+                )
+                idx_path = f"{tmp}/lshidx_x{m}"
+                t0 = time.time()
+                D.minhash_band_keys_portable(
+                    corpus, "text", "doc_id",
+                    num_hashes=MINHASH_PORTABLE_HASHES, bands=MINHASH_PORTABLE_BANDS,
+                ).write.mode("overwrite").parquet(idx_path)
+                builds.append(round(time.time() - t0, 3))
+
+                def probe(idx_path=idx_path, batch=batch, all_docs=all_docs):
+                    def thunk():
+                        index = spark.read.parquet(idx_path)
+                        pk = D.minhash_band_keys_portable(
+                            batch, "text", "doc_id",
+                            num_hashes=MINHASH_PORTABLE_HASHES,
+                            bands=MINHASH_PORTABLE_BANDS,
+                        )
+                        cand = (
+                            pk.select("band", "bkey", F.col("doc").alias("batch_doc"))
+                            .join(
+                                index.select("band", "bkey", F.col("doc").alias("corpus_doc")),
+                                ["band", "bkey"],
+                            )
+                            .select("batch_doc", "corpus_doc")
+                            .distinct()
+                            .localCheckpoint(eager=True)
+                        )
+                        cand_ids = (
+                            cand.select(F.col("batch_doc").alias("doc_id"))
+                            .unionByName(cand.select(F.col("corpus_doc").alias("doc_id")))
+                            .distinct()
+                        )
+                        hashes = D._portable_doc_hashes(
+                            all_docs.join(F.broadcast(cand_ids), "doc_id", "left_semi"),
+                            "text", "doc_id",
+                        )
+                        docsets = hashes.groupBy("doc").agg(
+                            F.collect_set("h").alias("shset")
+                        )
+                        (
+                            cand.join(
+                                docsets.select(F.col("doc").alias("batch_doc"), F.col("shset").alias("s1")),
+                                "batch_doc",
+                            )
+                            .join(
+                                docsets.select(F.col("doc").alias("corpus_doc"), F.col("shset").alias("s2")),
+                                "corpus_doc",
+                            )
+                            .withColumn("c", F.array_size(F.array_intersect("s1", "s2")))
+                            .withColumn(
+                                "j",
+                                _rnd(F.col("c") / (F.array_size("s1") + F.array_size("s2") - F.col("c")), 6),
+                            )
+                            .filter(F.col("j") >= 0.5)
+                            .count()
+                        )
+                    return thunk
+
+                t = _timed(probe())
+                ns.append(n_base * m)
+                ts.append(round(t, 3))
+            results["dedup_lsh_index_probe"] = {
+                "mults": MULTS,
+                "rows": ns,
+                "sec": ts,
+                "index_build_sec": builds,
+                "fit_exp": round(_fit_exponent(ns, ts), 3),
+                "tail_exp": round(math.log(ts[-1] / ts[-2]) / math.log(MULTS[-1] / MULTS[-2]), 3),
+            }
+            print(f"  dedup_lsh_index_probe: probe {ts} build {builds}", file=sys.stderr)
 
         # sanity: linear pair growth for the dedup replicas (the
         # construction claim — not a timing)
-        p1 = D.ngram_jaccard_pairs(
-            spark.read.parquet(fixtures[1]["docs"]), "text", "doc_id", threshold=0.5
-        ).count()
-        p10 = D.ngram_jaccard_pairs(
-            spark.read.parquet(fixtures[10]["docs"]), "text", "doc_id", threshold=0.5
-        ).count()
-        results["_pair_growth"] = {"pairs_x1": p1, "pairs_x10": p10, "ratio": round(p10 / max(p1, 1), 2)}
+        if "dedup_ngram_jaccard" in wanted:
+            p1 = D.ngram_jaccard_pairs(
+                spark.read.parquet(fixtures[1]["docs"]), "text", "doc_id", threshold=0.5
+            ).count()
+            p10 = D.ngram_jaccard_pairs(
+                spark.read.parquet(fixtures[10]["docs"]), "text", "doc_id", threshold=0.5
+            ).count()
+            results["_pair_growth"] = {"pairs_x1": p1, "pairs_x10": p10, "ratio": round(p10 / max(p1, 1), 2)}
 
     print(json.dumps({"metric": "scale_rehearsal", "sf": sf_dir, "families": results}))
 
     if out_md:
-        marker = "## Measured rehearsal at ~10x sf0.1 (round 7)"
+        marker = "## Measured rehearsal at ~10x sf0.1"
         lines = [
-            marker,
+            marker + " (rounds 7-8)",
             "",
             "Generated by `python tools/scale_rehearsal.py` — replicated",
             "fixtures (semantics-preserving, see the tool docstring), real",
@@ -211,13 +452,24 @@ def main() -> None:
                 f"| {name} | {r['rows'][0]} | " + " | ".join(str(s) for s in r["sec"]) +
                 f" | {r['fit_exp']} | {r['tail_exp']} |"
             )
-        pg = results["_pair_growth"]
-        lines.append("")
-        lines.append(
-            f"Replica-construction sanity: true near-dup pairs grow {pg['ratio']}x "
-            f"across the 10x step ({pg['pairs_x1']} → {pg['pairs_x10']}) — linear, "
-            "confirming the vowel-rotation keeps replicas disjoint in shingle space."
-        )
+        if "dedup_lsh_index_probe" in results:
+            b = results["dedup_lsh_index_probe"]["index_build_sec"]
+            lines.append("")
+            lines.append(
+                "The `dedup_lsh_index_probe` row times the PROBE only (fixed "
+                "batch vs a corpus growing 1→10x); the one-time index builds "
+                f"took {b} s at mult {MULTS} — probe cost tracks the tiny "
+                "3-long-column index scan, not the corpus text, which is the "
+                "incremental-ingest claim under test."
+            )
+        if "_pair_growth" in results:
+            pg = results["_pair_growth"]
+            lines.append("")
+            lines.append(
+                f"Replica-construction sanity: true near-dup pairs grow {pg['ratio']}x "
+                f"across the 10x step ({pg['pairs_x1']} → {pg['pairs_x10']}) — linear, "
+                "confirming the vowel-rotation keeps replicas disjoint in shingle space."
+            )
         text = open("docs/SCALING.md").read()
         if marker in text:
             text = text[: text.index(marker)].rstrip() + "\n\n" + "\n".join(lines) + "\n"
