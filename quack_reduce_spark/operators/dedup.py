@@ -26,7 +26,7 @@ results are stable across runs/partitionings.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from quack_reduce_spark.functions.numeric import rnd
 
@@ -188,6 +188,104 @@ def ngram_jaccard_pairs(
         .withColumn(
             "jaccard",
             rnd(F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def prefix_filter_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """AllPairs/PPJoin-style prefix-filtered candidate pairs for an
+    EXACT Jaccard >= threshold join (Bayardo, Ma & Srikant 2007
+    "Scaling Up All Pairs Similarity Search"; Xiao et al. 2008 PPJoin).
+
+    Shingles get a GLOBAL rare-first total order (document frequency
+    asc, hash asc — fully deterministic); each doc's candidate-
+    generating PREFIX is its first ``sz - ceil(t*sz) + 1`` shingles in
+    that order, and candidates are pairs sharing a PREFIX shingle plus
+    the length filter ``ceil(t*|x|) <= |y|`` both ways.
+
+    Completeness (why this misses nothing): let g be the smallest
+    common shingle of x and y under the global order. If g sat beyond
+    x's prefix, x would hold at least ``|x| - ceil(t|x|) + 1``
+    shingles smaller than g — all non-common by g's minimality — so
+    the overlap could be at most ``ceil(t|x|) - 1``, contradicting
+    ``|overlap| >= t*|union| >= ceil(t*|x|)`` for J >= t. Same for y:
+    g lies in BOTH prefixes and the equality join finds the pair.
+
+    vs the plain inverted index (ngram_jaccard_pairs): that joins on
+    EVERY shingle (cost = sum over shingles of df^2); this joins only
+    on prefix shingles, which the rare-first order makes the LOWEST-df
+    shingles of each doc — the quadratic term shrinks to the rare end
+    of the distribution. tests/test_dedup.py asserts both the output
+    equality and the candidate-count reduction.
+    """
+    sh = _shingle_table(df, text_col, id_col, n, hashed=True, distinct=False)
+    toks = sh.distinct()
+    freq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("doc").orderBy("df_", "sh")
+    pref = (
+        toks.join(freq, "sh")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc")
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+    )
+    left = pref.select(F.col("doc").alias("doc1"), F.col("sz").alias("n1"), "sh")
+    right = pref.select(F.col("doc").alias("doc2"), F.col("sz").alias("n2"), "sh")
+    return (
+        left.join(right, "sh")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .filter(
+            (F.col("n2") >= F.ceil(F.lit(threshold) * F.col("n1")))
+            & (F.col("n1") >= F.ceil(F.lit(threshold) * F.col("n2")))
+        )
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via prefix filtering — same
+    output contract as :func:`ngram_jaccard_pairs` (doc1 < doc2,
+    jaccard rounded to 6), different (stronger) candidate pruning.
+    Candidates from :func:`prefix_filter_candidates`, then the usual
+    candidate-only shingle-set verify."""
+    cand = prefix_filter_candidates(df, text_col, id_col, n, threshold)
+    sh = _shingle_table(df, text_col, id_col, n, hashed=True, distinct=False)
+    docsets = sh.groupBy("doc").agg(F.collect_set("sh").alias("shset"))
+    return (
+        cand.join(
+            docsets.select(F.col("doc").alias("doc1"), F.col("shset").alias("__s1")),
+            "doc1",
+        )
+        .join(
+            docsets.select(F.col("doc").alias("doc2"), F.col("shset").alias("__s2")),
+            "doc2",
+        )
+        .withColumn("__common", F.array_size(F.array_intersect("__s1", "__s2")))
+        .withColumn(
+            "jaccard",
+            rnd(
+                F.col("__common")
+                / (F.array_size("__s1") + F.array_size("__s2") - F.col("__common")),
+                6,
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
