@@ -84,6 +84,11 @@ HEADLINE = [
     # the per-batch cost that matters)
     "dedup_lsh_index_probe",
     "graph_triangles",
+    # round 8 additions: prefix-filtered exact dedup (the ~14x
+    # candidate-pruning exact path) and the count-min heavy-hitter
+    # sketch (fixed-width mergeable aggregate)
+    "dedup_prefix_filter",
+    "sketch_cms_heavy_hitters",
 ]
 
 # r6 regressed 25-35% with no code change; each gets a suite-first

@@ -38,6 +38,7 @@ from quack_reduce_spark.operators.sketches import (
     cms_bucket_sql,
     cms_buckets,
     hll_registers,
+    hll_rho,
     hll_rho_sql,
     kmv_estimate,
     kmv_per_group,
@@ -119,6 +120,27 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_est_col():
+    """Estimate column over a frame carrying (nonzero, present_sum):
+    Flajolet bias-corrected harmonic mean with empty registers folded
+    in as 2^0 terms, plus the published small-range correction — below
+    ~2.5m the raw estimator is heavily biased, and with empty
+    registers present linear counting m*ln(m/V) is the fix. F.log vs
+    DuckDB ln() is the established cross-engine pairing
+    (text_char_entropy et al.)."""
+    raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M))
+        * F.lit(float(HLL_M))
+        / (F.col("present_sum") + (F.lit(HLL_M) - F.col("nonzero")))
+    )
+    return F.when(
+        (F.col("nonzero") < HLL_M) & (raw <= F.lit(2.5 * HLL_M)),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / (F.lit(HLL_M) - F.col("nonzero"))),
+    ).otherwise(raw)
+
+
 def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HLL (p=8, 256 registers) distinct-part estimate over
     lineitem — register index = top 8 hash bits, rho = first-1-bit
@@ -138,22 +160,7 @@ def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("present_sum"),
     )
     exact = li.agg(F.count_distinct("l_partkey").alias("exact_parts"))
-    raw = (
-        F.lit(HLL_ALPHA)
-        * F.lit(float(HLL_M))
-        * F.lit(float(HLL_M))
-        / (F.col("present_sum") + (F.lit(HLL_M) - F.col("nonzero")))
-    )
-    # Flajolet small-range correction: below ~2.5m the raw harmonic
-    # estimator is heavily biased; with empty registers present,
-    # linear counting m*ln(m/V) is the published fix. F.log vs DuckDB
-    # ln() is the established cross-engine pairing here
-    # (text_char_entropy et al.).
-    est = F.when(
-        (F.col("nonzero") < HLL_M) & (raw <= F.lit(2.5 * HLL_M)),
-        F.lit(float(HLL_M))
-        * F.log(F.lit(float(HLL_M)) / (F.lit(HLL_M) - F.col("nonzero"))),
-    ).otherwise(raw)
+    est = _hll_est_col()
     return sums.crossJoin(exact).select(
         F.lit(HLL_M).alias("m"),
         F.col("nonzero").alias("regs_nonzero"),
@@ -162,6 +169,53 @@ def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.abs(est - F.col("exact_parts")) / F.col("exact_parts"), 4).alias(
             "rel_err"
         ),
+    )
+
+
+def sketch_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user (DAU) estimates from per-window HLL
+    sketches over the events stream — THE production sketch shape: one
+    fixed-width register set PER WINDOW, partials merging map-side
+    within each day, daily sketches mergeable into weekly/monthly
+    rollups without touching raw events again (max per register is the
+    merge). Output: (day, regs_nonzero, est_users, exact_users,
+    rel_err) — each day's ESTIMATE hash-gated against the DuckDB
+    register replay. Fixture cardinalities sit in the linear-counting
+    regime (the global lineitem sketch covers the raw-branch regime)."""
+    ev = load(spark, sf_dir, "events")
+    hashed = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        md5_h32(F.col("user_id").cast("string")).alias("h"),
+    )
+    regs = (
+        hashed.select(
+            "day",
+            F.shiftrightunsigned(F.col("h"), HLL_W_BITS).alias("idx"),
+            hll_rho(F.col("h").bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))).alias("rho"),
+        )
+        .groupBy("day", "idx")
+        .agg(F.max("rho").alias("M"))
+    )
+    sums = regs.groupBy("day").agg(
+        F.count(F.lit(1)).alias("nonzero"),
+        F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("present_sum"),
+    )
+    exact = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    est = _hll_est_col()
+    return (
+        sums.join(exact, "day")
+        .select(
+            "day",
+            F.col("nonzero").alias("regs_nonzero"),
+            rnd(est, 4).alias("est_users"),
+            "exact_users",
+            rnd(F.abs(est - F.col("exact_users")) / F.col("exact_users"), 4).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("day")
     )
 
 
@@ -174,20 +228,28 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum in the map-side combine, and the per-key probe joins a
     broadcast-sized frame."""
     li = load(spark, sf_dir, "lineitem")
-    keyed = li.select(
+    # ONE fact-sized shuffle: the per-key count (partial-aggregated
+    # map-side). Counters build from it by bucket-wise SUM — additive
+    # merge is count-min's defining mergeability, so this equals
+    # hashing every raw row (which the DuckDB oracle replays) while
+    # the md5s run over |keys| rows, not |fact| rows. Every other
+    # frame here is sketch- or key-sized.
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("exact_rows"))
+    keyed = per_key.select(
         "l_suppkey",
+        "exact_rows",
         F.posexplode(cms_buckets(F.col("l_suppkey").cast("string"), CMS_ROWS, CMS_WIDTH)).alias(
             "r", "bucket"
         ),
-    )
-    counters = keyed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    probes = keyed.distinct()  # (suppkey, r, bucket): 4 rows per key
+    ).localCheckpoint(eager=False)  # feeds counters AND probes
+    counters = keyed.groupBy("r", "bucket").agg(F.sum("exact_rows").alias("cnt"))
     est = (
-        probes.join(counters, ["r", "bucket"])
+        keyed.select("l_suppkey", "r", "bucket")
+        .join(counters, ["r", "bucket"])
         .groupBy("l_suppkey")
         .agg(F.min("cnt").alias("est_rows"))
     )
-    exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("exact_rows"))
+    exact = per_key
     return (
         est.join(exact, "l_suppkey")
         .select(
@@ -205,6 +267,7 @@ QUERIES = {
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "sketch_kmv_union": sketch_kmv_union,
     "sketch_hll_estimate": sketch_hll_estimate,
+    "sketch_hll_windowed": sketch_hll_windowed,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
 }
 
@@ -273,24 +336,29 @@ def _kmv_union_oracle() -> str:
     """
 
 
-def _hll_oracle() -> str:
-    h = md5_h32_sql("CAST(l_partkey AS VARCHAR)")
-    rho = hll_rho_sql(f"(h % {1 << HLL_W_BITS})")
-    # CAST: duckdb parses bare decimal literals as DECIMAL(18), which
-    # overflows in the multiplication; Spark's F.lit is a double
+def _hll_est_sql() -> str:
+    """The SQL twin of _hll_est_col, over a frame carrying
+    (nonzero, present_sum). CAST: duckdb parses bare decimal literals
+    as DECIMAL(18), which overflows in the multiplication; Spark's
+    F.lit is a double. Same branch + ln form as the Spark expression
+    (F.log == duckdb ln(), the text_char_entropy pairing)."""
     raw = (
         f"CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_M)!r} AS DOUBLE) "
         f"* CAST({float(HLL_M)!r} AS DOUBLE) / "
         f"(present_sum + ({HLL_M} - nonzero))"
     )
-    # small-range linear counting, same branch + ln form as the Spark
-    # expression (F.log == duckdb ln(), the text_char_entropy pairing)
-    est = (
+    return (
         f"CASE WHEN nonzero < {HLL_M} AND ({raw}) <= CAST({2.5 * HLL_M!r} AS DOUBLE) "
         f"THEN CAST({float(HLL_M)!r} AS DOUBLE) * "
         f"LN(CAST({float(HLL_M)!r} AS DOUBLE) / ({HLL_M} - nonzero)) "
         f"ELSE ({raw}) END"
     )
+
+
+def _hll_oracle() -> str:
+    h = md5_h32_sql("CAST(l_partkey AS VARCHAR)")
+    rho = hll_rho_sql(f"(h % {1 << HLL_W_BITS})")
+    est = _hll_est_sql()
     return f"""
         WITH hashed AS (
             SELECT {h} AS h FROM lineitem
@@ -313,6 +381,38 @@ def _hll_oracle() -> str:
                e.exact_parts,
                {_RND4.format(x=f"ABS(({est}) - e.exact_parts) / e.exact_parts")} AS rel_err
         FROM sums s, exact e
+    """
+
+
+def _hll_windowed_oracle() -> str:
+    h = md5_h32_sql("CAST(user_id AS VARCHAR)")
+    rho = hll_rho_sql(f"(h % {1 << HLL_W_BITS})")
+    est = _hll_est_sql()
+    return f"""
+        WITH hashed AS (
+            SELECT date_trunc('day', ts) AS day, {h} AS h FROM events
+        ),
+        regs AS (
+            SELECT day, h // {1 << HLL_W_BITS} AS idx, MAX({rho}) AS M
+            FROM hashed GROUP BY day, idx
+        ),
+        sums AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS nonzero,
+                   SUM(POWER(2.0, -M)) AS present_sum
+            FROM regs GROUP BY day
+        ),
+        exact AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+            FROM events GROUP BY 1
+        )
+        SELECT s.day,
+               s.nonzero AS regs_nonzero,
+               {_RND4.format(x=est)} AS est_users,
+               e.exact_users,
+               {_RND4.format(x=f"ABS(({est}) - e.exact_users) / e.exact_users")} AS rel_err
+        FROM sums s JOIN exact e USING (day)
+        ORDER BY s.day
     """
 
 
@@ -354,5 +454,6 @@ ORACLES = {
     "sketch_kmv_distinct": _kmv_distinct_oracle(),
     "sketch_kmv_union": _kmv_union_oracle(),
     "sketch_hll_estimate": _hll_oracle(),
+    "sketch_hll_windowed": _hll_windowed_oracle(),
     "sketch_cms_heavy_hitters": _cms_oracle(),
 }

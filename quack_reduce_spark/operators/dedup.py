@@ -200,6 +200,7 @@ def prefix_filter_candidates(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """AllPairs/PPJoin-style prefix-filtered candidate pairs for an
     EXACT Jaccard >= threshold join (Bayardo, Ma & Srikant 2007
@@ -226,22 +227,9 @@ def prefix_filter_candidates(
     of the distribution. tests/test_dedup.py asserts both the output
     equality and the candidate-count reduction.
     """
-    sh = _shingle_table(df, text_col, id_col, n, hashed=True, distinct=False)
-    toks = sh.distinct()
-    freq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    w = Window.partitionBy("doc").orderBy("df_", "sh")
-    pref = (
-        toks.join(freq, "sh")
-        .withColumn("pos", F.row_number().over(w))
-        .join(sizes, "doc")
-        .filter(
-            F.col("pos")
-            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-        )
-    )
-    left = pref.select(F.col("doc").alias("doc1"), F.col("sz").alias("n1"), "sh")
-    right = pref.select(F.col("doc").alias("doc2"), F.col("sz").alias("n2"), "sh")
+    prefix, _ = _prefix_frames(df, text_col, id_col, n, threshold, toks)
+    left = prefix.select(F.col("doc").alias("doc1"), F.col("sz").alias("n1"), "sh")
+    right = prefix.select(F.col("doc").alias("doc2"), F.col("sz").alias("n2"), "sh")
     return (
         left.join(right, "sh")
         .filter(F.col("doc1") < F.col("doc2"))
@@ -254,6 +242,61 @@ def prefix_filter_candidates(
     )
 
 
+def _prefix_frames(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+    toks: DataFrame | None = None,
+):
+    """(prefix, perdoc): the exploded prefix frame (doc, sz, sh) and
+    the per-doc rare-first-sorted shingle list (doc, sz, shset).
+
+    ONE per-doc aggregation carries everything downstream: the sorted
+    (df, sh) struct list yields the prefix slice, the set size, AND
+    the verify-ready shingle set — where the naive shape pays separate
+    shuffles for a sizes aggregate, a row_number window sort, and a
+    collect_set verify aggregation (~7 exchanges vs 4; measured ~2x at
+    sf0.1). The struct sort key (df_, sh) IS the global rare-first
+    order, so slicing the sorted list is exactly the prefix."""
+    if toks is None:
+        toks = _shingle_table(
+            df, text_col, id_col, n, hashed=True, distinct=False
+        ).distinct()
+    # df via a count window on sh — one exchange where the
+    # groupBy+join-back shape pays two full-size ones (freq aggregate
+    # AND the re-shuffle of toks onto sh for the join)
+    annotated = toks.withColumn(
+        "df_", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    )
+    perdoc = (
+        annotated
+        .groupBy("doc")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df_", "sh"))).alias("__lst")
+        )
+        .select(
+            "doc",
+            F.array_size("__lst").alias("sz"),
+            F.transform("__lst", lambda s: s["sh"]).alias("shset"),
+        )
+        .localCheckpoint(eager=False)  # referenced by prefix + both verify sides
+    )
+    prefix = perdoc.select(
+        "doc",
+        "sz",
+        F.explode(
+            F.slice(
+                "shset",
+                F.lit(1),
+                (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int"),
+            )
+        ).alias("sh"),
+    )
+    return prefix, perdoc
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     text_col: str,
@@ -264,18 +307,29 @@ def prefix_filter_pairs(
     """Exact Jaccard >= threshold pairs via prefix filtering — same
     output contract as :func:`ngram_jaccard_pairs` (doc1 < doc2,
     jaccard rounded to 6), different (stronger) candidate pruning.
-    Candidates from :func:`prefix_filter_candidates`, then the usual
-    candidate-only shingle-set verify."""
-    cand = prefix_filter_candidates(df, text_col, id_col, n, threshold)
-    sh = _shingle_table(df, text_col, id_col, n, hashed=True, distinct=False)
-    docsets = sh.groupBy("doc").agg(F.collect_set("sh").alias("shset"))
+    Candidate generation and verification share ONE per-doc
+    aggregation (see :func:`_prefix_frames`); the verify intersects
+    the full shingle sets of candidate pairs only."""
+    prefix, perdoc = _prefix_frames(df, text_col, id_col, n, threshold)
+    left = prefix.select(F.col("doc").alias("doc1"), F.col("sz").alias("n1"), "sh")
+    right = prefix.select(F.col("doc").alias("doc2"), F.col("sz").alias("n2"), "sh")
+    cand = (
+        left.join(right, "sh")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .filter(
+            (F.col("n2") >= F.ceil(F.lit(threshold) * F.col("n1")))
+            & (F.col("n1") >= F.ceil(F.lit(threshold) * F.col("n2")))
+        )
+        .select("doc1", "doc2")
+        .distinct()
+    )
     return (
         cand.join(
-            docsets.select(F.col("doc").alias("doc1"), F.col("shset").alias("__s1")),
+            perdoc.select(F.col("doc").alias("doc1"), F.col("shset").alias("__s1")),
             "doc1",
         )
         .join(
-            docsets.select(F.col("doc").alias("doc2"), F.col("shset").alias("__s2")),
+            perdoc.select(F.col("doc").alias("doc2"), F.col("shset").alias("__s2")),
             "doc2",
         )
         .withColumn("__common", F.array_size(F.array_intersect("__s1", "__s2")))

@@ -129,3 +129,19 @@ def test_sketches_shrink_shuffle_not_answers(spark, sf_dir):
     )
     counters = keyed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
     assert counters.count() <= SK.CMS_ROWS * SK.CMS_WIDTH
+
+
+def test_hll_windowed_covers_every_day_within_error(spark, sf_dir):
+    """Per-window sketches: one row per distinct event day, each
+    day's estimate within 4x the HLL RSE of its exact DAU (the small
+    per-day cardinalities route through the linear-counting branch,
+    which is tighter, so the bound is generous)."""
+    from quack_reduce_spark.inventory._util import load
+
+    rows = SK.sketch_hll_windowed(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    n_days = ev.select(F.date_trunc("day", F.col("ts"))).distinct().count()
+    assert len(rows) == n_days
+    for r in rows:
+        assert r["rel_err"] <= 4 * (1.04 / 16.0), (r["day"], r["rel_err"])
+        assert 0 < r["regs_nonzero"] <= 256
