@@ -331,10 +331,69 @@ def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_hll_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user (DAU) ESTIMATES computed BY THE STREAMING
+    ENGINE: the portable-HLL registers are the streaming state —
+    max(rho) per (1-day window, register idx) aggregates incrementally
+    across the 4-file stream's triggers, FIXED-WIDTH per window (256
+    registers) no matter the event rate, which is exactly why HLL is
+    the streaming DAU structure in production. The drained register
+    table (a few hundred rows) is folded through the same estimator as
+    the batch twin sketch_hll_windowed; bounded input == batch, so
+    each day's ESTIMATE hash-matches the DuckDB register replay."""
+    from quack_reduce_spark.inventory.sketches import _hll_est_col
+    from quack_reduce_spark.operators.sketches import (
+        HLL_M,
+        HLL_W_BITS,
+        hll_rho,
+        md5_h32,
+    )
+
+    stream = _stream_source(spark, sf_dir, with_redeliveries=False)
+    h = md5_h32(F.col("user_id").cast("string"))
+    prepared = stream.select(
+        "ts",
+        F.shiftrightunsigned(h, HLL_W_BITS).alias("idx"),
+        hll_rho(h.bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))).alias("rho"),
+    )
+    regs = (
+        prepared.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("idx"))
+        .agg(F.max("rho").alias("M"))
+    )
+    drained = _drain(regs, spark, mode="complete")
+    sums = drained.groupBy(F.col("w.start").alias("day")).agg(
+        F.count(F.lit(1)).alias("nonzero"),
+        F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("present_sum"),
+    )
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    est = _hll_est_col()
+    from quack_reduce_spark.inventory._util import rnd
+
+    return (
+        sums.join(exact, "day")
+        .select(
+            "day",
+            F.col("nonzero").alias("regs_nonzero"),
+            rnd(est, 4).alias("est_users"),
+            "exact_users",
+            rnd(F.abs(est - F.col("exact_users")) / F.col("exact_users"), 4).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "stream_stateful_user_stats": stream_stateful_user_stats,
     "stream_interval_join_left": stream_interval_join_left,
     "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_hll_dau": stream_hll_dau,
     "stream_upsert_versioned": stream_upsert_versioned,
     "stream_static_enrich": stream_static_enrich,
     "stream_session_dynamic": stream_session_dynamic,
@@ -489,3 +548,15 @@ ORACLES = {
         GROUP BY e.event_type, p.tier
     """,
 }
+
+
+def _stream_hll_dau_oracle() -> str:
+    # identical register replay as the batch twin sketch_hll_windowed:
+    # day windows are epoch-aligned (UTC), so window('1 day').start ==
+    # date_trunc('day', ts)
+    from quack_reduce_spark.inventory.sketches import _hll_windowed_oracle
+
+    return _hll_windowed_oracle()
+
+
+ORACLES["stream_hll_dau"] = _stream_hll_dau_oracle()

@@ -145,3 +145,15 @@ def test_hll_windowed_covers_every_day_within_error(spark, sf_dir):
     for r in rows:
         assert r["rel_err"] <= 4 * (1.04 / 16.0), (r["day"], r["rel_err"])
         assert 0 < r["regs_nonzero"] <= 256
+
+
+def test_stream_hll_dau_equals_batch_twin(spark, sf_dir):
+    """Bounded-input stream == batch, sketch edition: the streaming
+    register aggregation must produce exactly the batch twin's
+    estimates — same days, same register census, same est/err after
+    rounding."""
+    from quack_reduce_spark.inventory.streaming_live import stream_hll_dau
+
+    batch = {tuple(r) for r in SK.sketch_hll_windowed(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in stream_hll_dau(spark, sf_dir).collect()}
+    assert stream == batch
