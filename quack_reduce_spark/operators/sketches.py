@@ -58,20 +58,38 @@ def md5_h32_sql(key_sql: str) -> str:
 
 
 def kmv_per_group(
-    hashed: DataFrame, group_col: str, k: int
+    hashed: DataFrame, group_col: str, k: int, fanout: int = 64
 ) -> DataFrame:
     """Per-group KMV summary from a ``(group_col, h)`` DISTINCT-hash
     frame: ``(group_col, kth, got)`` where ``kth`` is the k-th
     smallest hash and ``got`` = min(k, distinct hashes). Estimate =
     (k-1) * 2^32 / kth when the sketch filled, else ``got`` exactly
     (fewer distinct values than k means the sketch IS the exact set).
+
+    Two-level tree shape (r8): level 1 takes each (group, h%fanout)
+    salt bucket's k smallest (sorted-list slice, partial-aggregated
+    per partition by ObjectHashAggregate); level 2 re-takes k smallest
+    of the <= fanout*k survivors per group. Output is PROVABLY
+    identical to a single per-group sort — every global top-k hash is
+    necessarily in its own salt bucket's top-k (the same merge theorem
+    the theta-union query demonstrates) — while no single aggregation
+    ever sorts more than |distinct|/fanout values, which is what
+    survives a billion-key group at 100 TB where a per-group
+    row_number window would funnel the whole group through one sort.
+    tests/test_sketches.py asserts tree == windowed-sort equality.
     """
-    w = Window.partitionBy(group_col).orderBy("h")
-    topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= k
-    )
-    return topk.groupBy(group_col).agg(
-        F.max("h").alias("kth"), F.count(F.lit(1)).alias("got")
+    lvl1 = hashed.groupBy(
+        group_col, F.pmod(F.col("h"), F.lit(fanout)).alias("__salt")
+    ).agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("__tk"))
+    survivors = lvl1.select(group_col, F.explode("__tk").alias("h"))
+    return (
+        survivors.groupBy(group_col)
+        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("__tk"))
+        .select(
+            group_col,
+            F.element_at("__tk", F.array_size("__tk")).alias("kth"),
+            F.array_size("__tk").cast("long").alias("got"),
+        )
     )
 
 

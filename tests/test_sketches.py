@@ -157,3 +157,30 @@ def test_stream_hll_dau_equals_batch_twin(spark, sf_dir):
     batch = {tuple(r) for r in SK.sketch_hll_windowed(spark, sf_dir).collect()}
     stream = {tuple(r) for r in stream_hll_dau(spark, sf_dir).collect()}
     assert stream == batch
+
+
+def test_kmv_tree_equals_windowed_sort(spark, sf_dir):
+    """The r8 two-level salt-tree kmv_per_group must equal the naive
+    per-group row_number sort exactly — the prefix-of-a-sorted-union
+    theorem in executable form."""
+    from pyspark.sql import Window
+    from quack_reduce_spark.inventory._util import load
+
+    orders = load(spark, sf_dir, "orders")
+    hashed = orders.select(
+        "o_orderpriority", OP.md5_h32(F.col("o_custkey").cast("string")).alias("h")
+    ).distinct()
+    tree = {
+        (r["o_orderpriority"], r["kth"], r["got"])
+        for r in OP.kmv_per_group(hashed, "o_orderpriority", SK.KMV_K).collect()
+    }
+    w = Window.partitionBy("o_orderpriority").orderBy("h")
+    naive = {
+        (r["o_orderpriority"], r["kth"], r["got"])
+        for r in hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SK.KMV_K)
+        .groupBy("o_orderpriority")
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("got"))
+        .collect()
+    }
+    assert tree == naive
