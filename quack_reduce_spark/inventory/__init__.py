@@ -119,16 +119,17 @@ _HEAD = [
     "b2_setop_all_variants", "b2_limit_offset", "b2_sample_hash",
     "b2_summary_stats", "b2_join_full_outer", "b2_join_cross",
     "b2_percentiles", "b2_conditional_agg", "b2_string_agg",
-    "b2_levenshtein",
     # New this round (priority (b): code added in r8) — the portable
     # mergeable-sketch family; displaces 3 stale keys to r9
-    # (b2_string_fns2, b2_regexp_extract, b2_date_fns2, b2_null_fns,
-    # b2_window_ranks, b_rollup, b_higher_order_fns + the r3 stragglers)
+    # (b2_levenshtein, b2_string_fns2, b2_regexp_extract, b2_date_fns2,
+    # b2_null_fns, b2_window_ranks, b_rollup, b_higher_order_fns +
+    # the r3 stragglers)
     "sketch_kmv_distinct", "sketch_kmv_union",
     "sketch_hll_estimate", "sketch_hll_windowed",
     "sketch_cms_heavy_hitters",
     "dedup_prefix_filter",
     "stream_hll_dau",
+    "sketch_sampled_quantiles",
 ]
 
 

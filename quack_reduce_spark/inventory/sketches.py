@@ -263,12 +263,64 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_MOD = 8  # deterministic 1-in-8 hash sample
+
+
+def sketch_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantile estimates from a DETERMINISTIC 1-in-8
+    hash sample (md5(event_id) % 8 == 0) against the exact
+    percentiles — the portable twin of the rows-only native
+    approx_percentile (KLL), closing the quantile half of the sketch
+    family the way the HLL twins closed distinct-count. Hash sampling
+    beats df.sample for this exactly like ml_train_split's argument:
+    the sampled SET is a pure function of the keys, stable under
+    repartitioning and incremental appends (yesterday's sample rows
+    stay sampled), and two tables sampled on a shared key stay
+    join-consistent. Scale: the sample is a fixed fraction ->
+    percentile sort cost shrinks 8x and partial aggregation bounds it
+    per group; samples merge by union. F.percentile == DuckDB
+    quantile_cont (b2_percentiles pairing), so the ESTIMATES
+    hash-match. Output: one row per event_type with sampled/exact
+    p50+p95 and absolute errors."""
+    ev = load(spark, sf_dir, "events")
+    sampled = ev.filter(
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % SAMPLE_MOD
+        == 0
+    )
+    s = sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        rnd(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50_sampled"),
+        rnd(F.percentile(F.col("value"), F.lit(0.95)), 4).alias("p95_sampled"),
+    )
+    e = ev.groupBy("event_type").agg(
+        rnd(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50_exact"),
+        rnd(F.percentile(F.col("value"), F.lit(0.95)), 4).alias("p95_exact"),
+    )
+    return (
+        s.join(e, "event_type")
+        .select(
+            "event_type",
+            "n_sampled",
+            "p50_sampled",
+            "p50_exact",
+            rnd(F.abs(F.col("p50_sampled") - F.col("p50_exact")), 4).alias("err_p50"),
+            "p95_sampled",
+            "p95_exact",
+            rnd(F.abs(F.col("p95_sampled") - F.col("p95_exact")), 4).alias("err_p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "sketch_kmv_union": sketch_kmv_union,
     "sketch_hll_estimate": sketch_hll_estimate,
     "sketch_hll_windowed": sketch_hll_windowed,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+    "sketch_sampled_quantiles": sketch_sampled_quantiles,
 }
 
 _H32 = md5_h32_sql("CAST(o_custkey AS VARCHAR)")
@@ -450,10 +502,38 @@ def _cms_oracle() -> str:
     """
 
 
+def _sampled_quantiles_oracle() -> str:
+    h = md5_h32_sql("CAST(event_id AS VARCHAR)")
+    return f"""
+        WITH s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                   FLOOR(quantile_cont(value, 0.5) * 1e4 + 0.5) / 1e4 AS p50_sampled,
+                   FLOOR(quantile_cont(value, 0.95) * 1e4 + 0.5) / 1e4 AS p95_sampled
+            FROM events WHERE {h} % {SAMPLE_MOD} = 0
+            GROUP BY event_type
+        ),
+        e AS (
+            SELECT event_type,
+                   FLOOR(quantile_cont(value, 0.5) * 1e4 + 0.5) / 1e4 AS p50_exact,
+                   FLOOR(quantile_cont(value, 0.95) * 1e4 + 0.5) / 1e4 AS p95_exact
+            FROM events GROUP BY event_type
+        )
+        SELECT s.event_type, s.n_sampled,
+               s.p50_sampled, e.p50_exact,
+               FLOOR(ABS(s.p50_sampled - e.p50_exact) * 1e4 + 0.5) / 1e4 AS err_p50,
+               s.p95_sampled, e.p95_exact,
+               FLOOR(ABS(s.p95_sampled - e.p95_exact) * 1e4 + 0.5) / 1e4 AS err_p95
+        FROM s JOIN e USING (event_type)
+        ORDER BY s.event_type
+    """
+
+
 ORACLES = {
     "sketch_kmv_distinct": _kmv_distinct_oracle(),
     "sketch_kmv_union": _kmv_union_oracle(),
     "sketch_hll_estimate": _hll_oracle(),
     "sketch_hll_windowed": _hll_windowed_oracle(),
     "sketch_cms_heavy_hitters": _cms_oracle(),
+    "sketch_sampled_quantiles": _sampled_quantiles_oracle(),
 }

@@ -184,3 +184,36 @@ def test_kmv_tree_equals_windowed_sort(spark, sf_dir):
         .collect()
     }
     assert tree == naive
+
+
+def test_sampled_quantiles_deterministic_and_bounded(spark, sf_dir):
+    """The hash sample is a pure function of keys (two runs identical),
+    samples ~1/8 of rows per group, and the sampled p50 lands within
+    the exact group's interquartile spread — a loose but
+    draw-independent sanity bound."""
+    from quack_reduce_spark.inventory._util import load
+
+    a = {tuple(r) for r in SK.sketch_sampled_quantiles(spark, sf_dir).collect()}
+    b = {tuple(r) for r in SK.sketch_sampled_quantiles(spark, sf_dir).collect()}
+    assert a == b  # determinism: no RNG anywhere
+
+    ev = load(spark, sf_dir, "events")
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    spread = {
+        r["event_type"]: (r["q1"], r["q3"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile(F.col("value"), F.lit(0.25)).alias("q1"),
+            F.percentile(F.col("value"), F.lit(0.75)).alias("q3"),
+        )
+        .collect()
+    }
+    for row in a:
+        et, n_sampled, p50_s = row[0], row[1], row[2]
+        frac = n_sampled / totals[et]
+        assert 0.04 <= frac <= 0.25, (et, frac)  # ~1/8 with slack
+        q1, q3 = spread[et]
+        assert q1 <= p50_s <= q3, (et, p50_s, q1, q3)
