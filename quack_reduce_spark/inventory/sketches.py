@@ -27,7 +27,7 @@ through the portable floor-half-up rnd.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from quack_reduce_spark.inventory._util import load, rnd
 from quack_reduce_spark.operators.sketches import (
@@ -42,6 +42,7 @@ from quack_reduce_spark.operators.sketches import (
     hll_rho_sql,
     kmv_estimate,
     kmv_per_group,
+    kmv_topk_lists,
     md5_h32,
     md5_h32_sql,
 )
@@ -56,9 +57,9 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority distinct-customer estimate from a k=64 KMV sketch,
     reported against the exact distinct with its relative error — the
     sliced-cardinality readout (distinct users per slice) every
-    curation pipeline runs. One hashed distinct + one rank window +
-    one tiny aggregate; the sketch frame never exceeds k rows per
-    group."""
+    curation pipeline runs. One hashed distinct + the two-level
+    salt-tree top-k (operators/sketches.py::kmv_per_group); the sketch
+    frame never exceeds k rows per group."""
     orders = load(spark, sf_dir, "orders")
     hashed = orders.select(
         "o_orderpriority", md5_h32(F.col("o_custkey").cast("string")).alias("h")
@@ -94,19 +95,20 @@ def sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = orders.select(
         "o_orderpriority", md5_h32(F.col("o_custkey").cast("string")).alias("h")
     ).distinct()
-    w = Window.partitionBy("o_orderpriority").orderBy("h")
+    # per-group sketch LISTS (salt-tree, kmv_topk_lists), then the
+    # theta merge: union the lists, dedup (a hash can sit in two
+    # groups' sketches), re-take k smallest — a <=|groups|*k-row
+    # problem, no window over raw hashes anywhere
     partials = (
-        hashed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= KMV_K)
-        .select("h")
-        .distinct()  # same hash can sit in two groups' sketches
+        kmv_topk_lists(hashed, "o_orderpriority", KMV_K)
+        .select(F.explode("__tk").alias("h"))
+        .distinct()
     )
-    merged = (
-        partials.withColumn(
-            "__rn", F.row_number().over(Window.orderBy("h"))
-        )
-        .filter(F.col("__rn") <= KMV_K)
-        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("got"))
+    merged = partials.agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K).alias("__tk")
+    ).select(
+        F.element_at("__tk", F.array_size("__tk")).alias("kth"),
+        F.array_size("__tk").cast("long").alias("got"),
     )
     exact = orders.agg(F.count_distinct("o_custkey").alias("exact_custs"))
     est = kmv_estimate(F.col("kth"), F.col("got"), KMV_K)

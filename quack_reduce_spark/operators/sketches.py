@@ -78,18 +78,27 @@ def kmv_per_group(
     row_number window would funnel the whole group through one sort.
     tests/test_sketches.py asserts tree == windowed-sort equality.
     """
+    return kmv_topk_lists(hashed, group_col, k, fanout).select(
+        group_col,
+        F.element_at("__tk", F.array_size("__tk")).alias("kth"),
+        F.array_size("__tk").cast("long").alias("got"),
+    )
+
+
+def kmv_topk_lists(
+    hashed: DataFrame, group_col: str, k: int, fanout: int = 64
+) -> DataFrame:
+    """(group_col, __tk): each group's k smallest hashes as a sorted
+    array, built by the two-level salt tree described in
+    :func:`kmv_per_group`. The LIST form is the mergeable sketch
+    itself — union several groups' lists and re-slice to merge
+    (sketch_kmv_union does exactly that)."""
     lvl1 = hashed.groupBy(
         group_col, F.pmod(F.col("h"), F.lit(fanout)).alias("__salt")
     ).agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("__tk"))
     survivors = lvl1.select(group_col, F.explode("__tk").alias("h"))
-    return (
-        survivors.groupBy(group_col)
-        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("__tk"))
-        .select(
-            group_col,
-            F.element_at("__tk", F.array_size("__tk")).alias("kth"),
-            F.array_size("__tk").cast("long").alias("got"),
-        )
+    return survivors.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("__tk")
     )
 
 
