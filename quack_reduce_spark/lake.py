@@ -65,6 +65,7 @@ LOCK_STALE_SECS = 60.0
 # before concluding the head is about to move and raising.
 LOCK_WAIT_SECS = 5.0
 _LOCK_POLL_SECS = 0.05
+_CLAIM_WALK_MAX = 1000
 _VERSION_RE = re.compile(r"^v\d{8}$")
 _URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
 _UNCONDITIONAL = object()  # sentinel: commit() without a head check
@@ -196,11 +197,21 @@ class _HadoopFS:
         non-catalog commit protocol on S3 (Delta on S3 needs DynamoDB
         for the same reason). The head re-check under the lock still
         catches most interleavings; a true same-millisecond S3 race
-        can last-wins."""
+        can last-wins.
+
+        Only the already-exists outcome maps to False; any OTHER
+        failure (permissions, transient IO) re-raises. Swallowing it
+        would make stage_version's claim walk spin forever mkdir-ing
+        version dirs, and commit() report a spurious
+        ConcurrentCommitError after the lock-wait deadline."""
         try:
             stream = self._fs.create(self._p(p), False)
-        except Exception:  # FileAlreadyExistsException via py4j
-            return False
+        except Exception as e:
+            jexc = getattr(e, "java_exception", None)
+            name = jexc.getClass().getName() if jexc is not None else ""
+            if "AlreadyExists" in name or (not name and self._fs.exists(self._p(p))):
+                return False
+            raise
         try:
             stream.write(bytearray(text.encode()))
         finally:
@@ -281,7 +292,11 @@ def stage_version(path: str, claim: bool = False) -> tuple[str, str]:
     if not claim:
         version = f"v{n:08d}"
         return version, _join(path, version)
-    while True:
+    # Bounded walk: with create_excl re-raising non-AlreadyExists
+    # errors this only loses to genuine claim collisions, and more
+    # than this many concurrent stagers on ONE table means something
+    # is wrong upstream — surface it rather than mkdir unboundedly.
+    for _ in range(_CLAIM_WALK_MAX):
         version = f"v{n:08d}"
         data_dir = _join(path, version)
         fs.mkdirs(data_dir)
@@ -290,6 +305,10 @@ def stage_version(path: str, claim: bool = False) -> tuple[str, str]:
         ):
             return version, data_dir
         n += 1
+    raise RuntimeError(
+        f"stage_version: {_CLAIM_WALK_MAX} consecutive claim collisions "
+        f"under {path} — too many concurrent stagers or a stuck claim marker"
+    )
 
 
 def commit(
@@ -336,12 +355,27 @@ def commit(
     while not fs.create_excl(lock, json.dumps({"token": token, "t": time.time()})):
         # lock exists: break it if stale (crashed writer), else wait
         try:
-            holder = json.loads(fs.read_text(lock))
+            raw = fs.read_text(lock)
+            holder = json.loads(raw)
             stale = time.time() - float(holder.get("t", 0)) > LOCK_STALE_SECS
         except Exception:  # unreadable/partial lock: age unknowable
             stale = False
         if stale:
-            fs.delete_file(lock)
+            # Token-aware break: a blind delete here is a TOCTOU — in
+            # the window since we read the payload, a THIRD writer may
+            # have already broken this stale lock and created its own
+            # FRESH lock at the same path, and deleting that would let
+            # two committers run the check-then-flip concurrently.
+            # Re-read immediately before deleting and only delete if
+            # the payload is byte-identical to the one judged stale.
+            # The residual read→delete window is microseconds, and the
+            # pre-flip lease re-check below catches even that: a holder
+            # whose lock was stolen aborts instead of flipping.
+            try:
+                if fs.read_text(lock) == raw:
+                    fs.delete_file(lock)
+            except Exception:
+                pass  # already gone — someone else broke it first
             continue
         if time.time() > deadline:
             raise ConcurrentCommitError(
@@ -356,6 +390,21 @@ def commit(
                 f"head of {path} is {head!r}, expected {expected!r} — "
                 "another writer committed first; re-read the head, "
                 "re-stage if needed, and retry"
+            )
+        # Lease re-check right before the flip: if another writer
+        # judged US stale (we held the lock > LOCK_STALE_SECS, e.g. a
+        # long GC pause) and broke our lock, the lock file is now gone
+        # or carries a different token. Flipping anyway could lose the
+        # thief's update — abort with the retryable error instead.
+        try:
+            still_ours = json.loads(fs.read_text(lock)).get("token") == token
+        except Exception:
+            still_ours = False
+        if not still_ours:
+            raise ConcurrentCommitError(
+                f"commit lock on {path} was broken while held (presumed "
+                "stale by another writer) — aborting before flip; "
+                "re-read the head and retry"
             )
         _flip(fs, path, version)
     finally:

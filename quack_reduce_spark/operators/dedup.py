@@ -228,6 +228,15 @@ def prefix_filter_candidates(
     equality and the candidate-count reduction.
     """
     prefix, _ = _prefix_frames(df, text_col, id_col, n, threshold, toks)
+    return _candidates_from_prefix(prefix, threshold)
+
+
+def _candidates_from_prefix(prefix: DataFrame, threshold: float) -> DataFrame:
+    """The ONE candidate-generation join both public entry points
+    share: self-join the exploded prefix frame on the prefix shingle,
+    orient pairs doc1 < doc2, apply the two-way length filter, dedup.
+    Factored so a future filter tweak cannot drift between
+    :func:`prefix_filter_candidates` and :func:`prefix_filter_pairs`."""
     left = prefix.select(F.col("doc").alias("doc1"), F.col("sz").alias("n1"), "sh")
     right = prefix.select(F.col("doc").alias("doc2"), F.col("sz").alias("n2"), "sh")
     return (
@@ -311,18 +320,7 @@ def prefix_filter_pairs(
     aggregation (see :func:`_prefix_frames`); the verify intersects
     the full shingle sets of candidate pairs only."""
     prefix, perdoc = _prefix_frames(df, text_col, id_col, n, threshold)
-    left = prefix.select(F.col("doc").alias("doc1"), F.col("sz").alias("n1"), "sh")
-    right = prefix.select(F.col("doc").alias("doc2"), F.col("sz").alias("n2"), "sh")
-    cand = (
-        left.join(right, "sh")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .filter(
-            (F.col("n2") >= F.ceil(F.lit(threshold) * F.col("n1")))
-            & (F.col("n1") >= F.ceil(F.lit(threshold) * F.col("n2")))
-        )
-        .select("doc1", "doc2")
-        .distinct()
-    )
+    cand = _candidates_from_prefix(prefix, threshold)
     return (
         cand.join(
             perdoc.select(F.col("doc").alias("doc1"), F.col("shset").alias("__s1")),
