@@ -87,49 +87,52 @@ _MODULES = [
 # sf0.001/sf0.01 regardless of head selection; see
 # tests/test_inventory_counts.py for the registry-size drift gate.
 _HEAD = [
-    # Stable sentinels — Tier A + one per family, driver-green 7 rounds
+    # Stable sentinels — Tier A + one per family, driver-green 8 rounds
     "a01_scan_project", "a09_topk",
     "b_join_star_broadcast",
     "tpch_q1_full",
     "ts_asof_join",
     "stream_tumbling_agg",
     "text_quality",
-    "dedup_lsh_index_probe",  # r8: index-path race fix — re-verify
+    "dedup_lsh_index_probe",
     "sim_cosine_topk",
-    "graph_triangles",  # r8: oracle now interpolates TRIANGLE_QTY_MIN — re-verify
-    # Round-8 code change — lake.py commit/_effective_timeline rework
-    # (optimistic concurrency + as-of coordinate consistency) sits
-    # under this key's version lifecycle
+    "graph_triangles",
+    # Code changed this round (r9): OCC lock-break token check +
+    # pre-flip lease re-check (lake.py), KMV salt-tree adaptive fanout
+    # (plan change under the kmv keys), shared prefix candidate join
     "lake_incremental_mv",
-    # Full coverage was reached in r7; the next-best use of the budget
-    # is refreshing the STALEST evidence (r8 verdict task 6): the 37
-    # keys whose only green is from round 1 — six rounds of engine
-    # churn ago — plus 2 of the 5 round-3 stragglers (the other three
-    # rotate in next round)
-    "b_join_inner_group", "b_join_left_counts", "b_join_anti",
-    "b_join_range", "b_join_interval_band",
-    "b_setop_union_all", "b_setop_intersect", "b_setop_except",
-    "b_distinct_agg", "b_having",
-    "b_window_lag", "b_window_frame_sum",
-    "b_cube", "b_grouping_sets",
-    "b_expr_case_string", "b_datetime_fns", "b_math_fns",
-    "b_json_extract",
-    "b_subquery_exists", "b_subquery_scalar", "b_cte_query",
-    "b_explode_array",
-    "b2_setop_all_variants", "b2_limit_offset", "b2_sample_hash",
-    "b2_summary_stats", "b2_join_full_outer", "b2_join_cross",
-    "b2_percentiles", "b2_conditional_agg", "b2_string_agg",
-    # New this round (priority (b): code added in r8) — the portable
-    # mergeable-sketch family; displaces 3 stale keys to r9
-    # (b2_levenshtein, b2_string_fns2, b2_regexp_extract, b2_date_fns2,
-    # b2_null_fns, b2_window_ranks, b_rollup, b_higher_order_fns +
-    # the r3 stragglers)
     "sketch_kmv_distinct", "sketch_kmv_union",
-    "sketch_hll_estimate", "sketch_hll_windowed",
-    "sketch_cms_heavy_hitters",
     "dedup_prefix_filter",
-    "stream_hll_dau",
-    "sketch_sampled_quantiles",
+    # New in r9 — theta set expressions, fixed-size sample quantiles,
+    # append-mode (watermark-evicting) streaming HLL
+    "sketch_theta_intersect",
+    "sketch_topn_sample_quantiles",
+    "stream_hll_dau_append",
+    # r8 ADVICE: sim_lsh_topk's buckets changed when the hyperplanes
+    # were Gram-Schmidt-orthogonalized; it is rows-only (no oracle —
+    # a deliberate one-slot exception to the no-rows-only-head rule)
+    # so this sample re-baselines its row count for continuity
+    "sim_lsh_topk",
+    # Stalest-evidence fill: the six r1-era string/date keys and five
+    # r3 stragglers owed from the r8 rotation, then 21 of the 40
+    # r4-era keys (Tier A remainder, core Tier B, the heavy TPC-H
+    # composites, and the ts_ windows); the other 19 r4 keys rotate
+    # into r10
+    "b2_levenshtein", "b2_string_fns2", "b2_regexp_extract",
+    "b2_date_fns2", "b2_null_fns", "b2_window_ranks",
+    "b_rollup", "b_higher_order_fns", "b2_pivot",
+    "b3_extreme_aggs", "text_fingerprint",
+    "a02_hive_partition_scan", "a04_filter_range",
+    "a05_projection_expr", "a06_group_count", "a07_global_count",
+    "a14_derived_date",
+    "b_agg_pricing_summary", "b_join_semi", "b_window_rank",
+    "b3_window_qualify",
+    "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share", "tpch_q9_product_type_profit",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "ts_tumbling_window", "ts_session_window", "ts_date_rollup",
 ]
 
 

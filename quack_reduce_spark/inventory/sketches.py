@@ -45,12 +45,16 @@ from quack_reduce_spark.operators.sketches import (
     kmv_topk_lists,
     md5_h32,
     md5_h32_sql,
+    topn_sample_lists,
 )
 
 KMV_K = 64
 CMS_ROWS = 4
 CMS_WIDTH = 256
 CMS_TOP = 10
+THETA_A = "1-URGENT"
+THETA_B = "2-HIGH"
+TOPN_N = 512
 
 
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,6 +269,128 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET EXPRESSIONS — the other half of the r8 union:
+    distinct-customer estimates for A∩B and A\\B over two order-
+    priority slices, the query a pipeline runs constantly (users
+    active in two slices, train/eval contamination overlap). Public
+    DataSketches theta formulation: theta = min(theta_A, theta_B)
+    where theta_X = the k-th smallest hash (2^32 = "everything
+    retained" when the sketch isn't full); below theta each sketch is
+    an EXACT membership record of its slice's hashes, so
+    |S_A ∩ S_B ∩ [0,theta)| / (theta/2^32) estimates |A∩B| and the
+    except-side likewise estimates |A\\B|. All set algebra runs on two
+    k-row arrays (one 1x1 join); only the per-slice sketch build and
+    the exact-answer aggregate touch the fact table. Errors are
+    reported against the exact overlap (one flag aggregation)."""
+    orders = load(spark, sf_dir, "orders")
+    sliced = orders.filter(F.col("o_orderpriority").isin(THETA_A, THETA_B))
+    hashed = sliced.select(
+        "o_orderpriority", md5_h32(F.col("o_custkey").cast("string")).alias("h")
+    ).distinct()
+    lists = kmv_topk_lists(hashed, "o_orderpriority", KMV_K)
+    a = lists.filter(F.col("o_orderpriority") == THETA_A).select(
+        F.col("__tk").alias("ta")
+    )
+    b = lists.filter(F.col("o_orderpriority") == THETA_B).select(
+        F.col("__tk").alias("tb")
+    )
+
+    def theta(arr):
+        return F.when(F.array_size(arr) < KMV_K, F.lit(H32_SPAN)).otherwise(
+            F.element_at(arr, F.array_size(arr)).cast("double")
+        )
+
+    def below(arr):
+        return F.size(F.filter(arr, lambda x: x.cast("double") < F.col("th")))
+
+    pair = (
+        a.crossJoin(b)  # 1x1: two sketch rows
+        .withColumn("th", F.least(theta(F.col("ta")), theta(F.col("tb"))))
+        .select(
+            F.array_size("ta").cast("long").alias("got_a"),
+            F.array_size("tb").cast("long").alias("got_b"),
+            "th",
+            below(F.array_intersect("ta", "tb")).cast("long").alias("n_inter"),
+            below(F.array_except("ta", "tb")).cast("long").alias("n_diff_ab"),
+        )
+    )
+    flags = sliced.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderpriority") == THETA_A).cast("int")).alias("ha"),
+        F.max((F.col("o_orderpriority") == THETA_B).cast("int")).alias("hb"),
+    )
+    ex = flags.agg(
+        F.sum(F.col("ha") * F.col("hb")).cast("long").alias("exact_inter"),
+        F.sum(F.col("ha") * (1 - F.col("hb"))).cast("long").alias("exact_diff_ab"),
+    )
+    est_i = F.col("n_inter") * F.lit(H32_SPAN) / F.col("th")
+    est_d = F.col("n_diff_ab") * F.lit(H32_SPAN) / F.col("th")
+    return pair.crossJoin(ex).select(
+        F.lit(KMV_K).alias("k"),
+        "got_a",
+        "got_b",
+        "n_inter",
+        rnd(est_i, 4).alias("est_inter"),
+        "exact_inter",
+        rnd(F.abs(est_i - F.col("exact_inter")) / F.col("exact_inter"), 4).alias(
+            "rel_err_inter"
+        ),
+        "n_diff_ab",
+        rnd(est_d, 4).alias("est_diff_ab"),
+        "exact_diff_ab",
+        rnd(F.abs(est_d - F.col("exact_diff_ab")) / F.col("exact_diff_ab"), 4).alias(
+            "rel_err_diff"
+        ),
+    )
+
+
+def sketch_topn_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE stratified sample quantiles — the bounded-memory twin
+    of sketch_sampled_quantiles: that query's fixed-RATE 1-in-8 hash
+    sample still grows linearly with the data, while this one keeps
+    exactly TOPN_N rows per group (the rows with the n smallest
+    md5(event_id) hashes — a bottom-n hash sample, mergeable by
+    union + re-rank exactly like KMV, built on the same balanced salt
+    tree via operators/sketches.py::topn_sample_lists). At 100 TB the
+    per-group state is n structs regardless of event volume, and
+    yesterday's sample unions with today's by re-slicing. Same
+    error-reporting contract as the rate twin: per-type sampled vs
+    exact p50/p95 with absolute errors, all hash-gated."""
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        md5_h32(F.col("event_id").cast("string")).alias("h"),
+        F.col("value").alias("v"),
+    )
+    smp = topn_sample_lists(keyed, "event_type", TOPN_N)
+    sampled = smp.select("event_type", F.explode("__smp").alias("s")).select(
+        "event_type", F.col("s.v").alias("value")
+    )
+    s = sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        rnd(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50_sampled"),
+        rnd(F.percentile(F.col("value"), F.lit(0.95)), 4).alias("p95_sampled"),
+    )
+    e = ev.groupBy("event_type").agg(
+        rnd(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50_exact"),
+        rnd(F.percentile(F.col("value"), F.lit(0.95)), 4).alias("p95_exact"),
+    )
+    return (
+        s.join(e, "event_type")
+        .select(
+            "event_type",
+            "n_sampled",
+            "p50_sampled",
+            "p50_exact",
+            rnd(F.abs(F.col("p50_sampled") - F.col("p50_exact")), 4).alias("err_p50"),
+            "p95_sampled",
+            "p95_exact",
+            rnd(F.abs(F.col("p95_sampled") - F.col("p95_exact")), 4).alias("err_p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
 SAMPLE_MOD = 8  # deterministic 1-in-8 hash sample
 
 
@@ -323,6 +449,8 @@ QUERIES = {
     "sketch_hll_windowed": sketch_hll_windowed,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "sketch_sampled_quantiles": sketch_sampled_quantiles,
+    "sketch_theta_intersect": sketch_theta_intersect,
+    "sketch_topn_sample_quantiles": sketch_topn_sample_quantiles,
 }
 
 _H32 = md5_h32_sql("CAST(o_custkey AS VARCHAR)")
@@ -531,6 +659,101 @@ def _sampled_quantiles_oracle() -> str:
     """
 
 
+def _theta_intersect_oracle() -> str:
+    span = f"CAST({H32_SPAN!r} AS DOUBLE)"
+    th_of = (
+        f"CASE WHEN COUNT(*) < {KMV_K} THEN {span} "
+        f"ELSE CAST(MAX(h) AS DOUBLE) END"
+    )
+    est_i = f"ni.n_inter * {span} / p.th"
+    est_d = f"nd.n_diff_ab * {span} / p.th"
+    return f"""
+        WITH hashed AS (
+            SELECT DISTINCT o_orderpriority, {_H32} AS h FROM orders
+            WHERE o_orderpriority IN ('{THETA_A}', '{THETA_B}')
+        ),
+        topk AS (
+            SELECT o_orderpriority, h,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+            FROM hashed
+        ),
+        sa AS (SELECT h FROM topk WHERE o_orderpriority = '{THETA_A}' AND rn <= {KMV_K}),
+        sb AS (SELECT h FROM topk WHERE o_orderpriority = '{THETA_B}' AND rn <= {KMV_K}),
+        st AS (SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM sa) AS got_a,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM sb) AS got_b,
+            (SELECT {th_of} FROM sa) AS tha,
+            (SELECT {th_of} FROM sb) AS thb),
+        pair AS (SELECT got_a, got_b, LEAST(tha, thb) AS th FROM st),
+        ni AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_inter
+            FROM sa JOIN sb USING (h), pair WHERE CAST(h AS DOUBLE) < pair.th
+        ),
+        nd AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_diff_ab
+            FROM sa, pair
+            WHERE CAST(h AS DOUBLE) < pair.th AND h NOT IN (SELECT h FROM sb)
+        ),
+        ex AS (
+            SELECT CAST(SUM(ha * hb) AS BIGINT) AS exact_inter,
+                   CAST(SUM(ha * (1 - hb)) AS BIGINT) AS exact_diff_ab
+            FROM (
+                SELECT o_custkey,
+                       MAX(CASE WHEN o_orderpriority = '{THETA_A}' THEN 1 ELSE 0 END) AS ha,
+                       MAX(CASE WHEN o_orderpriority = '{THETA_B}' THEN 1 ELSE 0 END) AS hb
+                FROM orders
+                WHERE o_orderpriority IN ('{THETA_A}', '{THETA_B}')
+                GROUP BY o_custkey
+            )
+        )
+        SELECT CAST({KMV_K} AS INT) AS k, p.got_a, p.got_b,
+               ni.n_inter,
+               {_RND4.format(x=est_i)} AS est_inter,
+               ex.exact_inter,
+               {_RND4.format(x=f"ABS(({est_i}) - ex.exact_inter) / ex.exact_inter")} AS rel_err_inter,
+               nd.n_diff_ab,
+               {_RND4.format(x=est_d)} AS est_diff_ab,
+               ex.exact_diff_ab,
+               {_RND4.format(x=f"ABS(({est_d}) - ex.exact_diff_ab) / ex.exact_diff_ab")} AS rel_err_diff
+        FROM pair p, ni, nd, ex
+    """
+
+
+def _topn_sample_quantiles_oracle() -> str:
+    h = md5_h32_sql("CAST(event_id AS VARCHAR)")
+    return f"""
+        WITH keyed AS (
+            SELECT event_type, {h} AS h, value AS v FROM events
+        ),
+        rk AS (
+            SELECT event_type, v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, v) AS rn
+            FROM keyed
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                   FLOOR(quantile_cont(v, 0.5) * 1e4 + 0.5) / 1e4 AS p50_sampled,
+                   FLOOR(quantile_cont(v, 0.95) * 1e4 + 0.5) / 1e4 AS p95_sampled
+            FROM rk WHERE rn <= {TOPN_N}
+            GROUP BY event_type
+        ),
+        e AS (
+            SELECT event_type,
+                   FLOOR(quantile_cont(value, 0.5) * 1e4 + 0.5) / 1e4 AS p50_exact,
+                   FLOOR(quantile_cont(value, 0.95) * 1e4 + 0.5) / 1e4 AS p95_exact
+            FROM events GROUP BY event_type
+        )
+        SELECT s.event_type, s.n_sampled,
+               s.p50_sampled, e.p50_exact,
+               FLOOR(ABS(s.p50_sampled - e.p50_exact) * 1e4 + 0.5) / 1e4 AS err_p50,
+               s.p95_sampled, e.p95_exact,
+               FLOOR(ABS(s.p95_sampled - e.p95_exact) * 1e4 + 0.5) / 1e4 AS err_p95
+        FROM s JOIN e USING (event_type)
+        ORDER BY s.event_type
+    """
+
+
 ORACLES = {
     "sketch_kmv_distinct": _kmv_distinct_oracle(),
     "sketch_kmv_union": _kmv_union_oracle(),
@@ -538,4 +761,6 @@ ORACLES = {
     "sketch_hll_windowed": _hll_windowed_oracle(),
     "sketch_cms_heavy_hitters": _cms_oracle(),
     "sketch_sampled_quantiles": _sampled_quantiles_oracle(),
+    "sketch_theta_intersect": _theta_intersect_oracle(),
+    "sketch_topn_sample_quantiles": _topn_sample_quantiles_oracle(),
 }

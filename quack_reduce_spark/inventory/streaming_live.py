@@ -389,11 +389,79 @@ def stream_hll_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_hll_dau_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION output mode for the streaming DAU sketch:
+    stream_hll_dau drains in COMPLETE mode, re-emitting every window's
+    registers each trigger and never exercising state EVICTION — at
+    scale the register table must FINALIZE each day as the watermark
+    passes its end and then drop that day's state. This twin runs the
+    identical register aggregation in APPEND mode: a (window, idx) row
+    reaches the sink exactly once, when the 1-hour watermark passes the
+    window end, and the state store forgets it. On bounded input only
+    days whose end the final watermark passed are emitted, so both
+    sides of the differential compare days >= 6 h clear of the
+    emission frontier — the same contract stream_interval_join_left
+    pins (and with a 1 h watermark, any day inside the 6 h margin has
+    PROVABLY been finalized: day_end <= max_ts - 6h < max_ts - 1h =
+    final watermark). Late-data register semantics (pre-eviction
+    update accepted, post-eviction drop) are pinned in
+    tests/test_streaming.py::test_hll_append_late_events."""
+    from quack_reduce_spark.inventory._util import rnd
+    from quack_reduce_spark.inventory.sketches import _hll_est_col
+    from quack_reduce_spark.operators.sketches import (
+        HLL_W_BITS,
+        hll_rho,
+        md5_h32,
+    )
+
+    stream = _stream_source(spark, sf_dir, with_redeliveries=False)
+    h = md5_h32(F.col("user_id").cast("string"))
+    prepared = stream.select(
+        "ts",
+        F.shiftrightunsigned(h, HLL_W_BITS).alias("idx"),
+        hll_rho(h.bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))).alias("rho"),
+    )
+    regs = (
+        prepared.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("idx"))
+        .agg(F.max("rho").alias("M"))
+    )
+    drained = _drain(regs, spark, mode="append")
+    max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    finalized = drained.filter(
+        F.col("w.end") <= F.lit(max_ts) - F.expr("INTERVAL 6 HOURS")
+    )
+    sums = finalized.groupBy(F.col("w.start").alias("day")).agg(
+        F.count(F.lit(1)).alias("nonzero"),
+        F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("present_sum"),
+    )
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    est = _hll_est_col()
+    return (
+        sums.join(exact, "day")
+        .select(
+            "day",
+            F.col("nonzero").alias("regs_nonzero"),
+            rnd(est, 4).alias("est_users"),
+            "exact_users",
+            rnd(F.abs(est - F.col("exact_users")) / F.col("exact_users"), 4).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "stream_stateful_user_stats": stream_stateful_user_stats,
     "stream_interval_join_left": stream_interval_join_left,
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_hll_dau": stream_hll_dau,
+    "stream_hll_dau_append": stream_hll_dau_append,
     "stream_upsert_versioned": stream_upsert_versioned,
     "stream_static_enrich": stream_static_enrich,
     "stream_session_dynamic": stream_session_dynamic,
@@ -560,3 +628,20 @@ def _stream_hll_dau_oracle() -> str:
 
 
 ORACLES["stream_hll_dau"] = _stream_hll_dau_oracle()
+
+
+def _stream_hll_dau_append_oracle() -> str:
+    # the batch register replay restricted to FINALIZED days — the
+    # same 6 h emission-frontier contract the Spark side filters on
+    # (day end <= max(ts) - 6 h, which with the 1 h watermark implies
+    # the append-mode sink has provably received the day)
+    base = _stream_hll_dau_oracle()
+    return base.replace(
+        "FROM sums s JOIN exact e USING (day)",
+        "FROM sums s JOIN exact e USING (day)\n"
+        "        WHERE s.day + INTERVAL '1 day' <= "
+        "(SELECT MAX(ts) FROM events) - INTERVAL '6 hours'",
+    )
+
+
+ORACLES["stream_hll_dau_append"] = _stream_hll_dau_append_oracle()

@@ -58,7 +58,7 @@ def md5_h32_sql(key_sql: str) -> str:
 
 
 def kmv_per_group(
-    hashed: DataFrame, group_col: str, k: int, fanout: int = 64
+    hashed: DataFrame, group_col: str, k: int, fanout: int | str = "auto"
 ) -> DataFrame:
     """Per-group KMV summary from a ``(group_col, h)`` DISTINCT-hash
     frame: ``(group_col, kth, got)`` where ``kth`` is the k-th
@@ -73,10 +73,21 @@ def kmv_per_group(
     identical to a single per-group sort — every global top-k hash is
     necessarily in its own salt bucket's top-k (the same merge theorem
     the theta-union query demonstrates) — while no single aggregation
-    ever sorts more than |distinct|/fanout values, which is what
-    survives a billion-key group at 100 TB where a per-group
-    row_number window would funnel the whole group through one sort.
-    tests/test_sketches.py asserts tree == windowed-sort equality.
+    ever sorts more than max(|distinct|/fanout, fanout*k) values,
+    which is what survives a billion-key group at 100 TB where a
+    per-group row_number window would funnel the whole group through
+    one sort. tests/test_sketches.py asserts tree == windowed-sort
+    equality at several fanouts including adaptive.
+
+    ``fanout="auto"`` (r9 default) sizes the fanout PER GROUP from the
+    group's hash count: fanout_g = ceil(sqrt(n_g / k)), the value that
+    BALANCES the two levels (level 1 holds ~n/fanout, level 2 holds
+    fanout*k; both become ~sqrt(n*k)). A fixed fanout leaves one level
+    unbounded in the group cardinality: 64 gives a 16M-value level-1
+    bucket at a billion distinct keys, while sqrt(1e9*64) ~= 250k is
+    the balanced bound. Fanout only shapes the plan — the theorem
+    makes the output identical at ANY fanout, so oracle hashes never
+    move.
     """
     return kmv_topk_lists(hashed, group_col, k, fanout).select(
         group_col,
@@ -85,20 +96,86 @@ def kmv_per_group(
     )
 
 
+def adaptive_fanout(n: Column, k: int) -> Column:
+    """The balanced per-group salt fanout: ceil(sqrt(n/k)), >= 1.
+    Exposed so tests can pin the bucket-size bound independently."""
+    return F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.sqrt(n.cast("double") / F.lit(float(k)))).cast("long"),
+    )
+
+
 def kmv_topk_lists(
-    hashed: DataFrame, group_col: str, k: int, fanout: int = 64
+    hashed: DataFrame, group_col: str, k: int, fanout: int | str = "auto"
 ) -> DataFrame:
     """(group_col, __tk): each group's k smallest hashes as a sorted
     array, built by the two-level salt tree described in
     :func:`kmv_per_group`. The LIST form is the mergeable sketch
     itself — union several groups' lists and re-slice to merge
-    (sketch_kmv_union does exactly that)."""
-    lvl1 = hashed.groupBy(
-        group_col, F.pmod(F.col("h"), F.lit(fanout)).alias("__salt")
-    ).agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("__tk"))
+    (sketch_kmv_union does exactly that).
+
+    With ``fanout="auto"`` the per-group fanout comes from a map-side-
+    combinable COUNT over the hash frame (the frame is distinct, so
+    count == cardinality — no estimator error), broadcast-joined back.
+    The count shuffle moves one long per (partition, group); the
+    broadcast holds one row per group. When the GROUP count itself is
+    too large to broadcast, per-group cardinalities are necessarily
+    small and a fixed fanout (or fanout=1) is the right call — pass an
+    int to skip the count pass entirely."""
+    if fanout == "auto":
+        fans = hashed.groupBy(group_col).agg(
+            adaptive_fanout(F.count(F.lit(1)), k).alias("__fan")
+        )
+        salted = hashed.join(F.broadcast(fans), group_col).select(
+            group_col, "h", F.pmod(F.col("h"), F.col("__fan")).alias("__salt")
+        )
+    else:
+        salted = hashed.select(
+            group_col, "h", F.pmod(F.col("h"), F.lit(fanout)).alias("__salt")
+        )
+    lvl1 = salted.groupBy(group_col, "__salt").agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("__tk")
+    )
     survivors = lvl1.select(group_col, F.explode("__tk").alias("h"))
     return survivors.groupBy(group_col).agg(
         F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("__tk")
+    )
+
+
+def topn_sample_lists(
+    keyed: DataFrame, group_col: str, n: int, fanout: int | str = "auto"
+) -> DataFrame:
+    """(group_col, __smp): each group's ``n`` rows with the SMALLEST
+    hashes as a sorted ``array<struct<h,v>>`` — the fixed-SIZE
+    mergeable per-group sample (bottom-n hash sample). Where
+    sketch_sampled_quantiles' fixed-RATE sample grows linearly with
+    the data, this is the bounded-memory form: exactly ``n`` rows per
+    group survive no matter the group size, and two samples merge by
+    union + re-sort + re-slice — the same prefix-of-a-sorted-union
+    theorem as KMV, so the tree (reused from :func:`kmv_topk_lists`,
+    generalized to carry a payload ``v``) is provably equal to a
+    per-group ROW_NUMBER sort at any fanout. Ties on ``h`` order by
+    ``v`` (struct sort is field-lexicographic), giving a total order
+    any engine replays."""
+    if fanout == "auto":
+        fans = keyed.groupBy(group_col).agg(
+            adaptive_fanout(F.count(F.lit(1)), n).alias("__fan")
+        )
+        salted = keyed.join(F.broadcast(fans), group_col).select(
+            group_col, "h", "v", F.pmod(F.col("h"), F.col("__fan")).alias("__salt")
+        )
+    else:
+        salted = keyed.select(
+            group_col, "h", "v", F.pmod(F.col("h"), F.lit(fanout)).alias("__salt")
+        )
+    lvl1 = salted.groupBy(group_col, "__salt").agg(
+        F.slice(F.array_sort(F.collect_list(F.struct("h", "v"))), 1, n).alias("__smp")
+    )
+    survivors = lvl1.select(group_col, F.explode("__smp").alias("__s")).select(
+        group_col, F.col("__s.h").alias("h"), F.col("__s.v").alias("v")
+    )
+    return survivors.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.collect_list(F.struct("h", "v"))), 1, n).alias("__smp")
     )
 
 

@@ -29,12 +29,23 @@ def test_documented_counts_match_registry():
     assert tuple(map(int, m.groups())) == (n_queries, n_oracled)
 
 
-def test_head_is_50_oracled_keys_leading_the_registry():
+# Rows-only keys deliberately spending a head slot this round (each
+# needs a written justification — the default rule stands: rows-only
+# keys waste driver budget on a permanent no_oracle row):
+# - sim_lsh_topk (r9): its buckets/row count changed when the r8
+#   hash-family battery forced Gram-Schmidt orthogonalization of the
+#   hyperplanes; the r8 ADVICE asked for one driver sample to
+#   re-baseline its row-count continuity.
+HEAD_ROWS_ONLY_EXCEPTIONS = {"sim_lsh_topk"}
+
+
+def test_head_is_50_keys_leading_the_registry():
     q, o = all_queries(), all_oracles()
     assert len(_HEAD) == 50
     assert list(q)[:50] == _HEAD  # head actually leads insertion order
-    assert list(o)[:50] == _HEAD
-    missing = [k for k in _HEAD if k not in o]
+    oracled_head = [k for k in _HEAD if k in o]
+    assert list(o)[: len(oracled_head)] == oracled_head
+    missing = set(_HEAD) - set(o) - HEAD_ROWS_ONLY_EXCEPTIONS
     assert not missing, f"rows-only keys would waste driver budget: {missing}"
 
 

@@ -159,10 +159,12 @@ def test_stream_hll_dau_equals_batch_twin(spark, sf_dir):
     assert stream == batch
 
 
-def test_kmv_tree_equals_windowed_sort(spark, sf_dir):
-    """The r8 two-level salt-tree kmv_per_group must equal the naive
-    per-group row_number sort exactly — the prefix-of-a-sorted-union
-    theorem in executable form."""
+@pytest.mark.parametrize("fanout", [1, 7, 64, "auto"])
+def test_kmv_tree_equals_windowed_sort(spark, sf_dir, fanout):
+    """The salt-tree kmv_per_group must equal the naive per-group
+    row_number sort exactly — the prefix-of-a-sorted-union theorem in
+    executable form, at any fixed fanout AND the r9 adaptive default
+    (fanout shapes the plan, never the output)."""
     from pyspark.sql import Window
     from quack_reduce_spark.inventory._util import load
 
@@ -172,7 +174,9 @@ def test_kmv_tree_equals_windowed_sort(spark, sf_dir):
     ).distinct()
     tree = {
         (r["o_orderpriority"], r["kth"], r["got"])
-        for r in OP.kmv_per_group(hashed, "o_orderpriority", SK.KMV_K).collect()
+        for r in OP.kmv_per_group(
+            hashed, "o_orderpriority", SK.KMV_K, fanout=fanout
+        ).collect()
     }
     w = Window.partitionBy("o_orderpriority").orderBy("h")
     naive = {
@@ -184,6 +188,138 @@ def test_kmv_tree_equals_windowed_sort(spark, sf_dir):
         .collect()
     }
     assert tree == naive
+
+
+def test_kmv_adaptive_fanout_bounds_bucket_size(spark):
+    """The r9 cardinality-adaptive fanout must keep BOTH tree levels'
+    aggregation buffers near sqrt(n*k) under a skewed fixture (one
+    group with 20000 distinct keys next to a 10-key group) — the
+    bound a fixed fanout cannot give: fanout=64 would leave a
+    20000/64=312-value bucket growing linearly with n, and a
+    billion-key group at 16M values per bucket. Balanced fanout
+    ceil(sqrt(n/k)) pins level 1 at ~n/fanout and level 2 at fanout*k,
+    both ~sqrt(n*k)."""
+    k = SK.KMV_K
+    n_big, n_small = 20000, 10
+    rows = [("big", i) for i in range(n_big)] + [("small", i) for i in range(n_small)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    hashed = df.select("g", OP.md5_h32(F.col("v").cast("string")).alias("h")).distinct()
+
+    fans = {
+        r["g"]: r["fan"]
+        for r in hashed.groupBy("g")
+        .agg(OP.adaptive_fanout(F.count(F.lit(1)), k).alias("fan"))
+        .collect()
+    }
+    import math
+
+    assert fans["big"] == math.ceil(math.sqrt(n_big / k))
+    assert fans["small"] == 1
+
+    bound = 2.0 * math.sqrt(n_big * k)
+    # level 1: largest (group, h % fan_g) bucket
+    lvl1_max = (
+        hashed.withColumn(
+            "fan", F.when(F.col("g") == "big", fans["big"]).otherwise(fans["small"])
+        )
+        .groupBy("g", F.pmod(F.col("h"), F.col("fan")).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert lvl1_max <= bound, (lvl1_max, bound)
+    # level 2: survivors per group = fan_g * k at most
+    assert max(f * k for f in fans.values()) <= bound
+
+    # and the adaptive tree's output still equals a fixed-fanout tree's
+    a = {tuple(r) for r in OP.kmv_per_group(hashed, "g", k, fanout="auto").collect()}
+    b = {tuple(r) for r in OP.kmv_per_group(hashed, "g", k, fanout=64).collect()}
+    assert a == b
+
+
+def test_theta_intersect_exact_below_k(spark, tmp_path):
+    """The theta set-expression guarantee in its sharpest form: when
+    neither sketch fills (|A|, |B| < k), theta = 2^32, the retained
+    region is EVERYTHING, and both the intersection and difference
+    estimates are exact — zero error by construction, not luck."""
+    rows = [("1-URGENT", c) for c in range(1, 41)] + [
+        ("2-HIGH", c) for c in range(21, 61)
+    ]
+    spark.createDataFrame(rows, "o_orderpriority string, o_custkey long").write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    r = SK.sketch_theta_intersect(spark, str(tmp_path)).first()
+    assert r["got_a"] == 40 and r["got_b"] == 40
+    assert r["n_inter"] == 20 and r["exact_inter"] == 20
+    assert r["est_inter"] == 20.0 and r["rel_err_inter"] == 0.0
+    assert r["n_diff_ab"] == 20 and r["exact_diff_ab"] == 20
+    assert r["est_diff_ab"] == 20.0 and r["rel_err_diff"] == 0.0
+
+
+def test_theta_intersect_error_within_bounds(spark, sf_dir):
+    """On the real fixture (sketches full), the theta intersection /
+    difference estimates must land within 4x the retained-count RSE
+    (1/sqrt(n_retained)) of the exact overlap — the standard theta-
+    sketch error scale, evaluated on one fixed draw with a generous
+    deterministic multiplier."""
+    r = SK.sketch_theta_intersect(spark, sf_dir).first()
+    assert r["got_a"] == SK.KMV_K and r["got_b"] == SK.KMV_K
+    assert r["n_inter"] > 0 and r["exact_inter"] > 0
+    assert r["rel_err_inter"] <= 4.0 / (r["n_inter"] ** 0.5), dict(r.asDict())
+    if r["n_diff_ab"] > 0 and r["exact_diff_ab"] > 0:
+        assert r["rel_err_diff"] <= 4.0 / (r["n_diff_ab"] ** 0.5), dict(r.asDict())
+
+
+def test_topn_sample_tree_equals_windowed_sort_and_merges(spark, sf_dir):
+    """The fixed-size bottom-n hash sample: (a) the salt tree equals a
+    per-group ROW_NUMBER sort over (h, v); (b) splitting the data in
+    two, sampling each half, and merging (union + re-sort + re-slice)
+    equals sampling the whole — the mergeability that makes the
+    fixed-SIZE form the bounded-memory scale path."""
+    from pyspark.sql import Window
+    from quack_reduce_spark.inventory._util import load
+
+    n = 50
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        OP.md5_h32(F.col("event_id").cast("string")).alias("h"),
+        F.col("value").alias("v"),
+    )
+    tree = {
+        (r["event_type"], tuple((s["h"], s["v"]) for s in r["__smp"]))
+        for r in OP.topn_sample_lists(keyed, "event_type", n).collect()
+    }
+    w = Window.partitionBy("event_type").orderBy("h", "v")
+    naive = {
+        (r["event_type"], tuple((s["h"], s["v"]) for s in r["__smp"]))
+        for r in keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("h", "v"))).alias("__smp"))
+        .collect()
+    }
+    assert tree == naive
+
+    halves = [keyed.filter(F.pmod(F.col("h"), F.lit(2)) == i) for i in (0, 1)]
+    partials = OP.topn_sample_lists(halves[0], "event_type", n).unionByName(
+        OP.topn_sample_lists(halves[1], "event_type", n)
+    )
+    merged = {
+        (r["event_type"], tuple((s["h"], s["v"]) for s in r["__smp"]))
+        for r in partials.select(
+            "event_type", F.explode("__smp").alias("s")
+        )
+        .select("event_type", F.col("s.h").alias("h"), F.col("s.v").alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.slice(F.array_sort(F.collect_list(F.struct("h", "v"))), 1, n).alias(
+                "__smp"
+            )
+        )
+        .collect()
+    }
+    assert merged == tree
 
 
 def test_sampled_quantiles_deterministic_and_bounded(spark, sf_dir):

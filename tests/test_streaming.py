@@ -4,6 +4,7 @@ reference has no streaming surface at all, SURVEY §2 Tier C)."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from quack_reduce_spark.inventory._util import load
@@ -405,6 +406,92 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     late_window = (base - dt.timedelta(hours=6)).replace(minute=0)
     assert late_window not in got          # late rows dropped
     assert got.get(base) == 60             # finalized on-time window emitted
+
+
+def test_hll_append_late_events(spark, tmp_path):
+    """Append-mode windowed-HLL late-data contract (r9): a late event
+    whose day-window is still OPEN under the committed watermark must
+    UPDATE that day's registers; a late event whose window was already
+    evicted must be DROPPED; and the frontier day (watermark never
+    passes its end) must never emit. Mirrors the frontier contract of
+    stream_interval_join_left / test_watermark_drops_late_rows."""
+    import datetime as dt
+    import glob
+    import os
+    import time
+    import uuid
+
+    from quack_reduce_spark.operators.sketches import (
+        HLL_W_BITS,
+        hll_registers,
+        hll_rho,
+        md5_h32,
+    )
+    from quack_reduce_spark.streaming import read_event_stream, run_stream_to_memory
+
+    day = lambda d, h=0, m=0: dt.datetime(2024, 3, d, h, m, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # batch 0: day1 users 1-3 + a day2 06:00 row (advances event time)
+    f0 = [(i, day(1, 12), i, "click", 1.0, "{}") for i in (1, 2, 3)] + [
+        (10, day(2, 6), 10, "click", 1.0, "{}")
+    ]
+    # batch 1: small follow-up that COMMITS the advanced watermark
+    # (one-batch lag, same trick as test_watermark_drops_late_rows);
+    # re-uses user 10 so no register set changes
+    f1 = [(11, day(2, 6, 10), 10, "click", 1.0, "{}")]
+    # batch 2: user 4 lands in day1 (window end day2 00:00 <= committed
+    # watermark day2 ~05:00 -> DROPPED); user 11 lands in day2 02:00 —
+    # its ts is behind the watermark but the day2 window is still open
+    # -> ACCEPTED; user 12 at day4 pushes the final watermark past
+    # day2's end so the final no-data batch emits day2
+    f2 = [
+        (20, day(1, 20), 4, "click", 1.0, "{}"),
+        (21, day(2, 2), 11, "click", 1.0, "{}"),
+        (22, day(4, 12), 12, "click", 1.0, "{}"),
+    ]
+    src = str(tmp_path / "src")
+    for i, batch in enumerate([f0, f1, f2]):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(src + f"/f={i}")
+    now = time.time()
+    for i in range(3):
+        for f in glob.glob(src + f"/f={i}/*.parquet"):
+            os.utime(f, (now - 600 + i * 200, now - 600 + i * 200))
+
+    stream = read_event_stream(
+        spark, src + "/f=*", spark.createDataFrame([], schema).schema,
+        max_files_per_trigger=1,
+    )
+    h = md5_h32(F.col("user_id").cast("string"))
+    regs = (
+        stream.select(
+            "ts",
+            F.shiftrightunsigned(h, HLL_W_BITS).alias("idx"),
+            hll_rho(h.bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))).alias("rho"),
+        )
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("idx"))
+        .agg(F.max("rho").alias("M"))
+    )
+    name = f"hll_late_{uuid.uuid4().hex[:10]}"
+    run_stream_to_memory(regs, name, mode="append")
+    got = {
+        (r["w"]["start"], r["idx"], r["M"]) for r in spark.table(name).collect()
+    }
+    days_emitted = {d for d, _, _ in got}
+    assert days_emitted == {day(1), day(2)}  # day4 = frontier, never emits
+
+    def batch_regs(users, d):
+        df = spark.createDataFrame([(u,) for u in users], "user_id long")
+        hashed = df.select(md5_h32(F.col("user_id").cast("string")).alias("h"))
+        return {(d, r["idx"], r["M"]) for r in hll_registers(hashed).collect()}
+
+    # day1: users 1-3 only — the evicted-window late user 4 is absent
+    assert {t for t in got if t[0] == day(1)} == batch_regs([1, 2, 3], day(1))
+    # day2: user 10 AND the late-but-open user 11
+    assert {t for t in got if t[0] == day(2)} == batch_regs([10, 11], day(2))
 
 
 def test_stream_merge_versioned_commits_and_history(spark, event_files, tmp_path):
