@@ -793,3 +793,133 @@ def test_write_versioned_concurrent_two_threads(spark, tmp_path):
         lake.commit(path, staged[0], expected_head=lake.current_version(path))
         assert lake.current_version(path) == staged[0]
         assert eng.read_table(path).collect()[0]["k"] == (1 if loser == "a" else 2)
+
+
+def test_crashed_claimed_stage_recovery_and_loser_retry(spark, sf_dir, tmp_path):
+    """r9 (verdict task 5): a CONCURRENT writer dying BETWEEN
+    stage_version(claim=True) and commit leaves a claimed stage dir
+    (_STAGED marker + data + manifest). Readers, history,
+    committed_versions, as-of reads, and commit_time must never see
+    it; other concurrent writers stage PAST it and commit fine; the
+    loser-retry contract (catch ConcurrentCommitError, re-read head,
+    RE-STAGE, commit) round-trips; and vacuum reclaims both orphans
+    once the staging grace passes."""
+    import time
+
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "tbl")
+    orders = load(spark, sf_dir, "orders")
+    eng.write_versioned(orders.limit(10), path, op="create")  # v1
+    head = lake.current_version(path)
+
+    # writer A claims + stages v2, then DIES before commit
+    va, da = lake.stage_version(path, claim=True)
+    orders.limit(5).write.mode("append").parquet(da)
+    lake.write_manifest(path, va, op="crashed_concurrent_write", rows=5)
+
+    assert lake.committed_versions(path) == [head]
+    assert [h["version"] for h in eng.history(path)] == [head]
+    assert eng.read_table(path).count() == 10
+    assert eng.read_table(path, as_of=time.time()).count() == 10
+    assert lake.commit_time(path, va) is None
+
+    # writer B stages past the claimed orphan and commits normally
+    vb, db = lake.stage_version(path, claim=True)
+    assert vb != va
+    orders.limit(20).write.mode("append").parquet(db)
+    lake.write_manifest(path, vb, op="write", rows=20)
+    lake.commit(path, vb, expected_head=head)
+    assert eng.read_table(path).count() == 20
+
+    # loser-retry round trip: writer C staged against head v1, loses
+    # to B, re-reads the head, re-stages, succeeds
+    vc, dc = lake.stage_version(path, claim=True)
+    orders.limit(30).write.mode("append").parquet(dc)
+    lake.write_manifest(path, vc, op="write", rows=30)
+    with pytest.raises(lake.ConcurrentCommitError, match="another writer"):
+        lake.commit(path, vc, expected_head=head)
+    new_head = lake.current_version(path)
+    vc2, dc2 = lake.stage_version(path, claim=True)
+    orders.limit(30).write.mode("append").parquet(dc2)
+    lake.write_manifest(path, vc2, op="write", rows=30)
+    lake.commit(path, vc2, expected_head=new_head)
+    assert eng.read_table(path).count() == 30
+
+    # vacuum: fresh orphans protected by the staging grace...
+    protected = eng.vacuum(path, keep=10, dry_run=True)
+    assert va not in protected and vc not in protected
+    # ...reclaimed once it lapses; committed history untouched
+    removed = eng.vacuum(path, keep=10, orphan_grace=0.0)
+    assert va in removed and vc in removed
+    assert lake.committed_versions(path) == [head, vb, vc2]
+    assert eng.read_table(path).count() == 30
+
+
+def test_stale_break_is_token_aware(tmp_path, monkeypatch):
+    """r9 ADVICE fix: judging a lock stale and then blindly deleting it
+    is a TOCTOU — a third writer may have already broken that stale
+    lock and acquired its OWN fresh lock in the window. The break path
+    must re-read immediately before deleting and delete only a
+    byte-identical payload; here the re-read sees the thief's fresh
+    lock, so the commit must respect it (wait, then raise) and leave
+    it in place."""
+    import json as _json
+    import time as _time
+
+    root = _mk_versioned(tmp_path)
+    head = lake.current_version(root)
+    v2, d2 = lake.stage_version(root)
+    os.makedirs(d2)
+    lock = os.path.join(root, lake.COMMIT_LOCK)
+    stale = _json.dumps({"token": "crashed", "t": _time.time() - 2 * lake.LOCK_STALE_SECS})
+    fresh = _json.dumps({"token": "thief", "t": _time.time() + 3600})
+    open(lock, "w").write(stale)
+
+    class RacingFS(lake._LocalFS):
+        """First read of the stale payload triggers the interleaved
+        third writer: stale lock replaced by a fresh foreign one
+        before our re-read."""
+
+        def read_text(self, p):
+            out = super().read_text(p)
+            if p == lock and out == stale:
+                open(lock, "w").write(fresh)
+            return out
+
+    monkeypatch.setattr(lake, "_fs_for", lambda path: RacingFS())
+    monkeypatch.setattr(lake, "LOCK_WAIT_SECS", 0.3)
+    with pytest.raises(lake.ConcurrentCommitError, match="live writer"):
+        lake.commit(root, v2, expected_head=head)
+    assert open(lock).read() == fresh  # thief's lock untouched
+    assert lake.current_version(root) == head  # no flip happened
+
+
+def test_commit_aborts_if_lock_stolen_while_held(tmp_path, monkeypatch):
+    """r9 lease re-check: if OUR lock is broken while we hold it (we
+    were judged stale mid-commit, e.g. a long pause) and another writer
+    replaced it, the pre-flip token re-check must abort with the
+    retryable error instead of flipping over the thief's critical
+    section."""
+    import json as _json
+    import time as _time
+
+    root = _mk_versioned(tmp_path)
+    head = lake.current_version(root)
+    v2, d2 = lake.stage_version(root)
+    os.makedirs(d2)
+    lock = os.path.join(root, lake.COMMIT_LOCK)
+
+    real = lake.current_version
+
+    def stealing(path):
+        out = real(path)
+        # between our head check and the flip, a breaker replaces our lock
+        open(lock, "w").write(_json.dumps({"token": "thief", "t": _time.time()}))
+        return out
+
+    monkeypatch.setattr(lake, "current_version", stealing)
+    with pytest.raises(lake.ConcurrentCommitError, match="broken while held"):
+        lake.commit(root, v2, expected_head=head)
+    monkeypatch.undo()
+    assert lake.current_version(root) == head  # no flip
+    assert _json.loads(open(lock).read())["token"] == "thief"  # not ours to release
