@@ -89,6 +89,11 @@ HEADLINE = [
     # sketch (fixed-width mergeable aggregate)
     "dedup_prefix_filter",
     "sketch_cms_heavy_hitters",
+    # round 9 additions: theta set expressions (two salt-tree sketch
+    # builds + 1x1 array algebra) and the fixed-size sample quantiles
+    # (payload-carrying salt tree)
+    "sketch_theta_intersect",
+    "sketch_topn_sample_quantiles",
 ]
 
 # r6 regressed 25-35% with no code change; each gets a suite-first

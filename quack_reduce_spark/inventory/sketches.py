@@ -225,6 +225,57 @@ def sketch_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register MERGE — the roll-up sketch_hll_windowed promises:
+    the per-day register tables union into ONE global sketch by
+    max-per-register-index, WITHOUT re-touching raw events (the input
+    here is the |days|x256-row register frame, not the fact table).
+    Because max is associative/commutative/idempotent, the merged
+    sketch must equal the direct one-pass global sketch REGISTER FOR
+    REGISTER — reported as regs_mismatch (must be 0, a theorem in
+    executable form, the HLL half of test_kmv_union's identity) —
+    and the merged estimate is scored against the exact global
+    distinct-user count. This is the production rollup: daily sketches
+    persist, weekly/monthly/all-time readouts are register maxes over
+    sketch-sized frames."""
+    ev = load(spark, sf_dir, "events")
+    h = md5_h32(F.col("user_id").cast("string"))
+    prepared = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.shiftrightunsigned(h, HLL_W_BITS).alias("idx"),
+        hll_rho(h.bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))).alias("rho"),
+    )
+    daily = prepared.groupBy("day", "idx").agg(F.max("rho").alias("M"))
+    merged = daily.groupBy("idx").agg(F.max("M").alias("M"))
+    direct = prepared.groupBy("idx").agg(F.max("rho").alias("M"))
+    mismatch = (
+        merged.select("idx", F.col("M").alias("m_merged"))
+        .join(direct.select("idx", F.col("M").alias("m_direct")), "idx", "full")
+        .filter(~F.col("m_merged").eqNullSafe(F.col("m_direct")))
+        .agg(F.count(F.lit(1)).alias("regs_mismatch"))
+    )
+    sums = merged.agg(
+        F.count(F.lit(1)).alias("nonzero"),
+        F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("present_sum"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    est = _hll_est_col()
+    return (
+        sums.crossJoin(exact)
+        .crossJoin(mismatch)
+        .select(
+            F.lit(HLL_M).alias("m"),
+            F.col("nonzero").alias("regs_nonzero"),
+            "regs_mismatch",
+            rnd(est, 4).alias("est_users"),
+            "exact_users",
+            rnd(F.abs(est - F.col("exact_users")) / F.col("exact_users"), 4).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
 def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters: 4x256 salted-md5 counters over
     lineitem rows, per-supplier estimate = min over the 4 rows'
@@ -451,6 +502,7 @@ QUERIES = {
     "sketch_sampled_quantiles": sketch_sampled_quantiles,
     "sketch_theta_intersect": sketch_theta_intersect,
     "sketch_topn_sample_quantiles": sketch_topn_sample_quantiles,
+    "sketch_hll_union": sketch_hll_union,
 }
 
 _H32 = md5_h32_sql("CAST(o_custkey AS VARCHAR)")
@@ -754,6 +806,52 @@ def _topn_sample_quantiles_oracle() -> str:
     """
 
 
+def _hll_union_oracle() -> str:
+    h = md5_h32_sql("CAST(user_id AS VARCHAR)")
+    rho = hll_rho_sql(f"(h % {1 << HLL_W_BITS})")
+    est = _hll_est_sql()
+    return f"""
+        WITH hashed AS (
+            SELECT date_trunc('day', ts) AS day, {h} AS h FROM events
+        ),
+        prepared AS (
+            SELECT day,
+                   h // {1 << HLL_W_BITS} AS idx,
+                   {rho} AS rho
+            FROM hashed
+        ),
+        daily AS (
+            SELECT day, idx, MAX(rho) AS M FROM prepared GROUP BY day, idx
+        ),
+        merged AS (
+            SELECT idx, MAX(M) AS M FROM daily GROUP BY idx
+        ),
+        direct AS (
+            SELECT idx, MAX(rho) AS M FROM prepared GROUP BY idx
+        ),
+        mism AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS regs_mismatch
+            FROM merged m FULL JOIN direct d USING (idx)
+            WHERE m.M IS DISTINCT FROM d.M
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nonzero,
+                   SUM(POWER(2.0, -M)) AS present_sum
+            FROM merged
+        ),
+        exact AS (
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users FROM events
+        )
+        SELECT CAST({HLL_M} AS INT) AS m,
+               s.nonzero AS regs_nonzero,
+               mism.regs_mismatch,
+               {_RND4.format(x=est)} AS est_users,
+               e.exact_users,
+               {_RND4.format(x=f"ABS(({est}) - e.exact_users) / e.exact_users")} AS rel_err
+        FROM sums s, exact e, mism
+    """
+
+
 ORACLES = {
     "sketch_kmv_distinct": _kmv_distinct_oracle(),
     "sketch_kmv_union": _kmv_union_oracle(),
@@ -763,4 +861,5 @@ ORACLES = {
     "sketch_sampled_quantiles": _sampled_quantiles_oracle(),
     "sketch_theta_intersect": _theta_intersect_oracle(),
     "sketch_topn_sample_quantiles": _topn_sample_quantiles_oracle(),
+    "sketch_hll_union": _hll_union_oracle(),
 }

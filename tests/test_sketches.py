@@ -237,6 +237,19 @@ def test_kmv_adaptive_fanout_bounds_bucket_size(spark):
     assert a == b
 
 
+def test_hll_union_merge_is_lossless_and_bounded(spark, sf_dir):
+    """The HLL merge identity (max is associative/commutative/
+    idempotent): merging the per-day register tables must reproduce
+    the direct one-pass global sketch register for register
+    (regs_mismatch == 0), and the merged estimate stays within 4x the
+    HLL RSE of the exact global distinct count."""
+    r = SK.sketch_hll_union(spark, sf_dir).first()
+    assert r["m"] == 256
+    assert r["regs_mismatch"] == 0
+    assert 0 < r["regs_nonzero"] <= 256
+    assert r["rel_err"] <= 4 * (1.04 / 16.0), r["rel_err"]
+
+
 def test_theta_intersect_exact_below_k(spark, tmp_path):
     """The theta set-expression guarantee in its sharpest form: when
     neither sketch fills (|A|, |B| < k), theta = 2^32, the retained

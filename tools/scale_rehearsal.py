@@ -82,6 +82,7 @@ def _timed(thunk, reps: int = 2) -> float:
 ALL_FAMILIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_prefix_filter",
     "graph_pagerank",
     "sim_pca_topk",
     # round-8 additions: the sweep's steepest 10x-step growers + the
@@ -308,8 +309,37 @@ def main() -> None:
                 triangle_counts(c, "a", "b").count()
             return thunk
 
+        def prefix_filter(path):
+            # same params as inventory.dedup.dedup_prefix_filter — the
+            # r8 verdict's one steep sweep grower (4.9x on 0.01→0.1)
+            # without a measured ~10x exponent
+            def thunk():
+                df = spark.read.parquet(path)
+                D.prefix_filter_pairs(df, "text", "doc_id", n=3, threshold=0.5).count()
+            return thunk
+
         run_family("dedup_ngram_jaccard", "docs", dedup_ngram)
         run_family("dedup_minhash_lsh", "docs", dedup_minhash)
+        run_family("dedup_prefix_filter", "docs", prefix_filter)
+        # candidate-count telemetry for the prefix filter (r9 verdict
+        # task 1; separate pass, never part of the timed thunks): how
+        # many candidate pairs the prefix join emits per doc at each
+        # mult — the quadratic-term watch metric
+        if "dedup_prefix_filter" in results:
+            cands, per_doc = [], []
+            for m in MULTS:
+                df = spark.read.parquet(fixtures[m]["docs"])
+                c = D.prefix_filter_candidates(
+                    df, "text", "doc_id", n=3, threshold=0.5
+                ).count()
+                cands.append(c)
+                per_doc.append(round(c / (base_counts["docs"] * m), 3))
+            results["dedup_prefix_filter"]["candidates"] = cands
+            results["dedup_prefix_filter"]["cand_per_doc"] = per_doc
+            print(
+                f"  dedup_prefix_filter: candidates {cands} per-doc {per_doc}",
+                file=sys.stderr,
+            )
         run_family("graph_pagerank", "edges", graph_pr)
         run_family("sim_pca_topk", "emb", pca)
         run_family("dedup_substring", "docs", dedup_sub)
@@ -433,7 +463,7 @@ def main() -> None:
     if out_md:
         marker = "## Measured rehearsal at ~10x sf0.1"
         lines = [
-            marker + " (rounds 7-8)",
+            marker + " (rounds 7-9)",
             "",
             "Generated by `python tools/scale_rehearsal.py` — replicated",
             "fixtures (semantics-preserving, see the tool docstring), real",
@@ -461,6 +491,17 @@ def main() -> None:
                 f"took {b} s at mult {MULTS} — probe cost tracks the tiny "
                 "3-long-column index scan, not the corpus text, which is the "
                 "incremental-ingest claim under test."
+            )
+        if "candidates" in results.get("dedup_prefix_filter", {}):
+            r = results["dedup_prefix_filter"]
+            lines.append("")
+            lines.append(
+                "`dedup_prefix_filter` candidate telemetry: the prefix join "
+                f"emitted {r['candidates']} candidate pairs at mult {MULTS} — "
+                f"{r['cand_per_doc']} per doc — so the quadratic term stays a "
+                "per-doc CONSTANT under linear growth (replicas are disjoint "
+                "in shingle space, the production analogue of sharded/"
+                "blocked corpora)."
             )
         if "_pair_growth" in results:
             pg = results["_pair_growth"]
