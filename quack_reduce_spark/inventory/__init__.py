@@ -105,11 +105,12 @@ _HEAD = [
     "dedup_prefix_filter",
     # New in r9 — theta set expressions, fixed-size sample quantiles,
     # append-mode (watermark-evicting) streaming HLL, HLL register
-    # merge rollup
+    # merge rollup, bloom semi-join pre-filter
     "sketch_theta_intersect",
     "sketch_topn_sample_quantiles",
     "stream_hll_dau_append",
     "sketch_hll_union",
+    "sketch_bloom_semijoin",
     # r8 ADVICE: sim_lsh_topk's buckets changed when the hyperplanes
     # were Gram-Schmidt-orthogonalized; it is rows-only (no oracle —
     # a deliberate one-slot exception to the no-rows-only-head rule)
@@ -134,7 +135,7 @@ _HEAD = [
     "tpch_q8_market_share", "tpch_q9_product_type_profit",
     "tpch_q18_large_volume_customers",
     "tpch_q21_suppliers_who_kept_waiting",
-    "ts_tumbling_window", "ts_session_window",
+    "ts_tumbling_window",
 ]
 
 

@@ -442,6 +442,75 @@ def sketch_topn_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_ACCTBAL_MIN = 9000.0  # qualifying-customer slice for the bloom demo
+
+
+def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter SEMI-JOIN pre-filter — the scan-side join-pushdown
+    pattern every 100 TB engine lives on (Spark's AQE runtime bloom
+    join, Parquet row-group dictionary pruning): the qualifying-key set
+    (customers with acctbal > 9000) folds into a FIXED 8184-bit bitset
+    (132 long words, one bit_or aggregate — OR-mergeable like HLL
+    registers), which ships into the orders scan as a row-local
+    literal-array expression (operators/sketches.py::bloom_pass_expr —
+    zero joins, zero shuffle on the probe side). Reported against the
+    exact semi-join in ONE fact pass: no-false-negatives is hash-gated
+    (n_missed must be 0 — every true member passes the filter, by
+    construction), false positives are counted and rated. The
+    driver-side materialization is the bitset itself (132 longs,
+    bounded regardless of key count) — the same bounded-collect class
+    as the fit/probe steps, and precisely how engines ship bloom
+    filters into scans."""
+    from quack_reduce_spark.operators.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        BLOOM_WORDS,
+        bloom_pass_expr,
+        bloom_words,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    keys = cust.filter(F.col("c_acctbal") > BLOOM_ACCTBAL_MIN).select(
+        F.col("c_custkey").alias("k")
+    ).distinct()
+    wrows = bloom_words(keys, "k").collect()  # <= 132 longs, bounded
+    dense = [0] * BLOOM_WORDS
+    for r in wrows:
+        dense[int(r["word_idx"])] = int(r["word"])
+    flagged = orders.join(
+        F.broadcast(keys.withColumnRenamed("k", "o_custkey").withColumn(
+            "__m", F.lit(1)
+        )),
+        "o_custkey",
+        "left",
+    ).select(
+        bloom_pass_expr(dense, F.col("o_custkey").cast("string")).alias("bp"),
+        F.coalesce(F.col("__m"), F.lit(0)).alias("mem"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.count_if(F.col("bp")).alias("n_bloom_pass"),
+        F.sum("mem").cast("long").alias("n_exact"),
+        F.count_if(F.col("bp") & (F.col("mem") == 0)).alias("n_false_pos"),
+        F.count_if(~F.col("bp") & (F.col("mem") == 1)).alias("n_missed"),
+    )
+    nk = keys.agg(F.count(F.lit(1)).alias("n_keys"))
+    return agg.crossJoin(nk).select(
+        F.lit(BLOOM_M).alias("m_bits"),
+        F.lit(BLOOM_K).alias("k"),
+        "n_keys",
+        "n_fact",
+        "n_bloom_pass",
+        "n_exact",
+        "n_false_pos",
+        "n_missed",
+        rnd(
+            F.col("n_false_pos") / (F.col("n_fact") - F.col("n_exact")), 4
+        ).alias("fp_rate"),
+    )
+
+
 SAMPLE_MOD = 8  # deterministic 1-in-8 hash sample
 
 
@@ -503,6 +572,7 @@ QUERIES = {
     "sketch_theta_intersect": sketch_theta_intersect,
     "sketch_topn_sample_quantiles": sketch_topn_sample_quantiles,
     "sketch_hll_union": sketch_hll_union,
+    "sketch_bloom_semijoin": sketch_bloom_semijoin,
 }
 
 _H32 = md5_h32_sql("CAST(o_custkey AS VARCHAR)")
@@ -852,6 +922,69 @@ def _hll_union_oracle() -> str:
     """
 
 
+def _bloom_semijoin_oracle() -> str:
+    from quack_reduce_spark.operators.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        BLOOM_WORD_BITS,
+    )
+
+    salt_values = ", ".join(f"({r})" for r in range(BLOOM_K))
+    hpos = (
+        "CAST('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || "
+        "CAST({key} AS VARCHAR)), 1, 8) AS BIGINT) % " + str(BLOOM_M)
+    )
+    return f"""
+        WITH keys AS (
+            SELECT DISTINCT c_custkey AS k FROM customer
+            WHERE c_acctbal > {BLOOM_ACCTBAL_MIN!r}
+        ),
+        salts AS (SELECT * FROM (VALUES {salt_values}) t(r)),
+        pos AS (
+            SELECT k, {hpos.format(key="k")} AS p FROM keys, salts
+        ),
+        words AS (
+            SELECT p // {BLOOM_WORD_BITS} AS word_idx,
+                   BIT_OR(CAST(1 AS BIGINT) << CAST(p % {BLOOM_WORD_BITS} AS INT)) AS word
+            FROM pos GROUP BY 1
+        ),
+        fpos AS (
+            SELECT o.o_orderkey, o.o_custkey,
+                   {hpos.format(key="o.o_custkey")} AS p
+            FROM orders o, salts
+        ),
+        fhit AS (
+            SELECT o_orderkey, o_custkey,
+                   COUNT(*) FILTER (
+                       w.word IS NOT NULL
+                       AND ((w.word >> CAST(p % {BLOOM_WORD_BITS} AS INT)) & 1) = 1
+                   ) AS hits
+            FROM fpos LEFT JOIN words w ON fpos.p // {BLOOM_WORD_BITS} = w.word_idx
+            GROUP BY o_orderkey, o_custkey
+        ),
+        flag AS (
+            SELECT (hits = {BLOOM_K}) AS bp,
+                   (o_custkey IN (SELECT k FROM keys)) AS mem
+            FROM fhit
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+                   CAST(COUNT(*) FILTER (bp) AS BIGINT) AS n_bloom_pass,
+                   CAST(COUNT(*) FILTER (mem) AS BIGINT) AS n_exact,
+                   CAST(COUNT(*) FILTER (bp AND NOT mem) AS BIGINT) AS n_false_pos,
+                   CAST(COUNT(*) FILTER (NOT bp AND mem) AS BIGINT) AS n_missed
+            FROM flag
+        ),
+        nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM keys)
+        SELECT CAST({BLOOM_M} AS INT) AS m_bits,
+               CAST({BLOOM_K} AS INT) AS k,
+               nk.n_keys, a.n_fact, a.n_bloom_pass, a.n_exact,
+               a.n_false_pos, a.n_missed,
+               {_RND4.format(x="a.n_false_pos / (a.n_fact - a.n_exact)")} AS fp_rate
+        FROM agg a, nk
+    """
+
+
 ORACLES = {
     "sketch_kmv_distinct": _kmv_distinct_oracle(),
     "sketch_kmv_union": _kmv_union_oracle(),
@@ -862,4 +995,5 @@ ORACLES = {
     "sketch_theta_intersect": _theta_intersect_oracle(),
     "sketch_topn_sample_quantiles": _topn_sample_quantiles_oracle(),
     "sketch_hll_union": _hll_union_oracle(),
+    "sketch_bloom_semijoin": _bloom_semijoin_oracle(),
 }

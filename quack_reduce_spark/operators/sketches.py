@@ -224,6 +224,77 @@ def hll_registers(hashed: DataFrame) -> DataFrame:
     )
 
 
+# Bloom filter: m = WORDS * WORD_BITS bits in long words; 62 bits per
+# word keeps every shift value positive under ANSI int64 (1 << 61 max).
+BLOOM_WORDS = 132
+BLOOM_WORD_BITS = 62
+BLOOM_M = BLOOM_WORDS * BLOOM_WORD_BITS  # 8184 bits
+BLOOM_K = 3
+
+
+def bloom_positions(key: Column) -> list[Column]:
+    """BLOOM_K independent bit positions for a key — the same
+    ``r:``-salted md5 family count-min uses (cms_buckets), mod m."""
+    return [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{r}:"), key)), 1, 8), 16, 10
+            ).cast("long")
+            % BLOOM_M
+        )
+        for r in range(BLOOM_K)
+    ]
+
+
+def bloom_words(keys: DataFrame, key_col: str) -> DataFrame:
+    """(word_idx, word): the Bloom bitset of a key frame as <= 132
+    long words — ONE map-side-combinable aggregate (bit_or is
+    associative/commutative/idempotent, so partial bitsets merge
+    exactly like HLL registers; union of key sets == bitwise OR of
+    their word frames, tested in tests/test_sketches.py). Fixed
+    8184-bit width regardless of key count — the shippable semi-join
+    pre-filter every engine pushes into scans at 100 TB (Spark's own
+    AQE runtime bloom join is the engine-native analogue; this is the
+    engine-portable, DuckDB-replayable form)."""
+    pos = keys.select(
+        F.explode(F.array(*bloom_positions(F.col(key_col).cast("string")))).alias("p")
+    )
+    return (
+        pos.select(
+            F.floor(F.col("p") / BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+            _bit_of(F.col("p")).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def _bit_of(p: Column) -> Column:
+    """``1 << (p % WORD_BITS)`` via a literal power-of-two array lookup
+    (F.shiftleft only takes a Python-int bit count, not a Column)."""
+    powers = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(BLOOM_WORD_BITS)]
+    )
+    return F.element_at(powers, ((p % BLOOM_WORD_BITS) + 1).cast("int"))
+
+
+def bloom_pass_expr(words: list[int], key: Column) -> Column:
+    """Row-local membership test against a DRIVER-MATERIALIZED bitset
+    (``words``: the dense 132-long array). This is the production
+    shape: the bitset is bounded (132 longs) no matter how many keys
+    went in, so shipping it into the scan as a literal-array
+    expression — zero joins, zero shuffle on the probe side, pure
+    whole-stage codegen — is exactly what engine-native bloom-join
+    pushdown does. No false negatives by construction; false positives
+    are quantified by the caller."""
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    cond = F.lit(True)
+    for p in bloom_positions(key):
+        word = F.element_at(arr, (F.floor(p / BLOOM_WORD_BITS) + 1).cast("int"))
+        cond = cond & (word.bitwiseAND(_bit_of(p)) != 0)
+    return cond
+
+
 def cms_buckets(key: Column, rows: int, width: int) -> Column:
     """Array of ``rows`` independent count-min bucket ids for a key —
     row r's hash family is md5 over an ``r:``-salted key."""

@@ -335,6 +335,48 @@ def test_topn_sample_tree_equals_windowed_sort_and_merges(spark, sf_dir):
     assert merged == tree
 
 
+def test_bloom_no_false_negatives_and_fp_bound(spark, sf_dir):
+    """The Bloom contract on the real fixture: every true member
+    passes (n_missed == 0 — by construction, here re-asserted on
+    data), and the false-positive rate stays within 4x the published
+    bound (1 - e^(-kn/m))^k for the measured key count."""
+    import math
+
+    r = SK.sketch_bloom_semijoin(spark, sf_dir).first()
+    assert r["n_missed"] == 0
+    assert r["n_bloom_pass"] >= r["n_exact"]
+    bound = (1.0 - math.exp(-r["k"] * r["n_keys"] / r["m_bits"])) ** r["k"]
+    assert r["fp_rate"] <= max(4.0 * bound, 0.002), (r["fp_rate"], bound)
+
+
+def test_bloom_words_fixed_width_and_or_mergeable(spark):
+    """The bitset is a mergeable fixed-width sketch like the HLL
+    registers: <= 132 words no matter the key count, and
+    bloom(A ∪ B) == bitwise-OR of bloom(A) and bloom(B) word for word
+    (bit_or is associative/commutative/idempotent)."""
+    a = spark.range(0, 400).select(F.col("id").alias("k"))
+    b = spark.range(300, 900).select(F.col("id").alias("k"))
+    wa = {r["word_idx"]: r["word"] for r in OP.bloom_words(a, "k").collect()}
+    wb = {r["word_idx"]: r["word"] for r in OP.bloom_words(b, "k").collect()}
+    wu = {
+        r["word_idx"]: r["word"]
+        for r in OP.bloom_words(a.unionByName(b).distinct(), "k").collect()
+    }
+    assert len(wu) <= OP.BLOOM_WORDS
+    merged = {i: wa.get(i, 0) | wb.get(i, 0) for i in set(wa) | set(wb)}
+    assert merged == wu
+
+    # and the literal-array membership expression agrees with the set
+    dense = [0] * OP.BLOOM_WORDS
+    for i, w in wu.items():
+        dense[int(i)] = int(w)
+    probe = spark.range(0, 900).select(F.col("id").alias("k"))
+    passed = probe.filter(
+        OP.bloom_pass_expr(dense, F.col("k").cast("string"))
+    ).count()
+    assert passed == 900  # every inserted key passes: no false negatives
+
+
 def test_sampled_quantiles_deterministic_and_bounded(spark, sf_dir):
     """The hash sample is a pure function of keys (two runs identical),
     samples ~1/8 of rows per group, and the sampled p50 lands within
