@@ -90,10 +90,12 @@ HEADLINE = [
     "dedup_prefix_filter",
     "sketch_cms_heavy_hitters",
     # round 9 additions: theta set expressions (two salt-tree sketch
-    # builds + 1x1 array algebra) and the fixed-size sample quantiles
-    # (payload-carrying salt tree)
+    # builds + 1x1 array algebra), the fixed-size sample quantiles
+    # (payload-carrying salt tree), and the bloom semi-join pre-filter
+    # (one fact pass against a literal-array bitset)
     "sketch_theta_intersect",
     "sketch_topn_sample_quantiles",
+    "sketch_bloom_semijoin",
 ]
 
 # r6 regressed 25-35% with no code change; each gets a suite-first
