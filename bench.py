@@ -96,6 +96,7 @@ HEADLINE = [
     "sketch_theta_intersect",
     "sketch_topn_sample_quantiles",
     "sketch_bloom_semijoin",
+    "sketch_join_cardinality",
 ]
 
 # r6 regressed 25-35% with no code change; each gets a suite-first

@@ -111,6 +111,7 @@ _HEAD = [
     "stream_hll_dau_append",
     "sketch_hll_union",
     "sketch_bloom_semijoin",
+    "sketch_join_cardinality",
     # r8 ADVICE: sim_lsh_topk's buckets changed when the hyperplanes
     # were Gram-Schmidt-orthogonalized; it is rows-only (no oracle —
     # a deliberate one-slot exception to the no-rows-only-head rule)
@@ -135,7 +136,6 @@ _HEAD = [
     "tpch_q8_market_share", "tpch_q9_product_type_profit",
     "tpch_q18_large_volume_customers",
     "tpch_q21_suppliers_who_kept_waiting",
-    "ts_tumbling_window",
 ]
 
 

@@ -377,6 +377,39 @@ def test_bloom_words_fixed_width_and_or_mergeable(spark):
     assert passed == 900  # every inserted key passes: no false negatives
 
 
+def test_join_cardinality_exact_below_n(spark, tmp_path):
+    """When neither key sample fills (keys < n), theta = 2^32, the
+    samples are exact (key→count) records, and the join-size estimate
+    equals sum(cntA*cntB) over the true common keys — zero error by
+    construction."""
+    import datetime as dt
+
+    rows = []
+    for k in range(1, 51):  # 1996: keys 1-50, two rows each
+        rows += [(k, dt.date(1996, 6, 1))] * 2
+    for k in range(26, 76):  # 1997: keys 26-75, three rows each
+        rows += [(k, dt.date(1997, 6, 1))] * 3
+    spark.createDataFrame(
+        rows, "l_partkey long, l_shipdate date"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    r = SK.sketch_join_cardinality(spark, str(tmp_path)).first()
+    assert r["got_a"] == 50 and r["got_b"] == 50
+    assert r["n_common_sampled"] == 25
+    assert r["exact_join_rows"] == 25 * 2 * 3
+    assert r["est_join_rows"] == float(25 * 2 * 3)
+    assert r["rel_err"] == 0.0
+
+
+def test_join_cardinality_error_within_bounds(spark, sf_dir):
+    """On the real fixture (samples full) the theta ratio estimator
+    must land within 4x the retained-count RSE of the exact join
+    size."""
+    r = SK.sketch_join_cardinality(spark, sf_dir).first()
+    assert r["got_a"] == SK.JOINCARD_N and r["got_b"] == SK.JOINCARD_N
+    assert r["n_common_sampled"] > 0 and r["exact_join_rows"] > 0
+    assert r["rel_err"] <= 4.0 / (r["n_common_sampled"] ** 0.5), dict(r.asDict())
+
+
 def test_sampled_quantiles_deterministic_and_bounded(spark, sf_dir):
     """The hash sample is a pure function of keys (two runs identical),
     samples ~1/8 of rows per group, and the sampled p50 lands within
