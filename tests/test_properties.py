@@ -501,6 +501,38 @@ def test_feature_hash_buckets_uniform_and_order_free():
     assert abs(corr) < 0.04, corr
 
 
+def test_salted_md5_family_uniform_and_cross_salt_independent():
+    """The ``r:``-salted md5 position family shared by count-min
+    buckets (cms_buckets) and the r9 bloom filter (bloom_positions):
+    per-salt chi-squared uniformity over the 8184-bit position space
+    (16 coarse bins), and ~zero cross-salt position correlation — a
+    family whose salts collapse to one function (the MinHash-bug
+    shape) would correlate at |corr| ~ 1 and stack all k bloom probes
+    onto one bit. Deterministic."""
+    from quack_reduce_spark.operators.sketches import BLOOM_K, BLOOM_M
+
+    n, bins = 4000, 16
+    pos = {
+        r: np.array(
+            [
+                int(hashlib.md5(f"{r}:{k}".encode()).hexdigest()[:8], 16) % BLOOM_M
+                for k in range(n)
+            ]
+        )
+        for r in range(BLOOM_K)
+    }
+    for r in range(BLOOM_K):
+        observed = np.bincount(pos[r] * bins // BLOOM_M, minlength=bins)
+        expected = n / bins
+        chi2 = ((observed - expected) ** 2 / expected).sum()
+        # chi2(df=15): mean 15, sd ~5.5; accept below mean + 5 sd
+        assert chi2 < 43, (r, chi2)
+    for r1 in range(BLOOM_K):
+        for r2 in range(r1 + 1, BLOOM_K):
+            corr = np.corrcoef(pos[r1], pos[r2])[0, 1]
+            assert abs(corr) < 0.05, (r1, r2, corr)
+
+
 def test_train_split_fractions_and_key_range_independence():
     """ml_train_split's 80/10/10 md5 assignment: global fractions
     within 5 sigma of nominal AND stable across key-range deciles — a
