@@ -385,8 +385,10 @@ def test_prefix_filter_equals_inverted_index_all_sfs(spark):
 
 def test_prefix_filter_prunes_candidates(spark, sf_dir):
     """The point of prefix filtering: strictly fewer candidate pairs
-    than the any-shared-shingle inverted index (measured ~14x on the
-    fixtures), while remaining complete (previous test)."""
+    than the any-shared-shingle inverted index (measured ~14x from the
+    prefix+length filters alone; the r9 PPJoin positional filter cuts
+    a further ~2.5x, ~35x total on the sf0.1 fixture), while remaining
+    complete (previous test)."""
     docs = load(spark, sf_dir, "documents")
     pf = D.prefix_filter_candidates(docs, "text", "doc_id", threshold=0.5).count()
     sh = D._shingle_table(docs, "text", "doc_id", 3, hashed=True, distinct=True)
@@ -398,4 +400,4 @@ def test_prefix_filter_prunes_candidates(spark, sf_dir):
         .distinct()
         .count()
     )
-    assert pf < inv / 5, (pf, inv)
+    assert pf < inv / 10, (pf, inv)
