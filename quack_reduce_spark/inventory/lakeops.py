@@ -349,11 +349,68 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _SE_SCHEMA)
 
 
+_ZM_SCHEMA = StructType(
+    [
+        StructField("o_orderstatus", StringType(), False),
+        StructField("n_orders", LongType(), False),
+        StructField("sum_price", DoubleType(), False),
+    ]
+)
+
+
+def lake_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level zone-map data skipping (operators/zonemaps.py): the
+    orders table is laid out clustered by ``o_orderdate`` (12 files,
+    ``repartitionByRange`` + sort-within — tight per-file date
+    ranges), a min/max stats manifest is written once, and a one-year
+    range query plans from the MANIFEST, reading only the files whose
+    ``[min, max]`` interval intersects 1997 — the Iceberg/Delta
+    stats-pruning mechanism on plain parquet. Two gates: the in-query
+    ``_require`` proves skipping actually happened (≤ half the files
+    read — at 100 TB this is the difference between scanning ~1/7 of
+    the table and all of it), and the DuckDB oracle recomputes the
+    aggregate from the RAW fixture with a plain WHERE, so a hash
+    match proves the pruned scan lost and invented nothing."""
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = _fresh_dir(sf_dir, "lake_zm")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(12, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_orderdate"])
+    import datetime as dt
+
+    pruned, files_read, files_total = Z.scan_pruned(
+        spark, path, "o_orderdate",
+        dt.datetime(1997, 1, 1), dt.datetime(1997, 12, 31),
+    )
+    _require(
+        files_read * 2 <= files_total,
+        "zone map failed to skip files", files_read, files_total,
+    )
+    rows = [
+        (r["o_orderstatus"], int(r["n"]), float(r["s"]))
+        for r in pruned.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.sum("o_totalprice"), 2).alias("s"),
+        )
+        .collect()
+    ]
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, _ZM_SCHEMA)
+
+
 QUERIES = {
     "lake_time_travel": lake_time_travel,
     "lake_change_feed": lake_change_feed,
     "lake_incremental_mv": lake_incremental_mv,
     "lake_schema_evolution": lake_schema_evolution,
+    "lake_zonemap_skipping": lake_zonemap_skipping,
 }
 
 
@@ -444,5 +501,16 @@ ORACLES = {
         SELECT step, change_type, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
         FROM feed GROUP BY step, change_type
+    """,
+    # the pruned scan must be indistinguishable from a plain filter
+    # over the raw fixture — file skipping is a pure planning move
+    "lake_zonemap_skipping": """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               FLOOR(SUM(o_totalprice) * 1e2 + 0.5) / 1e2 AS sum_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <= TIMESTAMP '1997-12-31'
+        GROUP BY o_orderstatus
     """,
 }
