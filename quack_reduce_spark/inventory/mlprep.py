@@ -300,8 +300,50 @@ def ml_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, per
+    stratum — the mixture-construction primitive (sample 5 docs per
+    source, probability proportional to length) as Efraimidis-
+    Spirakis A-ES: each doc draws u in (0,1) from its key's md5 (not
+    an RNG — stable under repartitioning, backfill, resume, exactly
+    like the split/fold hashing above) and is ranked by the key
+    ``u^(1/w)``; the per-stratum top-n IS a weight-proportional
+    sample without replacement (Efraimidis & Spirakis 2006, IPL).
+    Scale shape: one scan-side expression + one per-stratum top-n
+    window (the same TakeOrdered shape as every top-k here) — no
+    all-corpus sort, no driver RNG state, mergeable across shards by
+    re-ranking the per-shard winners (the KMV-style union).
+
+    Cross-engine determinism: u is dyadic ((md5_48 + 0.5) / 2^48 —
+    exact in both engines), and the pow key is ROUNDED to 12
+    significant digits with the floor-half-up helper and tiebroken by
+    doc_id before ranking, so a last-ulp libm difference between
+    JVM ``Math.pow`` and C++ ``std::pow`` cannot flip the selection
+    boundary (the r7 rounded-total-order lesson)."""
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 48))
+    key = rnd(F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 12)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("k").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars", key.alias("k"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("source", "rk", "doc_id", "n_chars")
+        .orderBy("source", "rk")
+    )
+
+
 QUERIES = {
     "ml_train_split": ml_train_split,
+    "ml_weighted_sample": ml_weighted_sample,
     "ml_winsorize": ml_winsorize,
     "ml_robust_scale": ml_robust_scale,
     "ml_negative_pairs": ml_negative_pairs,
@@ -313,6 +355,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ml_weighted_sample": """
+        WITH keyed AS (
+            SELECT source, doc_id, n_chars,
+                   FLOOR(
+                     POW(
+                       (CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE))
+                       / CAST(281474976710656 AS DOUBLE),
+                       CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                     ) * 1e12 + CAST(0.5 AS DOUBLE)
+                   ) / 1e12 AS k
+            FROM documents
+        ),
+        ranked AS (
+            SELECT source, doc_id, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY k DESC, doc_id
+                   ) AS rk
+            FROM keyed
+        )
+        SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+        FROM ranked WHERE rk <= 5
+        ORDER BY source, rk
+    """,
     "ml_train_split": f"""
         WITH assigned AS (
             SELECT *,

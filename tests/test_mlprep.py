@@ -105,3 +105,73 @@ def test_negative_pairs_contract(spark, sf_dir):
     # negatives are spread out, not clustered on a few docs
     neg_ids = {r.neg_id for r in out}
     assert len(neg_ids) > len(per_anchor)
+
+
+def test_weighted_sample_contract(spark, sf_dir):
+    """A-ES sample: exactly 5 distinct docs per source (without
+    replacement), deterministic across runs, and length-BIASED —
+    weight = n_chars must pull the sampled mean length above the
+    population mean (the whole point of weighting)."""
+    out = mlprep.ml_weighted_sample(spark, sf_dir)
+    rows = out.collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r.doc_id)
+    docs = load(spark, sf_dir, "documents")
+    n_sources = docs.select("source").distinct().count()
+    assert len(per_src) == n_sources
+    for src, ids in per_src.items():
+        assert len(ids) == 5
+        assert len(set(ids)) == 5, f"replacement in {src}"
+    again = {tuple(r) for r in mlprep.ml_weighted_sample(spark, sf_dir).collect()}
+    assert again == {tuple(r) for r in rows}
+    pop_mean = docs.agg(F.avg("n_chars")).first()[0]
+    samp_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert samp_mean > pop_mean, (samp_mean, pop_mean)
+
+
+def test_weighted_sample_merges_across_shards(spark, sf_dir):
+    """The scale story the docstring claims: shard the corpus, take
+    each shard's per-source top-5 by the SAME deterministic key, union
+    the winners and re-rank — the result must equal the global sample
+    (the key is a pure row property, so per-shard pruning is safe:
+    the global top-5 of a stratum is a subset of the union of shard
+    top-5s)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 48))
+    from quack_reduce_spark.inventory._util import rnd
+
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        rnd(F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 12).alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("k").desc(), F.col("doc_id"))
+    glob = {
+        (r.source, r.doc_id)
+        for r in keyed.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 5")
+        .collect()
+    }
+    shards = [
+        keyed.filter(F.col("doc_id") % 2 == i)
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 5")
+        .drop("rk")
+        for i in (0, 1)
+    ]
+    merged = {
+        (r.source, r.doc_id)
+        for r in shards[0]
+        .unionByName(shards[1])
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 5")
+        .collect()
+    }
+    assert merged == glob
