@@ -456,8 +456,61 @@ def stream_hll_dau_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters with the COUNTERS AS STREAMING STATE —
+    the additive twin of stream_hll_dau's max-merge registers: each
+    event increments its 4 salted-md5 buckets, the streaming engine's
+    state is the 4x256 counter table (fixed-width regardless of event
+    rate — count-min's whole point as a streaming structure), and
+    partial counts merge by cell-wise SUM across the 4-file stream's
+    triggers. The drained 1024-row counter table is probed per user
+    (min over the 4 rows) exactly like the batch twin
+    sketch_cms_heavy_hitters; bounded input == batch, so the top-10
+    most-active-user ESTIMATES hash-match the DuckDB counter replay,
+    with the exact count and the provably non-negative overcount
+    alongside."""
+    from quack_reduce_spark.inventory.sketches import CMS_ROWS, CMS_TOP, CMS_WIDTH
+    from quack_reduce_spark.operators.sketches import cms_buckets
+
+    stream = _stream_source(spark, sf_dir, with_redeliveries=False)
+    prepared = stream.select(
+        F.posexplode(
+            cms_buckets(F.col("user_id").cast("string"), CMS_ROWS, CMS_WIDTH)
+        ).alias("r", "bucket")
+    )
+    counters = prepared.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    drained = _drain(counters, spark, mode="complete")
+
+    per_key = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_events"))
+    )
+    probes = per_key.select(
+        "user_id",
+        "exact_events",
+        F.posexplode(
+            cms_buckets(F.col("user_id").cast("string"), CMS_ROWS, CMS_WIDTH)
+        ).alias("r", "bucket"),
+    )
+    return (
+        probes.join(drained, ["r", "bucket"])
+        .groupBy("user_id", "exact_events")
+        .agg(F.min("cnt").alias("est_events"))
+        .select(
+            "user_id",
+            "est_events",
+            "exact_events",
+            (F.col("est_events") - F.col("exact_events")).alias("overcount"),
+        )
+        .orderBy(F.col("est_events").desc(), F.col("user_id").asc())
+        .limit(CMS_TOP)
+    )
+
+
 QUERIES = {
     "stream_stateful_user_stats": stream_stateful_user_stats,
+    "stream_cms_topk": stream_cms_topk,
     "stream_interval_join_left": stream_interval_join_left,
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_hll_dau": stream_hll_dau,
@@ -645,3 +698,46 @@ def _stream_hll_dau_append_oracle() -> str:
 
 
 ORACLES["stream_hll_dau_append"] = _stream_hll_dau_append_oracle()
+
+
+def _stream_cms_topk_oracle() -> str:
+    # replay of the streamed counter table from the raw fixture: the
+    # streaming state is an additive cell-wise sum, so on bounded
+    # input it equals hashing every raw event row
+    from quack_reduce_spark.inventory.sketches import CMS_ROWS, CMS_TOP, CMS_WIDTH
+    from quack_reduce_spark.operators.sketches import cms_bucket_sql
+
+    key = "CAST(user_id AS VARCHAR)"
+    rows = "\n            UNION ALL ".join(
+        f"SELECT user_id, {r} AS r, {cms_bucket_sql(key, r, CMS_WIDTH)} AS bucket FROM events"
+        for r in range(CMS_ROWS)
+    )
+    return f"""
+        WITH keyed AS (
+            {rows}
+        ),
+        counters AS (
+            SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM keyed GROUP BY r, bucket
+        ),
+        probes AS (
+            SELECT DISTINCT user_id, r, bucket FROM keyed
+        ),
+        est AS (
+            SELECT p.user_id, MIN(c.cnt) AS est_events
+            FROM probes p JOIN counters c USING (r, bucket)
+            GROUP BY p.user_id
+        ),
+        exact AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_events
+            FROM events GROUP BY user_id
+        )
+        SELECT e.user_id, e.est_events, x.exact_events,
+               e.est_events - x.exact_events AS overcount
+        FROM est e JOIN exact x USING (user_id)
+        ORDER BY e.est_events DESC, e.user_id ASC
+        LIMIT {CMS_TOP}
+    """
+
+
+ORACLES["stream_cms_topk"] = _stream_cms_topk_oracle()

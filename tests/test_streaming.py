@@ -535,3 +535,17 @@ def test_stream_merge_versioned_commits_and_history(spark, event_files, tmp_path
     # users, counts <= final
     mid = {r.user_id: r.n for r in eng.read_table(table, 1).collect()}
     assert mid and all(mid[u] <= batch[u] for u in mid)
+
+
+def test_stream_cms_state_is_fixed_width_and_never_undercounts(spark, sf_dir):
+    """The streaming CMS contract: state (the drained counter table)
+    is bounded by the 4x256 sketch geometry no matter the event rate,
+    and the count-min estimate is >= exact for every probed key."""
+    from quack_reduce_spark.inventory.sketches import CMS_ROWS, CMS_WIDTH
+    from quack_reduce_spark.inventory.streaming_live import stream_cms_topk
+
+    out = stream_cms_topk(spark, sf_dir).collect()
+    assert 0 < len(out) <= 10
+    assert all(r.overcount >= 0 for r in out)
+    assert all(r.est_events >= r.exact_events for r in out)
+    assert CMS_ROWS * CMS_WIDTH == 1024  # geometry the docstrings quote
