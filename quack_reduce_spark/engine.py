@@ -472,6 +472,7 @@ class Engine:
         partition_by: list[str] | None = None,
         op: str = "write",
         concurrent: bool = False,
+        stats_cols: list[str] | None = None,
     ) -> str:
         """Write ``df`` as a NEW VERSION of the versioned table at
         ``path`` (creating the table on first call). Data lands in a
@@ -493,6 +494,12 @@ class Engine:
         (read-modify-write), re-read, re-stage, retry the whole call —
         the Delta/Iceberg loser-retries contract.
 
+        ``stats_cols`` additionally writes a file-level zone-map
+        manifest (operators/zonemaps.py) INSIDE the version directory
+        before the commit — stats are covered by the same atomic
+        pointer flip and, because version dirs are immutable, can
+        never go stale; ``scan_range`` plans from them.
+
         Every snapshot stays readable via ``read_table(version=...)``
         until ``vacuum`` — this is the time-travel write path."""
         from quack_reduce_spark import lake
@@ -512,6 +519,13 @@ class Engine:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
         rows = self.spark.read.parquet(data_dir).count()
+        if stats_cols:
+            # per-version zone maps ride inside the immutable version
+            # dir, staged BEFORE the pointer flip: a version's stats
+            # can never go stale and commit atomicity covers them too
+            from quack_reduce_spark.operators import zonemaps
+
+            zonemaps.write_zonemap(self.spark, data_dir, stats_cols)
         lake.write_manifest(path, version, op, rows)
         if concurrent:
             lake.commit(path, version, expected_head=head)
@@ -539,6 +553,43 @@ class Engine:
         if version is None:
             return self.spark.read.parquet(lake.resolve(path))
         return self.spark.read.parquet(lake.version_path(path, version))
+
+    def scan_range(
+        self,
+        path: str,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | str | None = None,
+    ) -> DataFrame:
+        """Range read ``lo <= col <= hi`` over a table (versioned or
+        plain dir), planning from the zone-map manifest when the
+        resolved directory carries one — only files whose [min, max]
+        can intersect the range are opened; without a manifest this
+        degrades to a full-scan filter (same rows either way: zone
+        maps prune, the predicate always re-applies)."""
+        import pyspark.sql.functions as F
+
+        from quack_reduce_spark import lake
+        from quack_reduce_spark.operators import zonemaps
+
+        if lake.is_versioned(path):
+            data_dir = (
+                lake.resolve(path)
+                if version is None
+                else lake.version_path(path, version)
+            )
+        else:
+            data_dir = path
+        if zonemaps.has_zonemap(data_dir):
+            df, _, _ = zonemaps.scan_pruned(self.spark, data_dir, col, lo, hi)
+            return df
+        pred = F.col(col).isNotNull()
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+        return self.spark.read.parquet(data_dir).filter(pred)
 
     def history(self, path: str) -> list[dict]:
         """Commit history of a versioned table (ascending), with op /

@@ -90,6 +90,74 @@ def read_zonemap(spark: SparkSession, data_dir: str) -> DataFrame:
     return spark.read.parquet(f"{data_dir}/{ZONEMAP_DIR}")
 
 
+def has_zonemap(data_dir: str) -> bool:
+    from quack_reduce_spark.lake import _fs_for, _join
+
+    return _fs_for(data_dir).is_dir(_join(data_dir, ZONEMAP_DIR))
+
+
+def _data_files(data_dir: str) -> list[str]:
+    """Recursive parquet-file listing under ``data_dir`` (hive
+    partition subdirs included), skipping hidden ``_``/``.`` names —
+    the same visibility rule Spark's file index applies. Goes through
+    the lake's filesystem dispatch, so URI paths (s3a/hdfs/file:) walk
+    the Hadoop FileSystem like every other metadata op."""
+    from quack_reduce_spark.lake import _fs_for, _join
+
+    fs = _fs_for(data_dir)
+    out: list[str] = []
+    stack = [data_dir.rstrip("/")]
+    while stack:
+        d = stack.pop()
+        for name in fs.list_names(d):
+            if name.startswith(("_", ".")):
+                continue
+            p = _join(d, name)
+            if fs.is_dir(p):
+                stack.append(p)
+            elif name.endswith(".parquet"):
+                out.append(p)
+    return out
+
+
+def append_zonemap(spark: SparkSession, data_dir: str, cols: list[str]) -> int:
+    """Incremental manifest maintenance after an APPEND: stat only the
+    files not yet covered (read directly by path — the existing
+    files' rows are never rescanned), union with the old manifest,
+    rewrite. Returns the number of NEW files statted. The manifest
+    rewrite itself is #files rows — noise. This is the Iceberg
+    append-commit shape: immutable data files mean old stats can
+    never go stale, so maintenance cost tracks the DELTA, not the
+    table (the same argument as dedup_lsh_index_probe's flat probe)."""
+    old = read_zonemap(spark, data_dir)
+    # manifest paths carry the scheme Spark's file index reported
+    # (file:/...); normalize both sides to scheme-less for the diff
+    def bare(p: str) -> str:
+        return p.split("://")[-1].removeprefix("file:")
+
+    known = {bare(r["file"]) for r in old.select("file").collect()}
+    new_files = [p for p in _data_files(data_dir) if bare(p) not in known]
+    if not new_files:
+        return 0
+    df = spark.read.parquet(*new_files)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}"))
+    fresh = (
+        df.select(F.col("_metadata.file_path").alias("file"), *cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+    merged = old.unionByName(fresh)
+    # write-then-swap: localCheckpoint pins the old manifest's rows in
+    # memory so the overwrite cannot clobber the frame mid-read
+    merged = merged.localCheckpoint()
+    merged.coalesce(1).write.mode("overwrite").parquet(f"{data_dir}/{ZONEMAP_DIR}")
+    return len(new_files)
+
+
 def prune_files(
     spark: SparkSession,
     data_dir: str,

@@ -146,3 +146,53 @@ def test_zorder_synergy_prunes_both_dims(spark, sf_dir, tmp_path):
     got, _, _ = Z.scan_pruned(spark, path, "o_totalprice", tp[0], tp[1])
     want = spark.read.parquet(path).filter(F.col("o_totalprice").between(tp[0], tp[1]))
     assert _rows(got.select("o_orderkey")) == _rows(want.select("o_orderkey"))
+
+
+def test_append_zonemap_stats_only_new_files(spark, sf_dir, tmp_path):
+    """Incremental maintenance: after an append, only the delta is
+    statted (return value counts new files), and the merged manifest
+    equals a from-scratch rebuild."""
+    path = str(tmp_path / "grow")
+    orders = load(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < F.lit(dt.datetime(1998, 1, 1)))
+    new = orders.filter(F.col("o_orderdate") >= F.lit(dt.datetime(1998, 1, 1)))
+    old.repartition(2).write.mode("overwrite").parquet(path)
+    assert Z.write_zonemap(spark, path, ["o_orderdate"]) == 2
+    new.repartition(3).write.mode("append").parquet(path)
+    assert Z.append_zonemap(spark, path, ["o_orderdate"]) == 3
+    merged = {tuple(r) for r in Z.read_zonemap(spark, path).collect()}
+    Z.write_zonemap(spark, path, ["o_orderdate"])  # full rebuild
+    rebuilt = {tuple(r) for r in Z.read_zonemap(spark, path).collect()}
+    assert merged == rebuilt
+    # idempotent: nothing new -> nothing statted, manifest unchanged
+    assert Z.append_zonemap(spark, path, ["o_orderdate"]) == 0
+
+
+def test_versioned_table_scan_range(spark, sf_dir, tmp_path):
+    """Engine integration: write_versioned(stats_cols=...) stages the
+    manifest inside the immutable version dir; scan_range plans from
+    it per SNAPSHOT (each version keeps its own stats), and a table
+    without stats degrades to a plain filtered scan."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators.zonemaps import has_zonemap
+    from quack_reduce_spark import lake
+
+    path = str(tmp_path / "vt")
+    eng = Engine(spark=spark)
+    orders = load(spark, sf_dir, "orders").repartitionByRange(6, "o_orderdate")
+    v1_rows = orders.filter(F.col("o_orderkey") % 2 == 0)
+    eng.write_versioned(v1_rows, path, op="create", stats_cols=["o_orderdate"])
+    eng.write_versioned(orders, path, op="write", stats_cols=["o_orderdate"])
+    assert has_zonemap(lake.version_path(path, 1))
+    assert has_zonemap(lake.version_path(path, 2))
+    lo, hi = dt.datetime(1997, 1, 1), dt.datetime(1997, 12, 31)
+    got_v1 = eng.scan_range(path, "o_orderdate", lo, hi, version=1).count()
+    want_v1 = v1_rows.filter(F.col("o_orderdate").between(lo, hi)).count()
+    assert got_v1 == want_v1
+    got_live = eng.scan_range(path, "o_orderdate", lo, hi).count()
+    want_live = orders.filter(F.col("o_orderdate").between(lo, hi)).count()
+    assert got_live == want_live
+    # no-stats fallback: plain dir without a manifest
+    plain = str(tmp_path / "plain")
+    orders.write.mode("overwrite").parquet(plain)
+    assert eng.scan_range(plain, "o_orderdate", lo, hi).count() == want_live
