@@ -97,6 +97,9 @@ HEADLINE = [
     "sketch_topn_sample_quantiles",
     "sketch_bloom_semijoin",
     "sketch_join_cardinality",
+    # round 9 late addition: the A-ES weighted sample (scan-side key +
+    # WindowGroupLimit-bounded stratum window — should track the scan)
+    "ml_weighted_sample",
 ]
 
 # r6 regressed 25-35% with no code change; each gets a suite-first

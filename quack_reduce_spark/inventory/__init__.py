@@ -117,6 +117,7 @@ _HEAD = [
     "lake_zonemap_skipping",
     "ml_weighted_sample",
     "stream_cms_topk",
+    "ml_target_encode",
     # r8 ADVICE: sim_lsh_topk's buckets changed when the hyperplanes
     # were Gram-Schmidt-orthogonalized; it is rows-only (no oracle —
     # a deliberate one-slot exception to the no-rows-only-head rule)
@@ -126,7 +127,7 @@ _HEAD = [
     # r3 stragglers owed from the r8 rotation, then 21 of the 40
     # r4-era keys (Tier A remainder, core Tier B, the heavy TPC-H
     # composites, and the ts_ windows); the remaining r4 keys (plus
-    # tpch_q9/q18/q21, displaced by the late zonemap/weighted-sample/stream-CMS slots) rotate into r10
+    # tpch_q8/q9/q18/q21, displaced by the late r9 feature slots) rotate into r10
     "b2_levenshtein", "b2_string_fns2", "b2_regexp_extract",
     "b2_date_fns2", "b2_null_fns", "b2_window_ranks",
     "b_rollup", "b_higher_order_fns", "b2_pivot",
@@ -138,7 +139,6 @@ _HEAD = [
     "b3_window_qualify",
     "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
     "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
 ]
 
 

@@ -341,9 +341,58 @@ def ml_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe (out-of-fold) target encoding — the categorical-
+    feature workhorse that naive mean-encoding gets WRONG by letting a
+    row see its own label: rows are dealt into 5 md5 folds (the same
+    deterministic hash as ml_kfold_stats), and fold f's encoding for
+    category c is the target mean computed over the OTHER folds,
+    ``(S_c - S_cf) / (n_c - n_cf)``. Everything derives from one
+    per-(category, fold) sum/count aggregate — category totals are a
+    window over that 25-row frame (a groupBy+join-back would re-scan
+    the fact: Spark gets no static exchange reuse across the two
+    branches), so the fact table is scanned once and shuffled once
+    regardless of size; encodings for a trillion rows are a 25-row
+    broadcast joined back at apply time.
+    ``leakage_gap`` (in-fold mean minus out-of-fold encoding) is
+    reported per cell: systematically large gaps are the overfit
+    signal this construction exists to kill."""
+    orders = load(spark, sf_dir, "orders")
+    fold = _md5_bucket(F.col("o_orderkey").cast("string"), 5)
+    cf = (
+        orders.select(
+            F.col("o_orderpriority").alias("cat"),
+            fold.alias("fold"),
+            F.col("o_totalprice").alias("y"),
+        )
+        .groupBy("cat", "fold")
+        .agg(F.count(F.lit(1)).alias("n_f"), F.sum("y").alias("s_f"))
+    )
+    # category totals as a window over the 25-row aggregate, NOT a
+    # groupBy+join back (that shape re-scans the fact: no static
+    # exchange reuse across the two aggregation branches)
+    from pyspark.sql import Window
+
+    wcat = Window.partitionBy("cat")
+    n_c = F.sum("n_f").over(wcat)
+    s_c = F.sum("s_f").over(wcat)
+    enc = (s_c - F.col("s_f")) / (n_c - F.col("n_f"))
+    return (
+        cf.select(
+            "cat",
+            "fold",
+            "n_f",
+            rnd(enc, 2).alias("enc_oof"),
+            rnd(F.col("s_f") / F.col("n_f") - enc, 2).alias("leakage_gap"),
+        )
+        .orderBy("cat", "fold")
+    )
+
+
 QUERIES = {
     "ml_train_split": ml_train_split,
     "ml_weighted_sample": ml_weighted_sample,
+    "ml_target_encode": ml_target_encode,
     "ml_winsorize": ml_winsorize,
     "ml_robust_scale": ml_robust_scale,
     "ml_negative_pairs": ml_negative_pairs,
@@ -355,6 +404,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ml_target_encode": f"""
+        WITH f AS (
+            SELECT o_orderpriority AS cat,
+                   {_md5_bucket_sql("CAST(o_orderkey AS VARCHAR)", 5)} AS fold,
+                   o_totalprice AS y
+            FROM orders
+        ),
+        cf AS (
+            SELECT cat, fold, CAST(COUNT(*) AS BIGINT) AS n_f,
+                   SUM(y) AS s_f
+            FROM f GROUP BY cat, fold
+        ),
+        tot AS (
+            SELECT cat, CAST(SUM(n_f) AS BIGINT) AS n_c, SUM(s_f) AS s_c
+            FROM cf GROUP BY cat
+        )
+        SELECT cat, fold, n_f,
+               FLOOR((s_c - s_f) / (n_c - n_f) * 1e2 + 0.5) / 1e2 AS enc_oof,
+               FLOOR((s_f / n_f - (s_c - s_f) / (n_c - n_f)) * 1e2 + 0.5) / 1e2
+                   AS leakage_gap
+        FROM cf JOIN tot USING (cat)
+        ORDER BY cat, fold
+    """,
     "ml_weighted_sample": """
         WITH keyed AS (
             SELECT source, doc_id, n_chars,

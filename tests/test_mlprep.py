@@ -175,3 +175,45 @@ def test_weighted_sample_merges_across_shards(spark, sf_dir):
         .collect()
     }
     assert merged == glob
+
+
+def test_target_encode_is_leakage_safe_and_consistent(spark, sf_dir):
+    """Pin the two algebraic contracts: (a) each cell's out-of-fold
+    encoding equals a direct recompute of the other folds' target
+    mean; (b) the n_f-weighted average of ONE category's five in-fold
+    means equals that category's global mean (partition identity) —
+    which the encodings deliberately exclude per cell."""
+    from quack_reduce_spark.inventory.mlprep import _md5_bucket, ml_target_encode
+
+    out = ml_target_encode(spark, sf_dir).collect()
+    assert len(out) == 25  # 5 priorities x 5 folds, all populated
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("cat"),
+            _md5_bucket(F.col("o_orderkey").cast("string"), 5).alias("fold"),
+            F.col("o_totalprice").alias("y"),
+        )
+        .collect()
+    )
+    import math
+
+    def rnd2(x):
+        return math.floor(x * 100 + 0.5) / 100
+
+    by_cell = {}
+    for r in orders:
+        by_cell.setdefault((r.cat, r.fold), []).append(r.y)
+    for r in out:
+        others = [
+            y
+            for (cat, fold), ys in by_cell.items()
+            if cat == r.cat and fold != r.fold
+            for y in ys
+        ]
+        want = sum(others) / len(others)
+        assert abs(rnd2(want) - r.enc_oof) < 0.02, (r, want)
+        own = by_cell[(r.cat, r.fold)]
+        assert len(own) == r.n_f
+        gap = sum(own) / len(own) - want
+        assert abs(rnd2(gap) - r.leakage_gap) < 0.02, (r, gap)
