@@ -139,7 +139,9 @@ def append_zonemap(spark: SparkSession, data_dir: str, cols: list[str]) -> int:
     new_files = [p for p in _data_files(data_dir) if bare(p) not in known]
     if not new_files:
         return 0
-    df = spark.read.parquet(*new_files)
+    # basePath keeps hive partition columns resolvable when reading
+    # explicit file paths, so partition columns remain valid stats_cols
+    df = spark.read.option("basePath", data_dir).parquet(*new_files)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
@@ -196,7 +198,9 @@ def scan_pruned(
     cost reads, never correctness."""
     files, total = prune_files(spark, data_dir, col, lo, hi)
     if files:
-        df = spark.read.parquet(*files)
+        # basePath keeps hive partition columns resolvable when the
+        # survivors are read by explicit path
+        df = spark.read.option("basePath", data_dir).parquet(*files)
     else:
         df = spark.read.parquet(data_dir).limit(0)
     pred = F.col(col).isNotNull()

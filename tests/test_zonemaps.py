@@ -196,3 +196,30 @@ def test_versioned_table_scan_range(spark, sf_dir, tmp_path):
     plain = str(tmp_path / "plain")
     orders.write.mode("overwrite").parquet(plain)
     assert eng.scan_range(plain, "o_orderdate", lo, hi).count() == want_live
+
+
+def test_zonemap_on_hive_partitioned_layout(spark, sf_dir, tmp_path):
+    """Zone maps compose with hive partitioning: stats can cover BOTH
+    a partition column (resolved from the path) and a data column, and
+    incremental append maintenance keeps partition columns resolvable
+    (basePath) when stating only the new files."""
+    path = str(tmp_path / "hive")
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    old = orders.filter(F.col("o_year") <= 1997)
+    new = orders.filter(F.col("o_year") > 1997)
+    old.write.partitionBy("o_year").mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_year", "o_totalprice"])
+    new.write.partitionBy("o_year").mode("append").parquet(path)
+    assert Z.append_zonemap(spark, path, ["o_year", "o_totalprice"]) > 0
+    merged = {tuple(r) for r in Z.read_zonemap(spark, path).collect()}
+    Z.write_zonemap(spark, path, ["o_year", "o_totalprice"])
+    rebuilt = {tuple(r) for r in Z.read_zonemap(spark, path).collect()}
+    assert merged == rebuilt
+    # range over the partition column plans from the manifest and
+    # agrees with the partition-pruned direct read
+    got, read, total = Z.scan_pruned(spark, path, "o_year", 1996, 1997)
+    want = spark.read.parquet(path).filter(F.col("o_year").between(1996, 1997))
+    assert got.count() == want.count()
+    assert read < total
