@@ -588,3 +588,51 @@ def test_portable_shingle_fold_uniform(spark_global):
     chi2 = ((observed - n / nb) ** 2 / (n / nb)).sum()
     assert chi2 < 63 + 5 * (2 * 63) ** 0.5, chi2
     assert abs(np.corrcoef(idx, hs)[0, 1]) < 0.04
+
+
+def test_aes_sample_u_uniform_and_weight_proportional():
+    """ml_weighted_sample's md5-48-bit u family: (a) per-decile
+    chi-squared uniformity of u over [0,1); (b) the A-ES selection
+    actually IS weight-proportional — with weights w and w' = 3w on
+    two equal-size populations, the 3x-weighted half should win ~3/4
+    of the top slots (binomial 5-sigma band); (c) u is well-spread
+    WITHIN each 100-way split bucket (u's top 32 bits determine the
+    md5 split bucket — chars 1-8 are a prefix of chars 1-12 — so a
+    pipeline that both splits and weight-samples the same keys needs
+    the within-bucket distribution to stay fine-grained, not
+    clustered)."""
+    n = 20_000
+    u = np.array(
+        [
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) + 0.5) / 2**48
+            for i in range(n)
+        ]
+    )
+    observed = np.histogram(u, bins=10, range=(0.0, 1.0))[0]
+    chi2 = ((observed - n / 10) ** 2 / (n / 10)).sum()
+    assert chi2 < 9 + 5 * (2 * 9) ** 0.5, chi2  # df=9: mean + 5 sd
+
+    # (b) weight-proportionality of the pow-key selection
+    w = np.where(np.arange(n) % 2 == 0, 1.0, 3.0)
+    key = u ** (1.0 / w)
+    top = np.argsort(-key)[: n // 10]
+    heavy = (top % 2 == 1).mean()
+    # P(select heavy) ~ 3/4 at weight ratio 3 (A-ES, small sample
+    # fraction); binomial sd over n/10 draws
+    sd = (0.75 * 0.25 / (n // 10)) ** 0.5
+    assert abs(heavy - 0.75) < 5 * sd, heavy
+
+    # (c) within-bucket spread: conditioned on split bucket, u must
+    # still fill [0,1) (quartile chi-squared per bucket, pooled)
+    buckets = np.array(
+        [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 for i in range(n)]
+    )
+    chi2c, df = 0.0, 0
+    for b in range(100):
+        ub = u[buckets == b]
+        if len(ub) < 40:
+            continue
+        obs = np.histogram(ub, bins=4, range=(0.0, 1.0))[0]
+        chi2c += ((obs - len(ub) / 4) ** 2 / (len(ub) / 4)).sum()
+        df += 3
+    assert chi2c < df + 5 * (2 * df) ** 0.5, (chi2c, df)

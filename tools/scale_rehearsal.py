@@ -94,6 +94,8 @@ ALL_FAMILIES = [
     "graph_bfs_layers",
     "graph_triangles",
     "dedup_lsh_index_probe",
+    # round-9 addition: manifest-planned range scan vs a growing table
+    "lake_zonemap_probe",
 ]
 
 
@@ -447,6 +449,86 @@ def main() -> None:
             }
             print(f"  dedup_lsh_index_probe: probe {ts} build {builds}", file=sys.stderr)
 
+        # ---- zone-map probe: the stats-pruning claim ------------------
+        # The table grows 1→10x by DATE-SHIFTED replicas (+10 years per
+        # replica — disjoint date ranges, the production analogue of an
+        # append-only time-partitioned table), laid out date-clustered
+        # with 12 files per replica. The fixed 1997 range query matches
+        # ONLY replica 0, so the manifest-planned scan should stay FLAT
+        # while the table (and its file count) grows linearly — the
+        # same shape as the LSH index probe. Manifest build is timed
+        # separately; files_read telemetry is recorded per mult.
+        if "lake_zonemap_probe" in wanted:
+            import datetime as _dt
+
+            from quack_reduce_spark.operators import zonemaps as Z
+
+            n_base = orders.count()
+            ns, ts, builds, freads, ftotals = [], [], [], [], []
+            for m in MULTS:
+                reps = spark.range(m).select(F.col("id").alias("__rep"))
+                rep_orders = orders.crossJoin(reps).select(
+                    (F.col("o_orderkey") + F.col("__rep") * 100_000_000).alias(
+                        "o_orderkey"
+                    ),
+                    F.expr(
+                        "o_orderdate + make_interval(CAST(10*__rep AS INT),"
+                        " 0, 0, 0, 0, 0, 0)"
+                    ).alias("o_orderdate"),
+                    "o_orderstatus",
+                    "o_totalprice",
+                )
+                zpath = f"{tmp}/zm_orders_x{m}"
+                (
+                    rep_orders.repartitionByRange(12 * m, "o_orderdate")
+                    .sortWithinPartitions("o_orderdate")
+                    .write.mode("overwrite")
+                    .parquet(zpath)
+                )
+                t0 = time.time()
+                Z.write_zonemap(spark, zpath, ["o_orderdate"])
+                builds.append(round(time.time() - t0, 3))
+
+                def zm_probe(zpath=zpath):
+                    def thunk():
+                        pruned, fr, ft = Z.scan_pruned(
+                            spark,
+                            zpath,
+                            "o_orderdate",
+                            _dt.datetime(1997, 1, 1),
+                            _dt.datetime(1997, 12, 31),
+                        )
+                        pruned.groupBy("o_orderstatus").agg(
+                            F.count(F.lit(1)).alias("n"),
+                            F.sum("o_totalprice").alias("s"),
+                        ).collect()
+                        return fr, ft
+                    return thunk
+
+                fr, ft = zm_probe()()  # telemetry from the warmup call
+                t = _timed(zm_probe())
+                ns.append(n_base * m)
+                ts.append(round(t, 3))
+                freads.append(fr)
+                ftotals.append(ft)
+            results["lake_zonemap_probe"] = {
+                "mults": MULTS,
+                "rows": ns,
+                "sec": ts,
+                "manifest_build_sec": builds,
+                "files_read": freads,
+                "files_total": ftotals,
+                "fit_exp": round(_fit_exponent(ns, ts), 3),
+                "tail_exp": round(
+                    math.log(ts[-1] / ts[-2]) / math.log(MULTS[-1] / MULTS[-2]), 3
+                ),
+            }
+            print(
+                f"  lake_zonemap_probe: probe {ts} build {builds} "
+                f"read/total {list(zip(freads, ftotals))}",
+                file=sys.stderr,
+            )
+
         # sanity: linear pair growth for the dedup replicas (the
         # construction claim — not a timing)
         if "dedup_ngram_jaccard" in wanted:
@@ -491,6 +573,18 @@ def main() -> None:
                 f"took {b} s at mult {MULTS} — probe cost tracks the tiny "
                 "3-long-column index scan, not the corpus text, which is the "
                 "incremental-ingest claim under test."
+            )
+        if "lake_zonemap_probe" in results:
+            r = results["lake_zonemap_probe"]
+            lines.append("")
+            lines.append(
+                "The `lake_zonemap_probe` row times the manifest-planned "
+                "range scan only (a fixed one-year predicate vs a table of "
+                "date-shifted replicas growing 1→10x); one-time manifest "
+                f"builds took {r['manifest_build_sec']} s and the scan read "
+                f"{r['files_read']} of {r['files_total']} files at mult "
+                f"{MULTS} — files read track the predicate's selectivity, "
+                "not the table, which is the stats-pruning claim under test."
             )
         if "candidates" in results.get("dedup_prefix_filter", {}):
             r = results["dedup_prefix_filter"]
