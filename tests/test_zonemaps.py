@@ -223,3 +223,50 @@ def test_zonemap_on_hive_partitioned_layout(spark, sf_dir, tmp_path):
     want = spark.read.parquet(path).filter(F.col("o_year").between(1996, 1997))
     assert got.count() == want.count()
     assert read < total
+
+
+def test_streaming_ingest_keeps_manifest_fresh(spark, sf_dir, tmp_path):
+    """Continuous-ingest integration: a file-source stream appends
+    micro-batches to a plain lake dir through foreachBatch, and each
+    batch incrementally extends the zone-map manifest (append_zonemap
+    — only the batch's new files are statted). After the drain the
+    manifest covers every file (equals a full rebuild) and a
+    manifest-planned range scan matches the direct filter."""
+    import os
+    import uuid
+
+    from quack_reduce_spark.inventory.streaming_live import _stream_source
+
+    table = str(tmp_path / "ingest")
+    ckpt = str(tmp_path / "ckpt")
+    stream = _stream_source(spark, sf_dir, with_redeliveries=False)
+
+    def sink(batch, batch_id):
+        if batch.isEmpty():
+            return
+        first = not os.path.isdir(table)
+        batch.write.mode("append").parquet(table)
+        if first:
+            Z.write_zonemap(spark, table, ["ts"])
+        else:
+            Z.append_zonemap(spark, table, ["ts"])
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName(f"zm_ingest_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.awaitTermination(120)
+    incr = {tuple(r) for r in Z.read_zonemap(spark, table).collect()}
+    Z.write_zonemap(spark, table, ["ts"])
+    rebuilt = {tuple(r) for r in Z.read_zonemap(spark, table).collect()}
+    assert incr == rebuilt and len(incr) > 1
+    full = spark.read.parquet(table)
+    lo = full.agg(F.min("ts")).first()[0]
+    hi = full.agg(F.expr("min(ts) + INTERVAL 1 DAY")).first()[0]
+    got, read, total = Z.scan_pruned(spark, table, "ts", lo, hi)
+    want = full.filter(F.col("ts").between(lo, hi))
+    assert got.count() == want.count()
+    assert 0 < read <= total
