@@ -543,23 +543,27 @@ def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter SEMI-JOIN pre-filter — the scan-side join-pushdown
     pattern every 100 TB engine lives on (Spark's AQE runtime bloom
     join, Parquet row-group dictionary pruning): the qualifying-key set
-    (customers with acctbal > 9000) folds into a FIXED 8184-bit bitset
-    (132 long words, one bit_or aggregate — OR-mergeable like HLL
-    registers), which ships into the orders scan as a row-local
-    literal-array expression (operators/sketches.py::bloom_pass_expr —
-    zero joins, zero shuffle on the probe side). Reported against the
-    exact semi-join in ONE fact pass: no-false-negatives is hash-gated
-    (n_missed must be 0 — every true member passes the filter, by
-    construction), false positives are counted and rated. The
-    driver-side materialization is the bitset itself (132 longs,
-    bounded regardless of key count) — the same bounded-collect class
-    as the fit/probe steps, and precisely how engines ship bloom
-    filters into scans."""
+    (customers with acctbal > 9000) folds into a bitset SIZED FROM THE
+    KEY COUNT (m = 10 bits/key at ~1% target fp, k = 7 — pure integer
+    arithmetic via operators.sketches.bloom_size, so the oracle derives
+    the identical m from its own COUNT(*)), built by one bit_or
+    aggregate (OR-mergeable like HLL registers), which ships into the
+    orders scan as a row-local literal-array expression
+    (operators/sketches.py::bloom_pass_expr — zero joins, zero shuffle
+    on the probe side). Reported against the exact semi-join in ONE
+    fact pass: no-false-negatives is hash-gated (n_missed must be 0 —
+    every true member passes the filter, by construction), false
+    positives are counted and rated; sizing keeps fp ~1% at ANY key
+    count where the round-9 fixed 8184-bit filter would saturate
+    (tests/test_sketches.py::test_bloom_sized_beats_saturated_fixed_m).
+    The driver-side materializations are the key COUNT (one long —
+    every engine's planner reads this before sizing a runtime filter)
+    and the bitset itself (m/62 longs, ~n_keys/6 — bounded by the
+    DIMENSION side's cardinality, never the fact's)."""
     from quack_reduce_spark.operators.sketches import (
-        BLOOM_K,
-        BLOOM_M,
-        BLOOM_WORDS,
+        BLOOM_SIZED_K,
         bloom_pass_expr,
+        bloom_size,
         bloom_words,
     )
 
@@ -568,8 +572,11 @@ def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = cust.filter(F.col("c_acctbal") > BLOOM_ACCTBAL_MIN).select(
         F.col("c_custkey").alias("k")
     ).distinct()
-    wrows = bloom_words(keys, "k").collect()  # <= 132 longs, bounded
-    dense = [0] * BLOOM_WORDS
+    n_keys = keys.count()  # planning scalar: sizes the filter
+    words_n, m = bloom_size(n_keys)
+    k = BLOOM_SIZED_K
+    wrows = bloom_words(keys, "k", m=m, k=k).collect()  # m/62 longs, bounded
+    dense = [0] * words_n
     for r in wrows:
         dense[int(r["word_idx"])] = int(r["word"])
     flagged = orders.join(
@@ -579,7 +586,7 @@ def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "left",
     ).select(
-        bloom_pass_expr(dense, F.col("o_custkey").cast("string")).alias("bp"),
+        bloom_pass_expr(dense, F.col("o_custkey").cast("string"), k=k).alias("bp"),
         F.coalesce(F.col("__m"), F.lit(0)).alias("mem"),
     )
     agg = flagged.agg(
@@ -591,8 +598,8 @@ def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nk = keys.agg(F.count(F.lit(1)).alias("n_keys"))
     return agg.crossJoin(nk).select(
-        F.lit(BLOOM_M).alias("m_bits"),
-        F.lit(BLOOM_K).alias("k"),
+        F.lit(m).cast("long").alias("m_bits"),
+        F.lit(k).alias("k"),
         "n_keys",
         "n_fact",
         "n_bloom_pass",
@@ -1073,20 +1080,28 @@ def _join_cardinality_oracle() -> str:
 
 def _bloom_semijoin_oracle() -> str:
     from quack_reduce_spark.operators.sketches import (
-        BLOOM_K,
-        BLOOM_M,
+        BLOOM_BITS_PER_KEY,
+        BLOOM_SIZED_K,
         BLOOM_WORD_BITS,
     )
 
-    salt_values = ", ".join(f"({r})" for r in range(BLOOM_K))
+    salt_values = ", ".join(f"({r})" for r in range(BLOOM_SIZED_K))
+    # m derived from the key count with PURE INTEGER arithmetic —
+    # the exact formula bloom_size() uses, so both engines land on
+    # the identical bitset width from their own COUNT(*).
     hpos = (
         "CAST('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || "
-        "CAST({key} AS VARCHAR)), 1, 8) AS BIGINT) % " + str(BLOOM_M)
+        "CAST({key} AS VARCHAR)), 1, 8) AS BIGINT) % (SELECT m FROM msz)"
     )
     return f"""
         WITH keys AS (
             SELECT DISTINCT c_custkey AS k FROM customer
             WHERE c_acctbal > {BLOOM_ACCTBAL_MIN!r}
+        ),
+        msz AS (
+            SELECT ((COUNT(*) * {BLOOM_BITS_PER_KEY} + {BLOOM_WORD_BITS - 1})
+                    // {BLOOM_WORD_BITS}) * {BLOOM_WORD_BITS} AS m
+            FROM keys
         ),
         salts AS (SELECT * FROM (VALUES {salt_values}) t(r)),
         pos AS (
@@ -1112,7 +1127,7 @@ def _bloom_semijoin_oracle() -> str:
             GROUP BY o_orderkey, o_custkey
         ),
         flag AS (
-            SELECT (hits = {BLOOM_K}) AS bp,
+            SELECT (hits = {BLOOM_SIZED_K}) AS bp,
                    (o_custkey IN (SELECT k FROM keys)) AS mem
             FROM fhit
         ),
@@ -1125,12 +1140,12 @@ def _bloom_semijoin_oracle() -> str:
             FROM flag
         ),
         nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM keys)
-        SELECT CAST({BLOOM_M} AS INT) AS m_bits,
-               CAST({BLOOM_K} AS INT) AS k,
+        SELECT CAST(msz.m AS BIGINT) AS m_bits,
+               CAST({BLOOM_SIZED_K} AS INT) AS k,
                nk.n_keys, a.n_fact, a.n_bloom_pass, a.n_exact,
                a.n_false_pos, a.n_missed,
                {_RND4.format(x="a.n_false_pos / (a.n_fact - a.n_exact)")} AS fp_rate
-        FROM agg a, nk
+        FROM agg a, nk, msz
     """
 
 

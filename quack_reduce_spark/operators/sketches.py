@@ -226,38 +226,66 @@ def hll_registers(hashed: DataFrame) -> DataFrame:
 
 # Bloom filter: m = WORDS * WORD_BITS bits in long words; 62 bits per
 # word keeps every shift value positive under ANSI int64 (1 << 61 max).
+# BLOOM_WORDS/BLOOM_M/BLOOM_K are the fixed-width DEFAULTS (a bounded
+# demo sketch); production filters are SIZED from the key count via
+# bloom_size() — a fixed-m filter silently saturates (fp -> 1) once
+# n_keys grows past ~m/10 (the round-9 design nit this fixes).
 BLOOM_WORDS = 132
 BLOOM_WORD_BITS = 62
 BLOOM_M = BLOOM_WORDS * BLOOM_WORD_BITS  # 8184 bits
 BLOOM_K = 3
 
+# Sized-filter constants for a ~1% target fp rate: the textbook
+# optimum is m/n = -ln(p)/ln^2(2) = 9.585 bits/key at p = 0.01,
+# rounded UP to the integer 10 so m derives from n with PURE INTEGER
+# arithmetic (exactly replayable in any SQL engine — no cross-libm
+# float drift; see docs: round-8 log2 lesson), and k = round((m/n)
+# ln 2) = 7, giving fp ~= (1 - e^(-7/10*ln-ish))... ~= 0.008 < 1%.
+BLOOM_BITS_PER_KEY = 10
+BLOOM_SIZED_K = 7
 
-def bloom_positions(key: Column) -> list[Column]:
-    """BLOOM_K independent bit positions for a key — the same
+
+def bloom_size(n_keys: int) -> tuple[int, int]:
+    """(words, m_bits) sized for ``n_keys`` at ~1% false positives:
+    ``m = ceil(n * BITS_PER_KEY / WORD_BITS) * WORD_BITS`` — integer
+    math only, so an oracle SQL computing the same formula from its
+    own COUNT(*) lands on the identical m."""
+    n = max(1, int(n_keys))
+    words = (n * BLOOM_BITS_PER_KEY + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
+    return words, words * BLOOM_WORD_BITS
+
+
+def bloom_positions(key: Column, m: int = BLOOM_M, k: int = BLOOM_K) -> list[Column]:
+    """``k`` independent bit positions for a key — the same
     ``r:``-salted md5 family count-min uses (cms_buckets), mod m."""
     return [
         (
             F.conv(
                 F.substring(F.md5(F.concat(F.lit(f"{r}:"), key)), 1, 8), 16, 10
             ).cast("long")
-            % BLOOM_M
+            % m
         )
-        for r in range(BLOOM_K)
+        for r in range(k)
     ]
 
 
-def bloom_words(keys: DataFrame, key_col: str) -> DataFrame:
-    """(word_idx, word): the Bloom bitset of a key frame as <= 132
-    long words — ONE map-side-combinable aggregate (bit_or is
-    associative/commutative/idempotent, so partial bitsets merge
+def bloom_words(
+    keys: DataFrame, key_col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """(word_idx, word): the Bloom bitset of a key frame as
+    ``m / 62`` long words — ONE map-side-combinable aggregate (bit_or
+    is associative/commutative/idempotent, so partial bitsets merge
     exactly like HLL registers; union of key sets == bitwise OR of
-    their word frames, tested in tests/test_sketches.py). Fixed
-    8184-bit width regardless of key count — the shippable semi-join
+    their word frames, tested in tests/test_sketches.py). Width is
+    fixed by ``m`` regardless of key count — the shippable semi-join
     pre-filter every engine pushes into scans at 100 TB (Spark's own
     AQE runtime bloom join is the engine-native analogue; this is the
-    engine-portable, DuckDB-replayable form)."""
+    engine-portable, DuckDB-replayable form). Size ``m`` from the
+    expected key count with :func:`bloom_size`."""
     pos = keys.select(
-        F.explode(F.array(*bloom_positions(F.col(key_col).cast("string")))).alias("p")
+        F.explode(
+            F.array(*bloom_positions(F.col(key_col).cast("string"), m=m, k=k))
+        ).alias("p")
     )
     return (
         pos.select(
@@ -278,18 +306,20 @@ def _bit_of(p: Column) -> Column:
     return F.element_at(powers, ((p % BLOOM_WORD_BITS) + 1).cast("int"))
 
 
-def bloom_pass_expr(words: list[int], key: Column) -> Column:
+def bloom_pass_expr(words: list[int], key: Column, k: int = BLOOM_K) -> Column:
     """Row-local membership test against a DRIVER-MATERIALIZED bitset
-    (``words``: the dense 132-long array). This is the production
-    shape: the bitset is bounded (132 longs) no matter how many keys
-    went in, so shipping it into the scan as a literal-array
-    expression — zero joins, zero shuffle on the probe side, pure
-    whole-stage codegen — is exactly what engine-native bloom-join
-    pushdown does. No false negatives by construction; false positives
-    are quantified by the caller."""
+    (``words``: the dense m/62-long array; m is implied by its
+    length). This is the production shape: the bitset is bounded no
+    matter how many keys went in, so shipping it into the scan as a
+    literal-array expression — zero joins, zero shuffle on the probe
+    side, pure whole-stage codegen — is exactly what engine-native
+    bloom-join pushdown does. No false negatives by construction;
+    false positives are quantified by the caller. ``k`` must match the
+    ``k`` the bitset was built with."""
+    m = len(words) * BLOOM_WORD_BITS
     arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
     cond = F.lit(True)
-    for p in bloom_positions(key):
+    for p in bloom_positions(key, m=m, k=k):
         word = F.element_at(arr, (F.floor(p / BLOOM_WORD_BITS) + 1).cast("int"))
         cond = cond & (word.bitwiseAND(_bit_of(p)) != 0)
     return cond

@@ -1,4 +1,4 @@
-"""File-level zone maps: a min/max stats manifest + data-skipping scan.
+"""File-level zone maps: partition-grouped min/max manifests + data skipping.
 
 Parquet footers already carry per-row-group min/max statistics, but a
 100 TB table is *thousands of files*, and the scan planner must still
@@ -6,19 +6,34 @@ LIST and open every footer to discover that 99% of them cannot match a
 selective predicate. Table formats (Iceberg manifests, Delta
 ``add``-action stats) fix this by hoisting per-FILE min/max into a
 small metadata artifact read once at planning time. This module
-rebuilds that mechanism on plain parquet:
+rebuilds that mechanism on plain parquet, in the Iceberg shape —
+a MANIFEST LIST over PER-PARTITION MANIFESTS:
 
 - :func:`write_zonemap` aggregates per-file ``(n_rows, min, max,
   n_null)`` for chosen columns in ONE distributed pass over the table
   (grouping on the hidden ``_metadata.file_path`` column) and writes
-  the manifest under ``<table>/_zonemap/`` — an underscore-prefixed
+  the stats under ``<table>/_zonemap/`` — an underscore-prefixed
   directory, which Spark's file index treats as hidden, so normal
-  table scans never see it.
-- :func:`prune_files` evaluates a closed-interval predicate
-  ``lo <= col <= hi`` against the manifest only: a file survives iff
-  its ``[min, max]`` interval intersects ``[lo, hi]`` (an all-NULL
-  file has NULL min/max and is skipped — a range predicate cannot
-  match NULL).
+  table scans never see it. Stats rows are partitioned into ONE
+  MANIFEST PER DATA DIRECTORY (= per hive partition; flat layouts get
+  a single group) via ``write.partitionBy`` — a single distributed
+  write, no per-group driver loop — plus a tiny JSON *manifest list*
+  (``_zonemap/_list.json``) recording, per group: the directory, its
+  file count, and group-level [lo, hi] per stats column.
+- :func:`append_zonemap` is the Iceberg append-commit shape: only the
+  NEW files are statted, and only the TOUCHED partitions' manifests
+  are rewritten (Spark dynamic partition overwrite); untouched
+  partitions' manifests are never read, rewritten, or even listed.
+  Maintenance cost tracks the DELTA, not the table — at a million
+  files, an append to today's partition rewrites one small manifest,
+  not an O(#files) blob (the round-9 design nit this layout fixes).
+- :func:`prune_files` reads the manifest list FIRST: partition groups
+  whose group-level ``[lo, hi]`` cannot intersect the query range are
+  skipped without opening their manifests at all; surviving groups'
+  manifests are then read (one Spark job over only those paths) and
+  filtered file-by-file. A file survives iff its ``[min, max]``
+  interval intersects ``[lo, hi]`` (an all-NULL file has NULL min/max
+  and is skipped — a range predicate cannot match NULL).
 - :func:`scan_pruned` reads ONLY the surviving files and re-applies
   the exact predicate (zone maps prune, they never filter), so the
   result is row-for-row identical to a full-table filter — the
@@ -26,19 +41,20 @@ rebuilds that mechanism on plain parquet:
   and z-ordered layouts.
 
 Scale notes. The manifest build is one map-side-combinable aggregate
-keyed on file path — #files output rows regardless of table size; the
-manifest itself is a parquet file of #files rows, so planning reads
-KILOBYTES where footer-probing reads thousands of round trips. Only
-the SURVIVING file paths are collected to the driver (the standard
-planning cost every table format pays; Iceberg's answer for
-million-file tables — partition-level manifest grouping — composes
-here too: zone maps nest under hive partition pruning since paths
-keep their partition directories). Pruning power is a *layout*
-property: clustering the write by the filter column
-(``repartitionByRange`` + ``sortWithinPartitions``, or
+keyed on file path — #files output rows regardless of table size.
+Planning reads the manifest list (#partitions entries) and then only
+the candidate partitions' manifests; only SURVIVING file paths are
+collected to the driver (the standard planning cost every table
+format pays). Pruning power is a *layout* property: clustering the
+write by the filter column (``repartitionByRange`` +
+``sortWithinPartitions``, or
 :func:`~quack_reduce_spark.operators.zorder.zorder_write` for two
 dimensions) gives each file a tight bounding box; a random layout
 degrades gracefully to reading everything — never to a wrong answer.
+
+Legacy layouts (round-9 single-file manifests, no ``_list.json``) are
+still read correctly and are upgraded in place — from their own rows,
+no table rescan — on the first :func:`append_zonemap`.
 
 The reference has no stats layer at all — its serverless engine
 re-lists and re-opens objects per query (``quack.py:145``,
@@ -49,10 +65,138 @@ protocol does, from the read-planning side.
 
 from __future__ import annotations
 
+import datetime as _dt
+import hashlib
+import json
+from typing import Any
+
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 ZONEMAP_DIR = "_zonemap"
+LIST_FILE = "_list.json"
+
+
+# -- path normalization (Spark reports file:/ URIs; fs walks report bare) --
+
+
+def _bare(p: str) -> str:
+    """Scheme-less path: ``file:///x`` / ``file:/x`` / ``/x`` → ``/x``."""
+    return "/" + p.split("://")[-1].removeprefix("file:").lstrip("/")
+
+
+def _bare_col(c: Column) -> Column:
+    return F.regexp_replace(c, "^[a-zA-Z0-9]+:/+", "/")
+
+
+def _dirname(p: str) -> str:
+    return p.rsplit("/", 1)[0]
+
+
+def _dirname_col(c: Column) -> Column:
+    # left(p, len - position of first '/' in reverse) == dirname
+    return F.substring(c, F.lit(1), F.length(c) - F.instr(F.reverse(c), "/"))
+
+
+def _token(rel: str) -> str:
+    return hashlib.md5(rel.encode()).hexdigest()[:12]
+
+
+def _group_cols(file_col: Column) -> tuple[Column, Column]:
+    """(group-token, group-dir) columns from a file-path column — the
+    token is md5(normalized dirname)[:12], matching :func:`_token` on
+    driver-side walked paths (Spark's md5 is lowercase hex, same as
+    hashlib)."""
+    gdir = _dirname_col(_bare_col(file_col))
+    return F.substring(F.md5(gdir), 1, 12), gdir
+
+
+# -- manifest-list JSON codec (typed lo/hi values) -------------------------
+
+
+def _enc(v: Any) -> Any:
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"t": "date", "v": v.isoformat()}
+    if isinstance(v, (int, float, str, bool)):
+        return {"t": type(v).__name__, "v": v}
+    # unencodable type (Decimal, bytes, ...): record as unknown — the
+    # group can then never be list-pruned (sound: pruning degrades to
+    # reading its manifest, never to a wrong answer)
+    return {"t": "?", "v": None}
+
+
+def _dec(e: Any) -> Any:
+    if e is None or e.get("t") == "?":
+        return None
+    t, v = e["t"], e["v"]
+    if t == "ts":
+        return _dt.datetime.fromisoformat(v)
+    if t == "date":
+        return _dt.date.fromisoformat(v)
+    return v
+
+
+def _list_path(data_dir: str) -> str:
+    return f"{data_dir.rstrip('/')}/{ZONEMAP_DIR}/{LIST_FILE}"
+
+
+def _read_list(data_dir: str) -> dict | None:
+    from quack_reduce_spark.lake import _fs_for
+
+    fs = _fs_for(data_dir)
+    p = _list_path(data_dir)
+    if not fs.is_file(p):
+        return None
+    return json.loads(fs.read_text(p))
+
+
+def _write_list(data_dir: str, cols: list[str], groups: dict[str, dict]) -> None:
+    from quack_reduce_spark.lake import _fs_for
+
+    doc = {"version": 2, "cols": cols, "groups": groups}
+    _fs_for(data_dir).write_text_atomic(_list_path(data_dir), json.dumps(doc, indent=1))
+
+
+def _group_summaries(stats_g: DataFrame, cols: list[str]) -> dict[str, dict]:
+    """Manifest-list entries from a stats frame that carries ``__g``
+    (token) and ``__gdir`` columns: per group — dir, file count, and
+    group-level [lo, hi] per stats column. One aggregate onto
+    #partitions rows; the only driver materialization in the build."""
+    aggs = [F.first("__gdir").alias("dir"), F.count(F.lit(1)).alias("n_files")]
+    for c in cols:
+        aggs.append(F.min(f"min_{c}").alias(f"lo_{c}"))
+        aggs.append(F.max(f"max_{c}").alias(f"hi_{c}"))
+    out: dict[str, dict] = {}
+    for r in stats_g.groupBy("__g").agg(*aggs).collect():
+        out[r["__g"]] = {
+            "dir": r["dir"],
+            "n_files": int(r["n_files"]),
+            "stats": {
+                c: {"lo": _enc(r[f"lo_{c}"]), "hi": _enc(r[f"hi_{c}"])} for c in cols
+            },
+        }
+    return out
+
+
+# -- stats build -----------------------------------------------------------
+
+
+def _stat_aggs(cols: list[str]) -> list[Column]:
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}"))
+    return aggs
+
+
+def _with_groups(stats: DataFrame) -> DataFrame:
+    tok, gdir = _group_cols(F.col("file"))
+    return stats.withColumn("__g", tok).withColumn("__gdir", gdir)
 
 
 def zonemap_stats(spark: SparkSession, data_dir: str, cols: list[str]) -> DataFrame:
@@ -62,38 +206,81 @@ def zonemap_stats(spark: SparkSession, data_dir: str, cols: list[str]) -> DataFr
     partial/final aggregate onto #files keys — the only full-table
     pass zone maps ever make."""
     df = spark.read.parquet(data_dir)
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
-        aggs.append(F.min(c).alias(f"min_{c}"))
-        aggs.append(F.max(c).alias(f"max_{c}"))
-        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}"))
     return (
         df.select(F.col("_metadata.file_path").alias("file"), *cols)
         .groupBy("file")
-        .agg(*aggs)
+        .agg(*_stat_aggs(cols))
     )
 
 
+def _write_grouped(
+    spark: SparkSession, data_dir: str, stats_g: DataFrame, dynamic: bool
+) -> None:
+    """Write stats (carrying ``__g``/``__gdir``) as one manifest file
+    per partition group under ``_zonemap/__g=<token>/``. ``__gdir`` is
+    dropped (derivable; the list records it); ``__g`` becomes the
+    physical partition dir. ``dynamic=True`` (the append path) uses
+    DYNAMIC partition-overwrite: only the groups present in
+    ``stats_g`` are replaced — the delta-only rewrite. ``dynamic=
+    False`` (full rebuild) replaces the whole manifest dir so no
+    stale group can linger."""
+    zm = f"{data_dir.rstrip('/')}/{ZONEMAP_DIR}"
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set(
+        "spark.sql.sources.partitionOverwriteMode",
+        "dynamic" if dynamic else "static",
+    )
+    try:
+        (
+            stats_g.drop("__gdir")
+            .repartition("__g")
+            .write.partitionBy("__g")
+            .mode("overwrite")
+            .parquet(zm)
+        )
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_zonemap(spark: SparkSession, data_dir: str, cols: list[str]) -> int:
-    """Build and persist the manifest at ``<data_dir>/_zonemap``
-    (single parquet file — it has #files rows). Returns the number of
-    data files covered. Rebuild after any rewrite of the table; the
-    versioned-lake integration gets this for free because version
-    directories are immutable (stats written once per version can
-    never go stale)."""
-    stats = zonemap_stats(spark, data_dir, cols)
-    stats.coalesce(1).write.mode("overwrite").parquet(f"{data_dir}/{ZONEMAP_DIR}")
-    return stats.count()
+    """Build and persist the grouped manifest at ``<data_dir>/_zonemap``
+    (one manifest per data directory + ``_list.json``). Returns the
+    number of data files covered. Rebuild after any rewrite of the
+    table; the versioned-lake integration gets this for free because
+    version directories are immutable (stats written once per version
+    can never go stale)."""
+    stats_g = _with_groups(zonemap_stats(spark, data_dir, cols)).localCheckpoint()
+    _write_grouped(spark, data_dir, stats_g, dynamic=False)
+    groups = _group_summaries(stats_g, cols)
+    _write_list(data_dir, cols, groups)
+    return sum(g["n_files"] for g in groups.values())
 
 
 def read_zonemap(spark: SparkSession, data_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{data_dir}/{ZONEMAP_DIR}")
+    """All per-file stats rows (every group's manifest; legacy
+    single-file layouts read identically — ``_list.json`` is
+    underscore-hidden from the parquet scan)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{data_dir.rstrip('/')}/{ZONEMAP_DIR}")
+    )
 
 
 def has_zonemap(data_dir: str) -> bool:
     from quack_reduce_spark.lake import _fs_for, _join
 
     return _fs_for(data_dir).is_dir(_join(data_dir, ZONEMAP_DIR))
+
+
+def zonemap_cols(data_dir: str) -> list[str]:
+    """The stats columns the manifest covers (from the manifest list;
+    legacy manifests fall back to parsing ``min_<c>`` field names on
+    first use via :func:`_upgrade_legacy` callers)."""
+    doc = _read_list(data_dir)
+    if doc is not None:
+        return list(doc["cols"])
+    return []
 
 
 def _data_files(data_dir: str) -> list[str]:
@@ -120,44 +307,133 @@ def _data_files(data_dir: str) -> list[str]:
     return out
 
 
-def append_zonemap(spark: SparkSession, data_dir: str, cols: list[str]) -> int:
+def _upgrade_legacy(spark: SparkSession, data_dir: str) -> list[str]:
+    """Rewrite a round-9 single-file manifest into the grouped layout
+    — from the manifest's OWN rows (no table rescan). Returns the
+    stats columns. Idempotent: grouped layouts pass through."""
+    doc = _read_list(data_dir)
+    if doc is not None:
+        return list(doc["cols"])
+    old = read_zonemap(spark, data_dir)
+    cols = [c[len("min_"):] for c in old.columns if c.startswith("min_")]
+    stats_g = _with_groups(old).localCheckpoint()
+    _write_grouped(spark, data_dir, stats_g, dynamic=False)
+    _write_list(data_dir, cols, _group_summaries(stats_g, cols))
+    return cols
+
+
+def append_zonemap(
+    spark: SparkSession,
+    data_dir: str,
+    cols: list[str],
+    new_files: list[str] | None = None,
+) -> int:
     """Incremental manifest maintenance after an APPEND: stat only the
     files not yet covered (read directly by path — the existing
-    files' rows are never rescanned), union with the old manifest,
-    rewrite. Returns the number of NEW files statted. The manifest
-    rewrite itself is #files rows — noise. This is the Iceberg
-    append-commit shape: immutable data files mean old stats can
-    never go stale, so maintenance cost tracks the DELTA, not the
-    table (the same argument as dedup_lsh_index_probe's flat probe)."""
-    old = read_zonemap(spark, data_dir)
-    # manifest paths carry the scheme Spark's file index reported
-    # (file:/...); normalize both sides to scheme-less for the diff
-    def bare(p: str) -> str:
-        return p.split("://")[-1].removeprefix("file:")
+    files' rows are never rescanned) and rewrite ONLY the touched
+    partition groups' manifests (dynamic partition overwrite) plus
+    their manifest-list entries. Untouched groups are never read or
+    rewritten, so maintenance cost tracks the DELTA even on
+    million-file tables. Returns the number of NEW files statted.
 
-    known = {bare(r["file"]) for r in old.select("file").collect()}
-    new_files = [p for p in _data_files(data_dir) if bare(p) not in known]
-    if not new_files:
+    ``new_files``: when the appender knows its delta (a streaming
+    sink's batch output, a lake commit's added files), pass it to skip
+    the directory walk entirely — the Iceberg append-commit shape,
+    where the commit carries its own file list. Without it the delta
+    is discovered by walking the data directory and diffing against
+    the touched groups' manifests only."""
+    known_cols = _upgrade_legacy(spark, data_dir)
+    if known_cols and list(cols) != known_cols:
+        raise ValueError(f"manifest covers {known_cols}, asked to append {list(cols)}")
+    doc = _read_list(data_dir)
+    groups: dict[str, dict] = doc["groups"] if doc else {}
+
+    if new_files is None:
+        candidates = _data_files(data_dir)
+    else:
+        candidates = list(new_files)
+    # group the candidate files, then narrow to groups that can have
+    # gained files: a known group whose on-disk file count equals its
+    # manifest-list n_files has nothing new (appends only ADD files —
+    # the documented contract; rewrites require write_zonemap), so its
+    # manifest is never read. Only suspect groups are opened + diffed.
+    by_tok: dict[str, list[str]] = {}
+    for p in candidates:
+        by_tok.setdefault(_token(_dirname(_bare(p))), []).append(p)
+    if new_files is None:
+        suspect = [
+            t
+            for t, paths in by_tok.items()
+            if t not in groups or len(paths) != groups[t]["n_files"]
+        ]
+    else:
+        suspect = list(by_tok)  # caller says these are the delta
+    zm = f"{data_dir.rstrip('/')}/{ZONEMAP_DIR}"
+    touched_known = [t for t in suspect if t in groups]
+    known: set[str] = set()
+    old_touched = None
+    if touched_known:
+        old_touched = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(*[f"{zm}/__g={t}" for t in touched_known])
+        )
+        known = {_bare(r["file"]) for r in old_touched.select("file").collect()}
+    fresh_files = [
+        p
+        for t in suspect
+        for p in by_tok[t]
+        if _bare(p) not in known
+    ]
+    if not fresh_files:
         return 0
     # basePath keeps hive partition columns resolvable when reading
     # explicit file paths, so partition columns remain valid stats_cols
-    df = spark.read.option("basePath", data_dir).parquet(*new_files)
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
-        aggs.append(F.min(c).alias(f"min_{c}"))
-        aggs.append(F.max(c).alias(f"max_{c}"))
-        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}"))
+    df = spark.read.option("basePath", data_dir).parquet(*fresh_files)
     fresh = (
         df.select(F.col("_metadata.file_path").alias("file"), *cols)
         .groupBy("file")
-        .agg(*aggs)
+        .agg(*_stat_aggs(cols))
     )
-    merged = old.unionByName(fresh)
-    # write-then-swap: localCheckpoint pins the old manifest's rows in
-    # memory so the overwrite cannot clobber the frame mid-read
+    fresh_g = _with_groups(fresh)
+    # merge back ONLY the old rows of groups that actually gained
+    # files — anything else would dynamic-overwrite (hence rewrite)
+    # untouched partitions' manifests
+    fresh_toks = {_token(_dirname(_bare(p))) for p in fresh_files}
+    if old_touched is not None:
+        old_g = _with_groups(old_touched).filter(
+            F.col("__g").isin(*fresh_toks)
+        )
+        merged = old_g.unionByName(fresh_g)
+    else:
+        merged = fresh_g
+    # localCheckpoint pins the touched groups' old rows in memory so
+    # the dynamic overwrite cannot clobber the frame mid-read
     merged = merged.localCheckpoint()
-    merged.coalesce(1).write.mode("overwrite").parquet(f"{data_dir}/{ZONEMAP_DIR}")
-    return len(new_files)
+    _write_grouped(spark, data_dir, merged, dynamic=True)
+    for tok, entry in _group_summaries(merged, cols).items():
+        groups[tok] = entry
+    _write_list(data_dir, cols, groups)
+    return len(fresh_files)
+
+
+# -- pruning ---------------------------------------------------------------
+
+
+def _intersects(glo, ghi, lo, hi) -> bool:
+    """Can [glo, ghi] intersect [lo, hi]? None group bounds (all-NULL
+    group, or unencodable stats type) are conservative where needed:
+    an all-NULL group (both None) cannot match a range predicate; an
+    unknown bound keeps the group."""
+    if glo is None and ghi is None:
+        return False  # group is all NULL for this column
+    try:
+        if lo is not None and ghi is not None and ghi < lo:
+            return False
+        if hi is not None and glo is not None and glo > hi:
+            return False
+    except TypeError:
+        return True  # incomparable types: keep the group (sound)
+    return True
 
 
 def prune_files(
@@ -169,17 +445,39 @@ def prune_files(
 ) -> tuple[list[str], int]:
     """File paths whose ``[min_col, max_col]`` interval can intersect
     the closed interval ``[lo, hi]`` (either bound may be None for a
-    one-sided range), plus the total file count. All-NULL files (NULL
-    min/max) are pruned: no value in them can satisfy a range
-    predicate. The manifest is #files rows, so this collect is the
+    one-sided range), plus the total file count. Planning is
+    manifest-list-first: groups whose group-level bounds cannot
+    intersect are skipped without reading their manifests; the
+    per-file filter then runs over surviving groups only. All-NULL
+    files (NULL min/max) are pruned: no value in them can satisfy a
+    range predicate. The collect is #surviving-files paths — the
     bounded planning step, not row data."""
-    zm = read_zonemap(spark, data_dir)
+    doc = _read_list(data_dir)
+    if doc is None:
+        zm = read_zonemap(spark, data_dir)  # legacy layout
+        total = zm.count()
+    else:
+        groups = doc["groups"]
+        total = sum(g["n_files"] for g in groups.values())
+        live = []
+        for tok, g in groups.items():
+            st = g["stats"].get(col)
+            if st is None:
+                live.append(tok)  # column not list-covered: keep group
+            elif _intersects(_dec(st["lo"]), _dec(st["hi"]), lo, hi):
+                live.append(tok)
+        if not live:
+            return [], total
+        zmdir = f"{data_dir.rstrip('/')}/{ZONEMAP_DIR}"
+        zm = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(*[f"{zmdir}/__g={t}" for t in live])
+        )
     cond = F.col(f"min_{col}").isNotNull()
     if lo is not None:
         cond = cond & (F.col(f"max_{col}") >= F.lit(lo))
     if hi is not None:
         cond = cond & (F.col(f"min_{col}") <= F.lit(hi))
-    total = zm.count()
     files = [r["file"] for r in zm.filter(cond).select("file").collect()]
     return files, total
 

@@ -346,7 +346,10 @@ def test_bloom_no_false_negatives_and_fp_bound(spark, sf_dir):
     assert r["n_missed"] == 0
     assert r["n_bloom_pass"] >= r["n_exact"]
     bound = (1.0 - math.exp(-r["k"] * r["n_keys"] / r["m_bits"])) ** r["k"]
-    assert r["fp_rate"] <= max(4.0 * bound, 0.002), (r["fp_rate"], bound)
+    # floor absorbs small-fixture variance (sf0.001 has ~14 keys -> a
+    # 186-bit filter, where a handful of collisions moves the rate);
+    # the tight at-scale claim lives in test_bloom_sized_beats_...
+    assert r["fp_rate"] <= max(4.0 * bound, 0.015), (r["fp_rate"], bound)
 
 
 def test_bloom_words_fixed_width_and_or_mergeable(spark):
@@ -375,6 +378,46 @@ def test_bloom_words_fixed_width_and_or_mergeable(spark):
         OP.bloom_pass_expr(dense, F.col("k").cast("string"))
     ).count()
     assert passed == 900  # every inserted key passes: no false negatives
+
+
+def test_bloom_sized_beats_saturated_fixed_m(spark):
+    """The round-9 design nit, demonstrated then fixed: a FIXED
+    8184-bit filter saturates once the key count grows past ~m/10
+    (fp -> 1, the pre-filter becomes dead weight), while bloom_size's
+    m = 10 bits/key, k = 7 keeps fp near the ~1% design point at ANY
+    scale. 10x the keys the fixed width was comfortable at: sized
+    still ~1%, fixed demonstrably saturated. Both stay
+    no-false-negative (that contract never depends on sizing)."""
+    n_keys = 8000  # ~10x the fixed filter's ~800-key comfort zone
+    keys = spark.range(0, n_keys).select(F.col("id").alias("k"))
+    probe = spark.range(n_keys, n_keys + 20000).select(F.col("id").alias("k"))
+
+    def fp_rate(dense, k):
+        # probe keys are all non-members: every pass is a false positive
+        return probe.filter(
+            OP.bloom_pass_expr(dense, F.col("k").cast("string"), k=k)
+        ).count() / 20000.0
+
+    def dense_words(m, k, n_words):
+        d = [0] * n_words
+        for r in OP.bloom_words(keys, "k", m=m, k=k).collect():
+            d[int(r["word_idx"])] = int(r["word"])
+        return d
+
+    fixed = dense_words(OP.BLOOM_M, OP.BLOOM_K, OP.BLOOM_WORDS)
+    n_words, m = OP.bloom_size(n_keys)
+    assert m >= n_keys * OP.BLOOM_BITS_PER_KEY  # integer-rounded UP
+    sized = dense_words(m, OP.BLOOM_SIZED_K, n_words)
+
+    fp_fixed = fp_rate(fixed, OP.BLOOM_K)
+    fp_sized = fp_rate(sized, OP.BLOOM_SIZED_K)
+    assert fp_fixed > 0.5, fp_fixed  # saturated: filter is dead weight
+    assert fp_sized <= 0.02, fp_sized  # ~1% design point, 2x slack
+
+    # no false negatives either way: every inserted key still passes
+    assert keys.filter(
+        OP.bloom_pass_expr(sized, F.col("k").cast("string"), k=OP.BLOOM_SIZED_K)
+    ).count() == n_keys
 
 
 def test_join_cardinality_exact_below_n(spark, tmp_path):

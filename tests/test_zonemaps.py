@@ -270,3 +270,155 @@ def test_streaming_ingest_keeps_manifest_fresh(spark, sf_dir, tmp_path):
     want = full.filter(F.col("ts").between(lo, hi))
     assert got.count() == want.count()
     assert 0 < read <= total
+
+
+# -- partition-grouped manifests (the Iceberg manifest-list shape) ----------
+
+
+def _manifest_snapshot(path):
+    """{group-dir: {relpath: mtime_ns}} for every __g= manifest dir."""
+    import os
+
+    zm = os.path.join(path, Z.ZONEMAP_DIR)
+    out = {}
+    for name in os.listdir(zm):
+        if not name.startswith("__g="):
+            continue
+        files = {}
+        for root, _, fnames in os.walk(os.path.join(zm, name)):
+            for f in fnames:
+                p = os.path.join(root, f)
+                files[os.path.relpath(p, zm)] = os.stat(p).st_mtime_ns
+        out[name] = files
+    return out
+
+
+def _hive_table(spark, sf_dir, path):
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    orders.write.partitionBy("o_year").mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_orderdate"])
+    return orders
+
+
+def test_append_rewrites_only_touched_group_manifests(spark, sf_dir, tmp_path):
+    """The delta-only maintenance contract at the FILE level: appending
+    into one hive partition rewrites that partition's manifest and the
+    manifest list — every other group's manifest files are bit-for-bit
+    untouched (same paths, same mtimes). This is what keeps append
+    cost proportional to the delta on a million-file table."""
+    path = str(tmp_path / "hive")
+    orders = _hive_table(spark, sf_dir, path)
+    before = _manifest_snapshot(path)
+    assert len(before) >= 4  # one group per year
+    doc_before = Z._read_list(path)
+
+    delta = (
+        orders.filter(F.col("o_year") == 1997)
+        .limit(500)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 900_000_000)
+    )
+    delta.coalesce(1).write.partitionBy("o_year").mode("append").parquet(path)
+    assert Z.append_zonemap(spark, path, ["o_orderdate"]) == 1
+
+    after = _manifest_snapshot(path)
+    touched = Z._token(f"{path}/o_year=1997")
+    assert after[f"__g={touched}"] != before[f"__g={touched}"]
+    for g, files in before.items():
+        if g != f"__g={touched}":
+            assert after[g] == files, f"untouched group {g} was rewritten"
+    # manifest list: only the touched group's entry changed
+    doc_after = Z._read_list(path)
+    assert doc_after["groups"][touched]["n_files"] == (
+        doc_before["groups"][touched]["n_files"] + 1
+    )
+    for tok, entry in doc_before["groups"].items():
+        if tok != touched:
+            assert doc_after["groups"][tok] == entry
+    # and the merged manifest still equals a from-scratch rebuild
+    merged = {tuple(r) for r in Z.read_zonemap(spark, path).collect()}
+    Z.write_zonemap(spark, path, ["o_orderdate"])
+    rebuilt = {tuple(r) for r in Z.read_zonemap(spark, path).collect()}
+    assert merged == rebuilt
+
+
+def test_list_first_pruning_skips_group_manifests(spark, sf_dir, tmp_path):
+    """Planning reads the manifest LIST first: a group whose
+    group-level [lo, hi] cannot intersect the query range is skipped
+    without its manifest ever being opened. Proven the hard way — the
+    excluded groups' manifest files are DELETED, and planning still
+    works and still returns exactly the right files."""
+    import shutil
+    import os
+
+    path = str(tmp_path / "hive")
+    _hive_table(spark, sf_dir, path)
+    doc = Z._read_list(path)
+    lo, hi = dt.datetime(1997, 3, 1), dt.datetime(1997, 9, 30)
+    live = {
+        tok
+        for tok, g in doc["groups"].items()
+        if Z._intersects(
+            Z._dec(g["stats"]["o_orderdate"]["lo"]),
+            Z._dec(g["stats"]["o_orderdate"]["hi"]),
+            lo,
+            hi,
+        )
+    }
+    assert 0 < len(live) < len(doc["groups"])
+    want = {
+        r["file"]
+        for r in Z.read_zonemap(spark, path)
+        .filter(
+            (F.col("max_o_orderdate") >= F.lit(lo))
+            & (F.col("min_o_orderdate") <= F.lit(hi))
+        )
+        .collect()
+    }
+    for tok in doc["groups"]:
+        if tok not in live:
+            shutil.rmtree(os.path.join(path, Z.ZONEMAP_DIR, f"__g={tok}"))
+    files, total = Z.prune_files(spark, path, "o_orderdate", lo, hi)
+    assert set(files) == want
+    assert total == sum(g["n_files"] for g in doc["groups"].values())
+    # fully-disjoint range: every group list-pruned, zero Spark reads
+    none, _ = Z.prune_files(
+        spark, path, "o_orderdate", dt.datetime(2030, 1, 1), dt.datetime(2031, 1, 1)
+    )
+    assert none == []
+
+
+def test_legacy_single_file_manifest_upgrades_in_place(spark, sf_dir, tmp_path):
+    """A round-9 manifest (single coalesced parquet under _zonemap, no
+    _list.json) keeps working: reads resolve it, and the first append
+    upgrades it to the grouped layout FROM ITS OWN ROWS — the data
+    files statted are only the append's delta, never a table rescan."""
+    path = str(tmp_path / "legacy")
+    orders = load(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < F.lit(dt.datetime(1998, 1, 1)))
+    new = orders.filter(F.col("o_orderdate") >= F.lit(dt.datetime(1998, 1, 1)))
+    old.repartitionByRange(6, "o_orderdate").sortWithinPartitions(
+        "o_orderdate"
+    ).write.mode("overwrite").parquet(path)
+    # fabricate the legacy layout by hand (what round-9 write_zonemap did)
+    stats = Z.zonemap_stats(spark, path, ["o_orderdate"])
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{Z.ZONEMAP_DIR}"
+    )
+    assert Z._read_list(path) is None
+    assert Z.zonemap_cols(path) == []  # list-less: cols unknown until upgrade
+
+    new.repartition(2).write.mode("append").parquet(path)
+    assert Z.append_zonemap(spark, path, ["o_orderdate"]) == 2
+    doc = Z._read_list(path)
+    assert doc is not None and doc["cols"] == ["o_orderdate"]
+    merged = {tuple(r) for r in Z.read_zonemap(spark, path).collect()}
+    Z.write_zonemap(spark, path, ["o_orderdate"])
+    rebuilt = {tuple(r) for r in Z.read_zonemap(spark, path).collect()}
+    assert merged == rebuilt
+    lo, hi = dt.datetime(1998, 2, 1), dt.datetime(1998, 6, 30)
+    got, read, total = Z.scan_pruned(spark, path, "o_orderdate", lo, hi)
+    want = spark.read.parquet(path).filter(F.col("o_orderdate").between(lo, hi))
+    assert _rows(got.select("o_orderkey")) == _rows(want.select("o_orderkey"))
+    assert read < total

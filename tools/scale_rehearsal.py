@@ -96,6 +96,9 @@ ALL_FAMILIES = [
     "dedup_lsh_index_probe",
     # round-9 addition: manifest-planned range scan vs a growing table
     "lake_zonemap_probe",
+    # round-10 addition: fixed-delta append maintenance vs a growing
+    # table (the partition-grouped manifest-list claim)
+    "lake_zonemap_append",
 ]
 
 
@@ -529,6 +532,87 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+        # Partition-grouped manifest maintenance: a FIXED-size delta is
+        # appended into ONE hive partition of a table whose partition
+        # count (and file count) grows 1→10x. append_zonemap must read
+        # and rewrite only the touched partition's manifest, so append
+        # time should stay FLAT while the table grows — the Iceberg
+        # append-commit cost model. The walk-based path is timed (no
+        # delta hint): listing is O(#files) on a local fs but manifest
+        # reads are count-gated to the touched group only.
+        if "lake_zonemap_append" in wanted:
+            from quack_reduce_spark.operators import zonemaps as Z2
+
+            n_base = orders.count()
+            ns, ts, gtotals, ftotals = [], [], [], []
+            for m in MULTS:
+                reps = spark.range(m).select(F.col("id").alias("__rep"))
+                rep_orders = orders.crossJoin(reps).select(
+                    (F.col("o_orderkey") + F.col("__rep") * 100_000_000).alias(
+                        "o_orderkey"
+                    ),
+                    F.expr(
+                        "o_orderdate + make_interval(CAST(10*__rep AS INT),"
+                        " 0, 0, 0, 0, 0, 0)"
+                    ).alias("o_orderdate"),
+                    "o_totalprice",
+                ).withColumn("o_year", F.year("o_orderdate"))
+                zpath = f"{tmp}/zma_orders_x{m}"
+                (
+                    rep_orders.repartition("o_year")
+                    .write.partitionBy("o_year")
+                    .mode("overwrite")
+                    .parquet(zpath)
+                )
+                Z2.write_zonemap(spark, zpath, ["o_orderdate"])
+                doc = Z2._read_list(zpath)
+                g_total = len(doc["groups"])
+                target_year = 1997  # fixed partition, exists at every mult
+                delta_base = (
+                    orders.filter(F.year("o_orderdate") == target_year)
+                    .limit(2000)
+                    .select("o_orderkey", "o_orderdate", "o_totalprice")
+                    .withColumn("o_year", F.lit(target_year))
+                    .localCheckpoint()
+                )
+                best = None
+                for rep in range(3):  # fresh delta each cycle; min of 3
+                    delta = delta_base.withColumn(
+                        "o_orderkey",
+                        F.col("o_orderkey") + (900_000_000 + rep * 10_000),
+                    )
+                    (
+                        delta.coalesce(1)
+                        .write.partitionBy("o_year")
+                        .mode("append")
+                        .parquet(zpath)
+                    )
+                    t0 = time.time()
+                    added = Z2.append_zonemap(spark, zpath, ["o_orderdate"])
+                    t = time.time() - t0
+                    assert added == 1, added
+                    best = t if best is None else min(best, t)
+                ns.append(n_base * m)
+                ts.append(round(best, 3))
+                gtotals.append(g_total)
+                ftotals.append(sum(g["n_files"] for g in doc["groups"].values()))
+            results["lake_zonemap_append"] = {
+                "mults": MULTS,
+                "rows": ns,
+                "sec": ts,
+                "groups_total": gtotals,
+                "files_total": ftotals,
+                "fit_exp": round(_fit_exponent(ns, ts), 3),
+                "tail_exp": round(
+                    math.log(ts[-1] / ts[-2]) / math.log(MULTS[-1] / MULTS[-2]), 3
+                ),
+            }
+            print(
+                f"  lake_zonemap_append: append {ts} groups {gtotals} "
+                f"files {ftotals}",
+                file=sys.stderr,
+            )
+
         # sanity: linear pair growth for the dedup replicas (the
         # construction claim — not a timing)
         if "dedup_ngram_jaccard" in wanted:
@@ -585,6 +669,19 @@ def main() -> None:
                 f"{r['files_read']} of {r['files_total']} files at mult "
                 f"{MULTS} — files read track the predicate's selectivity, "
                 "not the table, which is the stats-pruning claim under test."
+            )
+        if "lake_zonemap_append" in results:
+            r = results["lake_zonemap_append"]
+            lines.append("")
+            lines.append(
+                "The `lake_zonemap_append` row times INCREMENTAL MANIFEST "
+                "MAINTENANCE: a fixed 2000-row/1-file delta appended into one "
+                "hive partition of a table growing 1→10x "
+                f"({r['groups_total']} partitions / {r['files_total']} files "
+                f"at mult {MULTS}). append_zonemap opens and rewrites only "
+                "the touched partition's manifest (count-gated), so append "
+                "cost tracks the DELTA, not the table — the Iceberg "
+                "append-commit cost model on plain parquet."
             )
         if "candidates" in results.get("dedup_prefix_filter", {}):
             r = results["dedup_prefix_filter"]
