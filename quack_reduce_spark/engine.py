@@ -54,8 +54,15 @@ class Engine:
     tables: dict[str, str] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
+        import threading
+
         self._was_warm = _session.is_warm() or self.spark is not None
         self._table_meta: dict[str, dict] = {}
+        self.last_zonemap_report: dict[str, dict] = {}
+        # guards the zone-map rebind window: temp views are
+        # session-global, so a concurrent sql_many worker must not
+        # plan against another query's pruned rebinding
+        self._plan_lock = threading.Lock()
         if self.spark is None:
             self.spark = _session.get_spark()
 
@@ -67,6 +74,13 @@ class Engine:
         Partition discovery is automatic for directories, matching the
         reference's HIVE_PARTITIONING=1 scans (benchmark.py:138,166);
         nanos-timestamp parquet is normalized (see sources module).
+
+        Tables carrying a zone-map manifest (``_zonemap/`` — written by
+        :func:`operators.zonemaps.write_zonemap` or
+        ``write_versioned(stats_cols=...)``) are detected here; range
+        predicates on their stats columns in subsequent ``sql()``/
+        ``df()`` calls plan from the manifest automatically (see
+        plans/zonemap_pushdown.py).
         """
         from quack_reduce_spark import lake
         from quack_reduce_spark.sources import read_table
@@ -81,6 +95,16 @@ class Engine:
             # snapshot, so remember which — sql()/df() re-resolve the
             # pointer and re-register when a maintenance commit moved it
             meta["resolved"] = resolved
+        if fmt == "parquet":
+            from quack_reduce_spark.operators import zonemaps as _zm
+
+            if _zm.has_zonemap(resolved):
+                # grouped (v2) manifests record their columns in the
+                # manifest list; legacy layouts gain auto-pushdown on
+                # their first append_zonemap (in-place upgrade)
+                cols = _zm.zonemap_cols(resolved)
+                if cols:
+                    meta["zonemap_cols"] = cols
         self._table_meta[name] = meta
         return df
 
@@ -198,9 +222,88 @@ class Engine:
                 )
 
     def df(self, query: str) -> DataFrame:
-        """Arbitrary SQL → lazy DataFrame (the reference's app.py:51)."""
+        """Arbitrary SQL → lazy DataFrame (the reference's app.py:51).
+        Range predicates on zone-mapped tables' stats columns plan from
+        the manifest (file skipping) automatically."""
         self._refresh_versioned_views()
-        return self.spark.sql(query)
+        return self._sql_planned(query)
+
+    def _sql_planned(self, query: str) -> DataFrame:
+        """``spark.sql`` + automatic zone-map file skipping.
+
+        The query is PLANNED once against the registered views;
+        FileSourceScanExec dataFilters over zone-mapped tables become
+        closed-interval bounds, the manifests are consulted, and when
+        files can be skipped the affected views are REBOUND to the
+        surviving file set and the query re-planned against them (the
+        original views are restored immediately — the rebind is scoped
+        to this one query). The query's own WHERE still executes, so
+        pruning is sound by construction: any extraction miss only
+        means fewer files skipped. Telemetry lands in
+        ``self.last_zonemap_report`` ({table: {files_read, files_total,
+        columns}}), empty when nothing was pruned."""
+        from quack_reduce_spark.plans import zonemap_pushdown as _zp
+
+        self.last_zonemap_report = {}
+        zm_tables = {
+            name: (meta.get("resolved", self.tables[name]), meta["zonemap_cols"])
+            for name, meta in self._table_meta.items()
+            if meta.get("zonemap_cols")
+        }
+        if not zm_tables:
+            return self.spark.sql(query)
+        with self._plan_lock:
+            return self._sql_planned_locked(query, zm_tables)
+
+    def _sql_planned_locked(
+        self, query: str, zm_tables: dict[str, tuple[str, list[str]]]
+    ) -> DataFrame:
+        from quack_reduce_spark.plans import zonemap_pushdown as _zp
+
+        df = self.spark.sql(query)
+        try:
+            cons = _zp.scan_constraints(
+                df, {n: p for n, (p, _) in zm_tables.items()}
+            )
+        except Exception:
+            return df  # plan-shape drift etc.: pushdown is best-effort
+        rebinds: dict[str, tuple[list[str], int]] = {}
+        for name, scans in cons.items():
+            path, cols = zm_tables[name]
+            got = _zp.plan_pruned_files(self.spark, path, cols, scans)
+            if got is not None:
+                rebinds[name] = got
+        if not rebinds:
+            return df
+        try:
+            for name, (files, _total) in rebinds.items():
+                path, _ = zm_tables[name]
+                if files:
+                    pruned = self.spark.read.option("basePath", path).parquet(
+                        *files
+                    )
+                else:
+                    pruned = self.spark.read.parquet(path).where(F.lit(False))
+                pruned.createOrReplaceTempView(name)
+            planned = self.spark.sql(query)  # analyzed now: binds pruned
+        finally:
+            # restore the full-table views whatever happens above
+            for name in rebinds:
+                self.register(
+                    name,
+                    self.tables[name],
+                    fmt=self._table_meta[name]["fmt"],
+                    **self._table_meta[name]["options"],
+                )
+        self.last_zonemap_report = {
+            name: {
+                "files_read": len(files),
+                "files_total": total,
+                "columns": zm_tables[name][1],
+            }
+            for name, (files, total) in rebinds.items()
+        }
+        return planned
 
     def explain(self, query: str, mode: str = "formatted") -> str:
         """Physical-plan text for a SQL query without executing it —
@@ -208,16 +311,20 @@ class Engine:
         (check pushed filters, pruned ReadSchema, broadcast joins; see
         docs/PLANS.md). ``mode``: simple | extended | formatted | cost.
         """
-        df = self.spark.sql(query)
+        df = self._sql_planned(query)
         return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
             df._jdf.queryExecution(), mode
         )
 
     def sql(self, query: str, limit: int | None = DEFAULT_LIMIT) -> QueryResult:
-        """Run SQL, cap rows, return the JSON-safe metadata envelope."""
+        """Run SQL, cap rows, return the JSON-safe metadata envelope.
+        Zone-mapped tables get automatic manifest file skipping; when
+        that fired, ``metadata["zonemap"]`` reports files read/total
+        per table."""
         start = time.time()
         self._refresh_versioned_views()
-        df = self.spark.sql(query)
+        df = self._sql_planned(query)
+        zm_report = dict(self.last_zonemap_report)
         if limit is not None:
             df = df.limit(limit)
         records = _records_json_safe(df)
@@ -228,6 +335,8 @@ class Engine:
             "query": query,
             "warm": self._was_warm,
         }
+        if zm_report:
+            metadata["zonemap"] = zm_report
         self._was_warm = True
         return QueryResult(records=records, metadata=metadata)
 

@@ -405,12 +405,70 @@ def lake_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _ZM_SCHEMA)
 
 
+def lake_zonemap_sql_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map skipping wired into the ENGINE's SQL surface (the
+    round-10 step past lake_zonemap_skipping's explicit scan_pruned
+    call): the user writes plain SQL against a registered table —
+    the reference's entire UX, ``app.py:51`` — and Engine.df/sql
+    detect the range predicate in the query's own physical plan
+    (FileSourceScanExec dataFilters, plans/zonemap_pushdown.py),
+    consult the manifest, and re-plan the scan over only the files
+    whose [min, max] can intersect. Two gates: the in-query
+    ``_require`` proves the ENGINE pruned (files_read ≤ half, from
+    ``last_zonemap_report`` — not an explicit operator call), and the
+    DuckDB oracle recomputes the aggregate from the raw fixture with
+    a plain WHERE, so a hash match proves automatic pruning lost and
+    invented nothing."""
+    import datetime as dt  # noqa: F401  (parity with sibling key)
+    import uuid as _uuid
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = _fresh_dir(sf_dir, "lake_zmsql")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(12, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_orderdate"])
+    eng = Engine(spark=spark)
+    view = f"zmsql_{_uuid.uuid4().hex[:8]}"  # collision-safe under bursts
+    eng.register(view, path)
+    planned = eng.df(
+        f"SELECT o_orderstatus,"
+        f"       COUNT(*) AS n_orders,"
+        f"       FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS sum_price"
+        f" FROM {view}"
+        f" WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"
+        f"   AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'"
+        f" GROUP BY o_orderstatus"
+    )
+    rows = [
+        (r["o_orderstatus"], int(r["n_orders"]), float(r["sum_price"]))
+        for r in planned.collect()
+    ]
+    report = eng.last_zonemap_report.get(view)
+    _require(report is not None, "engine did not plan from the zone map")
+    _require(
+        report["files_read"] * 2 <= report["files_total"],
+        "engine-planned scan failed to skip files",
+        report,
+    )
+    spark.catalog.dropTempView(view)
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, _ZM_SCHEMA)
+
+
 QUERIES = {
     "lake_time_travel": lake_time_travel,
     "lake_change_feed": lake_change_feed,
     "lake_incremental_mv": lake_incremental_mv,
     "lake_schema_evolution": lake_schema_evolution,
     "lake_zonemap_skipping": lake_zonemap_skipping,
+    "lake_zonemap_sql_pushdown": lake_zonemap_sql_pushdown,
 }
 
 
@@ -511,6 +569,15 @@ ORACLES = {
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
           AND o_orderdate <= TIMESTAMP '1997-12-31'
+        GROUP BY o_orderstatus
+    """,
+    "lake_zonemap_sql_pushdown": """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
         GROUP BY o_orderstatus
     """,
 }
