@@ -98,21 +98,40 @@ def quantized_topk(
     is stored pre-quantized (int8 column + one float scale), so the
     scan moves 1/4 the bytes and the rerank against full-precision
     vectors touches only the top candidates.
-    """
-    def _quant(vec: Column) -> tuple[Column, Column]:
-        v = _as_double(vec)
-        s = F.greatest(F.array_max(F.transform(v, F.abs)) / F.lit(127.0), F.lit(1e-12))
-        q = F.transform(v, lambda x: F.floor(x / s + F.lit(0.5)))
-        return s, q
 
-    qs, qq = _quant(F.col(vec_col))
+    The scale is staged as its OWN projection column before the
+    per-element lambda uses it. Written inline, CollapseProject
+    inlines the (single-referenced) scale expression INTO the lambda
+    body, recomputing ``array_max(transform(abs))`` for every element
+    — O(dim^2) per row, measured ~9x slower end-to-end at dim 64 and
+    the round-9 rehearsal's superlinear tail. Referencing the staged
+    column twice (output + lambda) makes it multi-referenced and
+    non-cheap, which Spark 4's CollapseProject keeps materialized
+    per row (the same optimizer contract the shingle assembly relies
+    on).
+    """
+    def _quantize(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
+        v = _as_double(F.col(vec_col))
+        s = F.greatest(
+            F.array_max(F.transform(v, F.abs)) / F.lit(127.0), F.lit(1e-12)
+        )
+        staged = df.select(F.col(id_col).alias(out_id), v.alias("__v"), s.alias("__s"))
+        return staged.select(
+            out_id,
+            F.col("__s"),
+            F.transform(
+                "__v", lambda x: F.floor(x / F.col("__s") + F.lit(0.5))
+            ).alias("__q"),
+        )
+
     q = F.broadcast(
-        queries.select(
-            F.col(query_id).alias("__qid"), qs.alias("__qs"), qq.alias("__qq")
+        _quantize(queries, query_id, "__qid").select(
+            "__qid", F.col("__s").alias("__qs"), F.col("__q").alias("__qq")
         )
     )
-    cs, cq = _quant(F.col(vec_col))
-    c = corpus.select(F.col(corpus_id).alias("__cid"), cs.alias("__cs"), cq.alias("__cq"))
+    c = _quantize(corpus, corpus_id, "__cid").select(
+        "__cid", F.col("__s").alias("__cs"), F.col("__q").alias("__cq")
+    )
     int_dot = F.aggregate(
         F.zip_with(F.col("__qq"), F.col("__cq"), lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -1028,6 +1047,14 @@ def pq_topk(
 
 
 def _norm_unit(vec: Column) -> Column:
-    """L2-normalize (so PQ's ADC dot approximates cosine)."""
+    """L2-normalize (so PQ's ADC dot approximates cosine).
+
+    The norm is zipped in via ``array_repeat(n, size(vec))`` instead
+    of referenced inside a ``transform`` lambda: a lambda body's free
+    subexpressions are re-evaluated PER ELEMENT (the quantized_topk
+    O(dim^2) lesson, round 10), while a zip argument is evaluated once
+    per row — this form stays O(dim) under any optimizer collapse."""
     n = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
-    return F.transform(vec, lambda x: x / n)
+    return F.zip_with(
+        vec, F.array_repeat(n, F.size(vec)), lambda x, nn: x / nn
+    )
