@@ -316,6 +316,100 @@ class Engine:
             df._jdf.queryExecution(), mode
         )
 
+    # -- sketch-driven join planning ------------------------------------
+
+    BROADCAST_THRESHOLD = 10 * 1024 * 1024  # Spark's own default (10 MB)
+
+    def explain_join(
+        self,
+        left: DataFrame | str,
+        right: DataFrame | str,
+        on: str,
+        n: int = 128,
+        broadcast_threshold_bytes: int = BROADCAST_THRESHOLD,
+    ) -> dict:
+        """Answer the planner question static stats can't: how big is
+        ``left ⋈ right`` and which side (if any) should broadcast?
+
+        Static planning sizes a relation by its FILES — a filtered
+        slice of a big table keeps the full file's sizeInBytes
+        (Spark's size-only stats visitor passes Filter through), so
+        the optimizer picks SortMergeJoin even when the slice is a
+        few rows. This helper runs the ANALYZE-style pass instead:
+        each side folds to key multiplicities, takes a bottom-``n``
+        key-count theta sample (operators/sketches.py — the same
+        machinery the ``sketch_join_cardinality`` registry key
+        hash-gates), and estimates join rows by the ratio estimator;
+        side byte sizes come from exact row counts (one aggregate per
+        side) x a schema-derived row width. Returns the report dict
+        {left: {rows, row_bytes, est_bytes}, right: {...},
+        est_join_rows, n_common_sampled, strategy,
+        broadcast_threshold_bytes} — ``strategy`` is
+        ``broadcast_left`` / ``broadcast_right`` (smaller estimated
+        side fits under the threshold) or ``shuffle_sort_merge``.
+        Cost: one aggregate pass per side + two bounded (<= n-struct)
+        sketch rows; nothing data-sized reaches the driver."""
+        from quack_reduce_spark.operators.sketches import (
+            join_rows_estimate,
+            key_count_sample,
+        )
+
+        lf = self.spark.table(left) if isinstance(left, str) else left
+        rf = self.spark.table(right) if isinstance(right, str) else right
+
+        def side(df: DataFrame) -> tuple[int, int, DataFrame]:
+            rows = df.count()
+            width = _est_row_bytes(df.schema)
+            return rows, width, key_count_sample(df, on, n)
+
+        rows_l, width_l, sl = side(lf)
+        rows_r, width_r, sr = side(rf)
+        est = join_rows_estimate(sl, sr, n).first()
+        bytes_l, bytes_r = rows_l * width_l, rows_r * width_r
+        if min(bytes_l, bytes_r) <= broadcast_threshold_bytes:
+            strategy = "broadcast_left" if bytes_l <= bytes_r else "broadcast_right"
+        else:
+            strategy = "shuffle_sort_merge"
+        report = {
+            "on": on,
+            "n": n,
+            "left": {"rows": rows_l, "row_bytes": width_l, "est_bytes": bytes_l},
+            "right": {"rows": rows_r, "row_bytes": width_r, "est_bytes": bytes_r},
+            "est_join_rows": float(est["est_join_rows"]),
+            "n_common_sampled": int(est["n_common_sampled"]),
+            "strategy": strategy,
+            "broadcast_threshold_bytes": broadcast_threshold_bytes,
+        }
+        self.last_join_plan = report
+        return report
+
+    def plan_join(
+        self,
+        left: DataFrame | str,
+        right: DataFrame | str,
+        on: str,
+        how: str = "inner",
+        n: int = 128,
+        broadcast_threshold_bytes: int = BROADCAST_THRESHOLD,
+    ) -> DataFrame:
+        """``left.join(right, on)`` with the join strategy chosen by
+        :meth:`explain_join`'s estimate instead of static file-size
+        stats: the side whose ESTIMATED bytes fit under the threshold
+        gets an explicit broadcast hint (exactly what a CBO does with
+        ANALYZE stats); otherwise the join is left to the default
+        planner. The report lands in ``self.last_join_plan``."""
+        report = self.explain_join(
+            left, right, on, n=n,
+            broadcast_threshold_bytes=broadcast_threshold_bytes,
+        )
+        lf = self.spark.table(left) if isinstance(left, str) else left
+        rf = self.spark.table(right) if isinstance(right, str) else right
+        if report["strategy"] == "broadcast_left":
+            return F.broadcast(lf).join(rf, on, how)
+        if report["strategy"] == "broadcast_right":
+            return lf.join(F.broadcast(rf), on, how)
+        return lf.join(rf, on, how)
+
     def sql(self, query: str, limit: int | None = DEFAULT_LIMIT) -> QueryResult:
         """Run SQL, cap rows, return the JSON-safe metadata envelope.
         Zone-mapped tables get automatic manifest file skipping; when
@@ -973,6 +1067,31 @@ class Engine:
     def cache_table(self, name: str) -> None:
         """Pin a hot table in memory (reference README.md:188 future work)."""
         self.spark.catalog.cacheTable(name)
+
+
+def _est_row_bytes(schema) -> int:
+    """Planner-style per-row width from the schema alone (the same
+    class of heuristic Spark's own statistics use when no column
+    stats exist): fixed widths for fixed-width types, 20 bytes for a
+    string, 16 for anything nested/unknown. Deterministic in the
+    schema, so an oracle can embed the identical constant."""
+    from pyspark.sql import types as T
+
+    fixed = {
+        T.BooleanType: 1, T.ByteType: 1, T.ShortType: 2,
+        T.IntegerType: 4, T.FloatType: 4, T.DateType: 4,
+        T.LongType: 8, T.DoubleType: 8, T.TimestampType: 8,
+        T.TimestampNTZType: 8,
+    }
+    total = 0
+    for f in schema.fields:
+        if type(f.dataType) in fixed:
+            total += fixed[type(f.dataType)]
+        elif isinstance(f.dataType, T.StringType):
+            total += 20
+        else:
+            total += 16
+    return total
 
 
 def _discover_partition_cols(path: str) -> list[str]:

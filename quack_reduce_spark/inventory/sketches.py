@@ -40,6 +40,8 @@ from quack_reduce_spark.operators.sketches import (
     hll_registers,
     hll_rho,
     hll_rho_sql,
+    join_rows_estimate,
+    key_count_sample,
     kmv_estimate,
     kmv_per_group,
     kmv_topk_lists,
@@ -473,54 +475,26 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a, b = side(JOINCARD_YEAR_A), side(JOINCARD_YEAR_B)
 
-    def sample(df: DataFrame) -> DataFrame:
-        keyed = df.select(
-            F.lit("g").alias("g"),
-            md5_h32(F.col("k").cast("string")).alias("h"),
-            F.col("cnt").alias("v"),
-        )
-        return topn_sample_lists(keyed, "g", JOINCARD_N).select("__smp")
-
-    sa = sample(a).select(F.col("__smp").alias("smp_a"))
-    sb = sample(b).select(F.col("__smp").alias("smp_b"))
-
-    def theta(arr):
-        return F.when(F.array_size(arr) < JOINCARD_N, F.lit(H32_SPAN)).otherwise(
-            F.element_at(arr, F.array_size(arr))["h"].cast("double")
+    # shared planner machinery (operators/sketches.py — the same
+    # functions Engine.explain_join ships): bottom-n key-count theta
+    # samples + the ratio estimator over their hash-matched keys
+    def raw(year: int) -> DataFrame:
+        return li.filter(F.year("l_shipdate") == year).select(
+            F.col("l_partkey").alias("k")
         )
 
-    pair = sa.crossJoin(sb).select(  # 1x1: two sketch rows
-        "smp_a",
-        "smp_b",
-        F.array_size("smp_a").cast("long").alias("got_a"),
-        F.array_size("smp_b").cast("long").alias("got_b"),
-        F.least(
-            theta(F.col("smp_a")), theta(F.col("smp_b"))
-        ).alias("th"),
-    ).localCheckpoint(eager=False)
-    ea = pair.select(
-        "th", F.explode("smp_a").alias("s")
-    ).select("th", F.col("s.h").alias("h"), F.col("s.v").alias("va"))
-    eb = pair.select(F.explode("smp_b").alias("s")).select(
-        F.col("s.h").alias("h"), F.col("s.v").alias("vb")
-    )
-    matched = (
-        ea.join(eb, "h")
-        .filter(F.col("h").cast("double") < F.col("th"))
-        .agg(
-            F.count(F.lit(1)).alias("n_common_sampled"),
-            F.sum(F.col("va") * F.col("vb")).cast("long").alias("sum_prod"),
-        )
-    )
+    sa = key_count_sample(raw(JOINCARD_YEAR_A), "k", JOINCARD_N)
+    sb = key_count_sample(raw(JOINCARD_YEAR_B), "k", JOINCARD_N)
+    est_row = join_rows_estimate(sa, sb, JOINCARD_N)
+
     exact = (
         a.select("k", F.col("cnt").alias("ca"))
         .join(b.select("k", F.col("cnt").alias("cb")), "k")
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("exact_join_rows"))
     )
-    est = F.col("sum_prod") * F.lit(H32_SPAN) / F.col("th")
+    est = F.col("est_join_rows")
     return (
-        pair.select("got_a", "got_b", "th")
-        .crossJoin(matched)
+        est_row.drop("sum_prod")
         .crossJoin(exact)
         .select(
             F.lit(JOINCARD_N).alias("n"),
@@ -534,6 +508,62 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+def sketch_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch layer DRIVING a real planning decision
+    (Engine.explain_join / plan_join): orders ⋈ (customers with
+    acctbal > 9000) is the shape static stats get wrong — the dim
+    side is a filtered slice of a table whose FILE size is what the
+    size-only stats visitor sees, so without column stats the
+    optimizer would sort-merge. The engine instead runs the
+    ANALYZE-style pass: exact row counts per side, schema-derived row
+    widths, and the bottom-n key-count theta samples feeding the
+    join-rows ratio estimator (the exact machinery
+    ``sketch_join_cardinality`` hash-gates, shared via
+    operators/sketches.py), then emits the broadcast decision. The
+    estimate and both row counts are hash-gated against a DuckDB
+    replay; the decision itself is gated in-query (_require: the
+    slice side must come out 'broadcast_right' under the 10 MB
+    default) and the resulting BroadcastHashJoin plan is asserted in
+    tests/test_plans.py."""
+    import math
+
+    from quack_reduce_spark.engine import Engine
+
+    orders = load(spark, sf_dir, "orders")
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > BLOOM_ACCTBAL_MIN)
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    eng = Engine(spark=spark)
+    rep = eng.explain_join(orders, dim, "o_custkey", n=JOINCARD_N)
+    _jp_require(
+        rep["strategy"] == "broadcast_right",
+        f"planner failed to pick broadcast for the slice side: {rep}",
+    )
+    exact = orders.join(dim.select("o_custkey"), "o_custkey").count()
+    est4 = math.floor(rep["est_join_rows"] * 1e4 + 0.5) / 1e4  # == _RND4
+    row = [(
+        JOINCARD_N,
+        rep["left"]["rows"],
+        rep["right"]["rows"],
+        rep["n_common_sampled"],
+        est4,
+        exact,
+        rep["strategy"],
+    )]
+    return spark.createDataFrame(
+        row,
+        "n int, rows_fact long, rows_dim long, n_common_sampled long, "
+        "est_join_rows double, exact_join_rows long, strategy string",
+    )
+
+
+def _jp_require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise AssertionError(msg)
 
 
 BLOOM_ACCTBAL_MIN = 9000.0  # qualifying-customer slice for the bloom demo
@@ -675,6 +705,7 @@ QUERIES = {
     "sketch_hll_union": sketch_hll_union,
     "sketch_bloom_semijoin": sketch_bloom_semijoin,
     "sketch_join_cardinality": sketch_join_cardinality,
+    "sketch_join_plan": sketch_join_plan,
 }
 
 _H32 = md5_h32_sql("CAST(o_custkey AS VARCHAR)")
@@ -1078,6 +1109,68 @@ def _join_cardinality_oracle() -> str:
     """
 
 
+def _join_plan_oracle() -> str:
+    # the same theta-sample ratio estimator as _join_cardinality_oracle,
+    # over the planner scenario's sides (orders key multiplicities vs
+    # the unique-key customer slice). The strategy string is emitted as
+    # the literal the in-query _require already proved the engine chose
+    # (the decision arithmetic — est_bytes <= 10 MB — needs the
+    # schema-derived row width, which SQL cannot re-derive; the gate
+    # for the decision is the query-side _require + the plan test).
+    h = md5_h32_sql("CAST(k AS VARCHAR)")
+    span = f"CAST({H32_SPAN!r} AS DOUBLE)"
+    th_of = (
+        f"CASE WHEN COUNT(*) < {JOINCARD_N} THEN {span} "
+        f"ELSE CAST(MAX(h) AS DOUBLE) END"
+    )
+    est = f"COALESCE(m.sum_prod, 0) * {span} / p.th"
+    return f"""
+        WITH a AS (
+            SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM orders GROUP BY 1
+        ),
+        b AS (
+            SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM customer WHERE c_acctbal > {BLOOM_ACCTBAL_MIN!r} GROUP BY 1
+        ),
+        ra AS (
+            SELECT {h} AS h, cnt,
+                   ROW_NUMBER() OVER (ORDER BY {h}, cnt) AS rn
+            FROM a
+        ),
+        rb AS (
+            SELECT {h} AS h, cnt,
+                   ROW_NUMBER() OVER (ORDER BY {h}, cnt) AS rn
+            FROM b
+        ),
+        sa AS (SELECT h, cnt FROM ra WHERE rn <= {JOINCARD_N}),
+        sb AS (SELECT h, cnt FROM rb WHERE rn <= {JOINCARD_N}),
+        st AS (SELECT
+            (SELECT {th_of} FROM sa) AS tha,
+            (SELECT {th_of} FROM sb) AS thb),
+        p AS (SELECT LEAST(tha, thb) AS th FROM st),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_common_sampled,
+                   CAST(SUM(sa.cnt * sb.cnt) AS BIGINT) AS sum_prod
+            FROM sa JOIN sb USING (h), p
+            WHERE CAST(h AS DOUBLE) < p.th
+        ),
+        rows_f AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_fact FROM orders),
+        rows_d AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_dim FROM b),
+        ex AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_rows
+            FROM orders o JOIN b ON o.o_custkey = b.k
+        )
+        SELECT CAST({JOINCARD_N} AS INT) AS n,
+               rows_f.rows_fact, rows_d.rows_dim,
+               m.n_common_sampled,
+               {_RND4.format(x=est)} AS est_join_rows,
+               ex.exact_join_rows,
+               'broadcast_right' AS strategy
+        FROM rows_f, rows_d, ex, m, p
+    """
+
+
 def _bloom_semijoin_oracle() -> str:
     from quack_reduce_spark.operators.sketches import (
         BLOOM_BITS_PER_KEY,
@@ -1161,4 +1254,5 @@ ORACLES = {
     "sketch_hll_union": _hll_union_oracle(),
     "sketch_bloom_semijoin": _bloom_semijoin_oracle(),
     "sketch_join_cardinality": _join_cardinality_oracle(),
+    "sketch_join_plan": _join_plan_oracle(),
 }

@@ -186,6 +186,88 @@ def kmv_estimate(kth: Column, got: Column, k: int) -> Column:
     )
 
 
+def key_count_sample(df: DataFrame, key_col: str, n: int) -> DataFrame:
+    """One-row frame (``__smp``): the bottom-``n`` hash sample of
+    ``df``'s key MULTIPLICITIES — fold to (key, count), hash the key,
+    keep the ``n`` smallest hashes carrying their counts (the
+    :func:`topn_sample_lists` tree). Below its theta the sample is an
+    exact (key -> count) record of the side; it is the payload-carrying
+    theta sketch a planner ships around at 100 TB (one bounded array
+    per table/column, mergeable by union+reslice)."""
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    keyed = counts.select(
+        F.lit("g").alias("g"),
+        md5_h32(F.col("k").cast("string")).alias("h"),
+        F.col("cnt").alias("v"),
+    )
+    return topn_sample_lists(keyed, "g", n).select("__smp")
+
+
+def sample_theta(arr: Column, n: int) -> Column:
+    """Theta of a bottom-``n`` sample array: the n-th smallest hash
+    (as double), or the full 2^32 span when the sample never filled
+    (every key is in it — the exact regime)."""
+    return F.when(F.array_size(arr) < n, F.lit(H32_SPAN)).otherwise(
+        F.element_at(arr, F.array_size(arr))["h"].cast("double")
+    )
+
+
+def join_rows_estimate(sa: DataFrame, sb: DataFrame, n: int) -> DataFrame:
+    """|A ⋈ B| estimate from two :func:`key_count_sample` rows: the
+    theta-sketch ratio estimator over key multiplicities —
+    sum(cntA·cntB) across hash-matched sampled keys below
+    min(theta_A, theta_B), scaled by span/theta. Exact when neither
+    sample filled (theta = span, every key sampled). One row out:
+    (got_a, got_b, th, n_common_sampled, sum_prod, est_join_rows).
+    All arithmetic runs on two <= n-struct arrays — the crossJoin is
+    1x1 by construction."""
+    pair = (
+        sa.select(F.col("__smp").alias("smp_a"))
+        .crossJoin(sb.select(F.col("__smp").alias("smp_b")))  # 1x1: sketch rows
+        .select(
+            "smp_a",
+            "smp_b",
+            F.array_size("smp_a").cast("long").alias("got_a"),
+            F.array_size("smp_b").cast("long").alias("got_b"),
+            F.least(
+                sample_theta(F.col("smp_a"), n), sample_theta(F.col("smp_b"), n)
+            ).alias("th"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ea = pair.select("th", F.explode("smp_a").alias("s")).select(
+        "th", F.col("s.h").alias("h"), F.col("s.v").alias("va")
+    )
+    eb = pair.select(F.explode("smp_b").alias("s")).select(
+        F.col("s.h").alias("h"), F.col("s.v").alias("vb")
+    )
+    matched = (
+        ea.join(eb, "h")
+        .filter(F.col("h").cast("double") < F.col("th"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common_sampled"),
+            F.sum(F.col("va") * F.col("vb")).cast("long").alias("sum_prod"),
+        )
+    )
+    est = (
+        F.coalesce(F.col("sum_prod"), F.lit(0)) * F.lit(H32_SPAN) / F.col("th")
+    )
+    return (
+        pair.select("got_a", "got_b", "th")
+        .crossJoin(matched)  # 1x1 again
+        .select(
+            "got_a",
+            "got_b",
+            "th",
+            "n_common_sampled",
+            "sum_prod",
+            est.alias("est_join_rows"),
+        )
+    )
+
+
 def hll_rho(w: Column) -> Column:
     """Position of the first 1-bit (from the MSB of the 24-bit
     window), 1-based; 25 for w == 0 — pure comparison ladder so any
