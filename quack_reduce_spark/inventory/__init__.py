@@ -87,7 +87,7 @@ _MODULES = [
 # sf0.001/sf0.01 regardless of head selection; see
 # tests/test_inventory_counts.py for the registry-size drift gate.
 _HEAD = [
-    # Stable sentinels — Tier A + one per family, driver-green 8 rounds
+    # Stable sentinels — Tier A + one per family, driver-green 9 rounds
     "a01_scan_project", "a09_topk",
     "b_join_star_broadcast",
     "tpch_q1_full",
@@ -97,48 +97,39 @@ _HEAD = [
     "dedup_lsh_index_probe",
     "sim_cosine_topk",
     "graph_triangles",
-    # Code changed this round (r9): OCC lock-break token check +
-    # pre-flip lease re-check (lake.py), KMV salt-tree adaptive fanout
-    # (plan change under the kmv keys), shared prefix candidate join
-    "lake_incremental_mv",
-    "sketch_kmv_distinct", "sketch_kmv_union",
-    "dedup_prefix_filter",
-    # New in r9 — theta set expressions, fixed-size sample quantiles,
-    # append-mode (watermark-evicting) streaming HLL, HLL register
-    # merge rollup, bloom semi-join pre-filter
-    "sketch_theta_intersect",
-    "sketch_topn_sample_quantiles",
-    "stream_hll_dau_append",
-    "sketch_hll_union",
+    # Never driver-sampled oracled keys (r10 additions missed the r10
+    # rotation — the r10 verdict's #1 evidence gap — plus the one r9
+    # key the r9/r10 heads never reached)
+    "lake_zonemap_sql_pushdown",
+    "sketch_join_plan",
+    "mm_image_sig_dedup",
+    # Code changed this round (r11): Bloom bitset transport bound +
+    # Kirsch-Mitzenmacher two-hash probe derivation (plan change under
+    # this key); sim_quantized_topk's r10 O(dim)->rehearsal numbers
+    # also land fresh under its r4-cohort slot below
     "sketch_bloom_semijoin",
-    "sketch_join_cardinality",
-    # New in r9 (late): file-level zone-map data skipping + A-ES
-    # weighted sampling
-    "lake_zonemap_skipping",
-    "ml_weighted_sample",
-    "stream_cms_topk",
-    "ml_target_encode",
-    # r8 ADVICE: sim_lsh_topk's buckets changed when the hyperplanes
-    # were Gram-Schmidt-orthogonalized; it is rows-only (no oracle —
-    # a deliberate one-slot exception to the no-rows-only-head rule)
-    # so this sample re-baselines its row count for continuity
-    "sim_lsh_topk",
-    # Stalest-evidence fill: the six r1-era string/date keys and five
-    # r3 stragglers owed from the r8 rotation, then 21 of the 40
-    # r4-era keys (Tier A remainder, core Tier B, the heavy TPC-H
-    # composites, and the ts_ windows); the remaining r4 keys (plus
-    # tpch_q8/q9/q18/q21, displaced by the late r9 feature slots) rotate into r10
-    "b2_levenshtein", "b2_string_fns2", "b2_regexp_extract",
-    "b2_date_fns2", "b2_null_fns", "b2_window_ranks",
-    "b_rollup", "b_higher_order_fns", "b2_pivot",
-    "b3_extreme_aggs", "text_fingerprint",
-    "a02_hive_partition_scan", "a04_filter_range",
-    "a05_projection_expr", "a06_group_count", "a07_global_count",
-    "a14_derived_date",
-    "b_agg_pricing_summary", "b_join_semi", "b_window_rank",
-    "b3_window_qualify",
-    "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+    # Stalest-evidence fill, oldest first: the full r4 cohort (last
+    # driver-green round 4) ...
+    "dedup_components", "dedup_incremental", "dedup_ngram_capped",
+    "dedup_ngram_jaccard", "dedup_substring",
+    "mm_frame_sample", "mm_video_scenes",
+    "sim_quantized_topk",
+    "stream_dedup_redelivery", "stream_session_agg",
+    "text_bm25_topk", "text_curation_pipeline", "text_decontaminate",
+    "text_epoch_order", "text_lang_id", "text_stratified_sample",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "tpch_q8_market_share", "tpch_q9_product_type_profit",
+    "ts_conversion_funnel", "ts_date_rollup", "ts_event_transitions",
+    "ts_session_window", "ts_tumbling_window",
+    "udf_trimmed_mean",
+    # ... then the most user-visible of the r5 cohort (mleval, dq,
+    # graph, mm, text curation — none sampled since round 5)
+    "ml_auc_rank",
+    "dq_expectations", "dq_referential_integrity",
+    "graph_pagerank", "graph_bfs_layers",
+    "mm_image_stats", "mm_audio_rms", "mm_image_resize",
+    "text_gopher_quality", "text_pii_scrub",
 ]
 
 

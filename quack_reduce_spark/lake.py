@@ -130,6 +130,14 @@ class _LocalFS:
     def delete_recursive(self, p: str) -> None:
         shutil.rmtree(p)
 
+    def mtime(self, p: str) -> float | None:
+        """Modification time (epoch seconds), None if absent — the
+        cache-invalidation key for parsed-manifest caches."""
+        try:
+            return os.stat(p).st_mtime
+        except OSError:
+            return None
+
 
 class _HadoopFS:
     """The same ops via the active SparkSession's Hadoop FileSystem —
@@ -229,6 +237,12 @@ class _HadoopFS:
 
     def delete_recursive(self, p: str) -> None:
         self._fs.delete(self._p(p), True)
+
+    def mtime(self, p: str) -> float | None:
+        jp = self._p(p)
+        if not self._fs.exists(jp):
+            return None
+        return self._fs.getFileStatus(jp).getModificationTime() / 1000.0
 
 
 def _fs_for(path: str):

@@ -31,12 +31,10 @@ def test_documented_counts_match_registry():
 
 # Rows-only keys deliberately spending a head slot this round (each
 # needs a written justification — the default rule stands: rows-only
-# keys waste driver budget on a permanent no_oracle row):
-# - sim_lsh_topk (r9): its buckets/row count changed when the r8
-#   hash-family battery forced Gram-Schmidt orthogonalization of the
-#   hyperplanes; the r8 ADVICE asked for one driver sample to
-#   re-baseline its row-count continuity.
-HEAD_ROWS_ONLY_EXCEPTIONS = {"sim_lsh_topk"}
+# keys waste driver budget on a permanent no_oracle row). r11: none —
+# sim_lsh_topk's r9/r10 re-baseline served its purpose; its slot goes
+# back to oracled keys.
+HEAD_ROWS_ONLY_EXCEPTIONS: set[str] = set()
 
 
 def test_head_is_50_keys_leading_the_registry():
