@@ -223,87 +223,129 @@ class Engine:
 
     def df(self, query: str) -> DataFrame:
         """Arbitrary SQL → lazy DataFrame (the reference's app.py:51).
-        Range predicates on zone-mapped tables' stats columns plan from
-        the manifest (file skipping) automatically."""
+        Range/IN predicates on zone-mapped tables' stats columns plan
+        from the manifest (file skipping) automatically, and a
+        sort-merge join whose file-pruned side is estimated small gets
+        a broadcast hint."""
         self._refresh_versioned_views()
         return self._sql_planned(query)
 
     def _sql_planned(self, query: str) -> DataFrame:
-        """``spark.sql`` + automatic zone-map file skipping.
+        df, report = self._sql_planned_report(query)
+        self.last_zonemap_report = report
+        return df
+
+    def _sql_planned_report(self, query: str) -> tuple[DataFrame, dict]:
+        """``spark.sql`` + automatic zone-map file skipping + estimate-
+        driven broadcast hints. Returns ``(df, telemetry)`` — callers
+        needing the report read the RETURN VALUE (the shared
+        ``last_zonemap_report`` attribute is best-effort under
+        concurrency; results themselves are lock-protected).
 
         The query is PLANNED once against the registered views;
         FileSourceScanExec dataFilters over zone-mapped tables become
-        closed-interval bounds, the manifests are consulted, and when
-        files can be skipped the affected views are REBOUND to the
-        surviving file set and the query re-planned against them (the
-        original views are restored immediately — the rebind is scoped
-        to this one query). The query's own WHERE still executes, so
+        closed-interval bounds / IN-value sets, the manifests are
+        consulted (parsed-manifest cache: zero I/O on an unchanged
+        table), and when files can be skipped the affected views are
+        REBOUND to the surviving file set and the query re-planned
+        against them. The original view DataFrames are captured BEFORE
+        the rebind and restored in a finally with a pure
+        createOrReplaceTempView — no I/O can fail the restore, so a
+        crash mid-rebind can never leave a session view bound to a
+        pruned subset. The query's own WHERE still executes, so
         pruning is sound by construction: any extraction miss only
-        means fewer files skipped. Telemetry lands in
-        ``self.last_zonemap_report`` ({table: {files_read, files_total,
-        columns}}), empty when nothing was pruned."""
+        means fewer files skipped.
+
+        Broadcast hints (the CBO loop closed on the SQL surface): a
+        zone-mapped table scanned under a SortMergeJoin whose
+        SURVIVING file bytes — the same units Spark's static size
+        stats compare against the broadcast threshold — fit under
+        ``BROADCAST_THRESHOLD`` gets rebound with ``.hint("broadcast")``,
+        fixing the filtered-dim case where static stats see the FULL
+        file size (Filter passes size stats through) and pick a
+        shuffle join for a few surviving rows.
+
+        Locking: temp views are session-global, so the two windows
+        that TOUCH views (the initial plan, and the rebind + re-plan)
+        each hold ``_plan_lock``; manifest planning runs between them
+        unlocked (it reads cached metadata, never views). Every holder
+        restores original views before releasing, so views are always
+        in their registered state at lock acquisition."""
         from quack_reduce_spark.plans import zonemap_pushdown as _zp
 
-        self.last_zonemap_report = {}
         zm_tables = {
             name: (meta.get("resolved", self.tables[name]), meta["zonemap_cols"])
             for name, meta in self._table_meta.items()
             if meta.get("zonemap_cols")
         }
         if not zm_tables:
-            return self.spark.sql(query)
+            return self.spark.sql(query), {}
         with self._plan_lock:
-            return self._sql_planned_locked(query, zm_tables)
-
-    def _sql_planned_locked(
-        self, query: str, zm_tables: dict[str, tuple[str, list[str]]]
-    ) -> DataFrame:
-        from quack_reduce_spark.plans import zonemap_pushdown as _zp
-
-        df = self.spark.sql(query)
+            df = self.spark.sql(query)
+            try:
+                cons = _zp.scan_constraints(
+                    df, {n: p for n, (p, _) in zm_tables.items()}
+                )
+            except Exception:
+                return df, {}  # plan-shape drift: pushdown is best-effort
+        rebinds: dict[str, tuple[list[str], int, dict]] = {}
         try:
-            cons = _zp.scan_constraints(
+            for name, scans in cons.items():
+                path, cols = zm_tables[name]
+                got = _zp.plan_pruned_files(self.spark, path, cols, scans)
+                if got is not None:
+                    rebinds[name] = got
+            smj_tables = _zp.join_scan_tables(
                 df, {n: p for n, (p, _) in zm_tables.items()}
             )
         except Exception:
-            return df  # plan-shape drift etc.: pushdown is best-effort
-        rebinds: dict[str, tuple[list[str], int]] = {}
-        for name, scans in cons.items():
-            path, cols = zm_tables[name]
-            got = _zp.plan_pruned_files(self.spark, path, cols, scans)
-            if got is not None:
-                rebinds[name] = got
+            return df, {}  # manifest/bridge failure: run unpruned
+        hints = {
+            name
+            for name in rebinds
+            if name in smj_tables
+            and rebinds[name][2].get("est_bytes") is not None
+            and rebinds[name][2]["est_bytes"] <= self.BROADCAST_THRESHOLD
+        }
         if not rebinds:
-            return df
-        try:
-            for name, (files, _total) in rebinds.items():
-                path, _ = zm_tables[name]
-                if files:
-                    pruned = self.spark.read.option("basePath", path).parquet(
-                        *files
-                    )
-                else:
-                    pruned = self.spark.read.parquet(path).where(F.lit(False))
-                pruned.createOrReplaceTempView(name)
-            planned = self.spark.sql(query)  # analyzed now: binds pruned
-        finally:
-            # restore the full-table views whatever happens above
-            for name in rebinds:
-                self.register(
-                    name,
-                    self.tables[name],
-                    fmt=self._table_meta[name]["fmt"],
-                    **self._table_meta[name]["options"],
-                )
-        self.last_zonemap_report = {
+            return df, {}
+        with self._plan_lock:
+            # capture the CURRENT (original) view frames — restoring
+            # them is a pure re-registration, no file I/O to fail
+            originals = {n: self.spark.table(n) for n in rebinds}
+            planned = None
+            try:
+                for name, (files, _total, _stats) in rebinds.items():
+                    path, _ = zm_tables[name]
+                    if files:
+                        pruned = self.spark.read.option("basePath", path).parquet(
+                            *files
+                        )
+                    else:
+                        pruned = self.spark.read.parquet(path).where(F.lit(False))
+                    if name in hints:
+                        pruned = pruned.hint("broadcast")
+                    pruned.createOrReplaceTempView(name)
+                planned = self.spark.sql(query)  # analyzed now: binds pruned
+            except Exception:
+                planned = None  # fall back to the unpruned plan
+            finally:
+                for name, odf in originals.items():
+                    odf.createOrReplaceTempView(name)
+        if planned is None:
+            return df, {}
+        report = {
             name: {
                 "files_read": len(files),
                 "files_total": total,
                 "columns": zm_tables[name][1],
+                "est_rows": stats["est_rows"],
+                "est_bytes": stats["est_bytes"],
+                "broadcast_hint": name in hints,
             }
-            for name, (files, total) in rebinds.items()
+            for name, (files, total, stats) in rebinds.items()
         }
-        return planned
+        return planned, report
 
     def explain(self, query: str, mode: str = "formatted") -> str:
         """Physical-plan text for a SQL query without executing it —
@@ -358,8 +400,21 @@ class Engine:
         rf = self.spark.table(right) if isinstance(right, str) else right
 
         def side(df: DataFrame) -> tuple[int, int, DataFrame]:
-            rows = df.count()
-            width = _est_row_bytes(df.schema)
+            # one aggregate pass: the row count AND the observed mean
+            # byte width of every variable-width column — a schema-only
+            # 20-bytes-per-string guess can undersize a wide-text
+            # relation by orders of magnitude and broadcast a side that
+            # OOMs the executors; measuring costs nothing extra (same
+            # scan that counts)
+            width_aggs = _observed_width_aggs(df.schema)
+            agg_row = df.agg(F.count(F.lit(1)).alias("__n"), *width_aggs).first()
+            rows = int(agg_row["__n"])
+            observed = {
+                k[len("__w_"):]: float(v)
+                for k, v in agg_row.asDict().items()
+                if k.startswith("__w_") and v is not None
+            }
+            width = _est_row_bytes(df.schema, observed)
             return rows, width, key_count_sample(df, on, n)
 
         rows_l, width_l, sl = side(lf)
@@ -417,8 +472,11 @@ class Engine:
         per table."""
         start = time.time()
         self._refresh_versioned_views()
-        df = self._sql_planned(query)
-        zm_report = dict(self.last_zonemap_report)
+        # the report comes back WITH the frame (not via the shared
+        # attribute) so a concurrent sql_many burst can't cross-wire
+        # one query's pruning telemetry into another's envelope
+        df, zm_report = self._sql_planned_report(query)
+        self.last_zonemap_report = zm_report
         if limit is not None:
             df = df.limit(limit)
         records = _records_json_safe(df)
@@ -1069,23 +1127,65 @@ class Engine:
         self.spark.catalog.cacheTable(name)
 
 
-def _est_row_bytes(schema) -> int:
-    """Planner-style per-row width from the schema alone (the same
-    class of heuristic Spark's own statistics use when no column
-    stats exist): fixed widths for fixed-width types, 20 bytes for a
-    string, 16 for anything nested/unknown. Deterministic in the
-    schema, so an oracle can embed the identical constant."""
+_FIXED_WIDTHS = None
+
+
+def _fixed_widths() -> dict:
+    global _FIXED_WIDTHS
+    if _FIXED_WIDTHS is None:
+        from pyspark.sql import types as T
+
+        _FIXED_WIDTHS = {
+            T.BooleanType: 1, T.ByteType: 1, T.ShortType: 2,
+            T.IntegerType: 4, T.FloatType: 4, T.DateType: 4,
+            T.LongType: 8, T.DoubleType: 8, T.TimestampType: 8,
+            T.TimestampNTZType: 8,
+        }
+    return _FIXED_WIDTHS
+
+
+def _observed_width_aggs(schema) -> list:
+    """Aggregate expressions measuring each variable-width column's
+    mean in-row bytes — avg octet length for strings/binary, avg
+    element count x element width for fixed-element arrays — meant to
+    ride in the SAME aggregate that counts rows (no extra scan)."""
     from pyspark.sql import types as T
 
-    fixed = {
-        T.BooleanType: 1, T.ByteType: 1, T.ShortType: 2,
-        T.IntegerType: 4, T.FloatType: 4, T.DateType: 4,
-        T.LongType: 8, T.DoubleType: 8, T.TimestampType: 8,
-        T.TimestampNTZType: 8,
-    }
+    fixed = _fixed_widths()
+    aggs = []
+    for f in schema.fields:
+        dt = f.dataType
+        if isinstance(dt, (T.StringType, T.BinaryType)):
+            aggs.append(
+                F.avg(F.octet_length(F.col(f.name))).alias(f"__w_{f.name}")
+            )
+        elif isinstance(dt, T.ArrayType) and type(dt.elementType) in fixed:
+            aggs.append(
+                (F.avg(F.size(F.col(f.name))) * fixed[type(dt.elementType)])
+                .alias(f"__w_{f.name}")
+            )
+    return aggs
+
+
+def _est_row_bytes(schema, observed: dict[str, float] | None = None) -> int:
+    """Planner-style per-row width: fixed widths for fixed-width
+    types; variable-width columns take their OBSERVED mean bytes when
+    the caller measured them (``observed``: column -> mean bytes, from
+    :func:`_observed_width_aggs`), else the schema-only defaults
+    Spark's own statistics fall back to (20 bytes per string, 16 per
+    nested/unknown). The observed path is what keeps explain_join from
+    force-broadcasting a wide-text relation it undersized 50x."""
+    import math
+
+    from pyspark.sql import types as T
+
+    fixed = _fixed_widths()
+    observed = observed or {}
     total = 0
     for f in schema.fields:
-        if type(f.dataType) in fixed:
+        if f.name in observed:
+            total += max(1, int(math.ceil(observed[f.name])))
+        elif type(f.dataType) in fixed:
             total += fixed[type(f.dataType)]
         elif isinstance(f.dataType, T.StringType):
             total += 20

@@ -113,6 +113,12 @@ def _group_cols(file_col: Column) -> tuple[Column, Column]:
 
 # -- manifest-list JSON codec (typed lo/hi values) -------------------------
 
+# Sentinel for a bound the list can't represent (unencodable type, or
+# a timestamp whose build-session timezone is unknowable): the group
+# must be KEPT — distinct from None, which means "all NULL" and is
+# safely prunable under a range predicate.
+_UNKNOWN = object()
+
 
 def _enc(v: Any) -> Any:
     if v is None:
@@ -129,12 +135,33 @@ def _enc(v: Any) -> Any:
     return {"t": "?", "v": None}
 
 
-def _dec(e: Any) -> Any:
-    if e is None or e.get("t") == "?":
+def _dec(e: Any, doc_tz: str | None = None, session_tz: str | None = None,
+         col_type: str | None = None) -> Any:
+    """Decode a list-doc bound. Timestamp bounds were serialized as the
+    BUILD session's naive rendering; when the doc records its timezone
+    and the reading session's differs, session-zoned (``timestamp``)
+    bounds are converted — NTZ values are wall-clock and never shift.
+    A timestamp bound whose build timezone is unknown (legacy doc) in a
+    session with a different zone decodes to ``_UNKNOWN``: the group is
+    kept rather than mis-pruned."""
+    if e is None:
         return None
+    if e.get("t") == "?":
+        return _UNKNOWN
     t, v = e["t"], e["v"]
     if t == "ts":
-        return _dt.datetime.fromisoformat(v)
+        val = _dt.datetime.fromisoformat(v)
+        if col_type == "timestamp" and session_tz and doc_tz != session_tz:
+            if doc_tz is None:
+                return _UNKNOWN  # legacy doc: build tz unrecorded
+            from zoneinfo import ZoneInfo
+
+            return (
+                val.replace(tzinfo=ZoneInfo(doc_tz))
+                .astimezone(ZoneInfo(session_tz))
+                .replace(tzinfo=None)
+            )
+        return val
     if t == "date":
         return _dt.date.fromisoformat(v)
     return v
@@ -144,21 +171,69 @@ def _list_path(data_dir: str) -> str:
     return f"{data_dir.rstrip('/')}/{ZONEMAP_DIR}/{LIST_FILE}"
 
 
+# Parsed-manifest caches, keyed on the manifest list's mtime: every
+# manifest mutation (write_zonemap, append_zonemap, legacy upgrade)
+# commits by rewriting _list.json LAST, so its mtime is the cache
+# epoch for the whole _zonemap tree. Entries are only ever replaced
+# with a fresh parse of the same path (GIL-atomic dict ops; a racing
+# reader at worst re-reads). IO_COUNTS tracks ACTUAL reads so tests
+# can assert that N queries on an unchanged table hit disk once.
+_LIST_CACHE: dict[str, tuple[float, dict]] = {}
+_GROUP_CACHE: dict[tuple[str, str], tuple[tuple, list[dict]]] = {}
+IO_COUNTS = {"list_reads": 0, "group_reads": 0}
+
+
 def _read_list(data_dir: str) -> dict | None:
+    """Parsed manifest list (cached). The returned dict is the SHARED
+    cache object — callers must treat it as immutable."""
+    doc, _ = _read_list_cached(data_dir)
+    return doc
+
+
+def _read_list_cached(data_dir: str) -> tuple[dict | None, float | None]:
+    """(parsed manifest list, its mtime) — served from the cache while
+    the file's mtime is unchanged."""
     from quack_reduce_spark.lake import _fs_for
 
     fs = _fs_for(data_dir)
     p = _list_path(data_dir)
-    if not fs.is_file(p):
-        return None
-    return json.loads(fs.read_text(p))
+    mt = fs.mtime(p)
+    if mt is None:
+        _LIST_CACHE.pop(data_dir, None)
+        return None, None
+    hit = _LIST_CACHE.get(data_dir)
+    if hit is not None and hit[0] == mt:
+        return hit[1], mt
+    IO_COUNTS["list_reads"] += 1
+    doc = json.loads(fs.read_text(p))
+    _LIST_CACHE[data_dir] = (mt, doc)
+    return doc, mt
 
 
-def _write_list(data_dir: str, cols: list[str], groups: dict[str, dict]) -> None:
+def _invalidate_cache(data_dir: str) -> None:
+    _LIST_CACHE.pop(data_dir, None)
+    for key in [k for k in _GROUP_CACHE if k[0] == data_dir]:
+        _GROUP_CACHE.pop(key, None)
+
+
+def _write_list(
+    data_dir: str,
+    cols: list[str],
+    groups: dict[str, dict],
+    tz: str | None = None,
+    types: dict[str, str] | None = None,
+) -> None:
     from quack_reduce_spark.lake import _fs_for
 
     doc = {"version": 2, "cols": cols, "groups": groups}
+    if tz:
+        doc["tz"] = tz  # build-session zone: lets readers in another
+        # zone convert session-zoned timestamp bounds instead of
+        # losing list-level pruning on them
+    if types:
+        doc["types"] = types
     _fs_for(data_dir).write_text_atomic(_list_path(data_dir), json.dumps(doc, indent=1))
+    _invalidate_cache(data_dir)
 
 
 def _group_summaries(stats_g: DataFrame, cols: list[str]) -> dict[str, dict]:
@@ -186,12 +261,27 @@ def _group_summaries(stats_g: DataFrame, cols: list[str]) -> dict[str, dict]:
 
 
 def _stat_aggs(cols: list[str]) -> list[Column]:
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    # file_bytes (from the hidden _metadata column) feeds the engine's
+    # broadcast-hint estimate: surviving-file bytes are the same units
+    # Spark's own static size stats compare against the broadcast
+    # threshold, so no row-width guessing is involved
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("__fsize").alias("file_bytes"),
+    ]
     for c in cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}"))
     return aggs
+
+
+def _stat_types(stats: DataFrame, cols: list[str]) -> dict[str, str]:
+    """Spark type name per stats column (``timestamp`` vs
+    ``timestamp_ntz`` decides whether list-doc bounds are
+    session-zoned), read off the stats frame's own schema."""
+    by_name = {f.name: f.dataType.typeName() for f in stats.schema.fields}
+    return {c: by_name[f"min_{c}"] for c in cols if f"min_{c}" in by_name}
 
 
 def _with_groups(stats: DataFrame) -> DataFrame:
@@ -207,7 +297,11 @@ def zonemap_stats(spark: SparkSession, data_dir: str, cols: list[str]) -> DataFr
     pass zone maps ever make."""
     df = spark.read.parquet(data_dir)
     return (
-        df.select(F.col("_metadata.file_path").alias("file"), *cols)
+        df.select(
+            F.col("_metadata.file_path").alias("file"),
+            F.col("_metadata.file_size").alias("__fsize"),
+            *cols,
+        )
         .groupBy("file")
         .agg(*_stat_aggs(cols))
     )
@@ -225,22 +319,18 @@ def _write_grouped(
     False`` (full rebuild) replaces the whole manifest dir so no
     stale group can linger."""
     zm = f"{data_dir.rstrip('/')}/{ZONEMAP_DIR}"
-    conf = spark.conf
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set(
-        "spark.sql.sources.partitionOverwriteMode",
-        "dynamic" if dynamic else "static",
+    # the overwrite mode rides on the WRITER, not the session conf:
+    # a session-global toggle would leak into concurrent writes in
+    # the same session and two racing append_zonemap calls could
+    # clobber each other's restore
+    (
+        stats_g.drop("__gdir")
+        .repartition("__g")
+        .write.option("partitionOverwriteMode", "dynamic" if dynamic else "static")
+        .partitionBy("__g")
+        .mode("overwrite")
+        .parquet(zm)
     )
-    try:
-        (
-            stats_g.drop("__gdir")
-            .repartition("__g")
-            .write.partitionBy("__g")
-            .mode("overwrite")
-            .parquet(zm)
-        )
-    finally:
-        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def write_zonemap(spark: SparkSession, data_dir: str, cols: list[str]) -> int:
@@ -253,7 +343,11 @@ def write_zonemap(spark: SparkSession, data_dir: str, cols: list[str]) -> int:
     stats_g = _with_groups(zonemap_stats(spark, data_dir, cols)).localCheckpoint()
     _write_grouped(spark, data_dir, stats_g, dynamic=False)
     groups = _group_summaries(stats_g, cols)
-    _write_list(data_dir, cols, groups)
+    _write_list(
+        data_dir, cols, groups,
+        tz=spark.conf.get("spark.sql.session.timeZone"),
+        types=_stat_types(stats_g, cols),
+    )
     return sum(g["n_files"] for g in groups.values())
 
 
@@ -316,9 +410,15 @@ def _upgrade_legacy(spark: SparkSession, data_dir: str) -> list[str]:
         return list(doc["cols"])
     old = read_zonemap(spark, data_dir)
     cols = [c[len("min_"):] for c in old.columns if c.startswith("min_")]
+    if "file_bytes" not in old.columns:  # r9 manifests predate sizes
+        old = old.withColumn("file_bytes", F.lit(None).cast("long"))
     stats_g = _with_groups(old).localCheckpoint()
     _write_grouped(spark, data_dir, stats_g, dynamic=False)
-    _write_list(data_dir, cols, _group_summaries(stats_g, cols))
+    _write_list(
+        data_dir, cols, _group_summaries(stats_g, cols),
+        tz=spark.conf.get("spark.sql.session.timeZone"),
+        types=_stat_types(stats_g, cols),
+    )
     return cols
 
 
@@ -346,7 +446,9 @@ def append_zonemap(
     if known_cols and list(cols) != known_cols:
         raise ValueError(f"manifest covers {known_cols}, asked to append {list(cols)}")
     doc = _read_list(data_dir)
-    groups: dict[str, dict] = doc["groups"] if doc else {}
+    # cached docs are shared read-only objects: copy before updating
+    # entries (only whole-entry replacement below, shallow is enough)
+    groups: dict[str, dict] = dict(doc["groups"]) if doc else {}
 
     if new_files is None:
         candidates = _data_files(data_dir)
@@ -390,7 +492,11 @@ def append_zonemap(
     # explicit file paths, so partition columns remain valid stats_cols
     df = spark.read.option("basePath", data_dir).parquet(*fresh_files)
     fresh = (
-        df.select(F.col("_metadata.file_path").alias("file"), *cols)
+        df.select(
+            F.col("_metadata.file_path").alias("file"),
+            F.col("_metadata.file_size").alias("__fsize"),
+            *cols,
+        )
         .groupBy("file")
         .agg(*_stat_aggs(cols))
     )
@@ -400,6 +506,10 @@ def append_zonemap(
     # untouched partitions' manifests
     fresh_toks = {_token(_dirname(_bare(p))) for p in fresh_files}
     if old_touched is not None:
+        if "file_bytes" not in old_touched.columns:  # r10 manifests
+            old_touched = old_touched.withColumn(
+                "file_bytes", F.lit(None).cast("long")
+            )
         old_g = _with_groups(old_touched).filter(
             F.col("__g").isin(*fresh_toks)
         )
@@ -412,7 +522,18 @@ def append_zonemap(
     _write_grouped(spark, data_dir, merged, dynamic=True)
     for tok, entry in _group_summaries(merged, cols).items():
         groups[tok] = entry
-    _write_list(data_dir, cols, groups)
+    # untouched groups keep the bounds the ORIGINAL session rendered:
+    # if this session's timezone differs from the doc's, the merged
+    # doc would mix renderings — record no tz, so session-zoned
+    # timestamp bounds decode as unknown (groups kept, sound) until
+    # the next full write_zonemap re-renders them consistently
+    cur_tz = spark.conf.get("spark.sql.session.timeZone")
+    doc_tz = doc.get("tz") if doc else cur_tz
+    _write_list(
+        data_dir, cols, groups,
+        tz=cur_tz if doc_tz == cur_tz else None,
+        types=(doc or {}).get("types") or _stat_types(merged, cols),
+    )
     return len(fresh_files)
 
 
@@ -420,10 +541,12 @@ def append_zonemap(
 
 
 def _intersects(glo, ghi, lo, hi) -> bool:
-    """Can [glo, ghi] intersect [lo, hi]? None group bounds (all-NULL
-    group, or unencodable stats type) are conservative where needed:
-    an all-NULL group (both None) cannot match a range predicate; an
-    unknown bound keeps the group."""
+    """Can [glo, ghi] intersect [lo, hi]? An all-NULL group (both
+    bounds None) cannot match a range predicate; an _UNKNOWN bound
+    (unencodable type / untrusted timestamp rendering) keeps the
+    group — pruning degrades to reading, never to a wrong answer."""
+    if glo is _UNKNOWN or ghi is _UNKNOWN:
+        return True
     if glo is None and ghi is None:
         return False  # group is all NULL for this column
     try:
@@ -436,6 +559,116 @@ def _intersects(glo, ghi, lo, hi) -> bool:
     return True
 
 
+def _group_rows(
+    spark: SparkSession, data_dir: str, toks: list[str], epoch: tuple
+) -> list[dict]:
+    """Per-file stats rows of the given partition groups, as plain
+    dicts, served from the cache while ``epoch`` (list mtime +
+    session timezone — collect renders timestamps session-locally)
+    matches. A cache miss reads ONLY the missed groups' manifests."""
+    out: list[dict] = []
+    missed: list[str] = []
+    for t in toks:
+        hit = _GROUP_CACHE.get((data_dir, t))
+        if hit is not None and hit[0] == epoch:
+            out.extend(hit[1])
+        else:
+            missed.append(t)
+    if missed:
+        IO_COUNTS["group_reads"] += 1
+        zmdir = f"{data_dir.rstrip('/')}/{ZONEMAP_DIR}"
+        zm = spark.read.option("recursiveFileLookup", "true").parquet(
+            *[f"{zmdir}/__g={t}" for t in missed]
+        )
+        tok_col, _ = _group_cols(F.col("file"))
+        rows = [r.asDict() for r in zm.withColumn("__tok", tok_col).collect()]
+        by_tok: dict[str, list[dict]] = {t: [] for t in missed}
+        for r in rows:
+            by_tok.setdefault(r.pop("__tok"), []).append(r)
+        for t, rs in by_tok.items():
+            _GROUP_CACHE[(data_dir, t)] = (epoch, rs)
+            out.extend(rs)
+    return out
+
+
+def _file_matches(row: dict, constraints: dict[str, tuple]) -> bool:
+    """Python twin of the manifest range filter: the file survives iff
+    EVERY constrained column's [min, max] can hold a matching value.
+    All-NULL files (NULL min) are pruned — a range or IN predicate
+    cannot match NULL. Incomparable values keep the file (sound)."""
+    for col, (lo, hi, vals) in constraints.items():
+        mn, mx = row.get(f"min_{col}"), row.get(f"max_{col}")
+        if mn is None and mx is None:
+            return False
+        try:
+            if vals is not None:
+                if not any(mn <= v <= mx for v in vals):
+                    return False
+                continue
+            if lo is not None and mx < lo:
+                return False
+            if hi is not None and mn > hi:
+                return False
+        except TypeError:
+            continue  # incomparable: keep the file
+    return True
+
+
+def prune_files_multi(
+    spark: SparkSession,
+    data_dir: str,
+    constraints: dict[str, tuple],
+) -> tuple[list[dict], int]:
+    """Surviving per-file stats rows (dicts with ``file``, ``n_rows``,
+    ``file_bytes`` when recorded, and the min/max columns) for a
+    CONJUNCTION of per-column constraints ``{col: (lo, hi, vals)}`` —
+    ``vals`` (an IN-list's value set, or None) beats lo/hi when
+    present. Returns ``(rows, total_file_count)``.
+
+    Planning is manifest-list-first: groups whose group-level bounds
+    cannot intersect ANY constraint are skipped without reading their
+    manifests; surviving groups' rows come from the parsed-manifest
+    cache (keyed on the manifest list's mtime — the commit point every
+    manifest mutation rewrites last), so repeated queries on an
+    unchanged table do ZERO manifest I/O and zero Spark jobs: the
+    per-file filter runs driver-side over cached dicts (planning
+    metadata, #files-scale — the cost every table format pays)."""
+    doc, mt = _read_list_cached(data_dir)
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
+    if doc is None:
+        zm = read_zonemap(spark, data_dir)  # legacy layout: uncached
+        IO_COUNTS["group_reads"] += 1
+        rows = [r.asDict() for r in zm.collect()]
+        total = len(rows)
+    else:
+        groups = doc["groups"]
+        doc_tz = doc.get("tz")
+        types = doc.get("types") or {}
+        total = sum(g["n_files"] for g in groups.values())
+        live = []
+        for tok, g in groups.items():
+            ok = True
+            for col, (lo, hi, vals) in constraints.items():
+                st = g["stats"].get(col)
+                if st is None:
+                    continue  # column not list-covered: can't prune on it
+                glo = _dec(st["lo"], doc_tz, session_tz, types.get(col))
+                ghi = _dec(st["hi"], doc_tz, session_tz, types.get(col))
+                if vals is not None:
+                    if not any(_intersects(glo, ghi, v, v) for v in vals):
+                        ok = False
+                        break
+                elif not _intersects(glo, ghi, lo, hi):
+                    ok = False
+                    break
+            if ok:
+                live.append(tok)
+        if not live:
+            return [], total
+        rows = _group_rows(spark, data_dir, live, (mt, session_tz))
+    return [r for r in rows if _file_matches(r, constraints)], total
+
+
 def prune_files(
     spark: SparkSession,
     data_dir: str,
@@ -445,41 +678,10 @@ def prune_files(
 ) -> tuple[list[str], int]:
     """File paths whose ``[min_col, max_col]`` interval can intersect
     the closed interval ``[lo, hi]`` (either bound may be None for a
-    one-sided range), plus the total file count. Planning is
-    manifest-list-first: groups whose group-level bounds cannot
-    intersect are skipped without reading their manifests; the
-    per-file filter then runs over surviving groups only. All-NULL
-    files (NULL min/max) are pruned: no value in them can satisfy a
-    range predicate. The collect is #surviving-files paths — the
-    bounded planning step, not row data."""
-    doc = _read_list(data_dir)
-    if doc is None:
-        zm = read_zonemap(spark, data_dir)  # legacy layout
-        total = zm.count()
-    else:
-        groups = doc["groups"]
-        total = sum(g["n_files"] for g in groups.values())
-        live = []
-        for tok, g in groups.items():
-            st = g["stats"].get(col)
-            if st is None:
-                live.append(tok)  # column not list-covered: keep group
-            elif _intersects(_dec(st["lo"]), _dec(st["hi"]), lo, hi):
-                live.append(tok)
-        if not live:
-            return [], total
-        zmdir = f"{data_dir.rstrip('/')}/{ZONEMAP_DIR}"
-        zm = (
-            spark.read.option("recursiveFileLookup", "true")
-            .parquet(*[f"{zmdir}/__g={t}" for t in live])
-        )
-    cond = F.col(f"min_{col}").isNotNull()
-    if lo is not None:
-        cond = cond & (F.col(f"max_{col}") >= F.lit(lo))
-    if hi is not None:
-        cond = cond & (F.col(f"min_{col}") <= F.lit(hi))
-    files = [r["file"] for r in zm.filter(cond).select("file").collect()]
-    return files, total
+    one-sided range), plus the total file count — the single-column
+    range form of :func:`prune_files_multi`."""
+    rows, total = prune_files_multi(spark, data_dir, {col: (lo, hi, None)})
+    return [r["file"] for r in rows], total
 
 
 def scan_pruned(

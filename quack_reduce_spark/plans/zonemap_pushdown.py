@@ -3,23 +3,25 @@ extraction + manifest-planned view rebinding.
 
 The round-9 zone-map layer (operators/zonemaps.py) prunes files when a
 caller invokes ``scan_pruned()`` explicitly. This module makes the
-ENGINE do it: ``Engine.sql``/``Engine.df`` detect range predicates on
-a zone-mapped table's stats columns in the query's own PHYSICAL plan
-and re-plan the scan from the manifest — the user writes plain SQL
-(the reference's whole UX, ``app.py:51``) and gets Iceberg/Delta-style
-stats skipping on plain parquet for free.
+ENGINE do it: ``Engine.sql``/``Engine.df`` detect range and IN-list
+predicates on a zone-mapped table's stats columns in the query's own
+PHYSICAL plan and re-plan the scan from the manifest — the user writes
+plain SQL (the reference's whole UX, ``app.py:51``) and gets
+Iceberg/Delta-style stats skipping on plain parquet for free.
 
 How constraints are found — asked of Catalyst, not parsed from SQL:
 ``spark.sql(query)`` is planned (analysis + optimization only, no
 execution) and every ``FileSourceScanExec`` leaf is inspected via the
 JVM bridge. A scan's ``dataFilters`` are the optimizer's OWN conjuncts
 (post constant-folding, post pushdown-splitting), so everything the
-rewriter produces from BETWEEN / IN-rewrites / CTE inlining arrives
-here already normalized. Conjuncts of the shape ``<attr> <cmp>
-<literal>`` over a manifest stats column become closed-interval bounds
-(strict bounds widen to closed — pruning needs only a SUPERSET of the
-matching files to stay sound, because the query re-applies its full
-predicate when it executes).
+rewriter produces from BETWEEN / CTE inlining arrives here already
+normalized. Conjuncts of the shape ``<attr> <cmp> <literal>`` over a
+manifest stats column become closed-interval bounds (strict bounds
+widen to closed — pruning needs only a SUPERSET of the matching files
+to stay sound, because the query re-applies its full predicate when it
+executes); ``<attr> IN (<literals>)`` becomes a VALUE SET — each file
+survives iff some value can sit inside its [min, max], strictly
+tighter than the IN-list's min/max envelope when the list is sparse.
 
 Soundness rules (pruning can cost reads, never correctness):
 - per SCAN, bounds on different columns INTERSECT (all must hold);
@@ -29,6 +31,14 @@ Soundness rules (pruning can cost reads, never correctness):
   whole table (it needs every file);
 - unrecognized expression shapes / uncomparable literal types are
   simply ignored (no bound extracted -> no pruning from them).
+
+Timestamps: Catalyst session-zoned ``timestamp`` literals carry epoch
+micros; manifest min/max values are collected through PySpark, which
+renders them as naive datetimes in ``spark.sql.session.timeZone``. The
+literal is therefore decoded IN THE SESSION ZONE (not hard-coded UTC),
+so pruning stays correct when the engine runs inside a user session
+whose zone is not UTC. ``timestamp_ntz`` literals are wall-clock and
+decode without conversion.
 
 The reference has no planner at all — every query re-lists and
 re-reads full objects (``quack.py:145``); this is the read-planning
@@ -44,6 +54,7 @@ from pyspark.sql import DataFrame
 
 _EPOCH_DATE = _dt.date(1970, 1, 1)
 _EPOCH_TS = _dt.datetime(1970, 1, 1)
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
 
 # comparison node -> (bound-kind when attr is on the LEFT)
 _CMP_LEFT = {
@@ -60,22 +71,33 @@ def _bare(p: str) -> str:
     return "/" + p.split("://")[-1].removeprefix("file:").lstrip("/")
 
 
-def _literal_py(lit: Any) -> tuple[Any, bool]:
+def _literal_py(lit: Any, session_tz: str) -> tuple[Any, bool]:
     """Python value of a Catalyst Literal, (value, usable). Dates and
     timestamps arrive in Catalyst internal form (days / micros since
-    epoch); strings as UTF8String JVM objects. Types we can't compare
-    portably against manifest values (decimal, binary, interval...)
-    report unusable."""
+    epoch); strings as UTF8String JVM objects. Session-zoned timestamp
+    micros convert to the SESSION timezone's naive rendering — the
+    form manifest values take when collected — so a non-UTC session
+    cannot shift a bound by its zone offset and mis-prune. Types we
+    can't compare portably against manifest values (decimal, binary,
+    interval...) report unusable."""
     type_name = lit.dataType().typeName()
     v = lit.value()
     if v is None:
         return None, False
     if type_name == "date":
         return _EPOCH_DATE + _dt.timedelta(days=int(v)), True
-    if type_name in ("timestamp", "timestamp_ntz"):
-        # machine-local == UTC in this engine's deployments; manifest
-        # values are naive datetimes read back from parquet the same way
+    if type_name == "timestamp_ntz":
+        # wall-clock micros: no zone applies
         return _EPOCH_TS + _dt.timedelta(microseconds=int(v)), True
+    if type_name == "timestamp":
+        try:
+            from zoneinfo import ZoneInfo
+
+            zone = ZoneInfo(session_tz)
+        except Exception:
+            return None, False  # unresolvable zone: no bound (sound)
+        aware = _EPOCH_UTC + _dt.timedelta(microseconds=int(v))
+        return aware.astimezone(zone).replace(tzinfo=None), True
     if type_name == "string":
         return v if isinstance(v, str) else v.toString(), True
     if type_name in ("integer", "long", "short", "byte", "double", "float"):
@@ -83,47 +105,175 @@ def _literal_py(lit: Any) -> tuple[Any, bool]:
     return None, False
 
 
-def _side(e: Any) -> tuple[str | None, Any]:
+def _ident(v: Any) -> Any:
+    return v
+
+
+def _to_date(v: Any) -> Any:
+    # date column compared THROUGH a cast to timestamp: flooring the
+    # literal to its date keeps a SUPERSET of the matching files for
+    # every bound kind (lo floors = widens, hi floors = exact, eq/IN
+    # floors = possibly keeps files an impossible non-midnight value
+    # never matches — extra reads, never missing rows)
+    return v.date() if isinstance(v, _dt.datetime) else v
+
+
+# (source column type, cast target type) -> literal converter, for the
+# cast shapes Catalyst leaves around attributes in In-lists (binary
+# comparisons get unwrapped by UnwrapCastInBinaryComparison; In does
+# not). Only pairs where comparing the converted literal against the
+# SOURCE-typed manifest stats is sound appear here.
+_INT_WIDEN = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"), ("integer", "long"),
+    ("float", "double"),
+}
+_SAFE_CASTS: dict[tuple[str, str], Any] = {
+    # NTZ wall-clock == the session-zone naive rendering the literal
+    # decoder produces for a session-zoned timestamp literal
+    ("timestamp_ntz", "timestamp"): _ident,
+    ("date", "timestamp"): _to_date,
+    ("date", "timestamp_ntz"): _to_date,
+    **{pair: _ident for pair in _INT_WIDEN},
+}
+
+
+def _unwrap_attr(e: Any) -> tuple[str | None, Any]:
+    """(column name, literal-converter) when ``e`` is an attribute or
+    a SAFE cast of one, else (None, None)."""
     n = e.getClass().getSimpleName()
     if n == "AttributeReference":
-        return "attr", e.name()
-    if n == "Literal":
-        return "lit", e
+        return e.name(), _ident
+    if n == "Cast":
+        child = e.child()
+        if child.getClass().getSimpleName() != "AttributeReference":
+            return None, None
+        conv = _SAFE_CASTS.get(
+            (child.dataType().typeName(), e.dataType().typeName())
+        )
+        if conv is None:
+            return None, None
+        return child.name(), conv
     return None, None
 
 
-def _conjunct_bound(e: Any) -> tuple[str, str, Any] | None:
-    """(column, 'lo'|'hi'|'eq', value) from one dataFilters conjunct,
-    or None when the shape isn't ``attr cmp literal``."""
-    kind = _CMP_LEFT.get(e.getClass().getSimpleName())
+def _side(e: Any) -> tuple[str | None, Any]:
+    n = e.getClass().getSimpleName()
+    if n == "Literal":
+        return "lit", e
+    name, conv = _unwrap_attr(e)
+    if name is not None:
+        return "attr", (name, conv)
+    return None, None
+
+
+def _conjunct_bound(e: Any, session_tz: str) -> tuple[str, str, Any] | None:
+    """(column, 'lo'|'hi'|'eq'|'in', value) from one dataFilters
+    conjunct, or None when the shape isn't ``attr cmp literal`` /
+    ``attr IN (literals)``. An In whose list holds any non-literal or
+    unusable value extracts nothing (sound). Catalyst keeps small
+    IN-lists as ``In`` (the common dashboard shape); large ones become
+    ``InSet`` with values in internal form and are left alone — the
+    scan simply isn't pruned by them."""
+    name = e.getClass().getSimpleName()
+    if name == "In":
+        lk, got = _side(e.value())
+        if lk != "attr":
+            return None
+        colname, conv = got
+        vals = []
+        lst = e.list()
+        for j in range(lst.size()):
+            kind, lit = _side(lst.apply(j))
+            if kind != "lit":
+                return None
+            v, ok = _literal_py(lit, session_tz)
+            if not ok:
+                return None
+            vals.append(conv(v))
+        if not vals:
+            return None
+        return colname, "in", frozenset(vals)
+    kind = _CMP_LEFT.get(name)
     if kind is None:
         return None
     lk, lv = _side(e.left())
     rk, rv = _side(e.right())
     if lk == "attr" and rk == "lit":
-        col, lit, flip = lv, rv, False
+        (col, conv), lit, flip = lv, rv, False
     elif lk == "lit" and rk == "attr":
-        col, lit, flip = rv, lv, True
+        (col, conv), lit, flip = rv, lv, True
     else:
         return None
-    val, ok = _literal_py(lit)
+    val, ok = _literal_py(lit, session_tz)
     if not ok:
         return None
-    return col, (_FLIP[kind] if flip else kind), val
+    return col, (_FLIP[kind] if flip else kind), conv(val)
+
+
+def _merge_bound(bounds: dict, col: str, kind: str, val: Any) -> None:
+    """Fold one conjunct into the per-scan constraint map
+    ``{col: [lo, hi, vals]}`` — conjuncts on the same column
+    INTERSECT: ranges tighten lo/hi, IN-lists intersect value sets,
+    and a range over an existing value set filters it."""
+    lo, hi, vals = bounds.get(col, (None, None, None))
+    if kind == "in":
+        vals = val if vals is None else (vals & val)
+    else:
+        if kind in ("lo", "eq") and (lo is None or _gt(val, lo)):
+            lo = val
+        if kind in ("hi", "eq") and (hi is None or _lt(val, hi)):
+            hi = val
+    bounds[col] = (lo, hi, vals)
+
+
+def _gt(a, b) -> bool:
+    try:
+        return a > b
+    except TypeError:
+        return False
+
+
+def _lt(a, b) -> bool:
+    try:
+        return a < b
+    except TypeError:
+        return False
+
+
+def _finalize(bounds: dict) -> dict[str, tuple]:
+    """Apply range bounds to value sets: a constraint with both an
+    IN-list and a range keeps only in-range values (their conjunction).
+    Columns whose constraints are vacuous (no bound at all) drop out."""
+    out: dict[str, tuple] = {}
+    for col, (lo, hi, vals) in bounds.items():
+        if vals is not None:
+            kept = frozenset(
+                v
+                for v in vals
+                if not (lo is not None and _lt(v, lo))
+                and not (hi is not None and _gt(v, hi))
+            )
+            out[col] = (None, None, kept)
+        elif lo is not None or hi is not None:
+            out[col] = (lo, hi, None)
+    return out
 
 
 def scan_constraints(
     df: DataFrame, paths_by_name: dict[str, str]
-) -> dict[str, list[dict[str, tuple[Any, Any]]]]:
-    """Per registered table: one ``{col: (lo, hi)}`` dict PER SCAN of
-    that table in ``df``'s physical plan (lo/hi may each be None for
-    one-sided ranges; a scan with no usable bounds contributes an
-    EMPTY dict — the caller must treat that as 'needs all files').
+) -> dict[str, list[dict[str, tuple]]]:
+    """Per registered table: one ``{col: (lo, hi, vals)}`` dict PER
+    SCAN of that table in ``df``'s physical plan (lo/hi may each be
+    None for one-sided ranges; ``vals`` is an IN-list's value set or
+    None; a scan with no usable bounds contributes an EMPTY dict — the
+    caller must treat that as 'needs all files').
 
     ``paths_by_name``: view name -> resolved data dir; scans are
     matched to tables by file-index root path."""
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     name_by_root = {_bare(p): n for n, p in paths_by_name.items()}
-    out: dict[str, list[dict[str, tuple[Any, Any]]]] = {}
+    out: dict[str, list[dict[str, tuple]]] = {}
     plan = df._jdf.queryExecution().sparkPlan()  # plans, never executes
     leaves = plan.collectLeaves()
     for i in range(leaves.size()):
@@ -139,20 +289,51 @@ def scan_constraints(
         if len(names) != 1:
             continue  # not one of ours / mixed-root scan: leave alone
         name = names.pop()
-        bounds: dict[str, tuple[Any, Any]] = {}
+        bounds: dict[str, tuple] = {}
         filters = leaf.dataFilters()
         for j in range(filters.size()):
-            got = _conjunct_bound(filters.apply(j))
+            got = _conjunct_bound(filters.apply(j), session_tz)
             if got is None:
                 continue
             col, kind, val = got
-            lo, hi = bounds.get(col, (None, None))
-            if kind in ("lo", "eq") and (lo is None or val > lo):
-                lo = val
-            if kind in ("hi", "eq") and (hi is None or val < hi):
-                hi = val
-            bounds[col] = (lo, hi)
-        out.setdefault(name, []).append(bounds)
+            _merge_bound(bounds, col, kind, val)
+        out.setdefault(name, []).append(_finalize(bounds))
+    return out
+
+
+def join_scan_tables(df: DataFrame, paths_by_name: dict[str, str]) -> set[str]:
+    """Registered tables scanned UNDER a SortMergeJoin in ``df``'s
+    physical plan — the candidates for an estimate-driven broadcast
+    hint (a side already broadcast needs no help). Best-effort: any
+    bridge drift returns the empty set."""
+    name_by_root = {_bare(p): n for n, p in paths_by_name.items()}
+    out: set[str] = set()
+
+    def scan_names(node: Any) -> set[str]:
+        names: set[str] = set()
+        leaves = node.collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() != "FileSourceScanExec":
+                continue
+            roots = leaf.relation().location().rootPaths()
+            got = {
+                name_by_root.get(_bare(roots.apply(j).toString()))
+                for j in range(roots.size())
+            }
+            got.discard(None)
+            names |= got
+        return names
+
+    plan = df._jdf.queryExecution().sparkPlan()
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "SortMergeJoinExec":
+            out |= scan_names(node)
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
     return out
 
 
@@ -160,28 +341,35 @@ def plan_pruned_files(
     spark,
     data_dir: str,
     stats_cols: list[str],
-    scans: list[dict[str, tuple[Any, Any]]],
-) -> tuple[list[str], int] | None:
-    """Resolve per-scan bounds into ONE surviving file list for the
-    table, or None when pruning can't apply (some scan is unbounded on
-    every stats column, or nothing would be skipped). Within a scan,
-    per-column survivor sets intersect; across scans they union."""
-    from quack_reduce_spark.operators.zonemaps import prune_files
+    scans: list[dict[str, tuple]],
+) -> tuple[list[str], int, dict] | None:
+    """Resolve per-scan constraints into ONE surviving file list for
+    the table, or None when pruning can't apply (some scan is
+    unconstrained on every stats column, or nothing would be skipped).
+    Within a scan, columns intersect (prune_files_multi); across scans
+    the survivor sets union. Returns ``(files, total_files, stats)``
+    where ``stats`` carries the survivors' summed ``n_rows`` /
+    ``file_bytes`` (None when the manifest predates size recording) —
+    the estimate the engine's broadcast-hint decision reads."""
+    from quack_reduce_spark.operators.zonemaps import prune_files_multi
 
-    union: set[str] = set()
+    union: dict[str, dict] = {}
     total = None
     for bounds in scans:
-        scan_files: set[str] | None = None
-        for col in stats_cols:
-            lo, hi = bounds.get(col, (None, None))
-            if lo is None and hi is None:
-                continue
-            files, total = prune_files(spark, data_dir, col, lo, hi)
-            fs = set(files)
-            scan_files = fs if scan_files is None else (scan_files & fs)
-        if scan_files is None:
+        usable = {c: b for c, b in bounds.items() if c in stats_cols}
+        if not usable:
             return None  # this scan needs every file
-        union |= scan_files
+        rows, total = prune_files_multi(spark, data_dir, usable)
+        for r in rows:
+            union[r["file"]] = r
     if total is None or len(union) >= total:
         return None
-    return sorted(union), total
+    survivors = sorted(union)
+    sizes = [union[f].get("file_bytes") for f in survivors]
+    stats = {
+        "est_rows": sum(int(union[f]["n_rows"]) for f in survivors),
+        "est_bytes": (
+            sum(int(s) for s in sizes) if all(s is not None for s in sizes) else None
+        ),
+    }
+    return survivors, total, stats

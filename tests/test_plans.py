@@ -11,6 +11,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from quack_reduce_spark import plans
+from quack_reduce_spark.plans import formatted_plan
 from quack_reduce_spark.inventory import relational
 from quack_reduce_spark.inventory._util import load
 
@@ -277,7 +278,6 @@ def test_estimate_driven_broadcast_where_static_stats_pick_smj(spark, sf_dir):
     (exact rows x schema width) sees a few hundred bytes and hints the
     broadcast. Same rows either way."""
     from quack_reduce_spark.engine import Engine
-    from quack_reduce_spark.plans import formatted_plan
 
     eng = Engine(spark=spark)
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
@@ -326,3 +326,135 @@ def test_explain_join_report_shape_and_exactness_below_n(spark):
     assert rep["est_join_rows"] == 120.0
     assert rep["strategy"] == "shuffle_sort_merge"  # threshold tiny: no hint
     assert rep["left"]["rows"] == 60 and rep["right"]["rows"] == 90
+
+
+def test_engine_sql_in_list_prunes_tighter_than_envelope(spark, zm_engine):
+    """An ``IN`` over two far-apart dates plans as a VALUE SET — each
+    file must hold a possibly-matching value — so on a range-clustered
+    layout it reads FEWER files than the IN-list's [min, max] envelope
+    would, and exactly matches the unpruned answer."""
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    eng, path = zm_engine
+    raw = spark.read.parquet(path)
+    v1, v2 = [
+        r[0]
+        for r in raw.select("o_orderdate")
+        .where("o_orderdate >= '1995-02-01'")
+        .orderBy("o_orderdate")
+        .limit(1)
+        .union(
+            raw.select("o_orderdate")
+            .where("o_orderdate >= '1997-06-01'")
+            .orderBy("o_orderdate")
+            .limit(1)
+        )
+        .collect()
+    ]
+    q = (
+        "SELECT COUNT(*) AS n FROM zmo WHERE o_orderdate IN "
+        f"(TIMESTAMP '{v1}', TIMESTAMP '{v2}')"
+    )
+    d = eng.df(q)
+    rep = eng.last_zonemap_report["zmo"]
+    envelope, total = Z.prune_files(spark, path, "o_orderdate", v1, v2)
+    assert rep["files_read"] < len(envelope) <= total == 12
+    assert d.first()["n"] == raw.where(F.col("o_orderdate").isin(v1, v2)).count()
+
+
+def test_engine_sql_filtered_dim_join_gets_broadcast_hint(spark, sf_dir, tmp_path):
+    """The CBO loop closed on the SQL surface: a sort-merge join whose
+    zone-mapped dim side survives file pruning UNDER the broadcast
+    threshold is re-planned with a broadcast hint — the filtered-dim
+    case static file-size stats get wrong (Filter passes sizeInBytes
+    through, so the full file size hides the tiny slice)."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    dim_path = str(tmp_path / "dim")
+    fact_path = str(tmp_path / "fact")
+    cust = load(spark, sf_dir, "customer")
+    (
+        cust.repartitionByRange(8, "c_acctbal")
+        .sortWithinPartitions("c_acctbal")
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    Z.write_zonemap(spark, dim_path, ["c_acctbal"])
+    load(spark, sf_dir, "orders").write.mode("overwrite").parquet(fact_path)
+
+    eng = Engine(spark=spark)
+    eng.register("bj_dim", dim_path)
+    eng.register("bj_fact", fact_path)
+    q = (
+        "SELECT COUNT(*) AS n FROM bj_fact f JOIN bj_dim d "
+        "ON f.o_custkey = d.c_custkey WHERE d.c_acctbal > 9000"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # static stats alone: sort-merge (auto-broadcast disabled)
+        assert "SortMergeJoin" in plans.formatted_plan(spark.sql(q))
+        d = eng.df(q)
+        rep = eng.last_zonemap_report["bj_dim"]
+        assert rep["broadcast_hint"] is True
+        assert rep["files_read"] < rep["files_total"]
+        assert rep["est_bytes"] is not None
+        assert "BroadcastHashJoin" in plans.formatted_plan(d)
+        want = (
+            spark.read.parquet(fact_path)
+            .join(
+                spark.read.parquet(dim_path)
+                .filter("c_acctbal > 9000")
+                .withColumnRenamed("c_custkey", "o_custkey"),
+                "o_custkey",
+            )
+            .count()
+        )
+        assert d.first()["n"] == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_engine_sql_timestamp_pruning_in_non_utc_session(spark, sf_dir, tmp_path):
+    """The timezone soundness fix: with a non-UTC session zone, a
+    session-zoned timestamp literal decodes to the SESSION zone's
+    naive rendering (the form manifest values take), so pruning in a
+    non-UTC session returns exactly the unpruned answer instead of
+    silently skipping files shifted across the zone offset."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = str(tmp_path / "tzorders")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        orders = load(spark, sf_dir, "orders")
+        (
+            orders.repartitionByRange(8, "o_orderdate")
+            .sortWithinPartitions("o_orderdate")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        Z.write_zonemap(spark, path, ["o_orderdate"])
+        eng = Engine(spark=spark)
+        eng.register("tz_zmo", path)
+        q = (
+            "SELECT COUNT(*) AS n FROM tz_zmo "
+            "WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1997-03-01 00:00:00'"
+        )
+        d = eng.df(q)
+        rep = eng.last_zonemap_report.get("tz_zmo")
+        want = (
+            spark.read.parquet(path)
+            .filter(
+                "o_orderdate >= '1997-01-01 00:00:00' "
+                "AND o_orderdate < '1997-03-01 00:00:00'"
+            )
+            .count()
+        )
+        assert d.first()["n"] == want
+        assert rep is not None and rep["files_read"] < rep["files_total"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

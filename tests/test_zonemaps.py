@@ -422,3 +422,41 @@ def test_legacy_single_file_manifest_upgrades_in_place(spark, sf_dir, tmp_path):
     want = spark.read.parquet(path).filter(F.col("o_orderdate").between(lo, hi))
     assert _rows(got.select("o_orderkey")) == _rows(want.select("o_orderkey"))
     assert read < total
+
+
+def test_manifest_cache_reads_disk_once_until_append(spark, sf_dir, tmp_path):
+    """Repeated planning against an UNCHANGED table does no manifest
+    I/O after the first query — the parsed list and the group rows are
+    cached on the manifest list's mtime — and an append (which
+    rewrites _list.json last, the commit point) invalidates exactly
+    once. N dashboard queries should not re-read metadata N times."""
+    path = str(tmp_path / "cached")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(6, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_orderdate"])
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1996, 12, 31)
+
+    start = dict(Z.IO_COUNTS)
+    for _ in range(4):
+        files, total = Z.prune_files(spark, path, "o_orderdate", lo, hi)
+        assert 0 < len(files) < total
+    assert Z.IO_COUNTS["list_reads"] - start["list_reads"] == 1
+    assert Z.IO_COUNTS["group_reads"] - start["group_reads"] == 1
+
+    # append -> _list.json rewritten -> caches invalid -> ONE re-read
+    delta = orders.limit(200).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 900_000_000
+    )
+    delta.coalesce(1).write.mode("append").parquet(path)
+    assert Z.append_zonemap(spark, path, ["o_orderdate"]) == 1
+    mid = dict(Z.IO_COUNTS)
+    for _ in range(3):
+        files2, total2 = Z.prune_files(spark, path, "o_orderdate", lo, hi)
+    assert total2 == total + 1
+    assert Z.IO_COUNTS["list_reads"] - mid["list_reads"] == 1
+    assert Z.IO_COUNTS["group_reads"] - mid["group_reads"] == 1
