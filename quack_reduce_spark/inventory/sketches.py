@@ -592,7 +592,7 @@ def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIMENSION side's cardinality, never the fact's)."""
     from quack_reduce_spark.operators.sketches import (
         BLOOM_SIZED_K,
-        bloom_pass_expr,
+        bloom_filter_frame,
         bloom_size,
         bloom_words,
     )
@@ -605,18 +605,23 @@ def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_keys = keys.count()  # planning scalar: sizes the filter
     words_n, m = bloom_size(n_keys)
     k = BLOOM_SIZED_K
-    wrows = bloom_words(keys, "k", m=m, k=k).collect()  # m/62 longs, bounded
+    wrows = bloom_words(keys, "k", m=m, k=k).collect()  # m/62 longs
     dense = [0] * words_n
     for r in wrows:
         dense[int(r["word_idx"])] = int(r["word"])
-    flagged = orders.join(
+    joined = orders.join(
         F.broadcast(keys.withColumnRenamed("k", "o_custkey").withColumn(
             "__m", F.lit(1)
         )),
         "o_custkey",
         "left",
+    )
+    # bounded transport: literal array under BLOOM_LITERAL_MAX_WORDS,
+    # broadcast data above it — identical bits either way
+    flagged = bloom_filter_frame(
+        joined, dense, F.col("o_custkey").cast("string"), k=k
     ).select(
-        bloom_pass_expr(dense, F.col("o_custkey").cast("string"), k=k).alias("bp"),
+        "bp",
         F.coalesce(F.col("__m"), F.lit(0)).alias("mem"),
     )
     agg = flagged.agg(
@@ -1178,14 +1183,17 @@ def _bloom_semijoin_oracle() -> str:
         BLOOM_WORD_BITS,
     )
 
-    salt_values = ", ".join(f"({r})" for r in range(BLOOM_SIZED_K))
+    salt_values = ", ".join(
+        f"({r}, {(r * r * r - r) // 6})" for r in range(BLOOM_SIZED_K)
+    )
     # m derived from the key count with PURE INTEGER arithmetic —
     # the exact formula bloom_size() uses, so both engines land on
-    # the identical bitset width from their own COUNT(*).
-    hpos = (
-        "CAST('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || "
-        "CAST({key} AS VARCHAR)), 1, 8) AS BIGINT) % (SELECT m FROM msz)"
-    )
+    # the identical bitset width from their own COUNT(*). Positions
+    # replay Kirsch-Mitzenmacher double hashing exactly as
+    # operators.sketches.bloom_positions computes them: h1/h2 are the
+    # two 32-bit md5 halves (h2 forced odd), g_i = (h1 + i*h2 +
+    # (i^3-i)/6) mod m — the Dillinger-Manolios cubic constant rides
+    # in the salts VALUES list, precomputed per probe index.
     return f"""
         WITH keys AS (
             SELECT DISTINCT c_custkey AS k FROM customer
@@ -1196,19 +1204,36 @@ def _bloom_semijoin_oracle() -> str:
                     // {BLOOM_WORD_BITS}) * {BLOOM_WORD_BITS} AS m
             FROM keys
         ),
-        salts AS (SELECT * FROM (VALUES {salt_values}) t(r)),
+        salts AS (SELECT * FROM (VALUES {salt_values}) t(i, c)),
+        khash AS (
+            SELECT k,
+                   CAST('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8)
+                        AS BIGINT) AS h1,
+                   CAST('0x' || substring(md5(CAST(k AS VARCHAR)), 9, 8)
+                        AS BIGINT) | 1 AS h2
+            FROM keys
+        ),
         pos AS (
-            SELECT k, {hpos.format(key="k")} AS p FROM keys, salts
+            SELECT k, (h1 + i * h2 + c) % (SELECT m FROM msz) AS p
+            FROM khash, salts
         ),
         words AS (
             SELECT p // {BLOOM_WORD_BITS} AS word_idx,
                    BIT_OR(CAST(1 AS BIGINT) << CAST(p % {BLOOM_WORD_BITS} AS INT)) AS word
             FROM pos GROUP BY 1
         ),
+        fhash AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+                        AS BIGINT) AS h1,
+                   CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 9, 8)
+                        AS BIGINT) | 1 AS h2
+            FROM orders
+        ),
         fpos AS (
-            SELECT o.o_orderkey, o.o_custkey,
-                   {hpos.format(key="o.o_custkey")} AS p
-            FROM orders o, salts
+            SELECT o_orderkey, o_custkey,
+                   (h1 + i * h2 + c) % (SELECT m FROM msz) AS p
+            FROM fhash, salts
         ),
         fhit AS (
             SELECT o_orderkey, o_custkey,

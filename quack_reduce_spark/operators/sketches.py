@@ -338,16 +338,28 @@ def bloom_size(n_keys: int) -> tuple[int, int]:
 
 
 def bloom_positions(key: Column, m: int = BLOOM_M, k: int = BLOOM_K) -> list[Column]:
-    """``k`` independent bit positions for a key — the same
-    ``r:``-salted md5 family count-min uses (cms_buckets), mod m."""
+    """``k`` bit positions for a key via ENHANCED double hashing
+    (Kirsch–Mitzenmacher with the Dillinger–Manolios cubic term):
+    ``g_i = (h1 + i*h2 + (i^3 - i)/6) mod m`` where h1/h2 are the two
+    32-bit halves of ONE md5 (h2 forced odd so the probe stride is
+    never degenerate) and the cubic term is a compile-time constant
+    per probe. One md5 per probed row instead of ``k`` independent
+    salted md5s — the round-10 bench regression lever (k=7 md5 calls
+    per fact row) — with the KM theorem's guarantee that the
+    false-positive asymptotics match k independent hashes; the cubic
+    term removes plain-KM's small-m probe-set collisions (measured
+    ~4x fp at m~200 bits without it). Spark's whole-stage codegen
+    eliminates the repeated md5/conv subexpressions, so the per-row
+    cost is one digest + k modular adds. Max value under
+    2^32 * (k+1) + k^3: safely inside ANSI int64 for any practical
+    k."""
+    digest = F.md5(key)
+    h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").bitwiseOR(
+        F.lit(1)
+    )
     return [
-        (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{r}:"), key)), 1, 8), 16, 10
-            ).cast("long")
-            % m
-        )
-        for r in range(k)
+        (h1 + F.lit(i) * h2 + F.lit((i * i * i - i) // 6)) % m for i in range(k)
     ]
 
 
@@ -388,23 +400,72 @@ def _bit_of(p: Column) -> Column:
     return F.element_at(powers, ((p % BLOOM_WORD_BITS) + 1).cast("int"))
 
 
-def bloom_pass_expr(words: list[int], key: Column, k: int = BLOOM_K) -> Column:
-    """Row-local membership test against a DRIVER-MATERIALIZED bitset
-    (``words``: the dense m/62-long array; m is implied by its
-    length). This is the production shape: the bitset is bounded no
-    matter how many keys went in, so shipping it into the scan as a
-    literal-array expression — zero joins, zero shuffle on the probe
-    side, pure whole-stage codegen — is exactly what engine-native
-    bloom-join pushdown does. No false negatives by construction;
-    false positives are quantified by the caller. ``k`` must match the
-    ``k`` the bitset was built with."""
-    m = len(words) * BLOOM_WORD_BITS
-    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+# Above this many 62-bit words (~64 KB of longs) the bitset stops
+# riding in the plan as a literal array — a SIZED filter's bitset
+# grows O(n_keys), and a multi-megabyte literal blows up codegen and
+# the driver's plan serialization — and ships as broadcast DATA
+# instead (one torrent transfer per executor, zero plan growth).
+BLOOM_LITERAL_MAX_WORDS = 8192
+
+
+def _bloom_cond(arr: Column, m: int, key: Column, k: int) -> Column:
+    """Membership test of ``key`` against a bitset held in ``arr`` (an
+    array<long> expression — literal or column), all k probes must
+    hit."""
     cond = F.lit(True)
     for p in bloom_positions(key, m=m, k=k):
         word = F.element_at(arr, (F.floor(p / BLOOM_WORD_BITS) + 1).cast("int"))
         cond = cond & (word.bitwiseAND(_bit_of(p)) != 0)
     return cond
+
+
+def bloom_pass_expr(words: list[int], key: Column, k: int = BLOOM_K) -> Column:
+    """Row-local membership test against a DRIVER-MATERIALIZED bitset
+    (``words``: the dense m/62-long array; m is implied by its
+    length), shipped into the scan as a literal-array expression —
+    zero joins, zero shuffle on the probe side, pure whole-stage
+    codegen. Appropriate while the bitset is SMALL (demo-width
+    filters, or sized filters under :data:`BLOOM_LITERAL_MAX_WORDS`);
+    a sized filter's bitset grows with the key count, so the
+    production entry point is :func:`bloom_filter_frame`, which picks
+    the literal or broadcast transport by width. No false negatives by
+    construction; false positives are quantified by the caller. ``k``
+    must match the ``k`` the bitset was built with."""
+    m = len(words) * BLOOM_WORD_BITS
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    return _bloom_cond(arr, m, key, k)
+
+
+def bloom_filter_frame(
+    df,
+    words: list[int],
+    key: Column,
+    k: int = BLOOM_K,
+    pass_col: str = "bp",
+    literal_max_words: int = BLOOM_LITERAL_MAX_WORDS,
+) -> "DataFrame":
+    """``df`` plus boolean ``pass_col`` marking rows whose ``key``
+    passes the Bloom filter — the bounded-transport form. Bitsets up
+    to ``literal_max_words`` embed in the plan as a literal array
+    (zero joins, the runtime-filter shape); wider ones ship as a
+    BROADCAST single-row frame joined in with a 1-row
+    BroadcastNestedLoopJoin — the bits move as torrent-broadcast DATA,
+    once per executor, and the plan string stays flat no matter how
+    many keys went in (tests/test_sketches.py asserts the flatness).
+    Either transport tests the identical bits: results are
+    bit-for-bit equal."""
+    m = len(words) * BLOOM_WORD_BITS
+    if len(words) <= literal_max_words:
+        return df.withColumn(pass_col, bloom_pass_expr(words, key, k=k))
+    spark = df.sparkSession
+    bf = spark.createDataFrame(
+        [([int(w) for w in words],)], "__bloom_words array<long>"
+    )
+    return (
+        df.crossJoin(F.broadcast(bf))
+        .withColumn(pass_col, _bloom_cond(F.col("__bloom_words"), m, key, k))
+        .drop("__bloom_words")
+    )
 
 
 def cms_buckets(key: Column, rows: int, width: int) -> Column:

@@ -502,13 +502,14 @@ def test_feature_hash_buckets_uniform_and_order_free():
 
 
 def test_salted_md5_family_uniform_and_cross_salt_independent():
-    """The ``r:``-salted md5 position family shared by count-min
-    buckets (cms_buckets) and the r9 bloom filter (bloom_positions):
-    per-salt chi-squared uniformity over the 8184-bit position space
-    (16 coarse bins), and ~zero cross-salt position correlation — a
+    """The ``r:``-salted md5 position family count-min buckets use
+    (cms_buckets — the bloom filter moved to Kirsch-Mitzenmacher
+    double hashing in r11, tested separately below): per-salt
+    chi-squared uniformity over an 8184-slot position space (16
+    coarse bins), and ~zero cross-salt position correlation — a
     family whose salts collapse to one function (the MinHash-bug
-    shape) would correlate at |corr| ~ 1 and stack all k bloom probes
-    onto one bit. Deterministic."""
+    shape) would correlate at |corr| ~ 1 and stack all k probes
+    onto one slot. Deterministic."""
     from quack_reduce_spark.operators.sketches import BLOOM_K, BLOOM_M
 
     n, bins = 4000, 16
@@ -636,3 +637,33 @@ def test_aes_sample_u_uniform_and_weight_proportional():
         chi2c += ((obs - len(ub) / 4) ** 2 / (len(ub) / 4)).sum()
         df += 3
     assert chi2c < df + 5 * (2 * df) ** 0.5, (chi2c, df)
+
+
+def test_km_double_hash_positions_uniform_per_probe():
+    """The enhanced-double-hashing bloom probe family (g_i = (h1 +
+    i*h2 + (i^3-i)/6) mod m, h1/h2 = the two 32-bit md5 halves, h2
+    odd): every probe
+    index i must individually be uniform over the position space —
+    a broken stride (h2 collapsing to a constant) would turn probes
+    1..k-1 into shifted copies of probe 0 and show up here as
+    non-uniform residues. Deterministic."""
+    m, n, bins = 8184, 4000, 16
+    k = 7
+    pos = {}
+    for i in range(k):
+        ps = []
+        for key in range(n):
+            d = hashlib.md5(str(key).encode()).hexdigest()
+            h1 = int(d[:8], 16)
+            h2 = int(d[8:16], 16) | 1
+            ps.append((h1 + i * h2 + (i * i * i - i) // 6) % m)
+        pos[i] = np.array(ps)
+    for i in range(k):
+        observed = np.bincount(pos[i] * bins // m, minlength=bins)
+        expected = n / bins
+        chi2 = ((observed - expected) ** 2 / expected).sum()
+        assert chi2 < 43, (i, chi2)  # chi2(df=15): mean 15 + 5 sd
+    # and the stride actually varies per key: probe deltas are not a
+    # global constant (the degenerate-h2 failure mode)
+    deltas = (pos[1] - pos[0]) % m
+    assert len(np.unique(deltas)) > n // 4

@@ -484,3 +484,53 @@ def test_sampled_quantiles_deterministic_and_bounded(spark, sf_dir):
         assert 0.04 <= frac <= 0.25, (et, frac)  # ~1/8 with slack
         q1, q3 = spread[et]
         assert q1 <= p50_s <= q3, (et, p50_s, q1, q3)
+
+
+def test_bloom_broadcast_transport_equals_literal_and_plan_stays_flat(spark):
+    """The bounded-transport contract: above the literal-word
+    threshold the bitset moves as broadcast DATA, the probe results
+    are bit-for-bit the literal path's, and the PLAN STRING does not
+    grow with the key count — the r10 nit where a sized filter's
+    literal array grew O(n_keys) inside the plan (codegen/constant-
+    pool blowup at 10^8 build keys) is structurally gone."""
+    from quack_reduce_spark.plans import formatted_plan
+
+    def dense_for(n_keys):
+        keys = spark.range(0, n_keys).select(F.col("id").alias("k"))
+        n_words, m = OP.bloom_size(n_keys)
+        d = [0] * n_words
+        for r in OP.bloom_words(keys, "k", m=m, k=OP.BLOOM_SIZED_K).collect():
+            d[int(r["word_idx"])] = int(r["word"])
+        return d
+
+    probe = spark.range(0, 3000).select(F.col("id").alias("k"))
+    dense = dense_for(2000)
+
+    lit = OP.bloom_filter_frame(
+        probe, dense, F.col("k").cast("string"), k=OP.BLOOM_SIZED_K,
+        literal_max_words=len(dense),
+    )
+    bc = OP.bloom_filter_frame(
+        probe, dense, F.col("k").cast("string"), k=OP.BLOOM_SIZED_K,
+        literal_max_words=0,  # force the broadcast transport
+    )
+    got_lit = {(r["k"], r["bp"]) for r in lit.collect()}
+    got_bc = {(r["k"], r["bp"]) for r in bc.collect()}
+    assert got_lit == got_bc
+    # members all pass on the broadcast path too (no false negatives)
+    assert all(bp for k, bp in got_bc if k < 2000)
+
+    # plan flatness: 50x the keys, broadcast-path plan length ~constant
+    big = dense_for(100_000)
+    bc_big = OP.bloom_filter_frame(
+        probe, big, F.col("k").cast("string"), k=OP.BLOOM_SIZED_K,
+        literal_max_words=0,
+    )
+    small_len = len(formatted_plan(bc))
+    big_len = len(formatted_plan(bc_big))
+    assert big_len < small_len + 2000, (small_len, big_len)
+    # while the literal path's plan would grow with the bitset
+    lit_big = probe.withColumn(
+        "bp", OP.bloom_pass_expr(big, F.col("k").cast("string"), k=OP.BLOOM_SIZED_K)
+    )
+    assert len(formatted_plan(lit_big)) > len(formatted_plan(lit)) + len(big)
