@@ -103,11 +103,13 @@ _HEAD = [
     "lake_zonemap_sql_pushdown",
     "sketch_join_plan",
     "mm_image_sig_dedup",
-    # Code changed this round (r11): Bloom bitset transport bound +
-    # Kirsch-Mitzenmacher two-hash probe derivation (plan change under
-    # this key); sim_quantized_topk's r10 O(dim)->rehearsal numbers
-    # also land fresh under its r4-cohort slot below
+    # Code changed/new this round (r11): Bloom bitset transport bound
+    # + enhanced-double-hashing probe derivation (plan change under
+    # sketch_bloom_semijoin); IN-list value-set zone-map pushdown (new
+    # key). sim_quantized_topk's r10 O(dim) fix also lands fresh under
+    # its r4-cohort slot below
     "sketch_bloom_semijoin",
+    "lake_zonemap_in_pushdown",
     # Stalest-evidence fill, oldest first: the full r4 cohort (last
     # driver-green round 4) ...
     "dedup_components", "dedup_incremental", "dedup_ngram_capped",
@@ -128,7 +130,7 @@ _HEAD = [
     "ml_auc_rank",
     "dq_expectations", "dq_referential_integrity",
     "graph_pagerank", "graph_bfs_layers",
-    "mm_image_stats", "mm_audio_rms", "mm_image_resize",
+    "mm_image_stats", "mm_audio_rms",
     "text_gopher_quality", "text_pii_scrub",
 ]
 

@@ -462,6 +462,65 @@ def lake_zonemap_sql_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _ZM_SCHEMA)
 
 
+IN_DATES = ["1993-03-15", "1994-07-01", "1996-11-22", "1998-01-05"]
+
+
+def lake_zonemap_in_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list zone-map pushdown through the engine (round 11): a
+    plain ``o_orderdate IN (d1..d4)`` SQL query over a date-clustered
+    registered table plans as a VALUE SET — each file survives only
+    if SOME listed value can sit inside its [min, max] — which on a
+    range-clustered layout reads at most #values files where the
+    IN-list's [min, max] ENVELOPE would read nearly everything
+    between d1 and d4 (plans/zonemap_pushdown.py extracts Catalyst's
+    ``In`` conjuncts, unwrapping the NTZ-to-LTZ cast Catalyst leaves
+    around the attribute). Gates: in-query ``_require`` proves the
+    engine read <= len(IN_DATES) files of 12; the DuckDB oracle
+    recomputes the aggregate from the raw fixture with the same IN,
+    so the hash match proves value-set pruning lost and invented
+    nothing."""
+    import uuid as _uuid
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = _fresh_dir(sf_dir, "lake_zmin")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(12, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_orderdate"])
+    eng = Engine(spark=spark)
+    view = f"zmin_{_uuid.uuid4().hex[:8]}"
+    eng.register(view, path)
+    in_list = ", ".join(f"TIMESTAMP '{d} 00:00:00'" for d in IN_DATES)
+    planned = eng.df(
+        f"SELECT o_orderstatus,"
+        f"       COUNT(*) AS n_orders,"
+        f"       FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS sum_price"
+        f" FROM {view}"
+        f" WHERE o_orderdate IN ({in_list})"
+        f" GROUP BY o_orderstatus"
+    )
+    rows = [
+        (r["o_orderstatus"], int(r["n_orders"]), float(r["sum_price"]))
+        for r in planned.collect()
+    ]
+    report = eng.last_zonemap_report.get(view)
+    _require(report is not None, "engine did not plan from the zone map")
+    _require(
+        report["files_read"] <= len(IN_DATES) < report["files_total"],
+        "IN-list pruning failed to plan by value set",
+        report,
+    )
+    spark.catalog.dropTempView(view)
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, _ZM_SCHEMA)
+
+
 QUERIES = {
     "lake_time_travel": lake_time_travel,
     "lake_change_feed": lake_change_feed,
@@ -469,6 +528,7 @@ QUERIES = {
     "lake_schema_evolution": lake_schema_evolution,
     "lake_zonemap_skipping": lake_zonemap_skipping,
     "lake_zonemap_sql_pushdown": lake_zonemap_sql_pushdown,
+    "lake_zonemap_in_pushdown": lake_zonemap_in_pushdown,
 }
 
 
@@ -578,6 +638,17 @@ ORACLES = {
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
           AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY o_orderstatus
+    """,
+    # same invariant for the IN-list value-set pruning path
+    "lake_zonemap_in_pushdown": f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+        FROM orders
+        WHERE o_orderdate IN (
+            {", ".join(f"TIMESTAMP '{d} 00:00:00'" for d in IN_DATES)}
+        )
         GROUP BY o_orderstatus
     """,
 }
