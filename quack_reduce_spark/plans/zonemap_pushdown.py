@@ -63,8 +63,19 @@ _CMP_LEFT = {
     "LessThanOrEqual": "hi",
     "LessThan": "hi",
     "EqualTo": "eq",
+    # null-safe equality with a non-null literal == plain equality
+    # (NULL literals never reach here: _literal_py reports unusable)
+    "EqualNullSafe": "eq",
 }
 _FLIP = {"lo": "hi", "hi": "lo", "eq": "eq"}
+
+# LIKE 'abc%' arrives as StartsWith(attr, 'abc'): every matching string
+# sits in [prefix, prefix + U+10FFFF...) lexicographically — Spark
+# compares strings by UTF-8 bytes and Python by code points, the same
+# total order for valid Unicode, so the closed superset
+# [prefix, prefix + chr(0x10FFFF)] prunes soundly against collected
+# min/max strings.
+_PREFIX_MAX = chr(0x10FFFF)
 
 
 def _bare(p: str) -> str:
@@ -194,6 +205,18 @@ def _conjunct_bound(e: Any, session_tz: str) -> tuple[str, str, Any] | None:
         if not vals:
             return None
         return colname, "in", frozenset(vals)
+    if name == "StartsWith":
+        lk, got = _side(e.left())
+        rk, lit = _side(e.right())
+        if lk != "attr" or rk != "lit":
+            return None
+        colname, conv = got
+        if conv is not _ident:  # prefix semantics don't survive casts
+            return None
+        v, ok = _literal_py(lit, session_tz)
+        if not ok or not isinstance(v, str) or not v:
+            return None
+        return colname, "pref", v
     kind = _CMP_LEFT.get(name)
     if kind is None:
         return None
@@ -219,6 +242,13 @@ def _merge_bound(bounds: dict, col: str, kind: str, val: Any) -> None:
     lo, hi, vals = bounds.get(col, (None, None, None))
     if kind == "in":
         vals = val if vals is None else (vals & val)
+    elif kind == "pref":
+        # prefix p -> closed superset range [p, p + MAX]
+        if lo is None or _gt(val, lo):
+            lo = val
+        top = val + _PREFIX_MAX
+        if hi is None or _lt(top, hi):
+            hi = top
     else:
         if kind in ("lo", "eq") and (lo is None or _gt(val, lo)):
             lo = val

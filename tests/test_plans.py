@@ -458,3 +458,39 @@ def test_engine_sql_timestamp_pruning_in_non_utc_session(spark, sf_dir, tmp_path
         assert rep is not None and rep["files_read"] < rep["files_total"]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_engine_sql_like_prefix_prunes_string_zonemap(spark, sf_dir, tmp_path):
+    """``LIKE 'prefix%'`` arrives as a Catalyst StartsWith and plans as
+    the closed range [prefix, prefix+U+10FFFF]: on a layout clustered
+    by the string column, the scan reads only files whose [min, max]
+    can hold prefix-matching values, and the answer equals the full
+    filter."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = str(tmp_path / "strclust")
+    cust = load(spark, sf_dir, "customer")
+    (
+        cust.repartitionByRange(8, "c_name")
+        .sortWithinPartitions("c_name")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["c_name"])
+    eng = Engine(spark=spark)
+    eng.register("pref_cust", path)
+    # customer names are 'Customer#000000NNN' — prune on a high block
+    q = (
+        "SELECT COUNT(*) AS n FROM pref_cust "
+        "WHERE c_name LIKE 'Customer#00000009%'"
+    )
+    d = eng.df(q)
+    rep = eng.last_zonemap_report.get("pref_cust")
+    want = (
+        spark.read.parquet(path)
+        .filter(F.col("c_name").startswith("Customer#00000009"))
+        .count()
+    )
+    assert d.first()["n"] == want
+    assert rep is not None and rep["files_read"] < rep["files_total"] == 8
