@@ -599,9 +599,12 @@ def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
+    # the key set is reused three times within this one call (count,
+    # bitset build, exact-side broadcast build): pin it eagerly so the
+    # customer scan + distinct runs once, not per consumer
     keys = cust.filter(F.col("c_acctbal") > BLOOM_ACCTBAL_MIN).select(
         F.col("c_custkey").alias("k")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     n_keys = keys.count()  # planning scalar: sizes the filter
     words_n, m = bloom_size(n_keys)
     k = BLOOM_SIZED_K
@@ -631,11 +634,13 @@ def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("bp") & (F.col("mem") == 0)).alias("n_false_pos"),
         F.count_if(~F.col("bp") & (F.col("mem") == 1)).alias("n_missed"),
     )
-    nk = keys.agg(F.count(F.lit(1)).alias("n_keys"))
-    return agg.crossJoin(nk).select(
+    # n_keys was already materialized above (it sized the filter):
+    # report it as a literal instead of re-running the keys subquery
+    # as a fourth job + crossJoin
+    return agg.select(
         F.lit(m).cast("long").alias("m_bits"),
         F.lit(k).alias("k"),
-        "n_keys",
+        F.lit(n_keys).cast("long").alias("n_keys"),
         "n_fact",
         "n_bloom_pass",
         "n_exact",
