@@ -102,6 +102,18 @@ ALL_FAMILIES = [
 ]
 
 
+def _git_head() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd="/root/repo",
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_md = sys.argv[2] if len(sys.argv) > 2 else None
@@ -629,7 +641,7 @@ def main() -> None:
     if out_md:
         marker = "## Measured rehearsal at ~10x sf0.1"
         lines = [
-            marker + " (rounds 7-9)",
+            marker + f" (commit `{_git_head()}`)",
             "",
             "Generated by `python tools/scale_rehearsal.py` — replicated",
             "fixtures (semantics-preserving, see the tool docstring), real",
