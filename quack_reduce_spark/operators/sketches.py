@@ -400,22 +400,30 @@ def _bit_of(p: Column) -> Column:
     return F.element_at(powers, ((p % BLOOM_WORD_BITS) + 1).cast("int"))
 
 
-# Above this many 62-bit words (~64 KB of longs) the bitset stops
-# riding in the plan as a literal array — a SIZED filter's bitset
-# grows O(n_keys), and a multi-megabyte literal blows up codegen and
-# the driver's plan serialization — and ships as broadcast DATA
-# instead (one torrent transfer per executor, zero plan growth).
-BLOOM_LITERAL_MAX_WORDS = 8192
+# Above this many 62-bit words the bitset stops riding in the plan as
+# a literal array — the array expression is REPLICATED once per probe
+# (k times) in the tree, so analysis/codegen cost grows k x words and
+# a sized filter's bitset grows O(n_keys) on top — and ships as
+# broadcast DATA instead (one torrent transfer per executor, zero plan
+# growth). 128 words (~1 KB / ~800 keys) is the measured crossover
+# region: at 225 words the broadcast path already beats the literal by
+# ~0.2 s/call of saved plan work (sf0.1, local[32]); below ~100 words
+# the single-row broadcast join's extra stage isn't worth it.
+BLOOM_LITERAL_MAX_WORDS = 128
 
 
 def _bloom_cond(arr: Column, m: int, key: Column, k: int) -> Column:
     """Membership test of ``key`` against a bitset held in ``arr`` (an
     array<long> expression — literal or column), all k probes must
-    hit."""
+    hit. The bit test is ``getbit(word, p % 62)`` — a column-position
+    bit probe, not the 62-literal power-of-two lookup the BUILD side
+    uses to construct words — so the probe expression tree stays small
+    (plan analysis cost is tree-size-proportional and this expression
+    is replicated k times)."""
     cond = F.lit(True)
     for p in bloom_positions(key, m=m, k=k):
         word = F.element_at(arr, (F.floor(p / BLOOM_WORD_BITS) + 1).cast("int"))
-        cond = cond & (word.bitwiseAND(_bit_of(p)) != 0)
+        cond = cond & (F.getbit(word, (p % BLOOM_WORD_BITS).cast("int")) == 1)
     return cond
 
 

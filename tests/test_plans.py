@@ -494,3 +494,37 @@ def test_engine_sql_like_prefix_prunes_string_zonemap(spark, sf_dir, tmp_path):
     )
     assert d.first()["n"] == want
     assert rep is not None and rep["files_read"] < rep["files_total"] == 8
+
+
+def test_engine_sql_pruning_failure_falls_back_and_restores_views(
+    spark, zm_engine, monkeypatch
+):
+    """Failure injection for the rebind window: if building the pruned
+    scan blows up (e.g. surviving files vanished between planning and
+    rebind), the query falls back to the UNPRUNED plan — it still
+    answers correctly — and the session view is restored to the full
+    table (no I/O in the restore path, so the failure cannot strand a
+    pruned view)."""
+    from quack_reduce_spark.plans import zonemap_pushdown as _zp
+
+    eng, path = zm_engine
+    real = _zp.plan_pruned_files
+
+    def bad_files(spark_, data_dir, stats_cols, scans):
+        got = real(spark_, data_dir, stats_cols, scans)
+        if got is None:
+            return None
+        files, total, stats = got
+        return ([f"{path}/__does_not_exist__.parquet"], total, stats)
+
+    monkeypatch.setattr(_zp, "plan_pruned_files", bad_files)
+    d = eng.df(RANGE_Q)
+    assert eng.last_zonemap_report == {}  # fell back: nothing to report
+    got = {(r[0], r[1]) for r in d.collect()}
+    monkeypatch.undo()
+    want = {(r[0], r[1]) for r in eng.df(RANGE_Q).collect()}
+    assert got == want
+    # and the view is the FULL table again
+    assert (
+        spark.table("zmo").count() == spark.read.parquet(path).count()
+    )
