@@ -138,6 +138,12 @@ class _LocalFS:
         except OSError:
             return None
 
+    def size(self, p: str) -> int | None:
+        try:
+            return os.stat(p).st_size
+        except OSError:
+            return None
+
 
 class _HadoopFS:
     """The same ops via the active SparkSession's Hadoop FileSystem —
@@ -243,6 +249,12 @@ class _HadoopFS:
         if not self._fs.exists(jp):
             return None
         return self._fs.getFileStatus(jp).getModificationTime() / 1000.0
+
+    def size(self, p: str) -> int | None:
+        jp = self._p(p)
+        if not self._fs.exists(jp):
+            return None
+        return int(self._fs.getFileStatus(jp).getLen())
 
 
 def _fs_for(path: str):

@@ -307,6 +307,37 @@ def zonemap_stats(spark: SparkSession, data_dir: str, cols: list[str]) -> DataFr
     )
 
 
+def _cover_empty_files(
+    spark: SparkSession, data_dir: str, stats: DataFrame, candidates: list[str]
+) -> DataFrame:
+    """Union zero-row stats entries for candidate files the data scan
+    produced no rows for — EMPTY parquet files (Spark writers can leave
+    one for an all-empty task). They must appear in the manifest so its
+    file count matches the live listing (the engine's stale-manifest
+    guard compares the two before trusting the manifest), and a
+    zero-row entry is pruned by every constraint (all-NULL min/max,
+    zero null-count), so covering them never costs a read."""
+    from quack_reduce_spark.lake import _fs_for
+
+    statted = {_bare(r["file"]) for r in stats.select("file").collect()}
+    missing = [p for p in candidates if _bare(p) not in statted]
+    if not missing:
+        return stats
+    fs = _fs_for(data_dir)
+    rows = []
+    for f in missing:
+        d: dict[str, Any] = {c: None for c in stats.columns}
+        d["file"] = f
+        d["n_rows"] = 0
+        d["file_bytes"] = fs.size(f)
+        for c in stats.columns:
+            if c.startswith("nulls_"):
+                d[c] = 0
+        rows.append(tuple(d[c] for c in stats.columns))
+    extra = spark.createDataFrame(rows, stats.schema)
+    return stats.unionByName(extra)
+
+
 def _write_grouped(
     spark: SparkSession, data_dir: str, stats_g: DataFrame, dynamic: bool
 ) -> None:
@@ -340,7 +371,10 @@ def write_zonemap(spark: SparkSession, data_dir: str, cols: list[str]) -> int:
     table; the versioned-lake integration gets this for free because
     version directories are immutable (stats written once per version
     can never go stale)."""
-    stats_g = _with_groups(zonemap_stats(spark, data_dir, cols)).localCheckpoint()
+    stats = _cover_empty_files(
+        spark, data_dir, zonemap_stats(spark, data_dir, cols), _data_files(data_dir)
+    )
+    stats_g = _with_groups(stats).localCheckpoint()
     _write_grouped(spark, data_dir, stats_g, dynamic=False)
     groups = _group_summaries(stats_g, cols)
     _write_list(
@@ -500,6 +534,7 @@ def append_zonemap(
         .groupBy("file")
         .agg(*_stat_aggs(cols))
     )
+    fresh = _cover_empty_files(spark, data_dir, fresh, fresh_files)
     fresh_g = _with_groups(fresh)
     # merge back ONLY the old rows of groups that actually gained
     # files — anything else would dynamic-overwrite (hence rewrite)
@@ -593,11 +628,22 @@ def _group_rows(
 
 def _file_matches(row: dict, constraints: dict[str, tuple]) -> bool:
     """Python twin of the manifest range filter: the file survives iff
-    EVERY constrained column's [min, max] can hold a matching value.
-    All-NULL files (NULL min) are pruned — a range or IN predicate
-    cannot match NULL. Incomparable values keep the file (sound)."""
-    for col, (lo, hi, vals) in constraints.items():
+    EVERY constrained column's stats can hold a matching row. A
+    ``(lo, hi, vals, nullness)`` constraint checks, in order: IS NULL
+    needs the file to CONTAIN nulls (null-count > 0); everything else
+    (ranges, IN value sets, IS NOT NULL) cannot match an all-NULL file
+    (NULL min/max); then the [min, max] interval must intersect the
+    range / hold some IN value. Incomparable values keep the file
+    (sound); a missing null-count stat keeps the file too."""
+    for col, constraint in constraints.items():
+        lo, hi, vals = constraint[0], constraint[1], constraint[2]
+        nullness = constraint[3] if len(constraint) > 3 else None
         mn, mx = row.get(f"min_{col}"), row.get(f"max_{col}")
+        if nullness == "null":
+            nulls = row.get(f"nulls_{col}")
+            if nulls == 0:
+                return False  # no NULLs in this file: IS NULL can't match
+            continue
         if mn is None and mx is None:
             return False
         try:
@@ -621,9 +667,13 @@ def prune_files_multi(
 ) -> tuple[list[dict], int]:
     """Surviving per-file stats rows (dicts with ``file``, ``n_rows``,
     ``file_bytes`` when recorded, and the min/max columns) for a
-    CONJUNCTION of per-column constraints ``{col: (lo, hi, vals)}`` —
-    ``vals`` (an IN-list's value set, or None) beats lo/hi when
-    present. Returns ``(rows, total_file_count)``.
+    CONJUNCTION of per-column constraints
+    ``{col: (lo, hi, vals, nullness)}`` — ``vals`` (an IN-list's value
+    set, or None) beats lo/hi when present; ``nullness`` is
+    ``'null'``/``'notnull'``/None (IS NULL prunes by the per-file
+    null COUNT — files with zero nulls can't match — and is the one
+    constraint an all-NULL file survives). Returns
+    ``(rows, total_file_count)``.
 
     Planning is manifest-list-first: groups whose group-level bounds
     cannot intersect ANY constraint are skipped without reading their
@@ -648,7 +698,10 @@ def prune_files_multi(
         live = []
         for tok, g in groups.items():
             ok = True
-            for col, (lo, hi, vals) in constraints.items():
+            for col, constraint in constraints.items():
+                lo, hi, vals = constraint[0], constraint[1], constraint[2]
+                if lo is None and hi is None and vals is None:
+                    continue  # nullness-only: no group-level stat to prune on
                 st = g["stats"].get(col)
                 if st is None:
                     continue  # column not list-covered: can't prune on it
@@ -680,7 +733,7 @@ def prune_files(
     the closed interval ``[lo, hi]`` (either bound may be None for a
     one-sided range), plus the total file count — the single-column
     range form of :func:`prune_files_multi`."""
-    rows, total = prune_files_multi(spark, data_dir, {col: (lo, hi, None)})
+    rows, total = prune_files_multi(spark, data_dir, {col: (lo, hi, None, None)})
     return [r["file"] for r in rows], total
 
 

@@ -205,6 +205,14 @@ def _conjunct_bound(e: Any, session_tz: str) -> tuple[str, str, Any] | None:
         if not vals:
             return None
         return colname, "in", frozenset(vals)
+    if name in ("IsNull", "IsNotNull"):
+        lk, got = _side(e.child())
+        if lk != "attr":
+            return None
+        colname, _conv = got  # safe casts preserve nullness (ANSI:
+        # cast failures raise rather than null out), so the child
+        # attribute's nullness is the cast's nullness
+        return colname, ("isnull" if name == "IsNull" else "isnotnull"), None
     if name == "StartsWith":
         lk, got = _side(e.left())
         rk, lit = _side(e.right())
@@ -236,11 +244,18 @@ def _conjunct_bound(e: Any, session_tz: str) -> tuple[str, str, Any] | None:
 
 def _merge_bound(bounds: dict, col: str, kind: str, val: Any) -> None:
     """Fold one conjunct into the per-scan constraint map
-    ``{col: [lo, hi, vals]}`` — conjuncts on the same column
+    ``{col: [lo, hi, vals, nullness]}`` — conjuncts on the same column
     INTERSECT: ranges tighten lo/hi, IN-lists intersect value sets,
-    and a range over an existing value set filters it."""
-    lo, hi, vals = bounds.get(col, (None, None, None))
-    if kind == "in":
+    a range over an existing value set filters it, and IS [NOT] NULL
+    sets the nullness flag (a conflicting pair leaves 'null' — the
+    predicate is then unsatisfiable, and ANY file subset is a sound
+    superset of its empty match set)."""
+    lo, hi, vals, nullness = bounds.get(col, (None, None, None, None))
+    if kind == "isnull":
+        nullness = "null"
+    elif kind == "isnotnull":
+        nullness = nullness or "notnull"
+    elif kind == "in":
         vals = val if vals is None else (vals & val)
     elif kind == "pref":
         # prefix p -> closed superset range [p, p + MAX]
@@ -254,7 +269,7 @@ def _merge_bound(bounds: dict, col: str, kind: str, val: Any) -> None:
             lo = val
         if kind in ("hi", "eq") and (hi is None or _lt(val, hi)):
             hi = val
-    bounds[col] = (lo, hi, vals)
+    bounds[col] = (lo, hi, vals, nullness)
 
 
 def _gt(a, b) -> bool:
@@ -274,19 +289,24 @@ def _lt(a, b) -> bool:
 def _finalize(bounds: dict) -> dict[str, tuple]:
     """Apply range bounds to value sets: a constraint with both an
     IN-list and a range keeps only in-range values (their conjunction).
-    Columns whose constraints are vacuous (no bound at all) drop out."""
+    An IS NULL constraint drops any value bounds (only NULL rows can
+    match — value bounds on the same column make the predicate
+    unsatisfiable, and pruning by null-count alone stays a sound
+    superset). Columns whose constraints are vacuous drop out."""
     out: dict[str, tuple] = {}
-    for col, (lo, hi, vals) in bounds.items():
-        if vals is not None:
+    for col, (lo, hi, vals, nullness) in bounds.items():
+        if nullness == "null":
+            out[col] = (None, None, None, "null")
+        elif vals is not None:
             kept = frozenset(
                 v
                 for v in vals
                 if not (lo is not None and _lt(v, lo))
                 and not (hi is not None and _gt(v, hi))
             )
-            out[col] = (None, None, kept)
-        elif lo is not None or hi is not None:
-            out[col] = (lo, hi, None)
+            out[col] = (None, None, kept, nullness)
+        elif lo is not None or hi is not None or nullness is not None:
+            out[col] = (lo, hi, None, nullness)
     return out
 
 
@@ -327,7 +347,15 @@ def scan_constraints(
                 continue
             col, kind, val = got
             _merge_bound(bounds, col, kind, val)
-        out.setdefault(name, []).append(_finalize(bounds))
+        # the scan's LIVE file count, read off its own file index: the
+        # engine compares it against the manifest's total to refuse
+        # pruning a table whose manifest went stale (files appended
+        # without append_zonemap would otherwise be silently DROPPED
+        # by the rebind — the one way zone maps could lose rows)
+        n_live = int(len(leaf.relation().location().inputFiles()))
+        out.setdefault(name, []).append(
+            {"bounds": _finalize(bounds), "n_files": n_live}
+        )
     return out
 
 
@@ -371,11 +399,15 @@ def plan_pruned_files(
     spark,
     data_dir: str,
     stats_cols: list[str],
-    scans: list[dict[str, tuple]],
+    scans: list[dict],
 ) -> tuple[list[str], int, dict] | None:
     """Resolve per-scan constraints into ONE surviving file list for
     the table, or None when pruning can't apply (some scan is
-    unconstrained on every stats column, or nothing would be skipped).
+    unconstrained on every stats column, the manifest is STALE — its
+    file count differs from the scan's live file index, meaning
+    someone appended without append_zonemap and pruning could drop
+    their rows — or nothing would be skipped). Each scan is
+    ``{"bounds": {col: (lo, hi, vals)}, "n_files": live_count}``.
     Within a scan, columns intersect (prune_files_multi); across scans
     the survivor sets union. Returns ``(files, total_files, stats)``
     where ``stats`` carries the survivors' summed ``n_rows`` /
@@ -385,11 +417,15 @@ def plan_pruned_files(
 
     union: dict[str, dict] = {}
     total = None
-    for bounds in scans:
-        usable = {c: b for c, b in bounds.items() if c in stats_cols}
+    for scan in scans:
+        usable = {
+            c: b for c, b in scan["bounds"].items() if c in stats_cols
+        }
         if not usable:
             return None  # this scan needs every file
         rows, total = prune_files_multi(spark, data_dir, usable)
+        if scan["n_files"] != total:
+            return None  # manifest stale vs the live file set: refuse
         for r in rows:
             union[r["file"]] = r
     if total is None or len(union) >= total:

@@ -528,3 +528,104 @@ def test_engine_sql_pruning_failure_falls_back_and_restores_views(
     assert (
         spark.table("zmo").count() == spark.read.parquet(path).count()
     )
+
+
+def test_engine_sql_is_null_prunes_by_null_counts(spark, sf_dir, tmp_path):
+    """``WHERE col IS NULL`` plans from the per-file NULL COUNTS: files
+    with zero nulls are skipped, the all/mostly-NULL files are read,
+    and the answer equals the unpruned filter. The sparse-column audit
+    query every lake runs."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = str(tmp_path / "sparse")
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "o_note",
+        F.when(F.col("o_orderkey") % 97 == 0, F.col("o_orderpriority")),
+    )
+    # cluster by the key so the sparse non-null notes concentrate per
+    # file deterministically; nulls dominate everywhere
+    (
+        orders.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_note"])
+    eng = Engine(spark=spark)
+    eng.register("nz_orders", path)
+    # IS NOT NULL: every file has some nulls, but IS NOT NULL prunes
+    # nothing here (no all-null files at this sf) OR prunes all-null
+    # files — either way the answer must match; the strong case is
+    # IS NULL on a column with all-null files. Build that directly:
+    d = eng.df("SELECT COUNT(*) AS n FROM nz_orders WHERE o_note IS NOT NULL")
+    want_nn = spark.read.parquet(path).filter("o_note IS NOT NULL").count()
+    assert d.first()["n"] == want_nn
+
+    # now a layout where some files are entirely non-null and some
+    # entirely null on the stats column: IS NULL must skip the
+    # non-null files. Nullity correlates with the CLUSTERING key, so
+    # range-partitioned files are all-null or all-valued.
+    path2 = str(tmp_path / "sparse2")
+    median = load(spark, sf_dir, "orders").agg(
+        F.expr("percentile_approx(o_orderkey, 0.5)")
+    ).first()[0]
+    flagged = load(spark, sf_dir, "orders").withColumn(
+        "o_note",
+        F.when(F.col("o_orderkey") < F.lit(median), F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority")),
+    )
+    (
+        flagged.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path2)
+    )
+    Z.write_zonemap(spark, path2, ["o_note"])
+    eng.register("nz2", path2)
+    d2 = eng.df("SELECT COUNT(*) AS n FROM nz2 WHERE o_note IS NULL")
+    rep = eng.last_zonemap_report.get("nz2")
+    want = spark.read.parquet(path2).filter("o_note IS NULL").count()
+    assert d2.first()["n"] == want
+    assert rep is not None and rep["files_read"] < rep["files_total"]
+
+
+def test_engine_sql_stale_manifest_refuses_to_prune(spark, zm_engine, sf_dir, tmp_path):
+    """The correctness footgun guard: files appended WITHOUT
+    append_zonemap make the manifest stale — pruning from it would
+    silently DROP the new files' rows. The engine compares the scan's
+    live file count against the manifest total and refuses to prune,
+    returning the full (correct) answer."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = str(tmp_path / "stale")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(6, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_orderdate"])
+    eng = Engine(spark=spark)
+    eng.register("stale_t", path)
+    q = (
+        "SELECT COUNT(*) AS n FROM stale_t "
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01'"
+    )
+    # sanity: pruning active while the manifest is current
+    eng.df(q).collect()
+    assert eng.last_zonemap_report.get("stale_t") is not None
+
+    # append WITHOUT maintaining the manifest (the user error)
+    delta = orders.filter("o_orderdate >= '1997-06-01'").limit(700)
+    delta.coalesce(1).write.mode("append").parquet(path)
+    eng.register("stale_t", path)  # rebind the view to see new files
+
+    d = eng.df(q)
+    assert eng.last_zonemap_report == {}  # refused to prune
+    want = spark.read.parquet(path).filter(
+        "o_orderdate >= '1997-01-01'"
+    ).count()
+    assert d.first()["n"] == want  # nothing dropped
