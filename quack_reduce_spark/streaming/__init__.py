@@ -300,3 +300,51 @@ def click_purchase_interval_join(
         # watermark passes their interval — bounded-input availableNow
         # drains all state, so the final table equals the batch left join
     ).select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
+
+
+def run_stream_append_zonemapped(
+    df: DataFrame,
+    out_dir: str,
+    stats_cols: list[str],
+    checkpoint_dir: str,
+):
+    """Drain a (bounded) append-mode stream into a parquet table whose
+    zone-map manifest is MAINTAINED per micro-batch: each batch
+    appends its rows, then ``append_zonemap`` stats exactly the files
+    that batch wrote (diffed via the hidden ``_metadata.file_path``
+    of the batch read-back's touched groups) — so the table stays
+    automatically prunable by the engine's SQL pushdown the moment
+    each batch commits. Streaming ingest is precisely where manifests
+    go stale; without maintenance, the engine's stale-manifest guard
+    would (soundly) disable pruning on this table, turning range
+    dashboards back into full scans. Maintenance cost tracks the
+    batch: only touched partition groups' manifests are rewritten.
+
+    At-least-once note: on a batch retry the parquet append can
+    duplicate rows (the standard foreachBatch-append caveat — use
+    run_stream_merge_versioned for exactly-once upserts); the manifest
+    maintenance itself is idempotent, since append_zonemap diffs
+    against covered files and stats whatever is new. Returns the query
+    handle after all input is processed."""
+    from quack_reduce_spark.operators.zonemaps import append_zonemap, write_zonemap, has_zonemap
+
+    spark = df.sparkSession
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("append").parquet(out_dir)
+        if has_zonemap(out_dir):
+            append_zonemap(spark, out_dir, stats_cols)
+        else:
+            write_zonemap(spark, out_dir, stats_cols)
+
+    query = (
+        df.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -549,3 +549,56 @@ def test_stream_cms_state_is_fixed_width_and_never_undercounts(spark, sf_dir):
     assert all(r.overcount >= 0 for r in out)
     assert all(r.est_events >= r.exact_events for r in out)
     assert CMS_ROWS * CMS_WIDTH == 1024  # geometry the docstrings quote
+
+
+def test_stream_append_maintains_zonemap_for_engine_pruning(
+    spark, event_files, tmp_path
+):
+    """The streaming-ingest manifest-maintenance loop: draining a
+    multi-batch file stream through run_stream_append_zonemapped
+    leaves (a) exactly the batch rows in the table, (b) a CURRENT
+    manifest — so the engine's stale-manifest guard allows pruning —
+    and (c) a range query through Engine SQL that reads a strict file
+    subset and equals the batch filter."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+    from quack_reduce_spark.streaming import (
+        read_event_stream,
+        run_stream_append_zonemapped,
+    )
+
+    _, batch_events = event_files
+    # time-clustered source files: each micro-batch then appends a
+    # distinct time slice (the shape real ingest has — today's batch
+    # holds today's events), so its zone-map entry is prunable
+    src = str(tmp_path / "zm_src")
+    (
+        batch_events.repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    out = str(tmp_path / "zm_sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_event_stream(
+        spark, src, batch_events.schema, max_files_per_trigger=1
+    )
+    run_stream_append_zonemapped(stream, out, ["ts"], ckpt)
+
+    table = spark.read.parquet(out)
+    assert table.count() == batch_events.count()
+    assert Z.has_zonemap(out)
+
+    eng = Engine(spark=spark)
+    eng.register("zm_stream", out)
+    lo = batch_events.agg(F.min("ts")).first()[0]
+    hi = batch_events.agg(F.max("ts")).first()[0]
+    mid = lo + (hi - lo) / 4
+    d = eng.df(
+        f"SELECT COUNT(*) AS n FROM zm_stream WHERE ts < TIMESTAMP '{mid}'"
+    )
+    want = table.filter(F.col("ts") < F.lit(mid)).count()
+    assert d.first()["n"] == want
+    rep = eng.last_zonemap_report.get("zm_stream")
+    # 4+ batch files: the quarter-range query must not read them all
+    assert rep is not None and rep["files_read"] < rep["files_total"]
