@@ -359,11 +359,14 @@ def scan_constraints(
     return out
 
 
+_SHUFFLE_JOINS = {"SortMergeJoinExec", "ShuffledHashJoinExec"}
+
+
 def join_scan_tables(df: DataFrame, paths_by_name: dict[str, str]) -> set[str]:
-    """Registered tables scanned UNDER a SortMergeJoin in ``df``'s
-    physical plan — the candidates for an estimate-driven broadcast
-    hint (a side already broadcast needs no help). Best-effort: any
-    bridge drift returns the empty set."""
+    """Registered tables scanned UNDER a shuffle join (sort-merge or
+    shuffled-hash) in ``df``'s physical plan — the candidates for an
+    estimate-driven broadcast hint (a side already broadcast needs no
+    help). Best-effort: any bridge drift returns the empty set."""
     name_by_root = {_bare(p): n for n, p in paths_by_name.items()}
     out: set[str] = set()
 
@@ -387,7 +390,7 @@ def join_scan_tables(df: DataFrame, paths_by_name: dict[str, str]) -> set[str]:
     stack = [plan]
     while stack:
         node = stack.pop()
-        if node.getClass().getSimpleName() == "SortMergeJoinExec":
+        if node.getClass().getSimpleName() in _SHUFFLE_JOINS:
             out |= scan_names(node)
         children = node.children()
         for i in range(children.size()):
