@@ -347,6 +347,33 @@ class Engine:
         }
         return planned, report
 
+    def table_stats(self, name: str) -> dict:
+        """ANALYZE-style statistics for a registered zone-mapped table,
+        read straight from its manifest at metadata cost (cached group
+        rows, zero data scanned): n_files, n_rows, total_bytes, and
+        per-stats-column {min, max, nulls}. EXACT whenever the
+        manifest is current — the stats were computed from every row
+        at build/append time (the differential registry key
+        ``lake_manifest_stats`` hash-proves them equal to a DuckDB
+        recomputation from the raw data). This is the stats readout a
+        cost-based planner consults before join ordering / broadcast
+        decisions; the automatic pushdown consults the same manifests
+        per scan."""
+        meta = self._table_meta.get(name)
+        if meta is None:
+            raise KeyError(f"table {name!r} is not registered")
+        if not meta.get("zonemap_cols"):
+            raise ValueError(
+                f"table {name!r} carries no zone-map manifest; "
+                "write one via operators.zonemaps.write_zonemap or "
+                "write_versioned(stats_cols=...)"
+            )
+        from quack_reduce_spark.operators import zonemaps
+
+        return zonemaps.manifest_stats(
+            self.spark, meta.get("resolved", self.tables[name])
+        )
+
     def explain(self, query: str, mode: str = "formatted") -> str:
         """Physical-plan text for a SQL query without executing it —
         the plan-inspection surface the scale discipline depends on

@@ -110,6 +110,7 @@ _HEAD = [
     # its r4-cohort slot below
     "sketch_bloom_semijoin",
     "lake_zonemap_in_pushdown",
+    "lake_manifest_stats",
     # Stalest-evidence fill, oldest first: the full r4 cohort (last
     # driver-green round 4) ...
     "dedup_components", "dedup_incremental", "dedup_ngram_capped",
@@ -131,7 +132,7 @@ _HEAD = [
     "dq_expectations", "dq_referential_integrity",
     "graph_pagerank", "graph_bfs_layers",
     "mm_image_stats", "mm_audio_rms",
-    "text_gopher_quality", "text_pii_scrub",
+    "text_gopher_quality",
 ]
 
 

@@ -521,6 +521,54 @@ def lake_zonemap_in_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _ZM_SCHEMA)
 
 
+def lake_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE from the manifest, differentially proven (round 11):
+    ``Engine.table_stats`` reads table-level statistics — row count,
+    per-column min/max/null-count — straight from the zone-map
+    manifest at metadata cost (zero data scanned; the engine pruned
+    the scan entirely), and the DuckDB oracle RECOMPUTES the same
+    numbers from the raw fixture rows, so the hash match proves the
+    manifest's stats are exact, not estimates. This is the stats
+    surface a cost-based planner consults (Iceberg table metrics /
+    Delta stats readers); staleness is guarded elsewhere (the pushdown
+    compares manifest file counts against the live listing before
+    trusting them). Stats cover one timestamp and one double column to
+    exercise both codecs."""
+    import uuid as _uuid
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = _fresh_dir(sf_dir, "lake_zmstats")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_orderdate", "o_totalprice"])
+    eng = Engine(spark=spark)
+    view = f"zmstats_{_uuid.uuid4().hex[:8]}"
+    eng.register(view, path)
+    st = eng.table_stats(view)
+    _require(st["n_files"] >= 8, "expected a multi-file layout", st)
+    d, p = st["columns"]["o_orderdate"], st["columns"]["o_totalprice"]
+    rows = [(
+        int(st["n_rows"]),
+        d["min"], d["max"], int(d["nulls"]),
+        float(p["min"]), float(p["max"]), int(p["nulls"]),
+    )]
+    spark.catalog.dropTempView(view)
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_rows long, min_date timestamp, max_date timestamp, "
+        "null_dates long, min_price double, max_price double, "
+        "null_prices long",
+    )
+
+
 QUERIES = {
     "lake_time_travel": lake_time_travel,
     "lake_change_feed": lake_change_feed,
@@ -529,6 +577,7 @@ QUERIES = {
     "lake_zonemap_skipping": lake_zonemap_skipping,
     "lake_zonemap_sql_pushdown": lake_zonemap_sql_pushdown,
     "lake_zonemap_in_pushdown": lake_zonemap_in_pushdown,
+    "lake_manifest_stats": lake_manifest_stats,
 }
 
 
@@ -639,6 +688,18 @@ ORACLES = {
         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
           AND o_orderdate <  TIMESTAMP '1998-01-01'
         GROUP BY o_orderstatus
+    """,
+    # the manifest's stats must be indistinguishable from recomputing
+    # them over the raw rows — ANALYZE answers are exact, not estimates
+    "lake_manifest_stats": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(o_orderdate) AS min_date,
+               MAX(o_orderdate) AS max_date,
+               CAST(COUNT(*) FILTER (o_orderdate IS NULL) AS BIGINT) AS null_dates,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               CAST(COUNT(*) FILTER (o_totalprice IS NULL) AS BIGINT) AS null_prices
+        FROM orders
     """,
     # same invariant for the IN-list value-set pruning path
     "lake_zonemap_in_pushdown": f"""

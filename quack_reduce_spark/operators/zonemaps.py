@@ -722,6 +722,48 @@ def prune_files_multi(
     return [r for r in rows if _file_matches(r, constraints)], total
 
 
+def manifest_stats(spark: SparkSession, data_dir: str) -> dict:
+    """Table-level statistics straight from the manifest — the
+    ANALYZE readout a CBO wants, at metadata cost (cached group rows,
+    zero data scanned): total rows, file count, total file bytes
+    (None when any file predates size recording), and per stats
+    column {min, max, nulls}. EXACT (not estimates) whenever the
+    manifest is current — zone-map stats are computed from every row
+    at build/append time; callers that must defend against a stale
+    manifest compare ``n_files`` against a live listing (the engine's
+    pushdown does exactly that before trusting pruning)."""
+    doc, mt = _read_list_cached(data_dir)
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
+    if doc is None:
+        rows = [r.asDict() for r in read_zonemap(spark, data_dir).collect()]
+        cols = sorted(
+            c[len("min_"):] for c in (rows[0] if rows else {}) if c.startswith("min_")
+        )
+    else:
+        rows = _group_rows(
+            spark, data_dir, list(doc["groups"]), (mt, session_tz)
+        )
+        cols = list(doc["cols"])
+    sizes = [r.get("file_bytes") for r in rows]
+    out: dict = {
+        "n_files": len(rows),
+        "n_rows": sum(int(r["n_rows"]) for r in rows),
+        "total_bytes": (
+            sum(int(s) for s in sizes) if rows and all(s is not None for s in sizes) else None
+        ),
+        "columns": {},
+    }
+    for c in cols:
+        mins = [r[f"min_{c}"] for r in rows if r.get(f"min_{c}") is not None]
+        maxs = [r[f"max_{c}"] for r in rows if r.get(f"max_{c}") is not None]
+        out["columns"][c] = {
+            "min": min(mins) if mins else None,
+            "max": max(maxs) if maxs else None,
+            "nulls": sum(int(r.get(f"nulls_{c}", 0)) for r in rows),
+        }
+    return out
+
+
 def prune_files(
     spark: SparkSession,
     data_dir: str,

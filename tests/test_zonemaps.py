@@ -460,3 +460,54 @@ def test_manifest_cache_reads_disk_once_until_append(spark, sf_dir, tmp_path):
     assert total2 == total + 1
     assert Z.IO_COUNTS["list_reads"] - mid["list_reads"] == 1
     assert Z.IO_COUNTS["group_reads"] - mid["group_reads"] == 1
+
+
+def test_manifest_stats_exact_and_append_current(spark, sf_dir, tmp_path):
+    """Engine.table_stats == recomputing over the raw rows, before AND
+    after an append (the manifest's stats track the delta); total
+    bytes equals the sum of on-disk file sizes."""
+    import os
+
+    from quack_reduce_spark.engine import Engine
+
+    path = str(tmp_path / "stats")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(6, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_orderdate"])
+    eng = Engine(spark=spark)
+    eng.register("st_t", path)
+
+    def want():
+        raw = spark.read.parquet(path)
+        r = raw.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderdate").alias("mn"),
+            F.max("o_orderdate").alias("mx"),
+        ).first()
+        return int(r["n"]), r["mn"], r["mx"]
+
+    st = eng.table_stats("st_t")
+    n, mn, mx = want()
+    assert st["n_rows"] == n
+    assert st["columns"]["o_orderdate"] == {"min": mn, "max": mx, "nulls": 0}
+    disk = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    assert st["total_bytes"] == disk
+
+    delta = orders.limit(300).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 900_000_000
+    )
+    delta.coalesce(1).write.mode("append").parquet(path)
+    assert Z.append_zonemap(spark, path, ["o_orderdate"]) == 1
+    st2 = eng.table_stats("st_t")
+    n2, mn2, mx2 = want()
+    assert st2["n_rows"] == n2 == n + 300
+    assert st2["columns"]["o_orderdate"] == {"min": mn2, "max": mx2, "nulls": 0}
