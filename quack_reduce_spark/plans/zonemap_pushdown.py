@@ -310,20 +310,60 @@ def _finalize(bounds: dict) -> dict[str, tuple]:
     return out
 
 
+# DNF expansion cap: a conjunction of ORs multiplies alternatives; a
+# predicate that would expand past this many stays un-pruned (sound)
+# rather than exploding planning work.
+_MAX_ALTS = 16
+
+
+def _dnf_triples(e: Any, session_tz: str) -> list[list[tuple]] | None:
+    """Disjunctive normal form of one dataFilters conjunct as a list
+    of alternatives, each a list of (col, kind, val) atomic bounds —
+    ``(a AND b) OR c`` becomes ``[[a, b], [c]]``. None means the
+    expression (or a disjunct of it) is unextractable: the caller must
+    treat the WHOLE conjunct as unusable, because dropping one OR arm
+    would narrow the match set (unsound), unlike dropping a whole
+    AND conjunct (which only widens)."""
+    name = e.getClass().getSimpleName()
+    if name == "Or":
+        left = _dnf_triples(e.left(), session_tz)
+        right = _dnf_triples(e.right(), session_tz)
+        if left is None or right is None:
+            return None
+        if len(left) + len(right) > _MAX_ALTS:
+            return None
+        return left + right
+    if name == "And":
+        left = _dnf_triples(e.left(), session_tz)
+        right = _dnf_triples(e.right(), session_tz)
+        if left is None or right is None:
+            return None
+        if len(left) * len(right) > _MAX_ALTS:
+            return None
+        return [a + b for a in left for b in right]
+    got = _conjunct_bound(e, session_tz)
+    if got is None:
+        return None
+    return [[got]]
+
+
 def scan_constraints(
     df: DataFrame, paths_by_name: dict[str, str]
-) -> dict[str, list[dict[str, tuple]]]:
-    """Per registered table: one ``{col: (lo, hi, vals)}`` dict PER
-    SCAN of that table in ``df``'s physical plan (lo/hi may each be
-    None for one-sided ranges; ``vals`` is an IN-list's value set or
-    None; a scan with no usable bounds contributes an EMPTY dict — the
-    caller must treat that as 'needs all files').
+) -> dict[str, list[dict]]:
+    """Per registered table: one scan record PER SCAN of that table in
+    ``df``'s physical plan — ``{"alts": [...], "n_files": live_count}``
+    where ``alts`` is a DNF list of alternative constraint dicts
+    ``{col: (lo, hi, vals, nullness)}`` (a plain conjunction yields one
+    alternative; each top-level OR arm adds one; a scan's surviving
+    files are the UNION over alternatives). An empty/unextractable
+    predicate contributes ``alts == [{}]`` — the caller must treat an
+    alternative with no usable bounds as 'needs all files'.
 
     ``paths_by_name``: view name -> resolved data dir; scans are
     matched to tables by file-index root path."""
     session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     name_by_root = {_bare(p): n for n, p in paths_by_name.items()}
-    out: dict[str, list[dict[str, tuple]]] = {}
+    out: dict[str, list[dict]] = {}
     plan = df._jdf.queryExecution().sparkPlan()  # plans, never executes
     leaves = plan.collectLeaves()
     for i in range(leaves.size()):
@@ -339,23 +379,29 @@ def scan_constraints(
         if len(names) != 1:
             continue  # not one of ours / mixed-root scan: leave alone
         name = names.pop()
-        bounds: dict[str, tuple] = {}
+        # each top-level conjunct is a DNF of alternatives; the scan's
+        # alternatives are their cross product (bounded), each folded
+        # into one finalized constraint dict
+        alt_triples: list[list[tuple]] = [[]]
         filters = leaf.dataFilters()
         for j in range(filters.size()):
-            got = _conjunct_bound(filters.apply(j), session_tz)
-            if got is None:
-                continue
-            col, kind, val = got
-            _merge_bound(bounds, col, kind, val)
+            dnf = _dnf_triples(filters.apply(j), session_tz)
+            if dnf is None or len(dnf) * len(alt_triples) > _MAX_ALTS:
+                continue  # unusable conjunct: ignore it (widens, sound)
+            alt_triples = [a + d for a in alt_triples for d in dnf]
+        alts = []
+        for triples in alt_triples:
+            bounds: dict[str, tuple] = {}
+            for col, kind, val in triples:
+                _merge_bound(bounds, col, kind, val)
+            alts.append(_finalize(bounds))
         # the scan's LIVE file count, read off its own file index: the
         # engine compares it against the manifest's total to refuse
         # pruning a table whose manifest went stale (files appended
         # without append_zonemap would otherwise be silently DROPPED
         # by the rebind — the one way zone maps could lose rows)
         n_live = int(len(leaf.relation().location().inputFiles()))
-        out.setdefault(name, []).append(
-            {"bounds": _finalize(bounds), "n_files": n_live}
-        )
+        out.setdefault(name, []).append({"alts": alts, "n_files": n_live})
     return out
 
 
@@ -405,32 +451,32 @@ def plan_pruned_files(
     scans: list[dict],
 ) -> tuple[list[str], int, dict] | None:
     """Resolve per-scan constraints into ONE surviving file list for
-    the table, or None when pruning can't apply (some scan is
-    unconstrained on every stats column, the manifest is STALE — its
-    file count differs from the scan's live file index, meaning
-    someone appended without append_zonemap and pruning could drop
-    their rows — or nothing would be skipped). Each scan is
-    ``{"bounds": {col: (lo, hi, vals)}, "n_files": live_count}``.
-    Within a scan, columns intersect (prune_files_multi); across scans
-    the survivor sets union. Returns ``(files, total_files, stats)``
-    where ``stats`` carries the survivors' summed ``n_rows`` /
-    ``file_bytes`` (None when the manifest predates size recording) —
-    the estimate the engine's broadcast-hint decision reads."""
+    the table, or None when pruning can't apply (some alternative of
+    some scan is unconstrained on every stats column, the manifest is
+    STALE — its file count differs from the scan's live file index,
+    meaning someone appended without append_zonemap and pruning could
+    drop their rows — or nothing would be skipped). Each scan is
+    ``{"alts": [{col: (lo, hi, vals, nullness)}, ...], "n_files":
+    live_count}``. Within an alternative, columns intersect
+    (prune_files_multi); across a scan's alternatives (OR arms) AND
+    across scans, survivor sets union. Returns ``(files, total_files,
+    stats)`` where ``stats`` carries the survivors' summed ``n_rows``
+    / ``file_bytes`` (None when the manifest predates size recording)
+    — the estimate the engine's broadcast-hint decision reads."""
     from quack_reduce_spark.operators.zonemaps import prune_files_multi
 
     union: dict[str, dict] = {}
     total = None
     for scan in scans:
-        usable = {
-            c: b for c, b in scan["bounds"].items() if c in stats_cols
-        }
-        if not usable:
-            return None  # this scan needs every file
-        rows, total = prune_files_multi(spark, data_dir, usable)
-        if scan["n_files"] != total:
-            return None  # manifest stale vs the live file set: refuse
-        for r in rows:
-            union[r["file"]] = r
+        for bounds in scan["alts"]:
+            usable = {c: b for c, b in bounds.items() if c in stats_cols}
+            if not usable:
+                return None  # this alternative needs every file
+            rows, total = prune_files_multi(spark, data_dir, usable)
+            if scan["n_files"] != total:
+                return None  # manifest stale vs the live file set: refuse
+            for r in rows:
+                union[r["file"]] = r
     if total is None or len(union) >= total:
         return None
     survivors = sorted(union)

@@ -629,3 +629,52 @@ def test_engine_sql_stale_manifest_refuses_to_prune(spark, zm_engine, sf_dir, tm
         "o_orderdate >= '1997-01-01'"
     ).count()
     assert d.first()["n"] == want  # nothing dropped
+
+
+def test_engine_sql_or_of_ranges_prunes_both_arms(spark, zm_engine):
+    """Disjunctive pruning: ``range1 OR range2`` (two far-apart months)
+    plans as the UNION of each arm's survivors — far fewer files than
+    the envelope spanning both — and equals the unpruned answer. An OR
+    with an unextractable arm must NOT prune (dropping an arm would
+    lose rows): exercised via a predicate on a non-stats column."""
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    eng, path = zm_engine
+    q = (
+        "SELECT COUNT(*) AS n FROM zmo WHERE "
+        "(o_orderdate >= TIMESTAMP '1995-02-01' AND o_orderdate < TIMESTAMP '1995-03-01') "
+        "OR (o_orderdate >= TIMESTAMP '1997-06-01' AND o_orderdate < TIMESTAMP '1997-07-01')"
+    )
+    d = eng.df(q)
+    rep = eng.last_zonemap_report["zmo"]
+    import datetime as dt
+
+    envelope, total = Z.prune_files(
+        spark, path, "o_orderdate", dt.datetime(1995, 2, 1), dt.datetime(1997, 7, 1)
+    )
+    assert rep["files_read"] < len(envelope) <= total == 12
+    want = (
+        spark.read.parquet(path)
+        .filter(
+            "(o_orderdate >= '1995-02-01' AND o_orderdate < '1995-03-01') "
+            "OR (o_orderdate >= '1997-06-01' AND o_orderdate < '1997-07-01')"
+        )
+        .count()
+    )
+    assert d.first()["n"] == want
+
+    # an OR arm on a NON-stats column: the conjunct is unusable as a
+    # whole (one arm can't prune), so the full table is read — and the
+    # answer is still exact
+    q2 = (
+        "SELECT COUNT(*) AS n FROM zmo WHERE "
+        "o_orderdate >= TIMESTAMP '1997-06-01' OR o_totalprice > 500000"
+    )
+    d2 = eng.df(q2)
+    assert eng.last_zonemap_report == {}
+    want2 = (
+        spark.read.parquet(path)
+        .filter("o_orderdate >= '1997-06-01' OR o_totalprice > 500000")
+        .count()
+    )
+    assert d2.first()["n"] == want2
