@@ -1082,11 +1082,34 @@ class Engine:
 
         Verifies the staged row count before commit (if
         ``expected_rows`` is given, mismatch aborts and the live table
-        is untouched). Returns the committed row count.
+        is untouched). A zone-mapped table keeps its manifest: the
+        stats are REBUILT on the rewritten layout (same stats columns)
+        — inside the staged version dir before the pointer flip for
+        versioned tables, right after the rename for plain dirs — so
+        maintenance never silently downgrades range queries to full
+        scans (without the rebuild, the engine's stale-manifest guard
+        would disable pruning until someone reran write_zonemap).
+        Returns the committed row count.
         """
         import shutil
 
         from quack_reduce_spark import lake
+        from quack_reduce_spark.operators import zonemaps as _zm
+
+        def stats_cols_of(data_dir: str) -> list[str]:
+            try:
+                if not _zm.has_zonemap(data_dir):
+                    return []
+                cols = _zm.zonemap_cols(data_dir)
+                if cols:
+                    return cols
+                return [  # legacy manifest: derive from field names
+                    c[len("min_"):]
+                    for c in _zm.read_zonemap(self.spark, data_dir).columns
+                    if c.startswith("min_")
+                ]
+            except Exception:
+                return []  # unreadable manifest: rewrite data without it
 
         def verify(staged_dir: str) -> int:
             n_after = self.spark.read.parquet(staged_dir).count()
@@ -1099,9 +1122,14 @@ class Engine:
             return n_after
 
         if lake.is_versioned(path):
+            pre_cols = stats_cols_of(lake.resolve(path))
             version, data_dir = lake.stage_version(path)
             write_to(data_dir)
             n_after = verify(data_dir)
+            if pre_cols:
+                # stats ride inside the immutable staged version, so
+                # the pointer flip commits data AND manifest atomically
+                _zm.write_zonemap(self.spark, data_dir, pre_cols)
             lake.write_manifest(path, version, op, n_after)
             lake.commit(path, version)
             return n_after
@@ -1128,11 +1156,18 @@ class Engine:
         for leftover in (staging, aside):  # debris from a prior crash
             if os.path.exists(leftover):
                 shutil.rmtree(leftover)
+        pre_cols = stats_cols_of(path)
         write_to(staging)
         n_after = verify(staging)
         os.rename(path, aside)
         os.rename(staging, path)
         shutil.rmtree(aside)
+        if pre_cols:
+            # rebuilt after the swap: a crash in between leaves a live
+            # table without a manifest — queries fall back to full
+            # scans (sound), never to a stale manifest (the guard
+            # would refuse it anyway since file counts differ)
+            _zm.write_zonemap(self.spark, path, pre_cols)
         return n_after
 
     def write(self, df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options: str) -> None:
@@ -1246,21 +1281,26 @@ def _discover_partition_cols(path: str) -> list[str]:
 
 
 def _count_parquet_files(path: str) -> int:
-    """Recursive parquet file count (correct on hive-partitioned trees,
-    where a flat glob would see zero files). Local / ``file:`` paths
-    only (maintenance stats)."""
+    """Recursive DATA parquet file count (correct on hive-partitioned
+    trees, where a flat glob would see zero files), honoring Spark's
+    hidden-name rule — ``_``/``.``-prefixed entries (the ``_zonemap``
+    manifest tree, ``_SUCCESS``) are metadata, not table files. Local
+    / ``file:`` paths only (maintenance stats)."""
     import os
 
     if path.startswith("file:"):
         path = path[len("file:"):]
     if os.path.isfile(path):
         return 1 if path.endswith(".parquet") else 0
-    return sum(
-        1
-        for _, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    n = 0
+    for dirpath, dirnames, files in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        n += sum(
+            1
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return n
 
 
 def _records_json_safe(df: DataFrame) -> list[dict[str, Any]]:
