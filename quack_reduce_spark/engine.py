@@ -223,10 +223,12 @@ class Engine:
 
     def df(self, query: str) -> DataFrame:
         """Arbitrary SQL → lazy DataFrame (the reference's app.py:51).
-        Range/IN predicates on zone-mapped tables' stats columns plan
-        from the manifest (file skipping) automatically, and a
-        sort-merge join whose file-pruned side is estimated small gets
-        a broadcast hint."""
+        Predicates on zone-mapped tables' stats columns — ranges,
+        IN-lists, ORs of ranges, LIKE-prefixes, IS [NOT] NULL (see
+        plans/zonemap_pushdown.py for the full coverage) — plan from
+        the manifest (file skipping) automatically, and a shuffle join
+        whose file-pruned side is estimated small gets a broadcast
+        hint."""
         self._refresh_versioned_views()
         return self._sql_planned(query)
 
