@@ -629,6 +629,45 @@ class Engine:
             json.dump(manifest, fh, indent=1, sort_keys=True)
         return manifest
 
+    def write_clustered(
+        self,
+        df: DataFrame,
+        path: str,
+        cluster_by: list[str],
+        n_files: int | None = None,
+        stats_cols: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> int:
+        """The one-call "make this table prunable" sink: range-cluster
+        ``df`` on ``cluster_by`` (repartitionByRange + sortWithin-
+        Partitions — each output file gets a tight bounding box on the
+        clustering columns), write parquet, and build the zone-map
+        manifest over ``stats_cols`` (default: the clustering columns).
+        Returns the number of files covered. Afterwards plain SQL
+        range / IN / LIKE-prefix / IS NULL queries on the stats
+        columns through :meth:`sql`/:meth:`df` plan from the manifest
+        automatically, and :meth:`table_stats` answers ANALYZE from
+        metadata. Pruning power is a LAYOUT property — this sink IS
+        the layout half; two-dimensional clustering wants
+        operators/zorder.zorder_write instead. ``n_files`` defaults to
+        ``spark.sql.shuffle.partitions`` (one range per shuffle
+        partition)."""
+        from quack_reduce_spark.operators import zonemaps
+
+        if not cluster_by:
+            raise ValueError("cluster_by must name at least one column")
+        n = n_files or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        cols = [F.col(c) for c in cluster_by]
+        (
+            df.repartitionByRange(n, *cols)
+            .sortWithinPartitions(*cols)
+            .write.mode(mode)
+            .parquet(path)
+        )
+        return zonemaps.write_zonemap(
+            self.spark, path, list(stats_cols or cluster_by)
+        )
+
     def merge_upsert(
         self,
         target_path: str,

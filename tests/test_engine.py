@@ -442,3 +442,31 @@ def test_commit_rewrite_recovers_crashed_swap(spark, sf_dir, tmp_path):
     assert stats["rows_after"] == 41
     assert spark.read.parquet(path).count() == 41
     assert not os.path.exists(path + "__old")
+
+
+def test_write_clustered_end_to_end_prunable(spark, sf_dir, tmp_path):
+    """Engine.write_clustered: one call -> range-clustered parquet +
+    zone-map manifest; plain SQL range queries then prune and
+    table_stats answers from metadata."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.inventory._util import load
+
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "clustered")
+    orders = load(spark, sf_dir, "orders")
+    n_files = eng.write_clustered(orders, path, ["o_orderdate"], n_files=10)
+    assert n_files == 10
+    eng.register("wc_orders", path)
+    d = eng.df(
+        "SELECT COUNT(*) AS n FROM wc_orders "
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-07-01'"
+    )
+    want = spark.read.parquet(path).filter(
+        "o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'"
+    ).count()
+    assert d.first()["n"] == want
+    rep = eng.last_zonemap_report["wc_orders"]
+    assert rep["files_read"] < rep["files_total"] == 10
+    st = eng.table_stats("wc_orders")
+    assert st["n_rows"] == orders.count() and st["n_files"] == 10
