@@ -794,6 +794,63 @@ class Engine:
             "files_after": files_after,
         }
 
+    def optimize(
+        self,
+        path: str,
+        cluster_by: list[str],
+        target_rows_per_file: int = 1_000_000,
+    ) -> dict[str, int]:
+        """OPTIMIZE (Delta's ``OPTIMIZE ... ZORDER BY``-style layout
+        maintenance, one dimension): crash-safe rewrite of the table
+        RANGE-CLUSTERED on ``cluster_by`` — repartitionByRange +
+        sortWithinPartitions gives every output file a tight bounding
+        box on the clustering columns — followed by a zone-map
+        manifest (re)build over those columns, all through the same
+        commit protocols as compact (versioned tables flip data +
+        stats in one pointer write). This is the maintenance op that
+        RESTORES pruning power: random appends interleave key ranges
+        across files until every file's [min, max] spans everything
+        and zone maps stop skipping; after optimize, range queries
+        through :meth:`sql` prune again. Returns before/after file
+        counts and the row count. Two-dimensional clustering wants
+        operators/zorder.zorder_write."""
+        from quack_reduce_spark import lake
+        from quack_reduce_spark.operators import zonemaps
+
+        if not cluster_by:
+            raise ValueError("cluster_by must name at least one column")
+        self._recover_plain(path)
+        data_path = lake.resolve(path)
+        df = self.spark.read.parquet(data_path)
+        missing = [c for c in cluster_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"cluster columns {missing} not in table {df.columns}")
+        n_rows = df.count()
+        files_before = _count_parquet_files(data_path)
+        n_files = max(1, -(-n_rows // target_rows_per_file))
+        cols = [F.col(c) for c in cluster_by]
+
+        def write_to(dest: str) -> None:
+            (
+                df.repartitionByRange(n_files, *cols)
+                .sortWithinPartitions(*cols)
+                .write.mode("overwrite")
+                .parquet(dest)
+            )
+
+        self._commit_rewrite(path, write_to, expected_rows=n_rows, op="optimize")
+        live = lake.resolve(path)
+        # ensure the manifest covers the clustering columns even if the
+        # table had none before (commit_rewrite only preserves existing
+        # stats); a differing column set is rebuilt over cluster_by
+        if zonemaps.zonemap_cols(live) != list(cluster_by):
+            zonemaps.write_zonemap(self.spark, live, list(cluster_by))
+        return {
+            "rows": n_rows,
+            "files_before": files_before,
+            "files_after": _count_parquet_files(live),
+        }
+
     def write_versioned(
         self,
         df: DataFrame,

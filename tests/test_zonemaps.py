@@ -554,3 +554,60 @@ def test_maintenance_rewrites_preserve_zonemap(spark, sf_dir, tmp_path):
     st = eng.table_stats("maint_t")
     assert st["n_rows"] == spark.read.parquet(path).count()
     assert st["n_files"] == stats["files_after"]
+
+
+def test_optimize_restores_pruning_power(spark, sf_dir, tmp_path):
+    """Random appends interleave key ranges until every file spans
+    everything and zone maps stop skipping; Engine.optimize rewrites
+    the table range-clustered (crash-safe) and rebuilds the manifest,
+    after which the same SQL range query prunes again — the OPTIMIZE
+    maintenance loop."""
+    from quack_reduce_spark.engine import Engine
+
+    path = str(tmp_path / "degraded")
+    orders = load(spark, sf_dir, "orders")
+    # random layout: every file spans the full date range
+    orders.repartition(8).write.mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_orderdate"])
+    eng = Engine(spark=spark)
+    eng.register("opt_t", path)
+    q = (
+        "SELECT COUNT(*) AS n FROM opt_t "
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-04-01'"
+    )
+    want = spark.read.parquet(path).filter(
+        "o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'"
+    ).count()
+    assert eng.df(q).first()["n"] == want
+    assert eng.last_zonemap_report == {}  # nothing prunable: no skip
+
+    stats = eng.optimize(path, ["o_orderdate"], target_rows_per_file=200)
+    assert stats["rows"] == orders.count()
+    assert stats["files_after"] > 4
+    eng.register("opt_t", path)  # rebind to the rewritten files
+    assert eng.df(q).first()["n"] == want
+    rep = eng.last_zonemap_report.get("opt_t")
+    assert rep is not None and rep["files_read"] < rep["files_total"]
+
+
+def test_optimize_builds_manifest_when_absent_and_versioned(spark, sf_dir, tmp_path):
+    """optimize on a VERSIONED table without any manifest: the rewrite
+    commits a new version and the clustering columns gain a manifest,
+    old snapshots stay time-travel-readable."""
+    from quack_reduce_spark import lake
+    from quack_reduce_spark.engine import Engine
+
+    path = str(tmp_path / "vopt")
+    orders = load(spark, sf_dir, "orders")
+    eng = Engine(spark=spark)
+    eng.write_versioned(orders.repartition(6), path, op="seed")
+    v1 = lake.current_version(path)
+    stats = eng.optimize(path, ["o_orderdate"], target_rows_per_file=300)
+    assert lake.current_version(path) != v1
+    live = lake.resolve(path)
+    assert Z.has_zonemap(live)
+    assert Z.zonemap_cols(live) == ["o_orderdate"]
+    assert stats["rows"] == orders.count()
+    # pre-optimize snapshot still readable
+    assert eng.read_table(path, v1).count() == orders.count()
