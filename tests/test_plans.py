@@ -678,3 +678,55 @@ def test_engine_sql_or_of_ranges_prunes_both_arms(spark, zm_engine):
         .count()
     )
     assert d2.first()["n"] == want2
+
+
+def test_engine_sql_hive_partitions_compose_with_zonemap_pruning(
+    spark, sf_dir, tmp_path
+):
+    """Partition pruning (Catalyst-native, partitionFilters) and
+    manifest file skipping (dataFilters) COMPOSE: on a hive-partitioned
+    zone-mapped table, a query with a partition predicate AND a range
+    predicate reads at most the intersection — the rebind keeps
+    partition columns resolvable (basePath), so Catalyst still
+    partition-prunes the survivor set — and equals the plain filter."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = str(tmp_path / "hivezm")
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    (
+        orders.repartitionByRange(3, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.partitionBy("o_year")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_orderdate"])
+    eng = Engine(spark=spark)
+    eng.register("hz_orders", path)
+    q = (
+        "SELECT COUNT(*) AS n FROM hz_orders "
+        "WHERE o_year = 1997 "
+        "AND o_orderdate >= TIMESTAMP '1997-03-01' "
+        "AND o_orderdate < TIMESTAMP '1997-06-01'"
+    )
+    d = eng.df(q)
+    rep = eng.last_zonemap_report["hz_orders"]
+    assert rep["files_read"] < rep["files_total"]
+    want = (
+        spark.read.parquet(path)
+        .filter(
+            "o_year = 1997 AND o_orderdate >= '1997-03-01' "
+            "AND o_orderdate < '1997-06-01'"
+        )
+        .count()
+    )
+    assert d.first()["n"] == want
+    # the executed scan reads no more files than the manifest survivors
+    data_inputs = [f for f in d.inputFiles() if "_zonemap" not in f]
+    assert len(data_inputs) <= rep["files_read"]
+    # and every read file sits in the 1997 partition (partition pruning
+    # applied ON TOP of the survivor rebind)
+    assert all("o_year=1997" in f for f in data_inputs)
