@@ -38,6 +38,29 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(queries, corpus, k=TOP_K)
 
 
+FILTERED_LABEL = 1  # the metadata slice for hybrid (filtered) search
+
+
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (round 11): exact cosine top-5 restricted to a
+    METADATA slice of the corpus (label = 1) — the
+    vector-search-with-filters shape every production retrieval stack
+    runs (pre-filtered ANN). The filter composes BEFORE the distance
+    pass, so at scale the predicate prunes the scan (pushdown /
+    zone maps on the metadata column) and the O(q x n) scoring runs
+    over the slice only — filtering after top-k would both cost the
+    full scan and UNDER-fill results. Hash-oracled: DuckDB replays the
+    same slice + scoring + ranking."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("label") == FILTERED_LABEL)
+    ).select("vec_id", "embedding")
+    return S.cosine_topk(queries, corpus, k=TOP_K)
+
+
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed approximate top-5 (rows-only driver check;
     recall vs brute force asserted in tests/test_similarity.py)."""
@@ -548,6 +571,7 @@ def sim_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
+    "sim_filtered_topk": sim_filtered_topk,
     "sim_pca_topk": sim_pca_topk,
     "sim_pca_variance": sim_pca_variance,
     "sim_cosine_topk_np": sim_cosine_topk_np,
@@ -774,6 +798,32 @@ ORACLES = {
         c AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
             FROM embeddings WHERE vec_id >= {N_QUERIES}
+        ),
+        scored AS (
+            SELECT query_id, vec_id,
+                   FLOOR((list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))) * 1e6 + 0.5) / 1e6 AS cos_sim
+            FROM q, c
+        )
+        SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT query_id, vec_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+            FROM scored
+        )
+        WHERE rank <= {TOP_K}
+    """,
+    # hybrid (metadata-filtered) exact search: same scoring, sliced corpus
+    "sim_filtered_topk": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings
+            WHERE vec_id >= {N_QUERIES} AND label = {FILTERED_LABEL}
         ),
         scored AS (
             SELECT query_id, vec_id,
