@@ -111,6 +111,7 @@ _HEAD = [
     "sketch_bloom_semijoin",
     "lake_zonemap_in_pushdown",
     "lake_manifest_stats",
+    "sim_filtered_topk",
     # Stalest-evidence fill, oldest first: the full r4 cohort (last
     # driver-green round 4) ...
     "dedup_components", "dedup_incremental", "dedup_ngram_capped",
@@ -129,7 +130,7 @@ _HEAD = [
     # ... then the most user-visible of the r5 cohort (mleval, dq,
     # graph, mm, text curation — none sampled since round 5)
     "ml_auc_rank",
-    "dq_expectations", "dq_referential_integrity",
+    "dq_expectations",
     "graph_pagerank", "graph_bfs_layers",
     "mm_image_stats", "mm_audio_rms",
     "text_gopher_quality",
