@@ -730,3 +730,51 @@ def test_engine_sql_hive_partitions_compose_with_zonemap_pruning(
     # and every read file sits in the 1997 partition (partition pruning
     # applied ON TOP of the survivor rebind)
     assert all("o_year=1997" in f for f in data_inputs)
+
+
+def test_engine_sql_hint_on_unbroadcastable_side_is_harmless(
+    spark, sf_dir, tmp_path
+):
+    """Hints never change semantics: when the file-pruned (hinted)
+    table is the LEFT side of a LEFT OUTER join — a side Spark cannot
+    broadcast — the planner ignores the hint and the engine's answer
+    still equals the plain computation, with pruning telemetry
+    intact."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    dim_path = str(tmp_path / "dim")
+    fact_path = str(tmp_path / "fact")
+    cust = load(spark, sf_dir, "customer")
+    (
+        cust.repartitionByRange(8, "c_acctbal")
+        .sortWithinPartitions("c_acctbal")
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    Z.write_zonemap(spark, dim_path, ["c_acctbal"])
+    load(spark, sf_dir, "orders").write.mode("overwrite").parquet(fact_path)
+    eng = Engine(spark=spark)
+    eng.register("lj_dim", dim_path)
+    eng.register("lj_fact", fact_path)
+    q = (
+        "SELECT COUNT(*) AS n, COUNT(f.o_orderkey) AS matched "
+        "FROM lj_dim d LEFT JOIN lj_fact f ON d.c_custkey = f.o_custkey "
+        "WHERE d.c_acctbal > 9000"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        d = eng.df(q)
+        got = d.first()
+        dim = spark.read.parquet(dim_path).filter("c_acctbal > 9000")
+        fact = spark.read.parquet(fact_path).withColumnRenamed(
+            "o_custkey", "c_custkey"
+        )
+        joined = dim.join(fact, "c_custkey", "left")
+        assert got["n"] == joined.count()
+        assert got["matched"] == joined.filter("o_orderkey IS NOT NULL").count()
+        rep = eng.last_zonemap_report.get("lj_dim")
+        assert rep is not None and rep["files_read"] < rep["files_total"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
