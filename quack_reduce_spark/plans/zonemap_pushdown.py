@@ -82,17 +82,15 @@ def _bare(p: str) -> str:
     return "/" + p.split("://")[-1].removeprefix("file:").lstrip("/")
 
 
-def _literal_py(lit: Any, session_tz: str) -> tuple[Any, bool]:
-    """Python value of a Catalyst Literal, (value, usable). Dates and
-    timestamps arrive in Catalyst internal form (days / micros since
-    epoch); strings as UTF8String JVM objects. Session-zoned timestamp
-    micros convert to the SESSION timezone's naive rendering — the
-    form manifest values take when collected — so a non-UTC session
-    cannot shift a bound by its zone offset and mis-prune. Types we
-    can't compare portably against manifest values (decimal, binary,
-    interval...) report unusable."""
-    type_name = lit.dataType().typeName()
-    v = lit.value()
+def _internal_py(v: Any, type_name: str, session_tz: str) -> tuple[Any, bool]:
+    """Python value of a Catalyst-INTERNAL-form value, (value, usable).
+    Dates and timestamps arrive as days / micros since epoch; strings
+    as UTF8String JVM objects. Session-zoned timestamp micros convert
+    to the SESSION timezone's naive rendering — the form manifest
+    values take when collected — so a non-UTC session cannot shift a
+    bound by its zone offset and mis-prune. Types we can't compare
+    portably against manifest values (decimal, binary, interval...)
+    report unusable."""
     if v is None:
         return None, False
     if type_name == "date":
@@ -114,6 +112,12 @@ def _literal_py(lit: Any, session_tz: str) -> tuple[Any, bool]:
     if type_name in ("integer", "long", "short", "byte", "double", "float"):
         return v, True
     return None, False
+
+
+def _literal_py(lit: Any, session_tz: str) -> tuple[Any, bool]:
+    """Python value of a Catalyst Literal, (value, usable) — the
+    Literal holds its value in internal form (see _internal_py)."""
+    return _internal_py(lit.value(), lit.dataType().typeName(), session_tz)
 
 
 def _ident(v: Any) -> Any:
@@ -199,6 +203,32 @@ def _conjunct_bound(e: Any, session_tz: str) -> tuple[str, str, Any] | None:
             if kind != "lit":
                 return None
             v, ok = _literal_py(lit, session_tz)
+            if not ok:
+                return None
+            vals.append(conv(v))
+        if not vals:
+            return None
+        return colname, "in", frozenset(vals)
+    if name == "InSet":
+        # IN-lists past spark.sql.optimizer.inSetConversionThreshold
+        # (default 10) compile to InSet with values in Catalyst
+        # INTERNAL form (epoch micros/days, UTF8String) — the big
+        # dashboard IN. Decoded per the child expression's type (the
+        # CAST's type when one wraps the attribute; conv maps back to
+        # the column's domain). Bounded: a set past _MAX_INSET values
+        # costs more per-file work than it prunes — left alone.
+        lk, got = _side(e.child())
+        if lk != "attr":
+            return None
+        colname, conv = got
+        hs = e.hset()
+        if hs.size() > _MAX_INSET:
+            return None
+        tname = e.child().dataType().typeName()
+        vals = []
+        it = hs.iterator()
+        while it.hasNext():
+            v, ok = _internal_py(it.next(), tname, session_tz)
             if not ok:
                 return None
             vals.append(conv(v))
@@ -314,6 +344,9 @@ def _finalize(bounds: dict) -> dict[str, tuple]:
 # predicate that would expand past this many stays un-pruned (sound)
 # rather than exploding planning work.
 _MAX_ALTS = 16
+# InSet decode cap: each value costs a py4j round trip at plan time
+# and one interval check per candidate file.
+_MAX_INSET = 256
 
 
 def _dnf_triples(e: Any, session_tz: str) -> list[list[tuple]] | None:

@@ -778,3 +778,33 @@ def test_engine_sql_hint_on_unbroadcastable_side_is_harmless(
         assert rep is not None and rep["files_read"] < rep["files_total"]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_engine_sql_large_in_list_inset_prunes(spark, zm_engine):
+    """IN-lists past Catalyst's In->InSet threshold (10 values) decode
+    from internal form and prune as a value set: 14 dates from two
+    months read far fewer files than the spanning envelope, equal to
+    the unpruned answer."""
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    eng, path = zm_engine
+    dates = [f"1995-02-{d:02d}" for d in range(1, 8)] + [
+        f"1997-06-{d:02d}" for d in range(1, 8)
+    ]
+    in_list = ", ".join(f"TIMESTAMP '{d} 00:00:00'" for d in dates)
+    q = f"SELECT COUNT(*) AS n FROM zmo WHERE o_orderdate IN ({in_list})"
+    d = eng.df(q)
+    rep = eng.last_zonemap_report.get("zmo")
+    import datetime as dt
+
+    envelope, total = Z.prune_files(
+        spark, path, "o_orderdate", dt.datetime(1995, 2, 1), dt.datetime(1997, 6, 7)
+    )
+    assert rep is not None
+    assert rep["files_read"] < len(envelope) <= total == 12
+    want = (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderdate").isin([dt.datetime.fromisoformat(x) for x in dates]))
+        .count()
+    )
+    assert d.first()["n"] == want
