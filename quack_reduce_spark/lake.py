@@ -144,6 +144,22 @@ class _LocalFS:
         except OSError:
             return None
 
+    def stat_key(self, p: str) -> tuple[float, int] | None:
+        """(mtime, size) in ONE stat call, None if absent — the
+        cache-invalidation key for parsed-manifest caches. mtime alone
+        is millisecond-granular on Hadoop filesystems (coarser on some
+        stores): two commits inside one tick would serve a stale
+        parse, so size joins the key and writers additionally bump
+        mtime monotonically (set_mtime)."""
+        try:
+            st = os.stat(p)
+        except OSError:
+            return None
+        return (st.st_mtime, st.st_size)
+
+    def set_mtime(self, p: str, t: float) -> None:
+        os.utime(p, (t, t))
+
 
 class _HadoopFS:
     """The same ops via the active SparkSession's Hadoop FileSystem —
@@ -255,6 +271,19 @@ class _HadoopFS:
         if not self._fs.exists(jp):
             return None
         return int(self._fs.getFileStatus(jp).getLen())
+
+    def stat_key(self, p: str) -> tuple[float, int] | None:
+        """(mtime, size) in one getFileStatus round trip, None if
+        absent — see _LocalFS.stat_key for why size joins mtime."""
+        try:
+            st = self._fs.getFileStatus(self._p(p))
+        except Exception:
+            return None  # FileNotFoundException and friends
+        return (st.getModificationTime() / 1000.0, int(st.getLen()))
+
+    def set_mtime(self, p: str, t: float) -> None:
+        # FileSystem.setTimes(path, mtime_ms, atime_ms); -1 = keep
+        self._fs.setTimes(self._p(p), int(t * 1000), -1)
 
 
 def _fs_for(path: str):

@@ -65,9 +65,11 @@ protocol does, from the read-planning side.
 
 from __future__ import annotations
 
+import bisect
 import datetime as _dt
 import hashlib
 import json
+import uuid
 from typing import Any
 
 import pyspark.sql.functions as F
@@ -114,10 +116,52 @@ def _group_cols(file_col: Column) -> tuple[Column, Column]:
 # -- manifest-list JSON codec (typed lo/hi values) -------------------------
 
 # Sentinel for a bound the list can't represent (unencodable type, or
-# a timestamp whose build-session timezone is unknowable): the group
+# a legacy timestamp bound whose rendering is untrustworthy): the group
 # must be KEPT — distinct from None, which means "all NULL" and is
 # safely prunable under a range predicate.
 _UNKNOWN = object()
+
+# Session-zoned TIMESTAMP stats live in EPOCH-MICROS space end to end
+# (manifest version 3): the stats build stores min/max as
+# ``unix_micros`` longs, the list doc serializes them as plain ints,
+# and the SQL pushdown keeps Catalyst timestamp literals as their raw
+# internal micros — NO rendering ever happens, so no timezone (session
+# OR driver-OS — PySpark's ``TimestampType.fromInternal`` renders
+# ``collect()`` values in the OS zone, NOT the session zone, which is
+# why any datetime-rendered comparison was unsound off-UTC hosts) can
+# shift a bound. ``timestamp_ntz`` values are wall-clock and
+# zone-free in both directions; they stay native datetimes.
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+_US = _dt.timedelta(microseconds=1)
+
+
+def _ts_render(micros: int) -> _dt.datetime:
+    """OS-local naive rendering of epoch micros — the exact twin of
+    PySpark's ``TimestampType.fromInternal`` (what a ``collect()`` of
+    the same column would have produced), used only at the DISPLAY
+    layer (:func:`manifest_stats`), never for pruning comparisons."""
+    return _dt.datetime.fromtimestamp(micros // 1_000_000).replace(
+        microsecond=micros % 1_000_000
+    )
+
+
+def _to_micros(v: Any, session_tz: str) -> Any:
+    """Epoch micros of a caller-supplied bound for an epoch-space
+    timestamp column: ints pass through (already micros), aware
+    datetimes convert exactly, naive datetimes are interpreted in the
+    SESSION zone (the semantics a SQL timestamp literal has). Exact
+    integer arithmetic — no float epoch. Unconvertible values return
+    unchanged (comparisons then TypeError and keep the file: sound)."""
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            try:
+                from zoneinfo import ZoneInfo
+
+                v = v.replace(tzinfo=ZoneInfo(session_tz))
+            except Exception:
+                return v
+        return (v - _EPOCH_UTC) // _US
+    return v
 
 
 def _enc(v: Any) -> Any:
@@ -135,33 +179,24 @@ def _enc(v: Any) -> Any:
     return {"t": "?", "v": None}
 
 
-def _dec(e: Any, doc_tz: str | None = None, session_tz: str | None = None,
-         col_type: str | None = None) -> Any:
-    """Decode a list-doc bound. Timestamp bounds were serialized as the
-    BUILD session's naive rendering; when the doc records its timezone
-    and the reading session's differs, session-zoned (``timestamp``)
-    bounds are converted — NTZ values are wall-clock and never shift.
-    A timestamp bound whose build timezone is unknown (legacy doc) in a
-    session with a different zone decodes to ``_UNKNOWN``: the group is
-    kept rather than mis-pruned."""
+def _dec(e: Any, col_type: str | None = None) -> Any:
+    """Decode a list-doc bound. Version-3 docs store session-zoned
+    timestamp bounds as epoch-micros ints (``{"t": "int"}``) — no
+    rendering to decode. A ``{"t": "ts"}`` bound on a session-zoned
+    column is a LEGACY doc whose serialized rendering went through
+    PySpark collect (driver-OS zone, unrecorded and untrustworthy):
+    it decodes to ``_UNKNOWN`` — the group is kept rather than
+    mis-pruned — until the next full write_zonemap rebuilds in epoch
+    space. NTZ bounds are wall-clock and decode exactly."""
     if e is None:
         return None
     if e.get("t") == "?":
         return _UNKNOWN
     t, v = e["t"], e["v"]
     if t == "ts":
-        val = _dt.datetime.fromisoformat(v)
-        if col_type == "timestamp" and session_tz and doc_tz != session_tz:
-            if doc_tz is None:
-                return _UNKNOWN  # legacy doc: build tz unrecorded
-            from zoneinfo import ZoneInfo
-
-            return (
-                val.replace(tzinfo=ZoneInfo(doc_tz))
-                .astimezone(ZoneInfo(session_tz))
-                .replace(tzinfo=None)
-            )
-        return val
+        if col_type == "timestamp":
+            return _UNKNOWN  # legacy OS-rendered bound: untrusted
+        return _dt.datetime.fromisoformat(v)
     if t == "date":
         return _dt.date.fromisoformat(v)
     return v
@@ -171,15 +206,20 @@ def _list_path(data_dir: str) -> str:
     return f"{data_dir.rstrip('/')}/{ZONEMAP_DIR}/{LIST_FILE}"
 
 
-# Parsed-manifest caches, keyed on the manifest list's mtime: every
-# manifest mutation (write_zonemap, append_zonemap, legacy upgrade)
-# commits by rewriting _list.json LAST, so its mtime is the cache
-# epoch for the whole _zonemap tree. Entries are only ever replaced
-# with a fresh parse of the same path (GIL-atomic dict ops; a racing
-# reader at worst re-reads). IO_COUNTS tracks ACTUAL reads so tests
-# can assert that N queries on an unchanged table hit disk once.
-_LIST_CACHE: dict[str, tuple[float, dict]] = {}
-_GROUP_CACHE: dict[tuple[str, str], tuple[tuple, list[dict]]] = {}
+# Parsed-manifest caches, keyed on the manifest list's (mtime, size)
+# stat pair: every manifest mutation (write_zonemap, append_zonemap,
+# legacy upgrade) commits by rewriting _list.json LAST, so its stat is
+# the cache epoch for the whole _zonemap tree. mtime alone is
+# millisecond-granular (coarser on some stores) — two commits in one
+# tick could serve a stale parse — so size joins the key, every doc
+# carries a per-commit uuid token (the GROUP cache epoch, exact once
+# the list parse is fresh), and _write_list bumps mtime monotonically
+# when a rewrite lands inside the previous tick. Entries are only ever
+# replaced with a fresh parse of the same path (GIL-atomic dict ops; a
+# racing reader at worst re-reads). IO_COUNTS tracks ACTUAL reads so
+# tests can assert that N queries on an unchanged table hit disk once.
+_LIST_CACHE: dict[str, tuple[tuple, dict]] = {}
+_GROUP_CACHE: dict[tuple[str, str], tuple[Any, list[dict]]] = {}
 IO_COUNTS = {"list_reads": 0, "group_reads": 0}
 
 
@@ -190,24 +230,27 @@ def _read_list(data_dir: str) -> dict | None:
     return doc
 
 
-def _read_list_cached(data_dir: str) -> tuple[dict | None, float | None]:
-    """(parsed manifest list, its mtime) — served from the cache while
-    the file's mtime is unchanged."""
+def _read_list_cached(data_dir: str) -> tuple[dict | None, Any]:
+    """(parsed manifest list, its cache epoch) — served from the cache
+    while the file's (mtime, size) stat is unchanged. The epoch is the
+    doc's own commit token when present (exact across same-tick
+    rewrites), else the stat pair."""
     from quack_reduce_spark.lake import _fs_for
 
     fs = _fs_for(data_dir)
     p = _list_path(data_dir)
-    mt = fs.mtime(p)
-    if mt is None:
+    key = fs.stat_key(p)
+    if key is None:
         _LIST_CACHE.pop(data_dir, None)
         return None, None
     hit = _LIST_CACHE.get(data_dir)
-    if hit is not None and hit[0] == mt:
-        return hit[1], mt
-    IO_COUNTS["list_reads"] += 1
-    doc = json.loads(fs.read_text(p))
-    _LIST_CACHE[data_dir] = (mt, doc)
-    return doc, mt
+    if hit is not None and hit[0] == key:
+        doc = hit[1]
+    else:
+        IO_COUNTS["list_reads"] += 1
+        doc = json.loads(fs.read_text(p))
+        _LIST_CACHE[data_dir] = (key, doc)
+    return doc, doc.get("commit", key)
 
 
 def _invalidate_cache(data_dir: str) -> None:
@@ -220,19 +263,35 @@ def _write_list(
     data_dir: str,
     cols: list[str],
     groups: dict[str, dict],
-    tz: str | None = None,
     types: dict[str, str] | None = None,
 ) -> None:
+    """Commit the manifest list. Version 3: session-zoned timestamp
+    bounds are epoch-micros ints (``types`` records the SOURCE column
+    types so readers know which ints are micros); ``commit`` is a
+    per-write uuid — the exact group-cache epoch. After the atomic
+    replace, mtime is bumped monotonically past the previous doc's so
+    two same-tick commits can never alias in the stat-keyed cache."""
     from quack_reduce_spark.lake import _fs_for
 
-    doc = {"version": 2, "cols": cols, "groups": groups}
-    if tz:
-        doc["tz"] = tz  # build-session zone: lets readers in another
-        # zone convert session-zoned timestamp bounds instead of
-        # losing list-level pruning on them
+    doc: dict[str, Any] = {
+        "version": 3,
+        "cols": cols,
+        "groups": groups,
+        "commit": uuid.uuid4().hex,
+    }
     if types:
         doc["types"] = types
-    _fs_for(data_dir).write_text_atomic(_list_path(data_dir), json.dumps(doc, indent=1))
+    fs = _fs_for(data_dir)
+    p = _list_path(data_dir)
+    prev = fs.mtime(p)
+    fs.write_text_atomic(p, json.dumps(doc, indent=1))
+    if prev is not None:
+        now = fs.mtime(p)
+        if now is not None and now <= prev:
+            try:
+                fs.set_mtime(p, prev + 0.001)
+            except Exception:
+                pass  # stat-pair + commit token still disambiguate
     _invalidate_cache(data_dir)
 
 
@@ -276,12 +335,51 @@ def _stat_aggs(cols: list[str]) -> list[Column]:
     return aggs
 
 
-def _stat_types(stats: DataFrame, cols: list[str]) -> dict[str, str]:
-    """Spark type name per stats column (``timestamp`` vs
-    ``timestamp_ntz`` decides whether list-doc bounds are
-    session-zoned), read off the stats frame's own schema."""
+def _source_types(df: DataFrame, cols: list[str]) -> dict[str, str]:
+    """SOURCE type name per stats column, read off the DATA frame's
+    schema (``timestamp`` marks the columns whose manifest stats are
+    epoch-micros longs; ``timestamp_ntz`` stays a native wall-clock
+    datetime)."""
+    by_name = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    return {c: by_name[c] for c in cols if c in by_name}
+
+
+def _manifest_types(stats: DataFrame, cols: list[str]) -> dict[str, str]:
+    """Source types inferred from a legacy manifest frame's stored
+    ``min_<c>`` column types (legacy docs recorded none)."""
     by_name = {f.name: f.dataType.typeName() for f in stats.schema.fields}
     return {c: by_name[f"min_{c}"] for c in cols if f"min_{c}" in by_name}
+
+
+def _stats_select_cols(df: DataFrame, cols: list[str]) -> list[Column]:
+    """Per-column select expressions for the stats build: session-zoned
+    timestamp columns become ``unix_micros`` (their exact Catalyst
+    internal value — min/max commute with the monotone conversion, so
+    the stored long bounds are exact); everything else passes through
+    natively typed."""
+    by_name = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    return [
+        F.unix_micros(F.col(c)).alias(c)
+        if by_name.get(c) == "timestamp"
+        else F.col(c)
+        for c in cols
+    ]
+
+
+def _epochize_stats(stats: DataFrame, types: dict[str, str]) -> DataFrame:
+    """Upgrade a legacy manifest frame in place: min/max of
+    session-zoned timestamp columns convert to epoch micros VIA SPARK
+    (``unix_micros`` reads the stored internal value — lossless, no
+    collect-time rendering involved). Idempotent: already-long
+    columns pass through."""
+    by_name = {f.name: f.dataType.typeName() for f in stats.schema.fields}
+    for c, t in types.items():
+        if t != "timestamp":
+            continue
+        for name in (f"min_{c}", f"max_{c}"):
+            if by_name.get(name) == "timestamp":
+                stats = stats.withColumn(name, F.unix_micros(F.col(name)))
+    return stats
 
 
 def _with_groups(stats: DataFrame) -> DataFrame:
@@ -292,15 +390,17 @@ def _with_groups(stats: DataFrame) -> DataFrame:
 def zonemap_stats(spark: SparkSession, data_dir: str, cols: list[str]) -> DataFrame:
     """Per-file stats frame for ``cols``: one row per parquet file with
     ``n_rows`` plus ``min_<c>``, ``max_<c>``, ``nulls_<c>`` per column,
-    natively typed (dates stay dates, doubles stay doubles). Single
-    partial/final aggregate onto #files keys — the only full-table
-    pass zone maps ever make."""
+    natively typed (dates stay dates, doubles stay doubles) EXCEPT
+    session-zoned timestamps, which are kept as exact epoch-micros
+    longs so no collect-time timezone rendering can ever touch a
+    pruning comparison. Single partial/final aggregate onto #files
+    keys — the only full-table pass zone maps ever make."""
     df = spark.read.parquet(data_dir)
     return (
         df.select(
             F.col("_metadata.file_path").alias("file"),
             F.col("_metadata.file_size").alias("__fsize"),
-            *cols,
+            *_stats_select_cols(df, cols),
         )
         .groupBy("file")
         .agg(*_stat_aggs(cols))
@@ -371,17 +471,14 @@ def write_zonemap(spark: SparkSession, data_dir: str, cols: list[str]) -> int:
     table; the versioned-lake integration gets this for free because
     version directories are immutable (stats written once per version
     can never go stale)."""
+    types = _source_types(spark.read.parquet(data_dir), cols)
     stats = _cover_empty_files(
         spark, data_dir, zonemap_stats(spark, data_dir, cols), _data_files(data_dir)
     )
     stats_g = _with_groups(stats).localCheckpoint()
     _write_grouped(spark, data_dir, stats_g, dynamic=False)
     groups = _group_summaries(stats_g, cols)
-    _write_list(
-        data_dir, cols, groups,
-        tz=spark.conf.get("spark.sql.session.timeZone"),
-        types=_stat_types(stats_g, cols),
-    )
+    _write_list(data_dir, cols, groups, types=types)
     return sum(g["n_files"] for g in groups.values())
 
 
@@ -435,24 +532,41 @@ def _data_files(data_dir: str) -> list[str]:
     return out
 
 
-def _upgrade_legacy(spark: SparkSession, data_dir: str) -> list[str]:
-    """Rewrite a round-9 single-file manifest into the grouped layout
-    — from the manifest's OWN rows (no table rescan). Returns the
-    stats columns. Idempotent: grouped layouts pass through."""
-    doc = _read_list(data_dir)
-    if doc is not None:
-        return list(doc["cols"])
-    old = read_zonemap(spark, data_dir)
-    cols = [c[len("min_"):] for c in old.columns if c.startswith("min_")]
+def _rebuild_from_rows(
+    spark: SparkSession, data_dir: str, old: DataFrame, cols: list[str]
+) -> None:
+    """Rewrite the whole grouped manifest from existing manifest ROWS
+    (no table rescan): fills missing file_bytes, converts any
+    natively-stored session-zoned timestamp stats to epoch micros
+    (lossless — unix_micros reads the stored internal value), and
+    commits a fresh v3 list doc."""
     if "file_bytes" not in old.columns:  # r9 manifests predate sizes
         old = old.withColumn("file_bytes", F.lit(None).cast("long"))
+    types = _manifest_types(old, cols)
+    old = _epochize_stats(old, types)
     stats_g = _with_groups(old).localCheckpoint()
     _write_grouped(spark, data_dir, stats_g, dynamic=False)
-    _write_list(
-        data_dir, cols, _group_summaries(stats_g, cols),
-        tz=spark.conf.get("spark.sql.session.timeZone"),
-        types=_stat_types(stats_g, cols),
-    )
+    _write_list(data_dir, cols, _group_summaries(stats_g, cols), types=types)
+
+
+def _upgrade_legacy(spark: SparkSession, data_dir: str) -> list[str]:
+    """Rewrite a pre-v3 manifest (round-9 single-file layouts AND v2
+    grouped layouts, whose timestamp stats were stored natively) into
+    the v3 epoch-space grouped layout — from the manifest's OWN rows
+    (no table rescan). Migrating the whole tree at once keeps every
+    group's parquet schema consistent (a v2/v3 mix would make the
+    recursive manifest read see timestamp vs long for the same
+    column). Returns the stats columns. Idempotent: v3 layouts pass
+    through."""
+    doc = _read_list(data_dir)
+    if doc is not None and doc.get("version", 2) >= 3:
+        return list(doc["cols"])
+    old = read_zonemap(spark, data_dir)
+    if doc is not None:
+        cols = list(doc["cols"])
+    else:
+        cols = [c[len("min_"):] for c in old.columns if c.startswith("min_")]
+    _rebuild_from_rows(spark, data_dir, old, cols)
     return cols
 
 
@@ -525,11 +639,12 @@ def append_zonemap(
     # basePath keeps hive partition columns resolvable when reading
     # explicit file paths, so partition columns remain valid stats_cols
     df = spark.read.option("basePath", data_dir).parquet(*fresh_files)
+    types = dict((doc or {}).get("types") or _source_types(df, cols))
     fresh = (
         df.select(
             F.col("_metadata.file_path").alias("file"),
             F.col("_metadata.file_size").alias("__fsize"),
-            *cols,
+            *_stats_select_cols(df, cols),
         )
         .groupBy("file")
         .agg(*_stat_aggs(cols))
@@ -545,7 +660,10 @@ def append_zonemap(
             old_touched = old_touched.withColumn(
                 "file_bytes", F.lit(None).cast("long")
             )
-        old_g = _with_groups(old_touched).filter(
+        # pre-v3 manifests stored session-zoned timestamps natively:
+        # upgrade the touched groups' rows to epoch micros (lossless
+        # in-Spark conversion) before merging with the fresh longs
+        old_g = _with_groups(_epochize_stats(old_touched, types)).filter(
             F.col("__g").isin(*fresh_toks)
         )
         merged = old_g.unionByName(fresh_g)
@@ -557,18 +675,7 @@ def append_zonemap(
     _write_grouped(spark, data_dir, merged, dynamic=True)
     for tok, entry in _group_summaries(merged, cols).items():
         groups[tok] = entry
-    # untouched groups keep the bounds the ORIGINAL session rendered:
-    # if this session's timezone differs from the doc's, the merged
-    # doc would mix renderings — record no tz, so session-zoned
-    # timestamp bounds decode as unknown (groups kept, sound) until
-    # the next full write_zonemap re-renders them consistently
-    cur_tz = spark.conf.get("spark.sql.session.timeZone")
-    doc_tz = doc.get("tz") if doc else cur_tz
-    _write_list(
-        data_dir, cols, groups,
-        tz=cur_tz if doc_tz == cur_tz else None,
-        types=(doc or {}).get("types") or _stat_types(merged, cols),
-    )
+    _write_list(data_dir, cols, groups, types=types)
     return len(fresh_files)
 
 
@@ -626,6 +733,17 @@ def _group_rows(
     return out
 
 
+def _any_in_interval(vals: Any, mn: Any, mx: Any) -> bool:
+    """True iff some IN value can sit inside [mn, mx]. A SORTED tuple
+    (the normalized form large value sets take) binary-searches —
+    O(log V) per file instead of O(V), which is what lets the InSet
+    cap sit in the tens of thousands; any other container scans."""
+    if isinstance(vals, tuple):
+        i = 0 if mn is None else bisect.bisect_left(vals, mn)
+        return i < len(vals) and (mx is None or vals[i] <= mx)
+    return any(mn <= v <= mx for v in vals)
+
+
 def _file_matches(row: dict, constraints: dict[str, tuple]) -> bool:
     """Python twin of the manifest range filter: the file survives iff
     EVERY constrained column's stats can hold a matching row. A
@@ -648,7 +766,7 @@ def _file_matches(row: dict, constraints: dict[str, tuple]) -> bool:
             return False
         try:
             if vals is not None:
-                if not any(mn <= v <= mx for v in vals):
+                if not _any_in_interval(vals, mn, mx):
                     return False
                 continue
             if lo is not None and mx < lo:
@@ -658,6 +776,50 @@ def _file_matches(row: dict, constraints: dict[str, tuple]) -> bool:
         except TypeError:
             continue  # incomparable: keep the file
     return True
+
+
+def _normalize_constraints(
+    constraints: dict[str, tuple],
+    types: dict[str, str],
+    session_tz: str,
+) -> dict[str, tuple]:
+    """Per-column constraint normalization before matching: bounds on
+    epoch-space timestamp columns convert to micros (:func:`_to_micros`
+    — the SQL pushdown already supplies raw micros; datetimes from the
+    explicit scan_pruned API convert here), and IN value sets become
+    SORTED tuples so both the group-level and per-file checks binary-
+    search instead of scanning (incomparable mixes stay as given and
+    fall back to the linear scan)."""
+    out: dict[str, tuple] = {}
+    for col, constraint in constraints.items():
+        lo, hi, vals = constraint[0], constraint[1], constraint[2]
+        nullness = constraint[3] if len(constraint) > 3 else None
+        if types.get(col) == "timestamp":
+            lo = _to_micros(lo, session_tz) if lo is not None else None
+            hi = _to_micros(hi, session_tz) if hi is not None else None
+            if vals is not None:
+                vals = [_to_micros(v, session_tz) for v in vals]
+        if vals is not None and not isinstance(vals, tuple):
+            try:
+                vals = tuple(sorted(vals))
+            except TypeError:
+                vals = frozenset(vals)  # linear-scan fallback
+        out[col] = (lo, hi, vals, nullness)
+    return out
+
+
+def _group_holds_vals(glo: Any, ghi: Any, vals: Any) -> bool:
+    """Group-level IN check: can SOME value sit inside the group's
+    [glo, ghi]? Unknown bounds keep the group; an all-NULL group (both
+    None) can't match any value; sorted tuples binary-search."""
+    if glo is _UNKNOWN or ghi is _UNKNOWN:
+        return True
+    if glo is None and ghi is None:
+        return False
+    try:
+        return _any_in_interval(vals, glo, ghi)
+    except TypeError:
+        return True  # incomparable types: keep the group (sound)
 
 
 def prune_files_multi(
@@ -683,7 +845,7 @@ def prune_files_multi(
     unchanged table do ZERO manifest I/O and zero Spark jobs: the
     per-file filter runs driver-side over cached dicts (planning
     metadata, #files-scale — the cost every table format pays)."""
-    doc, mt = _read_list_cached(data_dir)
+    doc, epoch = _read_list_cached(data_dir)
     session_tz = spark.conf.get("spark.sql.session.timeZone")
     if doc is None:
         zm = read_zonemap(spark, data_dir)  # legacy layout: uncached
@@ -692,8 +854,8 @@ def prune_files_multi(
         total = len(rows)
     else:
         groups = doc["groups"]
-        doc_tz = doc.get("tz")
         types = doc.get("types") or {}
+        constraints = _normalize_constraints(constraints, types, session_tz)
         total = sum(g["n_files"] for g in groups.values())
         live = []
         for tok, g in groups.items():
@@ -705,10 +867,10 @@ def prune_files_multi(
                 st = g["stats"].get(col)
                 if st is None:
                     continue  # column not list-covered: can't prune on it
-                glo = _dec(st["lo"], doc_tz, session_tz, types.get(col))
-                ghi = _dec(st["hi"], doc_tz, session_tz, types.get(col))
+                glo = _dec(st["lo"], types.get(col))
+                ghi = _dec(st["hi"], types.get(col))
                 if vals is not None:
-                    if not any(_intersects(glo, ghi, v, v) for v in vals):
+                    if not _group_holds_vals(glo, ghi, vals):
                         ok = False
                         break
                 elif not _intersects(glo, ghi, lo, hi):
@@ -718,7 +880,7 @@ def prune_files_multi(
                 live.append(tok)
         if not live:
             return [], total
-        rows = _group_rows(spark, data_dir, live, (mt, session_tz))
+        rows = _group_rows(spark, data_dir, live, (epoch, session_tz))
     return [r for r in rows if _file_matches(r, constraints)], total
 
 
@@ -732,8 +894,9 @@ def manifest_stats(spark: SparkSession, data_dir: str) -> dict:
     at build/append time; callers that must defend against a stale
     manifest compare ``n_files`` against a live listing (the engine's
     pushdown does exactly that before trusting pruning)."""
-    doc, mt = _read_list_cached(data_dir)
+    doc, epoch = _read_list_cached(data_dir)
     session_tz = spark.conf.get("spark.sql.session.timeZone")
+    types: dict[str, str] = {}
     if doc is None:
         rows = [r.asDict() for r in read_zonemap(spark, data_dir).collect()]
         cols = sorted(
@@ -741,9 +904,10 @@ def manifest_stats(spark: SparkSession, data_dir: str) -> dict:
         )
     else:
         rows = _group_rows(
-            spark, data_dir, list(doc["groups"]), (mt, session_tz)
+            spark, data_dir, list(doc["groups"]), (epoch, session_tz)
         )
         cols = list(doc["cols"])
+        types = doc.get("types") or {}
     sizes = [r.get("file_bytes") for r in rows]
     out: dict = {
         "n_files": len(rows),
@@ -756,9 +920,17 @@ def manifest_stats(spark: SparkSession, data_dir: str) -> dict:
     for c in cols:
         mins = [r[f"min_{c}"] for r in rows if r.get(f"min_{c}") is not None]
         maxs = [r[f"max_{c}"] for r in rows if r.get(f"max_{c}") is not None]
+        mn = min(mins) if mins else None
+        mx = max(maxs) if maxs else None
+        if types.get(c) == "timestamp":
+            # epoch-space stats render to the same naive datetime a
+            # collect() of the raw column would produce (display only;
+            # pruning never touches this rendering)
+            mn = _ts_render(mn) if isinstance(mn, int) else mn
+            mx = _ts_render(mx) if isinstance(mx, int) else mx
         out["columns"][c] = {
-            "min": min(mins) if mins else None,
-            "max": max(maxs) if maxs else None,
+            "min": mn,
+            "max": mx,
             "nulls": sum(int(r.get(f"nulls_{c}", 0)) for r in rows),
         }
     return out
@@ -790,7 +962,14 @@ def scan_pruned(
     ``(frame, files_read, files_total)`` where ``frame`` is exactly
     ``read(data_dir).filter(lo <= col <= hi)`` — the predicate is
     re-applied to surviving files, so zone-map granularity can only
-    cost reads, never correctness."""
+    cost reads, never correctness.
+
+    Session-zoned timestamp columns: naive datetime bounds mean the
+    SESSION zone (the semantics a SQL literal has), and BOTH the prune
+    step and the re-applied filter compare in epoch-micros space —
+    ``F.lit(datetime)`` would instead convert through the driver-OS
+    zone (PySpark ``toInternal``), silently disagreeing with the
+    pruning interpretation on any off-UTC host."""
     files, total = prune_files(spark, data_dir, col, lo, hi)
     if files:
         # basePath keeps hive partition columns resolvable when the
@@ -798,9 +977,17 @@ def scan_pruned(
         df = spark.read.option("basePath", data_dir).parquet(*files)
     else:
         df = spark.read.parquet(data_dir).limit(0)
+    ctype = {f.name: f.dataType.typeName() for f in df.schema.fields}.get(col)
+    if ctype == "timestamp":
+        session_tz = spark.conf.get("spark.sql.session.timeZone")
+        target = F.unix_micros(F.col(col))
+        lo = _to_micros(lo, session_tz) if lo is not None else None
+        hi = _to_micros(hi, session_tz) if hi is not None else None
+    else:
+        target = F.col(col)
     pred = F.col(col).isNotNull()
     if lo is not None:
-        pred = pred & (F.col(col) >= F.lit(lo))
+        pred = pred & (target >= F.lit(lo))
     if hi is not None:
-        pred = pred & (F.col(col) <= F.lit(hi))
+        pred = pred & (target <= F.lit(hi))
     return df.filter(pred), len(files), total

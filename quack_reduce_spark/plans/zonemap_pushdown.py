@@ -33,12 +33,17 @@ Soundness rules (pruning can cost reads, never correctness):
   simply ignored (no bound extracted -> no pruning from them).
 
 Timestamps: Catalyst session-zoned ``timestamp`` literals carry epoch
-micros; manifest min/max values are collected through PySpark, which
-renders them as naive datetimes in ``spark.sql.session.timeZone``. The
-literal is therefore decoded IN THE SESSION ZONE (not hard-coded UTC),
-so pruning stays correct when the engine runs inside a user session
-whose zone is not UTC. ``timestamp_ntz`` literals are wall-clock and
-decode without conversion.
+micros, and version-3 manifests store min/max for session-zoned
+columns as epoch micros too (operators/zonemaps.py) — so the literal
+is kept RAW and the comparison happens in epoch space end to end,
+with no timezone rendering on either side (PySpark's collect renders
+timestamps in the driver-OS zone, not the session zone, so any
+rendered comparison would be unsound on an off-UTC host). Only the
+cast-shaped constraints that target a NON-epoch domain (an NTZ or
+date column compared through a cast to timestamp) convert the literal
+into that domain's wall clock, via the session zone — the zone
+Catalyst itself used to build the cast. ``timestamp_ntz`` literals
+are wall-clock and decode without conversion.
 
 The reference has no planner at all — every query re-lists and
 re-reads full objects (``quack.py:145``); this is the read-planning
@@ -70,27 +75,40 @@ _CMP_LEFT = {
 _FLIP = {"lo": "hi", "hi": "lo", "eq": "eq"}
 
 # LIKE 'abc%' arrives as StartsWith(attr, 'abc'): every matching string
-# sits in [prefix, prefix + U+10FFFF...) lexicographically — Spark
-# compares strings by UTF-8 bytes and Python by code points, the same
-# total order for valid Unicode, so the closed superset
-# [prefix, prefix + chr(0x10FFFF)] prunes soundly against collected
-# min/max strings.
-_PREFIX_MAX = chr(0x10FFFF)
+# sits in [prefix, <upper>) lexicographically — Spark compares strings
+# by UTF-8 bytes and Python by code points, the same total order for
+# valid Unicode. The EXCLUSIVE upper bound comes from incrementing the
+# prefix's last non-maximal code point (``"abc"`` -> ``"abd"``): every
+# prefix-match compares below it at the incremented position no matter
+# what follows. (``prefix + chr(0x10FFFF)`` is NOT a supremum —
+# ``prefix + "\U0010FFFF" + "x"`` matches the prefix yet sorts above
+# it, so using it as a closed bound could mis-prune.)
+
+
+def _prefix_upper(prefix: str) -> str | None:
+    """Smallest-effort EXCLUSIVE upper bound of the prefix-match set,
+    or None when every code point is already U+10FFFF (no finite
+    bound exists — the constraint stays lower-bound-only, sound)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
 
 
 def _bare(p: str) -> str:
     return "/" + p.split("://")[-1].removeprefix("file:").lstrip("/")
 
 
-def _internal_py(v: Any, type_name: str, session_tz: str) -> tuple[Any, bool]:
+def _internal_py(v: Any, type_name: str) -> tuple[Any, bool]:
     """Python value of a Catalyst-INTERNAL-form value, (value, usable).
-    Dates and timestamps arrive as days / micros since epoch; strings
-    as UTF8String JVM objects. Session-zoned timestamp micros convert
-    to the SESSION timezone's naive rendering — the form manifest
-    values take when collected — so a non-UTC session cannot shift a
-    bound by its zone offset and mis-prune. Types we can't compare
-    portably against manifest values (decimal, binary, interval...)
-    report unusable."""
+    Dates arrive as days since epoch; strings as UTF8String JVM
+    objects. Session-zoned timestamp micros stay RAW — version-3
+    manifests hold epoch micros for those columns, so the comparison
+    is int-vs-int with no rendering on either side. NTZ micros are
+    wall-clock and decode to the naive datetime manifests store.
+    Types we can't compare portably against manifest values (decimal,
+    binary, interval...) report unusable."""
     if v is None:
         return None, False
     if type_name == "date":
@@ -99,14 +117,7 @@ def _internal_py(v: Any, type_name: str, session_tz: str) -> tuple[Any, bool]:
         # wall-clock micros: no zone applies
         return _EPOCH_TS + _dt.timedelta(microseconds=int(v)), True
     if type_name == "timestamp":
-        try:
-            from zoneinfo import ZoneInfo
-
-            zone = ZoneInfo(session_tz)
-        except Exception:
-            return None, False  # unresolvable zone: no bound (sound)
-        aware = _EPOCH_UTC + _dt.timedelta(microseconds=int(v))
-        return aware.astimezone(zone).replace(tzinfo=None), True
+        return int(v), True  # epoch micros, compared in epoch space
     if type_name == "string":
         return v if isinstance(v, str) else v.toString(), True
     if type_name in ("integer", "long", "short", "byte", "double", "float"):
@@ -114,26 +125,57 @@ def _internal_py(v: Any, type_name: str, session_tz: str) -> tuple[Any, bool]:
     return None, False
 
 
-def _literal_py(lit: Any, session_tz: str) -> tuple[Any, bool]:
+def _literal_py(lit: Any) -> tuple[Any, bool]:
     """Python value of a Catalyst Literal, (value, usable) — the
     Literal holds its value in internal form (see _internal_py)."""
-    return _internal_py(lit.value(), lit.dataType().typeName(), session_tz)
+    return _internal_py(lit.value(), lit.dataType().typeName())
 
 
-def _ident(v: Any) -> Any:
+def _wall(micros: int, session_tz: str) -> _dt.datetime | None:
+    """Session-zone naive wall clock of epoch micros — the inverse of
+    the conversion Catalyst's session-zoned casts apply — or None when
+    the zone can't resolve (the constraint is then unusable: sound)."""
+    try:
+        from zoneinfo import ZoneInfo
+
+        zone = ZoneInfo(session_tz)
+    except Exception:
+        return None
+    aware = _EPOCH_UTC + _dt.timedelta(microseconds=int(micros))
+    return aware.astimezone(zone).replace(tzinfo=None)
+
+
+def _ident(v: Any, session_tz: str) -> Any:
     return v
 
 
-def _to_date(v: Any) -> Any:
+def _ts_to_ntz(v: Any, session_tz: str) -> Any:
+    # NTZ column compared THROUGH a cast to session-zoned timestamp:
+    # the literal's micros convert to the session zone's wall clock —
+    # exactly the domain the cast lifted the column into. Around a DST
+    # fold the rendering picks one of the two instants, which can only
+    # WIDEN a bound relative to the monotone cast (see tests), so
+    # pruning stays a superset.
+    return _wall(v, session_tz) if isinstance(v, int) else v
+
+
+def _to_date(v: Any, session_tz: str) -> Any:
     # date column compared THROUGH a cast to timestamp: flooring the
     # literal to its date keeps a SUPERSET of the matching files for
     # every bound kind (lo floors = widens, hi floors = exact, eq/IN
     # floors = possibly keeps files an impossible non-midnight value
-    # never matches — extra reads, never missing rows)
+    # never matches — extra reads, never missing rows). Session-zoned
+    # micros first lift to the session wall clock (the zone the cast
+    # used); NTZ datetimes floor directly.
+    if isinstance(v, int):
+        v = _wall(v, session_tz)
+        if v is None:
+            return None
     return v.date() if isinstance(v, _dt.datetime) else v
 
 
-# (source column type, cast target type) -> literal converter, for the
+# (source column type, cast target type) -> literal converter
+# ``(value, session_tz) -> value | None`` (None = unusable), for the
 # cast shapes Catalyst leaves around attributes in In-lists (binary
 # comparisons get unwrapped by UnwrapCastInBinaryComparison; In does
 # not). Only pairs where comparing the converted literal against the
@@ -144,9 +186,7 @@ _INT_WIDEN = {
     ("float", "double"),
 }
 _SAFE_CASTS: dict[tuple[str, str], Any] = {
-    # NTZ wall-clock == the session-zone naive rendering the literal
-    # decoder produces for a session-zoned timestamp literal
-    ("timestamp_ntz", "timestamp"): _ident,
+    ("timestamp_ntz", "timestamp"): _ts_to_ntz,
     ("date", "timestamp"): _to_date,
     ("date", "timestamp_ntz"): _to_date,
     **{pair: _ident for pair in _INT_WIDEN},
@@ -182,14 +222,41 @@ def _side(e: Any) -> tuple[str | None, Any]:
     return None, None
 
 
+def _parse_internal_str(s: str, type_name: str) -> tuple[Any, bool]:
+    """Python value of ONE element of an InSet's ``mkString`` dump —
+    the string rendering of a Catalyst internal value (Long/Int print
+    as digits, UTF8String as the raw string, Double/Float in Scala's
+    notation, which Python's float() parses including E-notation /
+    NaN / Infinity)."""
+    try:
+        if type_name in ("integer", "long", "short", "byte"):
+            return int(s), True
+        if type_name in ("double", "float"):
+            return float(s), True
+        if type_name == "string":
+            return s, True
+        if type_name == "date":
+            return _EPOCH_DATE + _dt.timedelta(days=int(s)), True
+        if type_name == "timestamp":
+            return int(s), True  # epoch micros
+        if type_name == "timestamp_ntz":
+            return _EPOCH_TS + _dt.timedelta(microseconds=int(s)), True
+    except ValueError:
+        return None, False
+    return None, False
+
+
+# separator for the one-call InSet dump: a control char that cannot
+# appear in numeric/temporal renderings; a STRING value containing it
+# breaks the element count and the whole conjunct is dropped (sound)
+_INSET_SEP = "\x01"
+
+
 def _conjunct_bound(e: Any, session_tz: str) -> tuple[str, str, Any] | None:
     """(column, 'lo'|'hi'|'eq'|'in', value) from one dataFilters
     conjunct, or None when the shape isn't ``attr cmp literal`` /
     ``attr IN (literals)``. An In whose list holds any non-literal or
-    unusable value extracts nothing (sound). Catalyst keeps small
-    IN-lists as ``In`` (the common dashboard shape); large ones become
-    ``InSet`` with values in internal form and are left alone — the
-    scan simply isn't pruned by them."""
+    unusable value extracts nothing (sound)."""
     name = e.getClass().getSimpleName()
     if name == "In":
         lk, got = _side(e.value())
@@ -202,10 +269,13 @@ def _conjunct_bound(e: Any, session_tz: str) -> tuple[str, str, Any] | None:
             kind, lit = _side(lst.apply(j))
             if kind != "lit":
                 return None
-            v, ok = _literal_py(lit, session_tz)
+            v, ok = _literal_py(lit)
             if not ok:
                 return None
-            vals.append(conv(v))
+            out = conv(v, session_tz)
+            if out is None:
+                return None
+            vals.append(out)
         if not vals:
             return None
         return colname, "in", frozenset(vals)
@@ -213,27 +283,33 @@ def _conjunct_bound(e: Any, session_tz: str) -> tuple[str, str, Any] | None:
         # IN-lists past spark.sql.optimizer.inSetConversionThreshold
         # (default 10) compile to InSet with values in Catalyst
         # INTERNAL form (epoch micros/days, UTF8String) — the big
-        # dashboard IN. Decoded per the child expression's type (the
-        # CAST's type when one wraps the attribute; conv maps back to
-        # the column's domain). Bounded: a set past _MAX_INSET values
-        # costs more per-file work than it prunes — left alone.
+        # dashboard IN. The whole value set is pulled in ONE py4j call
+        # (``mkString`` on the JVM side) instead of one round trip per
+        # element, which is what lets _MAX_INSET sit in the tens of
+        # thousands; per-file matching binary-searches the sorted
+        # values, so plan cost is O(V log V + files·log V).
         lk, got = _side(e.child())
         if lk != "attr":
             return None
         colname, conv = got
         hs = e.hset()
-        if hs.size() > _MAX_INSET:
+        n = int(hs.size())
+        if n == 0 or n > _MAX_INSET:
             return None
         tname = e.child().dataType().typeName()
+        joined = hs.mkString(_INSET_SEP)
+        parts = joined.split(_INSET_SEP)
+        if len(parts) != n:
+            return None  # a string value held the separator: bail out
         vals = []
-        it = hs.iterator()
-        while it.hasNext():
-            v, ok = _internal_py(it.next(), tname, session_tz)
+        for s in parts:
+            v, ok = _parse_internal_str(s, tname)
             if not ok:
                 return None
-            vals.append(conv(v))
-        if not vals:
-            return None
+            out = conv(v, session_tz)
+            if out is None:
+                return None
+            vals.append(out)
         return colname, "in", frozenset(vals)
     if name in ("IsNull", "IsNotNull"):
         lk, got = _side(e.child())
@@ -251,7 +327,7 @@ def _conjunct_bound(e: Any, session_tz: str) -> tuple[str, str, Any] | None:
         colname, conv = got
         if conv is not _ident:  # prefix semantics don't survive casts
             return None
-        v, ok = _literal_py(lit, session_tz)
+        v, ok = _literal_py(lit)
         if not ok or not isinstance(v, str) or not v:
             return None
         return colname, "pref", v
@@ -266,10 +342,13 @@ def _conjunct_bound(e: Any, session_tz: str) -> tuple[str, str, Any] | None:
         (col, conv), lit, flip = rv, lv, True
     else:
         return None
-    val, ok = _literal_py(lit, session_tz)
+    val, ok = _literal_py(lit)
     if not ok:
         return None
-    return col, (_FLIP[kind] if flip else kind), conv(val)
+    out = conv(val, session_tz)
+    if out is None:
+        return None  # cast conversion unresolvable: no bound (sound)
+    return col, (_FLIP[kind] if flip else kind), out
 
 
 def _merge_bound(bounds: dict, col: str, kind: str, val: Any) -> None:
@@ -288,11 +367,13 @@ def _merge_bound(bounds: dict, col: str, kind: str, val: Any) -> None:
     elif kind == "in":
         vals = val if vals is None else (vals & val)
     elif kind == "pref":
-        # prefix p -> closed superset range [p, p + MAX]
+        # prefix p -> superset range [p, increment(p)]; a prefix with
+        # no finite supremum (all code points maximal) stays
+        # lower-bound-only
         if lo is None or _gt(val, lo):
             lo = val
-        top = val + _PREFIX_MAX
-        if hi is None or _lt(top, hi):
+        top = _prefix_upper(val)
+        if top is not None and (hi is None or _lt(top, hi)):
             hi = top
     else:
         if kind in ("lo", "eq") and (lo is None or _gt(val, lo)):
@@ -341,12 +422,66 @@ def _finalize(bounds: dict) -> dict[str, tuple]:
 
 
 # DNF expansion cap: a conjunction of ORs multiplies alternatives; a
-# predicate that would expand past this many stays un-pruned (sound)
-# rather than exploding planning work.
+# predicate that would expand past this many collapses to its
+# per-column ENVELOPE across arms (min of lows, max of highs) — wider
+# than the exact DNF, still sound, never zero pruning.
 _MAX_ALTS = 16
-# InSet decode cap: each value costs a py4j round trip at plan time
-# and one interval check per candidate file.
-_MAX_INSET = 256
+# InSet decode cap: the whole value set arrives in ONE py4j call
+# (mkString) and per-file matching binary-searches a sorted tuple, so
+# the cap guards only the one-time O(V log V) sort + transfer — a
+# 1,000-value dashboard IN is well inside it.
+_MAX_INSET = 32768
+
+
+def _envelope_of_alts(alts: list[list[tuple]]) -> list[tuple]:
+    """Per-column range ENVELOPE of a DNF — the sound fallback when
+    exact expansion would exceed ``_MAX_ALTS``: for each column
+    bounded in EVERY arm, [min of arm lows, max of arm highs]. A
+    column unconstrained (or NULL-matching, or unbounded on a side)
+    in any arm drops out — the union is unbounded there. Arms whose
+    constraints are unsatisfiable (empty intersected value set)
+    contribute nothing to the union and are skipped. Returns atomic
+    (col, 'lo'/'hi', val) triples; possibly empty (no pruning from
+    this conjunct — still sound)."""
+    arm_ranges: list[dict[str, tuple]] = []
+    for triples in alts:
+        bounds: dict[str, tuple] = {}
+        for col, kind, val in triples:
+            _merge_bound(bounds, col, kind, val)
+        fin = _finalize(bounds)
+        if any(
+            c[2] is not None and len(c[2]) == 0 and c[3] != "null"
+            for c in fin.values()
+        ):
+            continue  # arm matches nothing: adds nothing to the union
+        ranges: dict[str, tuple] = {}
+        for col, (lo, hi, vals, nullness) in fin.items():
+            if nullness == "null":
+                continue  # NULL-matching arm: no value range exists
+            if vals:
+                try:
+                    lo, hi = min(vals), max(vals)
+                except TypeError:
+                    continue
+            if lo is None and hi is None:
+                continue
+            ranges[col] = (lo, hi)
+        arm_ranges.append(ranges)
+    if not arm_ranges:
+        return []  # every arm unsatisfiable: nothing to bound (sound)
+    common = set(arm_ranges[0]).intersection(*(set(r) for r in arm_ranges[1:]))
+    out: list[tuple] = []
+    for col in common:
+        los = [r[col][0] for r in arm_ranges]
+        his = [r[col][1] for r in arm_ranges]
+        try:
+            if all(l is not None for l in los):
+                out.append((col, "lo", min(los)))
+            if all(h is not None for h in his):
+                out.append((col, "hi", max(his)))
+        except TypeError:
+            continue  # incomparable across arms: drop the column
+    return out
 
 
 def _dnf_triples(e: Any, session_tz: str) -> list[list[tuple]] | None:
@@ -356,7 +491,9 @@ def _dnf_triples(e: Any, session_tz: str) -> list[list[tuple]] | None:
     expression (or a disjunct of it) is unextractable: the caller must
     treat the WHOLE conjunct as unusable, because dropping one OR arm
     would narrow the match set (unsound), unlike dropping a whole
-    AND conjunct (which only widens)."""
+    AND conjunct (which only widens). Expansion past ``_MAX_ALTS``
+    degrades to the per-column envelope across arms instead of giving
+    up (a single widened alternative)."""
     name = e.getClass().getSimpleName()
     if name == "Or":
         left = _dnf_triples(e.left(), session_tz)
@@ -364,7 +501,7 @@ def _dnf_triples(e: Any, session_tz: str) -> list[list[tuple]] | None:
         if left is None or right is None:
             return None
         if len(left) + len(right) > _MAX_ALTS:
-            return None
+            return [_envelope_of_alts(left + right)]
         return left + right
     if name == "And":
         left = _dnf_triples(e.left(), session_tz)
@@ -372,7 +509,8 @@ def _dnf_triples(e: Any, session_tz: str) -> list[list[tuple]] | None:
         if left is None or right is None:
             return None
         if len(left) * len(right) > _MAX_ALTS:
-            return None
+            # env(A) ∧ env(B) ⊇ every (a ∧ b) product arm: sound
+            return [_envelope_of_alts(left) + _envelope_of_alts(right)]
         return [a + b for a in left for b in right]
     got = _conjunct_bound(e, session_tz)
     if got is None:
@@ -419,8 +557,12 @@ def scan_constraints(
         filters = leaf.dataFilters()
         for j in range(filters.size()):
             dnf = _dnf_triples(filters.apply(j), session_tz)
-            if dnf is None or len(dnf) * len(alt_triples) > _MAX_ALTS:
+            if dnf is None:
                 continue  # unusable conjunct: ignore it (widens, sound)
+            if len(dnf) * len(alt_triples) > _MAX_ALTS:
+                # collapse this conjunct to its cross-arm envelope
+                # instead of dropping it — one widened alternative
+                dnf = [_envelope_of_alts(dnf)]
             alt_triples = [a + d for a in alt_triples for d in dnf]
         alts = []
         for triples in alt_triples:

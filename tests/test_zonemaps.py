@@ -611,3 +611,86 @@ def test_optimize_builds_manifest_when_absent_and_versioned(spark, sf_dir, tmp_p
     assert stats["rows"] == orders.count()
     # pre-optimize snapshot still readable
     assert eng.read_table(path, v1).count() == orders.count()
+
+
+def test_epoch_space_ltz_stats_immune_to_os_timezone(spark, sf_dir, tmp_path):
+    """Session-zoned (LTZ) timestamp stats live in EPOCH-MICROS space
+    end to end (manifest v3): no collect-time rendering — which PySpark
+    performs in the driver-OS zone, NOT the session zone — ever touches
+    a pruning comparison. Flipping the process TZ between manifest
+    build and query therefore cannot shift a bound and mis-prune (the
+    r11 ADVICE unsoundness), and the pruned scan stays row-identical
+    to the session-zone-interpreted filter."""
+    import json
+    import os
+    import time
+
+    path = str(tmp_path / "ltz")
+    orders = load(spark, sf_dir, "orders")
+    ltz = orders.withColumn("ots", F.col("o_orderdate").cast("timestamp"))
+    (
+        ltz.repartitionByRange(8, "ots")
+        .sortWithinPartitions("ots")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    prev = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "Asia/Tokyo"
+        time.tzset()
+        Z.write_zonemap(spark, path, ["ots"])
+        doc = json.loads(open(f"{path}/_zonemap/_list.json").read())
+        assert doc["version"] == 3 and doc["types"]["ots"] == "timestamp"
+        st = next(iter(doc["groups"].values()))["stats"]["ots"]
+        assert st["lo"]["t"] == "int" and isinstance(st["lo"]["v"], int)
+        # query under a DIFFERENT OS zone than the build ran in
+        os.environ["TZ"] = "America/New_York"
+        time.tzset()
+        lo, hi = dt.datetime(1997, 1, 1), dt.datetime(1997, 6, 30)
+        pruned, files_read, files_total = Z.scan_pruned(spark, path, "ots", lo, hi)
+        want = (
+            spark.read.parquet(path)
+            .filter(
+                "ots >= TIMESTAMP '1997-01-01 00:00:00' "
+                "AND ots <= TIMESTAMP '1997-06-30 00:00:00'"
+            )
+            .count()
+        )
+        assert pruned.count() == want > 0
+        assert files_read < files_total == 8
+    finally:
+        if prev is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev
+        time.tzset()
+
+
+def test_list_commit_mtime_strictly_increases(spark, sf_dir, tmp_path):
+    """Two manifest commits in quick succession can land in the same
+    filesystem mtime tick; _write_list bumps the list doc's mtime past
+    the previous commit's, and every doc carries a distinct commit
+    token — so the stat-keyed parse cache can never serve the older
+    doc as the newer one."""
+    import json
+
+    path = str(tmp_path / "tick")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.limit(500)
+        .repartitionByRange(4, "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_orderkey"])
+    lp = f"{path}/_zonemap/_list.json"
+    import os
+
+    mt1 = os.stat(lp).st_mtime
+    tok1 = json.loads(open(lp).read())["commit"]
+    orders.limit(100).coalesce(1).write.mode("append").parquet(path)
+    Z.append_zonemap(spark, path, ["o_orderkey"])
+    mt2 = os.stat(lp).st_mtime
+    tok2 = json.loads(open(lp).read())["commit"]
+    assert mt2 > mt1
+    assert tok1 != tok2
