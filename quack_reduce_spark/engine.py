@@ -413,13 +413,23 @@ class Engine:
         hash-gates), and estimates join rows by the ratio estimator;
         side byte sizes come from exact row counts (one aggregate per
         side) x a schema-derived row width. Returns the report dict
-        {left: {rows, row_bytes, est_bytes}, right: {...},
+        {left: {rows, row_bytes, est_bytes, source}, right: {...},
         est_join_rows, n_common_sampled, strategy,
         broadcast_threshold_bytes} — ``strategy`` is
         ``broadcast_left`` / ``broadcast_right`` (smaller estimated
         side fits under the threshold) or ``shuffle_sort_merge``.
-        Cost: one aggregate pass per side + two bounded (<= n-struct)
-        sketch rows; nothing data-sized reaches the driver."""
+
+        A side passed by NAME that resolves to a registered zone-mapped
+        table with a FRESH manifest (live file count matches) skips the
+        ANALYZE pass entirely: exact rows and total file bytes come
+        straight from the manifest (``source: "manifest"`` — the same
+        numbers ``table_stats``/``lake_manifest_stats`` hash-prove
+        equal to a DuckDB recomputation), which at 100 TB is the
+        difference between metadata-cost planning and a full scan per
+        side. Only the bounded key-overlap sample still touches data.
+        Cost: at most one aggregate pass per non-manifest side + two
+        bounded (<= n-struct) sketch rows; nothing data-sized reaches
+        the driver."""
         from quack_reduce_spark.operators.sketches import (
             join_rows_estimate,
             key_count_sample,
@@ -428,13 +438,40 @@ class Engine:
         lf = self.spark.table(left) if isinstance(left, str) else left
         rf = self.spark.table(right) if isinstance(right, str) else right
 
-        def side(df: DataFrame) -> tuple[int, int, DataFrame]:
+        def manifest_side(name: Any) -> tuple[int, int | None] | None:
+            """(exact rows, total file bytes) from a fresh manifest, or
+            None when the side isn't a registered zone-mapped table /
+            the manifest is stale vs the live file listing."""
+            if not isinstance(name, str):
+                return None
+            meta = self._table_meta.get(name)
+            if not meta or not meta.get("zonemap_cols"):
+                return None
+            from quack_reduce_spark.operators import zonemaps as _zm
+
+            path = meta.get("resolved", self.tables[name])
+            try:
+                st = _zm.manifest_stats(self.spark, path)
+                if st["n_files"] != len(_zm._data_files(path)):
+                    return None  # un-maintained append: don't trust it
+            except Exception:
+                return None
+            return int(st["n_rows"]), st["total_bytes"]
+
+        def side(df: DataFrame, name: Any) -> tuple[int, int, DataFrame, str]:
+            got = manifest_side(name)
+            if got is not None:
+                rows, total_bytes = got
+                if total_bytes is not None:
+                    width = max(1, total_bytes // max(rows, 1))
+                    return rows, width, key_count_sample(df, on, n), "manifest"
             # one aggregate pass: the row count AND the observed mean
             # byte width of every variable-width column — a schema-only
             # 20-bytes-per-string guess can undersize a wide-text
             # relation by orders of magnitude and broadcast a side that
             # OOMs the executors; measuring costs nothing extra (same
             # scan that counts)
+            ANALYZE_COUNTS["side_scans"] += 1
             width_aggs = _observed_width_aggs(df.schema)
             agg_row = df.agg(F.count(F.lit(1)).alias("__n"), *width_aggs).first()
             rows = int(agg_row["__n"])
@@ -444,10 +481,10 @@ class Engine:
                 if k.startswith("__w_") and v is not None
             }
             width = _est_row_bytes(df.schema, observed)
-            return rows, width, key_count_sample(df, on, n)
+            return rows, width, key_count_sample(df, on, n), "analyze"
 
-        rows_l, width_l, sl = side(lf)
-        rows_r, width_r, sr = side(rf)
+        rows_l, width_l, sl, src_l = side(lf, left)
+        rows_r, width_r, sr, src_r = side(rf, right)
         est = join_rows_estimate(sl, sr, n).first()
         bytes_l, bytes_r = rows_l * width_l, rows_r * width_r
         if min(bytes_l, bytes_r) <= broadcast_threshold_bytes:
@@ -457,8 +494,14 @@ class Engine:
         report = {
             "on": on,
             "n": n,
-            "left": {"rows": rows_l, "row_bytes": width_l, "est_bytes": bytes_l},
-            "right": {"rows": rows_r, "row_bytes": width_r, "est_bytes": bytes_r},
+            "left": {
+                "rows": rows_l, "row_bytes": width_l,
+                "est_bytes": bytes_l, "source": src_l,
+            },
+            "right": {
+                "rows": rows_r, "row_bytes": width_r,
+                "est_bytes": bytes_r, "source": src_r,
+            },
             "est_join_rows": float(est["est_join_rows"]),
             "n_common_sampled": int(est["n_common_sampled"]),
             "strategy": strategy,
@@ -466,6 +509,14 @@ class Engine:
         }
         self.last_join_plan = report
         return report
+
+    # Runtime-filter gates: inject a Bloom pre-filter only when the
+    # estimate says the join keeps under this fraction of the probe
+    # side (otherwise the filter mostly passes rows and just costs a
+    # digest per row), and only when the build side is small enough
+    # that its sized bitset (~n/6 longs) is a driver-bounded artifact.
+    RUNTIME_FILTER_SELECTIVITY = 0.5
+    RUNTIME_FILTER_MAX_BUILD_ROWS = 2_000_000
 
     def plan_join(
         self,
@@ -475,13 +526,26 @@ class Engine:
         how: str = "inner",
         n: int = 128,
         broadcast_threshold_bytes: int = BROADCAST_THRESHOLD,
+        runtime_filter: bool = True,
     ) -> DataFrame:
         """``left.join(right, on)`` with the join strategy chosen by
         :meth:`explain_join`'s estimate instead of static file-size
         stats: the side whose ESTIMATED bytes fit under the threshold
         gets an explicit broadcast hint (exactly what a CBO does with
         ANALYZE stats); otherwise the join is left to the default
-        planner. The report lands in ``self.last_join_plan``."""
+        planner — but first, when the estimate says the shuffle join
+        is SELECTIVE (est_join_rows well under the probe side's rows),
+        the smaller side's keys fold into a sized Bloom bitset and
+        pre-filter the bigger side BEFORE its shuffle (Spark's AQE
+        runtime bloom join, engine-portable): rows whose keys cannot
+        match never enter the exchange, which at 100 TB is most of the
+        shuffle. Inner joins only — filtering the preserved side of an
+        outer join would invent NULL rows; false positives are
+        harmless because the join re-checks equality, and no true
+        match is ever dropped (no false negatives by construction).
+        The report lands in ``self.last_join_plan``; when the filter
+        fired it carries ``runtime_filter: {side, m_bits,
+        n_build_rows}``."""
         report = self.explain_join(
             left, right, on, n=n,
             broadcast_threshold_bytes=broadcast_threshold_bytes,
@@ -492,6 +556,46 @@ class Engine:
             return F.broadcast(lf).join(rf, on, how)
         if report["strategy"] == "broadcast_right":
             return lf.join(F.broadcast(rf), on, how)
+        if runtime_filter and how == "inner":
+            big_is_left = report["left"]["est_bytes"] >= report["right"]["est_bytes"]
+            probe_rows = report["left" if big_is_left else "right"]["rows"]
+            build_rows = report["right" if big_is_left else "left"]["rows"]
+            if (
+                probe_rows > 0
+                and build_rows <= self.RUNTIME_FILTER_MAX_BUILD_ROWS
+                and report["est_join_rows"]
+                <= self.RUNTIME_FILTER_SELECTIVITY * probe_rows
+            ):
+                from quack_reduce_spark.operators.sketches import (
+                    BLOOM_SIZED_K,
+                    bloom_filter_frame,
+                    bloom_size,
+                    bloom_words,
+                )
+
+                build = rf if big_is_left else lf
+                probe = lf if big_is_left else rf
+                words_n, m = bloom_size(build_rows)  # rows >= distinct
+                by_idx = {
+                    int(r["word_idx"]): int(r["word"])
+                    for r in bloom_words(
+                        build.select(on), on, m=m, k=BLOOM_SIZED_K
+                    ).collect()
+                }
+                words = [by_idx.get(i, 0) for i in range(words_n)]
+                probe = (
+                    bloom_filter_frame(
+                        probe, words, F.col(on).cast("string"), k=BLOOM_SIZED_K
+                    )
+                    .filter(F.col("bp"))
+                    .drop("bp")
+                )
+                report["runtime_filter"] = {
+                    "side": "left" if big_is_left else "right",
+                    "m_bits": m,
+                    "n_build_rows": build_rows,
+                }
+                lf, rf = (probe, rf) if big_is_left else (lf, probe)
         return lf.join(rf, on, how)
 
     def sql(self, query: str, limit: int | None = DEFAULT_LIMIT) -> QueryResult:
@@ -1288,6 +1392,12 @@ class Engine:
 
 
 _FIXED_WIDTHS = None
+
+
+# Observability for the join-planning ANALYZE passes: incremented only
+# when a side's stats had to come from a data scan (tests assert that
+# manifest-backed sides run ZERO of these).
+ANALYZE_COUNTS = {"side_scans": 0}
 
 
 def _fixed_widths() -> dict:

@@ -462,10 +462,11 @@ def test_engine_sql_timestamp_pruning_in_non_utc_session(spark, sf_dir, tmp_path
 
 def test_engine_sql_like_prefix_prunes_string_zonemap(spark, sf_dir, tmp_path):
     """``LIKE 'prefix%'`` arrives as a Catalyst StartsWith and plans as
-    the closed range [prefix, prefix+U+10FFFF]: on a layout clustered
-    by the string column, the scan reads only files whose [min, max]
-    can hold prefix-matching values, and the answer equals the full
-    filter."""
+    the range [prefix, increment(prefix)] (a true supremum — see
+    test_engine_sql_like_prefix_astral_suffix_survives): on a layout
+    clustered by the string column, the scan reads only files whose
+    [min, max] can hold prefix-matching values, and the answer equals
+    the full filter."""
     from quack_reduce_spark.engine import Engine
     from quack_reduce_spark.operators import zonemaps as Z
 
@@ -808,3 +809,216 @@ def test_engine_sql_large_in_list_inset_prunes(spark, zm_engine):
         .count()
     )
     assert d.first()["n"] == want
+
+
+def test_engine_sql_like_prefix_astral_suffix_survives(spark, tmp_path):
+    """LIKE-prefix soundness at the supremum: a string like
+    ``'abc' + U+10FFFF + 'x'`` MATCHES ``LIKE 'abc%'`` yet sorts above
+    ``'abc' + chr(0x10FFFF)`` — the pre-r12 closed upper bound — so a
+    file holding only such values could be mis-pruned. The bound is
+    now the incremented prefix ('abd', a true exclusive supremum):
+    the astral row survives pruning and the answer equals the full
+    filter, while unrelated high files still prune."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = str(tmp_path / "astral")
+    astral = "abc" + chr(0x10FFFF) + "x"
+    groups = [
+        ["abba", "abc", "abcz"],
+        [astral, astral + "y"],
+        ["abd", "abda"],
+        ["zza", "zzz"],
+    ]
+    for vals in groups:  # one file per group: controlled min/max
+        spark.createDataFrame([(v,) for v in vals], "s string").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+    Z.write_zonemap(spark, path, ["s"])
+    eng = Engine(spark=spark)
+    eng.register("astral_t", path)
+    d = eng.df("SELECT COUNT(*) AS n FROM astral_t WHERE s LIKE 'abc%'")
+    rep = eng.last_zonemap_report.get("astral_t")
+    want = (
+        spark.read.parquet(path).filter(F.col("s").startswith("abc")).count()
+    )
+    assert want == 4  # abc, abcz, astral, astral+'y'
+    assert d.first()["n"] == want
+    # the 'zz' file pruned; the astral file read
+    assert rep is not None and rep["files_read"] < rep["files_total"] == 4
+    spark.catalog.dropTempView("astral_t")
+
+
+def test_engine_sql_thousand_value_in_prunes(spark, sf_dir, tmp_path):
+    """A 1,000-value IN over a key-clustered table decodes from InSet
+    in ONE JVM call (mkString batch) and prunes by binary-searched
+    value set — the big dashboard IN the old 256-value cap dropped."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = str(tmp_path / "keyclust")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(12, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_orderkey"])
+    eng = Engine(spark=spark)
+    eng.register("bigin_t", path)
+    # 1,000 values: 100 live in the table's low key range, 900 sit
+    # far outside the domain — only the low files can match, and a
+    # value-set check (not a min/max envelope, which would span the
+    # out-of-domain tail and keep everything) proves it
+    keys = list(range(1, 101)) + list(range(1_000_000, 1_000_900))
+    q = (
+        "SELECT COUNT(*) AS n FROM bigin_t "
+        f"WHERE o_orderkey IN ({', '.join(map(str, keys))})"
+    )
+    d = eng.df(q)
+    rep = eng.last_zonemap_report.get("bigin_t")
+    want = spark.read.parquet(path).filter(F.col("o_orderkey").isin(keys)).count()
+    assert d.first()["n"] == want > 0
+    assert rep is not None
+    assert rep["files_read"] * 2 <= rep["files_total"] == 12
+    spark.catalog.dropTempView("bigin_t")
+
+
+def test_engine_sql_wide_or_prunes_via_envelope(spark, zm_engine):
+    """An OR with more arms than the exact-DNF cap (20 single-day
+    ranges > _MAX_ALTS=16) no longer loses pruning: the conjunct
+    collapses to its per-column envelope across arms — [earliest lo,
+    latest hi] — which on a date-clustered layout still skips most
+    files, and the answer equals the unpruned filter."""
+    eng, path = zm_engine
+    days = [f"1996-03-{d:02d}" for d in range(1, 21)]
+    arms = " OR ".join(
+        f"(o_orderdate >= TIMESTAMP '{day} 00:00:00'"
+        f" AND o_orderdate < TIMESTAMP '{day} 12:00:00')"
+        for day in days
+    )
+    q = f"SELECT COUNT(*) AS n FROM zmo WHERE {arms}"
+    d = eng.df(q)
+    rep = eng.last_zonemap_report.get("zmo")
+    import datetime as dt
+
+    lo, hi = dt.datetime(1996, 3, 1), dt.datetime(1996, 3, 20, 12)
+    want = (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+        )
+        .filter(F.hour("o_orderdate") < 12)
+        .count()
+    )
+    assert d.first()["n"] == want
+    assert rep is not None and rep["files_read"] * 2 <= rep["files_total"]
+
+
+def test_explain_join_serves_manifest_stats_without_scan(spark, sf_dir, tmp_path):
+    """A join side passed by NAME that is a registered zone-mapped
+    table with a fresh manifest gets its rows/bytes from the MANIFEST
+    (source == 'manifest', exact — the hash-proven table_stats
+    numbers) and runs ZERO ANALYZE scans; only the bounded key-overlap
+    sample touches data. Un-maintained appends flip the side back to
+    the ANALYZE pass (stale manifests are never trusted)."""
+    from quack_reduce_spark import engine as engine_mod
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    fact = str(tmp_path / "ej_orders")
+    dim = str(tmp_path / "ej_cust")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    orders.repartitionByRange(6, "o_custkey").write.mode("overwrite").parquet(fact)
+    cust.repartitionByRange(4, "o_custkey").write.mode("overwrite").parquet(dim)
+    Z.write_zonemap(spark, fact, ["o_custkey"])
+    Z.write_zonemap(spark, dim, ["o_custkey"])
+    eng = Engine(spark=spark)
+    eng.register("ej_orders", fact)
+    eng.register("ej_cust", dim)
+    before = engine_mod.ANALYZE_COUNTS["side_scans"]
+    rep = eng.explain_join("ej_orders", "ej_cust", "o_custkey")
+    assert engine_mod.ANALYZE_COUNTS["side_scans"] == before
+    assert rep["left"]["source"] == rep["right"]["source"] == "manifest"
+    assert rep["left"]["rows"] == orders.count()
+    assert rep["right"]["rows"] == cust.count()
+    assert rep["left"]["est_bytes"] > rep["right"]["est_bytes"] > 0
+    # stale manifest (un-maintained append) -> falls back to ANALYZE
+    cust.limit(10).coalesce(1).write.mode("append").parquet(dim)
+    rep2 = eng.explain_join("ej_orders", "ej_cust", "o_custkey")
+    assert rep2["right"]["source"] == "analyze"
+    assert engine_mod.ANALYZE_COUNTS["side_scans"] == before + 1
+    # the registered view snapshots the pre-append file listing, so
+    # the ANALYZE pass counts the view's rows (the stale-manifest
+    # guard is about trust, not about re-listing the view)
+    assert rep2["right"]["rows"] == cust.count()
+    for v in ("ej_orders", "ej_cust"):
+        spark.catalog.dropTempView(v)
+
+
+def test_plan_join_injects_bloom_runtime_filter(spark, sf_dir):
+    """When neither side broadcasts and the estimate says the join is
+    selective, plan_join builds a sized Bloom bitset from the small
+    side's keys and pre-filters the BIG side before its shuffle —
+    Spark's AQE runtime bloom join, engine-portable. Results are
+    row-identical to the plain join (false positives re-checked by the
+    join; no false negatives by construction), and the deterministic
+    rebuild of the same bitset shows most probe rows never reach the
+    exchange."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators.sketches import (
+        BLOOM_SIZED_K,
+        bloom_filter_frame,
+        bloom_size,
+        bloom_words,
+    )
+
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    od = load(spark, sf_dir, "orders").filter("o_orderkey <= 150").select(
+        "o_orderkey", "o_totalprice"
+    )
+    eng = Engine(spark=spark)
+    joined = eng.plan_join(li, od, "o_orderkey", broadcast_threshold_bytes=0)
+    rep = eng.last_join_plan
+    assert rep["strategy"] == "shuffle_sort_merge"
+    rf = rep.get("runtime_filter")
+    assert rf is not None and rf["side"] == "left"
+    plain = li.join(od, "o_orderkey")
+    assert joined.count() == plain.count() > 0
+    # shuffle-reduction evidence: the identical (deterministic md5)
+    # bitset passes only a small fraction of the probe side
+    words_n, m = bloom_size(rep["right"]["rows"])
+    by_idx = {
+        int(r["word_idx"]): int(r["word"])
+        for r in bloom_words(od.select("o_orderkey"), "o_orderkey", m=m, k=BLOOM_SIZED_K).collect()
+    }
+    words = [by_idx.get(i, 0) for i in range(words_n)]
+    passed = (
+        bloom_filter_frame(li, words, F.col("o_orderkey").cast("string"), k=BLOOM_SIZED_K)
+        .filter("bp")
+        .count()
+    )
+    assert passed * 3 <= li.count()  # >= 2/3 of the shuffle input gone
+
+
+def test_plan_join_runtime_filter_skipped_when_unselective(spark, sf_dir):
+    """A non-selective shuffle join (every probe key matches) must NOT
+    pay for a runtime filter: the estimate gate leaves the join
+    untouched."""
+    from quack_reduce_spark.engine import Engine
+
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    eng = Engine(spark=spark)
+    joined = eng.plan_join(li, od, "o_orderkey", broadcast_threshold_bytes=0)
+    assert "runtime_filter" not in eng.last_join_plan
+    assert joined.count() == li.join(od, "o_orderkey").count()
