@@ -291,7 +291,28 @@ class Engine:
             except Exception:
                 return df, {}  # plan-shape drift: pushdown is best-effort
         rebinds: dict[str, tuple[list[str], int, dict]] = {}
+        dpp_applied: dict[str, dict] = {}
         try:
+            # dynamic file pruning from join dimensions: a star query
+            # filtering only the dim side derives the surviving join-
+            # key set (bounded values or envelope) from the dim
+            # subplan and intersects it into the fact scan's manifest
+            # constraints — fact files whose key range cannot meet any
+            # surviving dim key are skipped even though the query has
+            # no fact predicate at all (see zonemap_pushdown's DPP
+            # section for the soundness gates)
+            dpp = _zp.join_dim_constraints(
+                df,
+                {n: p for n, (p, _) in zm_tables.items()},
+                {n: c for n, (_, c) in zm_tables.items()},
+            )
+            for name, entry in dpp.items():
+                scans = cons.get(name)
+                if not scans or len(scans) != 1:
+                    continue  # one logical relation must be one scan
+                for col, (constraint, n_keys) in entry["cols"].items():
+                    _zp.merge_dim_constraint(scans, col, constraint)
+                    dpp_applied.setdefault(name, {})[col] = n_keys
             for name, scans in cons.items():
                 path, cols = zm_tables[name]
                 got = _zp.plan_pruned_files(self.spark, path, cols, scans)
@@ -344,6 +365,11 @@ class Engine:
                 "est_rows": stats["est_rows"],
                 "est_bytes": stats["est_bytes"],
                 "broadcast_hint": name in hints,
+                **(
+                    {"dpp": dpp_applied[name]}
+                    if name in dpp_applied
+                    else {}
+                ),
             }
             for name, (files, total, stats) in rebinds.items()
         }

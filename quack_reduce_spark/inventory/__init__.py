@@ -87,7 +87,7 @@ _MODULES = [
 # sf0.001/sf0.01 regardless of head selection; see
 # tests/test_inventory_counts.py for the registry-size drift gate.
 _HEAD = [
-    # Stable sentinels — Tier A + one per family, driver-green 9 rounds
+    # Stable sentinels — Tier A + one per family, driver-green 10 rounds
     "a01_scan_project", "a09_topk",
     "b_join_star_broadcast",
     "tpch_q1_full",
@@ -97,43 +97,39 @@ _HEAD = [
     "dedup_lsh_index_probe",
     "sim_cosine_topk",
     "graph_triangles",
-    # Never driver-sampled oracled keys (r10 additions missed the r10
-    # rotation — the r10 verdict's #1 evidence gap — plus the one r9
-    # key the r9/r10 heads never reached)
+    # Code changed/new this round (r12): dynamic file pruning from
+    # join dims (new key), the epoch-space timestamp manifest rewrite
+    # under the three zone-map keys, and explain_join's manifest-stat
+    # fast path under sketch_join_plan
+    "lake_dpp_star",
     "lake_zonemap_sql_pushdown",
-    "sketch_join_plan",
-    "mm_image_sig_dedup",
-    # Code changed/new this round (r11): Bloom bitset transport bound
-    # + enhanced-double-hashing probe derivation (plan change under
-    # sketch_bloom_semijoin); IN-list value-set zone-map pushdown (new
-    # key). sim_quantized_topk's r10 O(dim) fix also lands fresh under
-    # its r4-cohort slot below
-    "sketch_bloom_semijoin",
     "lake_zonemap_in_pushdown",
     "lake_manifest_stats",
-    "sim_filtered_topk",
-    # Stalest-evidence fill, oldest first: the full r4 cohort (last
-    # driver-green round 4) ...
-    "dedup_components", "dedup_incremental", "dedup_ngram_capped",
-    "dedup_ngram_jaccard", "dedup_substring",
-    "mm_frame_sample", "mm_video_scenes",
-    "sim_quantized_topk",
-    "stream_dedup_redelivery", "stream_session_agg",
-    "text_bm25_topk", "text_curation_pipeline", "text_decontaminate",
-    "text_epoch_order", "text_lang_id", "text_stratified_sample",
-    "tpch_q18_large_volume_customers",
-    "tpch_q21_suppliers_who_kept_waiting",
-    "tpch_q8_market_share", "tpch_q9_product_type_profit",
-    "ts_conversion_funnel", "ts_date_rollup", "ts_event_transitions",
-    "ts_session_window", "ts_tumbling_window",
-    "udf_trimmed_mean",
-    # ... then the most user-visible of the r5 cohort (mleval, dq,
-    # graph, mm, text curation — none sampled since round 5)
-    "ml_auc_rank",
-    "dq_expectations",
-    "graph_pagerank", "graph_bfs_layers",
-    "mm_image_stats", "mm_audio_rms",
-    "text_gopher_quality",
+    "sketch_join_plan",
+    # Stalest-evidence fill, oldest first: the FULL r5 cohort (31
+    # oracled keys last driver-green round 5 — the r11 verdict's
+    # rotation list) ...
+    "b2_skew_salted_join", "b3_recursive_cte", "b3_group_by_all",
+    "b3_lateral_join",
+    "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
+    "ts_ewma_smooth", "ts_sliding_window", "ts_asof_auto",
+    "ts_zscore_anomaly", "ts_retention_cohorts",
+    "lake_time_travel", "lake_change_feed", "lake_schema_evolution",
+    "stream_static_enrich", "stream_session_dynamic",
+    "stream_interval_join",
+    "text_pii_scrub", "text_lm_score", "text_mixture_weights",
+    "dedup_cross_source", "dedup_embedding_cosine",
+    "dedup_components_twophase",
+    "sim_pca_topk", "sim_nearest_centroid", "sim_ivf_topk",
+    "mm_image_resize",
+    "udf_arrow_scalar",
+    "ml_winsorize", "ml_feature_hashing",
+    "dq_referential_integrity",
+    # ... then the r6 keys the r11 verdict named: the portable ANN
+    # twins (the approximate family's hash-oracled representatives)
+    # and the graph battery's remaining pair
+    "dedup_simhash_portable", "dedup_embedding_lsh_portable",
+    "graph_pagerank_top", "graph_bfs_reach",
 ]
 
 

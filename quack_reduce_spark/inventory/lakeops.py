@@ -569,6 +569,67 @@ def lake_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lake_dpp_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic file pruning from a join dimension (round 12): a star
+    query whose ONLY predicate sits on the dim side — a NON-key column
+    (``c_name LIKE ...``), so Catalyst cannot infer any fact-side
+    constraint — still skips fact files: the engine derives the
+    surviving join-key set from the dim subplan at plan time
+    (plans/zonemap_pushdown.py::join_dim_constraints, the manifest
+    analogue of Spark's Dynamic Partition Pruning and of the
+    reference's hand-issued per-partition map queries,
+    ``benchmark.py:237``) and intersects it into the custkey-clustered
+    fact's manifest planning. Gates: the in-query ``_require`` proves
+    DPP fired AND read at most a third of the files; the DuckDB oracle
+    recomputes the join from the raw fixtures with a plain WHERE, so
+    the hash match proves key-set pruning lost and invented nothing."""
+    import uuid as _uuid
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = _fresh_dir(sf_dir, "lake_dpp")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(12, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_custkey"])
+    eng = Engine(spark=spark)
+    tag = _uuid.uuid4().hex[:8]
+    fact, dim = f"dppf_{tag}", f"dppd_{tag}"
+    eng.register(fact, path)
+    eng.register(dim, f"{sf_dir.rstrip('/')}/customer.parquet")
+    planned = eng.df(
+        f"SELECT o_orderstatus,"
+        f"       COUNT(*) AS n_orders,"
+        f"       FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS sum_price"
+        f" FROM {fact} JOIN {dim} ON o_custkey = c_custkey"
+        f" WHERE c_name LIKE 'Customer#00000000%'"
+        f" GROUP BY o_orderstatus"
+    )
+    rows = [
+        (r["o_orderstatus"], int(r["n_orders"]), float(r["sum_price"]))
+        for r in planned.collect()
+    ]
+    report = eng.last_zonemap_report.get(fact)
+    _require(report is not None, "engine did not plan from the zone map")
+    _require(
+        "dpp" in report and report["dpp"].get("o_custkey") is not None,
+        "no join-derived key set reached the fact scan", report,
+    )
+    _require(
+        report["files_read"] * 3 <= report["files_total"],
+        "dim-driven pruning failed to skip fact files", report,
+    )
+    for v in (fact, dim):
+        spark.catalog.dropTempView(v)
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, _ZM_SCHEMA)
+
+
 QUERIES = {
     "lake_time_travel": lake_time_travel,
     "lake_change_feed": lake_change_feed,
@@ -578,6 +639,7 @@ QUERIES = {
     "lake_zonemap_sql_pushdown": lake_zonemap_sql_pushdown,
     "lake_zonemap_in_pushdown": lake_zonemap_in_pushdown,
     "lake_manifest_stats": lake_manifest_stats,
+    "lake_dpp_star": lake_dpp_star,
 }
 
 
@@ -710,6 +772,16 @@ ORACLES = {
         WHERE o_orderdate IN (
             {", ".join(f"TIMESTAMP '{d} 00:00:00'" for d in IN_DATES)}
         )
+        GROUP BY o_orderstatus
+    """,
+    # join-dim-driven file pruning must be invisible in the answer:
+    # the oracle recomputes the star join over the raw fixtures
+    "lake_dpp_star": """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_name LIKE 'Customer#00000000%'
         GROUP BY o_orderstatus
     """,
 }

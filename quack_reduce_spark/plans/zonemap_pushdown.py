@@ -580,6 +580,276 @@ def scan_constraints(
     return out
 
 
+# -- dynamic file pruning from join dimensions (DPP on manifests) -----------
+#
+# The star-query gap: ``SELECT ... FROM fact JOIN dim ON fact.k = dim.k
+# WHERE dim.label = ...`` carries NO predicate on the fact side, so
+# per-scan constraint extraction finds nothing and every fact file is
+# read — the exact pattern Spark's own Dynamic Partition Pruning exists
+# for (and the one the reference hand-optimizes by issuing one query
+# per partition, benchmark.py:237). These helpers derive the surviving
+# JOIN-KEY set from the DIM side at plan time — the dim subplan is
+# wrapped back into a DataFrame and reduced to its distinct keys
+# (bounded) or its [min, max] envelope — and the engine intersects that
+# constraint into the fact scan's manifest planning, skipping fact
+# FILES whose key range cannot meet any surviving dim key.
+
+# A dim side bigger than this (static size estimate) is not worth a
+# plan-time subquery; real dims after a selective filter are far under.
+DPP_DIM_MAX_BYTES = 512 * 1024 * 1024
+# Distinct-key cap: at or below, the constraint is the exact VALUE SET
+# (binary-searched per file); above, the [min, max] envelope.
+DPP_MAX_KEYS = 4096
+_DPP_JOIN_TYPES = {"Inner", "Cross", "LeftSemi"}
+_DPP_KEY_TYPES = {
+    "integer", "long", "short", "byte", "double", "float",
+    "string", "date", "timestamp", "timestamp_ntz",
+}
+
+
+def _iter_nodes(root: Any):
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        yield node
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+
+
+def _equi_pairs(cond: Any) -> list[tuple[Any, Any]]:
+    """(left_attr, right_attr) pairs from the EqualTo conjuncts of a
+    join condition whose both sides are bare AttributeReferences."""
+    out: list[tuple[Any, Any]] = []
+    stack = [cond]
+    while stack:
+        e = stack.pop()
+        name = e.getClass().getSimpleName()
+        if name == "And":
+            stack.extend((e.left(), e.right()))
+        elif name == "EqualTo":
+            l, r = e.left(), e.right()
+            if (
+                l.getClass().getSimpleName() == "AttributeReference"
+                and r.getClass().getSimpleName() == "AttributeReference"
+            ):
+                out.append((l, r))
+    return out
+
+
+def _table_relations(root: Any, name_by_root: dict[str, str]) -> list[tuple[str, Any]]:
+    """(table name, LogicalRelation) for every registered-table leaf."""
+    out = []
+    for node in _iter_nodes(root):
+        if node.getClass().getSimpleName() != "LogicalRelation":
+            continue
+        try:
+            roots = node.relation().location().rootPaths()
+        except Exception:
+            continue  # non-file relation
+        names = {
+            name_by_root.get(_bare(roots.apply(j).toString()))
+            for j in range(roots.size())
+        }
+        names.discard(None)
+        if len(names) == 1:
+            out.append((names.pop(), node))
+    return out
+
+
+def _dim_key_values(
+    df: DataFrame, dim_plan: Any, key_attr: Any
+) -> tuple | None:
+    """Evaluate the dim subplan and reduce it to a constraint on its
+    join key: ``('in', values)`` for up to DPP_MAX_KEYS distinct keys,
+    ``('range', lo, hi)`` above that, or None when the side can't be
+    evaluated. Session-zoned timestamp keys are read as unix_micros —
+    the manifest's epoch space — so no collect-time rendering is
+    involved; NULL keys are dropped (an equi join never matches
+    NULL)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import DataFrame as _PyDF
+
+    spark = df.sparkSession
+    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        df._jdf.sparkSession(), dim_plan
+    )
+    dim = _PyDF(jdf, spark)
+    out = dim_plan.output()
+    idx = next(
+        (
+            i
+            for i in range(out.size())
+            if out.apply(i).exprId().id() == key_attr.exprId().id()
+        ),
+        None,
+    )
+    if idx is None:
+        return None
+    fresh = dim.toDF(*[f"c{i}" for i in range(len(dim.columns))])
+    key = F.col(f"c{idx}")
+    if key_attr.dataType().typeName() == "timestamp":
+        key = F.unix_micros(key)
+    keyed = fresh.select(key.alias("k")).where(F.col("k").isNotNull())
+    rows = keyed.distinct().limit(DPP_MAX_KEYS + 1).collect()
+    if len(rows) <= DPP_MAX_KEYS:
+        return ("in", frozenset(r["k"] for r in rows))
+    got = keyed.agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    ).first()
+    return ("range", got["lo"], got["hi"])
+
+
+def join_dim_constraints(
+    df: DataFrame,
+    paths_by_name: dict[str, str],
+    stats_cols_by_name: dict[str, list[str]],
+) -> dict[str, dict]:
+    """Per zone-mapped table: a join-derived constraint
+    ``{col: (lo, hi, vals, None), "n_keys": ...}`` from the OPTIMIZED
+    logical plan's equi joins — the engine intersects it into the fact
+    scan's manifest planning. Fired only when ALL of:
+
+    - the join is Inner/Cross/LeftSemi (fact rows without a dim match
+      never reach the output, so key-based file skipping is sound; for
+      LeftSemi only the LEFT side is prunable — the right side is
+      existence-only either way, but only left rows are output);
+    - the join key on the fact side is a bare attribute of the
+      registered table's relation AND one of its manifest stats
+      columns;
+    - the table's relation appears EXACTLY ONCE in the whole plan (a
+      second scan of the same table must not inherit this join's
+      keys);
+    - the dim side carries a Filter (Spark's own DPP gate: an
+      unfiltered dim prunes nothing worth a plan-time subquery) and
+      its static size estimate is under DPP_DIM_MAX_BYTES.
+
+    Cost: one bounded distinct-collect (or min/max aggregate) over the
+    filtered dim side per qualifying join — the same subquery Spark's
+    DPP executes — against file skipping on the fact side worth
+    ``(1 - selectivity) x fact bytes``. Multiple qualifying joins on
+    the same table intersect."""
+    name_by_root = {_bare(p): n for n, p in paths_by_name.items()}
+    opt = df._jdf.queryExecution().optimizedPlan()
+    rel_counts: dict[str, int] = {}
+    for name, _rel in _table_relations(opt, name_by_root):
+        rel_counts[name] = rel_counts.get(name, 0) + 1
+    out: dict[str, dict] = {}
+    for node in _iter_nodes(opt):
+        if node.getClass().getSimpleName() != "Join":
+            continue
+        if node.joinType().toString() not in _DPP_JOIN_TYPES:
+            continue
+        cond = node.condition()
+        if not cond.isDefined():
+            continue
+        pairs = _equi_pairs(cond.get())
+        if not pairs:
+            continue
+        semi = node.joinType().toString() == "LeftSemi"
+        sides = [(node.left(), node.right())]
+        if not semi:
+            sides.append((node.right(), node.left()))
+        for fact_side, dim_side in sides:
+            rels = _table_relations(fact_side, name_by_root)
+            for name, rel in rels:
+                cols = stats_cols_by_name.get(name)
+                if not cols or rel_counts.get(name) != 1:
+                    continue
+                rel_ids = set()
+                rout = rel.output()
+                for i in range(rout.size()):
+                    rel_ids.add(rout.apply(i).exprId().id())
+                for la, ra in pairs:
+                    # orient: which attr sits on the fact side?
+                    fact_attr, dim_attr = la, ra
+                    if fact_attr.exprId().id() not in rel_ids:
+                        fact_attr, dim_attr = ra, la
+                    if fact_attr.exprId().id() not in rel_ids:
+                        continue
+                    if fact_attr.name() not in cols:
+                        continue
+                    if dim_attr.dataType().typeName() not in _DPP_KEY_TYPES:
+                        continue
+                    if not any(
+                        m.getClass().getSimpleName() == "Filter"
+                        for m in _iter_nodes(dim_side)
+                    ):
+                        continue
+                    try:
+                        if int(dim_side.stats().sizeInBytes()) > DPP_DIM_MAX_BYTES:
+                            continue
+                        got = _dim_key_values(df, dim_side, dim_attr)
+                    except Exception:
+                        continue  # bridge drift / unevaluable side
+                    if got is None:
+                        continue
+                    if got[0] == "in":
+                        cons = (None, None, got[1], None)
+                        n_keys: int | None = len(got[1])
+                    else:
+                        cons = (got[1], got[2], None, None)
+                        n_keys = None
+                    entry = out.setdefault(name, {"cols": {}})
+                    col = fact_attr.name()
+                    if col in entry["cols"]:
+                        prev_cons, prev_nk = entry["cols"][col]
+                        nks = [x for x in (prev_nk, n_keys) if x is not None]
+                        entry["cols"][col] = (
+                            _and_constraints(prev_cons, cons),
+                            min(nks) if nks else None,
+                        )
+                    else:
+                        entry["cols"][col] = (cons, n_keys)
+    return out
+
+
+def _and_constraints(a: tuple, b: tuple) -> tuple:
+    """Conjunction of two (lo, hi, vals, nullness) constraints on one
+    column — ranges tighten, value sets intersect, a range filters a
+    value set."""
+    lo, hi, vals, nullness = a
+    lo2, hi2, vals2, nullness2 = b
+    if nullness2 == "null":
+        nullness = "null"
+    elif nullness2 == "isnotnull":
+        nullness = nullness or nullness2
+    if vals2 is not None:
+        vals2 = frozenset(
+            v
+            for v in vals2
+            if not (lo is not None and _lt(v, lo))
+            and not (hi is not None and _gt(v, hi))
+        )
+        vals = vals2 if vals is None else frozenset(set(vals) & set(vals2))
+        return (None, None, vals, nullness)
+    if lo2 is not None and (lo is None or _gt(lo2, lo)):
+        lo = lo2
+    if hi2 is not None and (hi is None or _lt(hi2, hi)):
+        hi = hi2
+    if vals is not None:
+        vals = frozenset(
+            v
+            for v in vals
+            if not (lo is not None and _lt(v, lo))
+            and not (hi is not None and _gt(v, hi))
+        )
+        return (None, None, vals, nullness)
+    return (lo, hi, None, nullness)
+
+
+def merge_dim_constraint(scans: list[dict], col: str, cons: tuple) -> None:
+    """Intersect a join-derived constraint into EVERY alternative of
+    every scan record of the (single-relation) table — sound because
+    the caller verified the table is scanned exactly once and every
+    output row must carry a surviving join key."""
+    for scan in scans:
+        for alt in scan["alts"]:
+            alt[col] = (
+                _and_constraints(alt[col], cons) if col in alt else cons
+            )
+
+
 _SHUFFLE_JOINS = {"SortMergeJoinExec", "ShuffledHashJoinExec"}
 
 

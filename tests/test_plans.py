@@ -1022,3 +1022,137 @@ def test_plan_join_runtime_filter_skipped_when_unselective(spark, sf_dir):
     joined = eng.plan_join(li, od, "o_orderkey", broadcast_threshold_bytes=0)
     assert "runtime_filter" not in eng.last_join_plan
     assert joined.count() == li.join(od, "o_orderkey").count()
+
+
+# -- dynamic file pruning from join dimensions (DPP on manifests) ------------
+
+
+@pytest.fixture(scope="module")
+def dpp_engine(spark, sf_dir, tmp_path_factory):
+    """An Engine with a custkey-clustered, zone-mapped orders copy
+    (``dpp_fact``, 12 files) and the raw customer fixture
+    (``dpp_dim``) registered — the star shape whose only predicate
+    lives on the dim side."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = str(tmp_path_factory.mktemp("dpp") / "orders")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(12, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_custkey"])
+    eng = Engine(spark=spark)
+    eng.register("dpp_fact", path)
+    eng.register("dpp_dim", f"{sf_dir}/customer.parquet")
+    return eng, path
+
+
+DPP_Q = (
+    "SELECT o_orderstatus, COUNT(*) AS n FROM dpp_fact "
+    "JOIN dpp_dim ON o_custkey = c_custkey "
+    "WHERE c_name LIKE 'Customer#00000000%' GROUP BY o_orderstatus"
+)
+
+
+def test_engine_sql_dpp_prunes_fact_from_dim_filter(spark, sf_dir, dpp_engine):
+    """The round-12 headline: a star query whose ONLY predicate sits on
+    the dim side (a non-key column, so Catalyst cannot infer a fact
+    constraint) still skips fact files — the engine derives the
+    surviving join-key set from the dim subplan at plan time and
+    intersects it into the fact scan's manifest planning. Keys 0..9
+    (the 8-zero name prefix) live in one of 12 custkey-clustered
+    files; the answer equals the plain join."""
+    eng, path = dpp_engine
+    d = eng.df(DPP_Q)
+    rep = eng.last_zonemap_report.get("dpp_fact")
+    assert rep is not None
+    assert rep["dpp"] == {"o_custkey": 10}
+    assert rep["files_read"] * 4 <= rep["files_total"] == 12
+    f = spark.read.parquet(path)
+    cust = load(spark, sf_dir, "customer").filter(
+        "c_name LIKE 'Customer#00000000%'"
+    )
+    want = sorted(
+        (r[0], r[1])
+        for r in f.join(cust, f.o_custkey == cust.c_custkey)
+        .groupBy("o_orderstatus")
+        .count()
+        .collect()
+    )
+    assert sorted((r[0], r[1]) for r in d.collect()) == want
+
+
+def test_engine_sql_dpp_envelope_fallback_above_key_cap(
+    spark, sf_dir, dpp_engine, monkeypatch
+):
+    """Past DPP_MAX_KEYS distinct dim keys the constraint degrades to
+    the [min, max] envelope (n_keys reported as None) — still pruning
+    on a clustered layout, still row-identical."""
+    from quack_reduce_spark.plans import zonemap_pushdown as _zp
+
+    monkeypatch.setattr(_zp, "DPP_MAX_KEYS", 4)
+    eng, path = dpp_engine
+    d = eng.df(DPP_Q)
+    rep = eng.last_zonemap_report.get("dpp_fact")
+    assert rep is not None and rep["dpp"] == {"o_custkey": None}
+    assert rep["files_read"] * 4 <= rep["files_total"]
+    f = spark.read.parquet(path)
+    cust = load(spark, sf_dir, "customer").filter(
+        "c_name LIKE 'Customer#00000000%'"
+    )
+    want = (
+        f.join(cust, f.o_custkey == cust.c_custkey)
+        .groupBy()
+        .count()
+        .first()[0]
+    )
+    assert sum(r["n"] for r in d.collect()) == want
+
+
+def test_engine_sql_dpp_skips_twice_scanned_table(spark, sf_dir, dpp_engine):
+    """Soundness gate: when the zone-mapped table appears twice in the
+    plan (here a self-join through two alias scans), the join-derived
+    key set of ONE scan must not prune the other — DPP declines and
+    the answer equals the plain computation."""
+    eng, path = dpp_engine
+    q = (
+        "SELECT COUNT(*) AS n FROM dpp_fact a "
+        "JOIN dpp_fact b ON a.o_orderkey = b.o_orderkey "
+        "JOIN dpp_dim ON a.o_custkey = c_custkey "
+        "WHERE c_name LIKE 'Customer#00000000%'"
+    )
+    d = eng.df(q)
+    rep = eng.last_zonemap_report.get("dpp_fact")
+    assert rep is None or "dpp" not in rep
+    f = spark.read.parquet(path)
+    cust = load(spark, sf_dir, "customer").filter(
+        "c_name LIKE 'Customer#00000000%'"
+    )
+    want = (
+        f.alias("a")
+        .join(f.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"))
+        .join(cust, F.col("a.o_custkey") == cust.c_custkey)
+        .count()
+    )
+    assert d.first()["n"] == want
+
+
+def test_engine_sql_dpp_outer_join_untouched(spark, sf_dir, dpp_engine):
+    """A LEFT OUTER star (fact preserved) must not prune fact files by
+    dim keys — unmatched fact rows belong in the output. DPP declines;
+    the answer keeps every fact row."""
+    eng, path = dpp_engine
+    q = (
+        "SELECT COUNT(*) AS n FROM dpp_fact "
+        "LEFT JOIN (SELECT * FROM dpp_dim "
+        "           WHERE c_name LIKE 'Customer#00000000%') d "
+        "ON o_custkey = d.c_custkey"
+    )
+    d = eng.df(q)
+    rep = eng.last_zonemap_report.get("dpp_fact")
+    assert rep is None or "dpp" not in rep
+    assert d.first()["n"] == spark.read.parquet(path).count()
