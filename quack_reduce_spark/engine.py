@@ -1351,13 +1351,18 @@ class Engine:
 
         if lake.is_versioned(path):
             pre_cols = stats_cols_of(lake.resolve(path))
+            pre_bloom = _zm.bloom_config(lake.resolve(path))
             version, data_dir = lake.stage_version(path)
             write_to(data_dir)
             n_after = verify(data_dir)
             if pre_cols:
                 # stats ride inside the immutable staged version, so
                 # the pointer flip commits data AND manifest atomically
-                _zm.write_zonemap(self.spark, data_dir, pre_cols)
+                # (bloom config carried explicitly: the staged dir is
+                # fresh, same-dir inheritance has nothing to read)
+                _zm.write_zonemap(
+                    self.spark, data_dir, pre_cols, bloom_cols=pre_bloom or None
+                )
             lake.write_manifest(path, version, op, n_after)
             lake.commit(path, version)
             return n_after
@@ -1385,6 +1390,7 @@ class Engine:
             if os.path.exists(leftover):
                 shutil.rmtree(leftover)
         pre_cols = stats_cols_of(path)
+        pre_bloom = _zm.bloom_config(path)
         write_to(staging)
         n_after = verify(staging)
         os.rename(path, aside)
@@ -1394,8 +1400,12 @@ class Engine:
             # rebuilt after the swap: a crash in between leaves a live
             # table without a manifest — queries fall back to full
             # scans (sound), never to a stale manifest (the guard
-            # would refuse it anyway since file counts differ)
-            _zm.write_zonemap(self.spark, path, pre_cols)
+            # would refuse it anyway since file counts differ). The
+            # bloom config was captured pre-swap: the old doc left
+            # with the aside copy
+            _zm.write_zonemap(
+                self.spark, path, pre_cols, bloom_cols=pre_bloom or None
+            )
         return n_after
 
     def write(self, df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options: str) -> None:

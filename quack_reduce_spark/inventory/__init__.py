@@ -102,6 +102,7 @@ _HEAD = [
     # under the three zone-map keys, and explain_join's manifest-stat
     # fast path under sketch_join_plan
     "lake_dpp_star",
+    "lake_bloom_pointlookup",
     "lake_zonemap_sql_pushdown",
     "lake_zonemap_in_pushdown",
     "lake_manifest_stats",
@@ -109,7 +110,7 @@ _HEAD = [
     # Stalest-evidence fill, oldest first: the FULL r5 cohort (31
     # oracled keys last driver-green round 5 — the r11 verdict's
     # rotation list) ...
-    "b2_skew_salted_join", "b3_recursive_cte", "b3_group_by_all",
+    "b2_skew_salted_join", "b3_recursive_cte",
     "b3_lateral_join",
     "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
     "ts_ewma_smooth", "ts_sliding_window", "ts_asof_auto",

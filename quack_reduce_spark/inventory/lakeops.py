@@ -630,6 +630,78 @@ def lake_dpp_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _ZM_SCHEMA)
 
 
+def lake_bloom_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom fingerprints (round 12): a point/IN lookup on a
+    column the table is NOT clustered by — every file's [min, max]
+    spans the whole key domain (the layout is hash-partitioned on a
+    different column), so envelope stats prune nothing — still skips
+    most files: ``write_zonemap(..., bloom_cols=...)`` stores a dense
+    per-file Bloom bitset (the Parquet-column-bloom / Iceberg-puffin
+    shape on plain parquet; built with the sketches module's
+    enhanced-double-hashing positions, ONE md5 per row) and the
+    engine's SQL pushdown probes it DRIVER-SIDE at plan time —
+    hashlib.md5 reproduces Spark's ``md5(cast(c as string))`` exactly,
+    so planning runs zero Spark jobs. The three probe keys are the
+    rank-1 / median / rank-n order keys, chosen by the same rule in
+    the DuckDB oracle, which recomputes the lookup over the raw
+    fixture — the hash match proves fingerprint skipping lost no rows
+    (no false negatives) and invented none."""
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = _fresh_dir(sf_dir, "lake_bloom")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(12, "o_custkey").write.mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_orderkey"], bloom_cols=["o_orderkey"])
+    kdf = spark.read.parquet(path).select("o_orderkey")
+    n = kdf.count()
+    ranked = kdf.withColumn(
+        "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+    )
+    ks = sorted(
+        r["o_orderkey"]
+        for r in ranked.where(F.col("rn").isin(1, (n + 1) // 2, n)).collect()
+    )
+    eng = Engine(spark=spark)
+    tag = _uuid.uuid4().hex[:8]
+    t = f"blm_{tag}"
+    eng.register(t, path)
+    d = eng.df(
+        f"SELECT o_orderkey, o_orderstatus,"
+        f"       FLOOR(o_totalprice * 100 + 0.5) / 100 AS price"
+        f" FROM {t}"
+        f" WHERE o_orderkey IN ({', '.join(str(k) for k in ks)})"
+        f" ORDER BY o_orderkey"
+    )
+    rows = [
+        (int(r["o_orderkey"]), r["o_orderstatus"], float(r["price"]))
+        for r in d.collect()
+    ]
+    rep = eng.last_zonemap_report.get(t)
+    _require(rep is not None, "engine did not plan from the zone map")
+    _require(
+        rep["files_read"] * 2 <= rep["files_total"] == 12,
+        "bloom fingerprints failed to skip files on the random layout",
+        rep,
+    )
+    spark.catalog.dropTempView(t)
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, _BLOOM_SCHEMA)
+
+
+_BLOOM_SCHEMA = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_orderstatus", StringType()),
+        StructField("price", DoubleType()),
+    ]
+)
+
+
 QUERIES = {
     "lake_time_travel": lake_time_travel,
     "lake_change_feed": lake_change_feed,
@@ -640,6 +712,7 @@ QUERIES = {
     "lake_zonemap_in_pushdown": lake_zonemap_in_pushdown,
     "lake_manifest_stats": lake_manifest_stats,
     "lake_dpp_star": lake_dpp_star,
+    "lake_bloom_pointlookup": lake_bloom_pointlookup,
 }
 
 
@@ -783,5 +856,22 @@ ORACLES = {
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE c_name LIKE 'Customer#00000000%'
         GROUP BY o_orderstatus
+    """,
+    # fingerprint skipping must be invisible in the answer: the oracle
+    # recomputes the same rank-chosen point lookup over the raw fixture
+    "lake_bloom_pointlookup": """
+        SELECT o_orderkey, o_orderstatus,
+               FLOOR(o_totalprice * 100 + 0.5) / 100 AS price
+        FROM orders
+        WHERE o_orderkey IN (
+            SELECT o_orderkey FROM (
+                SELECT o_orderkey,
+                       ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn,
+                       COUNT(*) OVER () AS cnt
+                FROM orders
+            )
+            WHERE rn = 1 OR rn = (cnt + 1) // 2 OR rn = cnt
+        )
+        ORDER BY o_orderkey
     """,
 }

@@ -264,6 +264,7 @@ def _write_list(
     cols: list[str],
     groups: dict[str, dict],
     types: dict[str, str] | None = None,
+    bloom: dict[str, dict] | None = None,
 ) -> None:
     """Commit the manifest list. Version 3: session-zoned timestamp
     bounds are epoch-micros ints (``types`` records the SOURCE column
@@ -281,6 +282,8 @@ def _write_list(
     }
     if types:
         doc["types"] = types
+    if bloom:
+        doc["bloom"] = bloom
     fs = _fs_for(data_dir)
     p = _list_path(data_dir)
     prev = fs.mtime(p)
@@ -314,6 +317,172 @@ def _group_summaries(stats_g: DataFrame, cols: list[str]) -> dict[str, dict]:
             },
         }
     return out
+
+
+# -- per-file Bloom fingerprints (point-lookup skipping) --------------------
+#
+# Min/max envelopes are a LAYOUT property: on a column the table is not
+# clustered by, every file's interval spans the whole domain and a
+# point lookup (`WHERE id = X`, `id IN (...)`) reads everything. Real
+# formats fix this with per-file membership fingerprints (Parquet
+# column bloom filters, Iceberg puffin blobs): a compact bitset per
+# file that answers "can this file contain value v?" with no false
+# negatives. This section hoists that into the manifest: a dense
+# 62-bit-word Bloom bitset per (file, column), built with the SAME
+# enhanced-double-hashing positions operators/sketches.py uses (one
+# md5 per value), probed DRIVER-SIDE at plan time — hashlib.md5 of the
+# value's string rendering reproduces Spark's ``md5(cast(c as
+# string))`` exactly, so no Spark job runs to plan. Equality and
+# IN-list constraints then prune files on ANY layout; join-derived DPP
+# key sets get the same treatment for free, which is what makes a
+# star lookup on an unclustered fact skip files.
+
+# column types whose Spark cast-to-string rendering is reproduced
+# bit-exactly by Python str(): integer-family digits and raw strings.
+# (floats/dates/timestamps render differently engine-to-engine and a
+# mismatch would be an UNSOUND false negative, so they are refused.)
+_BLOOM_TYPES = {"integer", "long", "short", "byte", "string"}
+BLOOM_BPK = 10  # bits per key: ~0.9% fp at k=5
+BLOOM_K = 5
+
+
+def _bloom_positions_py(v: Any, m: int, k: int) -> list[int] | None:
+    """Driver-side twin of ``sketches.bloom_positions(cast(c as
+    string))``: one md5 of the value's UTF-8 string rendering, h1/h2
+    from the two leading 32-bit digest halves (h2 forced odd), probes
+    ``(h1 + i*h2 + (i^3-i)/6) mod m``. Returns None for values whose
+    Python rendering is not guaranteed to match Spark's (the caller
+    must then skip the bloom test — sound)."""
+    if isinstance(v, bool) or not isinstance(v, (int, str)):
+        return None
+    d = hashlib.md5(str(v).encode("utf-8")).hexdigest()
+    h1 = int(d[0:8], 16)
+    h2 = int(d[8:16], 16) | 1
+    return [(h1 + i * h2 + (i * i * i - i) // 6) % m for i in range(k)]
+
+
+def _bloom_word_frame(df: DataFrame, c: str, m: int, k: int) -> DataFrame:
+    """``(file, bloom_<c>)``: per-file DENSE Bloom bitset of column
+    ``c`` as ``array<long>`` of ``m/62`` words — one extra distributed
+    pass over the table (explode k positions per row, two
+    map-side-combinable aggregates onto #files keys). NULLs never set
+    bits (an equality can't match NULL)."""
+    from quack_reduce_spark.operators.sketches import (
+        BLOOM_WORD_BITS,
+        _bit_of,
+        bloom_positions,
+    )
+
+    words_n = m // BLOOM_WORD_BITS
+    pos = (
+        df.select(
+            F.col("_metadata.file_path").alias("file"),
+            F.col(c).cast("string").alias("__v"),
+        )
+        .where(F.col("__v").isNotNull())
+        .select(
+            "file",
+            F.explode(
+                F.array(*bloom_positions(F.col("__v"), m=m, k=k))
+            ).alias("p"),
+        )
+    )
+    sparse = pos.groupBy(
+        "file", F.floor(F.col("p") / BLOOM_WORD_BITS).cast("long").alias("wi")
+    ).agg(F.bit_or(_bit_of(F.col("p"))).alias("w"))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(words_n - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__bm"), i.cast("long")), F.lit(0).cast("long")
+        ),
+    )
+    return sparse.groupBy("file").agg(
+        F.map_from_entries(F.collect_list(F.struct("wi", "w"))).alias("__bm")
+    ).select("file", dense.alias(f"bloom_{c}"))
+
+
+def _bloom_m_for(max_rows: int, bpk: int) -> int:
+    from quack_reduce_spark.operators.sketches import BLOOM_WORD_BITS
+
+    words = max(1, (max(1, int(max_rows)) * bpk + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS)
+    return words * BLOOM_WORD_BITS
+
+
+def _validate_bloom_cols(
+    types: dict[str, str], cols: list[str], bloom_cols: list[str]
+) -> None:
+    for c in bloom_cols:
+        if c not in cols:
+            raise ValueError(
+                f"bloom column {c!r} must also be a stats column (have {cols})"
+            )
+        if types.get(c) not in _BLOOM_TYPES:
+            raise ValueError(
+                f"bloom fingerprints support {sorted(_BLOOM_TYPES)} columns; "
+                f"{c!r} is {types.get(c)!r} (its string rendering is not "
+                f"portable between the build and the driver-side probe)"
+            )
+
+
+def _attach_blooms(
+    df: DataFrame, stats: DataFrame, bloom_doc: dict[str, dict]
+) -> DataFrame:
+    """Left-join each bloom column's per-file word arrays onto the
+    stats frame (files the data scan never saw — empty parquet parts —
+    keep a NULL bitset, which the probe treats as 'no fingerprint:
+    keep the file')."""
+    for c, cfg in bloom_doc.items():
+        stats = stats.join(
+            _bloom_word_frame(df, c, int(cfg["m"]), int(cfg["k"])), "file", "left"
+        )
+    return stats
+
+
+def _bloom_any(
+    row: dict,
+    col: str,
+    vals: Any,
+    mn: Any,
+    mx: Any,
+    cfg: dict,
+    memo: dict,
+) -> bool:
+    """Can SOME candidate value be in this file, per its Bloom
+    fingerprint? Probes only values inside the file's [mn, mx] when
+    the set is sorted; positions are memoized per value across files
+    (the md5 depends only on the value). A file with no stored bitset
+    (pre-fingerprint or empty) is kept. No false negatives: every
+    present value's bits were set by the build pass."""
+    from quack_reduce_spark.operators.sketches import BLOOM_WORD_BITS
+
+    bm = row.get(f"bloom_{col}")
+    if bm is None:
+        return True
+    m, k = int(cfg["m"]), int(cfg["k"])
+    it = vals
+    if isinstance(vals, tuple):
+        i = 0 if mn is None else bisect.bisect_left(vals, mn)
+        j = len(vals) if mx is None else bisect.bisect_right(vals, mx)
+        it = vals[i:j]
+    n_words = len(bm)
+    for v in it:
+        pos = memo.get((col, v))
+        if pos is None:
+            pos = _bloom_positions_py(v, m, k)
+            if pos is None:
+                return True  # unportable rendering: no test (sound)
+            memo[(col, v)] = pos
+        hit = True
+        for p in pos:
+            wi = p // BLOOM_WORD_BITS
+            if wi >= n_words:
+                return True  # bitset/doc width drift: keep (sound)
+            if not (bm[wi] >> (p % BLOOM_WORD_BITS)) & 1:
+                hit = False
+                break
+        if hit:
+            return True
+    return False
 
 
 # -- stats build -----------------------------------------------------------
@@ -464,21 +633,61 @@ def _write_grouped(
     )
 
 
-def write_zonemap(spark: SparkSession, data_dir: str, cols: list[str]) -> int:
+def write_zonemap(
+    spark: SparkSession,
+    data_dir: str,
+    cols: list[str],
+    bloom_cols: list[str] | dict[str, dict] | None = None,
+    bloom_bits_per_key: int = BLOOM_BPK,
+    bloom_k: int = BLOOM_K,
+) -> int:
     """Build and persist the grouped manifest at ``<data_dir>/_zonemap``
     (one manifest per data directory + ``_list.json``). Returns the
     number of data files covered. Rebuild after any rewrite of the
     table; the versioned-lake integration gets this for free because
     version directories are immutable (stats written once per version
-    can never go stale)."""
-    types = _source_types(spark.read.parquet(data_dir), cols)
+    can never go stale).
+
+    ``bloom_cols``: integer/string stats columns that additionally get
+    a per-file Bloom FINGERPRINT (dense 62-bit-word bitset, sized
+    ``bloom_bits_per_key`` bits per row of the largest file) — point
+    and IN-list lookups then skip files on ANY layout, not just
+    clustered ones. ``None`` (the default) INHERITS the previous
+    manifest's fingerprint config, so maintenance rebuilds
+    (compact/optimize/cluster) preserve fingerprints without the
+    caller knowing about them; pass ``[]`` to drop them explicitly.
+    Cost: one extra distributed pass over the table per fingerprinted
+    column at build time; ~``bpk``/8 bytes per row per column in the
+    manifest."""
+    df = spark.read.parquet(data_dir)
+    types = _source_types(df, cols)
+    inherited: dict[str, dict] = {}
+    if bloom_cols is None:
+        prev = _read_list(data_dir)
+        inherited = dict((prev or {}).get("bloom") or {})
+        bloom_cols = [c for c in inherited if c in cols]
+    elif isinstance(bloom_cols, dict):
+        # a carried-over config (bloom_config of a table about to be
+        # rewritten into a FRESH directory, where same-dir inheritance
+        # has nothing to read): per-column bpk/k survive the move
+        inherited = dict(bloom_cols)
+        bloom_cols = [c for c in inherited if c in cols]
+    _validate_bloom_cols(types, cols, bloom_cols)
     stats = _cover_empty_files(
         spark, data_dir, zonemap_stats(spark, data_dir, cols), _data_files(data_dir)
     )
+    bloom_doc: dict[str, dict] = {}
+    if bloom_cols:
+        max_rows = stats.agg(F.max("n_rows")).first()[0] or 1
+        for c in bloom_cols:
+            bpk = int(inherited.get(c, {}).get("bpk", bloom_bits_per_key))
+            k = int(inherited.get(c, {}).get("k", bloom_k))
+            bloom_doc[c] = {"m": _bloom_m_for(max_rows, bpk), "k": k, "bpk": bpk}
+        stats = _attach_blooms(df, stats, bloom_doc)
     stats_g = _with_groups(stats).localCheckpoint()
     _write_grouped(spark, data_dir, stats_g, dynamic=False)
     groups = _group_summaries(stats_g, cols)
-    _write_list(data_dir, cols, groups, types=types)
+    _write_list(data_dir, cols, groups, types=types, bloom=bloom_doc or None)
     return sum(g["n_files"] for g in groups.values())
 
 
@@ -506,6 +715,15 @@ def zonemap_cols(data_dir: str) -> list[str]:
     if doc is not None:
         return list(doc["cols"])
     return []
+
+
+def bloom_config(data_dir: str) -> dict[str, dict]:
+    """The manifest's Bloom-fingerprint config ``{col: {m, k, bpk}}``
+    (empty when none) — capture it BEFORE a rewrite that stages into a
+    fresh directory and pass it back as ``write_zonemap(...,
+    bloom_cols=<config>)`` so fingerprints survive the move."""
+    doc = _read_list(data_dir)
+    return dict((doc or {}).get("bloom") or {})
 
 
 def _data_files(data_dir: str) -> list[str]:
@@ -649,6 +867,12 @@ def append_zonemap(
         .groupBy("file")
         .agg(*_stat_aggs(cols))
     )
+    bloom_doc = dict((doc or {}).get("bloom") or {})
+    if bloom_doc:
+        # fingerprint the DELTA files with the manifest's recorded
+        # m/k — a delta file larger than the build's sizing basis gets
+        # a denser (higher-fp) bitset, never a false negative
+        fresh = _attach_blooms(df, fresh, bloom_doc)
     fresh = _cover_empty_files(spark, data_dir, fresh, fresh_files)
     fresh_g = _with_groups(fresh)
     # merge back ONLY the old rows of groups that actually gained
@@ -666,7 +890,10 @@ def append_zonemap(
         old_g = _with_groups(_epochize_stats(old_touched, types)).filter(
             F.col("__g").isin(*fresh_toks)
         )
-        merged = old_g.unionByName(fresh_g)
+        # allowMissingColumns: a bloom column enabled after the old
+        # group was written (or vice versa) fills NULL bitsets, which
+        # the probe treats as 'no fingerprint: keep the file'
+        merged = old_g.unionByName(fresh_g, allowMissingColumns=True)
     else:
         merged = fresh_g
     # localCheckpoint pins the touched groups' old rows in memory so
@@ -675,7 +902,7 @@ def append_zonemap(
     _write_grouped(spark, data_dir, merged, dynamic=True)
     for tok, entry in _group_summaries(merged, cols).items():
         groups[tok] = entry
-    _write_list(data_dir, cols, groups, types=types)
+    _write_list(data_dir, cols, groups, types=types, bloom=bloom_doc or None)
     return len(fresh_files)
 
 
@@ -744,7 +971,12 @@ def _any_in_interval(vals: Any, mn: Any, mx: Any) -> bool:
     return any(mn <= v <= mx for v in vals)
 
 
-def _file_matches(row: dict, constraints: dict[str, tuple]) -> bool:
+def _file_matches(
+    row: dict,
+    constraints: dict[str, tuple],
+    bloom: dict[str, dict] | None = None,
+    bloom_memo: dict | None = None,
+) -> bool:
     """Python twin of the manifest range filter: the file survives iff
     EVERY constrained column's stats can hold a matching row. A
     ``(lo, hi, vals, nullness)`` constraint checks, in order: IS NULL
@@ -752,7 +984,14 @@ def _file_matches(row: dict, constraints: dict[str, tuple]) -> bool:
     (ranges, IN value sets, IS NOT NULL) cannot match an all-NULL file
     (NULL min/max); then the [min, max] interval must intersect the
     range / hold some IN value. Incomparable values keep the file
-    (sound); a missing null-count stat keeps the file too."""
+    (sound); a missing null-count stat keeps the file too.
+
+    ``bloom``: per-column fingerprint config — equality and IN-list
+    constraints on fingerprinted columns additionally require SOME
+    candidate value to pass the file's Bloom bitset, which is what
+    prunes point lookups on layouts min/max can't help (the bitset has
+    no false negatives, so this only ever skips files that provably
+    lack every candidate)."""
     for col, constraint in constraints.items():
         lo, hi, vals = constraint[0], constraint[1], constraint[2]
         nullness = constraint[3] if len(constraint) > 3 else None
@@ -764,14 +1003,28 @@ def _file_matches(row: dict, constraints: dict[str, tuple]) -> bool:
             continue
         if mn is None and mx is None:
             return False
+        fp = (bloom or {}).get(col)
         try:
             if vals is not None:
                 if not _any_in_interval(vals, mn, mx):
+                    return False
+                if fp is not None and not _bloom_any(
+                    row, col, vals, mn, mx, fp, bloom_memo if bloom_memo is not None else {}
+                ):
                     return False
                 continue
             if lo is not None and mx < lo:
                 return False
             if hi is not None and mn > hi:
+                return False
+            if (
+                fp is not None
+                and lo is not None
+                and lo == hi
+                and not _bloom_any(
+                    row, col, (lo,), mn, mx, fp, bloom_memo if bloom_memo is not None else {}
+                )
+            ):
                 return False
         except TypeError:
             continue  # incomparable: keep the file
@@ -847,6 +1100,8 @@ def prune_files_multi(
     metadata, #files-scale — the cost every table format pays)."""
     doc, epoch = _read_list_cached(data_dir)
     session_tz = spark.conf.get("spark.sql.session.timeZone")
+    bloom = dict((doc or {}).get("bloom") or {})
+    bloom_memo: dict = {}
     if doc is None:
         zm = read_zonemap(spark, data_dir)  # legacy layout: uncached
         IO_COUNTS["group_reads"] += 1
@@ -881,7 +1136,9 @@ def prune_files_multi(
         if not live:
             return [], total
         rows = _group_rows(spark, data_dir, live, (epoch, session_tz))
-    return [r for r in rows if _file_matches(r, constraints)], total
+    return [
+        r for r in rows if _file_matches(r, constraints, bloom, bloom_memo)
+    ], total
 
 
 def manifest_stats(spark: SparkSession, data_dir: str) -> dict:

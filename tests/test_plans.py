@@ -1156,3 +1156,75 @@ def test_engine_sql_dpp_outer_join_untouched(spark, sf_dir, dpp_engine):
     rep = eng.last_zonemap_report.get("dpp_fact")
     assert rep is None or "dpp" not in rep
     assert d.first()["n"] == spark.read.parquet(path).count()
+
+
+# -- per-file Bloom fingerprints through the SQL surface ----------------------
+
+
+def test_engine_sql_point_lookup_prunes_via_bloom(spark, sf_dir, tmp_path):
+    """A plain SQL equality on a column the table is NOT clustered by
+    still skips files: the layout is hash-partitioned on another
+    column, so every file's [min, max] spans the key — the per-file
+    Bloom fingerprint is the only thing that can prune, and the
+    pushdown probes it driver-side at plan time."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = str(tmp_path / "orders_blm")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(12, "o_custkey").write.mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_orderkey"], bloom_cols=["o_orderkey"])
+    full = spark.read.parquet(path)
+    n = full.count()
+    key = (
+        full.select("o_orderkey").orderBy("o_orderkey").offset(n // 2).limit(1).first()[0]
+    )
+    eng = Engine(spark=spark)
+    eng.register("blm_t", path)
+    d = eng.df(f"SELECT COUNT(*) AS n FROM blm_t WHERE o_orderkey = {key}")
+    got = d.first()["n"]
+    rep = eng.last_zonemap_report.get("blm_t")
+    assert rep is not None and rep["files_total"] == 12
+    assert rep["files_read"] <= 3
+    assert got == full.filter(F.col("o_orderkey") == key).count() > 0
+    spark.catalog.dropTempView("blm_t")
+
+
+def test_engine_sql_dpp_and_bloom_prune_unclustered_fact(spark, sf_dir, tmp_path):
+    """The two round-12 features COMPOSE: a star query filtering only
+    the dim side, over a fact that is NOT clustered by the join key,
+    still skips fact files — DPP derives the surviving join-key set
+    from the dim subplan, and the per-file Bloom fingerprint (not the
+    useless min/max envelope) tests it against each file."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = str(tmp_path / "fact_blm")
+    # one order per customer, round-robin across 12 files: each file
+    # holds ~1/12th of the custkeys, in no particular order
+    fact = load(spark, sf_dir, "orders").dropDuplicates(["o_custkey"])
+    fact.repartition(12).write.mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_custkey"], bloom_cols=["o_custkey"])
+    eng = Engine(spark=spark)
+    eng.register("fblm", path)
+    eng.register("dblm", f"{sf_dir}/customer.parquet")
+    # exactly ONE dim row survives the filter -> one join key -> the
+    # bloom probe keeps only the file(s) that can hold that key
+    one = load(spark, sf_dir, "customer").select("c_name").orderBy("c_custkey").first()[0]
+    d = eng.df(
+        "SELECT COUNT(*) AS n FROM fblm JOIN dblm ON o_custkey = c_custkey "
+        f"WHERE c_name = '{one}'"
+    )
+    got = d.first()["n"]
+    rep = eng.last_zonemap_report.get("fblm")
+    assert rep is not None and rep.get("dpp") == {"o_custkey": 1}
+    assert rep["files_read"] <= 3 < rep["files_total"] == 12
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_name") == one)
+    want = (
+        spark.read.parquet(path)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .count()
+    )
+    assert got == want == 1
+    for v in ("fblm", "dblm"):
+        spark.catalog.dropTempView(v)

@@ -694,3 +694,193 @@ def test_list_commit_mtime_strictly_increases(spark, sf_dir, tmp_path):
     tok2 = json.loads(open(lp).read())["commit"]
     assert mt2 > mt1
     assert tok1 != tok2
+
+
+# -- per-file Bloom fingerprints (point-lookup skipping) ---------------------
+
+
+@pytest.fixture(scope="module")
+def bloom_layout(spark, sf_dir, tmp_path_factory):
+    """Orders hash-scattered on o_custkey across 12 files — RANDOM with
+    respect to o_orderkey, so every file's [min, max] spans the whole
+    key domain and envelope stats prune nothing — fingerprinted on
+    o_orderkey."""
+    path = str(tmp_path_factory.mktemp("blm") / "orders_bloom")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(12, "o_custkey").write.mode("overwrite").parquet(path)
+    n = Z.write_zonemap(spark, path, ["o_orderkey"], bloom_cols=["o_orderkey"])
+    assert n == 12
+    return path
+
+
+def test_bloom_point_lookup_prunes_random_layout(spark, bloom_layout):
+    """A single-key equality on the unclustered key reads a small
+    fraction of the files (the key lives in ONE file; false positives
+    add at most a couple) and the pruned read equals the plain
+    filter. Envelope stats alone keep all 12 — fingerprints are doing
+    the skipping."""
+    path = bloom_layout
+    full = spark.read.parquet(path)
+    # a MID-domain key: on the random layout every file's [min, max]
+    # interval contains it (the global min/max would be isolable by
+    # envelope stats alone — no fingerprint needed there)
+    n = full.count()
+    key = (
+        full.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .offset(n // 2)
+        .limit(1)
+        .first()[0]
+    )
+    rows, total = Z.prune_files_multi(spark, path, {"o_orderkey": (key, key, None, None)})
+    assert total == 12
+    assert 1 <= len(rows) <= 3
+    files = [r["file"] for r in rows]
+    got = spark.read.parquet(*files).filter(F.col("o_orderkey") == key).count()
+    assert got == full.filter(F.col("o_orderkey") == key).count() > 0
+    # the same lookup against min/max alone cannot prune: every file's
+    # interval holds the key (layout property, asserted not assumed)
+    zm = Z.read_zonemap(spark, path)
+    spanning = zm.filter(
+        (F.col("min_o_orderkey") <= key) & (F.col("max_o_orderkey") >= key)
+    ).count()
+    assert spanning == 12
+
+
+def test_bloom_no_false_negatives_sampled_keys(spark, bloom_layout):
+    """Every one of 100 sampled PRESENT keys is found in full through
+    the fingerprint-pruned file set — the no-false-negative contract
+    that makes skipping sound."""
+    path = bloom_layout
+    full = spark.read.parquet(path)
+    sample = [
+        r[0]
+        for r in full.select("o_orderkey").distinct().orderBy("o_orderkey").limit(100).collect()
+    ]
+    want = {
+        r[0]: r[1]
+        for r in full.groupBy("o_orderkey").count().where(F.col("o_orderkey").isin(sample)).collect()
+    }
+    for v in sample:
+        rows, _ = Z.prune_files_multi(spark, path, {"o_orderkey": (v, v, None, None)})
+        files = [r["file"] for r in rows]
+        got = (
+            spark.read.parquet(*files).filter(F.col("o_orderkey") == v).count()
+            if files
+            else 0
+        )
+        assert got == want[v], f"key {v}: {got} != {want[v]}"
+
+
+def test_bloom_absent_key_reads_nothing(spark, bloom_layout):
+    """A key outside the table reads zero-to-few files (false positives
+    only) and the re-applied filter returns zero rows either way."""
+    path = bloom_layout
+    mx = spark.read.parquet(path).agg(F.max("o_orderkey")).first()[0]
+    rows, total = Z.prune_files_multi(
+        spark, path, {"o_orderkey": (mx + 999_983, mx + 999_983, None, None)}
+    )
+    assert len(rows) <= 2 < total
+
+
+def test_bloom_in_list_prunes_and_matches(spark, bloom_layout):
+    """An IN-list over three scattered keys reads at most a handful of
+    files and the pruned scan equals the plain IN filter."""
+    path = bloom_layout
+    full = spark.read.parquet(path)
+    ks = [r[0] for r in full.select("o_orderkey").distinct().orderBy("o_orderkey").limit(601).collect()]
+    probe = [ks[0], ks[len(ks) // 2], ks[-1]]
+    rows, total = Z.prune_files_multi(
+        spark, path, {"o_orderkey": (None, None, frozenset(probe), None)}
+    )
+    assert total == 12 and len(rows) <= 6
+    files = [r["file"] for r in rows]
+    got = spark.read.parquet(*files).filter(F.col("o_orderkey").isin(probe)).count()
+    assert got == full.filter(F.col("o_orderkey").isin(probe)).count() > 0
+
+
+def test_bloom_append_fingerprints_delta_files(spark, sf_dir, tmp_path):
+    """append_zonemap fingerprints the DELTA files with the manifest's
+    recorded m/k: a key that exists ONLY in the appended file is found
+    exactly, reading at most a couple of files."""
+    path = str(tmp_path / "blm_append")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(6, "o_custkey").write.mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_orderkey"], bloom_cols=["o_orderkey"])
+    mx = spark.read.parquet(path).agg(F.max("o_orderkey")).first()[0]
+    delta_key = int(mx) + 7_777_777
+    delta = orders.limit(50).withColumn(
+        "o_orderkey", F.lit(delta_key).cast("long") + F.monotonically_increasing_id() * 0
+    )
+    # one appended file holding 50 rows of a single brand-new key
+    delta.coalesce(1).write.mode("append").parquet(path)
+    added = Z.append_zonemap(spark, path, ["o_orderkey"])
+    assert added == 1
+    rows, total = Z.prune_files_multi(
+        spark, path, {"o_orderkey": (delta_key, delta_key, None, None)}
+    )
+    assert total == 7
+    # min/max already isolates the delta file here (its key is above
+    # every old max) — the point is the bloom test KEEPS it (no false
+    # negative on the delta's own fingerprint) and the read is exact
+    assert len(rows) == 1
+    got = spark.read.parquet(*[r["file"] for r in rows]).filter(
+        F.col("o_orderkey") == delta_key
+    ).count()
+    assert got == 50
+    # and a PRE-APPEND key still resolves through the merged manifest
+    old_key = spark.read.parquet(path).agg(F.min("o_orderkey")).first()[0]
+    rows2, _ = Z.prune_files_multi(
+        spark, path, {"o_orderkey": (old_key, old_key, None, None)}
+    )
+    files2 = [r["file"] for r in rows2]
+    got2 = spark.read.parquet(*files2).filter(F.col("o_orderkey") == old_key).count()
+    assert got2 == spark.read.parquet(path).filter(F.col("o_orderkey") == old_key).count() > 0
+
+
+def test_bloom_rebuild_inherits_and_rewrite_preserves(spark, sf_dir, tmp_path):
+    """write_zonemap with no bloom_cols INHERITS the previous config
+    (maintenance rebuilds keep fingerprints without knowing about
+    them), and an Engine.delete_where rewrite — which stages into a
+    fresh directory — carries the config across the swap."""
+    from quack_reduce_spark.engine import Engine
+
+    path = str(tmp_path / "blm_rewrite")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(6, "o_custkey").write.mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_orderkey"], bloom_cols=["o_orderkey"])
+    cfg0 = Z.bloom_config(path)
+    assert set(cfg0) == {"o_orderkey"} and cfg0["o_orderkey"]["k"] >= 1
+    # plain rebuild: inherited
+    Z.write_zonemap(spark, path, ["o_orderkey"])
+    assert set(Z.bloom_config(path)) == {"o_orderkey"}
+    # engine rewrite into a fresh staged dir: carried explicitly
+    eng = Engine(spark=spark)
+    cut = spark.read.parquet(path).agg(F.max("o_orderkey")).first()[0]
+    eng.delete_where(path, f"o_orderkey = {cut}")
+    cfg2 = Z.bloom_config(path)
+    assert set(cfg2) == {"o_orderkey"}
+    key = spark.read.parquet(path).agg(F.min("o_orderkey")).first()[0]
+    rows, total = Z.prune_files_multi(spark, path, {"o_orderkey": (key, key, None, None)})
+    assert len(rows) < total  # fingerprints still pruning post-rewrite
+    got = spark.read.parquet(*[r["file"] for r in rows]).filter(
+        F.col("o_orderkey") == key
+    ).count()
+    assert got == spark.read.parquet(path).filter(F.col("o_orderkey") == key).count()
+
+
+def test_bloom_refuses_unportable_column_types(spark, sf_dir, tmp_path):
+    """Fingerprints on float/date/timestamp columns are refused at
+    build time: their string renderings differ between the Spark build
+    and the driver-side probe, and a mismatch would be an UNSOUND
+    false negative."""
+    path = str(tmp_path / "blm_types")
+    load(spark, sf_dir, "orders").limit(200).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    with pytest.raises(ValueError, match="string rendering"):
+        Z.write_zonemap(
+            spark, path, ["o_totalprice"], bloom_cols=["o_totalprice"]
+        )
+    with pytest.raises(ValueError, match="stats column"):
+        Z.write_zonemap(spark, path, ["o_orderkey"], bloom_cols=["o_custkey"])
