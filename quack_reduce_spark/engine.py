@@ -767,6 +767,7 @@ class Engine:
         n_files: int | None = None,
         stats_cols: list[str] | None = None,
         mode: str = "overwrite",
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """The one-call "make this table prunable" sink: range-cluster
         ``df`` on ``cluster_by`` (repartitionByRange + sortWithin-
@@ -781,7 +782,12 @@ class Engine:
         the layout half; two-dimensional clustering wants
         operators/zorder.zorder_write instead. ``n_files`` defaults to
         ``spark.sql.shuffle.partitions`` (one range per shuffle
-        partition)."""
+        partition).
+
+        ``bloom_cols``: integer/string stats columns that ALSO get
+        per-file Bloom fingerprints — point/IN lookups on them skip
+        files even though the layout clusters a different column (the
+        lookup-table shape: cluster by time, fingerprint the id)."""
         from quack_reduce_spark.operators import zonemaps
 
         if not cluster_by:
@@ -794,8 +800,11 @@ class Engine:
             .write.mode(mode)
             .parquet(path)
         )
+        stats = list(stats_cols or cluster_by)
+        if bloom_cols:
+            stats += [c for c in bloom_cols if c not in stats]
         return zonemaps.write_zonemap(
-            self.spark, path, list(stats_cols or cluster_by)
+            self.spark, path, stats, bloom_cols=bloom_cols
         )
 
     def merge_upsert(

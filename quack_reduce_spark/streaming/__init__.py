@@ -307,6 +307,7 @@ def run_stream_append_zonemapped(
     out_dir: str,
     stats_cols: list[str],
     checkpoint_dir: str,
+    bloom_cols: list[str] | None = None,
 ):
     """Drain a (bounded) append-mode stream into a parquet table whose
     zone-map manifest is MAINTAINED per micro-batch: each batch
@@ -335,9 +336,12 @@ def run_stream_append_zonemapped(
             return
         batch_df.write.mode("append").parquet(out_dir)
         if has_zonemap(out_dir):
+            # later batches inherit the first batch's bloom config
+            # through the manifest doc — append_zonemap fingerprints
+            # exactly the delta files
             append_zonemap(spark, out_dir, stats_cols)
         else:
-            write_zonemap(spark, out_dir, stats_cols)
+            write_zonemap(spark, out_dir, stats_cols, bloom_cols=bloom_cols)
 
     query = (
         df.writeStream.foreachBatch(write_batch)

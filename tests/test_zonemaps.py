@@ -884,3 +884,66 @@ def test_bloom_refuses_unportable_column_types(spark, sf_dir, tmp_path):
         )
     with pytest.raises(ValueError, match="stats column"):
         Z.write_zonemap(spark, path, ["o_orderkey"], bloom_cols=["o_custkey"])
+
+
+def test_write_clustered_bloom_lookup_table_shape(spark, sf_dir, tmp_path):
+    """The production lookup-table shape in one call: cluster by the
+    range column (o_orderdate), FINGERPRINT the id column
+    (o_orderkey) — range dashboards prune by envelope, point lookups
+    prune by bloom, on the same table."""
+    from quack_reduce_spark.engine import Engine
+
+    path = str(tmp_path / "clb")
+    orders = load(spark, sf_dir, "orders")
+    eng = Engine(spark=spark)
+    n = eng.write_clustered(
+        orders, path, ["o_orderdate"], n_files=12, bloom_cols=["o_orderkey"]
+    )
+    assert n == 12
+    assert set(Z.zonemap_cols(path)) == {"o_orderdate", "o_orderkey"}
+    assert set(Z.bloom_config(path)) == {"o_orderkey"}
+    full = spark.read.parquet(path)
+    cnt = full.count()
+    key = (
+        full.select("o_orderkey").orderBy("o_orderkey").offset(cnt // 2).limit(1).first()[0]
+    )
+    eng.register("clb_t", path)
+    d = eng.df(f"SELECT COUNT(*) AS n FROM clb_t WHERE o_orderkey = {key}")
+    rep = eng.last_zonemap_report.get("clb_t")
+    assert rep is not None and rep["files_read"] <= 3 < rep["files_total"] == 12
+    assert d.first()["n"] == full.filter(F.col("o_orderkey") == key).count() > 0
+    spark.catalog.dropTempView("clb_t")
+
+
+def test_streaming_sink_maintains_bloom_fingerprints(spark, sf_dir, tmp_path):
+    """run_stream_append_zonemapped with bloom_cols: the FIRST batch
+    establishes the fingerprint config, every later batch's
+    append_zonemap inherits it through the manifest doc and
+    fingerprints exactly its delta files — after the drain every file
+    row carries a bitset and a point lookup resolves exactly."""
+    from quack_reduce_spark.inventory.streaming_live import _stream_source
+    from quack_reduce_spark.streaming import run_stream_append_zonemapped
+
+    table = str(tmp_path / "blm_ingest")
+    ckpt = str(tmp_path / "blm_ckpt")
+    stream = _stream_source(spark, sf_dir, with_redeliveries=False)
+    run_stream_append_zonemapped(
+        stream, table, ["ts", "event_id"], ckpt, bloom_cols=["event_id"]
+    )
+    assert set(Z.bloom_config(table)) == {"event_id"}
+    zm = Z.read_zonemap(spark, table)
+    assert zm.count() > 1  # multiple micro-batch files
+    assert zm.filter(F.col("bloom_event_id").isNull()).count() == 0
+    full = spark.read.parquet(table)
+    cnt = full.count()
+    key = (
+        full.select("event_id").orderBy("event_id").offset(cnt // 2).limit(1).first()[0]
+    )
+    rows, total = Z.prune_files_multi(
+        spark, table, {"event_id": (key, key, None, None)}
+    )
+    assert 0 < len(rows) < total
+    got = spark.read.parquet(*[r["file"] for r in rows]).filter(
+        F.col("event_id") == key
+    ).count()
+    assert got == full.filter(F.col("event_id") == key).count() > 0

@@ -107,6 +107,10 @@ ALL_FAMILIES = [
     # round-12 addition: dim-driven dynamic file pruning (DPP on
     # manifests) vs a fact growing 1->10x with a FIXED dim predicate
     "lake_dpp_probe",
+    # round-12 addition: per-file Bloom fingerprint point lookup vs a
+    # growing UNCLUSTERED table (envelopes span everything at every
+    # size; only the fingerprints prune)
+    "lake_bloom_probe",
 ]
 
 
@@ -763,6 +767,91 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+        # ---- Bloom probe: point lookup vs a growing random table ------
+        # The table grows 1→10x by orderkey-OFFSET replicas, laid out
+        # hash-scattered on o_custkey (random wrt o_orderkey — every
+        # file's envelope spans the whole key domain at every size).
+        # A FIXED mid-domain point lookup through Engine.df must keep
+        # files_read flat (~1 + false positives) while files_total
+        # grows 12→120: only the per-file fingerprints can prune here.
+        # Planning cost is O(files) driver-side bit tests — measured,
+        # not assumed, to stay negligible.
+        if "lake_bloom_probe" in wanted:
+            from quack_reduce_spark.engine import Engine as _Eng2
+            from quack_reduce_spark.operators import zonemaps as Z4
+
+            n_base = orders.count()
+            probe_key = None
+            ns, ts, builds, freads, ftotals = [], [], [], [], []
+            for m in MULTS:
+                reps = spark.range(m).select(F.col("id").alias("__rep"))
+                rep_orders = orders.crossJoin(reps).select(
+                    (F.col("o_orderkey") + F.col("__rep") * 100_000_000).alias(
+                        "o_orderkey"
+                    ),
+                    "o_custkey",
+                    "o_orderstatus",
+                    "o_totalprice",
+                )
+                zpath = f"{tmp}/blm_orders_x{m}"
+                rep_orders.repartition(12 * m, "o_custkey").write.mode(
+                    "overwrite"
+                ).parquet(zpath)
+                t0 = time.time()
+                Z4.write_zonemap(
+                    spark, zpath, ["o_orderkey"], bloom_cols=["o_orderkey"]
+                )
+                builds.append(round(time.time() - t0, 3))
+                if probe_key is None:
+                    # fixed mid-domain key from the base replica
+                    cnt = n_base
+                    probe_key = (
+                        spark.read.parquet(zpath)
+                        .where(F.col("o_orderkey") < 100_000_000)
+                        .select("o_orderkey")
+                        .orderBy("o_orderkey")
+                        .offset(cnt // 2)
+                        .limit(1)
+                        .first()[0]
+                    )
+                eng = _Eng2(spark=spark)
+                view = f"blmreh_x{m}"
+                eng.register(view, zpath)
+                q = (
+                    f"SELECT COUNT(*) AS n, SUM(o_totalprice) AS s"
+                    f" FROM {view} WHERE o_orderkey = {probe_key}"
+                )
+
+                def blm_probe(eng=eng, q=q):
+                    def thunk():
+                        eng.df(q).collect()
+                    return thunk
+
+                blm_probe()()  # warm (fills the manifest caches)
+                t = _timed(blm_probe())
+                rep = eng.last_zonemap_report.get(view) or {}
+                ns.append(n_base * m)
+                ts.append(round(t, 3))
+                freads.append(rep.get("files_read"))
+                ftotals.append(rep.get("files_total"))
+            results["lake_bloom_probe"] = {
+                "mults": MULTS,
+                "rows": ns,
+                "sec": ts,
+                "build_sec": builds,
+                "files_read": freads,
+                "files_total": ftotals,
+                "fit_exp": round(_fit_exponent(ns, ts), 3),
+                "tail_exp": round(
+                    math.log(ts[-1] / ts[-2]) / math.log(MULTS[-1] / MULTS[-2]), 3
+                ),
+            }
+            print(
+                f"  lake_bloom_probe: {ts} build {builds} read/total "
+                f"{list(zip(freads, ftotals))}",
+                file=sys.stderr,
+            )
+
         # sanity: linear pair growth for the dedup replicas (the
         # construction claim — not a timing)
         if "dedup_ngram_jaccard" in wanted:
@@ -846,6 +935,19 @@ def main() -> None:
                 f"{r['files_total']} fact files at mult {MULTS} — files "
                 "read track the dim predicate's selectivity, not the "
                 "fact, which is the dynamic-file-pruning claim under test."
+            )
+        if "lake_bloom_probe" in results:
+            r = results["lake_bloom_probe"]
+            lines.append("")
+            lines.append(
+                "The `lake_bloom_probe` row times a fixed mid-domain POINT "
+                "lookup through plain SQL over a hash-scattered table "
+                "growing 1→10x — every file's [min, max] envelope spans the "
+                "whole key domain at every size, so only the per-file Bloom "
+                f"fingerprints can prune; the scan read {r['files_read']} of "
+                f"{r['files_total']} files at mult {MULTS} (one-time "
+                f"fingerprint builds {r['build_sec']} s) — the "
+                "needle-in-haystack claim under test."
             )
         if "lake_zonemap_append" in results:
             r = results["lake_zonemap_append"]
