@@ -452,10 +452,16 @@ class Engine:
         numbers ``table_stats``/``lake_manifest_stats`` hash-prove
         equal to a DuckDB recomputation), which at 100 TB is the
         difference between metadata-cost planning and a full scan per
-        side. Only the bounded key-overlap sample still touches data.
-        Cost: at most one aggregate pass per non-manifest side + two
-        bounded (<= n-struct) sketch rows; nothing data-sized reaches
-        the driver."""
+        side. A FILTERED side — a plain Filter/Project DataFrame over
+        one such table — is sized from the manifest's EQUI-DEPTH
+        HISTOGRAM when one covers a pushed range constraint
+        (``source: "histogram"``): estimated rows = manifest rows x
+        histogram selectivity, no counting scan (the exact blind spot
+        of Spark's size-only stats, where Filter passes sizeInBytes
+        through). Only the bounded key-overlap sample still touches
+        data. Cost: at most one aggregate pass per non-manifest side +
+        two bounded (<= n-struct) sketch rows; nothing data-sized
+        reaches the driver."""
         from quack_reduce_spark.operators.sketches import (
             join_rows_estimate,
             key_count_sample,
@@ -484,6 +490,82 @@ class Engine:
                 return None
             return int(st["n_rows"]), st["total_bytes"]
 
+        def hist_side(df: DataFrame) -> tuple[int, int] | None:
+            """(estimated rows, row width) for a FILTERED side: a pure
+            Filter/Project over exactly one registered fresh-manifest
+            table whose doc carries an equi-depth histogram covering a
+            range constraint the filter pushes down. Selectivity
+            multiplies across constrained histogrammed columns
+            (independence assumption) and sums across OR alternatives
+            (capped at 1); unconstrained or un-histogrammed columns
+            contribute nothing — the estimate only ever WIDENS, so a
+            wrong independence guess inflates the side and keeps the
+            broadcast decision conservative. A histogram whose
+            n_rows_at_build has drifted >1.5x from the manifest's live
+            row count is refused (appends degrade estimates, never
+            correctness)."""
+            from quack_reduce_spark.operators import zonemaps as _zm
+            from quack_reduce_spark.plans import zonemap_pushdown as _zp
+
+            zm_tables = {
+                nm: meta.get("resolved", self.tables[nm])
+                for nm, meta in self._table_meta.items()
+                if meta.get("zonemap_cols")
+            }
+            if not zm_tables:
+                return None
+            try:
+                opt = df._jdf.queryExecution().optimizedPlan()
+                allowed = {"Filter", "Project", "LogicalRelation"}
+                for node in _zp._iter_nodes(opt):
+                    if node.getClass().getSimpleName() not in allowed:
+                        return None  # joins/aggs: not a plain slice
+                cons = _zp.scan_constraints(df, zm_tables)
+            except Exception:
+                return None
+            if len(cons) != 1:
+                return None
+            nm, scans = next(iter(cons.items()))
+            if len(scans) != 1:
+                return None
+            path = zm_tables[nm]
+            try:
+                st = _zm.manifest_stats(self.spark, path)
+                if st["n_files"] != len(_zm._data_files(path)):
+                    return None  # un-maintained append: don't trust it
+                hist = _zm.manifest_hist(path)
+            except Exception:
+                return None
+            if not hist or st["total_bytes"] is None:
+                return None
+            n_rows = int(st["n_rows"])
+            built = min(
+                (int(h.get("n_rows_at_build", 0)) for h in hist.values()),
+                default=0,
+            )
+            if built <= 0 or n_rows > 1.5 * built:
+                return None  # drifted histogram: fall back to ANALYZE
+            alt_sels = []
+            for alt in scans[0]["alts"]:
+                sel, used = 1.0, False
+                for col, constraint in alt.items():
+                    lo, hi, vals = constraint[0], constraint[1], constraint[2]
+                    if col not in hist or vals is not None:
+                        continue
+                    got = _zm.hist_selectivity(hist[col], lo, hi)
+                    if got is not None:
+                        sel *= got
+                        used = True
+                if not used:
+                    return None  # nothing estimable: ANALYZE instead
+                alt_sels.append(sel)
+            sel = min(1.0, sum(alt_sels)) if alt_sels else None
+            if sel is None:
+                return None
+            rows_est = max(1, int(round(n_rows * sel)))
+            width = max(1, int(st["total_bytes"]) // max(n_rows, 1))
+            return rows_est, width
+
         def side(df: DataFrame, name: Any) -> tuple[int, int, DataFrame, str]:
             got = manifest_side(name)
             if got is not None:
@@ -491,6 +573,10 @@ class Engine:
                 if total_bytes is not None:
                     width = max(1, total_bytes // max(rows, 1))
                     return rows, width, key_count_sample(df, on, n), "manifest"
+            est = hist_side(df) if not isinstance(name, str) else None
+            if est is not None:
+                rows, width = est
+                return rows, width, key_count_sample(df, on, n), "histogram"
             # one aggregate pass: the row count AND the observed mean
             # byte width of every variable-width column — a schema-only
             # 20-bytes-per-string guess can undersize a wide-text
@@ -1361,16 +1447,19 @@ class Engine:
         if lake.is_versioned(path):
             pre_cols = stats_cols_of(lake.resolve(path))
             pre_bloom = _zm.bloom_config(lake.resolve(path))
+            pre_hist = _zm.manifest_hist(lake.resolve(path))
             version, data_dir = lake.stage_version(path)
             write_to(data_dir)
             n_after = verify(data_dir)
             if pre_cols:
                 # stats ride inside the immutable staged version, so
                 # the pointer flip commits data AND manifest atomically
-                # (bloom config carried explicitly: the staged dir is
-                # fresh, same-dir inheritance has nothing to read)
+                # (bloom/hist config carried explicitly: the staged dir
+                # is fresh, same-dir inheritance has nothing to read)
                 _zm.write_zonemap(
-                    self.spark, data_dir, pre_cols, bloom_cols=pre_bloom or None
+                    self.spark, data_dir, pre_cols,
+                    bloom_cols=pre_bloom or None,
+                    hist_cols=pre_hist or None,
                 )
             lake.write_manifest(path, version, op, n_after)
             lake.commit(path, version)
@@ -1400,6 +1489,7 @@ class Engine:
                 shutil.rmtree(leftover)
         pre_cols = stats_cols_of(path)
         pre_bloom = _zm.bloom_config(path)
+        pre_hist = _zm.manifest_hist(path)
         write_to(staging)
         n_after = verify(staging)
         os.rename(path, aside)
@@ -1410,10 +1500,12 @@ class Engine:
             # table without a manifest — queries fall back to full
             # scans (sound), never to a stale manifest (the guard
             # would refuse it anyway since file counts differ). The
-            # bloom config was captured pre-swap: the old doc left
-            # with the aside copy
+            # bloom/hist config was captured pre-swap: the old doc
+            # left with the aside copy
             _zm.write_zonemap(
-                self.spark, path, pre_cols, bloom_cols=pre_bloom or None
+                self.spark, path, pre_cols,
+                bloom_cols=pre_bloom or None,
+                hist_cols=pre_hist or None,
             )
         return n_after
 

@@ -103,6 +103,7 @@ _HEAD = [
     # fast path under sketch_join_plan
     "lake_dpp_star",
     "lake_bloom_pointlookup",
+    "lake_histogram_stats",
     "lake_zonemap_sql_pushdown",
     "lake_zonemap_in_pushdown",
     "lake_manifest_stats",
@@ -111,7 +112,6 @@ _HEAD = [
     # oracled keys last driver-green round 5 — the r11 verdict's
     # rotation list) ...
     "b2_skew_salted_join", "b3_recursive_cte",
-    "b3_lateral_join",
     "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
     "ts_ewma_smooth", "ts_sliding_window", "ts_asof_auto",
     "ts_zscore_anomaly", "ts_retention_cohorts",

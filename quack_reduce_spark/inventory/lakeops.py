@@ -702,6 +702,79 @@ _BLOOM_SCHEMA = StructType(
 )
 
 
+def lake_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest equi-depth histogram (round 12): ``write_zonemap(...,
+    hist_cols=...)`` stores ``bins + 1`` EXACT quantile boundaries per
+    column in the manifest list — the metadata a CBO's range-
+    selectivity estimator consults (``Engine.explain_join`` sizes a
+    FILTERED join side as manifest rows x histogram selectivity, no
+    counting scan; the exact blind spot of Spark's size-only stats,
+    where Filter passes sizeInBytes through). Spark's ``F.percentile``
+    and DuckDB's ``quantile_cont`` share the linear-interpolation
+    definition, so the DuckDB oracle recomputes the identical 9
+    boundaries from the raw fixture — the hash match proves the stats
+    surface EXACT, not approximate. In-query gates prove the consumer
+    loop: explain_join reports ``source: "histogram"`` for a filtered
+    side with ZERO new ANALYZE scans, and its estimate lands within
+    20% of the true slice (checked against one count here, where the
+    fixture is small)."""
+    import math as _math
+
+    from quack_reduce_spark.engine import ANALYZE_COUNTS, Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = _fresh_dir(sf_dir, "lake_hist")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(6).write.mode("overwrite").parquet(path)
+    Z.write_zonemap(
+        spark, path, ["o_totalprice"], hist_cols=["o_totalprice"], hist_bins=8
+    )
+    hist = Z.manifest_hist(path)["o_totalprice"]
+    bounds = hist["bounds"]
+    _require(len(bounds) == 9, "expected 9 boundaries for 8 bins", hist)
+    eng = Engine(spark=spark)
+    import uuid as _uuid
+
+    t = f"hst_{_uuid.uuid4().hex[:8]}"
+    eng.register(t, path)
+    cut = bounds[2]  # the exact 25% quantile: true selectivity ~0.25
+    filtered = spark.table(t).filter(F.col("o_totalprice") <= cut)
+    before = ANALYZE_COUNTS["side_scans"]
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    rep = eng.explain_join(filtered, li, "o_orderkey")
+    _require(
+        rep["left"]["source"] == "histogram",
+        "filtered side was not sized from the histogram", rep["left"],
+    )
+    _require(
+        ANALYZE_COUNTS["side_scans"] - before <= 1,  # right side only
+        "histogram side still ran an ANALYZE scan",
+    )
+    actual = filtered.count()
+    est = rep["left"]["rows"]
+    _require(
+        abs(est - actual) <= max(2, 0.2 * actual),
+        f"histogram estimate {est} vs actual {actual}",
+    )
+    spark.catalog.dropTempView(t)
+    shutil.rmtree(path, ignore_errors=True)
+    rows = [
+        (i, _math.floor(b * 1_000_000 + 0.5) / 1_000_000)
+        for i, b in enumerate(bounds)
+    ]
+    return spark.createDataFrame(rows, _HIST_SCHEMA)
+
+
+_HIST_SCHEMA = StructType(
+    [
+        StructField("bin", LongType()),
+        StructField("boundary", DoubleType()),
+    ]
+)
+
+
 QUERIES = {
     "lake_time_travel": lake_time_travel,
     "lake_change_feed": lake_change_feed,
@@ -713,6 +786,7 @@ QUERIES = {
     "lake_manifest_stats": lake_manifest_stats,
     "lake_dpp_star": lake_dpp_star,
     "lake_bloom_pointlookup": lake_bloom_pointlookup,
+    "lake_histogram_stats": lake_histogram_stats,
 }
 
 
@@ -873,5 +947,21 @@ ORACLES = {
             WHERE rn = 1 OR rn = (cnt + 1) // 2 OR rn = cnt
         )
         ORDER BY o_orderkey
+    """,
+    # the histogram boundaries are EXACT quantiles: DuckDB's
+    # quantile_cont shares Spark F.percentile's linear interpolation,
+    # so recomputing the 9 boundaries from the raw fixture hash-proves
+    # the manifest's estimation metadata exact
+    "lake_histogram_stats": """
+        WITH b AS (
+            SELECT quantile_cont(o_totalprice,
+                [0.0, 0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1.0]
+            ) AS bs
+            FROM orders
+        )
+        SELECT CAST(g AS BIGINT) - 1 AS bin,
+               FLOOR(bs[g] * 1000000 + 0.5) / 1000000 AS boundary
+        FROM b, generate_series(1, 9) AS t(g)
+        ORDER BY bin
     """,
 }

@@ -265,6 +265,7 @@ def _write_list(
     groups: dict[str, dict],
     types: dict[str, str] | None = None,
     bloom: dict[str, dict] | None = None,
+    hist: dict[str, dict] | None = None,
 ) -> None:
     """Commit the manifest list. Version 3: session-zoned timestamp
     bounds are epoch-micros ints (``types`` records the SOURCE column
@@ -284,6 +285,8 @@ def _write_list(
         doc["types"] = types
     if bloom:
         doc["bloom"] = bloom
+    if hist:
+        doc["hist"] = hist
     fs = _fs_for(data_dir)
     p = _list_path(data_dir)
     prev = fs.mtime(p)
@@ -485,6 +488,114 @@ def _bloom_any(
     return False
 
 
+# -- equi-depth histograms (metadata-cost selectivity estimation) -----------
+#
+# The manifest's exact rows/bytes answer "how big is this TABLE"; a
+# cost-based join decision needs "how big is this FILTERED SLICE" —
+# which Spark's size-only stats visitor cannot answer (Filter passes
+# sizeInBytes through) and an ANALYZE pass answers at a full scan per
+# side per query. An equi-depth histogram (B exact quantile boundaries
+# per column, one extra percentile aggregate at build time) lets the
+# planner estimate range selectivity at METADATA cost: each bin holds
+# exactly n/B rows by construction, and a range's fraction is the sum
+# of its bin overlaps with linear interpolation inside partial bins —
+# the textbook estimator Postgres/Presto CBOs run on their stats.
+
+# column types whose quantiles are meaningful doubles (temporal columns
+# participate through their epoch-micros stats representation)
+_HIST_TYPES = {"integer", "long", "short", "byte", "float", "double", "timestamp"}
+HIST_BINS = 64
+
+
+def _validate_hist_cols(
+    types: dict[str, str], cols: list[str], hist_cols: list[str]
+) -> None:
+    for c in hist_cols:
+        if c not in cols:
+            raise ValueError(
+                f"histogram column {c!r} must also be a stats column (have {cols})"
+            )
+        if types.get(c) not in _HIST_TYPES:
+            raise ValueError(
+                f"equi-depth histograms support {sorted(_HIST_TYPES)} columns; "
+                f"{c!r} is {types.get(c)!r}"
+            )
+
+
+def _hist_doc(
+    df: DataFrame, hist_cols: list[str], bins: int, types: dict[str, str]
+) -> dict[str, dict]:
+    """One aggregate over the table: per column, the ``bins + 1`` EXACT
+    quantile boundaries (``F.percentile`` — the linear-interpolation
+    definition DuckDB's quantile_cont shares, which is what lets the
+    registry key hash-prove these numbers) plus the non-null count.
+    Session-zoned timestamps are histogrammed in epoch-micros space —
+    the same representation their manifest min/max stats use."""
+    qs = [i / bins for i in range(bins + 1)]
+    aggs = []
+    for c in hist_cols:
+        src = (
+            F.unix_micros(F.col(c)).cast("double")
+            if types.get(c) == "timestamp"
+            else F.col(c).cast("double")
+        )
+        aggs.append(F.percentile(src, F.lit(qs).cast("array<double>")).alias(f"__q_{c}"))
+        aggs.append(F.count(src).alias(f"__n_{c}"))
+    row = df.agg(*aggs).first()
+    out: dict[str, dict] = {}
+    for c in hist_cols:
+        bounds = row[f"__q_{c}"]
+        if bounds is None:
+            continue  # all-NULL column: no histogram
+        out[c] = {
+            "bounds": [float(b) for b in bounds],
+            "n_nonnull": int(row[f"__n_{c}"]),
+            "bins": bins,
+        }
+    return out
+
+
+def manifest_hist(data_dir: str) -> dict[str, dict]:
+    """The manifest's equi-depth histograms ``{col: {bounds,
+    n_nonnull, bins}}`` (empty when none were built)."""
+    doc = _read_list(data_dir)
+    return dict((doc or {}).get("hist") or {})
+
+
+def hist_selectivity(
+    hist: dict, lo: Any = None, hi: Any = None
+) -> float | None:
+    """Estimated fraction of one column's NON-NULL rows inside the
+    closed range ``[lo, hi]`` from its equi-depth histogram entry —
+    each bin holds 1/bins of the rows; partial bins interpolate
+    linearly; a zero-width bin (repeated value) counts fully when the
+    value is in range. None when the bounds are unusable. Clamped to
+    [0, 1]. Timestamp ranges must already be in epoch micros (the
+    caller's constraints are — the SQL pushdown decodes literals to
+    micros)."""
+    bounds = hist.get("bounds")
+    if not bounds or len(bounds) < 2:
+        return None
+    try:
+        flo = float(lo) if lo is not None else None
+        fhi = float(hi) if hi is not None else None
+    except (TypeError, ValueError):
+        return None
+    nbins = len(bounds) - 1
+    total = 0.0
+    for i in range(nbins):
+        a, b = bounds[i], bounds[i + 1]
+        cl = a if flo is None else max(flo, a)
+        ch = b if fhi is None else min(fhi, b)
+        if ch < cl:
+            continue
+        if b > a:
+            total += (ch - cl) / (b - a)
+        else:
+            total += 1.0  # point-mass bin, value inside the range
+    return max(0.0, min(1.0, total / nbins))
+
+
 # -- stats build -----------------------------------------------------------
 
 
@@ -640,6 +751,8 @@ def write_zonemap(
     bloom_cols: list[str] | dict[str, dict] | None = None,
     bloom_bits_per_key: int = BLOOM_BPK,
     bloom_k: int = BLOOM_K,
+    hist_cols: list[str] | dict[str, dict] | None = None,
+    hist_bins: int = HIST_BINS,
 ) -> int:
     """Build and persist the grouped manifest at ``<data_dir>/_zonemap``
     (one manifest per data directory + ``_list.json``). Returns the
@@ -658,12 +771,23 @@ def write_zonemap(
     caller knowing about them; pass ``[]`` to drop them explicitly.
     Cost: one extra distributed pass over the table per fingerprinted
     column at build time; ~``bpk``/8 bytes per row per column in the
-    manifest."""
+    manifest.
+
+    ``hist_cols``: numeric/timestamp stats columns that get a
+    table-level EQUI-DEPTH HISTOGRAM (``hist_bins`` exact quantile
+    boundaries, ONE extra aggregate at build time) — the planner's
+    metadata-cost range-selectivity estimate (``hist_selectivity``,
+    consumed by ``Engine.explain_join`` for FILTERED sides).
+    Estimation metadata only: nothing prunes by it, so staleness after
+    appends degrades estimate quality, never correctness (the doc
+    records ``n_rows_at_build`` so consumers can refuse a drifted
+    histogram). Same ``None``-inherits / ``[]``-drops contract as
+    ``bloom_cols``."""
     df = spark.read.parquet(data_dir)
     types = _source_types(df, cols)
+    prev = _read_list(data_dir) if (bloom_cols is None or hist_cols is None) else None
     inherited: dict[str, dict] = {}
     if bloom_cols is None:
-        prev = _read_list(data_dir)
         inherited = dict((prev or {}).get("bloom") or {})
         bloom_cols = [c for c in inherited if c in cols]
     elif isinstance(bloom_cols, dict):
@@ -673,9 +797,20 @@ def write_zonemap(
         inherited = dict(bloom_cols)
         bloom_cols = [c for c in inherited if c in cols]
     _validate_bloom_cols(types, cols, bloom_cols)
+    hist_inherited: dict[str, dict] = {}
+    if hist_cols is None:
+        hist_inherited = dict((prev or {}).get("hist") or {})
+        hist_cols = [c for c in hist_inherited if c in cols]
+    elif isinstance(hist_cols, dict):
+        hist_inherited = dict(hist_cols)
+        hist_cols = [c for c in hist_inherited if c in cols]
+    _validate_hist_cols(types, cols, hist_cols)
     stats = _cover_empty_files(
         spark, data_dir, zonemap_stats(spark, data_dir, cols), _data_files(data_dir)
     )
+    # pin the per-file rows (#files-scale) so the sizing aggregates
+    # below never re-run the table scan
+    stats = stats.localCheckpoint()
     bloom_doc: dict[str, dict] = {}
     if bloom_cols:
         max_rows = stats.agg(F.max("n_rows")).first()[0] or 1
@@ -684,10 +819,31 @@ def write_zonemap(
             k = int(inherited.get(c, {}).get("k", bloom_k))
             bloom_doc[c] = {"m": _bloom_m_for(max_rows, bpk), "k": k, "bpk": bpk}
         stats = _attach_blooms(df, stats, bloom_doc)
+    hist_doc: dict[str, dict] = {}
+    if hist_cols:
+        per_col_bins = {
+            c: int(hist_inherited.get(c, {}).get("bins", hist_bins))
+            for c in hist_cols
+        }
+        # boundaries are always RECOMPUTED from the current rows (a
+        # rebuild is exactly when a histogram should refresh); only
+        # the per-column bin counts are inherited
+        uniform = len(set(per_col_bins.values())) == 1
+        if uniform:
+            hist_doc = _hist_doc(df, hist_cols, next(iter(per_col_bins.values())), types)
+        else:
+            for c in hist_cols:
+                hist_doc.update(_hist_doc(df, [c], per_col_bins[c], types))
+        n_now = int(stats.agg(F.sum("n_rows")).first()[0] or 0)
+        for c in hist_doc:
+            hist_doc[c]["n_rows_at_build"] = n_now
     stats_g = _with_groups(stats).localCheckpoint()
     _write_grouped(spark, data_dir, stats_g, dynamic=False)
     groups = _group_summaries(stats_g, cols)
-    _write_list(data_dir, cols, groups, types=types, bloom=bloom_doc or None)
+    _write_list(
+        data_dir, cols, groups, types=types,
+        bloom=bloom_doc or None, hist=hist_doc or None,
+    )
     return sum(g["n_files"] for g in groups.values())
 
 
@@ -902,7 +1058,14 @@ def append_zonemap(
     _write_grouped(spark, data_dir, merged, dynamic=True)
     for tok, entry in _group_summaries(merged, cols).items():
         groups[tok] = entry
-    _write_list(data_dir, cols, groups, types=types, bloom=bloom_doc or None)
+    # histograms pass through UNCHANGED on append: they are estimation
+    # metadata sized at build time (n_rows_at_build lets consumers
+    # detect drift); recomputing them would cost the full-table pass
+    # appends exist to avoid
+    _write_list(
+        data_dir, cols, groups, types=types,
+        bloom=bloom_doc or None, hist=(doc or {}).get("hist"),
+    )
     return len(fresh_files)
 
 

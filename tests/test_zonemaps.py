@@ -947,3 +947,108 @@ def test_streaming_sink_maintains_bloom_fingerprints(spark, sf_dir, tmp_path):
         F.col("event_id") == key
     ).count()
     assert got == full.filter(F.col("event_id") == key).count() > 0
+
+
+# -- equi-depth histograms (metadata-cost selectivity estimation) ------------
+
+
+def test_hist_selectivity_tracks_actual(spark, sf_dir, tmp_path):
+    """The equi-depth estimator lands close to the true fraction on a
+    battery of one- and two-sided ranges (o_totalprice is smooth, so
+    linear interpolation is tight here; the contract elsewhere is
+    'estimate', not 'exact')."""
+    path = str(tmp_path / "hist_q")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(4).write.mode("overwrite").parquet(path)
+    Z.write_zonemap(
+        spark, path, ["o_totalprice"], hist_cols=["o_totalprice"], hist_bins=32
+    )
+    h = Z.manifest_hist(path)["o_totalprice"]
+    assert len(h["bounds"]) == 33 and h["n_rows_at_build"] == orders.count()
+    full = spark.read.parquet(path)
+    total = full.count()
+    for lo, hi in [(1000.0, 50000.0), (100000.0, 250000.0), (None, 30000.0), (180000.0, None)]:
+        est = Z.hist_selectivity(h, lo, hi)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("o_totalprice") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("o_totalprice") <= hi)
+        actual = full.filter(cond).count() / total
+        assert abs(est - actual) < 0.05, (lo, hi, est, actual)
+
+
+def test_explain_join_sizes_filtered_side_from_histogram(spark, sf_dir, tmp_path):
+    """A FILTERED side over a histogrammed registered table is sized
+    from metadata: source == 'histogram', the estimate is within 20%
+    of the true slice, and NO new ANALYZE scan ran for that side —
+    the counting pass a CBO would otherwise pay per query."""
+    from quack_reduce_spark.engine import ANALYZE_COUNTS, Engine
+
+    path = str(tmp_path / "hist_join")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(4).write.mode("overwrite").parquet(path)
+    Z.write_zonemap(
+        spark, path, ["o_totalprice"], hist_cols=["o_totalprice"]
+    )
+    eng = Engine(spark=spark)
+    eng.register("hj_t", path)
+    filtered = spark.table("hj_t").filter("o_totalprice <= 30000")
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    before = ANALYZE_COUNTS["side_scans"]
+    rep = eng.explain_join(filtered, li, "o_orderkey")
+    assert rep["left"]["source"] == "histogram"
+    assert ANALYZE_COUNTS["side_scans"] - before == 1  # the right side only
+    actual = filtered.count()
+    assert abs(rep["left"]["rows"] - actual) <= max(2, 0.2 * actual)
+    # the filtered slice is tiny: the estimate should flip the
+    # strategy to broadcasting it
+    assert rep["strategy"] == "broadcast_left"
+    spark.catalog.dropTempView("hj_t")
+
+
+def test_explain_join_refuses_drifted_histogram(spark, sf_dir, tmp_path):
+    """After appends grow the table past 1.5x the histogram's build
+    size, the estimator declines (stale boundaries would misprice the
+    slice) and explain_join falls back to the ANALYZE pass."""
+    from quack_reduce_spark.engine import ANALYZE_COUNTS, Engine
+
+    path = str(tmp_path / "hist_drift")
+    orders = load(spark, sf_dir, "orders")
+    orders.limit(1000).repartition(2).write.mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_totalprice"], hist_cols=["o_totalprice"])
+    # grow the table 3x (appends keep the manifest fresh but the
+    # histogram is stale by construction)
+    orders.limit(2000).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(500_000_000)
+    ).repartition(2).write.mode("append").parquet(path)
+    Z.append_zonemap(spark, path, ["o_totalprice"])
+    assert Z.manifest_hist(path)  # still recorded, just stale
+    eng = Engine(spark=spark)
+    eng.register("hd_t", path)
+    filtered = spark.table("hd_t").filter("o_totalprice <= 30000")
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    before = ANALYZE_COUNTS["side_scans"]
+    rep = eng.explain_join(filtered, li, "o_orderkey")
+    assert rep["left"]["source"] == "analyze"
+    assert ANALYZE_COUNTS["side_scans"] - before == 2  # both sides scanned
+    spark.catalog.dropTempView("hd_t")
+
+
+def test_hist_rebuild_inherits_and_refuses_bad_types(spark, sf_dir, tmp_path):
+    """Rebuilds refresh the boundaries but keep the config (same
+    None-inherits contract as bloom); string columns are refused."""
+    path = str(tmp_path / "hist_cfg")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(2).write.mode("overwrite").parquet(path)
+    Z.write_zonemap(
+        spark, path, ["o_totalprice"], hist_cols=["o_totalprice"], hist_bins=16
+    )
+    Z.write_zonemap(spark, path, ["o_totalprice"])  # plain rebuild
+    h = Z.manifest_hist(path)["o_totalprice"]
+    assert h["bins"] == 16 and len(h["bounds"]) == 17
+    with pytest.raises(ValueError, match="equi-depth"):
+        Z.write_zonemap(
+            spark, path, ["o_totalprice", "o_orderstatus"],
+            hist_cols=["o_orderstatus"],
+        )
