@@ -595,9 +595,41 @@ class Engine:
             width = _est_row_bytes(df.schema, observed)
             return rows, width, key_count_sample(df, on, n), "analyze"
 
+        def ndv_of(name: Any) -> float | None:
+            """Manifest NDV of the join key — metadata cost, None when
+            the side isn't a registered table carrying registers."""
+            if not isinstance(name, str):
+                return None
+            meta = self._table_meta.get(name)
+            if not meta or not meta.get("zonemap_cols"):
+                return None
+            from quack_reduce_spark.operators import zonemaps as _zm
+
+            path = meta.get("resolved", self.tables[name])
+            try:
+                if on not in _zm.ndv_config(path):
+                    return None
+                got = _zm.manifest_ndv(self.spark, path, on)
+            except Exception:
+                return None
+            return got["est"] if got else None
+
         rows_l, width_l, sl, src_l = side(lf, left)
         rows_r, width_r, sr, src_r = side(rf, right)
-        est = join_rows_estimate(sl, sr, n).first()
+        ndv_l = ndv_of(left) if src_l == "manifest" else None
+        ndv_r = ndv_of(right) if src_r == "manifest" else None
+        if ndv_l and ndv_r:
+            # both sides carry manifest NDV registers on the join key:
+            # the System-R containment estimate |L|*|R|/max(ndv) needs
+            # ZERO data passes — the sample frames are never executed
+            est_join_rows = rows_l * rows_r / max(ndv_l, ndv_r, 1.0)
+            n_common: int | None = None
+            est_source = "ndv"
+        else:
+            est = join_rows_estimate(sl, sr, n).first()
+            est_join_rows = float(est["est_join_rows"])
+            n_common = int(est["n_common_sampled"])
+            est_source = "sample"
         bytes_l, bytes_r = rows_l * width_l, rows_r * width_r
         if min(bytes_l, bytes_r) <= broadcast_threshold_bytes:
             strategy = "broadcast_left" if bytes_l <= bytes_r else "broadcast_right"
@@ -609,13 +641,16 @@ class Engine:
             "left": {
                 "rows": rows_l, "row_bytes": width_l,
                 "est_bytes": bytes_l, "source": src_l,
+                **({"ndv": ndv_l} if ndv_l else {}),
             },
             "right": {
                 "rows": rows_r, "row_bytes": width_r,
                 "est_bytes": bytes_r, "source": src_r,
+                **({"ndv": ndv_r} if ndv_r else {}),
             },
-            "est_join_rows": float(est["est_join_rows"]),
-            "n_common_sampled": int(est["n_common_sampled"]),
+            "est_join_rows": float(est_join_rows),
+            "n_common_sampled": n_common,
+            "join_est_source": est_source,
             "strategy": strategy,
             "broadcast_threshold_bytes": broadcast_threshold_bytes,
         }
@@ -1448,6 +1483,7 @@ class Engine:
             pre_cols = stats_cols_of(lake.resolve(path))
             pre_bloom = _zm.bloom_config(lake.resolve(path))
             pre_hist = _zm.manifest_hist(lake.resolve(path))
+            pre_ndv = _zm.ndv_config(lake.resolve(path))
             version, data_dir = lake.stage_version(path)
             write_to(data_dir)
             n_after = verify(data_dir)
@@ -1460,6 +1496,7 @@ class Engine:
                     self.spark, data_dir, pre_cols,
                     bloom_cols=pre_bloom or None,
                     hist_cols=pre_hist or None,
+                    ndv_cols=pre_ndv or None,
                 )
             lake.write_manifest(path, version, op, n_after)
             lake.commit(path, version)
@@ -1490,6 +1527,7 @@ class Engine:
         pre_cols = stats_cols_of(path)
         pre_bloom = _zm.bloom_config(path)
         pre_hist = _zm.manifest_hist(path)
+        pre_ndv = _zm.ndv_config(path)
         write_to(staging)
         n_after = verify(staging)
         os.rename(path, aside)
@@ -1506,6 +1544,7 @@ class Engine:
                 self.spark, path, pre_cols,
                 bloom_cols=pre_bloom or None,
                 hist_cols=pre_hist or None,
+                ndv_cols=pre_ndv or None,
             )
         return n_after
 

@@ -104,6 +104,7 @@ _HEAD = [
     "lake_dpp_star",
     "lake_bloom_pointlookup",
     "lake_histogram_stats",
+    "lake_ndv_stats",
     "lake_zonemap_sql_pushdown",
     "lake_zonemap_in_pushdown",
     "lake_manifest_stats",
@@ -113,7 +114,7 @@ _HEAD = [
     # rotation list) ...
     "b2_skew_salted_join", "b3_recursive_cte",
     "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
-    "ts_ewma_smooth", "ts_sliding_window", "ts_asof_auto",
+    "ts_ewma_smooth", "ts_asof_auto",
     "ts_zscore_anomaly", "ts_retention_cohorts",
     "lake_time_travel", "lake_change_feed", "lake_schema_evolution",
     "stream_static_enrich", "stream_session_dynamic",

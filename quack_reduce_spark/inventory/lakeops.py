@@ -775,6 +775,94 @@ _HIST_SCHEMA = StructType(
 )
 
 
+def lake_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest NDV sketches (round 12): ``write_zonemap(...,
+    ndv_cols=...)`` stores a PER-FILE HLL register set (p=8, the same
+    portable register math `sketch_hll_estimate` hash-proves) in the
+    manifest; register max is associative, so merging any file
+    subset's rows is exactly that subset's sketch — the manifest
+    answers table- AND slice-level DISTINCT counts at metadata cost
+    (the Iceberg theta-sketch/puffin shape on plain parquet), and
+    ``Engine.explain_join`` estimates join cardinality from two such
+    manifests with ZERO data passes (``join_est_source: "ndv"``,
+    System-R containment |L|x|R|/max ndv). The DuckDB oracle rebuilds
+    the registers directly from the raw fixture and applies the
+    identical estimator arithmetic — a hash match proves the per-file
+    merge lost nothing vs a direct global build. In-query gates prove
+    the consumer loop: a self-join estimate from two register-carrying
+    manifests lands within 25% of the true join size without
+    executing a sample."""
+    import uuid as _uuid
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+    from quack_reduce_spark.operators.sketches import HLL_M
+
+    path = _fresh_dir(sf_dir, "lake_ndv")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(6).write.mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_custkey"], ndv_cols=["o_custkey"])
+    got = Z.manifest_ndv(spark, path, "o_custkey")
+    _require(got is not None, "manifest carries no registers")
+    est = got["est"]
+    exact = int(orders.agg(F.count_distinct("o_custkey")).first()[0])
+    # consumer gate: two register-carrying manifests -> a join-size
+    # estimate with zero data passes, within 25% of the truth
+    eng = Engine(spark=spark)
+    tag = _uuid.uuid4().hex[:8]
+    a, b = f"ndva_{tag}", f"ndvb_{tag}"
+    eng.register(a, path)
+    eng.register(b, path)
+    rep = eng.explain_join(a, b, "o_custkey")
+    _require(
+        rep["join_est_source"] == "ndv" and rep["n_common_sampled"] is None,
+        "join estimate did not come from manifest registers", rep,
+    )
+    true_join = (
+        spark.read.parquet(path)
+        .groupBy("o_custkey")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")))
+        .first()[0]
+    )
+    _require(
+        abs(rep["est_join_rows"] - true_join) <= 0.25 * true_join,
+        f"ndv join estimate {rep['est_join_rows']} vs true {true_join}",
+    )
+    for v in (a, b):
+        spark.catalog.dropTempView(v)
+    shutil.rmtree(path, ignore_errors=True)
+
+    def _rnd4(x: float) -> float:
+        import math as _math
+
+        return _math.floor(x * 10_000 + 0.5) / 10_000
+
+    return spark.createDataFrame(
+        [
+            (
+                HLL_M,
+                int(got["nonzero"]),
+                _rnd4(est),
+                exact,
+                _rnd4(abs(est - exact) / exact),
+            )
+        ],
+        _NDV_SCHEMA,
+    )
+
+
+_NDV_SCHEMA = StructType(
+    [
+        StructField("m", LongType()),
+        StructField("regs_nonzero", LongType()),
+        StructField("est_custs", DoubleType()),
+        StructField("exact_custs", LongType()),
+        StructField("rel_err", DoubleType()),
+    ]
+)
+
+
 QUERIES = {
     "lake_time_travel": lake_time_travel,
     "lake_change_feed": lake_change_feed,
@@ -787,6 +875,7 @@ QUERIES = {
     "lake_dpp_star": lake_dpp_star,
     "lake_bloom_pointlookup": lake_bloom_pointlookup,
     "lake_histogram_stats": lake_histogram_stats,
+    "lake_ndv_stats": lake_ndv_stats,
 }
 
 
@@ -965,3 +1054,49 @@ ORACLES = {
         ORDER BY bin
     """,
 }
+
+
+def _ndv_stats_oracle() -> str:
+    """DuckDB rebuild of the manifest's merged registers straight from
+    the raw fixture — per-file register max is associative, so the
+    direct global build must be IDENTICAL to the manifest merge — plus
+    the same estimator arithmetic (the sketch_hll_estimate pairing)."""
+    from quack_reduce_spark.inventory.sketches import _hll_est_sql
+    from quack_reduce_spark.operators.sketches import (
+        HLL_M,
+        HLL_W_BITS,
+        hll_rho_sql,
+        md5_h32_sql,
+    )
+
+    h = md5_h32_sql("CAST(o_custkey AS VARCHAR)")
+    rho = hll_rho_sql(f"(h % {1 << HLL_W_BITS})")
+    est = _hll_est_sql()
+    rnd4 = "FLOOR(({x}) * 1e4 + 0.5) / 1e4"
+    return f"""
+        WITH hashed AS (
+            SELECT {h} AS h FROM orders
+        ),
+        regs AS (
+            SELECT h // {1 << HLL_W_BITS} AS idx, MAX({rho}) AS M
+            FROM hashed GROUP BY idx
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nonzero,
+                   SUM(POWER(2.0, -M)) AS present_sum
+            FROM regs
+        ),
+        exact AS (
+            SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs
+            FROM orders
+        )
+        SELECT CAST({HLL_M} AS BIGINT) AS m,
+               s.nonzero AS regs_nonzero,
+               {rnd4.format(x=est)} AS est_custs,
+               e.exact_custs,
+               {rnd4.format(x=f"ABS(({est}) - e.exact_custs) / e.exact_custs")} AS rel_err
+        FROM sums s, exact e
+    """
+
+
+ORACLES["lake_ndv_stats"] = _ndv_stats_oracle()

@@ -266,6 +266,7 @@ def _write_list(
     types: dict[str, str] | None = None,
     bloom: dict[str, dict] | None = None,
     hist: dict[str, dict] | None = None,
+    ndv: dict[str, dict] | None = None,
 ) -> None:
     """Commit the manifest list. Version 3: session-zoned timestamp
     bounds are epoch-micros ints (``types`` records the SOURCE column
@@ -287,6 +288,8 @@ def _write_list(
         doc["bloom"] = bloom
     if hist:
         doc["hist"] = hist
+    if ndv:
+        doc["ndv"] = ndv
     fs = _fs_for(data_dir)
     p = _list_path(data_dir)
     prev = fs.mtime(p)
@@ -486,6 +489,135 @@ def _bloom_any(
         if hit:
             return True
     return False
+
+
+# -- per-file HLL register sketches (metadata-cost NDV) ---------------------
+#
+# Join-cardinality estimation needs DISTINCT counts (est_join_rows ~
+# |L| * |R| / max(ndv_L, ndv_R)), which neither min/max nor row counts
+# give. A per-file HLL register set (p=8, 256 registers — the same
+# portable register math operators/sketches.py hash-proves against a
+# DuckDB replay) is MERGEABLE: max per register over any file subset
+# is exactly the sketch of those files' rows, so the manifest answers
+# "how many distinct keys in this table / in this FILTERED slice's
+# surviving files" at metadata cost — the Iceberg theta-sketch
+# (puffin) shape on plain parquet.
+
+_NDV_TYPES = _BLOOM_TYPES  # same portable string-rendering guarantee
+
+
+def _validate_ndv_cols(
+    types: dict[str, str], cols: list[str], ndv_cols: list[str]
+) -> None:
+    for c in ndv_cols:
+        if c not in cols:
+            raise ValueError(
+                f"ndv column {c!r} must also be a stats column (have {cols})"
+            )
+        if types.get(c) not in _NDV_TYPES:
+            raise ValueError(
+                f"NDV sketches support {sorted(_NDV_TYPES)} columns; "
+                f"{c!r} is {types.get(c)!r}"
+            )
+
+
+def _hll_reg_frame(df: DataFrame, c: str) -> DataFrame:
+    """``(file, hll_<c>)``: per-file dense HLL register array
+    (``array<int>`` of 256) — idx = top 8 bits of one md5-derived
+    32-bit hash, register = max first-1-bit ladder over the low 24
+    bits; identical math to the hash-oracled portable HLL in
+    operators/sketches.py. One extra pass, two map-side-combinable
+    aggregates onto #files keys."""
+    from quack_reduce_spark.operators.sketches import (
+        HLL_M,
+        HLL_W_BITS,
+        hll_rho,
+        md5_h32,
+    )
+
+    hashed = (
+        df.select(
+            F.col("_metadata.file_path").alias("file"),
+            md5_h32(F.col(c).cast("string")).alias("h"),
+        )
+        .where(F.col(c).isNotNull())
+        .select(
+            "file",
+            F.shiftrightunsigned(F.col("h"), HLL_W_BITS).cast("long").alias("idx"),
+            hll_rho(F.col("h").bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))).alias(
+                "rho"
+            ),
+        )
+    )
+    regs = hashed.groupBy("file", "idx").agg(F.max("rho").alias("M"))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(HLL_M - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__hm"), i.cast("long")), F.lit(0)
+        ).cast("int"),
+    )
+    return regs.groupBy("file").agg(
+        F.map_from_entries(F.collect_list(F.struct("idx", "M"))).alias("__hm")
+    ).select("file", dense.alias(f"hll_{c}"))
+
+
+def _attach_ndv(
+    df: DataFrame, stats: DataFrame, ndv_cols: list[str]
+) -> DataFrame:
+    for c in ndv_cols:
+        stats = stats.join(_hll_reg_frame(df, c), "file", "left")
+    return stats
+
+
+def hll_merge_estimate(reg_arrays: list) -> dict | None:
+    """Merge per-file register arrays (max per register — exact for
+    any file subset) and return ``{nonzero, present_sum, est}`` via
+    the Flajolet bias-corrected estimator with the linear-counting
+    small-range branch — the same arithmetic the hash-oracled
+    ``sketch_hll_estimate`` registry key replays in DuckDB SQL. None
+    when no file carries registers."""
+    import math
+
+    from quack_reduce_spark.operators.sketches import HLL_ALPHA, HLL_M
+
+    merged = [0] * HLL_M
+    seen = False
+    for arr in reg_arrays:
+        if arr is None:
+            continue
+        seen = True
+        for i, v in enumerate(arr):
+            if v > merged[i]:
+                merged[i] = v
+    if not seen:
+        return None
+    nonzero = sum(1 for v in merged if v > 0)
+    present_sum = float(sum(2.0 ** -v for v in merged if v > 0))
+    raw = HLL_ALPHA * HLL_M * HLL_M / (present_sum + (HLL_M - nonzero))
+    if nonzero < HLL_M and raw <= 2.5 * HLL_M:
+        est = HLL_M * math.log(HLL_M / float(HLL_M - nonzero))
+    else:
+        est = raw
+    return {"nonzero": nonzero, "present_sum": present_sum, "est": est}
+
+
+def manifest_ndv(
+    spark: SparkSession, data_dir: str, col: str, rows: list[dict] | None = None
+) -> dict | None:
+    """Distinct-count estimate for ``col`` from the manifest's per-file
+    HLL registers — over the WHOLE table by default, or over a file
+    SUBSET when ``rows`` (e.g. the survivors ``prune_files_multi``
+    returned) is given: register max is associative, so the merge of
+    any subset is exactly the sketch of those files' rows. Metadata
+    cost: cached group rows, zero data scanned. None when the manifest
+    carries no registers for the column."""
+    if rows is None:
+        doc, epoch = _read_list_cached(data_dir)
+        if doc is None:
+            return None
+        session_tz = spark.conf.get("spark.sql.session.timeZone")
+        rows = _group_rows(spark, data_dir, list(doc["groups"]), (epoch, session_tz))
+    return hll_merge_estimate([r.get(f"hll_{col}") for r in rows])
 
 
 # -- equi-depth histograms (metadata-cost selectivity estimation) -----------
@@ -753,6 +885,7 @@ def write_zonemap(
     bloom_k: int = BLOOM_K,
     hist_cols: list[str] | dict[str, dict] | None = None,
     hist_bins: int = HIST_BINS,
+    ndv_cols: list[str] | dict[str, dict] | None = None,
 ) -> int:
     """Build and persist the grouped manifest at ``<data_dir>/_zonemap``
     (one manifest per data directory + ``_list.json``). Returns the
@@ -782,10 +915,21 @@ def write_zonemap(
     appends degrades estimate quality, never correctness (the doc
     records ``n_rows_at_build`` so consumers can refuse a drifted
     histogram). Same ``None``-inherits / ``[]``-drops contract as
-    ``bloom_cols``."""
+    ``bloom_cols``.
+
+    ``ndv_cols``: integer/string stats columns that get a PER-FILE HLL
+    register sketch (p=8, mergeable — max per register over any file
+    subset is exactly that subset's sketch), so ``manifest_ndv``
+    answers table- and slice-level DISTINCT counts at metadata cost —
+    the input a join-cardinality estimate needs. Same contract as
+    ``bloom_cols``; one extra pass per column at build."""
     df = spark.read.parquet(data_dir)
     types = _source_types(df, cols)
-    prev = _read_list(data_dir) if (bloom_cols is None or hist_cols is None) else None
+    prev = (
+        _read_list(data_dir)
+        if (bloom_cols is None or hist_cols is None or ndv_cols is None)
+        else None
+    )
     inherited: dict[str, dict] = {}
     if bloom_cols is None:
         inherited = dict((prev or {}).get("bloom") or {})
@@ -805,6 +949,11 @@ def write_zonemap(
         hist_inherited = dict(hist_cols)
         hist_cols = [c for c in hist_inherited if c in cols]
     _validate_hist_cols(types, cols, hist_cols)
+    if ndv_cols is None:
+        ndv_cols = [c for c in ((prev or {}).get("ndv") or {}) if c in cols]
+    elif isinstance(ndv_cols, dict):
+        ndv_cols = [c for c in ndv_cols if c in cols]
+    _validate_ndv_cols(types, cols, ndv_cols)
     stats = _cover_empty_files(
         spark, data_dir, zonemap_stats(spark, data_dir, cols), _data_files(data_dir)
     )
@@ -819,6 +968,12 @@ def write_zonemap(
             k = int(inherited.get(c, {}).get("k", bloom_k))
             bloom_doc[c] = {"m": _bloom_m_for(max_rows, bpk), "k": k, "bpk": bpk}
         stats = _attach_blooms(df, stats, bloom_doc)
+    ndv_doc: dict[str, dict] = {}
+    if ndv_cols:
+        from quack_reduce_spark.operators.sketches import HLL_M, HLL_P
+
+        stats = _attach_ndv(df, stats, ndv_cols)
+        ndv_doc = {c: {"m": HLL_M, "p": HLL_P} for c in ndv_cols}
     hist_doc: dict[str, dict] = {}
     if hist_cols:
         per_col_bins = {
@@ -842,7 +997,7 @@ def write_zonemap(
     groups = _group_summaries(stats_g, cols)
     _write_list(
         data_dir, cols, groups, types=types,
-        bloom=bloom_doc or None, hist=hist_doc or None,
+        bloom=bloom_doc or None, hist=hist_doc or None, ndv=ndv_doc or None,
     )
     return sum(g["n_files"] for g in groups.values())
 
@@ -880,6 +1035,13 @@ def bloom_config(data_dir: str) -> dict[str, dict]:
     bloom_cols=<config>)`` so fingerprints survive the move."""
     doc = _read_list(data_dir)
     return dict((doc or {}).get("bloom") or {})
+
+
+def ndv_config(data_dir: str) -> dict[str, dict]:
+    """The manifest's NDV-sketch config ``{col: {m, p}}`` (empty when
+    none) — same capture-before-rewrite contract as bloom_config."""
+    doc = _read_list(data_dir)
+    return dict((doc or {}).get("ndv") or {})
 
 
 def _data_files(data_dir: str) -> list[str]:
@@ -1029,6 +1191,11 @@ def append_zonemap(
         # m/k — a delta file larger than the build's sizing basis gets
         # a denser (higher-fp) bitset, never a false negative
         fresh = _attach_blooms(df, fresh, bloom_doc)
+    ndv_doc = dict((doc or {}).get("ndv") or {})
+    if ndv_doc:
+        # register-sketch the delta files; the table/slice merge stays
+        # exact because register max is associative over files
+        fresh = _attach_ndv(df, fresh, list(ndv_doc))
     fresh = _cover_empty_files(spark, data_dir, fresh, fresh_files)
     fresh_g = _with_groups(fresh)
     # merge back ONLY the old rows of groups that actually gained
@@ -1065,6 +1232,7 @@ def append_zonemap(
     _write_list(
         data_dir, cols, groups, types=types,
         bloom=bloom_doc or None, hist=(doc or {}).get("hist"),
+        ndv=ndv_doc or None,
     )
     return len(fresh_files)
 

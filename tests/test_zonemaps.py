@@ -1052,3 +1052,95 @@ def test_hist_rebuild_inherits_and_refuses_bad_types(spark, sf_dir, tmp_path):
             spark, path, ["o_totalprice", "o_orderstatus"],
             hist_cols=["o_orderstatus"],
         )
+
+
+# -- per-file HLL register sketches (metadata-cost NDV) -----------------------
+
+
+def test_manifest_ndv_table_and_subset(spark, sf_dir, tmp_path):
+    """The manifest's merged registers estimate table NDV within ~7%
+    (p=8), and a FILE-SUBSET merge estimates exactly those files'
+    distinct keys — the mergeability that makes slice NDV a metadata
+    question."""
+    path = str(tmp_path / "ndv_t")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(6).write.mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_custkey"], ndv_cols=["o_custkey"])
+    got = Z.manifest_ndv(spark, path, "o_custkey")
+    exact = orders.agg(F.count_distinct("o_custkey")).first()[0]
+    assert abs(got["est"] - exact) <= 0.07 * exact, (got["est"], exact)
+    rows, total = Z.prune_files_multi(spark, path, {})
+    assert total == 6
+    sub_rows = rows[:2]
+    sub = Z.manifest_ndv(spark, path, "o_custkey", rows=sub_rows)
+    sub_exact = (
+        spark.read.parquet(*[r["file"] for r in sub_rows])
+        .agg(F.count_distinct("o_custkey"))
+        .first()[0]
+    )
+    assert abs(sub["est"] - sub_exact) <= 0.08 * sub_exact, (sub["est"], sub_exact)
+
+
+def test_ndv_append_extends_registers(spark, sf_dir, tmp_path):
+    """append_zonemap sketches the delta files; the post-append merge
+    tracks the grown distinct count (register max over old + delta ==
+    the direct build — associativity)."""
+    path = str(tmp_path / "ndv_a")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(3).write.mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_custkey"], ndv_cols=["o_custkey"])
+    before = Z.manifest_ndv(spark, path, "o_custkey")["est"]
+    delta = orders.withColumn("o_custkey", F.col("o_custkey") + F.lit(10_000_000))
+    delta.repartition(2).write.mode("append").parquet(path)
+    assert Z.append_zonemap(spark, path, ["o_custkey"]) == 2
+    after = Z.manifest_ndv(spark, path, "o_custkey")
+    exact = spark.read.parquet(path).agg(F.count_distinct("o_custkey")).first()[0]
+    assert after["est"] > 1.6 * before
+    assert abs(after["est"] - exact) <= 0.08 * exact
+    # the incremental merge equals a from-scratch rebuild's registers
+    Z.write_zonemap(spark, path, ["o_custkey"])  # inherits ndv config
+    rebuilt = Z.manifest_ndv(spark, path, "o_custkey")
+    assert rebuilt["nonzero"] == after["nonzero"]
+    assert rebuilt["est"] == after["est"]
+
+
+def test_explain_join_ndv_source_and_sample_fallback(spark, sf_dir, tmp_path):
+    """Two register-carrying manifest tables: the join-size estimate
+    comes from the NDV containment formula with NO sample execution
+    (join_est_source == 'ndv', n_common_sampled is None) and lands
+    within 25% of the true join size; drop one side's registers and
+    the estimator falls back to the key-overlap sample."""
+    from quack_reduce_spark.engine import Engine
+
+    po, pl = str(tmp_path / "ndv_o"), str(tmp_path / "ndv_l")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    orders.repartition(4).write.parquet(po)
+    li.repartition(4).write.parquet(pl)
+    Z.write_zonemap(spark, po, ["o_orderkey"], ndv_cols=["o_orderkey"])
+    Z.write_zonemap(spark, pl, ["o_orderkey"], ndv_cols=["o_orderkey"])
+    eng = Engine(spark=spark)
+    eng.register("ndv_o", po)
+    eng.register("ndv_l", pl)
+    rep = eng.explain_join("ndv_o", "ndv_l", "o_orderkey")
+    assert rep["join_est_source"] == "ndv" and rep["n_common_sampled"] is None
+    true_join = spark.read.parquet(po).join(spark.read.parquet(pl), "o_orderkey").count()
+    assert abs(rep["est_join_rows"] - true_join) <= 0.25 * true_join
+    # registers on one side only -> sample fallback
+    Z.write_zonemap(spark, pl, ["o_orderkey"], ndv_cols=[])
+    rep2 = eng.explain_join("ndv_o", "ndv_l", "o_orderkey")
+    assert rep2["join_est_source"] == "sample"
+    assert rep2["n_common_sampled"] is not None
+    for v in ("ndv_o", "ndv_l"):
+        spark.catalog.dropTempView(v)
+
+
+def test_ndv_refuses_unportable_types(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "ndv_bad")
+    load(spark, sf_dir, "orders").limit(100).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    with pytest.raises(ValueError, match="NDV sketches"):
+        Z.write_zonemap(
+            spark, path, ["o_totalprice"], ndv_cols=["o_totalprice"]
+        )
