@@ -45,6 +45,7 @@ import json
 import os
 import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -249,7 +250,16 @@ def main() -> None:
         "sf": SF_DIR,
         "reps": REPS,
     }
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    # The committed bench_full.json is a curated IDLE-BOX artifact;
+    # routine (driver/CI) runs write their blob to a scratch path so
+    # the committed file never shows as modified. Set
+    # SPARK_GRAFT_BENCH_COMMIT=1 to refresh the committed artifact.
+    if os.environ.get("SPARK_GRAFT_BENCH_COMMIT") == "1":
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+        )
+    else:
+        full_path = os.path.join(tempfile.gettempdir(), "qrs_bench_full.json")
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     print(f"full bench blob (heavy_ab/load/per-order mins) -> {full_path}")
@@ -270,7 +280,7 @@ def main() -> None:
                 "load1_start": load_samples["start"][0],
                 "sf": SF_DIR,
                 "reps": REPS,
-                "full": "bench_full.json",
+                "full": os.path.basename(full_path),
             },
             separators=(",", ":"),
         )

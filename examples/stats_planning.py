@@ -1,9 +1,11 @@
-"""Stats-planned lakehouse tour — the round-9..11 planning stack in one
+"""Stats-planned lakehouse tour — the round-9..12 planning stack in one
 script: clustered write -> automatic SQL file skipping (range / IN /
 OR / LIKE / IS NULL) -> ANALYZE from metadata -> estimate-driven join
 planning -> layout degradation by random appends -> OPTIMIZE restoring
-pruning. Every step prints the engine's own telemetry, so the output
-IS the evidence.
+pruning -> the round-12 metadata layers (per-file Bloom fingerprints,
+equi-depth histograms, per-file HLL NDV sketches, and dynamic file
+pruning from join dimensions). Every step prints the engine's own
+telemetry, so the output IS the evidence.
 
 The reference re-lists and re-reads full objects per query
 (``quack.py:145``) and defers table formats (``README.md:190``); this
@@ -95,6 +97,75 @@ def main() -> None:
             f"[7] optimize {stats['files_before']}->{stats['files_after']} files; "
             f"pruning restored: {eng.last_zonemap_report.get('orders_c')}"
         )
+
+        # 8. the round-12 metadata layers in ONE sink call: cluster by
+        # date, FINGERPRINT the key (point lookups on any layout),
+        # HISTOGRAM the price (range selectivity), NDV-sketch the key
+        # (metadata-only join cardinality)
+        lkp = f"{tmp}/orders_lkp"
+        eng.write_clustered(
+            orders, lkp, ["o_orderdate"], n_files=12,
+            bloom_cols=["o_orderkey"],
+            hist_cols=["o_totalprice"],
+            ndv_cols=["o_orderkey"],
+        )
+        eng.register("orders_lkp", lkp)
+        st = eng.table_stats("orders_lkp")
+        print(
+            f"[8] metadata layers: bloom={st['bloom_cols']} "
+            f"hist={st['hist_cols']} ndv={st['ndv_cols']} "
+            f"o_orderkey ndv_est={st['columns']['o_orderkey'].get('ndv_est')}"
+        )
+
+        # 9. point lookup on the UNCLUSTERED key: the date-clustered
+        # layout gives every file the full key range — only the Bloom
+        # fingerprint can skip, and it does, at plan time, driver-side
+        mid_key = orders.approxQuantile("o_orderkey", [0.5], 0.0)[0]
+        eng.df(
+            f"SELECT COUNT(*) AS n FROM orders_lkp "
+            f"WHERE o_orderkey = {int(mid_key)}"
+        ).collect()
+        print(f"[9] bloom point lookup: {eng.last_zonemap_report.get('orders_lkp')}")
+
+        # 10. a FILTERED side is sized from the histogram — no
+        # counting scan — and the tiny slice flips to broadcast
+        sliced = eng.spark.table("orders_lkp").filter("o_totalprice <= 30000")
+        li = load(spark, sf_dir, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        rep = eng.explain_join(sliced, li, "o_orderkey")
+        print(
+            f"[10] filtered-side sizing: source={rep['left']['source']} "
+            f"rows~{rep['left']['rows']} strategy={rep['strategy']}"
+        )
+
+        # 11. both sides register-sketched: join size estimated from
+        # metadata alone — the key-overlap sample never executes
+        lil = f"{tmp}/lineitem_lkp"
+        eng.write_clustered(
+            li, lil, ["o_orderkey"], n_files=8, ndv_cols=["o_orderkey"]
+        )
+        eng.register("lineitem_lkp", lil)
+        rep = eng.explain_join("orders_lkp", "lineitem_lkp", "o_orderkey")
+        print(
+            f"[11] metadata-only join estimate: source="
+            f"{rep['join_est_source']} est_rows~{int(rep['est_join_rows'])}"
+        )
+
+        # 12. dynamic file pruning from a join dimension: the star
+        # query's ONLY predicate is on the dim side, yet the custkey-
+        # clustered fact skips files — the engine derives the
+        # surviving join keys from the dim subplan at plan time
+        fact = f"{tmp}/orders_ck"
+        eng.write_clustered(orders, fact, ["o_custkey"], n_files=12)
+        eng.register("fact_ck", fact)
+        eng.register("dim_cust", f"{sf_dir.rstrip('/')}/customer.parquet")
+        eng.df(
+            "SELECT COUNT(*) AS n FROM fact_ck "
+            "JOIN dim_cust ON o_custkey = c_custkey "
+            "WHERE c_name LIKE 'Customer#00000000%'"
+        ).collect()
+        print(f"[12] DPP from dim filter: {eng.last_zonemap_report.get('fact_ck')}")
 
 
 if __name__ == "__main__":

@@ -889,6 +889,8 @@ class Engine:
         stats_cols: list[str] | None = None,
         mode: str = "overwrite",
         bloom_cols: list[str] | None = None,
+        hist_cols: list[str] | None = None,
+        ndv_cols: list[str] | None = None,
     ) -> int:
         """The one-call "make this table prunable" sink: range-cluster
         ``df`` on ``cluster_by`` (repartitionByRange + sortWithin-
@@ -908,7 +910,11 @@ class Engine:
         ``bloom_cols``: integer/string stats columns that ALSO get
         per-file Bloom fingerprints — point/IN lookups on them skip
         files even though the layout clusters a different column (the
-        lookup-table shape: cluster by time, fingerprint the id)."""
+        lookup-table shape: cluster by time, fingerprint the id).
+        ``hist_cols`` / ``ndv_cols``: equi-depth histograms (range
+        selectivity for explain_join's filtered sides) and per-file
+        HLL register sketches (table/slice NDV, metadata-only join
+        cardinality) — see write_zonemap."""
         from quack_reduce_spark.operators import zonemaps
 
         if not cluster_by:
@@ -922,10 +928,11 @@ class Engine:
             .parquet(path)
         )
         stats = list(stats_cols or cluster_by)
-        if bloom_cols:
-            stats += [c for c in bloom_cols if c not in stats]
+        for extra in (bloom_cols, hist_cols, ndv_cols):
+            stats += [c for c in (extra or []) if c not in stats]
         return zonemaps.write_zonemap(
-            self.spark, path, stats, bloom_cols=bloom_cols
+            self.spark, path, stats,
+            bloom_cols=bloom_cols, hist_cols=hist_cols, ndv_cols=ndv_cols,
         )
 
     def merge_upsert(

@@ -1521,6 +1521,17 @@ def manifest_stats(spark: SparkSession, data_dir: str) -> dict:
             "max": mx,
             "nulls": sum(int(r.get(f"nulls_{c}", 0)) for r in rows),
         }
+    if doc is not None:
+        # the r12 metadata layers, surfaced in the same ANALYZE
+        # readout: NDV estimates from the per-file register merge,
+        # plus which columns carry fingerprints/histograms
+        for c in (doc.get("ndv") or {}):
+            got = hll_merge_estimate([r.get(f"hll_{c}") for r in rows])
+            if got is not None:
+                out["columns"].setdefault(c, {})["ndv_est"] = round(got["est"], 1)
+        out["bloom_cols"] = sorted(doc.get("bloom") or {})
+        out["hist_cols"] = sorted(doc.get("hist") or {})
+        out["ndv_cols"] = sorted(doc.get("ndv") or {})
     return out
 
 
