@@ -402,6 +402,110 @@ class Engine:
             self.spark, meta.get("resolved", self.tables[name])
         )
 
+    def count_where(
+        self, name: str, constraints: dict[str, tuple] | None = None
+    ) -> int:
+        """``SELECT COUNT(*) FROM name WHERE <ranges>`` answered mostly
+        from METADATA — the Iceberg/Delta metadata-count shape on plain
+        parquet. ``constraints`` maps columns to closed ``(lo, hi)``
+        ranges (either bound may be None; rows with NULL in a
+        constrained column don't count, matching SQL comparison
+        semantics); None counts the whole table.
+
+        Files whose stats prove EVERY row matches (``min >= lo``,
+        ``max <= hi``, zero nulls, for every constrained column)
+        contribute their exact manifest ``n_rows`` without being read;
+        only BOUNDARY files — pruned in but not fully contained — are
+        scanned with the residual predicate. On a clustered layout a
+        range count reads O(1) boundary files regardless of how many
+        the range covers; at 100 TB that is the difference between a
+        dashboard count and a full scan. Falls back to a plain
+        filtered count when the table has no fresh manifest.
+        Telemetry in ``last_count_plan``."""
+        from quack_reduce_spark.operators import zonemaps as _zm
+
+        meta = self._table_meta.get(name)
+        if meta is None:
+            raise KeyError(f"table {name!r} is not registered")
+        path = meta.get("resolved", self.tables[name])
+        cons = {
+            c: (lo, hi, None, None) for c, (lo, hi) in (constraints or {}).items()
+        }
+
+        def fallback() -> int:
+            df = self.spark.table(name)
+            pred = F.lit(True)
+            for c, (lo, hi) in (constraints or {}).items():
+                pred = pred & F.col(c).isNotNull()
+                if lo is not None:
+                    pred = pred & (F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    pred = pred & (F.col(c) <= F.lit(hi))
+            self.last_count_plan = {"source": "scan"}
+            return df.where(pred).count()
+
+        if not meta.get("zonemap_cols"):
+            return fallback()
+        try:
+            rows, total = _zm.prune_files_multi(self.spark, path, cons)
+            if total != len(_zm._data_files(path)):
+                return fallback()  # un-maintained append: don't trust it
+            doc = _zm._read_list(path) or {}
+            types = doc.get("types") or {}
+            session_tz = self.spark.conf.get("spark.sql.session.timeZone")
+            norm = _zm._normalize_constraints(cons, types, session_tz)
+        except Exception:
+            return fallback()
+
+        def contained(r: dict) -> bool:
+            for c, (lo, hi, _vals, _nl) in norm.items():
+                mn, mx = r.get(f"min_{c}"), r.get(f"max_{c}")
+                nulls = r.get(f"nulls_{c}")
+                if mn is None or mx is None or nulls is None or int(nulls) != 0:
+                    return False
+                try:
+                    if lo is not None and mn < lo:
+                        return False
+                    if hi is not None and mx > hi:
+                        return False
+                except TypeError:
+                    return False  # incomparable: treat as boundary
+            return True
+
+        meta_rows, boundary = 0, []
+        for r in rows:
+            if contained(r):
+                meta_rows += int(r["n_rows"])
+            else:
+                boundary.append(r["file"])
+        scanned = 0
+        if boundary:
+            df = self.spark.read.option("basePath", path).parquet(*boundary)
+            by_type = {f.name: f.dataType.typeName() for f in df.schema.fields}
+            pred = F.lit(True)
+            for c, (lo, hi, _vals, _nl) in norm.items():
+                target = (
+                    F.unix_micros(F.col(c))
+                    if by_type.get(c) == "timestamp"
+                    else F.col(c)
+                )
+                pred = pred & F.col(c).isNotNull()
+                if lo is not None:
+                    pred = pred & (target >= F.lit(lo))
+                if hi is not None:
+                    pred = pred & (target <= F.lit(hi))
+            scanned = df.where(pred).count()
+        self.last_count_plan = {
+            "source": "metadata+residual",
+            "files_total": total,
+            "files_pruned_in": len(rows),
+            "files_contained": len(rows) - len(boundary),
+            "files_scanned": len(boundary),
+            "rows_metadata": meta_rows,
+            "rows_scanned": scanned,
+        }
+        return meta_rows + scanned
+
     def explain(self, query: str, mode: str = "formatted") -> str:
         """Physical-plan text for a SQL query without executing it —
         the plan-inspection surface the scale discipline depends on

@@ -105,6 +105,7 @@ _HEAD = [
     "lake_bloom_pointlookup",
     "lake_histogram_stats",
     "lake_ndv_stats",
+    "lake_count_pushdown",
     "lake_zonemap_sql_pushdown",
     "lake_zonemap_in_pushdown",
     "lake_manifest_stats",
@@ -117,7 +118,7 @@ _HEAD = [
     "ts_ewma_smooth", "ts_asof_auto",
     "ts_zscore_anomaly", "ts_retention_cohorts",
     "lake_time_travel", "lake_change_feed", "lake_schema_evolution",
-    "stream_static_enrich", "stream_session_dynamic",
+    "stream_static_enrich",
     "stream_interval_join",
     "text_pii_scrub", "text_lm_score", "text_mixture_weights",
     "dedup_cross_source", "dedup_embedding_cosine",

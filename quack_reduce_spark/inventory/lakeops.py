@@ -863,6 +863,71 @@ _NDV_SCHEMA = StructType(
 )
 
 
+def lake_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata count (round 12): ``Engine.count_where`` answers
+    ``COUNT(*) WHERE <range>`` mostly from the manifest — files whose
+    per-file stats PROVE every row matches (min >= lo, max <= hi, zero
+    nulls) contribute their exact n_rows without being read, and only
+    the BOUNDARY files are scanned with the residual predicate (the
+    Iceberg/Delta metadata-count shape on plain parquet; on a
+    clustered layout a range count reads O(1) boundary files no matter
+    how wide the range). In-query gates prove the shape: a 3.5-year
+    range over a 12-file date-clustered table scans <= 3 boundary
+    files with >= 3 counted wholly from metadata, and the no-predicate
+    count scans ZERO files. The DuckDB oracle recomputes both counts
+    from the raw fixture — the hash match proves the metadata rows and
+    the residual scan compose to the exact answer."""
+    import datetime as _dt
+    import uuid as _uuid
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = _fresh_dir(sf_dir, "lake_count")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(12, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_orderdate"])
+    eng = Engine(spark=spark)
+    t = f"cnt_{_uuid.uuid4().hex[:8]}"
+    eng.register(t, path)
+    n_range = eng.count_where(
+        t,
+        {
+            "o_orderdate": (
+                _dt.datetime(1996, 1, 1),
+                _dt.datetime(1999, 6, 30),
+            )
+        },
+    )
+    plan = eng.last_count_plan
+    _require(
+        plan.get("source") == "metadata+residual",
+        "range count did not plan from the manifest", plan,
+    )
+    _require(
+        plan["files_scanned"] <= 3 and plan["files_contained"] >= 3,
+        "range count failed to answer mostly from metadata", plan,
+    )
+    n_total = eng.count_where(t)
+    _require(
+        eng.last_count_plan["files_scanned"] == 0,
+        "full count read data files", eng.last_count_plan,
+    )
+    spark.catalog.dropTempView(t)
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(n_range), int(n_total))],
+        StructType(
+            [StructField("n_range", LongType()), StructField("n_total", LongType())]
+        ),
+    )
+
+
 QUERIES = {
     "lake_time_travel": lake_time_travel,
     "lake_change_feed": lake_change_feed,
@@ -876,6 +941,7 @@ QUERIES = {
     "lake_bloom_pointlookup": lake_bloom_pointlookup,
     "lake_histogram_stats": lake_histogram_stats,
     "lake_ndv_stats": lake_ndv_stats,
+    "lake_count_pushdown": lake_count_pushdown,
 }
 
 
@@ -1100,3 +1166,12 @@ def _ndv_stats_oracle() -> str:
 
 
 ORACLES["lake_ndv_stats"] = _ndv_stats_oracle()
+
+# metadata-count pushdown must be invisible in the answer: the oracle
+# recomputes both counts directly from the raw fixture
+ORACLES["lake_count_pushdown"] = """
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                  AND TIMESTAMP '1999-06-30') AS n_range,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_total
+"""

@@ -470,3 +470,73 @@ def test_write_clustered_end_to_end_prunable(spark, sf_dir, tmp_path):
     assert rep["files_read"] < rep["files_total"] == 10
     st = eng.table_stats("wc_orders")
     assert st["n_rows"] == orders.count() and st["n_files"] == 10
+
+
+# -- metadata count pushdown (round 12) ---------------------------------------
+
+from quack_reduce_spark.inventory._util import load  # noqa: E402
+
+
+def test_count_where_metadata_plus_residual(spark, sf_dir, tmp_path):
+    """A wide date-range count on a clustered table answers mostly from
+    the manifest: fully-contained files contribute exact n_rows unread,
+    only the O(1) boundary files are scanned, and the total equals the
+    plain filtered count. A no-predicate count reads ZERO files."""
+    import datetime as dt
+
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = str(tmp_path / "cnt")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(12, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_orderdate", "o_totalprice"])
+    eng = Engine(spark=spark)
+    eng.register("cnt_t", path)
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1999, 6, 30)
+    got = eng.count_where("cnt_t", {"o_orderdate": (lo, hi)})
+    want = (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderdate").between(lo, hi))
+        .count()
+    )
+    assert got == want
+    plan = eng.last_count_plan
+    assert plan["source"] == "metadata+residual"
+    assert plan["files_scanned"] <= 3 and plan["files_contained"] >= 3
+    assert plan["rows_metadata"] + plan["rows_scanned"] == got
+    assert eng.count_where("cnt_t") == orders.count()
+    assert eng.last_count_plan["files_scanned"] == 0
+    # an unclustered column still answers exactly, scanning everything
+    got2 = eng.count_where("cnt_t", {"o_totalprice": (None, 50000.0)})
+    assert got2 == spark.read.parquet(path).filter("o_totalprice <= 50000").count()
+    spark.catalog.dropTempView("cnt_t")
+
+
+def test_count_where_falls_back_on_stale_manifest(spark, sf_dir, tmp_path):
+    """Files appended without manifest maintenance: the live-file-count
+    guard refuses the metadata path and the plain scan still answers
+    exactly (appended rows are never silently dropped)."""
+    import datetime as dt
+
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = str(tmp_path / "cnt_stale")
+    orders = load(spark, sf_dir, "orders")
+    orders.limit(1000).repartitionByRange(4, "o_orderdate").write.mode(
+        "overwrite"
+    ).parquet(path)
+    Z.write_zonemap(spark, path, ["o_orderdate"])
+    orders.limit(300).coalesce(1).write.mode("append").parquet(path)  # no maintenance
+    eng = Engine(spark=spark)
+    eng.register("cnt_s", path)
+    got = eng.count_where(
+        "cnt_s", {"o_orderdate": (dt.datetime(1990, 1, 1), dt.datetime(2050, 1, 1))}
+    )
+    assert got == spark.read.parquet(path).count()  # all rows in range
+    assert eng.last_count_plan == {"source": "scan"}
+    spark.catalog.dropTempView("cnt_s")
