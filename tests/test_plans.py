@@ -1228,3 +1228,58 @@ def test_engine_sql_dpp_and_bloom_prune_unclustered_fact(spark, sf_dir, tmp_path
     assert got == want == 1
     for v in ("fblm", "dblm"):
         spark.catalog.dropTempView(v)
+
+
+def test_engine_sql_dpp_two_dims_intersect(spark, sf_dir, tmp_path):
+    """Two filtered dims joined on DIFFERENT fact columns: each join
+    contributes its own key-set constraint and the fact scan applies
+    BOTH — files must satisfy each to survive — and the answer equals
+    the plain two-join computation."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = str(tmp_path / "dpp2")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(12, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_custkey", "o_orderkey"])
+    # second dim: an orderkey list derived from lineitem (filtered)
+    okdim = str(tmp_path / "okdim")
+    li = load(spark, sf_dir, "lineitem")
+    (
+        li.select(F.col("l_orderkey").alias("d_orderkey"), "l_quantity")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(okdim)
+    )
+    eng = Engine(spark=spark)
+    eng.register("dpp2_f", path)
+    eng.register("dpp2_c", f"{sf_dir}/customer.parquet")
+    eng.register("dpp2_k", okdim)
+    q = (
+        "SELECT COUNT(*) AS n FROM dpp2_f "
+        "JOIN dpp2_c ON o_custkey = c_custkey "
+        "JOIN dpp2_k ON o_orderkey = d_orderkey "
+        "WHERE c_name LIKE 'Customer#00000000%' AND l_quantity >= 49"
+    )
+    d = eng.df(q)
+    rep = eng.last_zonemap_report.get("dpp2_f")
+    assert rep is not None and set(rep.get("dpp", {})) == {"o_custkey", "o_orderkey"}
+    assert rep["files_read"] < rep["files_total"] == 12
+    f = spark.read.parquet(path)
+    cust = load(spark, sf_dir, "customer").filter(
+        "c_name LIKE 'Customer#00000000%'"
+    )
+    kd = spark.read.parquet(okdim).filter("l_quantity >= 49")
+    want = (
+        f.join(cust, f.o_custkey == cust.c_custkey)
+        .join(kd, f.o_orderkey == kd.d_orderkey)
+        .count()
+    )
+    assert d.first()["n"] == want
+    for v in ("dpp2_f", "dpp2_c", "dpp2_k"):
+        spark.catalog.dropTempView(v)
