@@ -403,7 +403,10 @@ class Engine:
         )
 
     def count_where(
-        self, name: str, constraints: dict[str, tuple] | None = None
+        self,
+        name: str,
+        constraints: dict[str, tuple] | None = None,
+        in_lists: dict[str, list] | None = None,
     ) -> int:
         """``SELECT COUNT(*) FROM name WHERE <ranges>`` answered mostly
         from METADATA — the Iceberg/Delta metadata-count shape on plain
@@ -421,16 +424,28 @@ class Engine:
         the range covers; at 100 TB that is the difference between a
         dashboard count and a full scan. Falls back to a plain
         filtered count when the table has no fresh manifest.
-        Telemetry in ``last_count_plan``."""
+        Telemetry in ``last_count_plan``.
+
+        ``in_lists`` maps columns to IN value sets — pruning composes
+        with the column's Bloom fingerprint when one exists, so a
+        point count on a fingerprinted key scans only the files that
+        can hold it; a file counts wholly from metadata only when its
+        stats prove every row matches (single-valued, value in the
+        set, zero nulls)."""
         from quack_reduce_spark.operators import zonemaps as _zm
 
         meta = self._table_meta.get(name)
         if meta is None:
             raise KeyError(f"table {name!r} is not registered")
         path = meta.get("resolved", self.tables[name])
+        overlap = set(constraints or {}) & set(in_lists or {})
+        if overlap:
+            raise ValueError(f"columns in both constraints and in_lists: {overlap}")
         cons = {
             c: (lo, hi, None, None) for c, (lo, hi) in (constraints or {}).items()
         }
+        for c, vals in (in_lists or {}).items():
+            cons[c] = (None, None, frozenset(vals), None)
 
         def fallback() -> int:
             df = self.spark.table(name)
@@ -441,6 +456,8 @@ class Engine:
                     pred = pred & (F.col(c) >= F.lit(lo))
                 if hi is not None:
                     pred = pred & (F.col(c) <= F.lit(hi))
+            for c, vals in (in_lists or {}).items():
+                pred = pred & F.col(c).isin(list(vals))
             self.last_count_plan = {"source": "scan"}
             return df.where(pred).count()
 
@@ -458,12 +475,18 @@ class Engine:
             return fallback()
 
         def contained(r: dict) -> bool:
-            for c, (lo, hi, _vals, _nl) in norm.items():
+            for c, (lo, hi, vals, _nl) in norm.items():
                 mn, mx = r.get(f"min_{c}"), r.get(f"max_{c}")
                 nulls = r.get(f"nulls_{c}")
                 if mn is None or mx is None or nulls is None or int(nulls) != 0:
                     return False
                 try:
+                    if vals is not None:
+                        # every row matches only if the file is
+                        # single-valued on c and that value is listed
+                        if mn != mx or mn not in vals:
+                            return False
+                        continue
                     if lo is not None and mn < lo:
                         return False
                     if hi is not None and mx > hi:
@@ -483,13 +506,16 @@ class Engine:
             df = self.spark.read.option("basePath", path).parquet(*boundary)
             by_type = {f.name: f.dataType.typeName() for f in df.schema.fields}
             pred = F.lit(True)
-            for c, (lo, hi, _vals, _nl) in norm.items():
+            for c, (lo, hi, vals, _nl) in norm.items():
                 target = (
                     F.unix_micros(F.col(c))
                     if by_type.get(c) == "timestamp"
                     else F.col(c)
                 )
                 pred = pred & F.col(c).isNotNull()
+                if vals is not None:
+                    pred = pred & target.isin(list(vals))
+                    continue
                 if lo is not None:
                     pred = pred & (target >= F.lit(lo))
                 if hi is not None:

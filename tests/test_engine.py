@@ -540,3 +540,41 @@ def test_count_where_falls_back_on_stale_manifest(spark, sf_dir, tmp_path):
     assert got == spark.read.parquet(path).count()  # all rows in range
     assert eng.last_count_plan == {"source": "scan"}
     spark.catalog.dropTempView("cnt_s")
+
+
+def test_count_where_in_list_composes_with_bloom(spark, sf_dir, tmp_path):
+    """A point/IN count on a FINGERPRINTED key over a layout the key is
+    not clustered by: bloom pruning keeps only the files that can hold
+    the listed keys, the residual scan covers exactly those, and the
+    total equals the plain isin count."""
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = str(tmp_path / "cnt_in")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(12, "o_custkey").write.mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_orderkey"], bloom_cols=["o_orderkey"])
+    full = spark.read.parquet(path)
+    n = full.count()
+    keys = [
+        r[0]
+        for r in full.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .offset(n // 3)
+        .limit(2)
+        .collect()
+    ]
+    eng = Engine(spark=spark)
+    eng.register("cnt_in", path)
+    got = eng.count_where("cnt_in", in_lists={"o_orderkey": keys})
+    want = full.filter(F.col("o_orderkey").isin(keys)).count()
+    assert got == want > 0
+    plan = eng.last_count_plan
+    assert plan["source"] == "metadata+residual"
+    assert plan["files_scanned"] <= 4 < plan["files_total"] == 12
+    with pytest.raises(ValueError, match="both constraints"):
+        eng.count_where(
+            "cnt_in",
+            constraints={"o_orderkey": (0, 10)},
+            in_lists={"o_orderkey": keys},
+        )
+    spark.catalog.dropTempView("cnt_in")
