@@ -1238,10 +1238,14 @@ class Engine:
         self._commit_rewrite(path, write_to, expected_rows=n_rows, op="optimize")
         live = lake.resolve(path)
         # ensure the manifest covers the clustering columns even if the
-        # table had none before (commit_rewrite only preserves existing
-        # stats); a differing column set is rebuilt over cluster_by
-        if zonemaps.zonemap_cols(live) != list(cluster_by):
-            zonemaps.write_zonemap(self.spark, live, list(cluster_by))
+        # table had none before (commit_rewrite preserves the existing
+        # stats + bloom/hist/ndv configs); rebuild over the UNION so
+        # wider stats columns — and the fingerprint/histogram/sketch
+        # layers riding on them — are never silently narrowed away
+        have = zonemaps.zonemap_cols(live)
+        missing = [c for c in cluster_by if c not in have]
+        if missing:
+            zonemaps.write_zonemap(self.spark, live, have + missing)
         return {
             "rows": n_rows,
             "files_before": files_before,

@@ -1144,3 +1144,40 @@ def test_ndv_refuses_unportable_types(spark, sf_dir, tmp_path):
         Z.write_zonemap(
             spark, path, ["o_totalprice"], ndv_cols=["o_totalprice"]
         )
+
+
+def test_optimize_preserves_bloom_and_hist_configs(spark, sf_dir, tmp_path):
+    """The full lifecycle: a clustered+fingerprinted+histogrammed table
+    degraded by random appends, then OPTIMIZEd — the re-cluster's
+    manifest rebuild keeps the bloom and histogram configs (inherited
+    through the staged-rewrite capture), and a point lookup on the
+    fingerprinted key still prunes afterwards."""
+    from quack_reduce_spark.engine import Engine
+
+    path = str(tmp_path / "opt_layers")
+    orders = load(spark, sf_dir, "orders")
+    eng = Engine(spark=spark)
+    eng.write_clustered(
+        orders, path, ["o_orderdate"], n_files=8,
+        bloom_cols=["o_orderkey"], hist_cols=["o_totalprice"],
+    )
+    # random appends: new files carry fingerprints via append_zonemap
+    delta = orders.limit(400).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(700_000_000)
+    )
+    delta.repartition(2).write.mode("append").parquet(path)
+    Z.append_zonemap(spark, path, ["o_orderdate", "o_orderkey", "o_totalprice"])
+    eng.optimize(path, ["o_orderdate"], target_rows_per_file=250)
+    assert set(Z.bloom_config(path)) == {"o_orderkey"}
+    assert set(Z.manifest_hist(path)) == {"o_totalprice"}
+    full = spark.read.parquet(path)
+    n = full.count()
+    key = (
+        full.select("o_orderkey").orderBy("o_orderkey").offset(n // 2).limit(1).first()[0]
+    )
+    rows, total = Z.prune_files_multi(spark, path, {"o_orderkey": (key, key, None, None)})
+    assert 0 < len(rows) < total
+    got = spark.read.parquet(*[r["file"] for r in rows]).filter(
+        F.col("o_orderkey") == key
+    ).count()
+    assert got == full.filter(F.col("o_orderkey") == key).count() > 0
