@@ -448,16 +448,36 @@ class Engine:
             cons[c] = (None, None, frozenset(vals), None)
 
         def fallback() -> int:
+            # mirrors the metadata+residual path's bound semantics
+            # EXACTLY: session-zoned timestamp columns compare in epoch
+            # space (unix_micros vs _to_micros under the SESSION zone).
+            # F.lit(naive_datetime) would render through the driver-OS
+            # zone instead — on an off-UTC host the two paths would
+            # count differently for the same arguments.
             df = self.spark.table(name)
+            by_type = {f.name: f.dataType.typeName() for f in df.schema.fields}
+            session_tz = self.spark.conf.get("spark.sql.session.timeZone")
+
+            def target_and_val(c: str, v: Any) -> tuple:
+                if by_type.get(c) == "timestamp":
+                    return F.unix_micros(F.col(c)), _zm._to_micros(v, session_tz)
+                return F.col(c), v
+
             pred = F.lit(True)
             for c, (lo, hi) in (constraints or {}).items():
                 pred = pred & F.col(c).isNotNull()
                 if lo is not None:
-                    pred = pred & (F.col(c) >= F.lit(lo))
+                    t, v = target_and_val(c, lo)
+                    pred = pred & (t >= F.lit(v))
                 if hi is not None:
-                    pred = pred & (F.col(c) <= F.lit(hi))
+                    t, v = target_and_val(c, hi)
+                    pred = pred & (t <= F.lit(v))
             for c, vals in (in_lists or {}).items():
-                pred = pred & F.col(c).isin(list(vals))
+                if by_type.get(c) == "timestamp":
+                    micros = [_zm._to_micros(v, session_tz) for v in vals]
+                    pred = pred & F.unix_micros(F.col(c)).isin(micros)
+                else:
+                    pred = pred & F.col(c).isin(list(vals))
             self.last_count_plan = {"source": "scan"}
             return df.where(pred).count()
 
@@ -624,13 +644,15 @@ class Engine:
             """(estimated rows, row width) for a FILTERED side: a pure
             Filter/Project over exactly one registered fresh-manifest
             table whose doc carries an equi-depth histogram covering a
-            range constraint the filter pushes down. Selectivity
-            multiplies across constrained histogrammed columns
-            (independence assumption) and sums across OR alternatives
-            (capped at 1); unconstrained or un-histogrammed columns
-            contribute nothing — the estimate only ever WIDENS, so a
-            wrong independence guess inflates the side and keeps the
-            broadcast decision conservative. A histogram whose
+            range constraint the filter pushes down. Per alternative
+            the MINIMUM selectivity across constrained histogrammed
+            columns is used — a true upper bound under ANY predicate
+            correlation (multiplying under independence UNDER-estimates
+            correlated predicates, which could size a big side under
+            the broadcast threshold and OOM executors); alternatives
+            sum across ORs (capped at 1). Unconstrained or
+            un-histogrammed columns contribute nothing, so the
+            estimate only ever widens. A histogram whose
             n_rows_at_build has drifted >1.5x from the manifest's live
             row count is refused (appends degrade estimates, never
             correctness)."""
@@ -677,16 +699,15 @@ class Engine:
                 return None  # drifted histogram: fall back to ANALYZE
             alt_sels = []
             for alt in scans[0]["alts"]:
-                sel, used = 1.0, False
+                sel = None
                 for col, constraint in alt.items():
                     lo, hi, vals = constraint[0], constraint[1], constraint[2]
                     if col not in hist or vals is not None:
                         continue
                     got = _zm.hist_selectivity(hist[col], lo, hi)
                     if got is not None:
-                        sel *= got
-                        used = True
-                if not used:
+                        sel = got if sel is None else min(sel, got)
+                if sel is None:
                     return None  # nothing estimable: ANALYZE instead
                 alt_sels.append(sel)
             sel = min(1.0, sum(alt_sels)) if alt_sels else None
@@ -853,11 +874,16 @@ class Engine:
                 build = rf if big_is_left else lf
                 probe = lf if big_is_left else rf
                 words_n, m = bloom_size(build_rows)  # rows >= distinct
+                # NULL build keys never match an inner join, and
+                # md5(NULL) would poison the word aggregation with a
+                # (NULL, NULL) group row — drop them before folding
                 by_idx = {
                     int(r["word_idx"]): int(r["word"])
                     for r in bloom_words(
-                        build.select(on), on, m=m, k=BLOOM_SIZED_K
+                        build.select(on).where(F.col(on).isNotNull()),
+                        on, m=m, k=BLOOM_SIZED_K,
                     ).collect()
+                    if r["word_idx"] is not None
                 }
                 words = [by_idx.get(i, 0) for i in range(words_n)]
                 probe = (

@@ -53,6 +53,7 @@ half of a table format, driven from the engine's own plan.
 from __future__ import annotations
 
 import datetime as _dt
+import struct as _struct
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -227,12 +228,20 @@ def _parse_internal_str(s: str, type_name: str) -> tuple[Any, bool]:
     the string rendering of a Catalyst internal value (Long/Int print
     as digits, UTF8String as the raw string, Double/Float in Scala's
     notation, which Python's float() parses including E-notation /
-    NaN / Infinity)."""
+    NaN / Infinity). FLOAT values are narrowed back to float32 and
+    re-widened: Scala renders a Float by its shortest repr ("1.1"),
+    and Python's float() of that is the nearest DOUBLE — NOT the
+    widened float32 value (1.100000023841858) the manifest min/max
+    hold, so the raw parse could prune a file whose min==max equals
+    the true value. The round trip through struct reproduces the JVM
+    float->double widening exactly."""
     try:
         if type_name in ("integer", "long", "short", "byte"):
             return int(s), True
-        if type_name in ("double", "float"):
+        if type_name == "double":
             return float(s), True
+        if type_name == "float":
+            return _struct.unpack("f", _struct.pack("f", float(s)))[0], True
         if type_name == "string":
             return s, True
         if type_name == "date":
@@ -241,7 +250,7 @@ def _parse_internal_str(s: str, type_name: str) -> tuple[Any, bool]:
             return int(s), True  # epoch micros
         if type_name == "timestamp_ntz":
             return _EPOCH_TS + _dt.timedelta(microseconds=int(s)), True
-    except ValueError:
+    except (ValueError, OverflowError):
         return None, False
     return None, False
 
@@ -600,7 +609,21 @@ DPP_DIM_MAX_BYTES = 512 * 1024 * 1024
 # Distinct-key cap: at or below, the constraint is the exact VALUE SET
 # (binary-searched per file); above, the [min, max] envelope.
 DPP_MAX_KEYS = 4096
-_DPP_JOIN_TYPES = {"Inner", "Cross", "LeftSemi"}
+# join type -> which orientations are sound for key-based file
+# skipping, as (prunable side, key-supplying side) selectors. Inner /
+# Cross prune either side; LeftSemi outputs only left rows; LeftOuter
+# preserves every LEFT row so only the RIGHT side is prunable
+# (unmatched right rows never surface) — and symmetrically for
+# RightOuter. FullOuter preserves both sides: nothing is prunable.
+_DPP_ORIENTATIONS = {
+    "Inner": (("l", "r"), ("r", "l")),
+    "Cross": (("l", "r"), ("r", "l")),
+    "LeftSemi": (("l", "r"),),
+    "LeftOuter": (("r", "l"),),
+    "RightOuter": (("l", "r"),),
+}
+# kept for test/back-compat introspection of which joins can fire DPP
+_DPP_JOIN_TYPES = frozenset(_DPP_ORIENTATIONS)
 _DPP_KEY_TYPES = {
     "integer", "long", "short", "byte", "double", "float",
     "string", "date", "timestamp", "timestamp_ntz",
@@ -738,7 +761,8 @@ def join_dim_constraints(
     for node in _iter_nodes(opt):
         if node.getClass().getSimpleName() != "Join":
             continue
-        if node.joinType().toString() not in _DPP_JOIN_TYPES:
+        orientations = _DPP_ORIENTATIONS.get(node.joinType().toString())
+        if orientations is None:
             continue
         cond = node.condition()
         if not cond.isDefined():
@@ -746,10 +770,8 @@ def join_dim_constraints(
         pairs = _equi_pairs(cond.get())
         if not pairs:
             continue
-        semi = node.joinType().toString() == "LeftSemi"
-        sides = [(node.left(), node.right())]
-        if not semi:
-            sides.append((node.right(), node.left()))
+        by_sel = {"l": node.left(), "r": node.right()}
+        sides = [(by_sel[f], by_sel[d]) for f, d in orientations]
         for fact_side, dim_side in sides:
             rels = _table_relations(fact_side, name_by_root)
             for name, rel in rels:
@@ -771,11 +793,26 @@ def join_dim_constraints(
                         continue
                     if dim_attr.dataType().typeName() not in _DPP_KEY_TYPES:
                         continue
-                    if not any(
-                        m.getClass().getSimpleName() == "Filter"
+                    dim_filters = [
+                        m
                         for m in _iter_nodes(dim_side)
-                    ):
+                        if m.getClass().getSimpleName() == "Filter"
+                    ]
+                    if not dim_filters:
                         continue
+                    # a NON-DETERMINISTIC dim predicate (rand()
+                    # sampling) re-evaluates differently when the
+                    # query executes — the plan-time key set could
+                    # then prune fact files holding rows that WOULD
+                    # join. Same gate as Spark DPP's subquery reuse.
+                    try:
+                        if any(
+                            not flt.condition().deterministic()
+                            for flt in dim_filters
+                        ):
+                            continue
+                    except Exception:
+                        continue  # bridge drift: decline, sound
                     try:
                         if int(dim_side.stats().sizeInBytes()) > DPP_DIM_MAX_BYTES:
                             continue

@@ -542,6 +542,63 @@ def test_count_where_falls_back_on_stale_manifest(spark, sf_dir, tmp_path):
     spark.catalog.dropTempView("cnt_s")
 
 
+def test_count_where_fallback_matches_metadata_path_off_utc(
+    spark, sf_dir, tmp_path
+):
+    """The scan fallback must interpret naive datetime bounds on
+    session-zoned timestamp columns in the SESSION zone — the same
+    epoch space the metadata+residual path uses — not through
+    F.lit(datetime)'s driver-OS-zone rendering. With the session zone
+    set off-UTC, the same arguments against the same data must count
+    identically through both paths."""
+    import datetime as dt
+
+    from quack_reduce_spark.operators import zonemaps as Z
+    from quack_reduce_spark.operators.zonemaps import _to_micros
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        orders = load(spark, sf_dir, "orders").withColumn(
+            "o_ts", F.col("o_orderdate").cast("timestamp")
+        )
+        p_meta = str(tmp_path / "cw_m")
+        p_scan = str(tmp_path / "cw_s")
+        (
+            orders.repartitionByRange(4, "o_ts")
+            .sortWithinPartitions("o_ts")
+            .write.mode("overwrite")
+            .parquet(p_meta)
+        )
+        Z.write_zonemap(spark, p_meta, ["o_ts"])
+        orders.coalesce(2).write.mode("overwrite").parquet(p_scan)
+        eng = Engine(spark=spark)
+        eng.register("cw_m", p_meta)
+        eng.register("cw_s", p_scan)  # no manifest: scan fallback
+        # midnight bounds: a driver-OS-zone (UTC) rendering shifts them
+        # by 5h and drops/adds the boundary days' rows
+        lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1997, 6, 30)
+        got_meta = eng.count_where("cw_m", {"o_ts": (lo, hi)})
+        assert eng.last_count_plan["source"] == "metadata+residual"
+        got_scan = eng.count_where("cw_s", {"o_ts": (lo, hi)})
+        assert eng.last_count_plan == {"source": "scan"}
+        assert got_meta == got_scan
+        tz = "America/New_York"
+        want = (
+            spark.read.parquet(p_meta)
+            .where(
+                (F.unix_micros(F.col("o_ts")) >= F.lit(_to_micros(lo, tz)))
+                & (F.unix_micros(F.col("o_ts")) <= F.lit(_to_micros(hi, tz)))
+            )
+            .count()
+        )
+        assert got_meta == want > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+        spark.catalog.dropTempView("cw_m")
+        spark.catalog.dropTempView("cw_s")
+
+
 def test_count_where_in_list_composes_with_bloom(spark, sf_dir, tmp_path):
     """A point/IN count on a FINGERPRINTED key over a layout the key is
     not clustered by: bloom pruning keeps only the files that can hold

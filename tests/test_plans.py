@@ -885,6 +885,52 @@ def test_engine_sql_thousand_value_in_prunes(spark, sf_dir, tmp_path):
     spark.catalog.dropTempView("bigin_t")
 
 
+def test_parse_internal_str_float_widens_exactly():
+    """Scala renders a Float by shortest repr ('1.1'); Python float()
+    of that is the nearest DOUBLE, not the JVM's float->double widening
+    (1.100000023841858) the manifest stats hold — the decoded value
+    must round-trip through float32 or an IN over a float column can
+    mis-prune a file whose min==max equals the true value."""
+    import struct
+
+    from quack_reduce_spark.plans.zonemap_pushdown import _parse_internal_str
+
+    v, ok = _parse_internal_str("1.1", "float")
+    assert ok
+    assert v == struct.unpack("f", struct.pack("f", 1.1))[0]
+    assert v != 1.1  # the raw double parse would be wrong
+    d, ok = _parse_internal_str("1.1", "double")
+    assert ok and d == 1.1  # doubles stay exact under repr round-trip
+
+
+def test_engine_sql_float_inset_no_false_prune(spark, tmp_path):
+    """End-to-end regression for the float InSet decode: a file whose
+    float min==max is the widened float32 of an inexact literal (1.1)
+    must SURVIVE pruning for ``f IN (...)`` past the InSet threshold,
+    while genuinely unmatched files still prune."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = str(tmp_path / "flt")
+    for v in (1.1, 2.5, 99.75):  # one single-valued file each
+        spark.createDataFrame([(v,)] * 3, "f float").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    Z.write_zonemap(spark, path, ["f"])
+    eng = Engine(spark=spark)
+    eng.register("flt_t", path)
+    # 12 values forces In -> InSet (threshold 10); 1.1 and 2.5 are
+    # inexact in float32, so the raw-double parse would prune them
+    in_vals = [1.1, 2.5] + [1000.0 + i + 0.3 for i in range(10)]
+    in_list = ", ".join(f"CAST({v!r} AS FLOAT)" for v in in_vals)
+    d = eng.df(f"SELECT COUNT(*) AS n FROM flt_t WHERE f IN ({in_list})")
+    rep = eng.last_zonemap_report.get("flt_t")
+    assert d.first()["n"] == 6  # both matching files' rows found
+    assert rep is not None
+    assert rep["files_read"] == 2 < rep["files_total"] == 3
+    spark.catalog.dropTempView("flt_t")
+
+
 def test_engine_sql_wide_or_prunes_via_envelope(spark, zm_engine):
     """An OR with more arms than the exact-DNF cap (20 single-day
     ranges > _MAX_ALTS=16) no longer loses pruning: the conjunct
@@ -1024,6 +1070,33 @@ def test_plan_join_runtime_filter_skipped_when_unselective(spark, sf_dir):
     assert joined.count() == li.join(od, "o_orderkey").count()
 
 
+def test_plan_join_runtime_filter_tolerates_null_build_keys(spark, sf_dir):
+    """NULL join keys on the build side never match an inner join, but
+    md5(NULL) used to poison the word aggregation with a (NULL, NULL)
+    group row and crash the bitset fold — they are now dropped before
+    folding, and the join stays row-identical to the plain join."""
+    from quack_reduce_spark.engine import Engine
+
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    od = (
+        load(spark, sf_dir, "orders")
+        .filter("o_orderkey <= 150")
+        .select("o_orderkey", "o_totalprice")
+        .unionByName(
+            spark.createDataFrame(
+                [(None, 1.0), (None, 2.0)],
+                "o_orderkey long, o_totalprice double",
+            )
+        )
+    )
+    eng = Engine(spark=spark)
+    joined = eng.plan_join(li, od, "o_orderkey", broadcast_threshold_bytes=0)
+    assert eng.last_join_plan.get("runtime_filter") is not None
+    assert joined.count() == li.join(od, "o_orderkey").count() > 0
+
+
 # -- dynamic file pruning from join dimensions (DPP on manifests) ------------
 
 
@@ -1156,6 +1229,62 @@ def test_engine_sql_dpp_outer_join_untouched(spark, sf_dir, dpp_engine):
     rep = eng.last_zonemap_report.get("dpp_fact")
     assert rep is None or "dpp" not in rep
     assert d.first()["n"] == spark.read.parquet(path).count()
+
+
+def test_engine_sql_dpp_left_outer_prunes_non_preserved_side(
+    spark, sf_dir, dpp_engine
+):
+    """The SOUND half of outer-join DPP: in ``filtered LEFT JOIN big``
+    the RIGHT side is prunable — unmatched right rows never surface in
+    a left outer join — so the zone-mapped table on the non-preserved
+    side still skips files by the left side's plan-time key set. Every
+    left row is preserved (COUNT(*) counts the unmatched ones too), so
+    row-identity against the plain left join proves soundness."""
+    eng, path = dpp_engine
+    q = (
+        "SELECT COUNT(*) AS n FROM "
+        "(SELECT * FROM dpp_dim WHERE c_name LIKE 'Customer#00000000%') d "
+        "LEFT JOIN dpp_fact ON o_custkey = d.c_custkey"
+    )
+    d = eng.df(q)
+    rep = eng.last_zonemap_report.get("dpp_fact")
+    assert rep is not None and rep.get("dpp") == {"o_custkey": 10}
+    assert rep["files_read"] * 4 <= rep["files_total"] == 12
+    f = spark.read.parquet(path)
+    cust = load(spark, sf_dir, "customer").filter(
+        "c_name LIKE 'Customer#00000000%'"
+    )
+    want = cust.join(f, cust.c_custkey == f.o_custkey, "left").count()
+    assert d.first()["n"] == want > 0
+
+
+def test_engine_sql_dpp_declines_nondeterministic_dim_filter(
+    spark, sf_dir, dpp_engine
+):
+    """A dim predicate containing rand() re-evaluates differently when
+    the query executes, so a plan-time key set could prune fact files
+    holding rows that WOULD join — the planner must decline (the same
+    gate Spark DPP's subquery reuse applies). The threshold sits at
+    0.999999 so the optimizer cannot fold the conjunct away (a
+    provably-true rand() >= 0 gets eliminated and DPP rightly fires);
+    with 10 qualifying dim rows the filter keeps all of them, so the
+    answer still equals the plain filtered join."""
+    eng, path = dpp_engine
+    q = (
+        "SELECT COUNT(*) AS n FROM dpp_fact JOIN "
+        "(SELECT * FROM dpp_dim "
+        " WHERE c_name LIKE 'Customer#00000000%' AND rand(42) < 0.999999) d "
+        "ON o_custkey = d.c_custkey"
+    )
+    d = eng.df(q)
+    rep = eng.last_zonemap_report.get("dpp_fact")
+    assert rep is None or "dpp" not in rep
+    f = spark.read.parquet(path)
+    cust = load(spark, sf_dir, "customer").filter(
+        "c_name LIKE 'Customer#00000000%'"
+    )
+    want = f.join(cust, f.o_custkey == cust.c_custkey).count()
+    assert d.first()["n"] == want > 0
 
 
 # -- per-file Bloom fingerprints through the SQL surface ----------------------
