@@ -59,6 +59,7 @@ class Engine:
         self._was_warm = _session.is_warm() or self.spark is not None
         self._table_meta: dict[str, dict] = {}
         self.last_zonemap_report: dict[str, dict] = {}
+        self.last_agg_plan: dict | None = None
         # guards the zone-map rebind window: temp views are
         # session-global, so a concurrent sql_many worker must not
         # plan against another query's pruned rebinding
@@ -284,6 +285,17 @@ class Engine:
             return self.spark.sql(query), {}
         with self._plan_lock:
             df = self.spark.sql(query)
+            # scalar-aggregate fast path: COUNT/MIN/MAX over one
+            # zone-mapped table answers from the manifest + an O(1)
+            # boundary-file residual (zero files for contained ranges)
+            try:
+                agg = self._try_agg_pushdown(df, zm_tables)
+            except Exception:
+                agg = None  # exactness gate failed somewhere: run plain
+            self.last_agg_plan = agg[1] if agg is not None else None
+            if agg is not None:
+                frame, tele = agg
+                return frame, {tele["table"]: {"agg_pushdown": tele}}
             try:
                 cons = _zp.scan_constraints(
                     df, {n: p for n, (p, _) in zm_tables.items()}
@@ -374,6 +386,58 @@ class Engine:
             for name, (files, total, stats) in rebinds.items()
         }
         return planned, report
+
+    def _try_agg_pushdown(
+        self, df: DataFrame, zm_tables: dict[str, tuple[str, list[str]]]
+    ) -> tuple[DataFrame, dict] | None:
+        """Metadata aggregate pushdown for the SQL surface: when the
+        planned query is EXACTLY a global COUNT(*)/COUNT(col)/MIN(col)/
+        MAX(col) over Filter/Project chains on one fresh-manifest
+        zone-mapped table (plans/agg_pushdown.py's exactness gates),
+        return ``(one-row frame, telemetry)`` that answers from the
+        manifest's per-file stats plus a residual aggregate over only
+        the BOUNDARY files — the reference dashboard's per-widget
+        ``SELECT COUNT(*) .. WHERE range`` (dashboard.py:37-39) reads
+        O(1) files on a clustered layout and ZERO when the range
+        contains every surviving file. None -> caller runs the plain
+        plan (this path is an accelerator, never a semantics change).
+        """
+        from quack_reduce_spark.operators import zonemaps as _zm
+        from quack_reduce_spark.plans import agg_pushdown as _ap
+        from quack_reduce_spark.plans import zonemap_pushdown as _zp
+
+        info = _ap.extract_scalar_agg(
+            df, {n: p for n, (p, _) in zm_tables.items()}
+        )
+        if info is None:
+            return None
+        path, zcols = zm_tables[info["table"]]
+        zset = set(zcols)
+        if any(c is not None and c not in zset for _k, c in info["aggs"]):
+            return None  # MIN/MAX/COUNT(col) needs that column's stats
+        # closed-widened constraints for the pruned-in SUPERSET; the
+        # strict/exact semantics are re-applied by the per-file
+        # classification and the residual predicate
+        cons: dict[str, tuple] = {}
+        for col, op, v in info["conjuncts"]:
+            if op in ("ge", "gt"):
+                c = (v, None, None, None)
+            elif op in ("le", "lt"):
+                c = (None, v, None, None)
+            elif op == "eq":
+                c = (None, None, frozenset([v]), None)
+            elif op == "in":
+                c = (None, None, v, None)
+            elif op == "isnull":
+                c = (None, None, None, "null")
+            else:
+                c = (None, None, None, "notnull")
+            prev = cons.get(col)
+            cons[col] = _zp._and_constraints(prev, c) if prev else c
+        rows, total = _zm.prune_files_multi(self.spark, path, cons)
+        if total != len(_zm._data_files(path)):
+            return None  # un-maintained append: metadata can't answer
+        return _ap.build_agg_frame(self.spark, path, info, rows, total)
 
     def table_stats(self, name: str) -> dict:
         """ANALYZE-style statistics for a registered zone-mapped table,

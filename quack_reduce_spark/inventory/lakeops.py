@@ -928,6 +928,88 @@ def lake_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lake_sql_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata aggregate pushdown ON THE SQL SURFACE (round 13): the
+    reference dashboard's per-widget ``SELECT COUNT(*) .. WHERE range``
+    (``dashboard.py:37-39``) issued through ``Engine.sql``/``df`` is
+    detected in the engine's own optimized plan and answered from the
+    zone-map manifest — files whose per-file stats PROVE every row
+    matches contribute exact partials (n_rows, n_rows - nulls, min,
+    max) without being read; only boundary files are scanned with the
+    exact residual predicate. In-query gates prove the shape: the
+    3.5-year range aggregate over a 12-file date-clustered table scans
+    <= 3 boundary files with >= 3 contained, and the whole-table
+    COUNT/MIN/MAX compiles to a plan with NO file scan node at all
+    (zero data files read). The DuckDB oracle recomputes all seven
+    values from the raw fixture — a hash match proves the metadata
+    partials and the residual compose to the exact answer."""
+    import uuid as _uuid
+
+    from pyspark.sql.types import TimestampNTZType
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = _fresh_dir(sf_dir, "lake_sqlagg")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(12, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_orderdate", "o_totalprice"])
+    eng = Engine(spark=spark)
+    t = f"sqlagg_{_uuid.uuid4().hex[:8]}"
+    eng.register(t, path)
+    r1 = eng.df(
+        f"SELECT COUNT(*) AS n_range, MIN(o_totalprice) AS mn_price, "
+        f"MAX(o_totalprice) AS mx_price, COUNT(o_totalprice) AS n_price "
+        f"FROM {t} WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+        f"AND o_orderdate < TIMESTAMP '1999-07-01'"
+    ).first()
+    plan = eng.last_agg_plan
+    _require(
+        plan is not None
+        and plan["files_contained"] >= 3
+        and plan["files_scanned"] <= 3,
+        "range aggregate did not answer mostly from metadata", plan,
+    )
+    d2 = eng.df(
+        f"SELECT COUNT(*) AS n_total, MIN(o_orderdate) AS mn_date, "
+        f"MAX(o_orderdate) AS mx_date FROM {t}"
+    )
+    _require(
+        eng.last_agg_plan is not None
+        and eng.last_agg_plan["files_scanned"] == 0,
+        "whole-table aggregate scheduled file scans", eng.last_agg_plan,
+    )
+    phys = d2._jdf.queryExecution().executedPlan().toString()
+    _require(
+        "FileScan" not in phys and "Scan parquet" not in phys,
+        "whole-table aggregate plan contains a file scan",
+    )
+    r2 = d2.first()
+    spark.catalog.dropTempView(t)
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            int(r1["n_range"]), float(r1["mn_price"]), float(r1["mx_price"]),
+            int(r1["n_price"]), int(r2["n_total"]),
+            r2["mn_date"], r2["mx_date"],
+        )],
+        StructType([
+            StructField("n_range", LongType()),
+            StructField("mn_price", DoubleType()),
+            StructField("mx_price", DoubleType()),
+            StructField("n_price", LongType()),
+            StructField("n_total", LongType()),
+            StructField("mn_date", TimestampNTZType()),
+            StructField("mx_date", TimestampNTZType()),
+        ]),
+    )
+
+
 QUERIES = {
     "lake_time_travel": lake_time_travel,
     "lake_change_feed": lake_change_feed,
@@ -942,6 +1024,7 @@ QUERIES = {
     "lake_histogram_stats": lake_histogram_stats,
     "lake_ndv_stats": lake_ndv_stats,
     "lake_count_pushdown": lake_count_pushdown,
+    "lake_sql_agg_pushdown": lake_sql_agg_pushdown,
 }
 
 
@@ -1174,4 +1257,21 @@ ORACLES["lake_count_pushdown"] = """
             WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01'
                                   AND TIMESTAMP '1999-06-30') AS n_range,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_total
+"""
+
+# SQL-surface aggregate pushdown must be invisible in the answer: the
+# oracle recomputes all seven values straight from the raw fixture
+ORACLES["lake_sql_agg_pushdown"] = """
+    WITH slice AS (
+        SELECT * FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1999-07-01'
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM slice) AS n_range,
+           (SELECT MIN(o_totalprice) FROM slice) AS mn_price,
+           (SELECT MAX(o_totalprice) FROM slice) AS mx_price,
+           (SELECT CAST(COUNT(o_totalprice) AS BIGINT) FROM slice) AS n_price,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_total,
+           (SELECT MIN(o_orderdate) FROM orders) AS mn_date,
+           (SELECT MAX(o_orderdate) FROM orders) AS mx_date
 """

@@ -1333,6 +1333,13 @@ def _file_matches(
                 return False  # no NULLs in this file: IS NULL can't match
             continue
         if mn is None and mx is None:
+            if row.get(f"nulls_{col}") is None:
+                # column not statted in this manifest AT ALL (vs an
+                # all-NULL file, which records a null count): nothing
+                # to prune on — the file must be kept, or a caller
+                # constraining an un-statted column (count_where, the
+                # SQL agg pushdown) would silently lose its rows
+                continue
             return False
         fp = (bloom or {}).get(col)
         try:

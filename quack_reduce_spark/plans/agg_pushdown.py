@@ -1,0 +1,532 @@
+"""Metadata AGGREGATE pushdown for the SQL surface: answer scalar
+COUNT/MIN/MAX queries from the zone-map manifest instead of scanning.
+
+``SELECT COUNT(*) FROM t WHERE <range>`` is the reference dashboard's
+bread-and-butter shape (``dashboard.py:37-39`` issues exactly this per
+widget refresh) — and through a plain engine it reads every surviving
+file's rows even though the manifest already KNOWS each file's exact
+row count and per-column min/max/null stats. This module detects the
+shape in the engine's own OPTIMIZED logical plan and rebuilds the
+answer as::
+
+    metadata partials (files whose stats PROVE every row matches)
+  + a residual aggregate over only the BOUNDARY files
+
+which on a clustered layout reads O(1) files for an arbitrarily wide
+range, and ZERO files when the range fully contains or excludes every
+file (the Iceberg/Delta metadata-aggregate shape on plain parquet).
+
+Soundness contract — stricter than file PRUNING's: pruning may ignore
+a conjunct it can't parse (superset of files read, query re-applies
+the predicate), but ANSWERING from metadata must understand the whole
+plan exactly, so this path fires only when ALL hold:
+
+- the plan root is a global Aggregate (no GROUP BY) whose every output
+  is plain COUNT(*) / COUNT(col) / MIN(col) / MAX(col) — no DISTINCT,
+  no FILTER clause, no expression arguments;
+- below it only Project / Filter nodes over ONE registered zone-mapped
+  table's relation, and every referenced attribute resolves BY EXPR-ID
+  to that relation's own output (a Project alias shadowing a column
+  name can never be mistaken for the column);
+- every Filter conjunct is ``<bare attr> cmp <literal>`` / ``IN`` /
+  ``IS [NOT] NULL`` with the STRICT/closed distinction preserved (a
+  strict bound widened to closed is sound for pruning but would
+  miscount boundary files here);
+- MIN/MAX/COUNT(col) columns are manifest stats columns.
+
+Anything else declines — the query just runs; this is an accelerator,
+never a semantics change. Timestamps follow the manifest's epoch-space
+discipline end to end: session-zoned literals stay raw Catalyst micros,
+per-file classification compares int-vs-int, the residual predicate
+compares ``unix_micros(col)`` against those micros, and a MIN/MAX
+result renders through ``timestamp_micros`` — no OS-zone rendering on
+any path (the round-12 soundness rule).
+"""
+
+from __future__ import annotations
+
+import bisect as _bisect
+import math as _math
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from quack_reduce_spark.plans.zonemap_pushdown import (
+    _INSET_SEP,
+    _MAX_INSET,
+    _bare,
+    _literal_py,
+    _parse_internal_str,
+)
+
+# comparison node -> exact op code when the attribute is on the LEFT
+_CMP_LEFT = {
+    "GreaterThanOrEqual": "ge",
+    "GreaterThan": "gt",
+    "LessThanOrEqual": "le",
+    "LessThan": "lt",
+    "EqualTo": "eq",
+    # null-safe equality with a non-null literal == plain equality in
+    # WHERE semantics (NULL literals report unusable and decline)
+    "EqualNullSafe": "eq",
+}
+_FLIP = {"ge": "le", "gt": "lt", "le": "ge", "lt": "gt", "eq": "eq"}
+
+# attribute/literal types this path can classify and rebuild exactly
+_OK_TYPES = {
+    "integer", "long", "short", "byte", "double", "float",
+    "string", "date", "timestamp", "timestamp_ntz",
+}
+
+
+def _is_nan(v: Any) -> bool:
+    return isinstance(v, float) and _math.isnan(v)
+
+
+def _attr_id(e: Any) -> tuple[str | None, int | None]:
+    """(name, exprId) for a BARE AttributeReference, else (None, None).
+    Casts are NOT accepted here — the agg path needs exact semantics,
+    and every safe-cast shape changes the comparison domain."""
+    if e.getClass().getSimpleName() == "AttributeReference":
+        return e.name(), int(e.exprId().id())
+    return None, None
+
+
+def _exact_conjunct(e: Any) -> tuple[int, str, Any] | None:
+    """(attr exprId, op, value) for one Filter conjunct with EXACT
+    semantics preserved (strict vs closed, IN value sets, nullness),
+    or None when the shape isn't understood — the caller then declines
+    the whole pushdown (unlike pruning, nothing may be ignored)."""
+    name = e.getClass().getSimpleName()
+    if name in _CMP_LEFT:
+        ln, lid = _attr_id(e.left())
+        rn, rid = _attr_id(e.right())
+        if ln is not None and rid is None:
+            lit = e.right()
+            if lit.getClass().getSimpleName() != "Literal":
+                return None
+            v, ok = _literal_py(lit)
+            if not ok or _is_nan(v):
+                return None
+            return lid, _CMP_LEFT[name], v
+        if rn is not None and lid is None:
+            lit = e.left()
+            if lit.getClass().getSimpleName() != "Literal":
+                return None
+            v, ok = _literal_py(lit)
+            if not ok or _is_nan(v):
+                return None
+            return rid, _FLIP[_CMP_LEFT[name]], v
+        return None
+    if name == "In":
+        _n, aid = _attr_id(e.value())
+        if aid is None:
+            return None
+        vals = []
+        lst = e.list()
+        for j in range(lst.size()):
+            el = lst.apply(j)
+            if el.getClass().getSimpleName() != "Literal":
+                return None
+            v, ok = _literal_py(el)
+            if not ok or _is_nan(v):
+                return None
+            vals.append(v)
+        if not vals:
+            return None
+        return aid, "in", frozenset(vals)
+    if name == "InSet":
+        _n, aid = _attr_id(e.child())
+        if aid is None:
+            return None
+        hs = e.hset()
+        n = int(hs.size())
+        if n == 0 or n > _MAX_INSET:
+            return None
+        tname = e.child().dataType().typeName()
+        joined = hs.mkString(_INSET_SEP)
+        parts = joined.split(_INSET_SEP)
+        if len(parts) != n:
+            return None  # a string value held the separator
+        vals = []
+        for s in parts:
+            v, ok = _parse_internal_str(s, tname)
+            if not ok or _is_nan(v):
+                return None
+            vals.append(v)
+        return aid, "in", frozenset(vals)
+    if name in ("IsNull", "IsNotNull"):
+        _n, aid = _attr_id(e.child())
+        if aid is None:
+            return None
+        return aid, ("isnull" if name == "IsNull" else "isnotnull"), None
+    return None
+
+
+def _split_and(cond: Any) -> list[Any]:
+    out, stack = [], [cond]
+    while stack:
+        e = stack.pop()
+        if e.getClass().getSimpleName() == "And":
+            stack.extend((e.left(), e.right()))
+        else:
+            out.append(e)
+    return out
+
+
+def extract_scalar_agg(
+    df: DataFrame, paths_by_name: dict[str, str]
+) -> dict | None:
+    """Inspect ``df``'s optimized logical plan; when it is EXACTLY a
+    global scalar aggregate over Filter/Project chains on one
+    registered table, return::
+
+        {"table", "aggs": [(kind, col|None), ...],
+         "conjuncts": [(col, op, value), ...],
+         "types": {col: catalyst type name},
+         "out": [(output name, output DataType), ...]}
+
+    with kind in {count_star, count, min, max} and op in {ge, gt, le,
+    lt, eq, in, isnull, isnotnull}; None when any piece of the plan
+    falls outside the exactly-understood surface."""
+    opt = df._jdf.queryExecution().optimizedPlan()
+    if opt.getClass().getSimpleName() != "Aggregate":
+        return None
+    if opt.groupingExpressions().size() != 0:
+        return None
+
+    # -- the chain below: Project*/Filter* down to one LogicalRelation
+    node = opt.child()
+    filter_conds = []
+    while True:
+        cls = node.getClass().getSimpleName()
+        if cls == "Project":
+            node = node.child()
+        elif cls == "Filter":
+            filter_conds.append(node.condition())
+            node = node.child()
+        elif cls == "LogicalRelation":
+            break
+        else:
+            return None
+    try:
+        roots = node.relation().location().rootPaths()
+    except Exception:
+        return None
+    name_by_root = {_bare(p): n for n, p in paths_by_name.items()}
+    names = {
+        name_by_root.get(_bare(roots.apply(j).toString()))
+        for j in range(roots.size())
+    }
+    names.discard(None)
+    if len(names) != 1:
+        return None
+    table = names.pop()
+
+    rel_out = node.output()
+    by_id: dict[int, tuple[str, str]] = {}  # exprId -> (name, type name)
+    for i in range(rel_out.size()):
+        a = rel_out.apply(i)
+        by_id[int(a.exprId().id())] = (a.name(), a.dataType().typeName())
+
+    # -- aggregate expressions: COUNT(*)/COUNT(col)/MIN(col)/MAX(col)
+    aggs: list[tuple[str, str | None]] = []
+    aexprs = opt.aggregateExpressions()
+    for i in range(aexprs.size()):
+        ne = aexprs.apply(i)
+        if ne.getClass().getSimpleName() != "Alias":
+            return None
+        ae = ne.child()
+        if ae.getClass().getSimpleName() != "AggregateExpression":
+            return None
+        if ae.isDistinct() or ae.filter().isDefined():
+            return None
+        fn = ae.aggregateFunction()
+        fname = fn.getClass().getSimpleName()
+        ch = fn.children()
+        if fname not in ("Count", "Min", "Max") or ch.size() != 1:
+            return None
+        c0 = ch.apply(0)
+        ccls = c0.getClass().getSimpleName()
+        if fname == "Count" and ccls == "Literal":
+            if c0.value() is None:
+                return None
+            aggs.append(("count_star", None))
+            continue
+        aname, aid = _attr_id(c0)
+        if aid is None or aid not in by_id:
+            return None
+        col, tname = by_id[aid]
+        if tname not in _OK_TYPES:
+            return None
+        aggs.append(("count" if fname == "Count" else fname.lower(), col))
+
+    # -- filter conjuncts, every one exactly understood
+    conjuncts: list[tuple[str, str, Any]] = []
+    for cond in filter_conds:
+        for leaf in _split_and(cond):
+            got = _exact_conjunct(leaf)
+            if got is None:
+                return None
+            aid, op, v = got
+            if aid not in by_id:
+                return None  # references a Project alias, not the column
+            col, tname = by_id[aid]
+            if tname not in _OK_TYPES:
+                return None
+            conjuncts.append((col, op, v))
+
+    used = {c for c, _o, _v in conjuncts} | {
+        c for _k, c in aggs if c is not None
+    }
+    types = {
+        nm: tn for nm, tn in by_id.values() if nm in used
+    }
+    out_fields = [(f.name, f.dataType) for f in df.schema.fields]
+    if len(out_fields) != len(aggs):
+        return None
+    return {
+        "table": table,
+        "aggs": aggs,
+        "conjuncts": conjuncts,
+        "types": types,
+        "out": out_fields,
+    }
+
+
+def _tri_state(
+    op: str, v: Any, mn: Any, mx: Any, nulls: int, n_rows: int
+) -> str:
+    """'all' (stats PROVE every row matches), 'none' (no row can),
+    or 'some' — NULL comparison semantics included: a row with NULL in
+    the column fails every comparison/IN conjunct. Incomparable values
+    classify 'some' (sound: the file is scanned)."""
+    all_null = nulls == n_rows
+    if op == "isnull":
+        return "all" if all_null else ("none" if nulls == 0 else "some")
+    if op == "isnotnull":
+        return "none" if all_null else ("all" if nulls == 0 else "some")
+    if all_null or mn is None or mx is None:
+        # no non-null values (or no usable stats): a comparison matches
+        # no row of an all-null file; without stats, unknown
+        return "none" if all_null else "some"
+    try:
+        if op == "ge":
+            if mx < v:
+                return "none"
+            return "all" if nulls == 0 and mn >= v else "some"
+        if op == "gt":
+            if mx <= v:
+                return "none"
+            return "all" if nulls == 0 and mn > v else "some"
+        if op == "le":
+            if mn > v:
+                return "none"
+            return "all" if nulls == 0 and mx <= v else "some"
+        if op == "lt":
+            if mn >= v:
+                return "none"
+            return "all" if nulls == 0 and mx < v else "some"
+        if op == "eq":
+            if v < mn or v > mx:
+                return "none"
+            return "all" if nulls == 0 and mn == mx == v else "some"
+        if op == "in":
+            vals, sv = v
+            if mn == mx:
+                if mn in vals:
+                    return "all" if nulls == 0 else "some"
+                return "none"
+            if sv is not None:  # sorted: binary-search the [mn, mx] hit
+                i = _bisect.bisect_left(sv, mn)
+                return "some" if i < len(sv) and sv[i] <= mx else "none"
+            if not any(mn <= x <= mx for x in vals):
+                return "none"
+            return "some"
+    except TypeError:
+        return "some"
+    return "some"
+
+
+def _meta_literal(v: Any, tname: str, out_type: Any):
+    """A Column literal of a manifest stat value, built ZONE-FREE per
+    the manifest's storage domain: session-zoned timestamp stats are
+    epoch micros -> timestamp_micros; NTZ stats are naive datetimes ->
+    string-cast (wall clock, no zone applies); everything else is a
+    plain literal cast to the output type."""
+    if v is None:
+        return F.lit(None).cast(out_type)
+    if tname == "timestamp":
+        return F.timestamp_micros(F.lit(int(v)))
+    if tname == "timestamp_ntz":
+        return F.lit(v.isoformat(sep=" ")).cast("timestamp_ntz")
+    if tname == "date":
+        return F.lit(v)
+    return F.lit(v).cast(out_type)
+
+
+def residual_predicate(
+    conjuncts: list[tuple[str, str, Any]], types: dict[str, str]
+):
+    """The EXACT filter the extracted conjuncts encode, rebuilt for the
+    boundary-file scan — session-zoned timestamp columns compare as
+    unix_micros against the raw Catalyst micros (epoch space, no
+    rendering), NTZ via zone-free string casts."""
+    pred = F.lit(True)
+    for col, op, v in conjuncts:
+        tname = types.get(col)
+        if op == "isnull":
+            pred = pred & F.col(col).isNull()
+            continue
+        if op == "isnotnull":
+            pred = pred & F.col(col).isNotNull()
+            continue
+        if tname == "timestamp":
+            target = F.unix_micros(F.col(col))
+            conv = lambda x: F.lit(int(x))  # noqa: E731 — raw micros
+        elif tname == "timestamp_ntz":
+            target = F.col(col)
+            conv = lambda x: F.lit(x.isoformat(sep=" ")).cast(  # noqa: E731
+                "timestamp_ntz"
+            )
+        else:
+            target = F.col(col)
+            conv = F.lit
+        if op == "in":
+            cond = F.lit(False)
+            for x in sorted(v, key=repr):
+                cond = cond | (target == conv(x))
+            pred = pred & cond
+        elif op == "ge":
+            pred = pred & (target >= conv(v))
+        elif op == "gt":
+            pred = pred & (target > conv(v))
+        elif op == "le":
+            pred = pred & (target <= conv(v))
+        elif op == "lt":
+            pred = pred & (target < conv(v))
+        elif op == "eq":
+            pred = pred & (target == conv(v))
+    return pred
+
+
+def build_agg_frame(
+    spark: SparkSession,
+    path: str,
+    info: dict,
+    rows: list[dict],
+    total: int,
+) -> tuple[DataFrame, dict] | None:
+    """Classify the pruned-in manifest ``rows`` (contained / boundary),
+    fold the contained files' stats into metadata partials, and return
+    ``(one-row DataFrame, telemetry)`` — the frame LAZILY scans only
+    the boundary files with the exact residual predicate and combines
+    with the metadata partials (sum for counts, least/greatest for
+    min/max, both null-skipping). None when a needed stat is absent or
+    a metadata partial is NaN-poisoned (caller declines, sound)."""
+    aggs, conjuncts, types = info["aggs"], info["conjuncts"], info["types"]
+    meta: list[Any] = [0 if k in ("count_star", "count") else None
+                       for k, _c in aggs]
+    # IN value sets classify per file: pre-sort once so each file is a
+    # binary search, not a linear pass over a (possibly 32k-value) set
+    norm = []
+    for col, op, v in conjuncts:
+        if op == "in":
+            try:
+                v = (v, sorted(v))
+            except TypeError:
+                v = (v, None)  # mixed types: linear fallback
+        norm.append((col, op, v))
+    boundary: list[str] = []
+    for r in rows:
+        n_rows = int(r["n_rows"])
+        state = "all"
+        for col, op, v in norm:
+            mn, mx = r.get(f"min_{col}"), r.get(f"max_{col}")
+            nulls = r.get(f"nulls_{col}")
+            if nulls is None:
+                state = "some"
+                continue
+            tri = _tri_state(op, v, mn, mx, int(nulls), n_rows)
+            if tri == "none":
+                state = "none"
+                break
+            if tri == "some":
+                state = "some"
+        if state == "none":
+            continue  # pruning kept it, exact classification drops it
+        if state == "some":
+            boundary.append(r["file"])
+            continue
+        for i, (kind, col) in enumerate(aggs):
+            if kind == "count_star":
+                meta[i] += n_rows
+            elif kind == "count":
+                nc = r.get(f"nulls_{col}")
+                if nc is None:
+                    return None  # un-statted agg column: decline
+                meta[i] += n_rows - int(nc)
+            else:
+                v = r.get(f"min_{col}" if kind == "min" else f"max_{col}")
+                if v is None:
+                    continue  # all-null file contributes nothing
+                if _is_nan(v):
+                    return None  # NaN poisons python min/max: decline
+                try:
+                    if meta[i] is None:
+                        meta[i] = v
+                    elif kind == "min":
+                        meta[i] = min(meta[i], v)
+                    else:
+                        meta[i] = max(meta[i], v)
+                except TypeError:
+                    return None
+
+    out = info["out"]
+    if boundary:
+        bdf = spark.read.option("basePath", path).parquet(*boundary)
+        pred = residual_predicate(conjuncts, types)
+        partials = []
+        for i, (kind, col) in enumerate(aggs):
+            if kind == "count_star":
+                partials.append(F.count(F.lit(1)).alias(f"__a{i}"))
+            elif kind == "count":
+                partials.append(F.count(F.col(col)).alias(f"__a{i}"))
+            elif kind == "min":
+                partials.append(F.min(F.col(col)).alias(f"__a{i}"))
+            else:
+                partials.append(F.max(F.col(col)).alias(f"__a{i}"))
+        base = bdf.where(pred).agg(*partials)
+    else:
+        base = spark.range(1)
+
+    outs = []
+    for i, ((kind, col), (oname, otype)) in enumerate(zip(aggs, out)):
+        if kind in ("count_star", "count"):
+            expr = F.lit(int(meta[i]))
+            if boundary:
+                expr = expr + F.coalesce(F.col(f"__a{i}"), F.lit(0))
+        else:
+            lit = _meta_literal(meta[i], types.get(col, ""), otype)
+            if boundary:
+                # least/greatest skip NULLs: an absent metadata partial
+                # or an empty boundary result defers to the other side
+                expr = (F.least if kind == "min" else F.greatest)(
+                    lit, F.col(f"__a{i}")
+                )
+            else:
+                expr = lit
+        outs.append(expr.cast(otype).alias(oname))
+    frame = base.select(*outs)
+    telemetry = {
+        "table": info["table"],
+        "aggs": [
+            f"{k}({c})" if c is not None else "count(*)" for k, c in aggs
+        ],
+        "files_total": total,
+        "files_pruned_in": len(rows),
+        "files_contained": len(rows) - len(boundary),
+        "files_scanned": len(boundary),
+    }
+    return frame, telemetry

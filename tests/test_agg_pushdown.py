@@ -1,0 +1,293 @@
+"""Metadata AGGREGATE pushdown through the SQL surface (round 13):
+``SELECT COUNT(*)/MIN/MAX ... WHERE <range>`` over a zone-mapped table
+answers from per-file manifest stats plus an O(1) boundary residual —
+the reference dashboard's per-widget count (``dashboard.py:37-39``)
+without reading contained files, and ZERO files when every surviving
+file is contained. Soundness is stricter than pruning's (the whole
+plan must be exactly understood), so half these tests are DECLINE
+tests: anything outside the understood surface must run the plain plan
+and stay correct."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from quack_reduce_spark.engine import Engine
+from quack_reduce_spark.inventory._util import load
+from quack_reduce_spark.operators import zonemaps as Z
+
+
+def _no_file_scan(df) -> bool:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "FileScan" not in plan and "Scan parquet" not in plan
+
+
+def _clustered(spark, sf_dir, tmp_path, name):
+    path = str(tmp_path / name)
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(12, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_orderdate", "o_totalprice"])
+    return path
+
+
+def test_sql_count_range_metadata_plus_boundary(spark, sf_dir, tmp_path):
+    """The headline shape: a wide half-open range count reads only the
+    boundary files; a whole-table count (and a range containing every
+    file) builds a plan with NO file scan at all — the answer is pure
+    metadata."""
+    path = _clustered(spark, sf_dir, tmp_path, "aggsql")
+    eng = Engine(spark=spark)
+    eng.register("aggsql", path)
+    full = spark.read.parquet(path)
+    q = (
+        "SELECT COUNT(*) AS n FROM aggsql "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1999-07-01'"
+    )
+    got = eng.sql(q)
+    plan = eng.last_agg_plan
+    assert plan is not None and plan["table"] == "aggsql"
+    assert plan["files_scanned"] <= 3 and plan["files_contained"] >= 5
+    lo = F.lit(dt.datetime(1996, 1, 1)).cast("timestamp_ntz")
+    hi = F.lit(dt.datetime(1999, 7, 1)).cast("timestamp_ntz")
+    want = full.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).count()
+    assert got.records[0]["n"] == want
+    assert got.metadata["zonemap"]["aggsql"]["agg_pushdown"] == plan
+    # zero-file case: no predicate -> the one-row frame scans nothing
+    d = eng.df("SELECT COUNT(*) AS n FROM aggsql")
+    assert eng.last_agg_plan["files_scanned"] == 0
+    assert _no_file_scan(d)
+    assert d.first()["n"] == full.count()
+    spark.catalog.dropTempView("aggsql")
+
+
+def test_sql_min_max_count_col_combo(spark, sf_dir, tmp_path):
+    """COUNT(*), MIN, MAX and COUNT(col) compose in one SELECT: each
+    combines its metadata partial with the boundary aggregate and all
+    four equal plain execution. MIN/MAX over the NTZ timestamp column
+    with no predicate is answered with no file scan."""
+    path = _clustered(spark, sf_dir, tmp_path, "aggmm")
+    eng = Engine(spark=spark)
+    eng.register("aggmm", path)
+    full = spark.read.parquet(path)
+    q = (
+        "SELECT COUNT(*) AS n, MIN(o_totalprice) AS mn, "
+        "MAX(o_totalprice) AS mx, COUNT(o_totalprice) AS nc "
+        "FROM aggmm WHERE o_orderdate >= TIMESTAMP '1996-01-01'"
+    )
+    r = eng.df(q).first()
+    assert eng.last_agg_plan is not None
+    sub = full.filter(
+        F.col("o_orderdate")
+        >= F.lit(dt.datetime(1996, 1, 1)).cast("timestamp_ntz")
+    )
+    w = sub.agg(
+        F.count(F.lit(1)),
+        F.min("o_totalprice"),
+        F.max("o_totalprice"),
+        F.count("o_totalprice"),
+    ).first()
+    assert (r["n"], r["mn"], r["mx"], r["nc"]) == (w[0], w[1], w[2], w[3])
+    d = eng.df("SELECT MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx FROM aggmm")
+    assert _no_file_scan(d)
+    w2 = full.agg(F.min("o_orderdate"), F.max("o_orderdate")).first()
+    got = d.first()
+    assert (got["mn"], got["mx"]) == (w2[0], w2[1])
+    spark.catalog.dropTempView("aggmm")
+
+
+def test_sql_agg_strict_bound_not_counted_as_contained(spark, tmp_path):
+    """Strictness is the exactness gap between pruning and answering:
+    with single-valued files {1}, {2}, {3}, ``v < 2`` must count 1 —
+    the {2} file survives closed-widened PRUNING but the strict
+    classification may not count it from metadata."""
+    path = str(tmp_path / "strict")
+    for v in (1, 2, 3):
+        spark.createDataFrame([(v,)] * 4, "v long").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    Z.write_zonemap(spark, path, ["v"])
+    eng = Engine(spark=spark)
+    eng.register("strict_t", path)
+    assert eng.df("SELECT COUNT(*) AS n FROM strict_t WHERE v < 2").first()["n"] == 4
+    assert eng.last_agg_plan is not None
+    assert eng.df("SELECT COUNT(*) AS n FROM strict_t WHERE v <= 2").first()["n"] == 8
+    assert eng.df("SELECT COUNT(*) AS n FROM strict_t WHERE v > 2").first()["n"] == 4
+    assert eng.df("SELECT MAX(v) AS m FROM strict_t WHERE v < 3").first()["m"] == 2
+    spark.catalog.dropTempView("strict_t")
+
+
+def test_sql_agg_unstatted_predicate_still_exact(spark, sf_dir, tmp_path):
+    """A conjunct on a column the manifest does NOT stat makes every
+    file a boundary file (nothing provable) — the answer must still be
+    exact, and the un-statted column must not poison pruning into
+    dropping files (the _file_matches none-vs-unstatted distinction)."""
+    path = _clustered(spark, sf_dir, tmp_path, "aggun")
+    eng = Engine(spark=spark)
+    eng.register("aggun", path)
+    full = spark.read.parquet(path)
+    got = eng.df(
+        "SELECT COUNT(*) AS n FROM aggun WHERE o_orderstatus = 'F'"
+    ).first()["n"]
+    assert got == full.filter("o_orderstatus = 'F'").count() > 0
+    plan = eng.last_agg_plan
+    assert plan is not None and plan["files_contained"] == 0
+    # composed with a statted range, pruning still fires on the range
+    got2 = eng.df(
+        "SELECT COUNT(*) AS n FROM aggun WHERE o_orderstatus = 'F' "
+        "AND o_orderdate < TIMESTAMP '1996-01-01'"
+    ).first()["n"]
+    assert got2 == full.filter(
+        (F.col("o_orderstatus") == "F")
+        & (
+            F.col("o_orderdate")
+            < F.lit(dt.datetime(1996, 1, 1)).cast("timestamp_ntz")
+        )
+    ).count()
+    assert eng.last_agg_plan["files_pruned_in"] < 12
+    spark.catalog.dropTempView("aggun")
+
+
+def test_sql_agg_declines_outside_understood_surface(spark, sf_dir, tmp_path):
+    """GROUP BY, DISTINCT aggregates, expression arguments, OR
+    predicates, LIKE, and unsupported functions all decline — the
+    query runs the plain (zonemap-pruned) plan and stays correct."""
+    path = _clustered(spark, sf_dir, tmp_path, "aggdec")
+    eng = Engine(spark=spark)
+    eng.register("aggdec", path)
+    full = spark.read.parquet(path)
+    cases = [
+        ("SELECT o_orderstatus AS s, COUNT(*) AS n FROM aggdec GROUP BY o_orderstatus", None),
+        ("SELECT COUNT(DISTINCT o_orderstatus) AS n FROM aggdec", None),
+        ("SELECT MIN(o_totalprice + 1.0) AS m FROM aggdec", None),
+        ("SELECT SUM(o_totalprice) AS s FROM aggdec", None),
+        ("SELECT COUNT(*) AS n FROM aggdec WHERE o_orderstatus = 'F' OR o_totalprice < 1000", None),
+        ("SELECT COUNT(*) AS n FROM aggdec WHERE o_orderpriority LIKE '1%'", None),
+    ]
+    for q, _ in cases:
+        d = eng.df(q)
+        assert eng.last_agg_plan is None, q
+        # row-identity against plain spark.sql on the raw data
+        full.createOrReplaceTempView("aggdec_raw")
+        want = spark.sql(q.replace("aggdec", "aggdec_raw")).collect()
+        assert sorted(map(tuple, d.collect())) == sorted(map(tuple, want)), q
+    spark.catalog.dropTempView("aggdec")
+    spark.catalog.dropTempView("aggdec_raw")
+
+
+def test_sql_agg_all_null_and_is_null(spark, tmp_path):
+    """NULL semantics end to end: an all-NULL file contributes nothing
+    to comparison counts (its rows fail every comparison), COUNT(col)
+    subtracts per-file null counts, IS NULL / IS NOT NULL answer from
+    the null stats — all without scanning when stats decide."""
+    path = str(tmp_path / "aggnull")
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(3, None), (4, None)], "k long, v double"
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame([(5, 50.0), (6, None)], "k long, v double").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    Z.write_zonemap(spark, path, ["k", "v"])
+    eng = Engine(spark=spark)
+    eng.register("aggnull", path)
+    d = eng.df(
+        "SELECT COUNT(*) AS n, COUNT(v) AS nv, MIN(v) AS mn FROM aggnull"
+    )
+    assert _no_file_scan(d)
+    assert tuple(d.first()) == (6, 3, 10.0)
+    assert eng.df("SELECT COUNT(*) AS n FROM aggnull WHERE v >= 0").first()["n"] == 3
+    assert eng.df("SELECT COUNT(*) AS n FROM aggnull WHERE v IS NULL").first()["n"] == 3
+    d2 = eng.df("SELECT COUNT(*) AS n FROM aggnull WHERE v IS NOT NULL")
+    assert d2.first()["n"] == 3
+    spark.catalog.dropTempView("aggnull")
+
+
+def test_sql_agg_eq_composes_with_bloom(spark, sf_dir, tmp_path):
+    """A point COUNT on a bloom-fingerprinted key over a layout the key
+    is not clustered by: the fingerprint (not the useless min/max
+    envelope) keeps only the files that can hold the key, and the
+    count equals plain execution."""
+    path = str(tmp_path / "aggblm")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(12, "o_custkey").write.mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_orderkey"], bloom_cols=["o_orderkey"])
+    full = spark.read.parquet(path)
+    key = full.select("o_orderkey").orderBy("o_orderkey").offset(
+        full.count() // 2
+    ).limit(1).first()[0]
+    eng = Engine(spark=spark)
+    eng.register("aggblm", path)
+    got = eng.df(
+        f"SELECT COUNT(*) AS n FROM aggblm WHERE o_orderkey = {key}"
+    ).first()["n"]
+    assert got == full.filter(F.col("o_orderkey") == key).count() > 0
+    plan = eng.last_agg_plan
+    assert plan is not None and plan["files_pruned_in"] <= 3
+    spark.catalog.dropTempView("aggblm")
+
+
+def test_sql_agg_session_zoned_timestamp_off_utc(spark, sf_dir, tmp_path):
+    """Session-zoned timestamp bounds flow in epoch space end to end:
+    with an off-UTC session zone, the metadata-answered count equals
+    plain Spark execution of the same SQL (which interprets the
+    literal in the session zone)."""
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        path = str(tmp_path / "aggtz")
+        orders = load(spark, sf_dir, "orders").withColumn(
+            "o_ts", F.col("o_orderdate").cast("timestamp")
+        )
+        (
+            orders.repartitionByRange(6, "o_ts")
+            .sortWithinPartitions("o_ts")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        Z.write_zonemap(spark, path, ["o_ts"])
+        eng = Engine(spark=spark)
+        eng.register("aggtz", path)
+        q = (
+            "SELECT COUNT(*) AS n, MIN(o_ts) AS mn FROM aggtz "
+            "WHERE o_ts >= TIMESTAMP '1996-01-01 00:00:00' "
+            "AND o_ts < TIMESTAMP '1997-06-30 00:00:00'"
+        )
+        got = eng.df(q).first()
+        assert eng.last_agg_plan is not None
+        spark.read.parquet(path).createOrReplaceTempView("aggtz_raw")
+        want = spark.sql(q.replace("aggtz", "aggtz_raw")).first()
+        assert (got["n"], got["mn"]) == (want["n"], want["mn"])
+        assert got["n"] > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+        spark.catalog.dropTempView("aggtz")
+        spark.catalog.dropTempView("aggtz_raw")
+
+
+def test_count_where_unstatted_column_not_zero(spark, sf_dir, tmp_path):
+    """Regression for the _file_matches fix: a count_where constraint
+    on a column with NO manifest stats must fall through to boundary
+    scans (exact answer), not prune every file into a silent 0."""
+    path = _clustered(spark, sf_dir, tmp_path, "cwun")
+    eng = Engine(spark=spark)
+    eng.register("cwun", path)
+    got = eng.count_where("cwun", {"o_orderkey": (None, 1000)})
+    want = (
+        spark.read.parquet(path).filter(F.col("o_orderkey") <= 1000).count()
+    )
+    assert got == want > 0
+    assert eng.last_count_plan["source"] == "metadata+residual"
+    assert eng.last_count_plan["files_contained"] == 0
+    spark.catalog.dropTempView("cwun")
