@@ -295,7 +295,16 @@ class Engine:
             self.last_agg_plan = agg[1] if agg is not None else None
             if agg is not None:
                 frame, tele = agg
-                return frame, {tele["table"]: {"agg_pushdown": tele}}
+                # files_read/files_total keep the classic report
+                # contract: "files actually read / files on the
+                # table" — the agg path reads only boundary files
+                return frame, {
+                    tele["table"]: {
+                        "files_read": tele["files_scanned"],
+                        "files_total": tele["files_total"],
+                        "agg_pushdown": tele,
+                    }
+                }
             try:
                 cons = _zp.scan_constraints(
                     df, {n: p for n, (p, _) in zm_tables.items()}
@@ -342,22 +351,61 @@ class Engine:
             and rebinds[name][2].get("est_bytes") is not None
             and rebinds[name][2]["est_bytes"] <= self.BROADCAST_THRESHOLD
         }
-        if not rebinds:
+        # Pre-shuffle SEMIJOIN row filter (the runtime-filter idea,
+        # exact instead of Bloom): when DPP derived a bounded VALUE SET
+        # of surviving join keys and the fact scan feeds a SHUFFLED
+        # join, the rebound view additionally filters ROWS by that key
+        # set — rows that provably cannot join never enter the
+        # exchange, which is most of the shuffle on a selective star.
+        # This fires even when no FILE can be skipped (keys spread
+        # across every file — the case pruning can't help); it is
+        # exact (keys are the dim side's full evaluation, the join
+        # re-checks equality), so results are row-identical. Value
+        # sets are <= DPP_MAX_KEYS, so the predicate compiles to an
+        # InSet (binary search per row, JVM-side).
+        row_filters: dict[str, dict] = {}
+        for name in dpp_applied:
+            if name not in smj_tables:
+                continue  # broadcast join: the fact never shuffles
+            colmap = {
+                col: constraint[2]
+                for col, (constraint, n_keys) in dpp[name]["cols"].items()
+                if constraint[2] is not None and n_keys is not None
+            }
+            if colmap:
+                row_filters[name] = colmap
+        targets: dict[str, tuple] = dict(rebinds)
+        for name in row_filters:
+            # no file was skippable, but the row filter still pays:
+            # rebind the FULL file set with the filter on top
+            targets.setdefault(name, (None, None, None))
+        if not targets:
             return df, {}
+        row_applied: dict[str, dict] = {}
         with self._plan_lock:
             # capture the CURRENT (original) view frames — restoring
             # them is a pure re-registration, no file I/O to fail
-            originals = {n: self.spark.table(n) for n in rebinds}
+            originals = {n: self.spark.table(n) for n in targets}
             planned = None
             try:
-                for name, (files, _total, _stats) in rebinds.items():
+                for name, (files, _total, _stats) in targets.items():
                     path, _ = zm_tables[name]
-                    if files:
+                    if files is None:
+                        pruned = self.spark.read.parquet(path)
+                    elif files:
                         pruned = self.spark.read.option("basePath", path).parquet(
                             *files
                         )
                     else:
                         pruned = self.spark.read.parquet(path).where(F.lit(False))
+                    if name in row_filters:
+                        got = self._dpp_row_predicate(
+                            pruned, row_filters[name]
+                        )
+                        if got is not None:
+                            pred, applied = got
+                            pruned = pruned.where(pred)
+                            row_applied[name] = applied
                     if name in hints:
                         pruned = pruned.hint("broadcast")
                     pruned.createOrReplaceTempView(name)
@@ -369,23 +417,52 @@ class Engine:
                     odf.createOrReplaceTempView(name)
         if planned is None:
             return df, {}
-        report = {
-            name: {
-                "files_read": len(files),
-                "files_total": total,
-                "columns": zm_tables[name][1],
-                "est_rows": stats["est_rows"],
-                "est_bytes": stats["est_bytes"],
-                "broadcast_hint": name in hints,
-                **(
-                    {"dpp": dpp_applied[name]}
-                    if name in dpp_applied
-                    else {}
-                ),
-            }
-            for name, (files, total, stats) in rebinds.items()
-        }
+        report = {}
+        for name, entry in targets.items():
+            if name in rebinds:
+                files, total, stats = rebinds[name]
+                report[name] = {
+                    "files_read": len(files),
+                    "files_total": total,
+                    "columns": zm_tables[name][1],
+                    "est_rows": stats["est_rows"],
+                    "est_bytes": stats["est_bytes"],
+                    "broadcast_hint": name in hints,
+                }
+            else:
+                report[name] = {"columns": zm_tables[name][1]}
+            if name in dpp_applied:
+                report[name]["dpp"] = dpp_applied[name]
+            if name in row_applied:
+                report[name]["dpp_row_filter"] = row_applied[name]
         return planned, report
+
+    @staticmethod
+    def _dpp_row_predicate(pruned: DataFrame, colmap: dict) -> tuple | None:
+        """(predicate Column, {col: n_keys}) filtering rows to the DPP
+        key sets, or None when no column's type filters soundly.
+        Session-zoned timestamp keys are epoch micros (the collection
+        domain) and compare via unix_micros — zone-free; NTZ columns
+        are SKIPPED (a naive-datetime literal renders through the
+        driver-OS zone, which off-UTC could drop matching rows — file
+        pruning still applies to them, driver-side comparisons are
+        exact there)."""
+        by_type = {f.name: f.dataType.typeName() for f in pruned.schema.fields}
+        pred = None
+        applied: dict[str, int] = {}
+        for col, vals in colmap.items():
+            t = by_type.get(col)
+            if t == "timestamp":
+                cond = F.unix_micros(F.col(col)).isin([int(v) for v in vals])
+            elif t in (None, "timestamp_ntz"):
+                continue
+            else:
+                cond = F.col(col).isin(list(vals))
+            pred = cond if pred is None else (pred & cond)
+            applied[col] = len(vals)
+        if pred is None:
+            return None
+        return pred, applied
 
     def _try_agg_pushdown(
         self, df: DataFrame, zm_tables: dict[str, tuple[str, list[str]]]
@@ -759,8 +836,11 @@ class Engine:
                 (int(h.get("n_rows_at_build", 0)) for h in hist.values()),
                 default=0,
             )
-            if built <= 0 or n_rows > 1.5 * built:
-                return None  # drifted histogram: fall back to ANALYZE
+            if built <= 0 or n_rows > _zm.HIST_DRIFT * built:
+                # drifted histogram: fall back to ANALYZE (append_zonemap
+                # rebuilds at the same threshold, so a MAINTAINED table
+                # never actually reaches this branch)
+                return None
             alt_sels = []
             for alt in scans[0]["alts"]:
                 sel = None

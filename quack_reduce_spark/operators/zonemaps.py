@@ -309,7 +309,14 @@ def _group_summaries(stats_g: DataFrame, cols: list[str]) -> dict[str, dict]:
     (token) and ``__gdir`` columns: per group — dir, file count, and
     group-level [lo, hi] per stats column. One aggregate onto
     #partitions rows; the only driver materialization in the build."""
-    aggs = [F.first("__gdir").alias("dir"), F.count(F.lit(1)).alias("n_files")]
+    aggs = [
+        F.first("__gdir").alias("dir"),
+        F.count(F.lit(1)).alias("n_files"),
+        # group-level row count in the LIST doc: table row count (the
+        # histogram drift trigger, CBO sizing) then needs zero group
+        # manifest reads
+        F.sum("n_rows").alias("__nr"),
+    ]
     for c in cols:
         aggs.append(F.min(f"min_{c}").alias(f"lo_{c}"))
         aggs.append(F.max(f"max_{c}").alias(f"hi_{c}"))
@@ -318,6 +325,7 @@ def _group_summaries(stats_g: DataFrame, cols: list[str]) -> dict[str, dict]:
         out[r["__g"]] = {
             "dir": r["dir"],
             "n_files": int(r["n_files"]),
+            "n_rows": int(r["__nr"] or 0),
             "stats": {
                 c: {"lo": _enc(r[f"lo_{c}"]), "hi": _enc(r[f"hi_{c}"])} for c in cols
             },
@@ -637,6 +645,11 @@ def manifest_ndv(
 # participate through their epoch-micros stats representation)
 _HIST_TYPES = {"integer", "long", "short", "byte", "float", "double", "timestamp"}
 HIST_BINS = 64
+# growth factor past the build-time row count at which (a) consumers
+# refuse a histogram (engine.explain_join falls back to ANALYZE) and
+# (b) append_zonemap proactively REBUILDS it so (a) never fires on a
+# maintained table — one shared constant keeps the two in lockstep
+HIST_DRIFT = 1.5
 
 
 def _validate_hist_cols(
@@ -1225,13 +1238,44 @@ def append_zonemap(
     _write_grouped(spark, data_dir, merged, dynamic=True)
     for tok, entry in _group_summaries(merged, cols).items():
         groups[tok] = entry
-    # histograms pass through UNCHANGED on append: they are estimation
-    # metadata sized at build time (n_rows_at_build lets consumers
-    # detect drift); recomputing them would cost the full-table pass
-    # appends exist to avoid
+    # histograms normally pass through UNCHANGED on append — they are
+    # estimation metadata sized at build time, and recomputing them
+    # every append would cost the full-table pass appends exist to
+    # avoid. But once cumulative growth crosses the SAME 1.5x drift
+    # threshold at which the planner refuses them (engine.explain_join
+    # would silently fall back to a counting scan), they are REBUILT
+    # here: each refresh resets the basis, so over a table's lifetime
+    # the full-table passes amortize geometrically (O(log growth)),
+    # and join planning stays metadata-cost on a growing table.
+    hist_doc = dict((doc or {}).get("hist") or {})
+    if hist_doc:
+        built = min(
+            (int(h.get("n_rows_at_build", 0)) for h in hist_doc.values()),
+            default=0,
+        )
+        counts = [g.get("n_rows") for g in groups.values()]
+        n_live = sum(int(x) for x in counts) if all(
+            x is not None for x in counts
+        ) else None  # pre-r13 list entries lack counts: keep stale, sound
+        if built > 0 and n_live is not None and n_live > HIST_DRIFT * built:
+            full = spark.read.parquet(data_dir)
+            per_bins = {
+                c: int(h.get("bins", HIST_BINS)) for c, h in hist_doc.items()
+            }
+            refreshed: dict[str, dict] = {}
+            if len(set(per_bins.values())) == 1:
+                refreshed = _hist_doc(
+                    full, list(hist_doc), next(iter(per_bins.values())), types
+                )
+            else:
+                for c in hist_doc:
+                    refreshed.update(_hist_doc(full, [c], per_bins[c], types))
+            for c in refreshed:
+                refreshed[c]["n_rows_at_build"] = n_live
+            hist_doc = refreshed or hist_doc
     _write_list(
         data_dir, cols, groups, types=types,
-        bloom=bloom_doc or None, hist=(doc or {}).get("hist"),
+        bloom=bloom_doc or None, hist=hist_doc or None,
         ndv=ndv_doc or None,
     )
     return len(fresh_files)

@@ -680,6 +680,49 @@ def _table_relations(root: Any, name_by_root: dict[str, str]) -> list[tuple[str,
     return out
 
 
+# Plan-time key-set cache: a dashboard re-issuing the same star query
+# must not pay the bounded dim subquery on every planning (the zone-map
+# manifest caches already made FILE planning free on repeat). Keyed on
+# the CANONICALIZED dim subplan (exprIds normalized, so re-planning the
+# same query text hits) + the key attribute's output position + the
+# key cap; validated against a (mtime, size) stat snapshot of every
+# file the dim subplan reads — the exact invalidation discipline the
+# manifest caches use — so an overwritten or appended dim re-runs the
+# subquery. Subplans reading more than _DPP_CACHE_MAX_FILES files skip
+# caching (stat cost would approach the subquery's own).
+_DPP_KEY_CACHE: dict[tuple, tuple[tuple, tuple]] = {}
+_DPP_CACHE_MAX_FILES = 64
+_DPP_CACHE_MAX_ENTRIES = 256
+DPP_COUNTS = {"evals": 0, "cache_hits": 0}
+
+
+def _dim_stat_snapshot(dim_plan: Any) -> tuple | None:
+    """((file, (mtime, size)), ...) for every file every relation of
+    the dim subplan reads, or None when any relation isn't file-based /
+    a file is missing / the listing is too large to stat cheaply."""
+    from quack_reduce_spark.lake import _fs_for
+
+    files: list[str] = []
+    for node in _iter_nodes(dim_plan):
+        if node.getClass().getSimpleName() != "LogicalRelation":
+            continue
+        try:
+            arr = node.relation().location().inputFiles()
+        except Exception:
+            return None
+        files.extend(str(arr[i]) for i in range(len(arr)))
+    if not files or len(files) > _DPP_CACHE_MAX_FILES:
+        return None
+    out = []
+    for p in sorted(files):
+        lp = _bare(p) if p.startswith("file:") else p
+        key = _fs_for(lp).stat_key(lp)
+        if key is None:
+            return None
+        out.append((p, key))
+    return tuple(out)
+
+
 def _dim_key_values(
     df: DataFrame, dim_plan: Any, key_attr: Any
 ) -> tuple | None:
@@ -689,15 +732,13 @@ def _dim_key_values(
     evaluated. Session-zoned timestamp keys are read as unix_micros —
     the manifest's epoch space — so no collect-time rendering is
     involved; NULL keys are dropped (an equi join never matches
-    NULL)."""
+    NULL). Results are served from ``_DPP_KEY_CACHE`` on repeat
+    plannings of an unchanged dim side: the second identical star
+    query plans with ZERO Spark jobs, like zone-map planning."""
     import pyspark.sql.functions as F
     from pyspark.sql import DataFrame as _PyDF
 
     spark = df.sparkSession
-    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-        df._jdf.sparkSession(), dim_plan
-    )
-    dim = _PyDF(jdf, spark)
     out = dim_plan.output()
     idx = next(
         (
@@ -709,6 +750,24 @@ def _dim_key_values(
     )
     if idx is None:
         return None
+    snap = _dim_stat_snapshot(dim_plan)
+    cache_key = None
+    if snap is not None:
+        try:
+            canon = dim_plan.canonicalized().toString()
+        except Exception:
+            canon = None
+        if canon is not None:
+            cache_key = (canon, idx, DPP_MAX_KEYS)
+            hit = _DPP_KEY_CACHE.get(cache_key)
+            if hit is not None and hit[0] == snap:
+                DPP_COUNTS["cache_hits"] += 1
+                return hit[1]
+    DPP_COUNTS["evals"] += 1
+    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        df._jdf.sparkSession(), dim_plan
+    )
+    dim = _PyDF(jdf, spark)
     fresh = dim.toDF(*[f"c{i}" for i in range(len(dim.columns))])
     key = F.col(f"c{idx}")
     if key_attr.dataType().typeName() == "timestamp":
@@ -716,11 +775,17 @@ def _dim_key_values(
     keyed = fresh.select(key.alias("k")).where(F.col("k").isNotNull())
     rows = keyed.distinct().limit(DPP_MAX_KEYS + 1).collect()
     if len(rows) <= DPP_MAX_KEYS:
-        return ("in", frozenset(r["k"] for r in rows))
-    got = keyed.agg(
-        F.min("k").alias("lo"), F.max("k").alias("hi")
-    ).first()
-    return ("range", got["lo"], got["hi"])
+        got = ("in", frozenset(r["k"] for r in rows))
+    else:
+        agg = keyed.agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi")
+        ).first()
+        got = ("range", agg["lo"], agg["hi"])
+    if cache_key is not None:
+        if len(_DPP_KEY_CACHE) >= _DPP_CACHE_MAX_ENTRIES:
+            _DPP_KEY_CACHE.pop(next(iter(_DPP_KEY_CACHE)))
+        _DPP_KEY_CACHE[cache_key] = (snap, got)
+    return got
 
 
 def join_dim_constraints(

@@ -182,12 +182,19 @@ def test_engine_sql_plans_from_zonemap(spark, zm_engine):
 
 def test_engine_sql_restores_full_view_after_pruning(spark, zm_engine):
     """The rebind is scoped to one query: right after a pruned query,
-    an unconstrained query sees every row and reports no pruning."""
+    an unconstrained query sees every row. (The unconstrained COUNT
+    itself now answers from metadata — r13 agg pushdown — scanning
+    zero files; the non-aggregate probe proves the VIEW is restored.)
+    """
     eng, path = zm_engine
     eng.df(RANGE_Q).collect()
     full = eng.df("SELECT COUNT(*) AS n FROM zmo")
-    assert eng.last_zonemap_report == {}
+    rep = eng.last_zonemap_report.get("zmo")
+    assert rep is not None and rep["files_read"] == 0  # pure metadata
     assert full.first()["n"] == spark.read.parquet(path).count()
+    rows = eng.df("SELECT o_orderkey FROM zmo")
+    assert eng.last_zonemap_report == {}  # no constraint: no rebind
+    assert rows.count() == spark.read.parquet(path).count()
 
 
 def test_engine_sql_self_join_unions_scan_survivors(spark, zm_engine):
@@ -236,12 +243,20 @@ def test_engine_sql_disjoint_range_reads_nothing(spark, zm_engine):
 
 def test_engine_sql_non_stats_predicate_not_pruned(spark, zm_engine):
     """Predicates on columns the manifest doesn't cover never prune
-    (and never break): full scan, correct answer, empty report."""
+    (and never break): the COUNT routes through the agg pushdown but
+    every file is a boundary file (nothing provable from stats), and
+    a non-aggregate query runs the classic path with no rebind."""
     eng, path = zm_engine
     d = eng.df("SELECT COUNT(*) AS n FROM zmo WHERE o_totalprice > 100000")
-    assert eng.last_zonemap_report == {}
+    rep = eng.last_zonemap_report.get("zmo")
+    assert rep is not None
+    assert rep["files_read"] == rep["files_total"]  # nothing skipped
+    assert rep["agg_pushdown"]["files_contained"] == 0
     want = spark.read.parquet(path).filter("o_totalprice > 100000").count()
     assert d.first()["n"] == want
+    d2 = eng.df("SELECT o_orderkey FROM zmo WHERE o_totalprice > 100000")
+    assert eng.last_zonemap_report == {}  # classic path: no pruning
+    assert d2.count() == want
 
 
 def test_engine_sql_many_concurrent_pruning_is_safe(spark, zm_engine):
@@ -927,7 +942,13 @@ def test_engine_sql_float_inset_no_false_prune(spark, tmp_path):
     rep = eng.last_zonemap_report.get("flt_t")
     assert d.first()["n"] == 6  # both matching files' rows found
     assert rep is not None
-    assert rep["files_read"] == 2 < rep["files_total"] == 3
+    # the agg pushdown's exact-widening classification goes further:
+    # both single-valued matching files count wholly from METADATA
+    # (min==max in the value set), so zero files are read at all —
+    # a raw-double parse would have pruned them into a silent 0
+    assert rep["files_read"] == 0 < rep["files_total"] == 3
+    assert rep["agg_pushdown"]["files_contained"] == 2
+    assert rep["agg_pushdown"]["files_pruned_in"] == 2
     spark.catalog.dropTempView("flt_t")
 
 
@@ -1229,6 +1250,135 @@ def test_engine_sql_dpp_outer_join_untouched(spark, sf_dir, dpp_engine):
     rep = eng.last_zonemap_report.get("dpp_fact")
     assert rep is None or "dpp" not in rep
     assert d.first()["n"] == spark.read.parquet(path).count()
+
+
+def test_engine_sql_dpp_key_set_cached_across_plannings(
+    spark, sf_dir, dpp_engine
+):
+    """A dashboard re-issuing the same star query must not pay the
+    plan-time dim subquery each time: the second identical planning
+    serves the key set from the canonicalized-subplan cache (validated
+    against a stat snapshot of the dim's files), runs NO new subquery
+    evaluation, and produces the identical pruning report and rows."""
+    from quack_reduce_spark.plans import zonemap_pushdown as _zp
+
+    eng, path = dpp_engine
+    _zp._DPP_KEY_CACHE.clear()
+    e0 = _zp.DPP_COUNTS["evals"]
+    h0 = _zp.DPP_COUNTS["cache_hits"]
+    d1 = eng.df(DPP_Q)
+    rep1 = eng.last_zonemap_report.get("dpp_fact")
+    assert rep1 is not None and rep1["dpp"] == {"o_custkey": 10}
+    assert _zp.DPP_COUNTS["evals"] == e0 + 1
+    d2 = eng.df(DPP_Q)
+    rep2 = eng.last_zonemap_report.get("dpp_fact")
+    assert rep2 == rep1
+    assert _zp.DPP_COUNTS["evals"] == e0 + 1  # no second subquery
+    assert _zp.DPP_COUNTS["cache_hits"] >= h0 + 1
+    assert sorted(map(tuple, d1.collect())) == sorted(map(tuple, d2.collect()))
+
+
+def test_engine_sql_dpp_cache_invalidated_by_dim_change(spark, sf_dir, tmp_path):
+    """The key-set cache is content-addressed: rewriting the dim table
+    (new mtime/size) must MISS and re-derive the keys — a stale set
+    would prune fact files that now join. The second planning reflects
+    the new qualifying keys exactly."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+    from quack_reduce_spark.plans import zonemap_pushdown as _zp
+
+    fact_path = str(tmp_path / "fact")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(12, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(fact_path)
+    )
+    Z.write_zonemap(spark, fact_path, ["o_custkey"])
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(k, "PICK") for k in range(1, 6)], "k long, tag string"
+    ).coalesce(1).write.mode("overwrite").parquet(dim_path)
+    eng = Engine(spark=spark)
+    eng.register("cfact", fact_path)
+    eng.register("cdim", dim_path)
+    q = (
+        "SELECT COUNT(*) AS n FROM cfact JOIN cdim ON o_custkey = k "
+        "WHERE tag = 'PICK'"
+    )
+    f = spark.read.parquet(fact_path)
+    n1 = eng.df(q).first()["n"]
+    assert n1 == f.filter(F.col("o_custkey").between(1, 5)).count()
+    e1 = _zp.DPP_COUNTS["evals"]
+    # rewrite the dim with a DIFFERENT qualifying key set
+    spark.createDataFrame(
+        [(k, "PICK") for k in range(200, 206)], "k long, tag string"
+    ).coalesce(1).write.mode("overwrite").parquet(dim_path)
+    eng.register("cdim", dim_path)  # rebind the view to the new listing
+    n2 = eng.df(q).first()["n"]
+    assert _zp.DPP_COUNTS["evals"] > e1  # cache missed, keys re-derived
+    assert n2 == f.filter(F.col("o_custkey").between(200, 205)).count()
+    assert n2 != n1
+    spark.catalog.dropTempView("cfact")
+    spark.catalog.dropTempView("cdim")
+
+
+def test_engine_sql_dpp_row_filter_prefilters_shuffled_fact(
+    spark, sf_dir, tmp_path
+):
+    """Round 13: the runtime-filter idea on the SQL surface, exact
+    instead of Bloom. A star whose fact is NOT clustered by the join
+    key (min/max spans everything -> zero files skippable) under a
+    SHUFFLED join (broadcast disabled) still pre-filters: DPP's
+    bounded key set becomes a row-level IN on the rebound fact view,
+    pushed into the parquet scan, so rows that provably cannot join
+    never enter the exchange. Results stay row-identical."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = str(tmp_path / "rowflt")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(12, "o_orderkey").write.mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_custkey"])
+    eng = Engine(spark=spark)
+    eng.register("rf_fact", path)
+    eng.register("rf_dim", f"{sf_dir}/customer.parquet")
+    thr0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = (
+            "SELECT o_orderstatus, COUNT(*) AS n FROM rf_fact "
+            "JOIN rf_dim ON o_custkey = c_custkey "
+            "WHERE c_name LIKE 'Customer#00000000%' GROUP BY o_orderstatus"
+        )
+        d = eng.df(q)
+        rep = eng.last_zonemap_report.get("rf_fact")
+        assert rep is not None
+        assert rep.get("dpp_row_filter") == {"o_custkey": 10}
+        assert "files_read" not in rep  # no file was skippable
+        phys = d._jdf.queryExecution().executedPlan().toString()
+        assert "In(o_custkey" in phys  # pushed into the fact scan
+        f = spark.read.parquet(path)
+        cust = load(spark, sf_dir, "customer").filter(
+            "c_name LIKE 'Customer#00000000%'"
+        )
+        want = sorted(
+            (r[0], r[1])
+            for r in f.join(cust, f.o_custkey == cust.c_custkey)
+            .groupBy("o_orderstatus")
+            .count()
+            .collect()
+        )
+        assert sorted((r[0], r[1]) for r in d.collect()) == want
+        # the filter is worth the compare: almost no fact row survives
+        keys = [r[0] for r in cust.select("c_custkey").collect()]
+        passing = f.filter(F.col("o_custkey").isin(keys)).count()
+        assert passing * 10 <= f.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+        spark.catalog.dropTempView("rf_fact")
+        spark.catalog.dropTempView("rf_dim")
 
 
 def test_engine_sql_dpp_left_outer_prunes_non_preserved_side(

@@ -580,15 +580,20 @@ def test_optimize_restores_pruning_power(spark, sf_dir, tmp_path):
         "o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'"
     ).count()
     assert eng.df(q).first()["n"] == want
-    assert eng.last_zonemap_report == {}  # nothing prunable: no skip
+    # COUNT(*) routes through the r13 agg pushdown: on the degraded
+    # layout every file is a boundary file (nothing contained, nothing
+    # skipped) — the metadata path gains nothing yet
+    rep0 = eng.last_zonemap_report.get("opt_t", {}).get("agg_pushdown")
+    assert rep0 is not None and rep0["files_scanned"] == rep0["files_total"]
 
     stats = eng.optimize(path, ["o_orderdate"], target_rows_per_file=200)
     assert stats["rows"] == orders.count()
     assert stats["files_after"] > 4
     eng.register("opt_t", path)  # rebind to the rewritten files
     assert eng.df(q).first()["n"] == want
-    rep = eng.last_zonemap_report.get("opt_t")
-    assert rep is not None and rep["files_read"] < rep["files_total"]
+    rep = eng.last_zonemap_report.get("opt_t", {}).get("agg_pushdown")
+    assert rep is not None
+    assert rep["files_scanned"] < rep["files_total"]  # pruning is back
 
 
 def test_optimize_builds_manifest_when_absent_and_versioned(spark, sf_dir, tmp_path):
@@ -909,9 +914,18 @@ def test_write_clustered_bloom_lookup_table_shape(spark, sf_dir, tmp_path):
     )
     eng.register("clb_t", path)
     d = eng.df(f"SELECT COUNT(*) AS n FROM clb_t WHERE o_orderkey = {key}")
-    rep = eng.last_zonemap_report.get("clb_t")
-    assert rep is not None and rep["files_read"] <= 3 < rep["files_total"] == 12
+    # the point COUNT routes through the r13 agg pushdown; the bloom
+    # fingerprint still does the pruning (files_pruned_in, not the
+    # useless min/max envelope)
+    rep = eng.last_zonemap_report.get("clb_t", {}).get("agg_pushdown")
+    assert rep is not None
+    assert rep["files_pruned_in"] <= 3 < rep["files_total"] == 12
     assert d.first()["n"] == full.filter(F.col("o_orderkey") == key).count() > 0
+    # a non-aggregate point SELECT exercises the classic rebind path
+    d2 = eng.df(f"SELECT o_orderkey, o_custkey FROM clb_t WHERE o_orderkey = {key}")
+    rep2 = eng.last_zonemap_report.get("clb_t")
+    assert rep2 is not None and rep2["files_read"] <= 3 < rep2["files_total"] == 12
+    assert d2.count() == full.filter(F.col("o_orderkey") == key).count()
     spark.catalog.dropTempView("clb_t")
 
 
@@ -1007,32 +1021,71 @@ def test_explain_join_sizes_filtered_side_from_histogram(spark, sf_dir, tmp_path
     spark.catalog.dropTempView("hj_t")
 
 
-def test_explain_join_refuses_drifted_histogram(spark, sf_dir, tmp_path):
-    """After appends grow the table past 1.5x the histogram's build
-    size, the estimator declines (stale boundaries would misprice the
-    slice) and explain_join falls back to the ANALYZE pass."""
+def test_append_refreshes_drifted_histogram(spark, sf_dir, tmp_path):
+    """Round 13: once appends grow the table past the SAME 1.5x drift
+    threshold at which the planner refuses a histogram, maintenance
+    REBUILDS it — n_rows_at_build resets to the live count, the
+    boundaries reflect the appended rows, and explain_join keeps
+    sizing the filtered side from metadata (source == 'histogram',
+    no counting scan) on the grown table."""
     from quack_reduce_spark.engine import ANALYZE_COUNTS, Engine
 
-    path = str(tmp_path / "hist_drift")
+    path = str(tmp_path / "hist_refresh")
     orders = load(spark, sf_dir, "orders")
     orders.limit(1000).repartition(2).write.mode("overwrite").parquet(path)
     Z.write_zonemap(spark, path, ["o_totalprice"], hist_cols=["o_totalprice"])
-    # grow the table 3x (appends keep the manifest fresh but the
-    # histogram is stale by construction)
+    built0 = Z.manifest_hist(path)["o_totalprice"]["n_rows_at_build"]
+    assert built0 == 1000
+    # grow the table 3x: maintenance crosses the drift threshold and
+    # refreshes the histogram as part of the SAME append pass
     orders.limit(2000).withColumn(
         "o_orderkey", F.col("o_orderkey") + F.lit(500_000_000)
     ).repartition(2).write.mode("append").parquet(path)
     Z.append_zonemap(spark, path, ["o_totalprice"])
-    assert Z.manifest_hist(path)  # still recorded, just stale
+    h = Z.manifest_hist(path)["o_totalprice"]
+    live = spark.read.parquet(path).count()
+    assert h["n_rows_at_build"] == live > 1.5 * built0  # rebased
     eng = Engine(spark=spark)
     eng.register("hd_t", path)
     filtered = spark.table("hd_t").filter("o_totalprice <= 30000")
     li = load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
     before = ANALYZE_COUNTS["side_scans"]
     rep = eng.explain_join(filtered, li, "o_orderkey")
+    assert rep["left"]["source"] == "histogram"
+    assert ANALYZE_COUNTS["side_scans"] - before == 1  # the right side only
+    actual = filtered.count()
+    assert abs(rep["left"]["rows"] - actual) <= max(2, 0.2 * actual)
+    spark.catalog.dropTempView("hd_t")
+
+
+def test_explain_join_refuses_drifted_histogram(spark, sf_dir, tmp_path, monkeypatch):
+    """The consumer-side guard stays: a histogram that somehow IS
+    drifted past 1.5x (maintenance suppressed here to construct one)
+    is refused and explain_join falls back to the ANALYZE pass —
+    stale boundaries must never misprice a slice."""
+    from quack_reduce_spark.engine import ANALYZE_COUNTS, Engine
+
+    path = str(tmp_path / "hist_drift")
+    orders = load(spark, sf_dir, "orders")
+    orders.limit(1000).repartition(2).write.mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_totalprice"], hist_cols=["o_totalprice"])
+    orders.limit(2000).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(500_000_000)
+    ).repartition(2).write.mode("append").parquet(path)
+    with monkeypatch.context() as m:
+        m.setattr(Z, "HIST_DRIFT", 100.0)  # suppress the auto-refresh
+        Z.append_zonemap(spark, path, ["o_totalprice"])
+    h = Z.manifest_hist(path)["o_totalprice"]
+    assert h["n_rows_at_build"] == 1000  # still the stale build basis
+    eng = Engine(spark=spark)
+    eng.register("hd_t2", path)
+    filtered = spark.table("hd_t2").filter("o_totalprice <= 30000")
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    before = ANALYZE_COUNTS["side_scans"]
+    rep = eng.explain_join(filtered, li, "o_orderkey")
     assert rep["left"]["source"] == "analyze"
     assert ANALYZE_COUNTS["side_scans"] - before == 2  # both sides scanned
-    spark.catalog.dropTempView("hd_t")
+    spark.catalog.dropTempView("hd_t2")
 
 
 def test_hist_rebuild_inherits_and_refuses_bad_types(spark, sf_dir, tmp_path):
