@@ -596,27 +596,45 @@ class Engine:
             # zone instead — on an off-UTC host the two paths would
             # count differently for the same arguments.
             df = self.spark.table(name)
-            by_type = {f.name: f.dataType.typeName() for f in df.schema.fields}
+            by_type = _zm._py_field_types(df)
             session_tz = self.spark.conf.get("spark.sql.session.timeZone")
 
-            def target_and_val(c: str, v: Any) -> tuple:
+            def target_and_val(c: str, v: Any, is_lo: bool) -> tuple:
                 if by_type.get(c) == "timestamp":
                     return F.unix_micros(F.col(c)), _zm._to_micros(v, session_tz)
+                dec_s = _zm._unscaled_decimal(by_type.get(c))
+                if dec_s is not None:
+                    return (
+                        _zm._unscaled_col(c, dec_s),
+                        _zm._to_unscaled_bound(v, dec_s, ceil=is_lo),
+                    )
                 return F.col(c), v
 
             pred = F.lit(True)
             for c, (lo, hi) in (constraints or {}).items():
                 pred = pred & F.col(c).isNotNull()
                 if lo is not None:
-                    t, v = target_and_val(c, lo)
+                    t, v = target_and_val(c, lo, True)
                     pred = pred & (t >= F.lit(v))
                 if hi is not None:
-                    t, v = target_and_val(c, hi)
+                    t, v = target_and_val(c, hi, False)
                     pred = pred & (t <= F.lit(v))
             for c, vals in (in_lists or {}).items():
+                dec_s = _zm._unscaled_decimal(by_type.get(c))
                 if by_type.get(c) == "timestamp":
                     micros = [_zm._to_micros(v, session_tz) for v in vals]
                     pred = pred & F.unix_micros(F.col(c)).isin(micros)
+                elif dec_s is not None:
+                    iv = [
+                        x
+                        for x in (_zm._to_unscaled_val(v, dec_s) for v in vals)
+                        if x is not None
+                    ]
+                    pred = pred & (
+                        _zm._unscaled_col(c, dec_s).isin(iv)
+                        if iv
+                        else F.lit(False)
+                    )
                 else:
                     pred = pred & F.col(c).isin(list(vals))
             self.last_count_plan = {"source": "scan"}
@@ -665,17 +683,23 @@ class Engine:
         scanned = 0
         if boundary:
             df = self.spark.read.option("basePath", path).parquet(*boundary)
-            by_type = {f.name: f.dataType.typeName() for f in df.schema.fields}
+            by_type = _zm._py_field_types(df)
             pred = F.lit(True)
             for c, (lo, hi, vals, _nl) in norm.items():
-                target = (
-                    F.unix_micros(F.col(c))
-                    if by_type.get(c) == "timestamp"
-                    else F.col(c)
-                )
+                dec_s = _zm._unscaled_decimal(by_type.get(c))
+                if by_type.get(c) == "timestamp":
+                    target = F.unix_micros(F.col(c))
+                elif dec_s is not None:
+                    # norm values are unscaled ints: compare in that space
+                    target = _zm._unscaled_col(c, dec_s)
+                else:
+                    target = F.col(c)
                 pred = pred & F.col(c).isNotNull()
                 if vals is not None:
-                    pred = pred & target.isin(list(vals))
+                    vl = list(vals)
+                    pred = pred & (
+                        target.isin(vl) if vl else F.lit(False)
+                    )
                     continue
                 if lo is not None:
                     pred = pred & (target >= F.lit(lo))

@@ -107,6 +107,7 @@ _HEAD = [
     "lake_ndv_stats",
     "lake_count_pushdown",
     "lake_sql_agg_pushdown",
+    "lake_decimal_stats",
     "lake_zonemap_sql_pushdown",
     "lake_zonemap_in_pushdown",
     "lake_manifest_stats",
@@ -133,7 +134,6 @@ _HEAD = [
     # twins (the approximate family's hash-oracled representatives)
     # and the graph battery's remaining pair
     "dedup_simhash_portable", "dedup_embedding_lsh_portable",
-    "graph_pagerank_top",
 ]
 
 

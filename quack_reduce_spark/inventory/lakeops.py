@@ -1010,6 +1010,120 @@ def lake_sql_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lake_decimal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal manifest stats in UNSCALED-INT space (round 13): real
+    lakes keep prices as decimals, and until now a decimal-keyed range
+    scan got zero file skipping (decimals were excluded from every
+    pruning path). A ``decimal(p<=18)`` stats column now stats as the
+    exact long ``v * 10^s`` end to end — min/max commute with the
+    positive monotone scaling, Catalyst decimal literals decode via
+    ``toUnscaledLong`` into the same space, Bloom fingerprints hash the
+    unscaled rendering, and count_where bounds reformulate exactly
+    (ceil for lo / floor for hi absorbs non-representable remainders).
+    In-query gates prove pruning fires on a price-clustered table: the
+    SQL range aggregate scans <= 3 boundary files, the 12-value IN
+    reads under half the files, the Bloom point count on a layout NOT
+    clustered by price reads <= 4 of 12, and count_where with a
+    non-representable Decimal('1000.005') lower bound plans
+    metadata+residual. The DuckDB oracle recomputes every value from
+    the raw fixture through the same DECIMAL(12,2) cast."""
+    import decimal as _pydec
+    import uuid as _uuid
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = _fresh_dir(sf_dir, "lake_dec")
+    path2 = _fresh_dir(sf_dir, "lake_dec_hash")
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "price", F.col("o_totalprice").cast("decimal(12,2)")
+    )
+    (
+        orders.repartitionByRange(12, "price")
+        .sortWithinPartitions("price")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["price"])
+    orders.repartition(12, "o_orderkey").write.mode("overwrite").parquet(path2)
+    Z.write_zonemap(spark, path2, ["price"], bloom_cols=["price"])
+    eng = Engine(spark=spark)
+    t = f"dec_{_uuid.uuid4().hex[:8]}"
+    tb = f"decb_{_uuid.uuid4().hex[:8]}"
+    eng.register(t, path)
+    eng.register(tb, path2)
+    # 1. range aggregate through the SQL surface (agg pushdown +
+    # unscaled classification): mostly metadata on the clustered layout
+    r1 = eng.df(
+        f"SELECT COUNT(*) AS n_range, MIN(price) AS mn_price, "
+        f"MAX(price) AS mx_price FROM {t} "
+        f"WHERE price >= 1000.00 AND price < 300000.00"
+    ).first()
+    plan = eng.last_agg_plan
+    _require(
+        plan is not None and plan["files_scanned"] <= 3,
+        "decimal range aggregate did not prune", plan,
+    )
+    # 2. sparse IN over the clustered layout: value-set pruning
+    in_vals = [f"{v}.25" for v in (1000, 2000, 3000, 150000, 151000)] + [
+        f"{v}.75" for v in (9000, 9100, 9200, 250000, 250100, 250200, 250300)
+    ]
+    r2 = eng.df(
+        f"SELECT COUNT(*) AS n_in FROM {t} "
+        f"WHERE price IN ({', '.join(in_vals)})"
+    ).first()
+    rep2 = eng.last_zonemap_report.get(t)
+    _require(
+        rep2 is not None and rep2["files_read"] * 2 <= rep2["files_total"],
+        "decimal IN did not prune by value set", rep2,
+    )
+    # 3. Bloom point count on the layout NOT clustered by price: the
+    # fingerprint (unscaled-long space), not the useless envelope
+    key = (
+        spark.read.parquet(path2)
+        .select("price")
+        .orderBy("price")
+        .offset(700)
+        .limit(1)
+        .first()[0]
+    )
+    r3 = eng.df(
+        f"SELECT COUNT(*) AS n_point FROM {tb} WHERE price = {key}"
+    ).first()
+    rep3 = eng.last_zonemap_report.get(tb)
+    _require(
+        rep3 is not None and rep3["agg_pushdown"]["files_pruned_in"] <= 4,
+        "decimal bloom fingerprint did not prune the point count", rep3,
+    )
+    # 4. count_where with a NON-REPRESENTABLE Decimal bound: exact
+    # ceil/floor reformulation into scale-2 space
+    n_cw = eng.count_where(
+        t, {"price": (_pydec.Decimal("1000.005"), _pydec.Decimal("20000.00"))}
+    )
+    _require(
+        eng.last_count_plan.get("source") == "metadata+residual",
+        "decimal count_where fell back to a scan", eng.last_count_plan,
+    )
+    spark.catalog.dropTempView(t)
+    spark.catalog.dropTempView(tb)
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path2, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            int(r1["n_range"]), float(r1["mn_price"]), float(r1["mx_price"]),
+            int(r2["n_in"]), int(r3["n_point"]), int(n_cw),
+        )],
+        StructType([
+            StructField("n_range", LongType()),
+            StructField("mn_price", DoubleType()),
+            StructField("mx_price", DoubleType()),
+            StructField("n_in", LongType()),
+            StructField("n_point", LongType()),
+            StructField("n_cw", LongType()),
+        ]),
+    )
+
+
 QUERIES = {
     "lake_time_travel": lake_time_travel,
     "lake_change_feed": lake_change_feed,
@@ -1025,6 +1139,7 @@ QUERIES = {
     "lake_ndv_stats": lake_ndv_stats,
     "lake_count_pushdown": lake_count_pushdown,
     "lake_sql_agg_pushdown": lake_sql_agg_pushdown,
+    "lake_decimal_stats": lake_decimal_stats,
 }
 
 
@@ -1274,4 +1389,31 @@ ORACLES["lake_sql_agg_pushdown"] = """
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_total,
            (SELECT MIN(o_orderdate) FROM orders) AS mn_date,
            (SELECT MAX(o_orderdate) FROM orders) AS mx_date
+"""
+
+# decimal pruning must be invisible in the answer: the oracle replays
+# every count through the same DECIMAL(12,2) cast on the raw fixture,
+# including the data-dependent point key (the VALUE at sorted offset
+# 700 is deterministic even under ties) and the non-representable
+# 1000.005 bound (exact decimal comparison in both engines)
+ORACLES["lake_decimal_stats"] = """
+    WITH dec AS (
+        SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders
+    ),
+    k AS (SELECT price AS kp FROM dec ORDER BY price OFFSET 700 LIMIT 1)
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM dec
+       WHERE price >= 1000.00 AND price < 300000.00) AS n_range,
+      (SELECT CAST(MIN(price) AS DOUBLE) FROM dec
+       WHERE price >= 1000.00 AND price < 300000.00) AS mn_price,
+      (SELECT CAST(MAX(price) AS DOUBLE) FROM dec
+       WHERE price >= 1000.00 AND price < 300000.00) AS mx_price,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM dec
+       WHERE price IN (1000.25, 2000.25, 3000.25, 150000.25, 151000.25,
+                       9000.75, 9100.75, 9200.75, 250000.75, 250100.75,
+                       250200.75, 250300.75)) AS n_in,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM dec
+       WHERE price = (SELECT kp FROM k)) AS n_point,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM dec
+       WHERE price >= 1000.005 AND price <= 20000.00) AS n_cw
 """

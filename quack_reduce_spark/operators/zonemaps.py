@@ -67,8 +67,10 @@ from __future__ import annotations
 
 import bisect
 import datetime as _dt
+import decimal as _decimal
 import hashlib
 import json
+import re as _re
 import uuid
 from typing import Any
 
@@ -177,6 +179,94 @@ def _enc(v: Any) -> Any:
     # group can then never be list-pruned (sound: pruning degrades to
     # reading its manifest, never to a wrong answer)
     return {"t": "?", "v": None}
+
+
+# -- decimal stats: UNSCALED-INT space (the epoch-micros pattern) -----------
+#
+# Real lakes keep prices/amounts as decimals, and a decimal-keyed range
+# scan that silently gets zero file skipping is a planning hole. A
+# ``decimal(p,s)`` column with p <= 18 stats as the EXACT long
+# ``v * 10^s`` end to end: min/max commute with the positive monotone
+# scaling, JSON holds exact ints, every pruning comparison is
+# int-vs-int, and Catalyst decimal literals decode to the same space
+# via ``toUnscaledLong`` (binary comparisons against a BARE attribute
+# are same-typed post-analysis, so the literal's scale is the
+# column's). p > 18 keeps the old native passthrough (driver-side
+# Decimal comparisons; no SQL-literal pruning — sound, just slower).
+
+_DEC_MAX_PRECISION = 18
+_DEC_RE = _re.compile(r"decimal\((\d+),(\d+)\)$")
+
+
+def _decimal_ps(tname: Any) -> tuple[int, int] | None:
+    m = _DEC_RE.match(tname) if isinstance(tname, str) else None
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def _unscaled_decimal(tname: Any) -> int | None:
+    """Scale ``s`` when ``tname`` names an unscaled-space decimal stats
+    column (p <= 18), else None."""
+    ps = _decimal_ps(tname)
+    if ps is None or ps[0] > _DEC_MAX_PRECISION:
+        return None
+    return ps[1]
+
+
+def _unscaled_col(c: str, s: int) -> Column:
+    # exact: v*10^s is integral with <= 18 digits (inside long range);
+    # the decimal multiply is exact arithmetic at result scale s, and
+    # the ANSI cast of that integral value to long cannot overflow
+    return (F.col(c) * F.lit(10 ** s).cast(f"decimal({s + 1},0)")).cast("long")
+
+
+def _to_unscaled_bound(v: Any, s: int, ceil: bool) -> Any:
+    """Unscaled-int reformulation of a caller-supplied bound on a
+    scale-``s`` decimal column. Ints pass through (already unscaled —
+    the SQL pushdown supplies those, the _to_micros discipline);
+    Decimal/float/str values scale exactly, with a non-representable
+    remainder absorbed by ceiling (lo bounds) / floor (hi bounds) —
+    an EXACT reformulation over scale-s values, not a widening.
+    Unconvertible values return unchanged (comparisons then TypeError
+    and keep the file: sound)."""
+    if isinstance(v, bool) or isinstance(v, int):
+        return v
+    try:
+        d = _decimal.Decimal(str(v)).scaleb(s)
+    except Exception:
+        return v
+    rounding = _decimal.ROUND_CEILING if ceil else _decimal.ROUND_FLOOR
+    return int(d.to_integral_value(rounding=rounding))
+
+
+def _to_unscaled_val(v: Any, s: int) -> Any:
+    """Unscaled int of an IN-list value, None when the value is not
+    representable at scale s (it then matches NO row — dropping it is
+    exact, not a widening). Ints pass through."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return v
+    try:
+        d = _decimal.Decimal(str(v)).scaleb(s)
+    except Exception:
+        return None
+    if d != d.to_integral_value():
+        return None
+    return int(d)
+
+
+def _py_field_types(df: DataFrame) -> dict[str, str]:
+    """Column -> type name off a PYTHON schema, with decimals
+    parametrized (PySpark's ``typeName()`` drops precision/scale; the
+    JVM's keeps them — this normalizes to the JVM form every reader
+    keys on)."""
+    out: dict[str, str] = {}
+    for f in df.schema.fields:
+        t = f.dataType.typeName()
+        if t == "decimal":
+            t = f"decimal({f.dataType.precision},{f.dataType.scale})"
+        out[f.name] = t
+    return out
 
 
 def _dec(e: Any, col_type: str | None = None) -> Any:
@@ -388,10 +478,14 @@ def _bloom_word_frame(df: DataFrame, c: str, m: int, k: int) -> DataFrame:
     )
 
     words_n = m // BLOOM_WORD_BITS
+    # decimal columns fingerprint their UNSCALED-long rendering — the
+    # same space their manifest stats and the driver-side probe use
+    s = _unscaled_decimal(_py_field_types(df).get(c))
+    src = _unscaled_col(c, s) if s is not None else F.col(c)
     pos = (
         df.select(
             F.col("_metadata.file_path").alias("file"),
-            F.col(c).cast("string").alias("__v"),
+            src.cast("string").alias("__v"),
         )
         .where(F.col("__v").isNotNull())
         .select(
@@ -430,11 +524,18 @@ def _validate_bloom_cols(
             raise ValueError(
                 f"bloom column {c!r} must also be a stats column (have {cols})"
             )
-        if types.get(c) not in _BLOOM_TYPES:
+        if (
+            types.get(c) not in _BLOOM_TYPES
+            and _unscaled_decimal(types.get(c)) is None
+        ):
+            # decimal(p<=18) qualifies: its stats space is the unscaled
+            # LONG, whose str() rendering is exactly Spark's
+            # cast-long-to-string — both build and probe use that space
             raise ValueError(
-                f"bloom fingerprints support {sorted(_BLOOM_TYPES)} columns; "
-                f"{c!r} is {types.get(c)!r} (its string rendering is not "
-                f"portable between the build and the driver-side probe)"
+                f"bloom fingerprints support {sorted(_BLOOM_TYPES)} and "
+                f"decimal(p<=18) columns; {c!r} is {types.get(c)!r} (its "
+                f"string rendering is not portable between the build and "
+                f"the driver-side probe)"
             )
 
 
@@ -763,47 +864,59 @@ def _stat_aggs(cols: list[str]) -> list[Column]:
 def _source_types(df: DataFrame, cols: list[str]) -> dict[str, str]:
     """SOURCE type name per stats column, read off the DATA frame's
     schema (``timestamp`` marks the columns whose manifest stats are
-    epoch-micros longs; ``timestamp_ntz`` stays a native wall-clock
+    epoch-micros longs; ``decimal(p,s)`` with p <= 18 marks
+    unscaled-int stats; ``timestamp_ntz`` stays a native wall-clock
     datetime)."""
-    by_name = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    by_name = _py_field_types(df)
     return {c: by_name[c] for c in cols if c in by_name}
 
 
 def _manifest_types(stats: DataFrame, cols: list[str]) -> dict[str, str]:
     """Source types inferred from a legacy manifest frame's stored
     ``min_<c>`` column types (legacy docs recorded none)."""
-    by_name = {f.name: f.dataType.typeName() for f in stats.schema.fields}
+    by_name = _py_field_types(stats)
     return {c: by_name[f"min_{c}"] for c in cols if f"min_{c}" in by_name}
 
 
 def _stats_select_cols(df: DataFrame, cols: list[str]) -> list[Column]:
     """Per-column select expressions for the stats build: session-zoned
-    timestamp columns become ``unix_micros`` (their exact Catalyst
-    internal value — min/max commute with the monotone conversion, so
-    the stored long bounds are exact); everything else passes through
-    natively typed."""
-    by_name = {f.name: f.dataType.typeName() for f in df.schema.fields}
-    return [
-        F.unix_micros(F.col(c)).alias(c)
-        if by_name.get(c) == "timestamp"
-        else F.col(c)
-        for c in cols
-    ]
+    timestamp columns become ``unix_micros`` and decimal(p<=18)
+    columns their exact unscaled longs (min/max commute with both
+    monotone conversions, so the stored long bounds are exact);
+    everything else passes through natively typed."""
+    by_name = _py_field_types(df)
+    out = []
+    for c in cols:
+        t = by_name.get(c)
+        s = _unscaled_decimal(t)
+        if t == "timestamp":
+            out.append(F.unix_micros(F.col(c)).alias(c))
+        elif s is not None:
+            out.append(_unscaled_col(c, s).alias(c))
+        else:
+            out.append(F.col(c))
+    return out
 
 
 def _epochize_stats(stats: DataFrame, types: dict[str, str]) -> DataFrame:
     """Upgrade a legacy manifest frame in place: min/max of
-    session-zoned timestamp columns convert to epoch micros VIA SPARK
-    (``unix_micros`` reads the stored internal value — lossless, no
-    collect-time rendering involved). Idempotent: already-long
-    columns pass through."""
-    by_name = {f.name: f.dataType.typeName() for f in stats.schema.fields}
+    session-zoned timestamp columns convert to epoch micros, and
+    natively-stored decimal(p<=18) min/max to unscaled longs, VIA
+    SPARK (lossless in-engine conversions, no collect-time rendering
+    involved). Idempotent: already-long columns pass through."""
+    by_name = _py_field_types(stats)
     for c, t in types.items():
-        if t != "timestamp":
-            continue
-        for name in (f"min_{c}", f"max_{c}"):
-            if by_name.get(name) == "timestamp":
-                stats = stats.withColumn(name, F.unix_micros(F.col(name)))
+        s = _unscaled_decimal(t)
+        if t == "timestamp":
+            for name in (f"min_{c}", f"max_{c}"):
+                if by_name.get(name) == "timestamp":
+                    stats = stats.withColumn(name, F.unix_micros(F.col(name)))
+        elif s is not None:
+            for name in (f"min_{c}", f"max_{c}"):
+                if (by_name.get(name) or "").startswith("decimal"):
+                    stats = stats.withColumn(
+                        name, _unscaled_col(name, s)
+                    )
     return stats
 
 
@@ -1429,11 +1542,23 @@ def _normalize_constraints(
     for col, constraint in constraints.items():
         lo, hi, vals = constraint[0], constraint[1], constraint[2]
         nullness = constraint[3] if len(constraint) > 3 else None
+        dec_s = _unscaled_decimal(types.get(col))
         if types.get(col) == "timestamp":
             lo = _to_micros(lo, session_tz) if lo is not None else None
             hi = _to_micros(hi, session_tz) if hi is not None else None
             if vals is not None:
                 vals = [_to_micros(v, session_tz) for v in vals]
+        elif dec_s is not None:
+            lo = _to_unscaled_bound(lo, dec_s, ceil=True) if lo is not None else None
+            hi = _to_unscaled_bound(hi, dec_s, ceil=False) if hi is not None else None
+            if vals is not None:
+                # values not representable at the column scale match
+                # NO row: dropping them is exact, not a widening
+                vals = [
+                    x
+                    for x in (_to_unscaled_val(v, dec_s) for v in vals)
+                    if x is not None
+                ]
         if vals is not None and not isinstance(vals, tuple):
             try:
                 vals = tuple(sorted(vals))

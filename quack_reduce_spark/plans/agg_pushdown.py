@@ -80,6 +80,13 @@ _OK_TYPES = {
 }
 
 
+def _type_ok(tname: str) -> bool:
+    from quack_reduce_spark.operators.zonemaps import _unscaled_decimal
+
+    # decimal(p<=18) participates through its unscaled-int stats space
+    return tname in _OK_TYPES or _unscaled_decimal(tname) is not None
+
+
 def _is_nan(v: Any) -> bool:
     return isinstance(v, float) and _math.isnan(v)
 
@@ -258,7 +265,7 @@ def extract_scalar_agg(
         if aid is None or aid not in by_id:
             return None
         col, tname = by_id[aid]
-        if tname not in _OK_TYPES:
+        if not _type_ok(tname):
             return None
         aggs.append(("count" if fname == "Count" else fname.lower(), col))
 
@@ -273,7 +280,7 @@ def extract_scalar_agg(
             if aid not in by_id:
                 return None  # references a Project alias, not the column
             col, tname = by_id[aid]
-            if tname not in _OK_TYPES:
+            if not _type_ok(tname):
                 return None
             conjuncts.append((col, op, v))
 
@@ -355,6 +362,8 @@ def _meta_literal(v: Any, tname: str, out_type: Any):
     epoch micros -> timestamp_micros; NTZ stats are naive datetimes ->
     string-cast (wall clock, no zone applies); everything else is a
     plain literal cast to the output type."""
+    from quack_reduce_spark.operators.zonemaps import _unscaled_decimal
+
     if v is None:
         return F.lit(None).cast(out_type)
     if tname == "timestamp":
@@ -363,6 +372,12 @@ def _meta_literal(v: Any, tname: str, out_type: Any):
         return F.lit(v.isoformat(sep=" ")).cast("timestamp_ntz")
     if tname == "date":
         return F.lit(v)
+    dec_s = _unscaled_decimal(tname)
+    if dec_s is not None:
+        import decimal as _pydec
+
+        # unscaled-int stat -> the exact decimal value it encodes
+        return F.lit(_pydec.Decimal(int(v)).scaleb(-dec_s)).cast(out_type)
     return F.lit(v).cast(out_type)
 
 
@@ -373,6 +388,11 @@ def residual_predicate(
     boundary-file scan — session-zoned timestamp columns compare as
     unix_micros against the raw Catalyst micros (epoch space, no
     rendering), NTZ via zone-free string casts."""
+    from quack_reduce_spark.operators.zonemaps import (
+        _unscaled_col,
+        _unscaled_decimal,
+    )
+
     pred = F.lit(True)
     for col, op, v in conjuncts:
         tname = types.get(col)
@@ -382,9 +402,15 @@ def residual_predicate(
         if op == "isnotnull":
             pred = pred & F.col(col).isNotNull()
             continue
+        dec_s = _unscaled_decimal(tname)
         if tname == "timestamp":
             target = F.unix_micros(F.col(col))
             conv = lambda x: F.lit(int(x))  # noqa: E731 — raw micros
+        elif dec_s is not None:
+            # unscaled-int space: values decoded from the literals are
+            # already unscaled at the column scale
+            target = _unscaled_col(col, dec_s)
+            conv = lambda x: F.lit(int(x))  # noqa: E731
         elif tname == "timestamp_ntz":
             target = F.col(col)
             conv = lambda x: F.lit(x.isoformat(sep=" ")).cast(  # noqa: E731

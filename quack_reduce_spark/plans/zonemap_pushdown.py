@@ -123,6 +123,20 @@ def _internal_py(v: Any, type_name: str) -> tuple[Any, bool]:
         return v if isinstance(v, str) else v.toString(), True
     if type_name in ("integer", "long", "short", "byte", "double", "float"):
         return v, True
+    if type_name.startswith("decimal"):
+        # v3 manifests stat decimal(p<=18) columns in UNSCALED-int
+        # space; a binary comparison against a BARE attribute is
+        # same-typed post-analysis, so the literal's scale IS the
+        # column's and toUnscaledLong lands in exactly that space.
+        # Wider decimals aren't statted — report unusable (sound).
+        from quack_reduce_spark.operators.zonemaps import _unscaled_decimal
+
+        if _unscaled_decimal(type_name) is None:
+            return None, False
+        try:
+            return int(v.toUnscaledLong()), True
+        except Exception:
+            return None, False
     return None, False
 
 
@@ -250,7 +264,24 @@ def _parse_internal_str(s: str, type_name: str) -> tuple[Any, bool]:
             return int(s), True  # epoch micros
         if type_name == "timestamp_ntz":
             return _EPOCH_TS + _dt.timedelta(microseconds=int(s)), True
-    except (ValueError, OverflowError):
+        if type_name.startswith("decimal"):
+            # internal Decimal renders via BigDecimal.toString
+            # ("123.45", possibly E-notation): parse exactly and
+            # rescale into the column's unscaled-int stats space
+            from quack_reduce_spark.operators.zonemaps import (
+                _decimal_ps,
+                _unscaled_decimal,
+            )
+
+            if _unscaled_decimal(type_name) is None:
+                return None, False
+            import decimal as _pydec
+
+            d = _pydec.Decimal(s).scaleb(_decimal_ps(type_name)[1])
+            if d != d.to_integral_value():
+                return None, False
+            return int(d), True
+    except (ValueError, OverflowError, ArithmeticError):
         return None, False
     return None, False
 

@@ -1021,6 +1021,105 @@ def test_explain_join_sizes_filtered_side_from_histogram(spark, sf_dir, tmp_path
     spark.catalog.dropTempView("hj_t")
 
 
+def test_decimal_stats_prune_in_unscaled_space(spark, sf_dir, tmp_path):
+    """Round 13: decimal(p<=18) stats columns live in UNSCALED-INT
+    space (the epoch-micros pattern reapplied). On a price-clustered
+    table a plain SQL decimal range prunes files, a large IN decodes
+    from InSet into the same space and prunes by value set, and the
+    agg pushdown answers COUNT/MIN/MAX with exact decimal values —
+    each equal to the unpruned computation."""
+    import decimal as _pydec
+
+    from quack_reduce_spark.engine import Engine
+
+    path = str(tmp_path / "decstats")
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "price", F.col("o_totalprice").cast("decimal(12,2)")
+    )
+    (
+        orders.repartitionByRange(12, "price")
+        .sortWithinPartitions("price")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["price"])
+    assert Z._read_list(path)["types"]["price"] == "decimal(12,2)"
+    eng = Engine(spark=spark)
+    eng.register("dec_t", path)
+    full = spark.read.parquet(path)
+    # non-aggregate range: classic rebind path, driver-side int compare
+    d = eng.df("SELECT price FROM dec_t WHERE price BETWEEN 1000.00 AND 20000.00")
+    rep = eng.last_zonemap_report.get("dec_t")
+    assert rep is not None and rep["files_read"] * 4 <= rep["files_total"] == 12
+    assert d.count() == full.filter("price BETWEEN 1000.00 AND 20000.00").count() > 0
+    # 1,000-value IN through the one-call InSet decode (BigDecimal
+    # renderings -> unscaled ints): only low-range files survive
+    keys = [f"{v}.17" for v in range(1000, 1100)] + [
+        f"{v}.17" for v in range(900000, 900900)
+    ]
+    d2 = eng.df(
+        f"SELECT COUNT(*) AS n FROM dec_t WHERE price IN ({', '.join(keys)})"
+    )
+    rep2 = eng.last_zonemap_report.get("dec_t")
+    want2 = full.filter(
+        F.col("price").isin([_pydec.Decimal(k) for k in keys])
+    ).count()
+    assert d2.first()["n"] == want2
+    assert rep2 is not None
+    assert rep2["files_read"] * 2 <= rep2["files_total"] == 12
+    # agg pushdown: exact decimal MIN/MAX from unscaled metadata
+    d3 = eng.df("SELECT MIN(price) AS mn, MAX(price) AS mx FROM dec_t")
+    assert "FileScan" not in d3._jdf.queryExecution().executedPlan().toString()
+    w3 = full.agg(F.min("price"), F.max("price")).first()
+    g3 = d3.first()
+    assert (g3["mn"], g3["mx"]) == (w3[0], w3[1])
+    spark.catalog.dropTempView("dec_t")
+
+
+def test_decimal_bloom_and_count_where_exactness(spark, sf_dir, tmp_path):
+    """Decimal Bloom fingerprints hash the UNSCALED-long rendering
+    (portable between build and driver-side probe), pruning a point
+    count on a layout NOT clustered by price; count_where bounds
+    reformulate EXACTLY into scale space — a non-representable
+    Decimal('1000.005') lower bound counts the same rows as the
+    equivalent >= 1000.01 predicate, and a non-representable IN value
+    matches nothing rather than everything."""
+    import decimal as _pydec
+
+    from quack_reduce_spark.engine import Engine
+
+    path = str(tmp_path / "decblm")
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "price", F.col("o_totalprice").cast("decimal(12,2)")
+    )
+    orders.repartition(12, "o_orderkey").write.mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["price"], bloom_cols=["price"])
+    full = spark.read.parquet(path)
+    key = full.select("price").orderBy("price").offset(700).limit(1).first()[0]
+    eng = Engine(spark=spark)
+    eng.register("decb_t", path)
+    d = eng.df(f"SELECT COUNT(*) AS n FROM decb_t WHERE price = {key}")
+    rep = eng.last_zonemap_report.get("decb_t")
+    assert d.first()["n"] == full.filter(F.col("price") == key).count() > 0
+    assert rep is not None
+    assert rep["agg_pushdown"]["files_pruned_in"] <= 4 < rep["files_total"] == 12
+    got = eng.count_where(
+        "decb_t",
+        {"price": (_pydec.Decimal("1000.005"), _pydec.Decimal("20000.00"))},
+    )
+    want = full.filter(
+        (F.col("price") >= _pydec.Decimal("1000.01"))
+        & (F.col("price") <= _pydec.Decimal("20000.00"))
+    ).count()
+    assert got == want > 0
+    assert eng.last_count_plan["source"] == "metadata+residual"
+    got2 = eng.count_where(
+        "decb_t", in_lists={"price": [key, _pydec.Decimal("1.005")]}
+    )
+    assert got2 == full.filter(F.col("price") == key).count()
+    spark.catalog.dropTempView("decb_t")
+
+
 def test_append_refreshes_drifted_histogram(spark, sf_dir, tmp_path):
     """Round 13: once appends grow the table past the SAME 1.5x drift
     threshold at which the planner refuses a histogram, maintenance
