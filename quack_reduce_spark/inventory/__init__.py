@@ -87,7 +87,7 @@ _MODULES = [
 # sf0.001/sf0.01 regardless of head selection; see
 # tests/test_inventory_counts.py for the registry-size drift gate.
 _HEAD = [
-    # Stable sentinels — Tier A + one per family, driver-green 10 rounds
+    # Stable sentinels — Tier A + one per family, driver-green 11 rounds
     "a01_scan_project", "a09_topk",
     "b_join_star_broadcast",
     "tpch_q1_full",
@@ -97,43 +97,42 @@ _HEAD = [
     "dedup_lsh_index_probe",
     "sim_cosine_topk",
     "graph_triangles",
-    # Code changed/new this round (r12): dynamic file pruning from
-    # join dims (new key), the epoch-space timestamp manifest rewrite
-    # under the three zone-map keys, and explain_join's manifest-stat
-    # fast path under sketch_join_plan
-    "lake_dpp_star",
-    "lake_bloom_pointlookup",
-    "lake_histogram_stats",
-    "lake_ndv_stats",
-    "lake_count_pushdown",
+    # Code changed/new this round (r13): the SQL-surface scalar-agg
+    # pushdown and decimal unscaled-int stats (new keys), DPP
+    # orientations/cache/row-filter under lake_dpp_star, the
+    # count_where fallback + _file_matches fixes under
+    # lake_count_pushdown, the float InSet decode under the zone-map
+    # pair, the bloom build's decimal branch, and hist_side's
+    # min-selectivity + drift-refresh under histogram/sketch keys
     "lake_sql_agg_pushdown",
     "lake_decimal_stats",
+    "lake_dpp_star",
+    "lake_count_pushdown",
     "lake_zonemap_sql_pushdown",
     "lake_zonemap_in_pushdown",
+    "lake_bloom_pointlookup",
+    "lake_histogram_stats",
     "lake_manifest_stats",
     "sketch_join_plan",
-    # Stalest-evidence fill, oldest first: the FULL r5 cohort (31
-    # oracled keys last driver-green round 5 — the r11 verdict's
-    # rotation list) ...
-    "b2_skew_salted_join", "b3_recursive_cte",
-    "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
-    "ts_ewma_smooth", "ts_asof_auto",
-    "ts_zscore_anomaly", "ts_retention_cohorts",
-    "lake_time_travel", "lake_change_feed", "lake_schema_evolution",
-    "stream_static_enrich",
-    "stream_interval_join",
-    "text_pii_scrub", "text_lm_score", "text_mixture_weights",
-    "dedup_cross_source", "dedup_embedding_cosine",
-    "dedup_components_twophase",
-    "sim_pca_topk", "sim_nearest_centroid", "sim_ivf_topk",
-    "mm_image_resize",
-    "udf_arrow_scalar",
-    "ml_winsorize", "ml_feature_hashing",
-    "dq_referential_integrity",
-    # ... then the r6 keys the r11 verdict named: the portable ANN
-    # twins (the approximate family's hash-oracled representatives)
-    # and the graph battery's remaining pair
-    "dedup_simhash_portable", "dedup_embedding_lsh_portable",
+    # Stalest-evidence fill, oldest first (driver evidence computed
+    # from CORRECTNESS_r01-r12): the four r5 stragglers, then the r6
+    # cohort in registry order (the remaining 11 r6 keys + the r7/r8
+    # cohorts rotate in over r14-r15)
+    "b3_group_by_all", "b3_lateral_join",
+    "ts_sliding_window", "stream_session_dynamic",
+    "tpch_q12_priority_shipping", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue", "tpch_q19_bracket_revenue",
+    "tpch_q22_sales_opportunity", "tpch_q10_returned_items",
+    "tpch_q11_important_stock", "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q17_small_quantity_revenue", "tpch_q20_excess_shippers",
+    "stream_stateful_user_stats", "stream_interval_join_left",
+    "stream_upsert_versioned", "stream_sliding_agg",
+    "text_pack_assignments",
+    "dedup_exact", "dedup_graph_stats",
+    "sim_pca_variance", "sim_kmeans_fixed_profile", "sim_pq_topk",
+    "sim_lsh_topk_portable", "sim_label_centroid_norm",
+    "mm_binary_meta", "mm_image_hist", "mm_audio_windows",
 ]
 
 
