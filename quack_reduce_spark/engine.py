@@ -447,14 +447,22 @@ class Engine:
         driver-OS zone, which off-UTC could drop matching rows — file
         pruning still applies to them, driver-side comparisons are
         exact there)."""
-        by_type = {f.name: f.dataType.typeName() for f in pruned.schema.fields}
+        from quack_reduce_spark.operators import zonemaps as _zm
+
+        by_type = _zm._py_field_types(pruned)
         pred = None
         applied: dict[str, int] = {}
         for col, vals in colmap.items():
             t = by_type.get(col)
+            dec_s = _zm._unscaled_decimal(t)
             if t == "timestamp":
                 cond = F.unix_micros(F.col(col)).isin([int(v) for v in vals])
-            elif t in (None, "timestamp_ntz"):
+            elif dec_s is not None:
+                # DPP decimal keys arrive in unscaled-int space
+                cond = _zm._unscaled_col(col, dec_s).isin(
+                    [int(v) for v in vals]
+                )
+            elif t in (None, "timestamp_ntz") or t.startswith("decimal"):
                 continue
             else:
                 cond = F.col(col).isin(list(vals))

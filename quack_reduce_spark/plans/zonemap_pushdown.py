@@ -661,6 +661,13 @@ _DPP_KEY_TYPES = {
 }
 
 
+def _dpp_key_type_ok(tname: str) -> bool:
+    from quack_reduce_spark.operators.zonemaps import _unscaled_decimal
+
+    # decimal(p<=18) joins prune through the unscaled-int stats space
+    return tname in _DPP_KEY_TYPES or _unscaled_decimal(tname) is not None
+
+
 def _iter_nodes(root: Any):
     stack = [root]
     while stack:
@@ -801,8 +808,19 @@ def _dim_key_values(
     dim = _PyDF(jdf, spark)
     fresh = dim.toDF(*[f"c{i}" for i in range(len(dim.columns))])
     key = F.col(f"c{idx}")
-    if key_attr.dataType().typeName() == "timestamp":
+    tname = key_attr.dataType().typeName()
+    if tname == "timestamp":
         key = F.unix_micros(key)
+    else:
+        from quack_reduce_spark.operators.zonemaps import _unscaled_decimal
+
+        s = _unscaled_decimal(tname)
+        if s is not None:
+            # decimal keys collect in the manifest's unscaled-int
+            # space (exact: integral value <= 18 digits)
+            key = (key * F.lit(10 ** s).cast(f"decimal({s + 1},0)")).cast(
+                "long"
+            )
     keyed = fresh.select(key.alias("k")).where(F.col("k").isNotNull())
     rows = keyed.distinct().limit(DPP_MAX_KEYS + 1).collect()
     if len(rows) <= DPP_MAX_KEYS:
@@ -887,7 +905,7 @@ def join_dim_constraints(
                         continue
                     if fact_attr.name() not in cols:
                         continue
-                    if dim_attr.dataType().typeName() not in _DPP_KEY_TYPES:
+                    if not _dpp_key_type_ok(dim_attr.dataType().typeName()):
                         continue
                     dim_filters = [
                         m

@@ -1381,6 +1381,49 @@ def test_engine_sql_dpp_row_filter_prefilters_shuffled_fact(
         spark.catalog.dropTempView("rf_dim")
 
 
+def test_engine_sql_dpp_decimal_join_key(spark, sf_dir, tmp_path):
+    """DPP over a DECIMAL join key: the dim's keys collect in the
+    manifest's unscaled-int space, prune the price-clustered fact's
+    files, and (under a shuffled join) become an exact row filter in
+    the same space — answer identical to the plain join."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = str(tmp_path / "decdpp")
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "price", F.col("o_totalprice").cast("decimal(12,2)")
+    )
+    (
+        orders.repartitionByRange(12, "price")
+        .sortWithinPartitions("price")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["price"])
+    full = spark.read.parquet(path)
+    dim_vals = [r[0] for r in full.select("price").orderBy("price").limit(8).collect()]
+    dim = spark.createDataFrame(
+        [(v, "PICK") for v in dim_vals], "k decimal(12,2), tag string"
+    )
+    dim_path = str(tmp_path / "decdim")
+    dim.coalesce(1).write.mode("overwrite").parquet(dim_path)
+    eng = Engine(spark=spark)
+    eng.register("ddp_fact", path)
+    eng.register("ddp_dim", dim_path)
+    q = (
+        "SELECT COUNT(*) AS n FROM ddp_fact JOIN ddp_dim ON price = k "
+        "WHERE tag = 'PICK'"
+    )
+    d = eng.df(q)
+    rep = eng.last_zonemap_report.get("ddp_fact")
+    assert rep is not None and rep.get("dpp") == {"price": len(set(dim_vals))}
+    assert rep["files_read"] * 4 <= rep["files_total"] == 12
+    want = full.join(dim, full.price == dim.k).count()
+    assert d.first()["n"] == want > 0
+    spark.catalog.dropTempView("ddp_fact")
+    spark.catalog.dropTempView("ddp_dim")
+
+
 def test_engine_sql_dpp_left_outer_prunes_non_preserved_side(
     spark, sf_dir, dpp_engine
 ):
