@@ -21,6 +21,8 @@ import tempfile
 
 sys.path.insert(0, "/root/repo")
 
+import pyspark.sql.functions as F  # noqa: E402
+
 from quack_reduce_spark.engine import Engine  # noqa: E402
 from quack_reduce_spark.inventory._util import load  # noqa: E402
 from quack_reduce_spark.session import get_spark  # noqa: E402
@@ -166,6 +168,46 @@ def main() -> None:
             "WHERE c_name LIKE 'Customer#00000000%'"
         ).collect()
         print(f"[12] DPP from dim filter: {eng.last_zonemap_report.get('fact_ck')}")
+
+        # 13. the SAME star re-planned: the plan-time key set is served
+        # from the canonicalized-subplan cache — zero Spark jobs
+        from quack_reduce_spark.plans import zonemap_pushdown as _zp
+
+        before = dict(_zp.DPP_COUNTS)
+        eng.df(
+            "SELECT COUNT(*) AS n FROM fact_ck "
+            "JOIN dim_cust ON o_custkey = c_custkey "
+            "WHERE c_name LIKE 'Customer#00000000%'"
+        ).collect()
+        print(
+            f"[13] repeat planning: evals +{_zp.DPP_COUNTS['evals'] - before['evals']}, "
+            f"cache hits +{_zp.DPP_COUNTS['cache_hits'] - before['cache_hits']}"
+        )
+
+        # 14. the dashboard count itself (round 13): a scalar aggregate
+        # through plain SQL answers from metadata — contained files
+        # contribute exact partials unread, only boundary files scan,
+        # and the whole-table count compiles to a plan with NO file
+        # scan node at all
+        res = eng.sql(
+            "SELECT COUNT(*) AS n, MIN(o_orderdate) AS mn "
+            "FROM orders_c WHERE o_orderdate >= TIMESTAMP '1996-01-01'"
+        )
+        print(f"[14] SQL agg pushdown: {res.metadata['zonemap']}")
+
+        # 15. decimal stats in unscaled-int space: a price-clustered
+        # decimal table prunes on plain SQL decimal ranges
+        decp = f"{tmp}/orders_dec"
+        dec = orders.withColumn(
+            "price", F.col("o_totalprice").cast("decimal(12,2)")
+        )
+        eng.write_clustered(dec, decp, ["price"], n_files=12)
+        eng.register("orders_dec", decp)
+        eng.df(
+            "SELECT price FROM orders_dec "
+            "WHERE price BETWEEN 1000.00 AND 20000.00"
+        ).collect()
+        print(f"[15] decimal range pruning: {eng.last_zonemap_report.get('orders_dec')}")
 
 
 if __name__ == "__main__":
