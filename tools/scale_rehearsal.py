@@ -111,6 +111,11 @@ ALL_FAMILIES = [
     # growing UNCLUSTERED table (envelopes span everything at every
     # size; only the fingerprints prune)
     "lake_bloom_probe",
+    # round-13 addition: the SQL-surface scalar-aggregate pushdown vs
+    # the same growing clustered table — a FIXED range COUNT/MIN/MAX
+    # answers from contained-file metadata + O(1) boundary files, so
+    # the dashboard count must stay FLAT while the table grows 10x
+    "lake_agg_probe",
 ]
 
 
@@ -576,6 +581,45 @@ def main() -> None:
                     engine_rows["sec"].append(round(te, 3))
                     engine_rows["files_read"].append(rep.get("files_read"))
                     engine_rows["files_total"].append(rep.get("files_total"))
+
+                # r13: the scalar-aggregate pushdown over the same
+                # table — the fixed-range dashboard COUNT/MIN/MAX must
+                # stay flat: metadata partials + O(1) boundary files
+                if "lake_agg_probe" in wanted:
+                    from quack_reduce_spark.engine import Engine as _Eng
+
+                    eng2 = _Eng(spark=spark)
+                    aview = f"zm_agg_x{m}"
+                    eng2.register(aview, zpath)
+                    qa = (
+                        f"SELECT COUNT(*) AS n, MIN(o_orderdate) AS mn,"
+                        f" MAX(o_orderdate) AS mx FROM {aview}"
+                        f" WHERE o_orderdate >= TIMESTAMP '1997-01-01'"
+                        f" AND o_orderdate <= TIMESTAMP '1997-12-31'"
+                    )
+
+                    def agg_probe(eng2=eng2, qa=qa):
+                        def thunk():
+                            eng2.df(qa).collect()
+                        return thunk
+
+                    agg_probe()()  # warm (fills the manifest caches)
+                    ta = _timed(agg_probe())
+                    plan = eng2.last_agg_plan or {}
+                    agg_rows = results.setdefault(
+                        "lake_agg_probe",
+                        {"mults": [], "rows": [], "sec": [],
+                         "files_scanned": [], "files_contained": [],
+                         "files_total": []},
+                    )
+                    agg_rows["mults"].append(m)
+                    agg_rows["rows"].append(n_base * m)
+                    agg_rows["sec"].append(round(ta, 3))
+                    agg_rows["files_scanned"].append(plan.get("files_scanned"))
+                    agg_rows["files_contained"].append(
+                        plan.get("files_contained")
+                    )
+                    agg_rows["files_total"].append(plan.get("files_total"))
             results["lake_zonemap_probe"] = {
                 "mults": MULTS,
                 "rows": ns,
@@ -604,6 +648,19 @@ def main() -> None:
                 print(
                     f"  engine_sql_pruned: {er['sec']} read/total "
                     f"{list(zip(er['files_read'], er['files_total']))}",
+                    file=sys.stderr,
+                )
+            if "lake_agg_probe" in results:
+                ar = results["lake_agg_probe"]
+                ar["fit_exp"] = round(_fit_exponent(ar["rows"], ar["sec"]), 3)
+                ar["tail_exp"] = round(
+                    math.log(ar["sec"][-1] / ar["sec"][-2])
+                    / math.log(MULTS[-1] / MULTS[-2]),
+                    3,
+                )
+                print(
+                    f"  lake_agg_probe: {ar['sec']} scanned/contained/total "
+                    f"{list(zip(ar['files_scanned'], ar['files_contained'], ar['files_total']))}",
                     file=sys.stderr,
                 )
 
