@@ -958,13 +958,14 @@ def lake_sql_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(path)
     )
-    Z.write_zonemap(spark, path, ["o_orderdate", "o_totalprice"])
+    Z.write_zonemap(spark, path, ["o_orderdate", "o_totalprice", "o_orderkey"])
     eng = Engine(spark=spark)
     t = f"sqlagg_{_uuid.uuid4().hex[:8]}"
     eng.register(t, path)
     r1 = eng.df(
         f"SELECT COUNT(*) AS n_range, MIN(o_totalprice) AS mn_price, "
-        f"MAX(o_totalprice) AS mx_price, COUNT(o_totalprice) AS n_price "
+        f"MAX(o_totalprice) AS mx_price, COUNT(o_totalprice) AS n_price, "
+        f"SUM(o_orderkey) AS sum_key "
         f"FROM {t} WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
         f"AND o_orderdate < TIMESTAMP '1999-07-01'"
     ).first()
@@ -995,7 +996,7 @@ def lake_sql_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(
             int(r1["n_range"]), float(r1["mn_price"]), float(r1["mx_price"]),
-            int(r1["n_price"]), int(r2["n_total"]),
+            int(r1["n_price"]), int(r1["sum_key"]), int(r2["n_total"]),
             r2["mn_date"], r2["mx_date"],
         )],
         StructType([
@@ -1003,6 +1004,7 @@ def lake_sql_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("mn_price", DoubleType()),
             StructField("mx_price", DoubleType()),
             StructField("n_price", LongType()),
+            StructField("sum_key", LongType()),
             StructField("n_total", LongType()),
             StructField("mn_date", TimestampNTZType()),
             StructField("mx_date", TimestampNTZType()),
@@ -1056,7 +1058,7 @@ def lake_decimal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unscaled classification): mostly metadata on the clustered layout
     r1 = eng.df(
         f"SELECT COUNT(*) AS n_range, MIN(price) AS mn_price, "
-        f"MAX(price) AS mx_price FROM {t} "
+        f"MAX(price) AS mx_price, SUM(price) AS sum_price FROM {t} "
         f"WHERE price >= 1000.00 AND price < 300000.00"
     ).first()
     plan = eng.last_agg_plan
@@ -1111,12 +1113,14 @@ def lake_decimal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(
             int(r1["n_range"]), float(r1["mn_price"]), float(r1["mx_price"]),
+            float(r1["sum_price"]),
             int(r2["n_in"]), int(r3["n_point"]), int(n_cw),
         )],
         StructType([
             StructField("n_range", LongType()),
             StructField("mn_price", DoubleType()),
             StructField("mx_price", DoubleType()),
+            StructField("sum_price", DoubleType()),
             StructField("n_in", LongType()),
             StructField("n_point", LongType()),
             StructField("n_cw", LongType()),
@@ -1386,6 +1390,7 @@ ORACLES["lake_sql_agg_pushdown"] = """
            (SELECT MIN(o_totalprice) FROM slice) AS mn_price,
            (SELECT MAX(o_totalprice) FROM slice) AS mx_price,
            (SELECT CAST(COUNT(o_totalprice) AS BIGINT) FROM slice) AS n_price,
+           (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM slice) AS sum_key,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_total,
            (SELECT MIN(o_orderdate) FROM orders) AS mn_date,
            (SELECT MAX(o_orderdate) FROM orders) AS mx_date
@@ -1408,6 +1413,8 @@ ORACLES["lake_decimal_stats"] = """
        WHERE price >= 1000.00 AND price < 300000.00) AS mn_price,
       (SELECT CAST(MAX(price) AS DOUBLE) FROM dec
        WHERE price >= 1000.00 AND price < 300000.00) AS mx_price,
+      (SELECT CAST(SUM(price) AS DOUBLE) FROM dec
+       WHERE price >= 1000.00 AND price < 300000.00) AS sum_price,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM dec
        WHERE price IN (1000.25, 2000.25, 3000.25, 150000.25, 151000.25,
                        9000.75, 9100.75, 9200.75, 250000.75, 250100.75,

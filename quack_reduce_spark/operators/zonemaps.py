@@ -845,7 +845,18 @@ def hist_selectivity(
 # -- stats build -----------------------------------------------------------
 
 
-def _stat_aggs(cols: list[str]) -> list[Column]:
+# column types whose per-file SUM is EXACT in any evaluation order —
+# the precondition for answering SUM from metadata partials. Doubles
+# and floats are excluded (non-associative rounding would make the
+# metadata+residual composition differ from a plain scan).
+_SUM_TYPES = {"integer", "long", "short", "byte"}
+
+
+def _sum_col_ok(tname: Any) -> bool:
+    return tname in _SUM_TYPES or _unscaled_decimal(tname) is not None
+
+
+def _stat_aggs(cols: list[str], types: dict[str, str] | None = None) -> list[Column]:
     # file_bytes (from the hidden _metadata column) feeds the engine's
     # broadcast-hint estimate: surviving-file bytes are the same units
     # Spark's own static size stats compare against the broadcast
@@ -858,6 +869,14 @@ def _stat_aggs(cols: list[str]) -> list[Column]:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}"))
+        if types is not None and _sum_col_ok(types.get(c)):
+            # exact per-file sum (r13): integer-family columns and
+            # decimal(p<=18) — whose select expr is already the
+            # unscaled long, so this is the exact unscaled sum.
+            # try_sum turns an int64 overflow into NULL instead of an
+            # ANSI error; consumers treat a NULL sum on a non-empty
+            # non-all-null file as "unavailable" and decline (sound)
+            aggs.append(F.try_sum(F.col(c)).alias(f"sum_{c}"))
     return aggs
 
 
@@ -941,7 +960,7 @@ def zonemap_stats(spark: SparkSession, data_dir: str, cols: list[str]) -> DataFr
             *_stats_select_cols(df, cols),
         )
         .groupBy("file")
-        .agg(*_stat_aggs(cols))
+        .agg(*_stat_aggs(cols, _source_types(df, cols)))
     )
 
 
@@ -1309,7 +1328,7 @@ def append_zonemap(
             *_stats_select_cols(df, cols),
         )
         .groupBy("file")
-        .agg(*_stat_aggs(cols))
+        .agg(*_stat_aggs(cols, types))
     )
     bloom_doc = dict((doc or {}).get("bloom") or {})
     if bloom_doc:

@@ -1,5 +1,5 @@
 """Metadata AGGREGATE pushdown for the SQL surface: answer scalar
-COUNT/MIN/MAX queries from the zone-map manifest instead of scanning.
+COUNT/MIN/MAX/SUM queries from the zone-map manifest instead of scanning.
 
 ``SELECT COUNT(*) FROM t WHERE <range>`` is the reference dashboard's
 bread-and-butter shape (``dashboard.py:37-39`` issues exactly this per
@@ -22,8 +22,10 @@ the predicate), but ANSWERING from metadata must understand the whole
 plan exactly, so this path fires only when ALL hold:
 
 - the plan root is a global Aggregate (no GROUP BY) whose every output
-  is plain COUNT(*) / COUNT(col) / MIN(col) / MAX(col) — no DISTINCT,
-  no FILTER clause, no expression arguments;
+  is plain COUNT(*) / COUNT(col) / MIN(col) / MAX(col) / SUM(col) — no
+  DISTINCT, no FILTER clause, no expression arguments (SUM only over
+  integer-family / decimal(p<=18) columns, whose per-file sums are
+  exact in any evaluation order);
 - below it only Project / Filter nodes over ONE registered zone-mapped
   table's relation, and every referenced attribute resolves BY EXPR-ID
   to that relation's own output (a Project alias shadowing a column
@@ -194,7 +196,7 @@ def extract_scalar_agg(
          "types": {col: catalyst type name},
          "out": [(output name, output DataType), ...]}
 
-    with kind in {count_star, count, min, max} and op in {ge, gt, le,
+    with kind in {count_star, count, min, max, sum} and op in {ge, gt, le,
     lt, eq, in, isnull, isnotnull}; None when any piece of the plan
     falls outside the exactly-understood surface."""
     opt = df._jdf.queryExecution().optimizedPlan()
@@ -252,7 +254,7 @@ def extract_scalar_agg(
         fn = ae.aggregateFunction()
         fname = fn.getClass().getSimpleName()
         ch = fn.children()
-        if fname not in ("Count", "Min", "Max") or ch.size() != 1:
+        if fname not in ("Count", "Min", "Max", "Sum") or ch.size() != 1:
             return None
         c0 = ch.apply(0)
         ccls = c0.getClass().getSimpleName()
@@ -267,6 +269,15 @@ def extract_scalar_agg(
         col, tname = by_id[aid]
         if not _type_ok(tname):
             return None
+        if fname == "Sum":
+            # SUM composes from metadata only where per-file sums are
+            # EXACT in any order: integer-family and unscaled decimals
+            # (the manifest records sum_<c> for exactly those types) —
+            # double/float sums are order-dependent and decline
+            from quack_reduce_spark.operators.zonemaps import _sum_col_ok
+
+            if not _sum_col_ok(tname):
+                return None
         aggs.append(("count" if fname == "Count" else fname.lower(), col))
 
     # -- filter conjuncts, every one exactly understood
@@ -493,6 +504,18 @@ def build_agg_frame(
                 if nc is None:
                     return None  # un-statted agg column: decline
                 meta[i] += n_rows - int(nc)
+            elif kind == "sum":
+                if n_rows == 0:
+                    continue  # empty file: nothing to add
+                sv = r.get(f"sum_{col}")
+                if sv is None:
+                    nc = r.get(f"nulls_{col}")
+                    if nc is not None and int(nc) == n_rows:
+                        continue  # all-NULL file: SUM contributes nothing
+                    # no recorded sum (pre-r13 manifest) or an int64
+                    # overflow at build (try_sum NULL): decline, sound
+                    return None
+                meta[i] = (0 if meta[i] is None else meta[i]) + int(sv)
             else:
                 v = r.get(f"min_{col}" if kind == "min" else f"max_{col}")
                 if v is None:
@@ -521,6 +544,8 @@ def build_agg_frame(
                 partials.append(F.count(F.col(col)).alias(f"__a{i}"))
             elif kind == "min":
                 partials.append(F.min(F.col(col)).alias(f"__a{i}"))
+            elif kind == "sum":
+                partials.append(F.sum(F.col(col)).alias(f"__a{i}"))
             else:
                 partials.append(F.max(F.col(col)).alias(f"__a{i}"))
         base = bdf.where(pred).agg(*partials)
@@ -533,6 +558,28 @@ def build_agg_frame(
             expr = F.lit(int(meta[i]))
             if boundary:
                 expr = expr + F.coalesce(F.col(f"__a{i}"), F.lit(0))
+        elif kind == "sum":
+            from quack_reduce_spark.operators.zonemaps import _unscaled_decimal
+
+            dec_s = _unscaled_decimal(types.get(col, ""))
+            if meta[i] is None:
+                # no non-null value in any contained file: the result
+                # is whatever the boundary says (SQL SUM of empty = NULL)
+                expr = F.col(f"__a{i}") if boundary else F.lit(None).cast(otype)
+            else:
+                if dec_s is not None:
+                    import decimal as _pydec
+
+                    lit = F.lit(_pydec.Decimal(int(meta[i])).scaleb(-dec_s))
+                else:
+                    if abs(int(meta[i])) > 2 ** 63 - 1:
+                        return None  # the plain query would overflow too
+                    lit = F.lit(int(meta[i]))
+                expr = (
+                    lit + F.coalesce(F.col(f"__a{i}"), F.lit(0))
+                    if boundary
+                    else lit
+                )
         else:
             lit = _meta_literal(meta[i], types.get(col, ""), otype)
             if boundary:

@@ -214,6 +214,79 @@ def test_sql_agg_all_null_and_is_null(spark, tmp_path):
     spark.catalog.dropTempView("aggnull")
 
 
+def test_sql_sum_pushdown_exact(spark, sf_dir, tmp_path):
+    """SUM composes from metadata only where per-file sums are exact in
+    any order: a long SUM over a range equals plain execution with only
+    boundary files scanned, the whole-table long+decimal SUMs compile
+    to a no-file-scan plan, and a DOUBLE SUM (order-dependent) declines
+    to the plain plan while staying correct."""
+    import decimal as _pydec
+
+    path = str(tmp_path / "sumpush")
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "price", F.col("o_totalprice").cast("decimal(12,2)")
+    )
+    (
+        orders.repartitionByRange(12, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_orderdate", "o_orderkey", "price"])
+    eng = Engine(spark=spark)
+    eng.register("sum_t", path)
+    full = spark.read.parquet(path)
+    q = (
+        "SELECT SUM(o_orderkey) AS s, COUNT(*) AS n FROM sum_t "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01'"
+    )
+    r = eng.df(q).first()
+    plan = eng.last_agg_plan
+    assert plan is not None and plan["files_contained"] >= 3
+    sub = full.filter(
+        F.col("o_orderdate")
+        >= F.lit(dt.datetime(1996, 1, 1)).cast("timestamp_ntz")
+    )
+    w = sub.agg(F.sum("o_orderkey"), F.count(F.lit(1))).first()
+    assert (r["s"], r["n"]) == (w[0], w[1])
+    d2 = eng.df("SELECT SUM(o_orderkey) AS s, SUM(price) AS sp FROM sum_t")
+    assert _no_file_scan(d2)
+    w2 = full.agg(F.sum("o_orderkey"), F.sum("price")).first()
+    g2 = d2.first()
+    assert (g2["s"], g2["sp"]) == (w2[0], w2[1])
+    assert isinstance(g2["sp"], _pydec.Decimal)
+    # double SUM: order-dependent, must DECLINE (plain plan, no agg tele)
+    d3 = eng.df("SELECT SUM(o_totalprice) AS s FROM sum_t")
+    assert eng.last_agg_plan is None
+    assert abs(d3.first()["s"] - full.agg(F.sum("o_totalprice")).first()[0]) < 1e-6
+    spark.catalog.dropTempView("sum_t")
+
+
+def test_sql_sum_pushdown_null_semantics(spark, tmp_path):
+    """SUM ignores NULLs per file (the manifest's try_sum does too), an
+    all-NULL file contributes nothing, and SUM over an entirely NULL
+    column is NULL — all from metadata with no file scan."""
+    path = str(tmp_path / "sumnull")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k long, v long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(3, None), (4, None)], "k long, v long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(5, 50), (6, None)], "k long, v long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    Z.write_zonemap(spark, path, ["k", "v"])
+    eng = Engine(spark=spark)
+    eng.register("sumnull", path)
+    d = eng.df("SELECT SUM(v) AS s, SUM(k) AS sk FROM sumnull")
+    assert _no_file_scan(d)
+    assert tuple(d.first()) == (80, 21)
+    d2 = eng.df("SELECT SUM(v) AS s FROM sumnull WHERE v IS NULL")
+    assert d2.first()["s"] is None
+    spark.catalog.dropTempView("sumnull")
+
+
 def test_sql_agg_eq_composes_with_bloom(spark, sf_dir, tmp_path):
     """A point COUNT on a bloom-fingerprinted key over a layout the key
     is not clustered by: the fingerprint (not the useless min/max
