@@ -491,15 +491,17 @@ class Engine:
         from quack_reduce_spark.plans import agg_pushdown as _ap
         from quack_reduce_spark.plans import zonemap_pushdown as _zp
 
-        info = _ap.extract_scalar_agg(
-            df, {n: p for n, (p, _) in zm_tables.items()}
+        paths = {n: p for n, (p, _) in zm_tables.items()}
+        info = _ap.extract_scalar_agg(df, paths) or _ap.extract_grouped_agg(
+            df, paths
         )
         if info is None:
             return None
         path, zcols = zm_tables[info["table"]]
         zset = set(zcols)
         if any(c is not None and c not in zset for _k, c in info["aggs"]):
-            return None  # MIN/MAX/COUNT(col) needs that column's stats
+            # MIN/MAX/COUNT/SUM(col) — and a grouping key — need stats
+            return None
         # closed-widened constraints for the pruned-in SUPERSET; the
         # strict/exact semantics are re-applied by the per-file
         # classification and the residual predicate
@@ -522,6 +524,10 @@ class Engine:
         rows, total = _zm.prune_files_multi(self.spark, path, cons)
         if total != len(_zm._data_files(path)):
             return None  # un-maintained append: metadata can't answer
+        if info["group"] is not None:
+            return _ap.build_group_agg_frame(
+                self.spark, path, info, rows, total
+            )
         return _ap.build_agg_frame(self.spark, path, info, rows, total)
 
     def table_stats(self, name: str) -> dict:

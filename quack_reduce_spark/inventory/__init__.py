@@ -106,6 +106,7 @@ _HEAD = [
     # min-selectivity + drift-refresh under histogram/sketch keys
     "lake_sql_agg_pushdown",
     "lake_decimal_stats",
+    "lake_group_agg_pushdown",
     "lake_dpp_star",
     "lake_count_pushdown",
     "lake_zonemap_sql_pushdown",
@@ -132,7 +133,7 @@ _HEAD = [
     "dedup_exact", "dedup_graph_stats",
     "sim_pca_variance", "sim_kmeans_fixed_profile", "sim_pq_topk",
     "sim_lsh_topk_portable", "sim_label_centroid_norm",
-    "mm_binary_meta", "mm_image_hist", "mm_audio_windows",
+    "mm_binary_meta", "mm_image_hist",
 ]
 
 

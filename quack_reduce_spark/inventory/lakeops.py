@@ -1128,6 +1128,81 @@ def lake_decimal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lake_group_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY aggregate pushdown (round 13): the reference's own
+    benchmark shape — a grouped COUNT over a partitioned table
+    (``benchmark.py:133-141``, grouped counts per partition) — answered
+    from METADATA: on a hive-partitioned layout every file is
+    single-valued on the grouping column, so each group's
+    COUNT(*)/SUM/MIN partials come straight from per-file manifest
+    stats and the plan contains NO file scan node; a query that ALSO
+    carries a range conjunct merges the contained files' per-group
+    partials with a grouped residual over only the boundary files.
+    In-query gates prove both shapes (zero files scanned for the plain
+    group-by; boundary <= total for the range one); the DuckDB oracle
+    recomputes every group from the raw fixture."""
+    import uuid as _uuid
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = _fresh_dir(sf_dir, "lake_grpagg")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+    Z.write_zonemap(
+        spark, path, ["o_orderstatus", "o_orderkey", "o_orderdate"]
+    )
+    eng = Engine(spark=spark)
+    t = f"grpagg_{_uuid.uuid4().hex[:8]}"
+    eng.register(t, path)
+    d1 = eng.df(
+        f"SELECT o_orderstatus AS st, COUNT(*) AS n, "
+        f"SUM(o_orderkey) AS sum_key, MIN(o_orderkey) AS mn_key "
+        f"FROM {t} GROUP BY o_orderstatus"
+    )
+    plan1 = eng.last_agg_plan
+    _require(
+        plan1 is not None
+        and plan1.get("group_by") == "o_orderstatus"
+        and plan1["files_scanned"] == 0
+        and plan1["groups_metadata"] >= 3,
+        "plain grouped aggregate did not answer from metadata", plan1,
+    )
+    phys = d1._jdf.queryExecution().executedPlan().toString()
+    _require(
+        "FileScan" not in phys and "Scan parquet" not in phys,
+        "grouped metadata aggregate plan contains a file scan",
+    )
+    rows1 = [(r["st"], int(r["n"]), int(r["sum_key"]), int(r["mn_key"]))
+             for r in d1.collect()]
+    d2 = eng.df(
+        f"SELECT o_orderstatus AS st, COUNT(*) AS n FROM {t} "
+        f"WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+        f"GROUP BY o_orderstatus"
+    )
+    plan2 = eng.last_agg_plan
+    _require(
+        plan2 is not None and plan2.get("group_by") == "o_orderstatus",
+        "range grouped aggregate did not take the metadata path", plan2,
+    )
+    rows2 = {r["st"]: int(r["n"]) for r in d2.collect()}
+    spark.catalog.dropTempView(t)
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (st, n, sk, mk, rows2.get(st))
+            for st, n, sk, mk in sorted(rows1)
+        ],
+        StructType([
+            StructField("st", StringType()),
+            StructField("n", LongType()),
+            StructField("sum_key", LongType()),
+            StructField("mn_key", LongType()),
+            StructField("n_range", LongType()),
+        ]),
+    )
+
+
 QUERIES = {
     "lake_time_travel": lake_time_travel,
     "lake_change_feed": lake_change_feed,
@@ -1144,6 +1219,7 @@ QUERIES = {
     "lake_count_pushdown": lake_count_pushdown,
     "lake_sql_agg_pushdown": lake_sql_agg_pushdown,
     "lake_decimal_stats": lake_decimal_stats,
+    "lake_group_agg_pushdown": lake_group_agg_pushdown,
 }
 
 
@@ -1423,4 +1499,18 @@ ORACLES["lake_decimal_stats"] = """
        WHERE price = (SELECT kp FROM k)) AS n_point,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM dec
        WHERE price >= 1000.005 AND price <= 20000.00) AS n_cw
+"""
+
+# grouped metadata aggregates must be invisible in the answer: the
+# oracle recomputes every group (and the range-count column) straight
+# from the raw fixture
+ORACLES["lake_group_agg_pushdown"] = """
+    SELECT o_orderstatus AS st,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(MIN(o_orderkey) AS BIGINT) AS mn_key,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders i
+            WHERE i.o_orderstatus = o.o_orderstatus
+              AND i.o_orderdate >= TIMESTAMP '1996-01-01') AS n_range
+    FROM orders o GROUP BY o_orderstatus ORDER BY st
 """

@@ -184,6 +184,22 @@ def _split_and(cond: Any) -> list[Any]:
     return out
 
 
+# group-key types the metadata path can re-render EXACTLY through
+# createDataFrame rows (zone-free): integer family, strings, dates,
+# and unscaled decimals. Timestamps decline in group mode (their
+# rendering discipline is literal-based, not row-based).
+_GROUP_KEY_TYPES = {"integer", "long", "short", "byte", "string", "date"}
+# MIN/MAX value types that survive the same row-based rendering
+_GROUP_VAL_TYPES = _GROUP_KEY_TYPES | {"double", "float"}
+
+
+def _group_type_ok(tname: str, key: bool) -> bool:
+    from quack_reduce_spark.operators.zonemaps import _unscaled_decimal
+
+    ok = _GROUP_KEY_TYPES if key else _GROUP_VAL_TYPES
+    return tname in ok or _unscaled_decimal(tname) is not None
+
+
 def extract_scalar_agg(
     df: DataFrame, paths_by_name: dict[str, str]
 ) -> dict | None:
@@ -191,7 +207,7 @@ def extract_scalar_agg(
     global scalar aggregate over Filter/Project chains on one
     registered table, return::
 
-        {"table", "aggs": [(kind, col|None), ...],
+        {"table", "group": None, "aggs": [(kind, col|None), ...],
          "conjuncts": [(col, op, value), ...],
          "types": {col: catalyst type name},
          "out": [(output name, output DataType), ...]}
@@ -199,11 +215,35 @@ def extract_scalar_agg(
     with kind in {count_star, count, min, max, sum} and op in {ge, gt, le,
     lt, eq, in, isnull, isnotnull}; None when any piece of the plan
     falls outside the exactly-understood surface."""
+    return _extract_agg(df, paths_by_name, grouped=False)
+
+
+def extract_grouped_agg(
+    df: DataFrame, paths_by_name: dict[str, str]
+) -> dict | None:
+    """The GROUP BY twin of :func:`extract_scalar_agg`: one bare
+    grouping attribute (portable key type), the same agg surface plus
+    ``("key", col)`` entries for the grouping column's own output
+    positions. MIN/MAX value columns are restricted to row-renderable
+    types (no timestamps) — the metadata partials travel through
+    ``createDataFrame`` rows in group mode, not literals."""
+    return _extract_agg(df, paths_by_name, grouped=True)
+
+
+def _extract_agg(
+    df: DataFrame, paths_by_name: dict[str, str], grouped: bool
+) -> dict | None:
     opt = df._jdf.queryExecution().optimizedPlan()
     if opt.getClass().getSimpleName() != "Aggregate":
         return None
-    if opt.groupingExpressions().size() != 0:
+    gexprs = opt.groupingExpressions()
+    if not grouped and gexprs.size() != 0:
         return None
+    group_col = None
+    group_id = None
+    if grouped:
+        if gexprs.size() != 1:
+            return None
 
     # -- the chain below: Project*/Filter* down to one LogicalRelation
     node = opt.child()
@@ -239,15 +279,38 @@ def extract_scalar_agg(
         a = rel_out.apply(i)
         by_id[int(a.exprId().id())] = (a.name(), a.dataType().typeName())
 
+    if grouped:
+        gname, gid = _attr_id(gexprs.apply(0))
+        if gid is None or gid not in by_id:
+            return None
+        group_col, gtname = by_id[gid]
+        if not _group_type_ok(gtname, key=True):
+            return None
+        group_id = gid
+
     # -- aggregate expressions: COUNT(*)/COUNT(col)/MIN(col)/MAX(col)
     aggs: list[tuple[str, str | None]] = []
     aexprs = opt.aggregateExpressions()
     for i in range(aexprs.size()):
         ne = aexprs.apply(i)
-        if ne.getClass().getSimpleName() != "Alias":
+        necls = ne.getClass().getSimpleName()
+        if grouped and necls == "AttributeReference":
+            # the grouping column selected bare
+            if int(ne.exprId().id()) != group_id:
+                return None
+            aggs.append(("key", group_col))
+            continue
+        if necls != "Alias":
             return None
         ae = ne.child()
-        if ae.getClass().getSimpleName() != "AggregateExpression":
+        aecls = ae.getClass().getSimpleName()
+        if grouped and aecls == "AttributeReference":
+            # the grouping column selected under an alias
+            if int(ae.exprId().id()) != group_id:
+                return None
+            aggs.append(("key", group_col))
+            continue
+        if aecls != "AggregateExpression":
             return None
         if ae.isDistinct() or ae.filter().isDefined():
             return None
@@ -269,6 +332,10 @@ def extract_scalar_agg(
         col, tname = by_id[aid]
         if not _type_ok(tname):
             return None
+        if grouped and fname in ("Min", "Max") and not _group_type_ok(
+            tname, key=False
+        ):
+            return None  # group-mode partials are row-rendered: no ts
         if fname == "Sum":
             # SUM composes from metadata only where per-file sums are
             # EXACT in any order: integer-family and unscaled decimals
@@ -298,6 +365,8 @@ def extract_scalar_agg(
     used = {c for c, _o, _v in conjuncts} | {
         c for _k, c in aggs if c is not None
     }
+    if group_col is not None:
+        used.add(group_col)
     types = {
         nm: tn for nm, tn in by_id.values() if nm in used
     }
@@ -306,6 +375,7 @@ def extract_scalar_agg(
         return None
     return {
         "table": table,
+        "group": group_col,
         "aggs": aggs,
         "conjuncts": conjuncts,
         "types": types,
@@ -448,6 +518,38 @@ def residual_predicate(
     return pred
 
 
+def _norm_conjuncts(conjuncts: list) -> list:
+    """IN value sets classify per file: pre-sort once so each file is a
+    binary search, not a linear pass over a (possibly 32k-value) set."""
+    norm = []
+    for col, op, v in conjuncts:
+        if op == "in":
+            try:
+                v = (v, sorted(v))
+            except TypeError:
+                v = (v, None)  # mixed types: linear fallback
+        norm.append((col, op, v))
+    return norm
+
+
+def _classify_row(norm: list, r: dict, n_rows: int) -> str:
+    """'all' | 'some' | 'none' for one manifest row against every
+    (normalized) conjunct."""
+    state = "all"
+    for col, op, v in norm:
+        mn, mx = r.get(f"min_{col}"), r.get(f"max_{col}")
+        nulls = r.get(f"nulls_{col}")
+        if nulls is None:
+            state = "some"
+            continue
+        tri = _tri_state(op, v, mn, mx, int(nulls), n_rows)
+        if tri == "none":
+            return "none"
+        if tri == "some":
+            state = "some"
+    return state
+
+
 def build_agg_frame(
     spark: SparkSession,
     path: str,
@@ -465,32 +567,11 @@ def build_agg_frame(
     aggs, conjuncts, types = info["aggs"], info["conjuncts"], info["types"]
     meta: list[Any] = [0 if k in ("count_star", "count") else None
                        for k, _c in aggs]
-    # IN value sets classify per file: pre-sort once so each file is a
-    # binary search, not a linear pass over a (possibly 32k-value) set
-    norm = []
-    for col, op, v in conjuncts:
-        if op == "in":
-            try:
-                v = (v, sorted(v))
-            except TypeError:
-                v = (v, None)  # mixed types: linear fallback
-        norm.append((col, op, v))
+    norm = _norm_conjuncts(conjuncts)
     boundary: list[str] = []
     for r in rows:
         n_rows = int(r["n_rows"])
-        state = "all"
-        for col, op, v in norm:
-            mn, mx = r.get(f"min_{col}"), r.get(f"max_{col}")
-            nulls = r.get(f"nulls_{col}")
-            if nulls is None:
-                state = "some"
-                continue
-            tri = _tri_state(op, v, mn, mx, int(nulls), n_rows)
-            if tri == "none":
-                state = "none"
-                break
-            if tri == "some":
-                state = "some"
+        state = _classify_row(norm, r, n_rows)
         if state == "none":
             continue  # pruning kept it, exact classification drops it
         if state == "some":
@@ -601,5 +682,230 @@ def build_agg_frame(
         "files_pruned_in": len(rows),
         "files_contained": len(rows) - len(boundary),
         "files_scanned": len(boundary),
+    }
+    return frame, telemetry
+
+
+def _py_datatype(tname: str):
+    """PySpark DataType for a catalyst type NAME — the row-rendered
+    group-mode types only (callers pre-gate via _group_type_ok)."""
+    from pyspark.sql import types as T
+
+    from quack_reduce_spark.operators.zonemaps import _decimal_ps
+
+    ps = _decimal_ps(tname)
+    if ps is not None:
+        return T.DecimalType(ps[0], ps[1])
+    return {
+        "integer": T.IntegerType(), "long": T.LongType(),
+        "short": T.ShortType(), "byte": T.ByteType(),
+        "string": T.StringType(), "date": T.DateType(),
+        "double": T.DoubleType(), "float": T.FloatType(),
+    }[tname]
+
+
+def _render_meta(v: Any, tname: str) -> Any:
+    """Python value for a createDataFrame row from a manifest stat —
+    decimals come back from unscaled space; everything else is already
+    the exact native value."""
+    from quack_reduce_spark.operators.zonemaps import _unscaled_decimal
+
+    if v is None:
+        return None
+    s = _unscaled_decimal(tname)
+    if s is not None:
+        import decimal as _pydec
+
+        return _pydec.Decimal(int(v)).scaleb(-s)
+    return v
+
+
+def build_group_agg_frame(
+    spark: SparkSession,
+    path: str,
+    info: dict,
+    rows: list[dict],
+    total: int,
+) -> tuple[DataFrame, dict] | None:
+    """The GROUP BY twin of :func:`build_agg_frame`: a file whose
+    conjunct classification is 'all' AND whose grouping column is
+    single-valued (min == max with zero nulls — the hive-partitioned /
+    clustered layout shape) or all-NULL (the SQL NULL group)
+    contributes per-group metadata partials without being read; every
+    other surviving file is a boundary file, scanned once, grouped,
+    and union-merged with the metadata partials (counts/sums add,
+    mins/maxes fold — all exact by the same type gates the scalar path
+    enforces). Group keys and partials travel as createDataFrame ROWS,
+    which is why group mode is limited to zone-free-renderable types.
+    """
+    import decimal as _pydec
+
+    from pyspark.sql import types as T
+
+    from quack_reduce_spark.operators.zonemaps import _unscaled_decimal
+
+    aggs, conjuncts, types = info["aggs"], info["conjuncts"], info["types"]
+    group = info["group"]
+    g_t = types.get(group)
+    if g_t is None:
+        return None
+    norm = _norm_conjuncts(conjuncts)
+    meta: dict[Any, list] = {}
+    boundary: list[str] = []
+
+    def fresh_partials() -> list:
+        return [0 if k in ("count_star", "count") else None
+                for k, _c in aggs]
+
+    for r in rows:
+        n_rows = int(r["n_rows"])
+        state = _classify_row(norm, r, n_rows)
+        if state == "none":
+            continue
+        gmn, gmx = r.get(f"min_{group}"), r.get(f"max_{group}")
+        gnulls = r.get(f"nulls_{group}")
+        single = (
+            gnulls is not None
+            and int(gnulls) == 0
+            and gmn is not None
+            and gmn == gmx
+        )
+        all_null = (
+            gnulls is not None and n_rows > 0 and int(gnulls) == n_rows
+        )
+        if state == "some" or not (single or all_null or n_rows == 0):
+            boundary.append(r["file"])
+            continue
+        if n_rows == 0:
+            continue  # empty file: no group, nothing to add
+        key = None if all_null else gmn
+        part = meta.setdefault(key, fresh_partials())
+        for i, (kind, col) in enumerate(aggs):
+            if kind == "key":
+                continue
+            if kind == "count_star":
+                part[i] += n_rows
+            elif kind == "count":
+                nc = r.get(f"nulls_{col}")
+                if nc is None:
+                    return None
+                part[i] += n_rows - int(nc)
+            elif kind == "sum":
+                sv = r.get(f"sum_{col}")
+                if sv is None:
+                    nc = r.get(f"nulls_{col}")
+                    if nc is not None and int(nc) == n_rows:
+                        continue
+                    return None  # pre-r13 manifest / overflow: decline
+                part[i] = (0 if part[i] is None else part[i]) + int(sv)
+            else:
+                v = r.get(f"min_{col}" if kind == "min" else f"max_{col}")
+                if v is None:
+                    continue
+                if _is_nan(v):
+                    return None
+                try:
+                    if part[i] is None:
+                        part[i] = v
+                    elif kind == "min":
+                        part[i] = min(part[i], v)
+                    else:
+                        part[i] = max(part[i], v)
+                except TypeError:
+                    return None
+
+    # -- the metadata partials as a (possibly empty) frame ------------
+    fields = [T.StructField("__k", _py_datatype(g_t))]
+    merges = []  # final fold per partial column
+    for i, (kind, col) in enumerate(aggs):
+        if kind == "key":
+            continue
+        if kind in ("count_star", "count"):
+            fields.append(T.StructField(f"__a{i}", T.LongType()))
+            merges.append((i, F.sum))
+        elif kind == "sum":
+            ct = types.get(col, "")
+            ps_s = _unscaled_decimal(ct)
+            if ps_s is not None:
+                from quack_reduce_spark.operators.zonemaps import _decimal_ps
+
+                p = _decimal_ps(ct)[0]
+                fields.append(
+                    T.StructField(f"__a{i}", T.DecimalType(min(38, p + 10), ps_s))
+                )
+            else:
+                fields.append(T.StructField(f"__a{i}", T.LongType()))
+            merges.append((i, F.sum))
+        else:
+            fields.append(T.StructField(f"__a{i}", _py_datatype(types[col])))
+            merges.append((i, F.min if kind == "min" else F.max))
+    schema = T.StructType(fields)
+    meta_rows = []
+    for key, part in meta.items():
+        row = [_render_meta(key, g_t)]
+        for i, (kind, col) in enumerate(aggs):
+            if kind == "key":
+                continue
+            if kind == "sum":
+                v = part[i]
+                if v is not None:
+                    ps_s = _unscaled_decimal(types.get(col, ""))
+                    if ps_s is not None:
+                        v = _pydec.Decimal(int(v)).scaleb(-ps_s)
+                    elif abs(int(v)) > 2 ** 63 - 1:
+                        return None  # plain execution would overflow too
+                row.append(v)
+            elif kind in ("count_star", "count"):
+                row.append(int(part[i]))
+            else:
+                row.append(_render_meta(part[i], types[col]))
+        meta_rows.append(tuple(row))
+    meta_df = spark.createDataFrame(meta_rows, schema)
+
+    combined = meta_df
+    if boundary:
+        bdf = spark.read.option("basePath", path).parquet(*boundary)
+        pred = residual_predicate(conjuncts, types)
+        partials = [F.col(group).alias("__k")]
+        base = bdf.where(pred)
+        aggexprs = []
+        for i, (kind, col) in enumerate(aggs):
+            if kind == "key":
+                continue
+            if kind == "count_star":
+                aggexprs.append(F.count(F.lit(1)).alias(f"__a{i}"))
+            elif kind == "count":
+                aggexprs.append(F.count(F.col(col)).alias(f"__a{i}"))
+            elif kind == "min":
+                aggexprs.append(F.min(F.col(col)).alias(f"__a{i}"))
+            elif kind == "max":
+                aggexprs.append(F.max(F.col(col)).alias(f"__a{i}"))
+            else:
+                aggexprs.append(F.sum(F.col(col)).alias(f"__a{i}"))
+        bagg = base.groupBy(F.col(group).alias("__k")).agg(*aggexprs)
+        combined = meta_df.unionByName(
+            bagg.select(*[f.name for f in fields])
+        )
+
+    finals = [
+        fn(F.col(f"__a{i}")).alias(f"__f{i}") for i, fn in merges
+    ]
+    merged = combined.groupBy("__k").agg(*finals)
+    outs = []
+    for i, ((kind, col), (oname, otype)) in enumerate(zip(aggs, info["out"])):
+        src = F.col("__k") if kind == "key" else F.col(f"__f{i}")
+        outs.append(src.cast(otype).alias(oname))
+    frame = merged.select(*outs)
+    telemetry = {
+        "table": info["table"],
+        "group_by": group,
+        "aggs": [
+            f"{k}({c})" if c is not None else "count(*)" for k, c in aggs
+        ],
+        "files_total": total,
+        "files_pruned_in": len(rows),
+        "files_contained": len(rows) - len(boundary),
+        "files_scanned": len(boundary),
+        "groups_metadata": len(meta),
     }
     return frame, telemetry

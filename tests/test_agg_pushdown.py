@@ -287,6 +287,133 @@ def test_sql_sum_pushdown_null_semantics(spark, tmp_path):
     spark.catalog.dropTempView("sumnull")
 
 
+def test_sql_group_agg_from_metadata(spark, sf_dir, tmp_path):
+    """GROUP BY pushdown: on a hive-partitioned layout every file is
+    single-valued on the grouping column, so the per-group
+    COUNT/SUM/MIN partials come straight from the manifest and the
+    plan has NO file scan; with a range conjunct the contained files'
+    per-group partials merge with a grouped residual over only the
+    boundary files — both row-identical to plain execution."""
+    path = str(tmp_path / "grpagg")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+    Z.write_zonemap(
+        spark, path, ["o_orderstatus", "o_orderkey", "o_orderdate"]
+    )
+    eng = Engine(spark=spark)
+    eng.register("grp_t", path)
+    full = spark.read.parquet(path)
+    d = eng.df(
+        "SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS s, "
+        "MIN(o_orderkey) AS mn FROM grp_t GROUP BY o_orderstatus"
+    )
+    plan = eng.last_agg_plan
+    assert plan is not None and plan["group_by"] == "o_orderstatus"
+    assert plan["files_scanned"] == 0 and plan["groups_metadata"] >= 3
+    assert _no_file_scan(d)
+    want = sorted(
+        map(
+            tuple,
+            full.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").alias("s"),
+                F.min("o_orderkey").alias("mn"),
+            )
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, d.collect())) == want
+    # range conjunct: contained partials + grouped boundary residual
+    d2 = eng.df(
+        "SELECT o_orderstatus AS st, COUNT(*) AS n FROM grp_t "
+        "WHERE o_orderdate >= TIMESTAMP '1996-06-01' GROUP BY o_orderstatus"
+    )
+    assert eng.last_agg_plan is not None
+    w2 = sorted(
+        map(
+            tuple,
+            full.filter(
+                F.col("o_orderdate")
+                >= F.lit(dt.datetime(1996, 6, 1)).cast("timestamp_ntz")
+            )
+            .groupBy("o_orderstatus")
+            .count()
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, d2.collect())) == w2
+    spark.catalog.dropTempView("grp_t")
+
+
+def test_sql_group_agg_boundary_and_null_groups(spark, tmp_path):
+    """Soundness corners of group mode: a multi-valued file goes to the
+    boundary and merges exactly; an all-NULL-key file feeds the SQL
+    NULL group from metadata; partial-NULL-key files are boundary."""
+    path = str(tmp_path / "grpnull")
+    # file A: single-valued key 'a' (metadata-attributable)
+    spark.createDataFrame(
+        [("a", 1), ("a", 2)], "k string, v long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    # file B: all-NULL key (the NULL group, metadata-attributable)
+    spark.createDataFrame(
+        [(None, 10), (None, 20)], "k string, v long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    # file C: multi-valued + a NULL (boundary)
+    spark.createDataFrame(
+        [("a", 100), ("b", 200), (None, 300)], "k string, v long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    Z.write_zonemap(spark, path, ["k", "v"])
+    eng = Engine(spark=spark)
+    eng.register("grpn_t", path)
+    d = eng.df(
+        "SELECT k, COUNT(*) AS n, SUM(v) AS s FROM grpn_t GROUP BY k"
+    )
+    plan = eng.last_agg_plan
+    assert plan is not None and plan["files_contained"] == 2
+    assert plan["files_scanned"] == 1 and plan["groups_metadata"] == 2
+    got = sorted(map(tuple, d.collect()), key=lambda t: (t[0] is None, t))
+    assert got == [
+        ("a", 3, 103),
+        ("b", 1, 200),
+        (None, 3, 330),
+    ]
+    spark.catalog.dropTempView("grpn_t")
+
+
+def test_sql_group_agg_declines_unportable_shapes(spark, sf_dir, tmp_path):
+    """Group mode declines what it can't re-render exactly — a
+    timestamp grouping key, multiple grouping columns, a MIN over a
+    timestamp — and the plain plan stays correct."""
+    path = str(tmp_path / "grpdec")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+    Z.write_zonemap(
+        spark, path, ["o_orderstatus", "o_orderkey", "o_orderdate"]
+    )
+    eng = Engine(spark=spark)
+    eng.register("grpd_t", path)
+    full = spark.read.parquet(path)
+    cases = [
+        # ts grouping key: row-rendering declined
+        "SELECT o_orderdate AS d, COUNT(*) AS n FROM grpd_t GROUP BY o_orderdate",
+        # two grouping columns
+        "SELECT o_orderstatus AS st, o_orderkey AS k, COUNT(*) AS n "
+        "FROM grpd_t GROUP BY o_orderstatus, o_orderkey",
+        # MIN over a timestamp in group mode
+        "SELECT o_orderstatus AS st, MIN(o_orderdate) AS mn FROM grpd_t "
+        "GROUP BY o_orderstatus",
+    ]
+    full.createOrReplaceTempView("grpd_raw")
+    for q in cases:
+        d = eng.df(q)
+        assert eng.last_agg_plan is None, q
+        want = spark.sql(q.replace("grpd_t", "grpd_raw")).collect()
+        assert sorted(map(tuple, d.collect())) == sorted(map(tuple, want)), q
+    spark.catalog.dropTempView("grpd_t")
+    spark.catalog.dropTempView("grpd_raw")
+
+
 def test_sql_agg_eq_composes_with_bloom(spark, sf_dir, tmp_path):
     """A point COUNT on a bloom-fingerprinted key over a layout the key
     is not clustered by: the fingerprint (not the useless min/max
