@@ -21,10 +21,16 @@ def test_portable_round_formula_is_engine_agnostic(x, n):
 
     scale = float(10**n)
     py = math.floor(x * scale + 0.5) / scale
-    # CAST: duckdb parses bare decimal literals as DECIMAL(18), which
-    # overflows; our oracles always operate on DOUBLE columns
+    # An arbitrary float must reach DuckDB as a QUOTED STRING cast:
+    # a BARE literal — even inside CAST(... AS DOUBLE) — first parses
+    # as DECIMAL, and DuckDB's DECIMAL->DOUBLE conversion is not
+    # correctly rounded (1-ulp error for e.g. 900719926.0078125, found
+    # by hypothesis). The string->double parse IS correctly rounded,
+    # which is the pairing the oracles rely on (their few embedded
+    # constants are exactness-audited dyadics/integers; 1eN scientific
+    # literals parse as DOUBLE directly).
     duck = duckdb.sql(
-        f"SELECT FLOOR(CAST({x!r} AS DOUBLE) * {scale} + 0.5) / {scale}"
+        f"SELECT FLOOR(CAST('{x!r}' AS DOUBLE) * 1e{n} + 0.5) / 1e{n}"
     ).fetchone()[0]
     assert py == duck
 
