@@ -362,6 +362,11 @@ def _extract_agg(
                 return None
             conjuncts.append((col, op, v))
 
+    if grouped and not any(k != "key" for k, _c in aggs):
+        # SELECT k FROM t GROUP BY k (DISTINCT shape): nothing to
+        # merge — a contained file only proves its OWN key exists,
+        # so run the plain plan
+        return None
     used = {c for c, _o, _v in conjuncts} | {
         c for _k, c in aggs if c is not None
     }

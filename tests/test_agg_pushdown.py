@@ -403,6 +403,9 @@ def test_sql_group_agg_declines_unportable_shapes(spark, sf_dir, tmp_path):
         # MIN over a timestamp in group mode
         "SELECT o_orderstatus AS st, MIN(o_orderdate) AS mn FROM grpd_t "
         "GROUP BY o_orderstatus",
+        # the DISTINCT shape: no mergeable aggregate
+        "SELECT o_orderstatus AS st FROM grpd_t GROUP BY o_orderstatus",
+        "SELECT DISTINCT o_orderstatus AS st FROM grpd_t",
     ]
     full.createOrReplaceTempView("grpd_raw")
     for q in cases:
