@@ -477,7 +477,8 @@ class Engine:
     ) -> tuple[DataFrame, dict] | None:
         """Metadata aggregate pushdown for the SQL surface: when the
         planned query is EXACTLY a global COUNT(*)/COUNT(col)/MIN(col)/
-        MAX(col)/SUM(col) over Filter/Project chains on one fresh-manifest
+        MAX(col)/SUM(col)/AVG(col) over Filter/Project chains on one
+        fresh-manifest
         zone-mapped table (plans/agg_pushdown.py's exactness gates),
         return ``(one-row frame, telemetry)`` that answers from the
         manifest's per-file stats plus a residual aggregate over only

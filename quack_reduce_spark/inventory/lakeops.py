@@ -965,7 +965,7 @@ def lake_sql_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = eng.df(
         f"SELECT COUNT(*) AS n_range, MIN(o_totalprice) AS mn_price, "
         f"MAX(o_totalprice) AS mx_price, COUNT(o_totalprice) AS n_price, "
-        f"SUM(o_orderkey) AS sum_key "
+        f"SUM(o_orderkey) AS sum_key, AVG(o_orderkey) AS avg_key "
         f"FROM {t} WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
         f"AND o_orderdate < TIMESTAMP '1999-07-01'"
     ).first()
@@ -996,8 +996,8 @@ def lake_sql_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(
             int(r1["n_range"]), float(r1["mn_price"]), float(r1["mx_price"]),
-            int(r1["n_price"]), int(r1["sum_key"]), int(r2["n_total"]),
-            r2["mn_date"], r2["mx_date"],
+            int(r1["n_price"]), int(r1["sum_key"]), float(r1["avg_key"]),
+            int(r2["n_total"]), r2["mn_date"], r2["mx_date"],
         )],
         StructType([
             StructField("n_range", LongType()),
@@ -1005,6 +1005,7 @@ def lake_sql_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("mx_price", DoubleType()),
             StructField("n_price", LongType()),
             StructField("sum_key", LongType()),
+            StructField("avg_key", DoubleType()),
             StructField("n_total", LongType()),
             StructField("mn_date", TimestampNTZType()),
             StructField("mx_date", TimestampNTZType()),
@@ -1157,7 +1158,8 @@ def lake_group_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.register(t, path)
     d1 = eng.df(
         f"SELECT o_orderstatus AS st, COUNT(*) AS n, "
-        f"SUM(o_orderkey) AS sum_key, MIN(o_orderkey) AS mn_key "
+        f"SUM(o_orderkey) AS sum_key, MIN(o_orderkey) AS mn_key, "
+        f"AVG(o_orderkey) AS avg_key "
         f"FROM {t} GROUP BY o_orderstatus"
     )
     plan1 = eng.last_agg_plan
@@ -1173,8 +1175,11 @@ def lake_group_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FileScan" not in phys and "Scan parquet" not in phys,
         "grouped metadata aggregate plan contains a file scan",
     )
-    rows1 = [(r["st"], int(r["n"]), int(r["sum_key"]), int(r["mn_key"]))
-             for r in d1.collect()]
+    rows1 = [
+        (r["st"], int(r["n"]), int(r["sum_key"]), int(r["mn_key"]),
+         float(r["avg_key"]))
+        for r in d1.collect()
+    ]
     d2 = eng.df(
         f"SELECT o_orderstatus AS st, COUNT(*) AS n FROM {t} "
         f"WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
@@ -1190,14 +1195,15 @@ def lake_group_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(
         [
-            (st, n, sk, mk, rows2.get(st))
-            for st, n, sk, mk in sorted(rows1)
+            (st, n, sk, mk, ak, rows2.get(st))
+            for st, n, sk, mk, ak in sorted(rows1)
         ],
         StructType([
             StructField("st", StringType()),
             StructField("n", LongType()),
             StructField("sum_key", LongType()),
             StructField("mn_key", LongType()),
+            StructField("avg_key", DoubleType()),
             StructField("n_range", LongType()),
         ]),
     )
@@ -1467,6 +1473,7 @@ ORACLES["lake_sql_agg_pushdown"] = """
            (SELECT MAX(o_totalprice) FROM slice) AS mx_price,
            (SELECT CAST(COUNT(o_totalprice) AS BIGINT) FROM slice) AS n_price,
            (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM slice) AS sum_key,
+           (SELECT AVG(o_orderkey) FROM slice) AS avg_key,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_total,
            (SELECT MIN(o_orderdate) FROM orders) AS mn_date,
            (SELECT MAX(o_orderdate) FROM orders) AS mx_date
@@ -1509,6 +1516,7 @@ ORACLES["lake_group_agg_pushdown"] = """
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
            CAST(MIN(o_orderkey) AS BIGINT) AS mn_key,
+           AVG(o_orderkey) AS avg_key,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders i
             WHERE i.o_orderstatus = o.o_orderstatus
               AND i.o_orderdate >= TIMESTAMP '1996-01-01') AS n_range

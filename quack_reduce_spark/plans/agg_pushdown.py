@@ -1,5 +1,6 @@
 """Metadata AGGREGATE pushdown for the SQL surface: answer scalar
-COUNT/MIN/MAX/SUM queries from the zone-map manifest instead of scanning.
+COUNT/MIN/MAX/SUM/AVG queries from the zone-map manifest instead of
+scanning.
 
 ``SELECT COUNT(*) FROM t WHERE <range>`` is the reference dashboard's
 bread-and-butter shape (``dashboard.py:37-39`` issues exactly this per
@@ -22,10 +23,12 @@ the predicate), but ANSWERING from metadata must understand the whole
 plan exactly, so this path fires only when ALL hold:
 
 - the plan root is a global Aggregate (no GROUP BY) whose every output
-  is plain COUNT(*) / COUNT(col) / MIN(col) / MAX(col) / SUM(col) — no
-  DISTINCT, no FILTER clause, no expression arguments (SUM only over
-  integer-family / decimal(p<=18) columns, whose per-file sums are
-  exact in any evaluation order);
+  is plain COUNT(*) / COUNT(col) / MIN(col) / MAX(col) / SUM(col) /
+  AVG(col) — no DISTINCT, no FILTER clause, no expression arguments
+  (SUM only over integer-family / decimal(p<=18) columns, whose
+  per-file sums are exact in any evaluation order; AVG only over the
+  integer family, rebuilt as exact-sum / exact-count with ONE final
+  double division);
 - below it only Project / Filter nodes over ONE registered zone-mapped
   table's relation, and every referenced attribute resolves BY EXPR-ID
   to that relation's own output (a Project alias shadowing a column
@@ -317,7 +320,9 @@ def _extract_agg(
         fn = ae.aggregateFunction()
         fname = fn.getClass().getSimpleName()
         ch = fn.children()
-        if fname not in ("Count", "Min", "Max", "Sum") or ch.size() != 1:
+        if fname not in ("Count", "Min", "Max", "Sum", "Average") or (
+            ch.size() != 1
+        ):
             return None
         c0 = ch.apply(0)
         ccls = c0.getClass().getSimpleName()
@@ -345,6 +350,17 @@ def _extract_agg(
 
             if not _sum_col_ok(tname):
                 return None
+        if fname == "Average":
+            # AVG rebuilds as (exact integer SUM) / (exact COUNT) with
+            # ONE final double division — sound only where the per-file
+            # sums are exact in any order, i.e. the integer family. A
+            # double/float AVG is accumulation-order-dependent and a
+            # decimal AVG carries Spark-specific division/rounding
+            # semantics this path does not replicate: both decline.
+            if tname not in ("integer", "long", "short", "byte"):
+                return None
+            aggs.append(("avg", col))
+            continue
         aggs.append(("count" if fname == "Count" else fname.lower(), col))
 
     # -- filter conjuncts, every one exactly understood
@@ -570,8 +586,11 @@ def build_agg_frame(
     min/max, both null-skipping). None when a needed stat is absent or
     a metadata partial is NaN-poisoned (caller declines, sound)."""
     aggs, conjuncts, types = info["aggs"], info["conjuncts"], info["types"]
-    meta: list[Any] = [0 if k in ("count_star", "count") else None
-                       for k, _c in aggs]
+    # avg folds TWO partials (exact sum, non-null count) per agg slot
+    meta: list[Any] = [
+        [None, 0] if k == "avg" else (0 if k in ("count_star", "count") else None)
+        for k, _c in aggs
+    ]
     norm = _norm_conjuncts(conjuncts)
     boundary: list[str] = []
     for r in rows:
@@ -602,6 +621,20 @@ def build_agg_frame(
                     # overflow at build (try_sum NULL): decline, sound
                     return None
                 meta[i] = (0 if meta[i] is None else meta[i]) + int(sv)
+            elif kind == "avg":
+                nc = r.get(f"nulls_{col}")
+                if nc is None:
+                    return None  # un-statted agg column: decline
+                nn = n_rows - int(nc)
+                if nn == 0:
+                    continue  # all-NULL/empty file: AVG sees nothing
+                sv = r.get(f"sum_{col}")
+                if sv is None:
+                    return None  # pre-r13 manifest / overflow: decline
+                meta[i] = [
+                    (0 if meta[i][0] is None else meta[i][0]) + int(sv),
+                    meta[i][1] + nn,
+                ]
             else:
                 v = r.get(f"min_{col}" if kind == "min" else f"max_{col}")
                 if v is None:
@@ -632,6 +665,15 @@ def build_agg_frame(
                 partials.append(F.min(F.col(col)).alias(f"__a{i}"))
             elif kind == "sum":
                 partials.append(F.sum(F.col(col)).alias(f"__a{i}"))
+            elif kind == "avg":
+                # exact integer sum, widened to decimal(38,0) so a
+                # boundary SUBSET of a file's rows can never raise the
+                # ANSI int64-overflow the plain (double-buffered) AVG
+                # would not; one double division happens at the end
+                partials.append(
+                    F.sum(F.col(col).cast("decimal(38,0)")).alias(f"__a{i}s")
+                )
+                partials.append(F.count(F.col(col)).alias(f"__a{i}n"))
             else:
                 partials.append(F.max(F.col(col)).alias(f"__a{i}"))
         base = bdf.where(pred).agg(*partials)
@@ -644,6 +686,29 @@ def build_agg_frame(
             expr = F.lit(int(meta[i]))
             if boundary:
                 expr = expr + F.coalesce(F.col(f"__a{i}"), F.lit(0))
+        elif kind == "avg":
+            import decimal as _pydec
+
+            m_sum, m_cnt = meta[i]
+            sum_lit = (
+                F.lit(_pydec.Decimal(int(m_sum)))
+                if m_sum is not None
+                else F.lit(None)
+            ).cast("decimal(38,0)")
+            cnt = F.lit(int(m_cnt))
+            if boundary:
+                zero = F.lit(0).cast("decimal(38,0)")
+                total_sum = F.coalesce(sum_lit, zero) + F.coalesce(
+                    F.col(f"__a{i}s"), zero
+                )
+                cnt = cnt + F.coalesce(F.col(f"__a{i}n"), F.lit(0))
+            else:
+                total_sum = sum_lit
+            # SQL AVG of zero non-null rows is NULL; otherwise ONE
+            # double division over the exact totals
+            expr = F.when(cnt == 0, F.lit(None)).otherwise(
+                total_sum.cast("double") / cnt
+            )
         elif kind == "sum":
             from quack_reduce_spark.operators.zonemaps import _unscaled_decimal
 
@@ -759,8 +824,11 @@ def build_group_agg_frame(
     boundary: list[str] = []
 
     def fresh_partials() -> list:
-        return [0 if k in ("count_star", "count") else None
-                for k, _c in aggs]
+        return [
+            [None, 0] if k == "avg"
+            else (0 if k in ("count_star", "count") else None)
+            for k, _c in aggs
+        ]
 
     for r in rows:
         n_rows = int(r["n_rows"])
@@ -803,6 +871,20 @@ def build_group_agg_frame(
                         continue
                     return None  # pre-r13 manifest / overflow: decline
                 part[i] = (0 if part[i] is None else part[i]) + int(sv)
+            elif kind == "avg":
+                nc = r.get(f"nulls_{col}")
+                if nc is None:
+                    return None
+                nn = n_rows - int(nc)
+                if nn == 0:
+                    continue  # all-NULL file: AVG sees nothing
+                sv = r.get(f"sum_{col}")
+                if sv is None:
+                    return None  # pre-r13 manifest / overflow: decline
+                part[i] = [
+                    (0 if part[i][0] is None else part[i][0]) + int(sv),
+                    part[i][1] + nn,
+                ]
             else:
                 v = r.get(f"min_{col}" if kind == "min" else f"max_{col}")
                 if v is None:
@@ -828,6 +910,11 @@ def build_group_agg_frame(
         if kind in ("count_star", "count"):
             fields.append(T.StructField(f"__a{i}", T.LongType()))
             merges.append((i, F.sum))
+        elif kind == "avg":
+            # two partials per slot: exact decimal sum + non-null count
+            fields.append(T.StructField(f"__a{i}", T.DecimalType(38, 0)))
+            fields.append(T.StructField(f"__a{i}n", T.LongType()))
+            merges.append((i, "avg"))
         elif kind == "sum":
             ct = types.get(col, "")
             ps_s = _unscaled_decimal(ct)
@@ -851,7 +938,11 @@ def build_group_agg_frame(
         for i, (kind, col) in enumerate(aggs):
             if kind == "key":
                 continue
-            if kind == "sum":
+            if kind == "avg":
+                s, nn = part[i]
+                row.append(None if s is None else _pydec.Decimal(int(s)))
+                row.append(int(nn))
+            elif kind == "sum":
                 v = part[i]
                 if v is not None:
                     ps_s = _unscaled_decimal(types.get(col, ""))
@@ -885,6 +976,11 @@ def build_group_agg_frame(
                 aggexprs.append(F.min(F.col(col)).alias(f"__a{i}"))
             elif kind == "max":
                 aggexprs.append(F.max(F.col(col)).alias(f"__a{i}"))
+            elif kind == "avg":
+                aggexprs.append(
+                    F.sum(F.col(col).cast("decimal(38,0)")).alias(f"__a{i}")
+                )
+                aggexprs.append(F.count(F.col(col)).alias(f"__a{i}n"))
             else:
                 aggexprs.append(F.sum(F.col(col)).alias(f"__a{i}"))
         bagg = base.groupBy(F.col(group).alias("__k")).agg(*aggexprs)
@@ -892,13 +988,25 @@ def build_group_agg_frame(
             bagg.select(*[f.name for f in fields])
         )
 
-    finals = [
-        fn(F.col(f"__a{i}")).alias(f"__f{i}") for i, fn in merges
-    ]
+    finals = []
+    for i, fn in merges:
+        if fn == "avg":
+            finals.append(F.sum(F.col(f"__a{i}")).alias(f"__f{i}"))
+            finals.append(F.sum(F.col(f"__a{i}n")).alias(f"__f{i}n"))
+        else:
+            finals.append(fn(F.col(f"__a{i}")).alias(f"__f{i}"))
     merged = combined.groupBy("__k").agg(*finals)
     outs = []
     for i, ((kind, col), (oname, otype)) in enumerate(zip(aggs, info["out"])):
-        src = F.col("__k") if kind == "key" else F.col(f"__f{i}")
+        if kind == "key":
+            src = F.col("__k")
+        elif kind == "avg":
+            cnt = F.coalesce(F.col(f"__f{i}n"), F.lit(0))
+            src = F.when(cnt == 0, F.lit(None)).otherwise(
+                F.col(f"__f{i}").cast("double") / cnt
+            )
+        else:
+            src = F.col(f"__f{i}")
         outs.append(src.cast(otype).alias(oname))
     frame = merged.select(*outs)
     telemetry = {

@@ -494,3 +494,60 @@ def test_count_where_unstatted_column_not_zero(spark, sf_dir, tmp_path):
     assert eng.last_count_plan["source"] == "metadata+residual"
     assert eng.last_count_plan["files_contained"] == 0
     spark.catalog.dropTempView("cwun")
+
+def test_sql_avg_pushdown_exact_and_declines(spark, sf_dir, tmp_path):
+    """AVG rebuilds as exact-integer SUM / exact COUNT with one final
+    double division: a range AVG over a clustered long column equals
+    plain execution with only boundary files scanned, the whole-table
+    AVG compiles to a no-file-scan plan, and order-dependent shapes
+    (double AVG, decimal AVG) decline to the plain plan."""
+    path = _clustered(spark, sf_dir, tmp_path, "avgpush")
+    Z.write_zonemap(spark, path, ["o_orderdate", "o_orderkey"])
+    eng = Engine(spark=spark)
+    eng.register("avg_t", path)
+    full = spark.read.parquet(path)
+    r = eng.df(
+        "SELECT AVG(o_orderkey) AS a, COUNT(*) AS n FROM avg_t "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01'"
+    ).first()
+    plan = eng.last_agg_plan
+    assert plan is not None and plan["files_contained"] >= 3
+    sub = full.filter(
+        F.col("o_orderdate")
+        >= F.lit(dt.datetime(1996, 1, 1)).cast("timestamp_ntz")
+    )
+    w = sub.agg(F.avg("o_orderkey"), F.count(F.lit(1))).first()
+    assert r["n"] == w[1] and r["a"] == w[0]  # division is bit-exact here
+    d2 = eng.df("SELECT AVG(o_orderkey) AS a FROM avg_t")
+    assert _no_file_scan(d2)
+    assert d2.first()["a"] == full.agg(F.avg("o_orderkey")).first()[0]
+    # double AVG is accumulation-order-dependent: decline, stay correct
+    d3 = eng.df("SELECT AVG(o_totalprice) AS a FROM avg_t")
+    assert eng.last_agg_plan is None
+    assert abs(d3.first()["a"] - full.agg(F.avg("o_totalprice")).first()[0]) < 1e-9
+    spark.catalog.dropTempView("avg_t")
+
+
+def test_sql_avg_null_semantics_and_groups(spark, tmp_path):
+    """AVG of zero non-null rows is NULL — scalar and per group — and
+    an all-NULL file contributes nothing to a group's partials, all
+    from metadata with no file scan."""
+    path = str(tmp_path / "avgnull")
+    spark.createDataFrame(
+        [(1, 10), (1, 20)], "k int, v long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(2, None), (2, None)], "k int, v long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    Z.write_zonemap(spark, path, ["k", "v"])
+    eng = Engine(spark=spark)
+    eng.register("avgnull", path)
+    d = eng.df("SELECT k, AVG(v) AS a FROM avgnull GROUP BY k")
+    assert eng.last_agg_plan is not None
+    assert eng.last_agg_plan["files_scanned"] == 0
+    assert _no_file_scan(d)
+    got = {r["k"]: r["a"] for r in d.collect()}
+    assert got == {1: 15.0, 2: None}
+    r2 = eng.df("SELECT AVG(v) AS a FROM avgnull WHERE v IS NULL").first()
+    assert r2["a"] is None
+    spark.catalog.dropTempView("avgnull")
