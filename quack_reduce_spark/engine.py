@@ -58,8 +58,10 @@ class Engine:
 
         self._was_warm = _session.is_warm() or self.spark is not None
         self._table_meta: dict[str, dict] = {}
+        self._mvs: dict[str, dict] = {}
         self.last_zonemap_report: dict[str, dict] = {}
         self.last_agg_plan: dict | None = None
+        self.last_mv_rewrite: dict | None = None
         # guards the zone-map rebind window: temp views are
         # session-global, so a concurrent sql_many worker must not
         # plan against another query's pruned rebinding
@@ -281,17 +283,19 @@ class Engine:
             for name, meta in self._table_meta.items()
             if meta.get("zonemap_cols")
         }
-        if not zm_tables:
+        if not zm_tables and not self._mvs:
             return self.spark.sql(query), {}
         with self._plan_lock:
             df = self.spark.sql(query)
             # scalar-aggregate fast path: COUNT/MIN/MAX over one
             # zone-mapped table answers from the manifest + an O(1)
             # boundary-file residual (zero files for contained ranges)
-            try:
-                agg = self._try_agg_pushdown(df, zm_tables)
-            except Exception:
-                agg = None  # exactness gate failed somewhere: run plain
+            agg = None
+            if zm_tables:
+                try:
+                    agg = self._try_agg_pushdown(df, zm_tables)
+                except Exception:
+                    agg = None  # exactness gate failed somewhere: run plain
             self.last_agg_plan = agg[1] if agg is not None else None
             if agg is not None:
                 frame, tele = agg
@@ -305,6 +309,26 @@ class Engine:
                         "agg_pushdown": tele,
                     }
                 }
+            # materialized-view rewrite: an aggregate the manifest
+            # could not answer (un-maintained appends, avg over a
+            # multi-valued layout, no manifest at all) re-plans over a
+            # registered FRESH MV's partials instead of the base table
+            mv = None
+            if self._mvs:
+                from quack_reduce_spark.plans import mv_rewrite as _mvr
+
+                try:
+                    mv = _mvr.try_rewrite(
+                        self.spark, df, self._all_paths(), self._mvs
+                    )
+                except Exception:
+                    mv = None  # rewrite is best-effort: run plain
+            self.last_mv_rewrite = mv[1] if mv is not None else None
+            if mv is not None:
+                frame, tele = mv
+                return frame, {tele["table"]: {"mv_rewrite": tele}}
+            if not zm_tables:
+                return df, {}
             try:
                 cons = _zp.scan_constraints(
                     df, {n: p for n, (p, _) in zm_tables.items()}
@@ -1911,6 +1935,100 @@ class Engine:
         df = self.spark.sql(query)
         df.createOrReplaceTempView(name)
         return df
+
+    # -- materialized views with transparent query rewrite -------------
+
+    def _all_paths(self) -> dict[str, str]:
+        """name -> resolved data path for every registered table (the
+        extractors match LogicalRelation root paths against these)."""
+        return {
+            n: self._table_meta.get(n, {}).get("resolved", p)
+            for n, p in self.tables.items()
+        }
+
+    def create_materialized_view(
+        self, name: str, query: str, path: str
+    ) -> dict:
+        """Materialize an aggregate ``query`` at ``path`` and register
+        it for TRANSPARENT REWRITE: subsequent ``sql()``/``df()`` calls
+        whose optimized plan is the same grouping over the same table
+        (or any scalar aggregate derivable from the partials, with
+        predicates on the group column only) are answered from the MV
+        instead of the base table — the warehouse answer to the
+        reference dashboard re-running identical aggregates per widget
+        refresh (``dashboard.py:37-39``). See plans/mv_rewrite.py for
+        the exactness gates; a query outside them just runs plain.
+
+        The query must be a plain single-table aggregate — optional
+        single GROUP BY key, COUNT(*)/COUNT/SUM/MIN/MAX outputs, no
+        WHERE, no AVG (materialize SUM + COUNT; AVG queries rewrite
+        over the pair). Freshness: the source's snapshot token (one
+        stat of the zone-map manifest list, else a capped file
+        listing) is taken BEFORE materialization; a source commit
+        afterwards makes every rewrite decline until
+        :meth:`refresh_materialized_view`. Scale: the MV is one
+        grouped aggregate of the source (one shuffle at build), and
+        rewrites read only the MV.
+        """
+        from quack_reduce_spark.plans import mv_rewrite as _mvr
+
+        with self._plan_lock:
+            df = self.spark.sql(query)
+            spec = _mvr.mv_spec(df, self._all_paths())
+            if spec is None:
+                raise ValueError(
+                    "query is not a rewritable aggregate shape (one "
+                    "table, optional single GROUP BY key, plain "
+                    "COUNT(*)/COUNT/SUM/MIN/MAX outputs, no WHERE/AVG/"
+                    "DISTINCT/expressions)"
+                )
+            source_path = self._all_paths()[spec["table"]]
+            # snapshot BEFORE executing: a source commit racing the
+            # build leaves the MV marked with the OLDER token, so
+            # freshness checks decline — never a stale rewrite
+            snap = _mvr.source_snapshot(source_path)
+            materialize = df.select(*spec.pop("_select"))
+        # the frame bound its views at creation: the (possibly slow)
+        # materialization itself runs outside the plan lock
+        materialize.write.mode("overwrite").parquet(path)
+        meta = {
+            **spec,
+            "name": name,
+            "query": query,
+            "source_path": source_path,
+            "snapshot": snap,
+            "path": path,
+        }
+        _mvr.save_mv(path, meta)
+        self._mvs[name] = meta
+        return {k: v for k, v in meta.items() if k != "snapshot"}
+
+    def register_materialized_view(self, name: str, path: str) -> dict:
+        """Re-attach a persisted MV (``_mv.json`` written at creation)
+        to this engine — the cross-session half: any engine over the
+        same lake can adopt the materialization. The stored snapshot
+        still gates freshness, so adopting a stale MV is harmless (it
+        never rewrites until refreshed)."""
+        from quack_reduce_spark.plans import mv_rewrite as _mvr
+
+        meta = _mvr.load_mv(path)
+        if meta is None:
+            raise ValueError(f"no {_mvr.MV_FILE} under {path!r}")
+        meta["name"] = name
+        meta["path"] = path
+        self._mvs[name] = meta
+        return {k: v for k, v in meta.items() if k != "snapshot"}
+
+    def refresh_materialized_view(self, name: str) -> dict:
+        """Recompute a registered MV from its stored query and stamp
+        the source's current snapshot — rewrites resume."""
+        mv = self._mvs.get(name)
+        if mv is None:
+            raise KeyError(f"materialized view {name!r} is not registered")
+        return self.create_materialized_view(name, mv["query"], mv["path"])
+
+    def drop_materialized_view(self, name: str) -> None:
+        self._mvs.pop(name, None)
 
     def cache_table(self, name: str) -> None:
         """Pin a hot table in memory (reference README.md:188 future work)."""

@@ -105,6 +105,7 @@ _HEAD = [
     # pair, the bloom build's decimal branch, and hist_side's
     # min-selectivity + drift-refresh under histogram/sketch keys
     "lake_sql_agg_pushdown",
+    "lake_mv_rewrite",
     "lake_decimal_stats",
     "lake_group_agg_pushdown",
     "lake_dpp_star",
@@ -133,7 +134,7 @@ _HEAD = [
     "dedup_exact", "dedup_graph_stats",
     "sim_pca_variance", "sim_kmeans_fixed_profile", "sim_pq_topk",
     "sim_lsh_topk_portable", "sim_label_centroid_norm",
-    "mm_binary_meta", "mm_image_hist",
+    "mm_binary_meta",
 ]
 
 

@@ -1013,6 +1013,115 @@ def lake_sql_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lake_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view TRANSPARENT REWRITE (round 13): the reference
+    dashboard re-runs identical aggregates per widget refresh
+    (``dashboard.py:37-39``); the warehouse answer is to materialize
+    the grouped partials once and rewrite matching queries over the
+    tiny MV (plans/mv_rewrite.py — the Calcite/Snowflake MV-rewrite
+    shape). In-query gates prove the mechanism end to end: the grouped
+    COUNT/SUM/AVG query and the scalar MIN/MAX/COUNT-with-group-
+    predicate both REWRITE (telemetry present, physical plan reads
+    only the MV), an append makes the next query DECLINE (snapshot
+    mismatch — stale rewrites are impossible by construction), and
+    after re-register + refresh the rewrite resumes over the appended
+    state. The DuckDB oracle recomputes every value from the raw
+    fixture (the appended state replayed as a UNION ALL), so a hash
+    match proves the rewrites, the staleness gate, and the refresh all
+    produce exactly the plain answers."""
+    import uuid as _uuid
+
+    from quack_reduce_spark.engine import Engine
+
+    src = _fresh_dir(sf_dir, "lake_mvq_src")
+    mvp = _fresh_dir(sf_dir, "lake_mvq_mv")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").parquet(src)
+    eng = Engine(spark=spark)
+    t = f"mvq_{_uuid.uuid4().hex[:8]}"
+    eng.register(t, src)
+    eng.create_materialized_view(
+        f"{t}_mv",
+        f"SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS s, "
+        f"COUNT(o_orderkey) AS nk, MIN(o_orderkey) AS mn, "
+        f"MAX(o_orderkey) AS mx FROM {t} GROUP BY o_orderstatus",
+        mvp,
+    )
+    d1 = eng.df(
+        f"SELECT o_orderstatus AS st, COUNT(*) AS n, "
+        f"SUM(o_orderkey) AS sum_key, AVG(o_orderkey) AS avg_key "
+        f"FROM {t} GROUP BY o_orderstatus"
+    )
+    _require(
+        eng.last_mv_rewrite is not None and eng.last_mv_rewrite["grouped"],
+        "grouped aggregate did not rewrite over the MV",
+        eng.last_mv_rewrite,
+    )
+    phys = d1._jdf.queryExecution().executedPlan().toString()
+    _require(
+        "lake_mvq_mv" in phys and "lake_mvq_src" not in phys,
+        "rewritten plan still reads the base table",
+    )
+    rows1 = {
+        r["st"]: (int(r["n"]), int(r["sum_key"]), float(r["avg_key"]))
+        for r in d1.collect()
+    }
+    r2 = eng.df(
+        f"SELECT MIN(o_orderkey) AS mn_f, MAX(o_orderkey) AS mx_f, "
+        f"COUNT(*) AS n_f FROM {t} WHERE o_orderstatus = 'F'"
+    ).first()
+    _require(
+        eng.last_mv_rewrite is not None
+        and not eng.last_mv_rewrite["grouped"],
+        "scalar aggregate did not rewrite over the MV",
+        eng.last_mv_rewrite,
+    )
+    # append -> the NEXT query must DECLINE (stale snapshot) ...
+    orders.filter(F.col("o_orderkey") <= 50).write.mode("append").parquet(src)
+    eng.df(
+        f"SELECT o_orderstatus AS st, COUNT(*) AS n2 FROM {t} "
+        f"GROUP BY o_orderstatus"
+    ).collect()
+    _require(
+        eng.last_mv_rewrite is None,
+        "stale MV still rewrote after a source append",
+    )
+    # ... and after re-register + refresh it rewrites the LIVE state
+    eng.register(t, src)
+    eng.refresh_materialized_view(f"{t}_mv")
+    d3 = eng.df(
+        f"SELECT o_orderstatus AS st, COUNT(*) AS n2 FROM {t} "
+        f"GROUP BY o_orderstatus"
+    )
+    _require(
+        eng.last_mv_rewrite is not None,
+        "refreshed MV did not resume rewriting",
+    )
+    rows2 = {r["st"]: int(r["n2"]) for r in d3.collect()}
+    spark.catalog.dropTempView(t)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(mvp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                st, rows1[st][0], rows1[st][1], rows1[st][2], rows2[st],
+                int(r2["mn_f"]), int(r2["mx_f"]), int(r2["n_f"]),
+            )
+            for st in sorted(rows1)
+        ],
+        StructType([
+            StructField("st", StringType()),
+            StructField("n", LongType()),
+            StructField("sum_key", LongType()),
+            StructField("avg_key", DoubleType()),
+            StructField("n2", LongType()),
+            StructField("mn_f", LongType()),
+            StructField("mx_f", LongType()),
+            StructField("n_f", LongType()),
+        ]),
+    )
+
+
 def lake_decimal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decimal manifest stats in UNSCALED-INT space (round 13): real
     lakes keep prices as decimals, and until now a decimal-keyed range
@@ -1224,6 +1333,7 @@ QUERIES = {
     "lake_ndv_stats": lake_ndv_stats,
     "lake_count_pushdown": lake_count_pushdown,
     "lake_sql_agg_pushdown": lake_sql_agg_pushdown,
+    "lake_mv_rewrite": lake_mv_rewrite,
     "lake_decimal_stats": lake_decimal_stats,
     "lake_group_agg_pushdown": lake_group_agg_pushdown,
 }
@@ -1477,6 +1587,31 @@ ORACLES["lake_sql_agg_pushdown"] = """
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_total,
            (SELECT MIN(o_orderdate) FROM orders) AS mn_date,
            (SELECT MAX(o_orderdate) FROM orders) AS mx_date
+"""
+
+# the MV rewrite, its staleness gate, and the refresh must all be
+# invisible in the answer: the oracle recomputes the pre-append values
+# from the raw fixture and the post-append counts from the same append
+# replayed as a UNION ALL
+ORACLES["lake_mv_rewrite"] = """
+    WITH appended AS (
+        SELECT * FROM orders
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderkey <= 50
+    )
+    SELECT o.o_orderstatus AS st,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           AVG(o_orderkey) AS avg_key,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM appended a
+            WHERE a.o_orderstatus = o.o_orderstatus) AS n2,
+           (SELECT CAST(MIN(o_orderkey) AS BIGINT) FROM orders
+            WHERE o_orderstatus = 'F') AS mn_f,
+           (SELECT CAST(MAX(o_orderkey) AS BIGINT) FROM orders
+            WHERE o_orderstatus = 'F') AS mx_f,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderstatus = 'F') AS n_f
+    FROM orders o GROUP BY o.o_orderstatus ORDER BY st
 """
 
 # decimal pruning must be invisible in the answer: the oracle replays

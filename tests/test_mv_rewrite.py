@@ -1,0 +1,205 @@
+"""Materialized-view query rewrite (round 13): an aggregate query over
+a table with a registered FRESH MV re-plans over the MV's partials —
+the warehouse answer to the reference dashboard re-running identical
+aggregates per widget refresh (``dashboard.py:37-39``). Half these
+tests are DECLINE tests: predicates off the group column, partials the
+MV doesn't carry, and stale MVs must all run the plain plan and stay
+correct."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from quack_reduce_spark.engine import Engine
+from quack_reduce_spark.inventory._util import load
+
+MV_Q = (
+    "SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS s, "
+    "COUNT(o_orderkey) AS nk, MIN(o_orderkey) AS mn, "
+    "MAX(o_orderkey) AS mx FROM {t} GROUP BY o_orderstatus"
+)
+
+
+def _setup(spark, sf_dir, tmp_path, name):
+    src = str(tmp_path / f"{name}_src")
+    load(spark, sf_dir, "orders").write.mode("overwrite").parquet(src)
+    eng = Engine(spark=spark)
+    eng.register(name, src)
+    eng.create_materialized_view(
+        f"{name}_mv", MV_Q.format(t=name), str(tmp_path / f"{name}_mv")
+    )
+    return eng, src
+
+
+def test_mv_rewrite_grouped_and_scalar(spark, sf_dir, tmp_path):
+    """Same-group queries and scalar aggregates (with predicates on
+    the group column only) rewrite over the MV — row-identical to
+    plain execution, and the physical plan reads ONLY the MV."""
+    eng, src = _setup(spark, sf_dir, tmp_path, "mvt")
+    full = spark.read.parquet(src)
+    d = eng.df(
+        "SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS s, "
+        "AVG(o_orderkey) AS a FROM mvt GROUP BY o_orderstatus"
+    )
+    tele = eng.last_mv_rewrite
+    assert tele is not None and tele["view"] == "mvt_mv" and tele["grouped"]
+    phys = d._jdf.queryExecution().executedPlan().toString()
+    assert "mvt_mv" in phys and "mvt_src" not in phys
+    got = sorted(map(tuple, d.collect()))
+    want = sorted(
+        map(
+            tuple,
+            full.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").alias("s"),
+                F.avg("o_orderkey").alias("a"),
+            ).collect(),
+        )
+    )
+    assert got == want
+    # scalar over the grouped MV, predicate on the group column
+    r = eng.df(
+        "SELECT COUNT(*) AS n, MIN(o_orderkey) AS mn FROM mvt "
+        "WHERE o_orderstatus = 'F'"
+    ).first()
+    assert eng.last_mv_rewrite is not None
+    w = full.filter(F.col("o_orderstatus") == "F").agg(
+        F.count(F.lit(1)), F.min("o_orderkey")
+    ).first()
+    assert tuple(r) == tuple(w)
+    # fully-filtered scalar: COUNT is 0, SUM is NULL (SQL semantics)
+    r0 = eng.df(
+        "SELECT COUNT(*) AS n, SUM(o_orderkey) AS s FROM mvt "
+        "WHERE o_orderstatus = 'ZZ'"
+    ).first()
+    assert eng.last_mv_rewrite is not None
+    assert r0["n"] == 0 and r0["s"] is None
+    spark.catalog.dropTempView("mvt")
+
+
+def test_mv_rewrite_declines(spark, sf_dir, tmp_path):
+    """Outside the exactness gates the query runs plain: predicates
+    off the group column, aggregates whose partials the MV lacks
+    (AVG needs SUM+COUNT of the same column), DISTINCT, a different
+    grouping, and a different table."""
+    eng, src = _setup(spark, sf_dir, tmp_path, "mvd")
+    full = spark.read.parquet(src)
+    # predicate off the group column
+    r = eng.df(
+        "SELECT COUNT(*) AS n FROM mvd WHERE o_orderkey > 100"
+    ).first()
+    assert eng.last_mv_rewrite is None
+    assert r["n"] == full.filter(F.col("o_orderkey") > 100).count()
+    # partial the MV lacks: AVG(o_custkey) has no sum/count columns
+    r2 = eng.df("SELECT AVG(o_custkey) AS a FROM mvd").first()
+    assert eng.last_mv_rewrite is None
+    assert abs(r2["a"] - full.agg(F.avg("o_custkey")).first()[0]) < 1e-9
+    # different grouping column
+    eng.df(
+        "SELECT o_orderpriority, COUNT(*) AS n FROM mvd "
+        "GROUP BY o_orderpriority"
+    ).collect()
+    assert eng.last_mv_rewrite is None
+    # DISTINCT never extracts
+    eng.df("SELECT COUNT(DISTINCT o_orderkey) AS n FROM mvd").first()
+    assert eng.last_mv_rewrite is None
+    spark.catalog.dropTempView("mvd")
+
+
+def test_mv_rewrite_staleness_refresh_adoption(spark, sf_dir, tmp_path):
+    """A source commit after materialization makes every rewrite
+    decline (snapshot mismatch) until refresh; a second engine adopts
+    the persisted MV via _mv.json and rewrites too."""
+    eng, src = _setup(spark, sf_dir, tmp_path, "mvs")
+    q = "SELECT o_orderstatus, COUNT(*) AS n FROM mvs GROUP BY o_orderstatus"
+    pre = sorted(map(tuple, eng.df(q).collect()))
+    assert eng.last_mv_rewrite is not None
+    # append: the MV declines (snapshot mismatch) and the plain plan
+    # runs — against the registered view's own binding (a plain-dir
+    # view keeps its file listing until re-registered), so results
+    # still equal what the plain plan returns
+    load(spark, sf_dir, "orders").limit(7).write.mode("append").parquet(src)
+    got = sorted(map(tuple, eng.df(q).collect()))
+    assert eng.last_mv_rewrite is None
+    assert got == pre
+    # re-register (live file listing) + refresh: rewrites resume,
+    # reflecting the appended rows
+    eng.register("mvs", src)
+    eng.refresh_materialized_view("mvs_mv")
+    got2 = sorted(map(tuple, eng.df(q).collect()))
+    assert eng.last_mv_rewrite is not None
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(src).groupBy("o_orderstatus").count().collect(),
+        )
+    )
+    assert got2 == want
+    # adoption by a fresh engine over the same lake
+    eng2 = Engine(spark=spark)
+    eng2.register("mvs", src)
+    eng2.register_materialized_view("adopted", str(tmp_path / "mvs_mv"))
+    got3 = sorted(map(tuple, eng2.df(q).collect()))
+    assert eng2.last_mv_rewrite is not None
+    assert eng2.last_mv_rewrite["view"] == "adopted"
+    assert got3 == want
+    spark.catalog.dropTempView("mvs")
+
+
+def test_mv_creation_rejects_unsupported_shapes(spark, sf_dir, tmp_path):
+    """Creation is stricter than rewrite: WHERE, AVG, expression
+    aggregates, and multi-table queries all refuse with a clear
+    error."""
+    import pytest
+
+    src = str(tmp_path / "mvr_src")
+    load(spark, sf_dir, "orders").write.mode("overwrite").parquet(src)
+    eng = Engine(spark=spark)
+    eng.register("mvr", src)
+    bad = [
+        "SELECT o_orderstatus, COUNT(*) AS n FROM mvr "
+        "WHERE o_orderkey > 5 GROUP BY o_orderstatus",
+        "SELECT o_orderstatus, AVG(o_orderkey) AS a FROM mvr "
+        "GROUP BY o_orderstatus",
+        "SELECT o_orderstatus, SUM(o_orderkey + 1) AS s FROM mvr "
+        "GROUP BY o_orderstatus",
+        "SELECT o_orderstatus FROM mvr GROUP BY o_orderstatus",
+    ]
+    for q in bad:
+        with pytest.raises(ValueError):
+            eng.create_materialized_view("nope", q, str(tmp_path / "nope"))
+    spark.catalog.dropTempView("mvr")
+
+
+def test_mv_rewrite_null_group_and_agg_pushdown_priority(spark, tmp_path):
+    """The SQL NULL group round-trips through the MV, and when the
+    source table carries a FRESH zone-map manifest the metadata agg
+    pushdown (zero/boundary file reads) wins over the MV rewrite."""
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    src = str(tmp_path / "mvn_src")
+    spark.createDataFrame(
+        [("a", 1), (None, 2), (None, 3)], "k string, v long"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    eng = Engine(spark=spark)
+    eng.register("mvn", src)
+    eng.create_materialized_view(
+        "mvn_mv",
+        "SELECT k, COUNT(*) AS n, SUM(v) AS s, COUNT(v) AS nv "
+        "FROM mvn GROUP BY k",
+        str(tmp_path / "mvn_mv"),
+    )
+    got = {
+        r["k"]: (r["n"], r["a"])
+        for r in eng.df(
+            "SELECT k, COUNT(*) AS n, AVG(v) AS a FROM mvn GROUP BY k"
+        ).collect()
+    }
+    assert eng.last_mv_rewrite is not None
+    assert got == {"a": (1, 1.0), None: (2, 2.5)}
+    # manifest beats MV: zone-mapped source answers from metadata
+    Z.write_zonemap(spark, src, ["k", "v"])
+    eng.register("mvn", src)  # re-register to pick up the manifest
+    eng.df("SELECT k, COUNT(*) AS n FROM mvn GROUP BY k").collect()
+    assert eng.last_agg_plan is not None  # metadata path fired
+    spark.catalog.dropTempView("mvn")
