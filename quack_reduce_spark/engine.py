@@ -52,6 +52,12 @@ class Engine:
 
     spark: SparkSession | None = None
     tables: dict[str, str] = field(default_factory=dict)
+    # query RESULT cache for the envelope surface (the reference's
+    # benchmark "cached" mode, benchmark.py:254-265, with real
+    # invalidation): identical (query, limit) over unchanged source
+    # tables returns the stored records without executing. Set False
+    # to disable.
+    result_cache: bool = True
 
     def __post_init__(self) -> None:
         import threading
@@ -59,9 +65,12 @@ class Engine:
         self._was_warm = _session.is_warm() or self.spark is not None
         self._table_meta: dict[str, dict] = {}
         self._mvs: dict[str, dict] = {}
+        self._results: "dict[tuple, tuple]" = {}  # key -> (snaps, records)
+        self._results_lock = threading.Lock()
         self.last_zonemap_report: dict[str, dict] = {}
         self.last_agg_plan: dict | None = None
         self.last_mv_rewrite: dict | None = None
+        self.last_result_cache: dict | None = None
         # guards the zone-map rebind window: temp views are
         # session-global, so a concurrent sql_many worker must not
         # plan against another query's pruned rebinding
@@ -91,7 +100,12 @@ class Engine:
         df = read_table(self.spark, path, fmt=fmt, **options)
         df.createOrReplaceTempView(name)
         self.tables[name] = path
-        meta: dict = {"fmt": fmt, "options": dict(options)}
+        # registration epoch: result-cache tokens include it, so
+        # re-registering (rebinding the view to a live file listing)
+        # invalidates results computed against the previous binding
+        self._reg_counter = getattr(self, "_reg_counter", 0) + 1
+        meta: dict = {"fmt": fmt, "options": dict(options),
+                      "epoch": self._reg_counter}
         resolved = lake.resolve(path)
         if resolved != path:
             # versioned table: a temp view binds to the files of ONE
@@ -1113,8 +1127,43 @@ class Engine:
         Zone-mapped tables get automatic manifest file skipping; when
         that fired, ``metadata["zonemap"]`` reports files read/total
         per table."""
+        import copy as _copy
+
         start = time.time()
         self._refresh_versioned_views()
+        # result cache (the reference's benchmark "cached" mode,
+        # benchmark.py:254-265, with real invalidation): identical
+        # (query, limit) over unchanged tables returns the stored
+        # records without executing. Freshness reuses the MV
+        # discipline — one stat of the zone-map _list.json per
+        # manifested table, a capped file listing otherwise; any
+        # un-tokenizable table disables caching for the query (sound).
+        cache_key = snaps = None
+        if self.result_cache:
+            cache_key, snaps = self._result_cache_probe(query, limit)
+        if cache_key is not None:
+            with self._results_lock:
+                hit = self._results.get(cache_key)
+                if hit is not None and hit[0] == snaps:
+                    # LRU touch
+                    self._results.pop(cache_key, None)
+                    self._results[cache_key] = hit
+                else:
+                    hit = None
+            if hit is not None:
+                RESULT_CACHE_COUNTS["hits"] += 1
+                self.last_result_cache = {"hit": True}
+                self._was_warm = True
+                return QueryResult(
+                    records=_copy.deepcopy(hit[1]),
+                    metadata={
+                        "timeMs": (time.time() - start) * 1000.0,
+                        "eventId": str(uuid.uuid4()),
+                        "query": query,
+                        "warm": True,
+                        "result_cache": {"hit": True},
+                    },
+                )
         # the report comes back WITH the frame (not via the shared
         # attribute) so a concurrent sql_many burst can't cross-wire
         # one query's pruning telemetry into another's envelope
@@ -1123,6 +1172,15 @@ class Engine:
         if limit is not None:
             df = df.limit(limit)
         records = _records_json_safe(df)
+        stored = False
+        if cache_key is not None and _plan_cacheable(df):
+            RESULT_CACHE_COUNTS["misses"] += 1
+            stored = True
+            with self._results_lock:
+                self._results[cache_key] = (snaps, _copy.deepcopy(records))
+                while len(self._results) > RESULT_CACHE_MAX:
+                    self._results.pop(next(iter(self._results)))
+        self.last_result_cache = {"hit": False, "stored": stored}
         took_ms = (time.time() - start) * 1000.0
         metadata = {
             "timeMs": took_ms,
@@ -1132,8 +1190,39 @@ class Engine:
         }
         if zm_report:
             metadata["zonemap"] = zm_report
+        if self.result_cache:
+            metadata["result_cache"] = {"hit": False, "stored": stored}
         self._was_warm = True
         return QueryResult(records=records, metadata=metadata)
+
+    def _result_cache_probe(
+        self, query: str, limit: int | None
+    ) -> tuple[tuple | None, tuple | None]:
+        """(cache key, freshness token) for one envelope query — the
+        token is every registered table's snapshot (sorted by name),
+        so ANY source commit invalidates every cached result over this
+        engine (over-invalidation, never staleness). None when some
+        table has no cheap token: the query is then never cached."""
+        import json as _json
+
+        from quack_reduce_spark.plans import mv_rewrite as _mvr
+
+        if len(self.tables) > 32:
+            return None, None  # token cost would outgrow the benefit
+        snaps = []
+        for name in sorted(self.tables):
+            meta = self._table_meta.get(name, {})
+            path = meta.get("resolved", self.tables[name])
+            s = _mvr.source_snapshot(path)
+            if s is None:
+                return None, None
+            # the epoch ties the token to the VIEW BINDING, not just
+            # the directory: a query executed against a stale binding
+            # (plain-dir views keep their listing until re-registered)
+            # stores under the old epoch, and re-registering misses —
+            # the disk snapshot alone could mark those records fresh
+            snaps.append((name, meta.get("epoch"), _json.dumps(s)))
+        return (query, limit), tuple(snaps)
 
     def sql_many(
         self,
@@ -2042,6 +2131,35 @@ _FIXED_WIDTHS = None
 # when a side's stats had to come from a data scan (tests assert that
 # manifest-backed sides run ZERO of these).
 ANALYZE_COUNTS = {"side_scans": 0}
+
+# Result-cache bounds + observability (tests assert hit/miss behavior)
+RESULT_CACHE_MAX = 128
+RESULT_CACHE_COUNTS = {"hits": 0, "misses": 0}
+
+
+def _plan_cacheable(df: DataFrame) -> bool:
+    """A result is cacheable only when the optimized plan is a pure
+    deterministic query: no Command nodes (DDL/DML execute eagerly and
+    their envelopes must not replay) and no nondeterministic
+    expressions (rand() must re-draw; current_timestamp folds to a
+    fresh literal per query, which changes the cache key instead).
+    Any introspection failure declines caching — sound."""
+    try:
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            n = stack.pop()
+            if "Command" in n.getClass().getSimpleName():
+                return False
+            exprs = n.expressions()
+            for i in range(exprs.size()):
+                if not exprs.apply(i).deterministic():
+                    return False
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return True
+    except Exception:
+        return False
 
 
 def _fixed_widths() -> dict:

@@ -1122,6 +1122,76 @@ def lake_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lake_result_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query RESULT cache on the envelope surface (round 13): the
+    reference's benchmark "cached" mode (``benchmark.py:254-265``)
+    with real invalidation. An identical ``(query, limit)`` over
+    unchanged tables returns the stored records WITHOUT executing;
+    the freshness token is each table's snapshot (one stat of the
+    zone-map ``_list.json`` when manifested, else a capped file
+    listing) PLUS the view-binding epoch, so both source commits and
+    re-registrations invalidate. In-query gates prove the mechanism:
+    the second identical query HITS (and its records equal the
+    first's), a source append + re-register MISSES with the live
+    counts, and the query after that hits the refreshed entry. The
+    DuckDB oracle recomputes the pre-append groups and the post-append
+    counts (replayed as UNION ALL) from the raw fixture — a hash match
+    proves every envelope, cached or not, carries exactly the plain
+    answers."""
+    import uuid as _uuid
+
+    from quack_reduce_spark.engine import Engine
+
+    src = _fresh_dir(sf_dir, "lake_rescache")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").parquet(src)
+    eng = Engine(spark=spark)
+    t = f"rcache_{_uuid.uuid4().hex[:8]}"
+    eng.register(t, src)
+    q = (
+        f"SELECT o_orderstatus AS st, COUNT(*) AS n FROM {t} "
+        f"GROUP BY o_orderstatus ORDER BY st"
+    )
+    r1 = eng.sql(q)
+    _require(
+        r1.metadata["result_cache"] == {"hit": False, "stored": True},
+        "first query did not store", r1.metadata.get("result_cache"),
+    )
+    r2 = eng.sql(q)
+    _require(
+        r2.metadata["result_cache"] == {"hit": True}
+        and r2.records == r1.records,
+        "second identical query did not hit", r2.metadata.get("result_cache"),
+    )
+    orders.filter(F.col("o_orderkey") <= 50).write.mode("append").parquet(src)
+    eng.register(t, src)
+    r3 = eng.sql(q)
+    _require(
+        r3.metadata["result_cache"]["hit"] is False,
+        "source commit did not invalidate", r3.metadata.get("result_cache"),
+    )
+    r4 = eng.sql(q)
+    _require(
+        r4.metadata["result_cache"] == {"hit": True}
+        and r4.records == r3.records,
+        "refreshed entry did not hit", r4.metadata.get("result_cache"),
+    )
+    post = {rec["st"]: int(rec["n"]) for rec in r4.records}
+    spark.catalog.dropTempView(t)
+    shutil.rmtree(src, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (rec["st"], int(rec["n"]), post[rec["st"]])
+            for rec in sorted(r2.records, key=lambda x: x["st"])
+        ],
+        StructType([
+            StructField("st", StringType()),
+            StructField("n", LongType()),
+            StructField("n2", LongType()),
+        ]),
+    )
+
+
 def lake_decimal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decimal manifest stats in UNSCALED-INT space (round 13): real
     lakes keep prices as decimals, and until now a decimal-keyed range
@@ -1334,6 +1404,7 @@ QUERIES = {
     "lake_count_pushdown": lake_count_pushdown,
     "lake_sql_agg_pushdown": lake_sql_agg_pushdown,
     "lake_mv_rewrite": lake_mv_rewrite,
+    "lake_result_cache": lake_result_cache,
     "lake_decimal_stats": lake_decimal_stats,
     "lake_group_agg_pushdown": lake_group_agg_pushdown,
 }
@@ -1587,6 +1658,22 @@ ORACLES["lake_sql_agg_pushdown"] = """
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_total,
            (SELECT MIN(o_orderdate) FROM orders) AS mn_date,
            (SELECT MAX(o_orderdate) FROM orders) AS mx_date
+"""
+
+# the result cache must be invisible in the answer: the oracle
+# recomputes the pre-append groups and post-append counts (replayed
+# as UNION ALL) from the raw fixture
+ORACLES["lake_result_cache"] = """
+    WITH appended AS (
+        SELECT * FROM orders
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderkey <= 50
+    )
+    SELECT o.o_orderstatus AS st,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM appended a
+            WHERE a.o_orderstatus = o.o_orderstatus) AS n2
+    FROM orders o GROUP BY o.o_orderstatus ORDER BY st
 """
 
 # the MV rewrite, its staleness gate, and the refresh must all be

@@ -20,7 +20,9 @@ def engine(spark, sf_dir):
 def test_sql_envelope(engine):
     res = engine.sql("SELECT COUNT(*) AS counts FROM lineitem")
     assert res.records == [{"counts": 6000}]
-    assert set(res.metadata) == {"timeMs", "eventId", "query", "warm"}
+    assert set(res.metadata) == {
+        "timeMs", "eventId", "query", "warm", "result_cache"
+    }
     assert res.metadata["timeMs"] > 0
 
 
