@@ -541,6 +541,11 @@ class Engine:
         if any(c is not None and c not in zset for _k, c in info["aggs"]):
             # MIN/MAX/COUNT/SUM(col) — and a grouping key — need stats
             return None
+        if any(g not in zset for g in info["groups"]):
+            # every grouping column needs stats for the per-file
+            # single-valuedness classification (a key may be grouped
+            # on without being selected, so check beyond the outputs)
+            return None
         # closed-widened constraints for the pruned-in SUPERSET; the
         # strict/exact semantics are re-applied by the per-file
         # classification and the residual predicate
@@ -563,7 +568,7 @@ class Engine:
         rows, total = _zm.prune_files_multi(self.spark, path, cons)
         if total != len(_zm._data_files(path)):
             return None  # un-maintained append: metadata can't answer
-        if info["group"] is not None:
+        if info["groups"]:
             return _ap.build_group_agg_frame(
                 self.spark, path, info, rows, total
             )
@@ -2045,13 +2050,16 @@ class Engine:
         predicates on the group column only) are answered from the MV
         instead of the base table — the warehouse answer to the
         reference dashboard re-running identical aggregates per widget
-        refresh (``dashboard.py:37-39``). See plans/mv_rewrite.py for
-        the exactness gates; a query outside them just runs plain.
+        refresh (``dashboard.py:37-39``). Rewrites cover the ROLLUP
+        lattice: a query grouping by any SUBSET of the MV's keys (or
+        none — a global aggregate) re-aggregates the mergeable
+        partials. See plans/mv_rewrite.py for the exactness gates; a
+        query outside them just runs plain.
 
-        The query must be a plain single-table aggregate — optional
-        single GROUP BY key, COUNT(*)/COUNT/SUM/MIN/MAX outputs, no
-        WHERE, no AVG (materialize SUM + COUNT; AVG queries rewrite
-        over the pair). Freshness: the source's snapshot token (one
+        The query must be a plain single-table aggregate — up to 4
+        GROUP BY keys (each selected), COUNT(*)/COUNT/SUM/MIN/MAX
+        outputs, no WHERE, no AVG (materialize SUM + COUNT; AVG
+        queries rewrite over the pair). Freshness: the source's snapshot token (one
         stat of the zone-map manifest list, else a capped file
         listing) is taken BEFORE materialization; a source commit
         afterwards makes every rewrite decline until

@@ -1057,10 +1057,10 @@ def lake_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grouped aggregate did not rewrite over the MV",
         eng.last_mv_rewrite,
     )
-    phys = d1._jdf.queryExecution().executedPlan().toString()
+    in_files = d1.inputFiles()
     _require(
-        "lake_mvq_mv" in phys and "lake_mvq_src" not in phys,
-        "rewritten plan still reads the base table",
+        bool(in_files) and all("lake_mvq_mv" in f for f in in_files),
+        "rewritten plan still reads the base table", in_files[:3],
     )
     rows1 = {
         r["st"]: (int(r["n"]), int(r["sum_key"]), float(r["avg_key"]))
@@ -1118,6 +1118,102 @@ def lake_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("mn_f", LongType()),
             StructField("mx_f", LongType()),
             StructField("n_f", LongType()),
+        ]),
+    )
+
+
+def lake_multikey_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key GROUP BY aggregate pushdown + URI-escaped partition
+    values (round 13). On a two-level hive layout every file is
+    single-valued on BOTH grouping columns, so per-(status, priority)
+    COUNT/SUM partials — and AVG as exact-sum/exact-count — come
+    straight from per-file manifest stats with ZERO files scanned.
+    The layout's '4-NOT SPECIFIED' priority carries a SPACE, which
+    Path URIs render as %20 while listings return the literal name:
+    the manifest now stores ONE (decoded) form, so the in-query gates
+    also prove the manifest row count equals the live listing after
+    both the build and an append (the pre-fix behavior produced
+    duplicate rows and a permanently-declining agg pushdown). The
+    DuckDB oracle recomputes every group from the raw fixture, with
+    the appended state replayed as UNION ALL."""
+    import uuid as _uuid
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = _fresh_dir(sf_dir, "lake_mkgrp")
+    orders = load(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_orderkey"]
+    orders.write.partitionBy("o_orderstatus", "o_orderpriority").mode(
+        "overwrite"
+    ).parquet(path)
+    Z.write_zonemap(spark, path, cols)
+    _rows, total = Z.prune_files_multi(spark, path, {})
+    _require(
+        total == len(Z._data_files(path)),
+        "manifest row count diverged from the listing (URI escaping)",
+        total,
+    )
+    eng = Engine(spark=spark)
+    t = f"mkgrp_{_uuid.uuid4().hex[:8]}"
+    eng.register(t, path)
+    d1 = eng.df(
+        f"SELECT o_orderstatus AS st, o_orderpriority AS pr, "
+        f"COUNT(*) AS n, SUM(o_orderkey) AS sum_key, "
+        f"AVG(o_orderkey) AS avg_key "
+        f"FROM {t} GROUP BY o_orderstatus, o_orderpriority"
+    )
+    plan = eng.last_agg_plan
+    _require(
+        plan is not None
+        and plan.get("group_by") == ["o_orderstatus", "o_orderpriority"]
+        and plan["files_scanned"] == 0,
+        "multi-key grouped aggregate did not answer from metadata", plan,
+    )
+    rows1 = {
+        (r["st"], r["pr"]): (int(r["n"]), int(r["sum_key"]), float(r["avg_key"]))
+        for r in d1.collect()
+    }
+    # append (touching the space-bearing partitions too), delta-stat,
+    # and require the manifest still matches the listing + idempotence
+    orders.filter(F.col("o_orderkey") <= 50).write.partitionBy(
+        "o_orderstatus", "o_orderpriority"
+    ).mode("append").parquet(path)
+    _require(Z.append_zonemap(spark, path, cols) > 0, "append statted nothing")
+    _rows2, total2 = Z.prune_files_multi(spark, path, {})
+    _require(
+        total2 == len(Z._data_files(path)),
+        "append diverged manifest from listing", total2,
+    )
+    _require(
+        Z.append_zonemap(spark, path, cols) == 0,
+        "append_zonemap re-statted already-known files (URI escaping)",
+    )
+    eng.register(t, path)
+    d2 = eng.df(
+        f"SELECT o_orderstatus AS st, o_orderpriority AS pr, COUNT(*) AS n2 "
+        f"FROM {t} GROUP BY o_orderstatus, o_orderpriority"
+    )
+    _require(
+        eng.last_agg_plan is not None
+        and eng.last_agg_plan["files_scanned"] == 0,
+        "post-append grouped aggregate left metadata", eng.last_agg_plan,
+    )
+    rows2 = {(r["st"], r["pr"]): int(r["n2"]) for r in d2.collect()}
+    spark.catalog.dropTempView(t)
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (st, pr, *rows1[(st, pr)], rows2[(st, pr)])
+            for st, pr in sorted(rows1)
+        ],
+        StructType([
+            StructField("st", StringType()),
+            StructField("pr", StringType()),
+            StructField("n", LongType()),
+            StructField("sum_key", LongType()),
+            StructField("avg_key", DoubleType()),
+            StructField("n2", LongType()),
         ]),
     )
 
@@ -1344,7 +1440,7 @@ def lake_group_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan1 = eng.last_agg_plan
     _require(
         plan1 is not None
-        and plan1.get("group_by") == "o_orderstatus"
+        and plan1.get("group_by") == ["o_orderstatus"]
         and plan1["files_scanned"] == 0
         and plan1["groups_metadata"] >= 3,
         "plain grouped aggregate did not answer from metadata", plan1,
@@ -1366,7 +1462,7 @@ def lake_group_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     plan2 = eng.last_agg_plan
     _require(
-        plan2 is not None and plan2.get("group_by") == "o_orderstatus",
+        plan2 is not None and plan2.get("group_by") == ["o_orderstatus"],
         "range grouped aggregate did not take the metadata path", plan2,
     )
     rows2 = {r["st"]: int(r["n"]) for r in d2.collect()}
@@ -1405,6 +1501,7 @@ QUERIES = {
     "lake_sql_agg_pushdown": lake_sql_agg_pushdown,
     "lake_mv_rewrite": lake_mv_rewrite,
     "lake_result_cache": lake_result_cache,
+    "lake_multikey_group_agg": lake_multikey_group_agg,
     "lake_decimal_stats": lake_decimal_stats,
     "lake_group_agg_pushdown": lake_group_agg_pushdown,
 }
@@ -1658,6 +1755,27 @@ ORACLES["lake_sql_agg_pushdown"] = """
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_total,
            (SELECT MIN(o_orderdate) FROM orders) AS mn_date,
            (SELECT MAX(o_orderdate) FROM orders) AS mx_date
+"""
+
+# multi-key grouped metadata aggregates (and the URI-escape manifest
+# discipline) must be invisible in the answer: every group recomputed
+# from the raw fixture, the appended state replayed as UNION ALL
+ORACLES["lake_multikey_group_agg"] = """
+    WITH appended AS (
+        SELECT * FROM orders
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderkey <= 50
+    )
+    SELECT o.o_orderstatus AS st,
+           o.o_orderpriority AS pr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           AVG(o_orderkey) AS avg_key,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM appended a
+            WHERE a.o_orderstatus = o.o_orderstatus
+              AND a.o_orderpriority = o.o_orderpriority) AS n2
+    FROM orders o GROUP BY o.o_orderstatus, o.o_orderpriority
+    ORDER BY st, pr
 """
 
 # the result cache must be invisible in the answer: the oracle

@@ -93,6 +93,31 @@ def _bare_col(c: Column) -> Column:
     return F.regexp_replace(c, "^[a-zA-Z0-9]+:/+", "/")
 
 
+def _file_col() -> Column:
+    """``_metadata.file_path`` URI-DECODED to the filesystem listing's
+    form. Path URIs percent-encode special characters — a partition
+    value holding a space renders ``%20`` — while directory listings
+    return literal names; every manifest ``file`` value, group token,
+    and listing comparison must live in ONE form or a space-bearing
+    layout gets spurious "missing" rows (duplicate manifest entries)
+    and mismatched group tokens on append. ``+`` is URI-path-legal
+    (never encoded by Path.toUri), so it is masked to ``%2B`` before
+    ``url_decode``'s form-decoding would turn it into a space; every
+    literal ``%`` in a real path arrives pre-encoded as ``%25``, so
+    the decode cannot see a malformed escape."""
+    return F.url_decode(
+        F.regexp_replace(F.col("_metadata.file_path"), "[+]", "%2B")
+    )
+
+
+def _unq(p: str) -> str:
+    """Driver-side twin of :func:`_file_col` for values read back from
+    PRE-EXISTING manifests (which may hold URI-encoded paths)."""
+    from urllib.parse import unquote
+
+    return unquote(p)
+
+
 def _dirname(p: str) -> str:
     return p.rsplit("/", 1)[0]
 
@@ -484,7 +509,7 @@ def _bloom_word_frame(df: DataFrame, c: str, m: int, k: int) -> DataFrame:
     src = _unscaled_col(c, s) if s is not None else F.col(c)
     pos = (
         df.select(
-            F.col("_metadata.file_path").alias("file"),
+            _file_col().alias("file"),
             src.cast("string").alias("__v"),
         )
         .where(F.col("__v").isNotNull())
@@ -646,7 +671,7 @@ def _hll_reg_frame(df: DataFrame, c: str) -> DataFrame:
 
     hashed = (
         df.select(
-            F.col("_metadata.file_path").alias("file"),
+            _file_col().alias("file"),
             md5_h32(F.col(c).cast("string")).alias("h"),
         )
         .where(F.col(c).isNotNull())
@@ -955,7 +980,7 @@ def zonemap_stats(spark: SparkSession, data_dir: str, cols: list[str]) -> DataFr
     df = spark.read.parquet(data_dir)
     return (
         df.select(
-            F.col("_metadata.file_path").alias("file"),
+            _file_col().alias("file"),
             F.col("_metadata.file_size").alias("__fsize"),
             *_stats_select_cols(df, cols),
         )
@@ -976,8 +1001,8 @@ def _cover_empty_files(
     zero null-count), so covering them never costs a read."""
     from quack_reduce_spark.lake import _fs_for
 
-    statted = {_bare(r["file"]) for r in stats.select("file").collect()}
-    missing = [p for p in candidates if _bare(p) not in statted]
+    statted = {_unq(_bare(r["file"])) for r in stats.select("file").collect()}
+    missing = [p for p in candidates if _unq(_bare(p)) not in statted]
     if not missing:
         return stats
     fs = _fs_for(data_dir)
@@ -1308,12 +1333,16 @@ def append_zonemap(
             spark.read.option("recursiveFileLookup", "true")
             .parquet(*[f"{zm}/__g={t}" for t in touched_known])
         )
-        known = {_bare(r["file"]) for r in old_touched.select("file").collect()}
+        # _unq: pre-fix manifests may hold URI-encoded paths
+        known = {
+            _unq(_bare(r["file"]))
+            for r in old_touched.select("file").collect()
+        }
     fresh_files = [
         p
         for t in suspect
         for p in by_tok[t]
-        if _bare(p) not in known
+        if _unq(_bare(p)) not in known
     ]
     if not fresh_files:
         return 0
@@ -1323,7 +1352,7 @@ def append_zonemap(
     types = dict((doc or {}).get("types") or _source_types(df, cols))
     fresh = (
         df.select(
-            F.col("_metadata.file_path").alias("file"),
+            _file_col().alias("file"),
             F.col("_metadata.file_size").alias("__fsize"),
             *_stats_select_cols(df, cols),
         )

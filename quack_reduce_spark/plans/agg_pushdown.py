@@ -187,6 +187,11 @@ def _split_and(cond: Any) -> list[Any]:
     return out
 
 
+# GROUP BY pushdown accepts up to this many grouping columns: every
+# key multiplies the per-file single-valuedness requirement (and the
+# row-rendered key width), while real layouts cluster on 1-3 columns
+_MAX_GROUP_KEYS = 4
+
 # group-key types the metadata path can re-render EXACTLY through
 # createDataFrame rows (zone-free): integer family, strings, dates,
 # and unscaled decimals. Timestamps decline in group mode (their
@@ -210,7 +215,7 @@ def extract_scalar_agg(
     global scalar aggregate over Filter/Project chains on one
     registered table, return::
 
-        {"table", "group": None, "aggs": [(kind, col|None), ...],
+        {"table", "groups": [], "aggs": [(kind, col|None), ...],
          "conjuncts": [(col, op, value), ...],
          "types": {col: catalyst type name},
          "out": [(output name, output DataType), ...]}
@@ -224,10 +229,11 @@ def extract_scalar_agg(
 def extract_grouped_agg(
     df: DataFrame, paths_by_name: dict[str, str]
 ) -> dict | None:
-    """The GROUP BY twin of :func:`extract_scalar_agg`: one bare
-    grouping attribute (portable key type), the same agg surface plus
-    ``("key", col)`` entries for the grouping column's own output
-    positions. MIN/MAX value columns are restricted to row-renderable
+    """The GROUP BY twin of :func:`extract_scalar_agg`: 1-4 bare
+    grouping attributes (portable key types), the same agg surface
+    plus ``("key", col)`` entries for the grouping columns' own output
+    positions (a key may be projected out: grouping still runs over
+    ALL keys). MIN/MAX value columns are restricted to row-renderable
     types (no timestamps) — the metadata partials travel through
     ``createDataFrame`` rows in group mode, not literals."""
     return _extract_agg(df, paths_by_name, grouped=True)
@@ -242,11 +248,8 @@ def _extract_agg(
     gexprs = opt.groupingExpressions()
     if not grouped and gexprs.size() != 0:
         return None
-    group_col = None
-    group_id = None
-    if grouped:
-        if gexprs.size() != 1:
-            return None
+    if grouped and not (1 <= gexprs.size() <= _MAX_GROUP_KEYS):
+        return None
 
     # -- the chain below: Project*/Filter* down to one LogicalRelation
     node = opt.child()
@@ -282,14 +285,18 @@ def _extract_agg(
         a = rel_out.apply(i)
         by_id[int(a.exprId().id())] = (a.name(), a.dataType().typeName())
 
+    groups: list[str] = []
+    gids: dict[int, str] = {}  # group attr exprId -> column name
     if grouped:
-        gname, gid = _attr_id(gexprs.apply(0))
-        if gid is None or gid not in by_id:
-            return None
-        group_col, gtname = by_id[gid]
-        if not _group_type_ok(gtname, key=True):
-            return None
-        group_id = gid
+        for j in range(gexprs.size()):
+            _gn, gid = _attr_id(gexprs.apply(j))
+            if gid is None or gid not in by_id or gid in gids:
+                return None
+            gcol, gtname = by_id[gid]
+            if not _group_type_ok(gtname, key=True):
+                return None
+            gids[gid] = gcol
+            groups.append(gcol)
 
     # -- aggregate expressions: COUNT(*)/COUNT(col)/MIN(col)/MAX(col)
     aggs: list[tuple[str, str | None]] = []
@@ -298,20 +305,22 @@ def _extract_agg(
         ne = aexprs.apply(i)
         necls = ne.getClass().getSimpleName()
         if grouped and necls == "AttributeReference":
-            # the grouping column selected bare
-            if int(ne.exprId().id()) != group_id:
+            # a grouping column selected bare
+            gcol = gids.get(int(ne.exprId().id()))
+            if gcol is None:
                 return None
-            aggs.append(("key", group_col))
+            aggs.append(("key", gcol))
             continue
         if necls != "Alias":
             return None
         ae = ne.child()
         aecls = ae.getClass().getSimpleName()
         if grouped and aecls == "AttributeReference":
-            # the grouping column selected under an alias
-            if int(ae.exprId().id()) != group_id:
+            # a grouping column selected under an alias
+            gcol = gids.get(int(ae.exprId().id()))
+            if gcol is None:
                 return None
-            aggs.append(("key", group_col))
+            aggs.append(("key", gcol))
             continue
         if aecls != "AggregateExpression":
             return None
@@ -386,8 +395,7 @@ def _extract_agg(
     used = {c for c, _o, _v in conjuncts} | {
         c for _k, c in aggs if c is not None
     }
-    if group_col is not None:
-        used.add(group_col)
+    used |= set(groups)
     types = {
         nm: tn for nm, tn in by_id.values() if nm in used
     }
@@ -396,7 +404,7 @@ def _extract_agg(
         return None
     return {
         "table": table,
-        "group": group_col,
+        "groups": groups,
         "aggs": aggs,
         "conjuncts": conjuncts,
         "types": types,
@@ -798,16 +806,16 @@ def build_group_agg_frame(
     total: int,
 ) -> tuple[DataFrame, dict] | None:
     """The GROUP BY twin of :func:`build_agg_frame`: a file whose
-    conjunct classification is 'all' AND whose grouping column is
-    single-valued (min == max with zero nulls — the hive-partitioned /
-    clustered layout shape) or all-NULL (the SQL NULL group)
-    contributes per-group metadata partials without being read; every
-    other surviving file is a boundary file, scanned once, grouped,
-    and union-merged with the metadata partials (counts/sums add,
-    mins/maxes fold — all exact by the same type gates the scalar path
-    enforces). Group keys and partials travel as createDataFrame ROWS,
-    which is why group mode is limited to zone-free-renderable types.
-    """
+    conjunct classification is 'all' AND whose EVERY grouping column
+    is single-valued (min == max with zero nulls — the hive-
+    partitioned / clustered layout shape) or all-NULL (the SQL NULL
+    group) contributes per-group metadata partials without being read;
+    every other surviving file is a boundary file, scanned once,
+    grouped, and union-merged with the metadata partials (counts/sums
+    add, mins/maxes fold — all exact by the same type gates the scalar
+    path enforces). Group keys and partials travel as createDataFrame
+    ROWS, which is why group mode is limited to zone-free-renderable
+    types."""
     import decimal as _pydec
 
     from pyspark.sql import types as T
@@ -815,9 +823,9 @@ def build_group_agg_frame(
     from quack_reduce_spark.operators.zonemaps import _unscaled_decimal
 
     aggs, conjuncts, types = info["aggs"], info["conjuncts"], info["types"]
-    group = info["group"]
-    g_t = types.get(group)
-    if g_t is None:
+    groups = info["groups"]
+    g_ts = [types.get(g) for g in groups]
+    if not groups or any(t is None for t in g_ts):
         return None
     norm = _norm_conjuncts(conjuncts)
     meta: dict[Any, list] = {}
@@ -835,23 +843,29 @@ def build_group_agg_frame(
         state = _classify_row(norm, r, n_rows)
         if state == "none":
             continue
-        gmn, gmx = r.get(f"min_{group}"), r.get(f"max_{group}")
-        gnulls = r.get(f"nulls_{group}")
-        single = (
-            gnulls is not None
-            and int(gnulls) == 0
-            and gmn is not None
-            and gmn == gmx
-        )
-        all_null = (
-            gnulls is not None and n_rows > 0 and int(gnulls) == n_rows
-        )
-        if state == "some" or not (single or all_null or n_rows == 0):
-            boundary.append(r["file"])
-            continue
         if n_rows == 0:
             continue  # empty file: no group, nothing to add
-        key = None if all_null else gmn
+        # EVERY grouping column must pin this file to one group:
+        # single-valued non-null (key = the value) or all-NULL (the
+        # SQL NULL group); anything mixed goes to the boundary scan
+        key_vals: list = []
+        pinned = True
+        for g in groups:
+            gmn, gmx = r.get(f"min_{g}"), r.get(f"max_{g}")
+            gnulls = r.get(f"nulls_{g}")
+            if gnulls is not None and int(gnulls) == 0 and (
+                gmn is not None and gmn == gmx
+            ):
+                key_vals.append(gmn)
+            elif gnulls is not None and int(gnulls) == n_rows:
+                key_vals.append(None)
+            else:
+                pinned = False
+                break
+        if state == "some" or not pinned:
+            boundary.append(r["file"])
+            continue
+        key = tuple(key_vals)
         part = meta.setdefault(key, fresh_partials())
         for i, (kind, col) in enumerate(aggs):
             if kind == "key":
@@ -902,7 +916,11 @@ def build_group_agg_frame(
                     return None
 
     # -- the metadata partials as a (possibly empty) frame ------------
-    fields = [T.StructField("__k", _py_datatype(g_t))]
+    knames = [f"__k{j}" for j in range(len(groups))]
+    fields = [
+        T.StructField(kn, _py_datatype(gt))
+        for kn, gt in zip(knames, g_ts)
+    ]
     merges = []  # final fold per partial column
     for i, (kind, col) in enumerate(aggs):
         if kind == "key":
@@ -934,7 +952,9 @@ def build_group_agg_frame(
     schema = T.StructType(fields)
     meta_rows = []
     for key, part in meta.items():
-        row = [_render_meta(key, g_t)]
+        row = [
+            _render_meta(kv, gt) for kv, gt in zip(key, g_ts)
+        ]
         for i, (kind, col) in enumerate(aggs):
             if kind == "key":
                 continue
@@ -962,7 +982,6 @@ def build_group_agg_frame(
     if boundary:
         bdf = spark.read.option("basePath", path).parquet(*boundary)
         pred = residual_predicate(conjuncts, types)
-        partials = [F.col(group).alias("__k")]
         base = bdf.where(pred)
         aggexprs = []
         for i, (kind, col) in enumerate(aggs):
@@ -983,7 +1002,9 @@ def build_group_agg_frame(
                 aggexprs.append(F.count(F.col(col)).alias(f"__a{i}n"))
             else:
                 aggexprs.append(F.sum(F.col(col)).alias(f"__a{i}"))
-        bagg = base.groupBy(F.col(group).alias("__k")).agg(*aggexprs)
+        bagg = base.groupBy(
+            *[F.col(g).alias(kn) for g, kn in zip(groups, knames)]
+        ).agg(*aggexprs)
         combined = meta_df.unionByName(
             bagg.select(*[f.name for f in fields])
         )
@@ -995,11 +1016,11 @@ def build_group_agg_frame(
             finals.append(F.sum(F.col(f"__a{i}n")).alias(f"__f{i}n"))
         else:
             finals.append(fn(F.col(f"__a{i}")).alias(f"__f{i}"))
-    merged = combined.groupBy("__k").agg(*finals)
+    merged = combined.groupBy(*knames).agg(*finals)
     outs = []
     for i, ((kind, col), (oname, otype)) in enumerate(zip(aggs, info["out"])):
         if kind == "key":
-            src = F.col("__k")
+            src = F.col(knames[groups.index(col)])
         elif kind == "avg":
             cnt = F.coalesce(F.col(f"__f{i}n"), F.lit(0))
             src = F.when(cnt == 0, F.lit(None)).otherwise(
@@ -1011,7 +1032,7 @@ def build_group_agg_frame(
     frame = merged.select(*outs)
     telemetry = {
         "table": info["table"],
-        "group_by": group,
+        "group_by": list(groups),
         "aggs": [
             f"{k}({c})" if c is not None else "count(*)" for k, c in aggs
         ],

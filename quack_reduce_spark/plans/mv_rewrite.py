@@ -9,9 +9,9 @@ tiny MV. This module is the matching half:
 
 - :func:`mv_spec` validates a CREATE query — it must be exactly the
   aggregate shape ``plans/agg_pushdown.py`` understands (one table,
-  optional single group key, plain COUNT(*)/COUNT/SUM/MIN/MAX with
-  mergeable/exact types, NO predicate) — and derives the canonical
-  partial-column layout;
+  up to 4 group keys all selected, plain COUNT(*)/COUNT/SUM/MIN/MAX
+  with mergeable/exact types, NO predicate) — and derives the
+  canonical partial-column layout;
 - :func:`try_rewrite` inspects a query's optimized plan with the SAME
   extractors and rewrites it over an MV when ALL hold:
 
@@ -19,16 +19,19 @@ tiny MV. This module is the matching half:
     snapshot (one stat of the zone-map manifest list when the table
     has one: every commit rewrites ``_list.json`` last; else a capped
     per-file (mtime, size) listing) still matches the live table;
-  * the query's group key equals the MV's, or the query is a global
-    (scalar) aggregate — re-aggregating the MV's per-group partials is
-    exact because every partial kind here is mergeable: counts/sums
-    add, mins/maxes fold, AVG rebuilds as exact-sum / exact-count with
-    one final double division (the agg-pushdown discipline);
-  * every WHERE conjunct references the GROUP column only — a
-    predicate on a grouping column commutes with the grouping, so
-    re-applying it to the MV rows (via agg_pushdown's exact
-    ``residual_predicate``) filters exactly the groups the plain plan
-    would produce;
+  * the query's group keys are a SUBSET of the MV's (any order; the
+    empty subset is a global aggregate) — the classic ROLLUP
+    containment: re-aggregating the finer per-group partials by the
+    coarser keys is exact because every partial kind here is
+    mergeable: counts/sums add, mins/maxes fold, AVG rebuilds as
+    exact-sum / exact-count with one final double division (the
+    agg-pushdown discipline);
+  * every WHERE conjunct references an MV GROUP column — a predicate
+    on a grouping column commutes with the grouping, so re-applying
+    it to the MV rows (via agg_pushdown's exact
+    ``residual_predicate``) filters exactly the rows the plain plan
+    would aggregate, even when the filtered column is rolled away by
+    the query's coarser grouping;
   * every query aggregate derives from a materialized partial:
     COUNT(*) -> SUM(n__star), COUNT(c) -> SUM(count__c),
     SUM(c) -> SUM(sum__c), MIN/MAX(c) -> MIN(mn)/MAX(mx),
@@ -127,11 +130,20 @@ def mv_spec(df: DataFrame, paths_by_name: dict[str, str]) -> dict | None:
         return None
     if not any(kind != "key" for kind, _c in info["aggs"]):
         return None
+    # every grouping column must be materialized (a key grouped on but
+    # projected out would make the MV rows non-reaggregable)
+    selected_keys = {c for k, c in info["aggs"] if k == "key"}
+    if set(info["groups"]) - selected_keys:
+        return None
     columns: dict[str, str] = {}
     select: list = []
+    seen_keys: set[str] = set()
     for (kind, col), (oname, _t) in zip(info["aggs"], info["out"]):
         if kind == "key":
-            select.append(F.col(oname).alias(info["group"]))
+            if col in seen_keys:
+                continue  # a key selected twice: materialize once
+            seen_keys.add(col)
+            select.append(F.col(oname).alias(col))
             continue
         cn = _cname(kind, col)
         if cn in columns:
@@ -140,7 +152,7 @@ def mv_spec(df: DataFrame, paths_by_name: dict[str, str]) -> dict | None:
         select.append(F.col(oname).alias(cn))
     return {
         "table": info["table"],
-        "group": info["group"],
+        "groups": list(info["groups"]),
         "partials": sorted(columns),
         "types": info["types"],
         "_select": select,
@@ -185,16 +197,20 @@ def try_rewrite(
     )
     if info is None:
         return None
-    grouped = info["group"] is not None
+    grouped = bool(info["groups"])
     for name, mv in mvs.items():
         if mv["table"] != info["table"]:
             continue
-        if grouped and info["group"] != mv["group"]:
+        mv_groups = set(mv["groups"])
+        # ROLLUP containment: the query's keys must be a subset of the
+        # MV's — re-aggregating the finer partials by the coarser keys
+        # is exact because every partial kind here is mergeable
+        if not set(info["groups"]) <= mv_groups:
             continue
-        if not grouped and mv["group"] is None and info["conjuncts"]:
-            continue  # scalar MV has no group column to filter on
-        if any(c != mv["group"] for c, _o, _v in info["conjuncts"]):
-            continue  # predicate off the group column: not containable
+        if any(c not in mv_groups for c, _o, _v in info["conjuncts"]):
+            continue  # predicate off the MV's group columns: not
+            # containable (group-column predicates commute with the
+            # grouping, anything else does not)
         partials = set(mv["partials"])
         needed: set[str] = set()
         ok = True
@@ -225,7 +241,7 @@ def _build(
 ) -> tuple[DataFrame, dict]:
     from quack_reduce_spark.plans.agg_pushdown import residual_predicate
 
-    grouped = info["group"] is not None
+    grouped = bool(info["groups"])
     base = spark.read.parquet(mv["path"])
     if info["conjuncts"]:
         # group-column types recorded at MV creation keep the epoch-
@@ -264,7 +280,7 @@ def _build(
                 F.sum(F.col(_cname("count", col))).alias(f"__p{i}n")
             )
     agged = (
-        base.groupBy(F.col(info["group"])).agg(*partial_exprs)
+        base.groupBy(*[F.col(g) for g in info["groups"]]).agg(*partial_exprs)
         if grouped
         else base.agg(*partial_exprs)
     )
@@ -273,7 +289,7 @@ def _build(
         zip(info["aggs"], info["out"])
     ):
         if kind == "key":
-            expr = F.col(info["group"])
+            expr = F.col(col)
         elif kind in ("count_star", "count"):
             # COUNT of no rows is 0: a scalar rewrite over an empty /
             # fully-filtered MV sums nothing and must not emit NULL

@@ -308,7 +308,7 @@ def test_sql_group_agg_from_metadata(spark, sf_dir, tmp_path):
         "MIN(o_orderkey) AS mn FROM grp_t GROUP BY o_orderstatus"
     )
     plan = eng.last_agg_plan
-    assert plan is not None and plan["group_by"] == "o_orderstatus"
+    assert plan is not None and plan["group_by"] == ["o_orderstatus"]
     assert plan["files_scanned"] == 0 and plan["groups_metadata"] >= 3
     assert _no_file_scan(d)
     want = sorted(
@@ -397,9 +397,10 @@ def test_sql_group_agg_declines_unportable_shapes(spark, sf_dir, tmp_path):
     cases = [
         # ts grouping key: row-rendering declined
         "SELECT o_orderdate AS d, COUNT(*) AS n FROM grpd_t GROUP BY o_orderdate",
-        # two grouping columns
-        "SELECT o_orderstatus AS st, o_orderkey AS k, COUNT(*) AS n "
-        "FROM grpd_t GROUP BY o_orderstatus, o_orderkey",
+        # beyond _MAX_GROUP_KEYS grouping columns (multi-key grouping
+        # itself is supported up to 4 keys — see the multi-key test)
+        "SELECT COUNT(*) AS n FROM grpd_t GROUP BY o_orderstatus, "
+        "o_orderkey, o_custkey, o_orderpriority, o_totalprice",
         # MIN over a timestamp in group mode
         "SELECT o_orderstatus AS st, MIN(o_orderdate) AS mn FROM grpd_t "
         "GROUP BY o_orderstatus",
@@ -551,3 +552,110 @@ def test_sql_avg_null_semantics_and_groups(spark, tmp_path):
     r2 = eng.df("SELECT AVG(v) AS a FROM avgnull WHERE v IS NULL").first()
     assert r2["a"] is None
     spark.catalog.dropTempView("avgnull")
+
+def test_sql_multi_key_group_agg_from_metadata(spark, sf_dir, tmp_path):
+    """Multi-key GROUP BY pushdown: on a two-level hive layout every
+    file is single-valued on BOTH grouping columns, so per-(a,b)
+    partials come straight from the manifest (zero files scanned) —
+    including the layout's URI-escapable partition value ('4-NOT
+    SPECIFIED' carries a space). A key grouped on but projected out
+    still groups over all keys."""
+    path = str(tmp_path / "mkgrp")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus", "o_orderpriority").mode(
+        "overwrite"
+    ).parquet(path)
+    Z.write_zonemap(
+        spark, path, ["o_orderstatus", "o_orderpriority", "o_orderkey"]
+    )
+    eng = Engine(spark=spark)
+    eng.register("mk_t", path)
+    full = spark.read.parquet(path)
+    d = eng.df(
+        "SELECT o_orderstatus AS st, o_orderpriority AS pr, COUNT(*) AS n, "
+        "SUM(o_orderkey) AS s, AVG(o_orderkey) AS a FROM mk_t "
+        "GROUP BY o_orderstatus, o_orderpriority"
+    )
+    plan = eng.last_agg_plan
+    assert plan is not None
+    assert plan["group_by"] == ["o_orderstatus", "o_orderpriority"]
+    assert plan["files_scanned"] == 0
+    assert _no_file_scan(d)
+    got = sorted(map(tuple, d.collect()))
+    want = sorted(
+        map(
+            tuple,
+            full.groupBy(
+                F.col("o_orderstatus").alias("st"),
+                F.col("o_orderpriority").alias("pr"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").alias("s"),
+                F.avg("o_orderkey").alias("a"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    # a grouping key may be projected out: rows stay per-(a,b) group
+    d2 = eng.df(
+        "SELECT o_orderstatus AS st, COUNT(*) AS n FROM mk_t "
+        "GROUP BY o_orderstatus, o_orderpriority"
+    )
+    assert eng.last_agg_plan is not None
+    g2 = sorted(map(tuple, d2.collect()))
+    w2 = sorted(
+        map(
+            tuple,
+            full.groupBy("o_orderstatus", "o_orderpriority")
+            .count()
+            .select(F.col("o_orderstatus").alias("st"), "count")
+            .collect(),
+        )
+    )
+    assert g2 == w2
+    spark.catalog.dropTempView("mk_t")
+
+
+def test_manifest_uri_escaped_partition_values(spark, sf_dir, tmp_path):
+    """Path URIs percent-encode special chars (a partition value with
+    a space renders %20) while listings return literal names: the
+    manifest must store ONE form, or space-bearing layouts get
+    duplicate rows (build) and double-stats (append). Counts must
+    match the listing after both, appends must be idempotent, and
+    pruned-in files must be readable."""
+    path = str(tmp_path / "escparts")
+    orders = load(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_orderkey"]
+    orders.write.partitionBy("o_orderstatus", "o_orderpriority").mode(
+        "overwrite"
+    ).parquet(path)
+    Z.write_zonemap(spark, path, cols)
+    rows, total = Z.prune_files_multi(spark, path, {})
+    assert total == len(Z._data_files(path))
+    orders.filter(F.col("o_orderkey") <= 100).write.partitionBy(
+        "o_orderstatus", "o_orderpriority"
+    ).mode("append").parquet(path)
+    assert Z.append_zonemap(spark, path, cols) > 0
+    _rows, total2 = Z.prune_files_multi(spark, path, {})
+    assert total2 == len(Z._data_files(path))
+    assert Z.append_zonemap(spark, path, cols) == 0  # idempotent
+    sel, t3 = Z.prune_files_multi(
+        spark,
+        path,
+        {"o_orderpriority": (None, None, frozenset(["4-NOT SPECIFIED"]), None)},
+    )
+    assert 0 < len(sel) < t3
+    got = (
+        spark.read.option("basePath", path)
+        .parquet(*[r["file"] for r in sel])
+        .filter(F.col("o_orderpriority") == "4-NOT SPECIFIED")
+        .count()
+    )
+    want = (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderpriority") == "4-NOT SPECIFIED")
+        .count()
+    )
+    assert got == want

@@ -43,8 +43,8 @@ def test_mv_rewrite_grouped_and_scalar(spark, sf_dir, tmp_path):
     )
     tele = eng.last_mv_rewrite
     assert tele is not None and tele["view"] == "mvt_mv" and tele["grouped"]
-    phys = d._jdf.queryExecution().executedPlan().toString()
-    assert "mvt_mv" in phys and "mvt_src" not in phys
+    files = d.inputFiles()
+    assert files and all("mvt_mv" in f for f in files)  # MV only, no src
     got = sorted(map(tuple, d.collect()))
     want = sorted(
         map(
@@ -203,3 +203,71 @@ def test_mv_rewrite_null_group_and_agg_pushdown_priority(spark, tmp_path):
     eng.df("SELECT k, COUNT(*) AS n FROM mvn GROUP BY k").collect()
     assert eng.last_agg_plan is not None  # metadata path fired
     spark.catalog.dropTempView("mvn")
+
+def test_mv_rollup_rewrite(spark, sf_dir, tmp_path):
+    """ROLLUP containment: a query grouping by a SUBSET of the MV's
+    keys (any order, or none) re-aggregates the finer partials, with
+    predicates allowed on ANY MV group column — even one the query's
+    coarser grouping rolls away."""
+    src = str(tmp_path / "roll_src")
+    load(spark, sf_dir, "orders").write.mode("overwrite").parquet(src)
+    eng = Engine(spark=spark)
+    eng.register("roll", src)
+    eng.create_materialized_view(
+        "roll_mv",
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+        "SUM(o_orderkey) AS s, COUNT(o_orderkey) AS nk, "
+        "MIN(o_orderkey) AS mn FROM roll "
+        "GROUP BY o_orderstatus, o_orderpriority",
+        str(tmp_path / "roll_mv"),
+    )
+    full = spark.read.parquet(src)
+    # coarser grouping + predicate on the rolled-away key
+    d = eng.df(
+        "SELECT o_orderstatus AS st, COUNT(*) AS n, AVG(o_orderkey) AS a, "
+        "MIN(o_orderkey) AS mn FROM roll "
+        "WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus"
+    )
+    assert eng.last_mv_rewrite is not None
+    got = sorted(map(tuple, d.collect()))
+    want = sorted(
+        map(
+            tuple,
+            full.filter(F.col("o_orderpriority") == "1-URGENT")
+            .groupBy(F.col("o_orderstatus").alias("st"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("o_orderkey").alias("a"),
+                F.min("o_orderkey").alias("mn"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    # exact grouping, keys in the other order
+    d2 = eng.df(
+        "SELECT o_orderpriority AS pr, o_orderstatus AS st, COUNT(*) AS n "
+        "FROM roll GROUP BY o_orderpriority, o_orderstatus"
+    )
+    assert eng.last_mv_rewrite is not None
+    g2 = sorted(map(tuple, d2.collect()))
+    w2 = sorted(
+        map(
+            tuple,
+            full.groupBy(
+                F.col("o_orderpriority").alias("pr"),
+                F.col("o_orderstatus").alias("st"),
+            ).count().collect(),
+        )
+    )
+    assert g2 == w2
+    # scalar rollup over the two-key MV
+    r = eng.df("SELECT COUNT(*) AS n FROM roll WHERE o_orderstatus = 'F'")
+    assert eng.last_mv_rewrite is not None
+    assert r.first()["n"] == full.filter(
+        F.col("o_orderstatus") == "F"
+    ).count()
+    # grouping off the MV's key set still declines
+    eng.df("SELECT o_custkey, COUNT(*) AS n FROM roll GROUP BY o_custkey").collect()
+    assert eng.last_mv_rewrite is None
+    spark.catalog.dropTempView("roll")
