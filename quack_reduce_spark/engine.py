@@ -2094,11 +2094,12 @@ class Engine:
             "query": query,
             "source_path": source_path,
             "snapshot": snap,
+            "files": _mv_file_listing(source_path),
             "path": path,
         }
         _mvr.save_mv(path, meta)
         self._mvs[name] = meta
-        return {k: v for k, v in meta.items() if k != "snapshot"}
+        return {k: v for k, v in meta.items() if k not in ("snapshot", "files")}
 
     def register_materialized_view(self, name: str, path: str) -> dict:
         """Re-attach a persisted MV (``_mv.json`` written at creation)
@@ -2116,13 +2117,105 @@ class Engine:
         self._mvs[name] = meta
         return {k: v for k, v in meta.items() if k != "snapshot"}
 
-    def refresh_materialized_view(self, name: str) -> dict:
+    def refresh_materialized_view(
+        self, name: str, incremental: bool = False
+    ) -> dict:
         """Recompute a registered MV from its stored query and stamp
-        the source's current snapshot — rewrites resume."""
+        the source's current snapshot — rewrites resume.
+
+        ``incremental=True`` is the append-only fast path (Iceberg-
+        style MV maintenance): the delta files since the last refresh
+        are aggregated ALONE and merged into the existing partials —
+        counts/sums add, mins/maxes fold, all exact because appends
+        only add rows. Falls back to a full recompute when any
+        recorded file disappeared (a rewrite/compaction can shrink
+        aggregates, which no merge can express), when the build-time
+        listing wasn't recorded (too large / adopted from a pre-r13
+        _mv.json), or when the MV has no grouping partial layout. At
+        100 TB this is the difference between re-scanning the table
+        per refresh and reading only the day's appends. Returns the
+        refresh telemetry: mode 'incremental' (+ delta_files),
+        'noop' (source unchanged), or 'full'."""
+        from quack_reduce_spark.plans import mv_rewrite as _mvr
+
         mv = self._mvs.get(name)
         if mv is None:
             raise KeyError(f"materialized view {name!r} is not registered")
-        return self.create_materialized_view(name, mv["query"], mv["path"])
+        if not incremental:
+            out = self.create_materialized_view(name, mv["query"], mv["path"])
+            return {**out, "mode": "full"}
+        old_files = mv.get("files")
+        if not old_files:
+            out = self.create_materialized_view(name, mv["query"], mv["path"])
+            return {**out, "mode": "full"}
+        # snapshot + listing BEFORE reading the delta (the creation
+        # discipline): a racing commit can only cause later declines
+        snap = _mvr.source_snapshot(mv["source_path"])
+        cur = _mv_file_listing(mv["source_path"])
+        if cur is None or set(old_files) - set(cur):
+            # listing un-capturable or files REMOVED: merge can't
+            # express shrinkage — full recompute
+            out = self.create_materialized_view(name, mv["query"], mv["path"])
+            return {**out, "mode": "full"}
+        new = sorted(set(cur) - set(old_files))
+        if not new:
+            mv["snapshot"] = snap  # nothing to do; re-stamp freshness
+            mv["files"] = cur
+            _mvr.save_mv(mv["path"], mv)
+            return {"name": name, "mode": "noop"}
+        delta = self.spark.read.option(
+            "basePath", mv["source_path"]
+        ).parquet(*new)
+        groups = list(mv["groups"])
+        aggs = []
+        merges = []
+        for cn in mv["partials"]:
+            kind, _, col = cn.partition("__")
+            if cn == "n__star":
+                aggs.append(F.count(F.lit(1)).alias(cn))
+                merges.append(F.sum(F.col(cn)).alias(cn))
+            elif kind == "count":
+                aggs.append(F.count(F.col(col)).alias(cn))
+                merges.append(F.sum(F.col(cn)).alias(cn))
+            elif kind == "sum":
+                aggs.append(F.sum(F.col(col)).alias(cn))
+                merges.append(F.sum(F.col(cn)).alias(cn))
+            elif kind == "min":
+                aggs.append(F.min(F.col(col)).alias(cn))
+                merges.append(F.min(F.col(cn)).alias(cn))
+            elif kind == "max":
+                aggs.append(F.max(F.col(col)).alias(cn))
+                merges.append(F.max(F.col(cn)).alias(cn))
+            else:
+                out = self.create_materialized_view(
+                    name, mv["query"], mv["path"]
+                )
+                return {**out, "mode": "full"}
+        dagg = (
+            delta.groupBy(*[F.col(g) for g in groups]).agg(*aggs)
+            if groups
+            else delta.agg(*aggs)
+        )
+        old = self.spark.read.parquet(mv["path"])
+        merged = old.unionByName(dagg.select(*old.columns))
+        merged = (
+            merged.groupBy(*[F.col(g) for g in groups]).agg(*merges)
+            if groups
+            else merged.agg(*merges)
+        )
+        # pin the merged rows (MV-scale, small) so the overwrite of
+        # the directory we just read from cannot fault the plan, and
+        # keep the stored schema exactly (sum-of-sums re-widens
+        # decimals; the cast back is exact short of a true overflow,
+        # where a full recompute would widen identically)
+        merged = merged.select(
+            *[F.col(f.name).cast(f.dataType) for f in old.schema.fields]
+        ).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(mv["path"])
+        mv["snapshot"] = snap
+        mv["files"] = cur
+        _mvr.save_mv(mv["path"], mv)
+        return {"name": name, "mode": "incremental", "delta_files": len(new)}
 
     def drop_materialized_view(self, name: str) -> None:
         self._mvs.pop(name, None)
@@ -2143,6 +2236,31 @@ ANALYZE_COUNTS = {"side_scans": 0}
 # Result-cache bounds + observability (tests assert hit/miss behavior)
 RESULT_CACHE_MAX = 128
 RESULT_CACHE_COUNTS = {"hits": 0, "misses": 0}
+
+# Incremental MV refresh records the build-time file listing up to
+# this many files; beyond it (or when listing fails) refreshes fall
+# back to full recompute — at that table size the listing should come
+# from a manifest-backed source anyway
+MV_INCR_MAX_FILES = 4096
+
+
+def _mv_file_listing(path: str) -> list[str] | None:
+    """Sorted data-file listing for MV delta detection, or None when
+    it cannot be captured cheaply (too many files / listing error)."""
+    from quack_reduce_spark.lake import _fs_for
+    from quack_reduce_spark.operators.zonemaps import _data_files
+
+    base = path.rstrip("/")
+    fs = _fs_for(base)
+    if not fs.is_dir(base):
+        return [base]
+    try:
+        files = sorted(_data_files(base))
+    except Exception:
+        return None
+    if not files or len(files) > MV_INCR_MAX_FILES:
+        return None
+    return files
 
 
 def _plan_cacheable(df: DataFrame) -> bool:
