@@ -116,6 +116,12 @@ ALL_FAMILIES = [
     # answers from contained-file metadata + O(1) boundary files, so
     # the dashboard count must stay FLAT while the table grows 10x
     "lake_agg_probe",
+    # round-13 addition: MV rewrite + incremental maintenance vs the
+    # same growing table — the rewritten dashboard aggregate reads the
+    # (group-count-sized) MV so stays FLAT; a FIXED-size append's
+    # incremental refresh reads only the delta so stays FLAT while the
+    # full recompute grows with the table
+    "lake_mv_probe",
 ]
 
 
@@ -620,6 +626,70 @@ def main() -> None:
                         plan.get("files_contained")
                     )
                     agg_rows["files_total"].append(plan.get("files_total"))
+
+                # r13: MV rewrite + incremental maintenance over the
+                # same table. LAST in the loop body: the fixed-size
+                # delta append below mutates zpath
+                if "lake_mv_probe" in wanted:
+                    from quack_reduce_spark.engine import Engine as _Eng3
+
+                    eng3 = _Eng3(spark=spark, result_cache=False)
+                    mview = f"zm_mv_x{m}"
+                    eng3.register(mview, zpath)
+                    mvp = f"{tmp}/mv_x{m}"
+                    t0 = time.time()
+                    eng3.create_materialized_view(
+                        f"{mview}_mv",
+                        f"SELECT o_orderstatus, COUNT(*) AS n,"
+                        f" COUNT(o_totalprice) AS np,"
+                        f" MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx"
+                        f" FROM {mview} GROUP BY o_orderstatus",
+                        mvp,
+                    )
+                    mv_build = round(time.time() - t0, 3)
+                    qmv = (
+                        f"SELECT o_orderstatus, COUNT(*) AS n"
+                        f" FROM {mview} WHERE o_orderstatus = 'F'"
+                        f" GROUP BY o_orderstatus"
+                    )
+
+                    def mv_probe(eng3=eng3, qmv=qmv):
+                        def thunk():
+                            eng3.df(qmv).collect()
+                        return thunk
+
+                    mv_probe()()  # warm
+                    assert eng3.last_mv_rewrite is not None
+                    tmv = _timed(mv_probe())
+                    # full recompute cost at this size (for contrast)
+                    t0 = time.time()
+                    eng3.refresh_materialized_view(f"{mview}_mv")
+                    full_sec = round(time.time() - t0, 3)
+                    # FIXED-size delta (the base table, ~n_base rows)
+                    # appended; incremental refresh reads only it
+                    orders.select(
+                        "o_orderkey", "o_orderdate",
+                        "o_orderstatus", "o_totalprice",
+                    ).coalesce(2).write.mode("append").parquet(zpath)
+                    t0 = time.time()
+                    itele = eng3.refresh_materialized_view(
+                        f"{mview}_mv", incremental=True
+                    )
+                    incr_sec = round(time.time() - t0, 3)
+                    assert itele["mode"] == "incremental", itele
+                    mv_rows = results.setdefault(
+                        "lake_mv_probe",
+                        {"mults": [], "rows": [], "sec": [],
+                         "mv_build_sec": [], "full_refresh_sec": [],
+                         "incr_refresh_sec": [], "delta_files": []},
+                    )
+                    mv_rows["mults"].append(m)
+                    mv_rows["rows"].append(n_base * m)
+                    mv_rows["sec"].append(round(tmv, 3))
+                    mv_rows["mv_build_sec"].append(mv_build)
+                    mv_rows["full_refresh_sec"].append(full_sec)
+                    mv_rows["incr_refresh_sec"].append(incr_sec)
+                    mv_rows["delta_files"].append(itele["delta_files"])
             results["lake_zonemap_probe"] = {
                 "mults": MULTS,
                 "rows": ns,
@@ -661,6 +731,23 @@ def main() -> None:
                 print(
                     f"  lake_agg_probe: {ar['sec']} scanned/contained/total "
                     f"{list(zip(ar['files_scanned'], ar['files_contained'], ar['files_total']))}",
+                    file=sys.stderr,
+                )
+            if "lake_mv_probe" in results:
+                mr = results["lake_mv_probe"]
+                mr["fit_exp"] = round(_fit_exponent(mr["rows"], mr["sec"]), 3)
+                mr["incr_fit_exp"] = round(
+                    _fit_exponent(mr["rows"], mr["incr_refresh_sec"]), 3
+                )
+                mr["tail_exp"] = round(
+                    math.log(mr["sec"][-1] / mr["sec"][-2])
+                    / math.log(MULTS[-1] / MULTS[-2]),
+                    3,
+                )
+                print(
+                    f"  lake_mv_probe: rewrite {mr['sec']} "
+                    f"incr {mr['incr_refresh_sec']} "
+                    f"full {mr['full_refresh_sec']}",
                     file=sys.stderr,
                 )
 
@@ -1018,6 +1105,22 @@ def main() -> None:
                 "the touched partition's manifest (count-gated), so append "
                 "cost tracks the DELTA, not the table — the Iceberg "
                 "append-commit cost model on plain parquet."
+            )
+        if "lake_mv_probe" in results:
+            r = results["lake_mv_probe"]
+            lines.append("")
+            lines.append(
+                "The `lake_mv_probe` row times a dashboard aggregate "
+                "REWRITTEN over a 3-group materialized view while the "
+                "source grows 1→10x — the query reads the MV, not the "
+                "table, so it stays flat (one-time MV builds "
+                f"{r['mv_build_sec']} s). A FIXED-size append then "
+                f"refreshes incrementally in {r['incr_refresh_sec']} s "
+                f"(delta files {r['delta_files']}, incr_fit_exp "
+                f"{r['incr_fit_exp']}) vs full recomputes of "
+                f"{r['full_refresh_sec']} s — refresh cost tracks the "
+                "DELTA, not the table, which is the MV-maintenance claim "
+                "under test."
             )
         if "candidates" in results.get("dedup_prefix_filter", {}):
             r = results["dedup_prefix_filter"]
