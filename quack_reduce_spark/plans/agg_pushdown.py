@@ -239,10 +239,56 @@ def extract_grouped_agg(
     return _extract_agg(df, paths_by_name, grouped=True)
 
 
+def _peel_sort_limit(opt: Any) -> tuple[Any, list | None, int | None]:
+    """Peel ``GlobalLimit(LocalLimit(Sort(...)))`` wrappers above the
+    Aggregate — the dashboard top-k shape (``... GROUP BY k ORDER BY n
+    DESC LIMIT 5``). Returns ``(inner node, sort, limit)`` where sort
+    is ``[(output exprId, ascending, nulls_first), ...]`` (resolved to
+    output POSITIONS by the caller) or None when a Sort exists but is
+    not fully understood (bare output attributes only) — the caller
+    must then decline: a LIMIT's row choice depends on the sort."""
+    node = opt
+    limit = None
+    cls = node.getClass().getSimpleName()
+    if cls == "GlobalLimit":
+        le = node.limitExpr()
+        if le.getClass().getSimpleName() != "Literal" or le.value() is None:
+            return node, None, None
+        limit = int(str(le.value()))
+        node = node.child()
+        if node.getClass().getSimpleName() == "LocalLimit":
+            node = node.child()
+        cls = node.getClass().getSimpleName()
+    sort: list | None = []
+    if cls == "Sort":
+        if not getattr(node, "global")():
+            return node, None, limit
+        order = node.order()
+        for j in range(order.size()):
+            so = order.apply(j)
+            _n, aid = _attr_id(so.child())
+            if aid is None:
+                return node.child(), None, limit  # expression sort key
+            sort.append(
+                (
+                    aid,
+                    so.direction().sql() == "ASC",
+                    so.nullOrdering().sql() == "NULLS FIRST",
+                )
+            )
+        node = node.child()
+    return node, sort, limit
+
+
 def _extract_agg(
     df: DataFrame, paths_by_name: dict[str, str], grouped: bool
 ) -> dict | None:
-    opt = df._jdf.queryExecution().optimizedPlan()
+    root = df._jdf.queryExecution().optimizedPlan()
+    opt, sort, limit = _peel_sort_limit(root)
+    if sort is None:
+        # a Sort existed but was not fully understood: the row
+        # order (and under LIMIT, the row set) is not reproducible
+        return None
     if opt.getClass().getSimpleName() != "Aggregate":
         return None
     gexprs = opt.groupingExpressions()
@@ -300,10 +346,15 @@ def _extract_agg(
 
     # -- aggregate expressions: COUNT(*)/COUNT(col)/MIN(col)/MAX(col)
     aggs: list[tuple[str, str | None]] = []
+    id_to_pos: dict[int, int] = {}  # output exprId -> position
     aexprs = opt.aggregateExpressions()
     for i in range(aexprs.size()):
         ne = aexprs.apply(i)
         necls = ne.getClass().getSimpleName()
+        try:
+            id_to_pos[int(ne.exprId().id())] = i
+        except Exception:
+            pass  # an output without an exprId can't be a sort key
         if grouped and necls == "AttributeReference":
             # a grouping column selected bare
             gcol = gids.get(int(ne.exprId().id()))
@@ -402,6 +453,12 @@ def _extract_agg(
     out_fields = [(f.name, f.dataType) for f in df.schema.fields]
     if len(out_fields) != len(aggs):
         return None
+    sort_pos = []
+    for aid, asc, nf in sort:
+        pos = id_to_pos.get(aid)
+        if pos is None:
+            return None  # sort key is not one of the outputs
+        sort_pos.append((pos, asc, nf))
     return {
         "table": table,
         "groups": groups,
@@ -409,7 +466,30 @@ def _extract_agg(
         "conjuncts": conjuncts,
         "types": types,
         "out": out_fields,
+        "sort": sort_pos,
+        "limit": limit,
     }
+
+
+def apply_sort_limit(frame: DataFrame, info: dict) -> DataFrame:
+    """Re-apply a peeled ORDER BY / LIMIT to a rebuilt frame — sort
+    keys are output positions, so aliases and duplicate names can't
+    mis-bind."""
+    cols = frame.columns
+    if info.get("sort"):
+        order = []
+        for pos, asc, nf in info["sort"]:
+            c = frame[cols[pos]]
+            if asc:
+                order.append(c.asc_nulls_first() if nf else c.asc_nulls_last())
+            else:
+                order.append(
+                    c.desc_nulls_first() if nf else c.desc_nulls_last()
+                )
+        frame = frame.orderBy(*order)
+    if info.get("limit") is not None:
+        frame = frame.limit(info["limit"])
+    return frame
 
 
 def _tri_state(

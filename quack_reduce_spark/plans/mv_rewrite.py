@@ -239,7 +239,10 @@ def try_rewrite(
 def _build(
     spark: SparkSession, info: dict, mv: dict, name: str
 ) -> tuple[DataFrame, dict]:
-    from quack_reduce_spark.plans.agg_pushdown import residual_predicate
+    from quack_reduce_spark.plans.agg_pushdown import (
+        apply_sort_limit,
+        residual_predicate,
+    )
 
     grouped = bool(info["groups"])
     base = spark.read.parquet(mv["path"])
@@ -302,7 +305,7 @@ def _build(
         else:
             expr = F.col(f"__p{i}")
         outs.append(expr.cast(otype).alias(oname))
-    frame = agged.select(*outs)
+    frame = apply_sort_limit(agged.select(*outs), info)
     telemetry = {
         "view": name,
         "table": info["table"],

@@ -659,3 +659,53 @@ def test_manifest_uri_escaped_partition_values(spark, sf_dir, tmp_path):
         .count()
     )
     assert got == want
+
+def test_sql_agg_order_by_limit_peeling(spark, sf_dir, tmp_path):
+    """The dashboard top-k shape (GROUP BY k ORDER BY n DESC LIMIT 2)
+    peels its Sort/Limit, answers from metadata, and re-applies the
+    order on the rebuilt frame; an ORDER BY expression (not a bare
+    output) declines and stays correct."""
+    path = str(tmp_path / "topkagg")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_orderstatus", "o_orderkey"])
+    eng = Engine(spark=spark)
+    eng.register("topk_t", path)
+    full = spark.read.parquet(path)
+    d = eng.df(
+        "SELECT o_orderstatus AS st, COUNT(*) AS n FROM topk_t "
+        "GROUP BY o_orderstatus ORDER BY n DESC, st ASC LIMIT 2"
+    )
+    plan = eng.last_agg_plan
+    assert plan is not None and plan["files_scanned"] == 0
+    got = [tuple(r) for r in d.collect()]
+    want = [
+        tuple(r)
+        for r in full.groupBy(F.col("o_orderstatus").alias("st"))
+        .count()
+        .orderBy(F.col("count").desc(), F.col("st").asc())
+        .limit(2)
+        .collect()
+    ]
+    assert got == want
+    # scalar shape with ORDER BY on the aggregate output also peels
+    r = eng.df(
+        "SELECT MAX(o_orderkey) AS mx FROM topk_t ORDER BY mx"
+    ).first()
+    assert eng.last_agg_plan is not None
+    assert r["mx"] == full.agg(F.max("o_orderkey")).first()[0]
+    # ORDER BY an expression over an output: decline, stay correct
+    d3 = eng.df(
+        "SELECT o_orderstatus AS st, COUNT(*) AS n FROM topk_t "
+        "GROUP BY o_orderstatus ORDER BY n % 7, st LIMIT 2"
+    )
+    assert eng.last_agg_plan is None
+    w3 = (
+        full.groupBy(F.col("o_orderstatus").alias("st"))
+        .count()
+        .orderBy((F.col("count") % 7), F.col("st"))
+        .limit(2)
+        .collect()
+    )
+    assert [tuple(r) for r in d3.collect()] == [tuple(r) for r in w3]
+    spark.catalog.dropTempView("topk_t")

@@ -339,3 +339,25 @@ def test_mv_incremental_refresh(spark, sf_dir, tmp_path):
         "mode"
     ] == "full"
     spark.catalog.dropTempView("incr")
+
+def test_mv_rewrite_order_by_limit(spark, sf_dir, tmp_path):
+    """Sort/Limit peel + re-apply on the MV path: the top-k dashboard
+    query rewrites over the MV and returns exactly the plain rows."""
+    eng, src = _setup(spark, sf_dir, tmp_path, "mvtk")
+    full = spark.read.parquet(src)
+    d = eng.df(
+        "SELECT o_orderstatus AS st, COUNT(*) AS n FROM mvtk "
+        "GROUP BY o_orderstatus ORDER BY n DESC, st LIMIT 2"
+    )
+    assert eng.last_mv_rewrite is not None
+    got = [tuple(r) for r in d.collect()]
+    want = [
+        tuple(r)
+        for r in full.groupBy(F.col("o_orderstatus").alias("st"))
+        .count()
+        .orderBy(F.col("count").desc(), F.col("st"))
+        .limit(2)
+        .collect()
+    ]
+    assert got == want
+    spark.catalog.dropTempView("mvtk")
