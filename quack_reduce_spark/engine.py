@@ -568,17 +568,14 @@ class Engine:
         rows, total = _zm.prune_files_multi(self.spark, path, cons)
         if total != len(_zm._data_files(path)):
             return None  # un-maintained append: metadata can't answer
-        built = (
-            _ap.build_group_agg_frame(self.spark, path, info, rows, total)
-            if info["groups"]
-            else _ap.build_agg_frame(self.spark, path, info, rows, total)
-        )
-        if built is None:
-            return None
-        frame, tele = built
-        # a peeled dashboard ORDER BY / LIMIT re-applies on the
-        # rebuilt frame (MV-scale rows: the sort is trivial)
-        return _ap.apply_sort_limit(frame, info), tele
+        # the builders finish the frame themselves: HAVING + the
+        # peeled ORDER BY / LIMIT re-apply over the full aggregate-
+        # output list before the visible projection
+        if info["groups"]:
+            return _ap.build_group_agg_frame(
+                self.spark, path, info, rows, total
+            )
+        return _ap.build_agg_frame(self.spark, path, info, rows, total)
 
     def table_stats(self, name: str) -> dict:
         """ANALYZE-style statistics for a registered zone-mapped table,

@@ -1455,15 +1455,18 @@ def lake_group_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
          float(r["avg_key"]))
         for r in d1.collect()
     ]
+    # the range query ALSO exercises the r13 HAVING + ORDER BY peel
+    # (trivially-true HAVING: values unchanged, path exercised)
     d2 = eng.df(
         f"SELECT o_orderstatus AS st, COUNT(*) AS n FROM {t} "
         f"WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
-        f"GROUP BY o_orderstatus"
+        f"GROUP BY o_orderstatus HAVING COUNT(*) >= 1 ORDER BY st"
     )
     plan2 = eng.last_agg_plan
     _require(
         plan2 is not None and plan2.get("group_by") == ["o_orderstatus"],
-        "range grouped aggregate did not take the metadata path", plan2,
+        "range grouped aggregate (HAVING/ORDER peel) left the metadata path",
+        plan2,
     )
     rows2 = {r["st"]: int(r["n"]) for r in d2.collect()}
     spark.catalog.dropTempView(t)

@@ -192,6 +192,14 @@ def _split_and(cond: Any) -> list[Any]:
 # row-rendered key width), while real layouts cluster on 1-3 columns
 _MAX_GROUP_KEYS = 4
 
+# HAVING compares OUTPUT values against plan literals: accepted only
+# where the Catalyst internal form decodes to the natural Python value
+# (timestamps stay raw micros and decimals unscaled — both decline)
+_HAVING_TYPES = {
+    "integer", "long", "short", "byte", "double", "float",
+    "string", "date", "boolean",
+}
+
 # group-key types the metadata path can re-render EXACTLY through
 # createDataFrame rows (zone-free): integer family, strings, dates,
 # and unscaled decimals. Timestamps decline in group mode (their
@@ -289,6 +297,23 @@ def _extract_agg(
         # a Sort existed but was not fully understood: the row
         # order (and under LIMIT, the row set) is not reproducible
         return None
+    # optional Project over bare aggregate outputs + Filter(s) ABOVE
+    # the Aggregate: the HAVING shape (a projected-away auxiliary
+    # aggregate like HAVING COUNT(*) > k introduces the Project)
+    proj_ids: list[int] | None = None
+    if opt.getClass().getSimpleName() == "Project":
+        pl = opt.projectList()
+        proj_ids = []
+        for j in range(pl.size()):
+            _pn, aid = _attr_id(pl.apply(j))
+            if aid is None:
+                return None
+            proj_ids.append(aid)
+        opt = opt.child()
+    having_conds = []
+    while opt.getClass().getSimpleName() == "Filter":
+        having_conds.append(opt.condition())
+        opt = opt.child()
     if opt.getClass().getSimpleName() != "Aggregate":
         return None
     gexprs = opt.groupingExpressions()
@@ -451,7 +476,16 @@ def _extract_agg(
         nm: tn for nm, tn in by_id.values() if nm in used
     }
     out_fields = [(f.name, f.dataType) for f in df.schema.fields]
-    if len(out_fields) != len(aggs):
+    if proj_ids is not None:
+        visible = []
+        for aid in proj_ids:
+            pos = id_to_pos.get(aid)
+            if pos is None:
+                return None
+            visible.append(pos)
+    else:
+        visible = list(range(len(aggs)))
+    if len(out_fields) != len(visible):
         return None
     sort_pos = []
     for aid, asc, nf in sort:
@@ -459,6 +493,25 @@ def _extract_agg(
         if pos is None:
             return None  # sort key is not one of the outputs
         sort_pos.append((pos, asc, nf))
+    having = []
+    for cond in having_conds:
+        for leaf in _split_and(cond):
+            got = _exact_conjunct(leaf)
+            if got is None:
+                return None
+            aid, op, v = got
+            pos = id_to_pos.get(aid)
+            if pos is None:
+                return None
+            if aexprs.apply(pos).dataType().typeName() not in _HAVING_TYPES:
+                return None  # internal-form literal domain unclear
+            having.append((pos, op, v))
+    from pyspark.sql.types import _parse_datatype_json_string
+
+    out_all_types = [
+        _parse_datatype_json_string(aexprs.apply(i).dataType().json())
+        for i in range(aexprs.size())
+    ]
     return {
         "table": table,
         "groups": groups,
@@ -466,20 +519,26 @@ def _extract_agg(
         "conjuncts": conjuncts,
         "types": types,
         "out": out_fields,
+        "visible": visible,
+        "out_all_types": out_all_types,
+        "having": having,
         "sort": sort_pos,
         "limit": limit,
     }
 
 
-def apply_sort_limit(frame: DataFrame, info: dict) -> DataFrame:
-    """Re-apply a peeled ORDER BY / LIMIT to a rebuilt frame — sort
-    keys are output positions, so aliases and duplicate names can't
-    mis-bind."""
-    cols = frame.columns
+def finish_frame(frame: DataFrame, info: dict) -> DataFrame:
+    """Finish a rebuilt aggregate frame whose columns are the FULL
+    aggregate-output list as ``__o{i}``: apply the HAVING predicate,
+    the peeled ORDER BY / LIMIT (sort keys are positions, so hidden
+    auxiliary aggregates participate), and project the visible outputs
+    under their final names/types."""
+    if info.get("having"):
+        frame = frame.where(_having_predicate(info["having"]))
     if info.get("sort"):
         order = []
         for pos, asc, nf in info["sort"]:
-            c = frame[cols[pos]]
+            c = F.col(f"__o{pos}")
             if asc:
                 order.append(c.asc_nulls_first() if nf else c.asc_nulls_last())
             else:
@@ -489,7 +548,43 @@ def apply_sort_limit(frame: DataFrame, info: dict) -> DataFrame:
         frame = frame.orderBy(*order)
     if info.get("limit") is not None:
         frame = frame.limit(info["limit"])
-    return frame
+    return frame.select(
+        *[
+            F.col(f"__o{p}").cast(t).alias(n)
+            for (n, t), p in zip(info["out"], info["visible"])
+        ]
+    )
+
+
+def _having_predicate(having: list):
+    """Exact filter over the ``__o{i}`` aggregate outputs — HAVING
+    conjuncts compare OUTPUT values against plain literals (types
+    pre-gated to natural-Python internal forms)."""
+    pred = F.lit(True)
+    for pos, op, v in having:
+        c = F.col(f"__o{pos}")
+        if op == "isnull":
+            pred = pred & c.isNull()
+        elif op == "isnotnull":
+            pred = pred & c.isNotNull()
+        elif op == "in":
+            cond = F.lit(False)
+            for x in sorted(v, key=repr):
+                cond = cond | (c == F.lit(x))
+            pred = pred & cond
+        elif op == "ge":
+            pred = pred & (c >= F.lit(v))
+        elif op == "gt":
+            pred = pred & (c > F.lit(v))
+        elif op == "le":
+            pred = pred & (c <= F.lit(v))
+        elif op == "lt":
+            pred = pred & (c < F.lit(v))
+        else:
+            pred = pred & (c == F.lit(v))
+    return pred
+
+
 
 
 def _tri_state(
@@ -739,7 +834,6 @@ def build_agg_frame(
                 except TypeError:
                     return None
 
-    out = info["out"]
     if boundary:
         bdf = spark.read.option("basePath", path).parquet(*boundary)
         pred = residual_predicate(conjuncts, types)
@@ -769,7 +863,8 @@ def build_agg_frame(
         base = spark.range(1)
 
     outs = []
-    for i, ((kind, col), (oname, otype)) in enumerate(zip(aggs, out)):
+    for i, (kind, col) in enumerate(aggs):
+        otype = info["out_all_types"][i]
         if kind in ("count_star", "count"):
             expr = F.lit(int(meta[i]))
             if boundary:
@@ -829,8 +924,8 @@ def build_agg_frame(
                 )
             else:
                 expr = lit
-        outs.append(expr.cast(otype).alias(oname))
-    frame = base.select(*outs)
+        outs.append(expr.cast(otype).alias(f"__o{i}"))
+    frame = finish_frame(base.select(*outs), info)
     telemetry = {
         "table": info["table"],
         "aggs": [
@@ -1098,7 +1193,7 @@ def build_group_agg_frame(
             finals.append(fn(F.col(f"__a{i}")).alias(f"__f{i}"))
     merged = combined.groupBy(*knames).agg(*finals)
     outs = []
-    for i, ((kind, col), (oname, otype)) in enumerate(zip(aggs, info["out"])):
+    for i, (kind, col) in enumerate(aggs):
         if kind == "key":
             src = F.col(knames[groups.index(col)])
         elif kind == "avg":
@@ -1108,8 +1203,10 @@ def build_group_agg_frame(
             )
         else:
             src = F.col(f"__f{i}")
-        outs.append(src.cast(otype).alias(oname))
-    frame = merged.select(*outs)
+        outs.append(
+            src.cast(info["out_all_types"][i]).alias(f"__o{i}")
+        )
+    frame = finish_frame(merged.select(*outs), info)
     telemetry = {
         "table": info["table"],
         "group_by": list(groups),

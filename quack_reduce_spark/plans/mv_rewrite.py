@@ -126,6 +126,10 @@ def mv_spec(df: DataFrame, paths_by_name: dict[str, str]) -> dict | None:
     )
     if info is None or info["conjuncts"]:
         return None
+    if info["having"] or info["limit"] is not None:
+        return None  # a filtered/truncated grouping is not mergeable
+    if info["visible"] != list(range(len(info["aggs"]))):
+        return None  # hidden auxiliary outputs: not a plain layout
     if any(kind == "avg" for kind, _c in info["aggs"]):
         return None
     if not any(kind != "key" for kind, _c in info["aggs"]):
@@ -240,7 +244,7 @@ def _build(
     spark: SparkSession, info: dict, mv: dict, name: str
 ) -> tuple[DataFrame, dict]:
     from quack_reduce_spark.plans.agg_pushdown import (
-        apply_sort_limit,
+        finish_frame,
         residual_predicate,
     )
 
@@ -288,9 +292,7 @@ def _build(
         else base.agg(*partial_exprs)
     )
     outs = []
-    for i, ((kind, col), (oname, otype)) in enumerate(
-        zip(info["aggs"], info["out"])
-    ):
+    for i, (kind, col) in enumerate(info["aggs"]):
         if kind == "key":
             expr = F.col(col)
         elif kind in ("count_star", "count"):
@@ -304,8 +306,10 @@ def _build(
             )
         else:
             expr = F.col(f"__p{i}")
-        outs.append(expr.cast(otype).alias(oname))
-    frame = apply_sort_limit(agged.select(*outs), info)
+        outs.append(
+            expr.cast(info["out_all_types"][i]).alias(f"__o{i}")
+        )
+    frame = finish_frame(agged.select(*outs), info)
     telemetry = {
         "view": name,
         "table": info["table"],

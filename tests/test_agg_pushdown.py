@@ -709,3 +709,74 @@ def test_sql_agg_order_by_limit_peeling(spark, sf_dir, tmp_path):
     )
     assert [tuple(r) for r in d3.collect()] == [tuple(r) for r in w3]
     spark.catalog.dropTempView("topk_t")
+
+def test_sql_agg_having_peeling(spark, sf_dir, tmp_path):
+    """HAVING peels as a Filter above the Aggregate — including the
+    projected-away auxiliary-aggregate shape (HAVING COUNT(*) over a
+    SELECT that doesn't output it): the hidden aggregate computes as
+    an extra metadata partial, the filter applies before the visible
+    projection, and ORDER BY/LIMIT compose on top."""
+    path = str(tmp_path / "havagg")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_orderstatus", "o_orderkey"])
+    eng = Engine(spark=spark)
+    eng.register("hav_t", path)
+    full = spark.read.parquet(path)
+    want = sorted(
+        map(
+            tuple,
+            full.groupBy(F.col("o_orderstatus").alias("st"))
+            .count()
+            .filter(F.col("count") > 100)
+            .collect(),
+        )
+    )
+    d = eng.df(
+        "SELECT o_orderstatus AS st, COUNT(*) AS n FROM hav_t "
+        "GROUP BY o_orderstatus HAVING COUNT(*) > 100"
+    )
+    assert eng.last_agg_plan is not None
+    assert eng.last_agg_plan["files_scanned"] == 0
+    assert sorted(map(tuple, d.collect())) == want
+    # alias form
+    d2 = eng.df(
+        "SELECT o_orderstatus AS st, COUNT(*) AS n FROM hav_t "
+        "GROUP BY o_orderstatus HAVING n > 100"
+    )
+    assert eng.last_agg_plan is not None
+    assert sorted(map(tuple, d2.collect())) == want
+    # hidden auxiliary aggregate + ORDER BY + LIMIT
+    d3 = eng.df(
+        "SELECT o_orderstatus AS st, SUM(o_orderkey) AS s FROM hav_t "
+        "GROUP BY o_orderstatus HAVING COUNT(*) > 100 ORDER BY st LIMIT 3"
+    )
+    assert eng.last_agg_plan is not None
+    w3 = [
+        tuple(r)
+        for r in full.groupBy(F.col("o_orderstatus").alias("st"))
+        .agg(F.sum("o_orderkey").alias("s"), F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 100)
+        .select("st", "s")
+        .orderBy("st")
+        .limit(3)
+        .collect()
+    ]
+    assert [tuple(r) for r in d3.collect()] == w3
+    # HAVING over an expression of aggregates: decline, stay correct
+    d4 = eng.df(
+        "SELECT o_orderstatus AS st, COUNT(*) AS n FROM hav_t "
+        "GROUP BY o_orderstatus HAVING COUNT(*) % 2 = 1"
+    )
+    assert eng.last_agg_plan is None
+    w4 = sorted(
+        map(
+            tuple,
+            full.groupBy(F.col("o_orderstatus").alias("st"))
+            .count()
+            .filter(F.col("count") % 2 == 1)
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, d4.collect())) == w4
+    spark.catalog.dropTempView("hav_t")
