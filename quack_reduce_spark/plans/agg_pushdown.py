@@ -463,11 +463,10 @@ def _extract_agg(
                 return None
             conjuncts.append((col, op, v))
 
-    if grouped and not any(k != "key" for k, _c in aggs):
-        # SELECT k FROM t GROUP BY k (DISTINCT shape): nothing to
-        # merge — a contained file only proves its OWN key exists,
-        # so run the plain plan
-        return None
+    # the all-keys grouping (SELECT DISTINCT k / GROUP BY k with no
+    # aggregate — the SHOW PARTITIONS query) is supported: a pinned
+    # contained file proves its key tuple EXISTS, boundary files scan
+    # for theirs, and the union dedupes (no partials to merge)
     used = {c for c, _o, _v in conjuncts} | {
         c for _k, c in aggs if c is not None
     }
@@ -1153,6 +1152,7 @@ def build_group_agg_frame(
         meta_rows.append(tuple(row))
     meta_df = spark.createDataFrame(meta_rows, schema)
 
+    distinct_only = not merges  # every output is a grouping key
     combined = meta_df
     if boundary:
         bdf = spark.read.option("basePath", path).parquet(*boundary)
@@ -1177,9 +1177,12 @@ def build_group_agg_frame(
                 aggexprs.append(F.count(F.col(col)).alias(f"__a{i}n"))
             else:
                 aggexprs.append(F.sum(F.col(col)).alias(f"__a{i}"))
-        bagg = base.groupBy(
-            *[F.col(g).alias(kn) for g, kn in zip(groups, knames)]
-        ).agg(*aggexprs)
+        keysel = [F.col(g).alias(kn) for g, kn in zip(groups, knames)]
+        bagg = (
+            base.select(*keysel).distinct()
+            if distinct_only
+            else base.groupBy(*keysel).agg(*aggexprs)
+        )
         combined = meta_df.unionByName(
             bagg.select(*[f.name for f in fields])
         )
@@ -1191,7 +1194,11 @@ def build_group_agg_frame(
             finals.append(F.sum(F.col(f"__a{i}n")).alias(f"__f{i}n"))
         else:
             finals.append(fn(F.col(f"__a{i}")).alias(f"__f{i}"))
-    merged = combined.groupBy(*knames).agg(*finals)
+    merged = (
+        combined.distinct()
+        if distinct_only
+        else combined.groupBy(*knames).agg(*finals)
+    )
     outs = []
     for i, (kind, col) in enumerate(aggs):
         if kind == "key":

@@ -286,11 +286,16 @@ def _build(
             partial_exprs.append(
                 F.sum(F.col(_cname("count", col))).alias(f"__p{i}n")
             )
-    agged = (
-        base.groupBy(*[F.col(g) for g in info["groups"]]).agg(*partial_exprs)
-        if grouped
-        else base.agg(*partial_exprs)
-    )
+    if not partial_exprs:
+        # all-keys query (SELECT DISTINCT k): the MV's groups ARE the
+        # distinct key tuples of the source
+        agged = base.select(*[F.col(g) for g in info["groups"]]).distinct()
+    elif grouped:
+        agged = base.groupBy(
+            *[F.col(g) for g in info["groups"]]
+        ).agg(*partial_exprs)
+    else:
+        agged = base.agg(*partial_exprs)
     outs = []
     for i, (kind, col) in enumerate(info["aggs"]):
         if kind == "key":

@@ -404,9 +404,8 @@ def test_sql_group_agg_declines_unportable_shapes(spark, sf_dir, tmp_path):
         # MIN over a timestamp in group mode
         "SELECT o_orderstatus AS st, MIN(o_orderdate) AS mn FROM grpd_t "
         "GROUP BY o_orderstatus",
-        # the DISTINCT shape: no mergeable aggregate
-        "SELECT o_orderstatus AS st FROM grpd_t GROUP BY o_orderstatus",
-        "SELECT DISTINCT o_orderstatus AS st FROM grpd_t",
+        # DISTINCT over a column with no stats (not a zonemap col)
+        "SELECT DISTINCT o_orderpriority AS pr FROM grpd_t",
     ]
     full.createOrReplaceTempView("grpd_raw")
     for q in cases:
@@ -780,3 +779,53 @@ def test_sql_agg_having_peeling(spark, sf_dir, tmp_path):
     )
     assert sorted(map(tuple, d4.collect())) == w4
     spark.catalog.dropTempView("hav_t")
+
+def test_sql_distinct_from_metadata(spark, sf_dir, tmp_path):
+    """SELECT DISTINCT over pinned grouping columns — the SHOW
+    PARTITIONS query — answers from the manifest with no file scan; a
+    WHERE on a statted column scans only the boundary files; the
+    GROUP-BY-no-aggregate form is the same shape."""
+    path = str(tmp_path / "distmeta")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus", "o_orderpriority").mode(
+        "overwrite"
+    ).parquet(path)
+    Z.write_zonemap(
+        spark, path, ["o_orderstatus", "o_orderpriority", "o_orderkey"]
+    )
+    eng = Engine(spark=spark)
+    eng.register("dist_t", path)
+    full = spark.read.parquet(path)
+    d = eng.df("SELECT DISTINCT o_orderstatus, o_orderpriority FROM dist_t")
+    plan = eng.last_agg_plan
+    assert plan is not None and plan["files_scanned"] == 0
+    assert _no_file_scan(d)
+    got = sorted(map(tuple, d.collect()))
+    want = sorted(
+        map(
+            tuple,
+            full.select("o_orderstatus", "o_orderpriority").distinct().collect(),
+        )
+    )
+    assert got == want
+    d2 = eng.df(
+        "SELECT DISTINCT o_orderpriority FROM dist_t "
+        "WHERE o_orderkey <= 3000 ORDER BY o_orderpriority"
+    )
+    assert eng.last_agg_plan is not None
+    g2 = [r[0] for r in d2.collect()]
+    w2 = sorted(
+        r[0]
+        for r in full.filter(F.col("o_orderkey") <= 3000)
+        .select("o_orderpriority")
+        .distinct()
+        .collect()
+    )
+    assert g2 == w2
+    d3 = eng.df(
+        "SELECT o_orderstatus AS st FROM dist_t GROUP BY o_orderstatus "
+        "ORDER BY st"
+    )
+    assert eng.last_agg_plan is not None
+    assert [r["st"] for r in d3.collect()] == ["F", "O", "P"]
+    spark.catalog.dropTempView("dist_t")
