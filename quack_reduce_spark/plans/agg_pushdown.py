@@ -400,11 +400,27 @@ def _extract_agg(
             continue
         if aecls != "AggregateExpression":
             return None
-        if ae.isDistinct() or ae.filter().isDefined():
+        if ae.filter().isDefined():
             return None
         fn = ae.aggregateFunction()
         fname = fn.getClass().getSimpleName()
         ch = fn.children()
+        if ae.isDistinct():
+            # scalar COUNT(DISTINCT col) over a row-renderable column:
+            # pinned files contribute their single value to a distinct
+            # SET, un-pinned files demote to the boundary scan, and the
+            # union (in Spark, exact by the key-type render rules)
+            # counts once. Grouped distinct declines.
+            if grouped or fname != "Count" or ch.size() != 1:
+                return None
+            _dn, did = _attr_id(ch.apply(0))
+            if did is None or did not in by_id:
+                return None
+            dcol, dtname = by_id[did]
+            if not _group_type_ok(dtname, key=True):
+                return None
+            aggs.append(("count_distinct", dcol))
+            continue
         if fname not in ("Count", "Min", "Max", "Sum", "Average") or (
             ch.size() != 1
         ):
@@ -768,11 +784,15 @@ def build_agg_frame(
     min/max, both null-skipping). None when a needed stat is absent or
     a metadata partial is NaN-poisoned (caller declines, sound)."""
     aggs, conjuncts, types = info["aggs"], info["conjuncts"], info["types"]
-    # avg folds TWO partials (exact sum, non-null count) per agg slot
+    # avg folds TWO partials (exact sum, non-null count) per agg slot;
+    # count_distinct folds a SET of pinned single values
     meta: list[Any] = [
-        [None, 0] if k == "avg" else (0 if k in ("count_star", "count") else None)
+        [None, 0] if k == "avg"
+        else set() if k == "count_distinct"
+        else (0 if k in ("count_star", "count") else None)
         for k, _c in aggs
     ]
+    cd_cols = [c for k, c in aggs if k == "count_distinct"]
     norm = _norm_conjuncts(conjuncts)
     boundary: list[str] = []
     for r in rows:
@@ -780,7 +800,22 @@ def build_agg_frame(
         state = _classify_row(norm, r, n_rows)
         if state == "none":
             continue  # pruning kept it, exact classification drops it
-        if state == "some":
+        # every count_distinct column must PIN this file to one value
+        # (single-valued non-null, or all-NULL = contributes nothing);
+        # anything mixed demotes the whole file to the boundary scan
+        pinned_vals: dict[str, Any] = {}
+        ok_pin = True
+        for c in cd_cols:
+            mn, mx = r.get(f"min_{c}"), r.get(f"max_{c}")
+            nulls = r.get(f"nulls_{c}")
+            if mn is None and nulls is not None and int(nulls) == n_rows:
+                pinned_vals[c] = None
+            elif mn is not None and mn == mx and not _is_nan(mn):
+                pinned_vals[c] = mn
+            else:
+                ok_pin = False
+                break
+        if state == "some" or not ok_pin:
             boundary.append(r["file"])
             continue
         for i, (kind, col) in enumerate(aggs):
@@ -817,6 +852,10 @@ def build_agg_frame(
                     (0 if meta[i][0] is None else meta[i][0]) + int(sv),
                     meta[i][1] + nn,
                 ]
+            elif kind == "count_distinct":
+                v = pinned_vals[col]
+                if v is not None:
+                    meta[i].add(v)
             else:
                 v = r.get(f"min_{col}" if kind == "min" else f"max_{col}")
                 if v is None:
@@ -855,9 +894,41 @@ def build_agg_frame(
                     F.sum(F.col(col).cast("decimal(38,0)")).alias(f"__a{i}s")
                 )
                 partials.append(F.count(F.col(col)).alias(f"__a{i}n"))
+            elif kind == "count_distinct":
+                pass  # computed via a crossJoined distinct-union frame
             else:
                 partials.append(F.max(F.col(col)).alias(f"__a{i}"))
-        base = bdf.where(pred).agg(*partials)
+        base = (
+            bdf.where(pred).agg(*partials)
+            if partials
+            else spark.range(1)
+        )
+        # each COUNT(DISTINCT c): the pinned metadata values union the
+        # boundary files' distinct values IN SPARK (exact by the key-
+        # type render rules), counted once and crossJoined as a 1-row
+        # frame — no driver-side value materialization beyond the
+        # pinned set
+        from pyspark.sql import types as T
+
+        for i, (kind, col) in enumerate(aggs):
+            if kind != "count_distinct":
+                continue
+            tname = types.get(col, "")
+            schema = T.StructType(
+                [T.StructField("__v", _py_datatype(tname))]
+            )
+            mdf = spark.createDataFrame(
+                [(_render_meta(v, tname),) for v in meta[i]], schema
+            )
+            bvals = (
+                bdf.where(pred)
+                .select(F.col(col).alias("__v"))
+                .where(F.col("__v").isNotNull())
+            )
+            cd = mdf.unionByName(bvals).agg(
+                F.count_distinct(F.col("__v")).alias(f"__a{i}")
+            )
+            base = base.crossJoin(cd)
     else:
         base = spark.range(1)
 
@@ -868,6 +939,14 @@ def build_agg_frame(
             expr = F.lit(int(meta[i]))
             if boundary:
                 expr = expr + F.coalesce(F.col(f"__a{i}"), F.lit(0))
+        elif kind == "count_distinct":
+            # with a boundary the crossJoined frame already merged the
+            # metadata values; without one the pinned set IS the answer
+            expr = (
+                F.coalesce(F.col(f"__a{i}"), F.lit(0))
+                if boundary
+                else F.lit(len(meta[i]))
+            )
         elif kind == "avg":
             import decimal as _pydec
 

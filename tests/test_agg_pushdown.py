@@ -829,3 +829,81 @@ def test_sql_distinct_from_metadata(spark, sf_dir, tmp_path):
     assert eng.last_agg_plan is not None
     assert [r["st"] for r in d3.collect()] == ["F", "O", "P"]
     spark.catalog.dropTempView("dist_t")
+
+def test_sql_count_distinct_pushdown(spark, sf_dir, tmp_path):
+    """Scalar COUNT(DISTINCT col): pinned files contribute their
+    single value to a distinct set (zero files read on a partitioned
+    layout), un-pinned files demote to the boundary scan whose values
+    union in Spark; two distinct columns (Catalyst's Expand rewrite)
+    and grouped distinct decline and stay correct."""
+    path = str(tmp_path / "cdist")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+    Z.write_zonemap(spark, path, ["o_orderstatus", "o_orderkey", "o_custkey"])
+    eng = Engine(spark=spark)
+    eng.register("cd_t", path)
+    full = spark.read.parquet(path)
+    d = eng.df(
+        "SELECT COUNT(DISTINCT o_orderstatus) AS a, MAX(o_orderkey) AS mx, "
+        "COUNT(*) AS n FROM cd_t"
+    )
+    assert eng.last_agg_plan is not None
+    assert eng.last_agg_plan["files_scanned"] == 0
+    assert _no_file_scan(d)
+    w = full.agg(
+        F.count_distinct("o_orderstatus"), F.max("o_orderkey"),
+        F.count(F.lit(1)),
+    ).first()
+    assert tuple(d.first()) == tuple(w)
+    # un-pinned distinct column: boundary union, exact
+    d2 = eng.df(
+        "SELECT COUNT(DISTINCT o_custkey) AS n, SUM(o_orderkey) AS s "
+        "FROM cd_t WHERE o_orderstatus = 'F'"
+    )
+    assert eng.last_agg_plan is not None
+    sub = full.filter(F.col("o_orderstatus") == "F")
+    w2 = sub.agg(F.count_distinct("o_custkey"), F.sum("o_orderkey")).first()
+    assert tuple(d2.first()) == tuple(w2)
+    # two distinct columns -> Expand rewrite -> decline, correct
+    d3 = eng.df(
+        "SELECT COUNT(DISTINCT o_orderstatus) AS a, "
+        "COUNT(DISTINCT o_custkey) AS b FROM cd_t"
+    )
+    assert eng.last_agg_plan is None
+    w3 = full.agg(
+        F.count_distinct("o_orderstatus"), F.count_distinct("o_custkey")
+    ).first()
+    assert tuple(d3.first()) == tuple(w3)
+    # grouped distinct: decline, correct
+    d4 = eng.df(
+        "SELECT o_orderstatus AS st, COUNT(DISTINCT o_custkey) AS n "
+        "FROM cd_t GROUP BY o_orderstatus"
+    )
+    assert eng.last_agg_plan is None
+    w4 = sorted(
+        map(
+            tuple,
+            full.groupBy(F.col("o_orderstatus").alias("st"))
+            .agg(F.count_distinct("o_custkey").alias("n"))
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, d4.collect())) == w4
+    # all-NULL column: COUNT(DISTINCT) is 0 from metadata
+    path2 = str(tmp_path / "cdnull")
+    import pyspark.sql.types as T
+
+    spark.createDataFrame(
+        [(1, None), (2, None)],
+        T.StructType([
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.LongType()),
+        ]),
+    ).coalesce(1).write.parquet(path2)
+    Z.write_zonemap(spark, path2, ["k", "v"])
+    eng.register("cdnull", path2)
+    d5 = eng.df("SELECT COUNT(DISTINCT v) AS n FROM cdnull")
+    assert eng.last_agg_plan is not None
+    assert d5.first()["n"] == 0
+    spark.catalog.dropTempView("cd_t")
+    spark.catalog.dropTempView("cdnull")
