@@ -538,13 +538,18 @@ class Engine:
             return None
         path, zcols = zm_tables[info["table"]]
         zset = set(zcols)
-        if any(c is not None and c not in zset for _k, c in info["aggs"]):
-            # MIN/MAX/COUNT/SUM(col) — and a grouping key — need stats
+        if any(
+            c is not None and c not in zset
+            for k, c in info["aggs"]
+            if k != "key"  # keys check via their SOURCE column below
+        ):
+            # MIN/MAX/COUNT/SUM/AVG/COUNT-DISTINCT(col) need stats
             return None
-        if any(g not in zset for g in info["groups"]):
-            # every grouping column needs stats for the per-file
-            # single-valuedness classification (a key may be grouped
-            # on without being selected, so check beyond the outputs)
+        if any(g["src"] not in zset for g in info["groups"]):
+            # every grouping key's SOURCE column needs stats for the
+            # per-file single-valuedness classification (a key may be
+            # grouped on without being selected, and derived keys pin
+            # through their source column's endpoints)
             return None
         # closed-widened constraints for the pruned-in SUPERSET; the
         # strict/exact semantics are re-applied by the per-file

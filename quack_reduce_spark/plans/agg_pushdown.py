@@ -176,6 +176,112 @@ def _exact_conjunct(e: Any) -> tuple[int, str, Any] | None:
     return None
 
 
+# trunc() format literals accepted per bucket (Spark's own aliases)
+_TRUNC_MONTH = {"month", "mon", "mm"}
+_TRUNC_YEAR = {"year", "yyyy", "yy"}
+
+
+def _date_src(e: Any, by_id: dict) -> str | None:
+    """Source column NAME when ``e`` is a bare date column or a cast
+    of a bare timestamp_ntz column to date (monotone wall-clock
+    truncation); None otherwise. Session-zoned timestamps decline —
+    their stats are epoch micros and every bucket boundary depends on
+    the session zone."""
+    cls = e.getClass().getSimpleName()
+    if cls == "Cast" and e.dataType().typeName() == "date":
+        _n, aid = _attr_id(e.child())
+        if aid is not None and aid in by_id:
+            col, tname = by_id[aid]
+            if tname == "timestamp_ntz":
+                return col
+        return None
+    _n, aid = _attr_id(e)
+    if aid is not None and aid in by_id and by_id[aid][1] == "date":
+        return by_id[aid][0]
+    return None
+
+
+def _derived_group(e: Any, by_id: dict) -> dict | None:
+    """Recognize a MONOTONE date-bucket grouping expression —
+    ``year(d)``, ``trunc(d, 'month'/'year')``, ``to_date(ts)`` — over
+    one bare date / NTZ-timestamp column. Monotonicity is the
+    soundness requirement: F(min) == F(max) proves every row of a file
+    falls in ONE bucket (a non-monotone key like month-of-year would
+    wrap). Returns the group spec or None."""
+    if e is None:
+        return None
+    cls = e.getClass().getSimpleName()
+    if cls == "Year":
+        src = _date_src(e.children().apply(0), by_id)
+        if src is None:
+            return None
+        return {
+            "kind": "year", "src": src, "gname": f"year({src})",
+            "out_tname": "integer",
+        }
+    if cls == "TruncDate":
+        ch = e.children()
+        if ch.size() != 2:
+            return None
+        fmt = ch.apply(1)
+        if fmt.getClass().getSimpleName() != "Literal" or fmt.value() is None:
+            return None
+        f = str(fmt.value()).lower()
+        src = _date_src(ch.apply(0), by_id)
+        if src is None:
+            return None
+        if f in _TRUNC_MONTH:
+            kind = "trunc_month"
+        elif f in _TRUNC_YEAR:
+            kind = "trunc_year"
+        else:
+            return None  # week/quarter: not implemented driver-side
+        return {
+            "kind": kind, "src": src, "gname": f"{kind}({src})",
+            "out_tname": "date",
+        }
+    if cls == "Cast" and e.dataType().typeName() == "date":
+        src = _date_src(e, by_id)
+        if src is None:
+            return None
+        return {
+            "kind": "to_date", "src": src, "gname": f"to_date({src})",
+            "out_tname": "date",
+        }
+    return None
+
+
+def _derive_value(kind: str, v: Any) -> Any:
+    """Driver-side bucket of one stat value (a date or an NTZ naive
+    datetime) — must match Spark's own function on the same input."""
+    import datetime as _dt
+
+    d = v.date() if isinstance(v, _dt.datetime) else v
+    if kind == "year":
+        return d.year
+    if kind == "to_date":
+        return d
+    if kind == "trunc_month":
+        return d.replace(day=1)
+    return d.replace(month=1, day=1)  # trunc_year
+
+
+def _derive_column(spec: dict) -> Any:
+    """The Spark Column replaying a group spec for the boundary scan —
+    the exact expression the plan grouped on."""
+    c = F.col(spec["src"])
+    if spec["kind"] == "col":
+        return c
+    d = c.cast("date")
+    if spec["kind"] == "year":
+        return F.year(d)
+    if spec["kind"] == "to_date":
+        return d
+    if spec["kind"] == "trunc_month":
+        return F.trunc(d, "month")
+    return F.trunc(d, "year")  # trunc_year
+
+
 def _split_and(cond: Any) -> list[Any]:
     out, stack = [], [cond]
     while stack:
@@ -325,9 +431,15 @@ def _extract_agg(
     # -- the chain below: Project*/Filter* down to one LogicalRelation
     node = opt.child()
     filter_conds = []
+    proj_aliases: dict[int, Any] = {}  # Project alias exprId -> child expr
     while True:
         cls = node.getClass().getSimpleName()
         if cls == "Project":
+            pl = node.projectList()
+            for j in range(pl.size()):
+                pe = pl.apply(j)
+                if pe.getClass().getSimpleName() == "Alias":
+                    proj_aliases[int(pe.exprId().id())] = pe.child()
             node = node.child()
         elif cls == "Filter":
             filter_conds.append(node.condition())
@@ -356,18 +468,31 @@ def _extract_agg(
         a = rel_out.apply(i)
         by_id[int(a.exprId().id())] = (a.name(), a.dataType().typeName())
 
-    groups: list[str] = []
-    gids: dict[int, str] = {}  # group attr exprId -> column name
+    groups: list[dict] = []
+    gids: dict[int, str] = {}  # group attr exprId -> canonical key name
     if grouped:
         for j in range(gexprs.size()):
             _gn, gid = _attr_id(gexprs.apply(j))
-            if gid is None or gid not in by_id or gid in gids:
+            if gid is None or gid in gids:
                 return None
-            gcol, gtname = by_id[gid]
-            if not _group_type_ok(gtname, key=True):
-                return None
-            gids[gid] = gcol
-            groups.append(gcol)
+            if gid in by_id:
+                gcol, gtname = by_id[gid]
+                if not _group_type_ok(gtname, key=True):
+                    return None
+                spec = {
+                    "kind": "col", "src": gcol, "gname": gcol,
+                    "out_tname": gtname,
+                }
+            else:
+                # a derived grouping key: Spark hoists GROUP BY
+                # expressions into a Project alias (_groupingexpression)
+                # — accept the MONOTONE date-bucket family, whose
+                # endpoint equality pins a file to one bucket
+                spec = _derived_group(proj_aliases.get(gid), by_id)
+                if spec is None:
+                    return None
+            gids[gid] = spec["gname"]
+            groups.append(spec)
 
     # -- aggregate expressions: COUNT(*)/COUNT(col)/MIN(col)/MAX(col)
     aggs: list[tuple[str, str | None]] = []
@@ -486,7 +611,7 @@ def _extract_agg(
     used = {c for c, _o, _v in conjuncts} | {
         c for _k, c in aggs if c is not None
     }
-    used |= set(groups)
+    used |= {g["src"] for g in groups}
     types = {
         nm: tn for nm, tn in by_id.values() if nm in used
     }
@@ -1077,7 +1202,11 @@ def build_group_agg_frame(
 
     aggs, conjuncts, types = info["aggs"], info["conjuncts"], info["types"]
     groups = info["groups"]
-    g_ts = [types.get(g) for g in groups]
+    g_ts = [
+        g["out_tname"] if g["kind"] != "col" else types.get(g["src"])
+        for g in groups
+    ]
+    gnames = [g["gname"] for g in groups]
     if not groups or any(t is None for t in g_ts):
         return None
     norm = _norm_conjuncts(conjuncts)
@@ -1098,19 +1227,31 @@ def build_group_agg_frame(
             continue
         if n_rows == 0:
             continue  # empty file: no group, nothing to add
-        # EVERY grouping column must pin this file to one group:
-        # single-valued non-null (key = the value) or all-NULL (the
-        # SQL NULL group); anything mixed goes to the boundary scan
+        # EVERY grouping key must pin this file to one group: source
+        # single-valued non-null (key = the value, bucketed for
+        # derived keys — sound because the bucket fns are MONOTONE,
+        # so equal endpoints mean one bucket) or all-NULL (the SQL
+        # NULL group); anything mixed goes to the boundary scan
         key_vals: list = []
         pinned = True
         for g in groups:
-            gmn, gmx = r.get(f"min_{g}"), r.get(f"max_{g}")
-            gnulls = r.get(f"nulls_{g}")
-            if gnulls is not None and int(gnulls) == 0 and (
-                gmn is not None and gmn == gmx
-            ):
-                key_vals.append(gmn)
-            elif gnulls is not None and int(gnulls) == n_rows:
+            src = g["src"]
+            gmn, gmx = r.get(f"min_{src}"), r.get(f"max_{src}")
+            gnulls = r.get(f"nulls_{src}")
+            if gnulls is not None and int(gnulls) == 0 and gmn is not None:
+                if g["kind"] == "col":
+                    if gmn == gmx:
+                        key_vals.append(gmn)
+                        continue
+                else:
+                    lo = _derive_value(g["kind"], gmn)
+                    hi = _derive_value(g["kind"], gmx)
+                    if lo == hi:
+                        key_vals.append(lo)
+                        continue
+                pinned = False
+                break
+            if gnulls is not None and int(gnulls) == n_rows:
                 key_vals.append(None)
             else:
                 pinned = False
@@ -1256,7 +1397,9 @@ def build_group_agg_frame(
                 aggexprs.append(F.count(F.col(col)).alias(f"__a{i}n"))
             else:
                 aggexprs.append(F.sum(F.col(col)).alias(f"__a{i}"))
-        keysel = [F.col(g).alias(kn) for g, kn in zip(groups, knames)]
+        keysel = [
+            _derive_column(g).alias(kn) for g, kn in zip(groups, knames)
+        ]
         bagg = (
             base.select(*keysel).distinct()
             if distinct_only
@@ -1281,7 +1424,7 @@ def build_group_agg_frame(
     outs = []
     for i, (kind, col) in enumerate(aggs):
         if kind == "key":
-            src = F.col(knames[groups.index(col)])
+            src = F.col(knames[gnames.index(col)])
         elif kind == "avg":
             cnt = F.coalesce(F.col(f"__f{i}n"), F.lit(0))
             src = F.when(cnt == 0, F.lit(None)).otherwise(
@@ -1295,7 +1438,7 @@ def build_group_agg_frame(
     frame = finish_frame(merged.select(*outs), info)
     telemetry = {
         "table": info["table"],
-        "group_by": list(groups),
+        "group_by": gnames,
         "aggs": [
             f"{k}({c})" if c is not None else "count(*)" for k, c in aggs
         ],

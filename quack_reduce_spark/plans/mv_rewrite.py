@@ -130,6 +130,8 @@ def mv_spec(df: DataFrame, paths_by_name: dict[str, str]) -> dict | None:
         return None  # a filtered/truncated grouping is not mergeable
     if info["visible"] != list(range(len(info["aggs"]))):
         return None  # hidden auxiliary outputs: not a plain layout
+    if any(g["kind"] != "col" for g in info["groups"]):
+        return None  # derived (bucket) keys: not materialized v1
     if any(kind == "avg" for kind, _c in info["aggs"]):
         return None
     if not any(kind != "key" for kind, _c in info["aggs"]):
@@ -137,7 +139,7 @@ def mv_spec(df: DataFrame, paths_by_name: dict[str, str]) -> dict | None:
     # every grouping column must be materialized (a key grouped on but
     # projected out would make the MV rows non-reaggregable)
     selected_keys = {c for k, c in info["aggs"] if k == "key"}
-    if set(info["groups"]) - selected_keys:
+    if {g["gname"] for g in info["groups"]} - selected_keys:
         return None
     columns: dict[str, str] = {}
     select: list = []
@@ -156,7 +158,7 @@ def mv_spec(df: DataFrame, paths_by_name: dict[str, str]) -> dict | None:
         select.append(F.col(oname).alias(cn))
     return {
         "table": info["table"],
-        "groups": list(info["groups"]),
+        "groups": [g["gname"] for g in info["groups"]],
         "partials": sorted(columns),
         "types": info["types"],
         "_select": select,
@@ -209,7 +211,7 @@ def try_rewrite(
         # ROLLUP containment: the query's keys must be a subset of the
         # MV's — re-aggregating the finer partials by the coarser keys
         # is exact because every partial kind here is mergeable
-        if not set(info["groups"]) <= mv_groups:
+        if not {g["gname"] for g in info["groups"]} <= mv_groups:
             continue
         if any(c not in mv_groups for c, _o, _v in info["conjuncts"]):
             continue  # predicate off the MV's group columns: not
@@ -289,10 +291,12 @@ def _build(
     if not partial_exprs:
         # all-keys query (SELECT DISTINCT k): the MV's groups ARE the
         # distinct key tuples of the source
-        agged = base.select(*[F.col(g) for g in info["groups"]]).distinct()
+        agged = base.select(
+            *[F.col(g["gname"]) for g in info["groups"]]
+        ).distinct()
     elif grouped:
         agged = base.groupBy(
-            *[F.col(g) for g in info["groups"]]
+            *[F.col(g["gname"]) for g in info["groups"]]
         ).agg(*partial_exprs)
     else:
         agged = base.agg(*partial_exprs)

@@ -907,3 +907,81 @@ def test_sql_count_distinct_pushdown(spark, sf_dir, tmp_path):
     assert d5.first()["n"] == 0
     spark.catalog.dropTempView("cd_t")
     spark.catalog.dropTempView("cdnull")
+
+def test_sql_derived_time_bucket_grouping(spark, sf_dir, tmp_path):
+    """GROUP BY year(d) / trunc(d,'month') / to_date(ts) — the
+    time-series dashboard shape: a date-clustered file whose source
+    endpoints fall in ONE bucket (the functions are monotone) pins to
+    that bucket from metadata; files spanning a boundary scan. The
+    non-monotone month() must decline (equal endpoints do not pin:
+    Jan 2020 vs Jan 2021 wraps)."""
+    path = str(tmp_path / "bucketagg")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(12, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_orderdate", "o_orderkey"])
+    eng = Engine(spark=spark)
+    eng.register("bkt_t", path)
+    full = spark.read.parquet(path)
+    d = eng.df(
+        "SELECT year(o_orderdate) AS y, COUNT(*) AS n, "
+        "SUM(o_orderkey) AS s FROM bkt_t GROUP BY 1 ORDER BY y"
+    )
+    plan = eng.last_agg_plan
+    assert plan is not None and plan["group_by"] == ["year(o_orderdate)"]
+    assert plan["files_scanned"] < plan["files_total"]  # some files pin
+    got = [tuple(r) for r in d.collect()]
+    want = [
+        tuple(r)
+        for r in full.groupBy(
+            F.year(F.col("o_orderdate").cast("date")).alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s"))
+        .orderBy("y")
+        .collect()
+    ]
+    assert got == want
+    # monthly buckets: most files straddle months -> boundary, exact
+    d2 = eng.df(
+        "SELECT trunc(o_orderdate,'month') AS m, COUNT(*) AS n "
+        "FROM bkt_t GROUP BY 1 ORDER BY m"
+    )
+    assert eng.last_agg_plan is not None
+    g2 = [tuple(r) for r in d2.collect()]
+    w2 = [
+        tuple(r)
+        for r in full.groupBy(
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("m")
+        ).count().orderBy("m").collect()
+    ]
+    assert g2 == w2
+    # DISTINCT year: partially pinned, exact
+    d3 = eng.df("SELECT DISTINCT year(o_orderdate) AS y FROM bkt_t ORDER BY y")
+    p3 = eng.last_agg_plan
+    assert p3 is not None and p3["files_scanned"] < p3["files_total"]
+    assert [r["y"] for r in d3.collect()] == sorted(
+        r[0]
+        for r in full.select(
+            F.year(F.col("o_orderdate").cast("date"))
+        ).distinct().collect()
+    )
+    # non-monotone month(): decline, stay correct
+    d4 = eng.df(
+        "SELECT month(o_orderdate) AS m, COUNT(*) AS n FROM bkt_t GROUP BY 1"
+    )
+    assert eng.last_agg_plan is None
+    g4 = sorted(map(tuple, d4.collect()))
+    w4 = sorted(
+        map(
+            tuple,
+            full.groupBy(
+                F.month(F.col("o_orderdate").cast("date")).alias("m")
+            ).count().collect(),
+        )
+    )
+    assert g4 == w4
+    spark.catalog.dropTempView("bkt_t")
