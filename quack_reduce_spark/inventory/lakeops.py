@@ -32,6 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -1218,6 +1219,72 @@ def lake_multikey_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lake_timebucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived time-bucket grouping from metadata (round 13): the
+    time-series dashboard shape — ``GROUP BY year(d)`` — over a
+    date-clustered table. Spark hoists the bucket expression into a
+    ``_groupingexpression`` Project alias; the extractor recognizes
+    the MONOTONE date-bucket family (year / trunc month / to_date), so
+    a file whose source endpoints bucket equally PINS to that bucket
+    from per-file stats (bucketed driver-side to exactly Spark's
+    value) and only boundary-straddling files are read. In-query gates
+    prove partial pinning (files_scanned < files_total on the yearly
+    rollup and the DISTINCT-year probe); the DuckDB oracle recomputes
+    every bucket from the raw fixture."""
+    import uuid as _uuid
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = _fresh_dir(sf_dir, "lake_tbucket")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(12, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_orderdate", "o_orderkey"])
+    eng = Engine(spark=spark)
+    t = f"tbucket_{_uuid.uuid4().hex[:8]}"
+    eng.register(t, path)
+    d1 = eng.df(
+        f"SELECT year(o_orderdate) AS y, COUNT(*) AS n, "
+        f"SUM(o_orderkey) AS sum_key, AVG(o_orderkey) AS avg_key "
+        f"FROM {t} GROUP BY 1 ORDER BY y"
+    )
+    plan = eng.last_agg_plan
+    _require(
+        plan is not None
+        and plan.get("group_by") == ["year(o_orderdate)"]
+        and plan["files_scanned"] < plan["files_total"],
+        "yearly rollup did not pin any file from metadata", plan,
+    )
+    rows = [
+        (int(r["y"]), int(r["n"]), int(r["sum_key"]), float(r["avg_key"]))
+        for r in d1.collect()
+    ]
+    eng.df(
+        f"SELECT DISTINCT year(o_orderdate) AS y FROM {t} ORDER BY y"
+    ).collect()
+    p2 = eng.last_agg_plan
+    _require(
+        p2 is not None and p2["files_scanned"] < p2["files_total"],
+        "distinct-year probe did not pin any file", p2,
+    )
+    spark.catalog.dropTempView(t)
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        StructType([
+            StructField("y", IntegerType()),
+            StructField("n", LongType()),
+            StructField("sum_key", LongType()),
+            StructField("avg_key", DoubleType()),
+        ]),
+    )
+
+
 def lake_result_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query RESULT cache on the envelope surface (round 13): the
     reference's benchmark "cached" mode (``benchmark.py:254-265``)
@@ -1505,6 +1572,7 @@ QUERIES = {
     "lake_mv_rewrite": lake_mv_rewrite,
     "lake_result_cache": lake_result_cache,
     "lake_multikey_group_agg": lake_multikey_group_agg,
+    "lake_timebucket_agg": lake_timebucket_agg,
     "lake_decimal_stats": lake_decimal_stats,
     "lake_group_agg_pushdown": lake_group_agg_pushdown,
 }
@@ -1779,6 +1847,16 @@ ORACLES["lake_multikey_group_agg"] = """
               AND a.o_orderpriority = o.o_orderpriority) AS n2
     FROM orders o GROUP BY o.o_orderstatus, o.o_orderpriority
     ORDER BY st, pr
+"""
+
+# derived time-bucket groups must be invisible in the answer: every
+# yearly bucket recomputed from the raw fixture
+ORACLES["lake_timebucket_agg"] = """
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           AVG(o_orderkey) AS avg_key
+    FROM orders GROUP BY 1 ORDER BY y
 """
 
 # the result cache must be invisible in the answer: the oracle
