@@ -1186,7 +1186,11 @@ class Engine:
             df = df.limit(limit)
         records = _records_json_safe(df)
         stored = False
-        if cache_key is not None and _plan_cacheable(df):
+        if (
+            cache_key is not None
+            and len(records) <= RESULT_CACHE_MAX_ROWS
+            and _plan_cacheable(df)
+        ):
             RESULT_CACHE_COUNTS["misses"] += 1
             stored = True
             with self._results_lock:
@@ -2241,8 +2245,12 @@ _FIXED_WIDTHS = None
 # manifest-backed sides run ZERO of these).
 ANALYZE_COUNTS = {"side_scans": 0}
 
-# Result-cache bounds + observability (tests assert hit/miss behavior)
+# Result-cache bounds + observability (tests assert hit/miss behavior).
+# MAX_ROWS guards the uncapped (limit=None) surface: the envelope
+# already materialized the records once, but the cache would pin up to
+# RESULT_CACHE_MAX copies of them
 RESULT_CACHE_MAX = 128
+RESULT_CACHE_MAX_ROWS = 10_000
 RESULT_CACHE_COUNTS = {"hits": 0, "misses": 0}
 
 # Incremental MV refresh records the build-time file listing up to

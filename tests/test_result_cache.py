@@ -99,3 +99,22 @@ def test_result_cache_lru_bound(spark, sf_dir, tmp_path):
     finally:
         E.RESULT_CACHE_MAX = old_max
     spark.catalog.dropTempView("orders")
+
+def test_result_cache_row_cap(spark, sf_dir, tmp_path):
+    """An uncapped (limit=None) result above RESULT_CACHE_MAX_ROWS is
+    never stored — the cache must not pin large result sets."""
+    eng, _src = _eng(spark, sf_dir, tmp_path, "rc5")
+    old = E.RESULT_CACHE_MAX_ROWS
+    E.RESULT_CACHE_MAX_ROWS = 10
+    try:
+        q = "SELECT o_orderkey FROM orders ORDER BY o_orderkey"
+        r = eng.sql(q, limit=None)
+        assert len(r.records) > 10
+        assert r.metadata["result_cache"] == {"hit": False, "stored": False}
+        assert eng.sql(q, limit=None).metadata["result_cache"]["hit"] is False
+        # a capped variant still caches
+        assert eng.sql(q, limit=5).metadata["result_cache"]["stored"]
+        assert eng.sql(q, limit=5).metadata["result_cache"]["hit"]
+    finally:
+        E.RESULT_CACHE_MAX_ROWS = old
+    spark.catalog.dropTempView("orders")
