@@ -2178,7 +2178,19 @@ class Engine:
         delta = self.spark.read.option(
             "basePath", mv["source_path"]
         ).parquet(*new)
-        groups = list(mv["groups"])
+        from quack_reduce_spark.plans.agg_pushdown import _derive_column
+        from quack_reduce_spark.plans.mv_rewrite import _norm_groups
+
+        gspecs = _norm_groups(mv["groups"])
+        # delta rows bucket through the SAME key expressions the MV
+        # materialized (plain columns pass through)
+        delta_keys = [
+            _derive_column({"kind": g["kind"], "src": g["src"]}).alias(
+                g["col"]
+            )
+            for g in gspecs
+        ]
+        groups = [g["col"] for g in gspecs]
         aggs = []
         merges = []
         for cn in mv["partials"]:
@@ -2204,7 +2216,7 @@ class Engine:
                 )
                 return {**out, "mode": "full"}
         dagg = (
-            delta.groupBy(*[F.col(g) for g in groups]).agg(*aggs)
+            delta.groupBy(*delta_keys).agg(*aggs)
             if groups
             else delta.agg(*aggs)
         )

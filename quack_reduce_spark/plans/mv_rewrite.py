@@ -130,26 +130,35 @@ def mv_spec(df: DataFrame, paths_by_name: dict[str, str]) -> dict | None:
         return None  # a filtered/truncated grouping is not mergeable
     if info["visible"] != list(range(len(info["aggs"]))):
         return None  # hidden auxiliary outputs: not a plain layout
-    if any(g["kind"] != "col" for g in info["groups"]):
-        return None  # derived (bucket) keys: not materialized v1
     if any(kind == "avg" for kind, _c in info["aggs"]):
         return None
     if not any(kind != "key" for kind, _c in info["aggs"]):
         return None
-    # every grouping column must be materialized (a key grouped on but
+    # every grouping key must be materialized (a key grouped on but
     # projected out would make the MV rows non-reaggregable)
     selected_keys = {c for k, c in info["aggs"] if k == "key"}
     if {g["gname"] for g in info["groups"]} - selected_keys:
         return None
+    by_gname = {g["gname"]: g for g in info["groups"]}
     columns: dict[str, str] = {}
     select: list = []
+    groups_out: list[dict] = []
     seen_keys: set[str] = set()
     for (kind, col), (oname, _t) in zip(info["aggs"], info["out"]):
         if kind == "key":
             if col in seen_keys:
                 continue  # a key selected twice: materialize once
             seen_keys.add(col)
-            select.append(F.col(oname).alias(col))
+            g = by_gname[col]
+            # derived (bucket) keys store under a sanitized physical
+            # name; plain keys keep the source column name
+            phys = (
+                g["src"]
+                if g["kind"] == "col"
+                else f"g__{g['kind']}__{g['src']}"
+            )
+            groups_out.append({**g, "col": phys})
+            select.append(F.col(oname).alias(phys))
             continue
         cn = _cname(kind, col)
         if cn in columns:
@@ -158,11 +167,55 @@ def mv_spec(df: DataFrame, paths_by_name: dict[str, str]) -> dict | None:
         select.append(F.col(oname).alias(cn))
     return {
         "table": info["table"],
-        "groups": [g["gname"] for g in info["groups"]],
+        "groups": groups_out,
         "partials": sorted(columns),
         "types": info["types"],
         "_select": select,
     }
+
+
+# bucket-granularity lattice: a query key of kind K_q derives from an
+# MV key of kind K_m over the SAME source column when K_q is coarser-
+# or-equal — each fine bucket maps to exactly ONE coarse bucket, so
+# re-bucketing the MV rows is exact set algebra. 'col' (the raw value)
+# is the finest granularity.
+_BUCKET_ORDER = {"col": 0, "to_date": 1, "trunc_month": 2,
+                 "trunc_year": 3, "year": 4}
+
+
+def _rebucket_col(q_kind: str, mv_kind: str, c):
+    """Column deriving the QUERY's bucket from the MV's stored key
+    column. Callers pre-check the lattice; mv kinds store date values
+    except 'col' (raw date / NTZ timestamp, cast first)."""
+    if q_kind == mv_kind:
+        return c
+    d = c.cast("date") if mv_kind == "col" else c
+    if q_kind == "to_date":
+        return d
+    if q_kind == "trunc_month":
+        return F.trunc(d, "month")
+    if q_kind == "trunc_year":
+        return F.trunc(d, "year")
+    return F.year(d)  # year
+
+
+def _match_group(qg: dict, mv_groups: list[dict]) -> dict | None:
+    """The MV key spec the query group ``qg`` derives from (exact
+    gname match, or a strictly coarser bucket over the same source),
+    or None."""
+    for mg in mv_groups:
+        if mg["gname"] == qg["gname"]:
+            return mg
+    if qg["kind"] == "col":
+        return None  # a raw value never derives from a bucket
+    for mg in mv_groups:
+        if (
+            mg["src"] == qg["src"]
+            and _BUCKET_ORDER.get(qg["kind"], -1)
+            > _BUCKET_ORDER.get(mg["kind"], 99)
+        ):
+            return mg
+    return None
 
 
 def load_mv(path: str) -> dict | None:
@@ -207,16 +260,20 @@ def try_rewrite(
     for name, mv in mvs.items():
         if mv["table"] != info["table"]:
             continue
-        mv_groups = set(mv["groups"])
-        # ROLLUP containment: the query's keys must be a subset of the
-        # MV's — re-aggregating the finer partials by the coarser keys
-        # is exact because every partial kind here is mergeable
-        if not {g["gname"] for g in info["groups"]} <= mv_groups:
+        mv_groups = _norm_groups(mv["groups"])
+        # ROLLUP containment across BOTH lattices: every query key must
+        # be an MV key or a coarser bucket of one (each fine bucket
+        # maps to exactly one coarse bucket), and re-aggregating the
+        # finer partials is exact because every partial kind merges
+        matches = [
+            (qg, _match_group(qg, mv_groups)) for qg in info["groups"]
+        ]
+        if any(mg is None for _qg, mg in matches):
             continue
-        if any(c not in mv_groups for c, _o, _v in info["conjuncts"]):
-            continue  # predicate off the MV's group columns: not
-            # containable (group-column predicates commute with the
-            # grouping, anything else does not)
+        plain_srcs = {g["src"] for g in mv_groups if g["kind"] == "col"}
+        if any(c not in plain_srcs for c, _o, _v in info["conjuncts"]):
+            continue  # predicates must hit a PLAIN (raw-value) MV key:
+            # only those commute with the grouping exactly
         partials = set(mv["partials"])
         needed: set[str] = set()
         ok = True
@@ -238,12 +295,26 @@ def try_rewrite(
             continue
         if source_snapshot(mv["source_path"]) != mv["snapshot"]:
             continue
-        return _build(spark, info, mv, name)
+        return _build(spark, info, mv, name, matches)
     return None
 
 
+def _norm_groups(gs: list) -> list[dict]:
+    """Normalize group entries: pre-bucket _mv.json files stored bare
+    column-name strings."""
+    return [
+        g if isinstance(g, dict)
+        else {"kind": "col", "src": g, "gname": g, "col": g}
+        for g in gs
+    ]
+
+
 def _build(
-    spark: SparkSession, info: dict, mv: dict, name: str
+    spark: SparkSession,
+    info: dict,
+    mv: dict,
+    name: str,
+    matches: list,
 ) -> tuple[DataFrame, dict]:
     from quack_reduce_spark.plans.agg_pushdown import (
         finish_frame,
@@ -252,6 +323,17 @@ def _build(
 
     grouped = bool(info["groups"])
     base = spark.read.parquet(mv["path"])
+    # query-group key columns, rebucketed from the matched MV keys and
+    # aliased __k{j} in query-group order
+    key_exprs = [
+        _rebucket_col(qg["kind"], mg["kind"], F.col(mg["col"])).alias(
+            f"__k{j}"
+        )
+        for j, (qg, mg) in enumerate(matches)
+    ]
+    key_by_gname = {
+        qg["gname"]: f"__k{j}" for j, (qg, _mg) in enumerate(matches)
+    }
     if info["conjuncts"]:
         # group-column types recorded at MV creation keep the epoch-
         # space discipline for session-zoned timestamps (group keys
@@ -289,21 +371,17 @@ def _build(
                 F.sum(F.col(_cname("count", col))).alias(f"__p{i}n")
             )
     if not partial_exprs:
-        # all-keys query (SELECT DISTINCT k): the MV's groups ARE the
-        # distinct key tuples of the source
-        agged = base.select(
-            *[F.col(g["gname"]) for g in info["groups"]]
-        ).distinct()
+        # all-keys query (SELECT DISTINCT k): the MV's (rebucketed)
+        # groups ARE the distinct key tuples of the source
+        agged = base.select(*key_exprs).distinct()
     elif grouped:
-        agged = base.groupBy(
-            *[F.col(g["gname"]) for g in info["groups"]]
-        ).agg(*partial_exprs)
+        agged = base.groupBy(*key_exprs).agg(*partial_exprs)
     else:
         agged = base.agg(*partial_exprs)
     outs = []
     for i, (kind, col) in enumerate(info["aggs"]):
         if kind == "key":
-            expr = F.col(col)
+            expr = F.col(key_by_gname[col])
         elif kind in ("count_star", "count"):
             # COUNT of no rows is 0: a scalar rewrite over an empty /
             # fully-filtered MV sums nothing and must not emit NULL
