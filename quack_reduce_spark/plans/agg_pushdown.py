@@ -531,12 +531,13 @@ def _extract_agg(
         fname = fn.getClass().getSimpleName()
         ch = fn.children()
         if ae.isDistinct():
-            # scalar COUNT(DISTINCT col) over a row-renderable column:
-            # pinned files contribute their single value to a distinct
-            # SET, un-pinned files demote to the boundary scan, and the
-            # union (in Spark, exact by the key-type render rules)
-            # counts once. Grouped distinct declines.
-            if grouped or fname != "Count" or ch.size() != 1:
+            # COUNT(DISTINCT col) over a row-renderable column — the
+            # unique-per-bucket (DAU) shape in group mode: pinned
+            # files contribute their single value to a distinct SET
+            # (per group), un-pinned files demote to the boundary
+            # scan, and the union (in Spark, exact by the key-type
+            # render rules) counts once.
+            if fname != "Count" or ch.size() != 1:
                 return None
             _dn, did = _attr_id(ch.apply(0))
             if did is None or did not in by_id:
@@ -1213,9 +1214,12 @@ def build_group_agg_frame(
     meta: dict[Any, list] = {}
     boundary: list[str] = []
 
+    cd_cols = [c for k, c in aggs if k == "count_distinct"]
+
     def fresh_partials() -> list:
         return [
             [None, 0] if k == "avg"
+            else set() if k == "count_distinct"
             else (0 if k in ("count_star", "count") else None)
             for k, _c in aggs
         ]
@@ -1256,6 +1260,20 @@ def build_group_agg_frame(
             else:
                 pinned = False
                 break
+        # every count_distinct column must ALSO pin (single non-null
+        # value or all-NULL) — a mixed file demotes wholesale
+        cd_pinned: dict[str, Any] = {}
+        if pinned:
+            for c in cd_cols:
+                mn, mx = r.get(f"min_{c}"), r.get(f"max_{c}")
+                nulls = r.get(f"nulls_{c}")
+                if mn is None and nulls is not None and int(nulls) == n_rows:
+                    cd_pinned[c] = None
+                elif mn is not None and mn == mx and not _is_nan(mn):
+                    cd_pinned[c] = mn
+                else:
+                    pinned = False
+                    break
         if state == "some" or not pinned:
             boundary.append(r["file"])
             continue
@@ -1263,6 +1281,11 @@ def build_group_agg_frame(
         part = meta.setdefault(key, fresh_partials())
         for i, (kind, col) in enumerate(aggs):
             if kind == "key":
+                continue
+            if kind == "count_distinct":
+                v = cd_pinned[col]
+                if v is not None:
+                    part[i].add(v)
                 continue
             if kind == "count_star":
                 part[i] += n_rows
@@ -1317,8 +1340,8 @@ def build_group_agg_frame(
     ]
     merges = []  # final fold per partial column
     for i, (kind, col) in enumerate(aggs):
-        if kind == "key":
-            continue
+        if kind in ("key", "count_distinct"):
+            continue  # count_distinct joins in via its own value frame
         if kind in ("count_star", "count"):
             fields.append(T.StructField(f"__a{i}", T.LongType()))
             merges.append((i, F.sum))
@@ -1350,7 +1373,7 @@ def build_group_agg_frame(
             _render_meta(kv, gt) for kv, gt in zip(key, g_ts)
         ]
         for i, (kind, col) in enumerate(aggs):
-            if kind == "key":
+            if kind in ("key", "count_distinct"):
                 continue
             if kind == "avg":
                 s, nn = part[i]
@@ -1380,7 +1403,7 @@ def build_group_agg_frame(
         base = bdf.where(pred)
         aggexprs = []
         for i, (kind, col) in enumerate(aggs):
-            if kind == "key":
+            if kind in ("key", "count_distinct"):
                 continue
             if kind == "count_star":
                 aggexprs.append(F.count(F.lit(1)).alias(f"__a{i}"))
@@ -1402,7 +1425,7 @@ def build_group_agg_frame(
         ]
         bagg = (
             base.select(*keysel).distinct()
-            if distinct_only
+            if distinct_only or not aggexprs
             else base.groupBy(*keysel).agg(*aggexprs)
         )
         combined = meta_df.unionByName(
@@ -1421,10 +1444,55 @@ def build_group_agg_frame(
         if distinct_only
         else combined.groupBy(*knames).agg(*finals)
     )
+    # per-group COUNT(DISTINCT c): pinned (group, value) pairs union
+    # the boundary files' distinct pairs IN SPARK, count per group, and
+    # null-safe-join back onto the merged frame (the SQL NULL group is
+    # a join key too); groups with no pair coalesce to 0
+    for i, (kind, col) in enumerate(aggs):
+        if kind != "count_distinct":
+            continue
+        tname = types.get(col, "")
+        vschema = T.StructType(
+            list(schema.fields[: len(knames)])
+            + [T.StructField("__v", _py_datatype(tname))]
+        )
+        pair_rows = [
+            tuple(_render_meta(kv, gt) for kv, gt in zip(key, g_ts))
+            + (_render_meta(v, tname),)
+            for key, part in meta.items()
+            for v in part[i]
+        ]
+        pairs = spark.createDataFrame(pair_rows, vschema)
+        if boundary:
+            bpairs = (
+                bdf.where(pred)
+                .select(*keysel, F.col(col).alias("__v"))
+                .where(F.col("__v").isNotNull())
+                .distinct()
+            )
+            pairs = pairs.unionByName(bpairs)
+        rnames = [f"__r{j}" for j in range(len(knames))]
+        cdc = (
+            pairs.groupBy(*knames)
+            .agg(F.count_distinct(F.col("__v")).alias(f"__f{i}"))
+            .select(
+                *[
+                    F.col(kn).alias(rn)
+                    for kn, rn in zip(knames, rnames)
+                ],
+                F.col(f"__f{i}"),
+            )
+        )
+        cond = F.lit(True)
+        for kn, rn in zip(knames, rnames):
+            cond = cond & merged[kn].eqNullSafe(cdc[rn])
+        merged = merged.join(cdc, cond, "left").drop(*rnames)
     outs = []
     for i, (kind, col) in enumerate(aggs):
         if kind == "key":
             src = F.col(knames[gnames.index(col)])
+        elif kind == "count_distinct":
+            src = F.coalesce(F.col(f"__f{i}"), F.lit(0))
         elif kind == "avg":
             cnt = F.coalesce(F.col(f"__f{i}n"), F.lit(0))
             src = F.when(cnt == 0, F.lit(None)).otherwise(

@@ -874,12 +874,12 @@ def test_sql_count_distinct_pushdown(spark, sf_dir, tmp_path):
         F.count_distinct("o_orderstatus"), F.count_distinct("o_custkey")
     ).first()
     assert tuple(d3.first()) == tuple(w3)
-    # grouped distinct: decline, correct
+    # grouped distinct: supported (see test_sql_grouped_count_distinct)
     d4 = eng.df(
         "SELECT o_orderstatus AS st, COUNT(DISTINCT o_custkey) AS n "
         "FROM cd_t GROUP BY o_orderstatus"
     )
-    assert eng.last_agg_plan is None
+    assert eng.last_agg_plan is not None
     w4 = sorted(
         map(
             tuple,
@@ -985,3 +985,86 @@ def test_sql_derived_time_bucket_grouping(spark, sf_dir, tmp_path):
     )
     assert g4 == w4
     spark.catalog.dropTempView("bkt_t")
+
+def test_sql_grouped_count_distinct(spark, sf_dir, tmp_path):
+    """Grouped COUNT(DISTINCT c) — the unique-per-bucket (DAU) shape:
+    pinned (group, value) pairs come from metadata, boundary files
+    contribute their distinct pairs in Spark, and the per-group counts
+    null-safe-join back (the SQL NULL group included)."""
+    path = str(tmp_path / "gcd")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+    Z.write_zonemap(
+        spark, path,
+        ["o_orderstatus", "o_custkey", "o_orderkey", "o_orderdate"],
+    )
+    eng = Engine(spark=spark)
+    eng.register("gcd_t", path)
+    full = spark.read.parquet(path)
+    d = eng.df(
+        "SELECT o_orderstatus AS st, COUNT(DISTINCT o_custkey) AS u, "
+        "COUNT(*) AS n FROM gcd_t GROUP BY o_orderstatus ORDER BY st"
+    )
+    assert eng.last_agg_plan is not None
+    got = [tuple(r) for r in d.collect()]
+    want = [
+        tuple(r)
+        for r in full.groupBy(F.col("o_orderstatus").alias("st"))
+        .agg(
+            F.count_distinct("o_custkey").alias("u"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("st")
+        .collect()
+    ]
+    assert got == want
+    # composed with a derived bucket: unique customers per year
+    d2 = eng.df(
+        "SELECT year(o_orderdate) AS y, COUNT(DISTINCT o_custkey) AS u "
+        "FROM gcd_t GROUP BY 1 ORDER BY y"
+    )
+    assert eng.last_agg_plan is not None
+    g2 = [tuple(r) for r in d2.collect()]
+    w2 = [
+        tuple(r)
+        for r in full.groupBy(
+            F.year(F.col("o_orderdate").cast("date")).alias("y")
+        )
+        .agg(F.count_distinct("o_custkey").alias("u"))
+        .orderBy("y")
+        .collect()
+    ]
+    assert g2 == w2
+    # fully pinned distinct column: zero files scanned
+    d3 = eng.df(
+        "SELECT o_orderstatus AS st, COUNT(DISTINCT o_orderstatus) AS k "
+        "FROM gcd_t GROUP BY o_orderstatus"
+    )
+    assert eng.last_agg_plan is not None
+    assert eng.last_agg_plan["files_scanned"] == 0
+    assert sorted((r["st"], r["k"]) for r in d3.collect()) == [
+        ("F", 1), ("O", 1), ("P", 1),
+    ]
+    # NULL group + all-NULL values
+    import pyspark.sql.types as T
+
+    path2 = str(tmp_path / "gcdnull")
+    spark.createDataFrame(
+        [("a", 1), (None, 2), (None, 2), (None, None)],
+        T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+        ]),
+    ).coalesce(1).write.parquet(path2)
+    Z.write_zonemap(spark, path2, ["k", "v"])
+    eng.register("gcdnull", path2)
+    r = {
+        x["k"]: x["u"]
+        for x in eng.df(
+            "SELECT k, COUNT(DISTINCT v) AS u FROM gcdnull GROUP BY k"
+        ).collect()
+    }
+    assert eng.last_agg_plan is not None
+    assert r == {"a": 1, None: 1}
+    spark.catalog.dropTempView("gcd_t")
+    spark.catalog.dropTempView("gcdnull")
