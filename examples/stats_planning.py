@@ -209,6 +209,51 @@ def main() -> None:
         ).collect()
         print(f"[15] decimal range pruning: {eng.last_zonemap_report.get('orders_dec')}")
 
+        # 16. the time-series dashboard (late round 13): GROUP BY
+        # year(d) pins date-clustered files to their bucket from
+        # metadata; unique-per-bucket (the DAU shape) composes when
+        # the distinct column is statted too
+        daup = f"{tmp}/orders_dau"
+        eng.write_clustered(
+            orders, daup, ["o_orderdate"], n_files=12,
+            stats_cols=["o_orderdate", "o_custkey", "o_orderkey"],
+        )
+        eng.register("orders_dau", daup)
+        eng.df(
+            "SELECT year(o_orderdate) AS y, COUNT(*) AS n, "
+            "COUNT(DISTINCT o_custkey) AS u FROM orders_dau "
+            "GROUP BY 1 ORDER BY y"
+        ).collect()
+        print(f"[16] time-bucket + unique-per-bucket: {eng.last_agg_plan}")
+
+        # 17. a monthly summary MV with transparent rewrite: the
+        # yearly query rebuckets the monthly partials (rollup across
+        # granularities), and incremental refresh reads only appends.
+        # A PLAIN (manifest-less) table shows the MV path — on a
+        # manifested table the metadata agg pushdown would win first
+        plainp = f"{tmp}/orders_plain"
+        orders.write.mode("overwrite").parquet(plainp)
+        eng.register("orders_plain", plainp)
+        eng.create_materialized_view(
+            "orders_monthly",
+            "SELECT trunc(o_orderdate,'month') AS m, COUNT(*) AS n, "
+            "SUM(o_orderkey) AS s, COUNT(o_orderkey) AS nk "
+            "FROM orders_plain GROUP BY 1",
+            f"{tmp}/mv_monthly",
+        )
+        eng.df(
+            "SELECT year(o_orderdate) AS y, AVG(o_orderkey) AS a "
+            "FROM orders_plain GROUP BY 1"
+        ).collect()
+        print(f"[17] yearly-over-monthly MV rewrite: {eng.last_mv_rewrite}")
+
+        # 18. the result cache: the second identical envelope query
+        # returns with ZERO Spark jobs; any commit invalidates
+        q = "SELECT COUNT(*) AS n FROM orders_plain"
+        eng.sql(q)
+        res = eng.sql(q)
+        print(f"[18] result cache: {res.metadata['result_cache']}")
+
 
 if __name__ == "__main__":
     main()
