@@ -65,8 +65,15 @@ class Engine:
         self._was_warm = _session.is_warm() or self.spark is not None
         self._table_meta: dict[str, dict] = {}
         self._mvs: dict[str, dict] = {}
-        self._results: "dict[tuple, tuple]" = {}  # key -> (snaps, records)
+        # key -> (snaps, records, approx_bytes)
+        self._results: "dict[tuple, tuple]" = {}
+        self._results_bytes = 0
         self._results_lock = threading.Lock()
+        # bumped by create_view and by any DDL/DML Command through
+        # sql(): part of every result-cache key, so redefining a view
+        # (or any catalog mutation) orphans all earlier entries — the
+        # same query text no longer means the same plan
+        self._view_epoch = 0
         self.last_zonemap_report: dict[str, dict] = {}
         self.last_agg_plan: dict | None = None
         self.last_mv_rewrite: dict | None = None
@@ -577,8 +584,23 @@ class Engine:
         # peeled ORDER BY / LIMIT re-apply over the full aggregate-
         # output list before the visible projection
         if info["groups"]:
+            # per-file PER-GROUP partials (written for designated
+            # low-NDV columns) let the grouped path answer UNCLUSTERED
+            # layouts from metadata: pick the first configured column
+            # among the grouping keys' sources and hand its slice rows
+            # to the builder (epoch-cached; zero I/O on an unchanged
+            # table after the first read)
+            group_stats = None
+            gs_cfg = _zm.group_stats_config(path)
+            if gs_cfg:
+                srcs = {g["src"] for g in info["groups"]}
+                gcol = next((c for c in gs_cfg if c in srcs), None)
+                if gcol is not None:
+                    by_file = _zm.group_stats_rows(self.spark, path, gcol)
+                    if by_file is not None:
+                        group_stats = (gcol, by_file)
             return _ap.build_group_agg_frame(
-                self.spark, path, info, rows, total
+                self.spark, path, info, rows, total, group_stats
             )
         return _ap.build_agg_frame(self.spark, path, info, rows, total)
 
@@ -1182,22 +1204,56 @@ class Engine:
         # one query's pruning telemetry into another's envelope
         df, zm_report = self._sql_planned_report(query)
         self.last_zonemap_report = zm_report
+        if _is_command(df):
+            # a DDL/DML command (CREATE VIEW / DROP / ...) through the
+            # SQL surface changes what later query text resolves to:
+            # orphan every cached result by bumping the key epoch
+            self._view_epoch += 1
         if limit is not None:
             df = df.limit(limit)
         records = _records_json_safe(df)
         stored = False
+        nbytes = 0
         if (
             cache_key is not None
             and len(records) <= RESULT_CACHE_MAX_ROWS
-            and _plan_cacheable(df)
+            and _plan_cacheable(
+                df,
+                # MV paths are cache-safe too: a rewrite only fires
+                # fresh-or-compensated relative to the SOURCE snapshot,
+                # which the freshness token already covers
+                list(self._all_paths().values())
+                + [m["path"] for m in self._mvs.values()],
+            )
         ):
+            import json as _json
+
+            nbytes = len(_json.dumps(records, default=str))
+        if nbytes and nbytes <= RESULT_CACHE_MAX_BYTES:
             RESULT_CACHE_COUNTS["misses"] += 1
             stored = True
             with self._results_lock:
-                self._results[cache_key] = (snaps, _copy.deepcopy(records))
-                while len(self._results) > RESULT_CACHE_MAX:
-                    self._results.pop(next(iter(self._results)))
-        self.last_result_cache = {"hit": False, "stored": stored}
+                prev = self._results.pop(cache_key, None)
+                if prev is not None:
+                    self._results_bytes -= prev[2]
+                self._results[cache_key] = (
+                    snaps, _copy.deepcopy(records), nbytes,
+                )
+                self._results_bytes += nbytes
+                # LRU eviction by ENTRY COUNT and BYTE BUDGET: 128
+                # entries x 10k wide rows could otherwise pin GBs of
+                # driver heap
+                while self._results and (
+                    len(self._results) > RESULT_CACHE_MAX
+                    or self._results_bytes > RESULT_CACHE_MAX_BYTES
+                ):
+                    oldest = next(iter(self._results))
+                    self._results_bytes -= self._results.pop(oldest)[2]
+                RESULT_CACHE_COUNTS["bytes"] = self._results_bytes
+        self.last_result_cache = {
+            "hit": False, "stored": stored, "bytes": nbytes,
+            "cache_bytes": self._results_bytes,
+        }
         took_ms = (time.time() - start) * 1000.0
         metadata = {
             "timeMs": took_ms,
@@ -1239,7 +1295,10 @@ class Engine:
             # stores under the old epoch, and re-registering misses —
             # the disk snapshot alone could mark those records fresh
             snaps.append((name, meta.get("epoch"), _json.dumps(s)))
-        return (query, limit), tuple(snaps)
+        # the view epoch keys, not tokens: create_view / any DDL bumps
+        # it, so pre-DDL entries are orphaned (uncollectable until LRU
+        # eviction, but never served)
+        return (query, limit, self._view_epoch), tuple(snaps)
 
     def sql_many(
         self,
@@ -2040,6 +2099,10 @@ class Engine:
         """SQL view composition (reference dbt ref()/view models)."""
         df = self.spark.sql(query)
         df.createOrReplaceTempView(name)
+        # (re)defining a view changes what later query text resolves
+        # to: orphan every cached result (same discipline as DDL
+        # through sql())
+        self._view_epoch += 1
         return df
 
     # -- materialized views with transparent query rewrite -------------
@@ -2088,14 +2151,33 @@ class Engine:
                 raise ValueError(
                     "query is not a rewritable aggregate shape (one "
                     "table, optional single GROUP BY key, plain "
-                    "COUNT(*)/COUNT/SUM/MIN/MAX outputs, no WHERE/AVG/"
-                    "DISTINCT/expressions)"
+                    "COUNT(*)/COUNT/SUM/MIN/MAX outputs, extractable "
+                    "WHERE conjuncts only, no AVG/DISTINCT/expressions)"
                 )
+            # REBIND the source before materializing: a plain-dir temp
+            # view keeps the file listing it was registered with, so a
+            # frame planned against it can read PRE-append data while
+            # source_snapshot() stamps the LIVE disk — an MV built from
+            # that mismatch would serve stale aggregates marked fresh.
+            # Re-registering binds the view (and the frame planned
+            # below) to the same live state the snapshot describes.
+            table = spec["table"]
+            tmeta = self._table_meta.get(table, {})
+            self.register(
+                table, self.tables[table],
+                fmt=tmeta.get("fmt", "parquet"),
+                **(tmeta.get("options") or {}),
+            )
+            df = self.spark.sql(query)
+            spec = _mvr.mv_spec(df, self._all_paths())
+            if spec is None:  # the rebind cannot change the shape
+                raise ValueError("query shape changed under rebind")
             source_path = self._all_paths()[spec["table"]]
             # snapshot BEFORE executing: a source commit racing the
             # build leaves the MV marked with the OLDER token, so
             # freshness checks decline — never a stale rewrite
             snap = _mvr.source_snapshot(source_path)
+            files = _mv_file_listing(source_path)
             materialize = df.select(*spec.pop("_select"))
         # the frame bound its views at creation: the (possibly slow)
         # materialization itself runs outside the plan lock
@@ -2106,12 +2188,17 @@ class Engine:
             "query": query,
             "source_path": source_path,
             "snapshot": snap,
-            "files": _mv_file_listing(source_path),
+            "files": files,
+            "files_stat": _mv_stat_listing(source_path, files),
             "path": path,
         }
         _mvr.save_mv(path, meta)
         self._mvs[name] = meta
-        return {k: v for k, v in meta.items() if k not in ("snapshot", "files")}
+        return {
+            k: v
+            for k, v in meta.items()
+            if k not in ("snapshot", "files", "files_stat")
+        }
 
     def register_materialized_view(self, name: str, path: str) -> dict:
         """Re-attach a persisted MV (``_mv.json`` written at creation)
@@ -2173,53 +2260,20 @@ class Engine:
         if not new:
             mv["snapshot"] = snap  # nothing to do; re-stamp freshness
             mv["files"] = cur
+            mv["files_stat"] = _mv_stat_listing(mv["source_path"], cur)
+            mv.pop("_comp", None)
             _mvr.save_mv(mv["path"], mv)
             return {"name": name, "mode": "noop"}
-        delta = self.spark.read.option(
-            "basePath", mv["source_path"]
-        ).parquet(*new)
-        from quack_reduce_spark.plans.agg_pushdown import _derive_column
-        from quack_reduce_spark.plans.mv_rewrite import _norm_groups
-
-        gspecs = _norm_groups(mv["groups"])
-        # delta rows bucket through the SAME key expressions the MV
-        # materialized (plain columns pass through)
-        delta_keys = [
-            _derive_column({"kind": g["kind"], "src": g["src"]}).alias(
-                g["col"]
-            )
-            for g in gspecs
-        ]
-        groups = [g["col"] for g in gspecs]
-        aggs = []
-        merges = []
-        for cn in mv["partials"]:
-            kind, _, col = cn.partition("__")
-            if cn == "n__star":
-                aggs.append(F.count(F.lit(1)).alias(cn))
-                merges.append(F.sum(F.col(cn)).alias(cn))
-            elif kind == "count":
-                aggs.append(F.count(F.col(col)).alias(cn))
-                merges.append(F.sum(F.col(cn)).alias(cn))
-            elif kind == "sum":
-                aggs.append(F.sum(F.col(col)).alias(cn))
-                merges.append(F.sum(F.col(cn)).alias(cn))
-            elif kind == "min":
-                aggs.append(F.min(F.col(col)).alias(cn))
-                merges.append(F.min(F.col(cn)).alias(cn))
-            elif kind == "max":
-                aggs.append(F.max(F.col(col)).alias(cn))
-                merges.append(F.max(F.col(cn)).alias(cn))
-            else:
-                out = self.create_materialized_view(
-                    name, mv["query"], mv["path"]
-                )
-                return {**out, "mode": "full"}
-        dagg = (
-            delta.groupBy(*delta_keys).agg(*aggs)
-            if groups
-            else delta.agg(*aggs)
-        )
+        # the SAME delta-partials builder the stale-compensation
+        # rewrite uses (mv_rewrite.delta_partial_frame): both paths
+        # merge identical arithmetic. None = unrecognized partial
+        # layout or group kind — full recompute, never a guess.
+        groups = [g["col"] for g in _mvr._norm_groups(mv["groups"])]
+        dagg = _mvr.delta_partial_frame(self.spark, mv, new)
+        merges = _mvr.partial_merge_exprs(mv["partials"])
+        if dagg is None or merges is None:
+            out = self.create_materialized_view(name, mv["query"], mv["path"])
+            return {**out, "mode": "full"}
         old = self.spark.read.parquet(mv["path"])
         merged = old.unionByName(dagg.select(*old.columns))
         merged = (
@@ -2238,6 +2292,8 @@ class Engine:
         merged.write.mode("overwrite").parquet(mv["path"])
         mv["snapshot"] = snap
         mv["files"] = cur
+        mv["files_stat"] = _mv_stat_listing(mv["source_path"], cur)
+        mv.pop("_comp", None)
         _mvr.save_mv(mv["path"], mv)
         return {"name": name, "mode": "incremental", "delta_files": len(new)}
 
@@ -2263,7 +2319,12 @@ ANALYZE_COUNTS = {"side_scans": 0}
 # RESULT_CACHE_MAX copies of them
 RESULT_CACHE_MAX = 128
 RESULT_CACHE_MAX_ROWS = 10_000
-RESULT_CACHE_COUNTS = {"hits": 0, "misses": 0}
+# byte budget over the whole cache (approximate: JSON-rendered record
+# bytes at store time) — 128 entries x 10k wide rows could otherwise
+# pin GBs of driver heap; a single result above the budget is never
+# stored
+RESULT_CACHE_MAX_BYTES = 64 * 1024 * 1024
+RESULT_CACHE_COUNTS = {"hits": 0, "misses": 0, "bytes": 0}
 
 # Incremental MV refresh records the build-time file listing up to
 # this many files; beyond it (or when listing fails) refreshes fall
@@ -2291,24 +2352,132 @@ def _mv_file_listing(path: str) -> list[str] | None:
     return files
 
 
-def _plan_cacheable(df: DataFrame) -> bool:
-    """A result is cacheable only when the optimized plan is a pure
-    deterministic query: no Command nodes (DDL/DML execute eagerly and
-    their envelopes must not replay) and no nondeterministic
-    expressions (rand() must re-draw; current_timestamp folds to a
-    fresh literal per query, which changes the cache key instead).
+def _mv_stat_listing(
+    path: str, files: list[str] | None
+) -> dict[str, list] | None:
+    """Per-file (mtime, size) stats for the MV's recorded listing —
+    the stale-compensation rewrite re-stats these to PROVE the drift
+    was append-only (an unchanged stat on every recorded file). None
+    when the listing itself was uncapturable."""
+    from quack_reduce_spark.lake import _fs_for
+
+    if files is None:
+        return None
+    fs = _fs_for(path)
+    out: dict[str, list] = {}
+    for f in files:
+        k = fs.stat_key(f)
+        if k is None:
+            return None
+        out[f] = list(k)
+    return out
+
+
+def _is_command(df: DataFrame) -> bool:
+    """True when the frame is an eagerly-executed DDL/DML command
+    (CommandResult / *Command analyzed root). Introspection failure
+    says True — callers treat commands conservatively."""
+    try:
+        return (
+            "Command"
+            in df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        )
+    except Exception:
+        return True
+
+
+# leaf plan nodes a cacheable query may read from: literal rows and
+# number ranges (deterministic, no external state), plus
+# LogicalRelation — whose scan paths are checked against the engine's
+# registered tables below. Anything else (LogicalRDD from an arbitrary
+# createDataFrame, streaming sources, unrecognized future leaves) is
+# state the freshness token cannot see: decline.
+_CACHEABLE_LEAVES = {"LocalRelation", "OneRowRelation", "Range"}
+
+# expression classes whose value is the CALL-TIME clock: Catalyst's
+# ComputeCurrentTime folds them into plain literals before the
+# optimized plan (and marks them deterministic), so a cached result
+# would replay the FIRST call's frozen timestamp forever. Detected on
+# the ANALYZED plan, before the fold.
+_TIME_EXPRS = {
+    "CurrentTimestamp", "CurrentDate", "Now", "LocalTimestamp",
+    "CurrentTimeZone",
+}
+
+
+def _norm_fs_path(p: str) -> str:
+    """Normalize a scan/registered path for prefix comparison: drop a
+    local-file scheme, URI-decode, strip trailing slashes."""
+    from urllib.parse import unquote
+
+    s = str(p)
+    if s.startswith("file:"):
+        s = s[len("file:"):]
+        while s.startswith("//"):  # file:///x and file:/x both -> /x
+            s = s[1:]
+    return unquote(s).rstrip("/")
+
+
+def _plan_cacheable(df: DataFrame, allowed_paths=()) -> bool:
+    """A result is cacheable only when the plan is a pure deterministic
+    query over state the freshness token covers:
+
+    - no Command nodes (DDL/DML execute eagerly, must not replay);
+    - no nondeterministic expressions (rand() must re-draw);
+    - no call-time clock expressions on the ANALYZED plan
+      (current_timestamp()/now()/current_date() fold to deterministic
+      literals before optimization — a cache hit would replay the
+      first call's clock);
+    - every leaf relation is literal rows / a range, or a file scan
+      whose every root path lies under a REGISTERED table path — a
+      direct ``parquet.`/path``` scan or a view over an unregistered
+      source has no snapshot in the freshness token and could change
+      without invalidating.
+
     Any introspection failure declines caching — sound."""
     try:
+        allowed = [_norm_fs_path(p) for p in allowed_paths]
+        # analyzed-plan pass: call-time clock expressions (pre-fold)
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            n = stack.pop()
+            exprs = n.expressions()
+            for i in range(exprs.size()):
+                estack = [exprs.apply(i)]
+                while estack:
+                    e = estack.pop()
+                    if e.getClass().getSimpleName() in _TIME_EXPRS:
+                        return False
+                    ech = e.children()
+                    for j in range(ech.size()):
+                        estack.append(ech.apply(j))
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        # optimized-plan pass: commands, nondeterminism, leaf coverage
         stack = [df._jdf.queryExecution().optimizedPlan()]
         while stack:
             n = stack.pop()
-            if "Command" in n.getClass().getSimpleName():
+            cls = n.getClass().getSimpleName()
+            if "Command" in cls:
                 return False
             exprs = n.expressions()
             for i in range(exprs.size()):
                 if not exprs.apply(i).deterministic():
                     return False
             ch = n.children()
+            if ch.size() == 0:
+                if cls == "LogicalRelation":
+                    roots = n.relation().location().rootPaths()
+                    for i in range(roots.size()):
+                        rp = _norm_fs_path(roots.apply(i).toString())
+                        if not any(
+                            rp == ap or rp.startswith(ap + "/")
+                            for ap in allowed
+                        ):
+                            return False
+                elif cls not in _CACHEABLE_LEAVES:
+                    return False
             for i in range(ch.size()):
                 stack.append(ch.apply(i))
         return True

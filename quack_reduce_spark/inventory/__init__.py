@@ -87,7 +87,7 @@ _MODULES = [
 # sf0.001/sf0.01 regardless of head selection; see
 # tests/test_inventory_counts.py for the registry-size drift gate.
 _HEAD = [
-    # Stable sentinels — Tier A + one per family, driver-green 11 rounds
+    # Stable sentinels — Tier A + one per family, driver-green 12 rounds
     "a01_scan_project", "a09_topk",
     "b_join_star_broadcast",
     "tpch_q1_full",
@@ -97,44 +97,36 @@ _HEAD = [
     "dedup_lsh_index_probe",
     "sim_cosine_topk",
     "graph_triangles",
-    # Code changed/new this round (r13): the SQL-surface scalar-agg
-    # pushdown and decimal unscaled-int stats (new keys), DPP
-    # orientations/cache/row-filter under lake_dpp_star, the
-    # count_where fallback + _file_matches fixes under
-    # lake_count_pushdown, the float InSet decode under the zone-map
-    # pair, the bloom build's decimal branch, and hist_side's
-    # min-selectivity + drift-refresh under histogram/sketch keys
-    "lake_sql_agg_pushdown",
+    # Code changed/new this round (r14): stale-MV compensation +
+    # predicate-bearing MVs + the creation rebind fix (the three MV
+    # keys), per-file per-group manifest partials for unclustered
+    # layouts (new key + the grouped-pushdown refactor under
+    # lake_group_agg_pushdown), wide-decimal native stats (new key),
+    # and the result-cache epoch/relation-guard/byte-budget rework
     "lake_mv_rewrite",
-    "lake_decimal_stats",
+    "lake_mv_stale_compensation",
+    "lake_mv_filtered",
+    "lake_group_agg_unclustered",
     "lake_group_agg_pushdown",
-    "lake_dpp_star",
-    "lake_count_pushdown",
-    "lake_zonemap_sql_pushdown",
-    "lake_zonemap_in_pushdown",
-    "lake_bloom_pointlookup",
-    "lake_histogram_stats",
-    "lake_manifest_stats",
-    "sketch_join_plan",
+    "lake_decimal_wide_stats",
+    "lake_result_cache",
     # Stalest-evidence fill, oldest first (driver evidence computed
-    # from CORRECTNESS_r01-r12): the four r5 stragglers, then the r6
-    # cohort in registry order (the remaining 11 r6 keys + the r7/r8
-    # cohorts rotate in over r14-r15)
-    "b3_group_by_all", "b3_lateral_join",
-    "ts_sliding_window", "stream_session_dynamic",
-    "tpch_q12_priority_shipping", "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue", "tpch_q19_bracket_revenue",
-    "tpch_q22_sales_opportunity", "tpch_q10_returned_items",
-    "tpch_q11_important_stock", "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_relationship",
-    "tpch_q17_small_quantity_revenue", "tpch_q20_excess_shippers",
-    "stream_stateful_user_stats", "stream_interval_join_left",
-    "stream_upsert_versioned", "stream_sliding_agg",
-    "text_pack_assignments",
-    "dedup_exact", "dedup_graph_stats",
-    "sim_pca_variance", "sim_kmeans_fixed_profile", "sim_pq_topk",
-    "sim_lsh_topk_portable", "sim_label_centroid_norm",
-    "mm_binary_meta",
+    # from CORRECTNESS_r01-r13): the whole r6 cohort (13 keys), then
+    # the first 20 of the r7 cohort in registry order (the remaining
+    # 19 r7 keys + the 36 r8 keys rotate in over r15-r16)
+    "mm_image_hist", "mm_audio_windows",
+    "udf_quality_calibrated", "udf_tokenize_rows",
+    "ml_train_split", "ml_robust_scale", "ml_negative_pairs",
+    "ml_kfold_stats", "ml_quantile_bins", "ml_standardize",
+    "ml_class_weights", "dq_partition_profile", "ml_confusion_matrix",
+    "b2_window_range_frame", "b2_window_nav", "b2_corr_covar",
+    "b2_histogram_bucket", "b2_in_subquery",
+    "b3_from_json_struct", "b3_to_json_struct", "b3_posexplode_words",
+    "b3_map_roundtrip", "b3_sequence_zip_aggregate",
+    "b3_unpivot_measures", "b3_orc_roundtrip", "b3_array_setops",
+    "b3_csv_roundtrip", "b3_json_roundtrip",
+    "ts_session_dynamic_gap", "ts_tumbling_offset", "ts_asof_forward",
+    "ts_asof_tolerance", "ts_asof_join_broadcast",
 ]
 
 

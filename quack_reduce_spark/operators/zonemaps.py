@@ -79,6 +79,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 
 ZONEMAP_DIR = "_zonemap"
 LIST_FILE = "_list.json"
+# per-file per-group partials (see the GROUP STATS section below)
+GROUP_STATS_DIR = "_zonemap_groups"
+GROUP_STATS_MAX_PER_FILE = 64
+GROUP_STATS_READ_MAX = 262_144
 
 
 # -- path normalization (Spark reports file:/ URIs; fs walks report bare) --
@@ -200,7 +204,12 @@ def _enc(v: Any) -> Any:
         return {"t": "date", "v": v.isoformat()}
     if isinstance(v, (int, float, str, bool)):
         return {"t": type(v).__name__, "v": v}
-    # unencodable type (Decimal, bytes, ...): record as unknown — the
+    if isinstance(v, _decimal.Decimal):
+        # WIDE decimals (p > 18: no unscaled-long space) stat natively
+        # and serialize as their exact decimal string — JSON-safe,
+        # lossless both ways (r14)
+        return {"t": "dec", "v": str(v)}
+    # unencodable type (bytes, intervals, ...): record as unknown — the
     # group can then never be list-pruned (sound: pruning degrades to
     # reading its manifest, never to a wrong answer)
     return {"t": "?", "v": None}
@@ -314,6 +323,8 @@ def _dec(e: Any, col_type: str | None = None) -> Any:
         return _dt.datetime.fromisoformat(v)
     if t == "date":
         return _dt.date.fromisoformat(v)
+    if t == "dec":
+        return _decimal.Decimal(v)
     return v
 
 
@@ -372,6 +383,8 @@ def _invalidate_cache(data_dir: str) -> None:
     _LIST_CACHE.pop(data_dir, None)
     for key in [k for k in _GROUP_CACHE if k[0] == data_dir]:
         _GROUP_CACHE.pop(key, None)
+    for key in [k for k in _GSTATS_CACHE if k[0] == data_dir]:
+        _GSTATS_CACHE.pop(key, None)
 
 
 def _write_list(
@@ -382,6 +395,7 @@ def _write_list(
     bloom: dict[str, dict] | None = None,
     hist: dict[str, dict] | None = None,
     ndv: dict[str, dict] | None = None,
+    group_stats: dict[str, dict] | None = None,
 ) -> None:
     """Commit the manifest list. Version 3: session-zoned timestamp
     bounds are epoch-micros ints (``types`` records the SOURCE column
@@ -405,6 +419,8 @@ def _write_list(
         doc["hist"] = hist
     if ndv:
         doc["ndv"] = ndv
+    if group_stats:
+        doc["group_stats"] = group_stats
     fs = _fs_for(data_dir)
     p = _list_path(data_dir)
     prev = fs.mtime(p)
@@ -1056,6 +1072,8 @@ def write_zonemap(
     hist_cols: list[str] | dict[str, dict] | None = None,
     hist_bins: int = HIST_BINS,
     ndv_cols: list[str] | dict[str, dict] | None = None,
+    group_stats_cols: list[str] | dict[str, dict] | None = None,
+    group_stats_max: int = GROUP_STATS_MAX_PER_FILE,
 ) -> int:
     """Build and persist the grouped manifest at ``<data_dir>/_zonemap``
     (one manifest per data directory + ``_list.json``). Returns the
@@ -1092,12 +1110,26 @@ def write_zonemap(
     subset is exactly that subset's sketch), so ``manifest_ndv``
     answers table- and slice-level DISTINCT counts at metadata cost —
     the input a join-cardinality estimate needs. Same contract as
-    ``bloom_cols``; one extra pass per column at build."""
+    ``bloom_cols``; one extra pass per column at build.
+
+    ``group_stats_cols``: LOW-NDV stats columns that get PER-FILE
+    PER-GROUP partials (the Iceberg partition-stats shape): one stats
+    row per (file, value), so the grouped aggregate pushdown answers
+    ``GROUP BY col`` from metadata on ANY layout — clustered or not.
+    Files with more than ``group_stats_max`` distinct values are
+    excluded (the reader scans them). Same ``None``-inherits /
+    ``[]``-drops contract as ``bloom_cols``; one extra grouped pass
+    per column at build."""
     df = spark.read.parquet(data_dir)
     types = _source_types(df, cols)
     prev = (
         _read_list(data_dir)
-        if (bloom_cols is None or hist_cols is None or ndv_cols is None)
+        if (
+            bloom_cols is None
+            or hist_cols is None
+            or ndv_cols is None
+            or group_stats_cols is None
+        )
         else None
     )
     inherited: dict[str, dict] = {}
@@ -1124,6 +1156,14 @@ def write_zonemap(
     elif isinstance(ndv_cols, dict):
         ndv_cols = [c for c in ndv_cols if c in cols]
     _validate_ndv_cols(types, cols, ndv_cols)
+    gs_inherited: dict[str, dict] = {}
+    if group_stats_cols is None:
+        gs_inherited = dict((prev or {}).get("group_stats") or {})
+        group_stats_cols = [c for c in gs_inherited if c in cols]
+    elif isinstance(group_stats_cols, dict):
+        gs_inherited = dict(group_stats_cols)
+        group_stats_cols = [c for c in gs_inherited if c in cols]
+    _validate_group_stats_cols(types, cols, group_stats_cols)
     stats = _cover_empty_files(
         spark, data_dir, zonemap_stats(spark, data_dir, cols), _data_files(data_dir)
     )
@@ -1162,12 +1202,19 @@ def write_zonemap(
         n_now = int(stats.agg(F.sum("n_rows")).first()[0] or 0)
         for c in hist_doc:
             hist_doc[c]["n_rows_at_build"] = n_now
+    gs_doc: dict[str, dict] = {}
+    for c in group_stats_cols:
+        mg = int(gs_inherited.get(c, {}).get("max_groups", group_stats_max))
+        gsf = _group_stats_frame(df, c, cols, types, mg).localCheckpoint()
+        gsf.write.mode("overwrite").parquet(_gstats_path(data_dir, c))
+        gs_doc[c] = {"max_groups": mg, "entries": gsf.count()}
     stats_g = _with_groups(stats).localCheckpoint()
     _write_grouped(spark, data_dir, stats_g, dynamic=False)
     groups = _group_summaries(stats_g, cols)
     _write_list(
         data_dir, cols, groups, types=types,
         bloom=bloom_doc or None, hist=hist_doc or None, ndv=ndv_doc or None,
+        group_stats=gs_doc or None,
     )
     return sum(g["n_files"] for g in groups.values())
 
@@ -1370,6 +1417,16 @@ def append_zonemap(
         # register-sketch the delta files; the table/slice merge stays
         # exact because register max is associative over files
         fresh = _attach_ndv(df, fresh, list(ndv_doc))
+    gs_doc = dict((doc or {}).get("group_stats") or {})
+    for c, cfg in gs_doc.items():
+        # per-group partials for the DELTA files only (existing files'
+        # rows are immutable under the append contract) — appended to
+        # the per-column stats table; the per-file cap applies to each
+        # new file independently
+        mg = int(cfg.get("max_groups", GROUP_STATS_MAX_PER_FILE))
+        gsf = _group_stats_frame(df, c, cols, types, mg).localCheckpoint()
+        gsf.write.mode("append").parquet(_gstats_path(data_dir, c))
+        gs_doc[c] = {**cfg, "entries": int(cfg.get("entries", 0)) + gsf.count()}
     fresh = _cover_empty_files(spark, data_dir, fresh, fresh_files)
     fresh_g = _with_groups(fresh)
     # merge back ONLY the old rows of groups that actually gained
@@ -1437,9 +1494,134 @@ def append_zonemap(
     _write_list(
         data_dir, cols, groups, types=types,
         bloom=bloom_doc or None, hist=hist_doc or None,
-        ndv=ndv_doc or None,
+        ndv=ndv_doc or None, group_stats=gs_doc or None,
     )
     return len(fresh_files)
+
+
+# -- per-file PER-GROUP partials (Iceberg partition-stats shape) ------------
+#
+# File-level min/max answer a GROUP BY from metadata only when every
+# surviving file is SINGLE-VALUED on the grouping key — a clustered
+# layout. On an unclustered table every file mixes groups and the
+# grouped pushdown always falls back to the full scan. This section
+# records, for designated LOW-NDV columns, one stats row per
+# (file, group value): n_rows plus min/max/nulls/sum for every stats
+# column WITHIN that slice. groupBy(file, value) partitions the file's
+# rows exactly, so slice partials sum/fold to the file's — the grouped
+# pushdown can then merge per-group partials on ANY layout, and even
+# classify predicates per slice (a slice's own min/max are tighter
+# than the file's). Files with more than ``max_groups`` distinct
+# values are EXCLUDED wholesale (the reader treats absence as "scan
+# this file"), which bounds manifest size to max_groups rows/file.
+
+# GROUP_STATS_DIR / GROUP_STATS_MAX_PER_FILE / GROUP_STATS_READ_MAX are
+# defined at the top of the module (write_zonemap's signature needs
+# them); the READ_MAX caps the (file, group) rows collected to the
+# driver — a table past it should cluster on the key instead
+# (file-level stats then pin every file): the reader declines, never
+# degrades.
+
+# value types whose collect() rendering is exact and zone-free (the
+# grouped pushdown's own row-rendered key gate)
+_GSTATS_TYPES = {"integer", "long", "short", "byte", "string", "date"}
+
+_GSTATS_CACHE: dict[tuple[str, str], tuple[Any, dict[str, list[dict]]]] = {}
+
+
+def _gstats_path(data_dir: str, col: str) -> str:
+    return f"{data_dir.rstrip('/')}/{GROUP_STATS_DIR}/{col}"
+
+
+def _validate_group_stats_cols(
+    types: dict[str, str], cols: list[str], gcols: list[str]
+) -> None:
+    for c in gcols:
+        if c not in cols:
+            raise ValueError(f"group_stats column {c!r} is not a stats column")
+        if types.get(c) not in _GSTATS_TYPES:
+            raise ValueError(
+                f"group_stats column {c!r} has type {types.get(c)!r}; "
+                f"supported: {sorted(_GSTATS_TYPES)}"
+            )
+
+
+def _gstat_aggs(cols: list[str], types: dict[str, str]) -> list[Column]:
+    """Per-slice stats aggregates — the file-level layout minus
+    file_bytes (slices have no size)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}"))
+        if _sum_col_ok(types.get(c)):
+            aggs.append(F.try_sum(F.col(c)).alias(f"sum_{c}"))
+    return aggs
+
+
+def _group_stats_frame(
+    df: DataFrame,
+    gcol: str,
+    cols: list[str],
+    types: dict[str, str],
+    max_groups: int,
+) -> DataFrame:
+    """One row per (file, value of ``gcol``) with slice-level stats,
+    excluding files with more than ``max_groups`` distinct values
+    (absence = the reader scans the file)."""
+    from pyspark.sql import Window
+
+    src = df.select(
+        _file_col().alias("file"),
+        F.col(gcol).alias("__gv"),  # native: _GSTATS_TYPES render exactly
+        *_stats_select_cols(df, cols),
+    )
+    agged = src.groupBy("file", "__gv").agg(*_gstat_aggs(cols, types))
+    w = Window.partitionBy("file")
+    return (
+        agged.withColumn("__ng", F.count(F.lit(1)).over(w))
+        .filter(F.col("__ng") <= max_groups)
+        .drop("__ng")
+    )
+
+
+def group_stats_config(data_dir: str) -> dict[str, dict]:
+    """The manifest's per-group-partials config
+    ``{col: {max_groups, entries}}`` (empty when none)."""
+    doc = _read_list(data_dir)
+    return dict((doc or {}).get("group_stats") or {})
+
+
+def group_stats_rows(
+    spark: SparkSession, data_dir: str, col: str
+) -> dict[str, list[dict]] | None:
+    """All (file, group) slice rows for ``col`` as
+    ``{file: [row dicts]}``, cached on the manifest-list commit epoch
+    (the same discipline as the per-file manifest cache). None when
+    the config is absent, the recorded entry count exceeds the reader
+    cap, or the read fails — callers fall back to file-level stats."""
+    doc, epoch = _read_list_cached(data_dir)
+    cfg = ((doc or {}).get("group_stats") or {}).get(col)
+    if cfg is None:
+        return None
+    if int(cfg.get("entries", 0)) > GROUP_STATS_READ_MAX:
+        return None
+    hit = _GSTATS_CACHE.get((data_dir, col))
+    if hit is not None and hit[0] == epoch:
+        return hit[1]
+    try:
+        IO_COUNTS["group_reads"] += 1
+        rows = [
+            r.asDict()
+            for r in spark.read.parquet(_gstats_path(data_dir, col)).collect()
+        ]
+    except Exception:
+        return None
+    by_file: dict[str, list[dict]] = {}
+    for r in rows:
+        by_file.setdefault(_unq(_bare(r["file"])), []).append(r)
+    _GSTATS_CACHE[(data_dir, col)] = (epoch, by_file)
+    return by_file
 
 
 # -- pruning ---------------------------------------------------------------

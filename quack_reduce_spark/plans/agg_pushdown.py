@@ -86,10 +86,12 @@ _OK_TYPES = {
 
 
 def _type_ok(tname: str) -> bool:
-    from quack_reduce_spark.operators.zonemaps import _unscaled_decimal
+    from quack_reduce_spark.operators.zonemaps import _decimal_ps
 
-    # decimal(p<=18) participates through its unscaled-int stats space
-    return tname in _OK_TYPES or _unscaled_decimal(tname) is not None
+    # decimal(p<=18) participates through its unscaled-int stats
+    # space; WIDE decimals (p > 18) through native-Decimal stats (r14)
+    # — SUM/AVG stay gated separately (_sum_col_ok / the int family)
+    return tname in _OK_TYPES or _decimal_ps(tname) is not None
 
 
 def _is_nan(v: Any) -> bool:
@@ -316,10 +318,13 @@ _GROUP_VAL_TYPES = _GROUP_KEY_TYPES | {"double", "float"}
 
 
 def _group_type_ok(tname: str, key: bool) -> bool:
-    from quack_reduce_spark.operators.zonemaps import _unscaled_decimal
+    from quack_reduce_spark.operators.zonemaps import _decimal_ps
 
+    # decimals of ANY precision: narrow ones re-render from unscaled
+    # ints, wide ones pass native Decimals straight through
+    # createDataFrame rows — both exact (r14)
     ok = _GROUP_KEY_TYPES if key else _GROUP_VAL_TYPES
-    return tname in ok or _unscaled_decimal(tname) is not None
+    return tname in ok or _decimal_ps(tname) is not None
 
 
 def extract_scalar_agg(
@@ -1177,12 +1182,132 @@ def _render_meta(v: Any, tname: str) -> Any:
     return v
 
 
+def _pin_keys_row(
+    groups: list[dict], r: dict, n_rows: int,
+    gv_col: str | None = None, gv: Any = None,
+) -> list | None:
+    """The single group-key tuple every row behind stats row ``r``
+    belongs to, or None when the stats cannot pin one. A plain key
+    pins when single-valued non-null (min == max, zero nulls) or
+    all-NULL (the SQL NULL group); a derived key when its MONOTONE
+    bucket of both endpoints agrees. When ``r`` is a per-group SLICE
+    row for column ``gv_col``, that column's key IS the slice value
+    ``gv`` (every row of the slice holds it, by groupBy construction)."""
+    key_vals: list = []
+    for g in groups:
+        src = g["src"]
+        if gv_col is not None and src == gv_col:
+            if gv is None or g["kind"] == "col":
+                key_vals.append(gv)
+            else:
+                key_vals.append(_derive_value(g["kind"], gv))
+            continue
+        gmn, gmx = r.get(f"min_{src}"), r.get(f"max_{src}")
+        gnulls = r.get(f"nulls_{src}")
+        if gnulls is not None and int(gnulls) == 0 and gmn is not None:
+            if g["kind"] == "col":
+                if gmn == gmx:
+                    key_vals.append(gmn)
+                    continue
+            else:
+                lo = _derive_value(g["kind"], gmn)
+                hi = _derive_value(g["kind"], gmx)
+                if lo == hi:
+                    key_vals.append(lo)
+                    continue
+            return None
+        if gnulls is not None and int(gnulls) == n_rows:
+            key_vals.append(None)
+        else:
+            return None
+    return key_vals
+
+
+def _pin_cd_row(cd_cols: list[str], r: dict, n_rows: int) -> dict | None:
+    """Per-column pinned value for every COUNT(DISTINCT) column behind
+    stats row ``r`` (single non-null value, or None for an all-NULL
+    slice), or None when any column is mixed."""
+    out: dict[str, Any] = {}
+    for c in cd_cols:
+        mn, mx = r.get(f"min_{c}"), r.get(f"max_{c}")
+        nulls = r.get(f"nulls_{c}")
+        if mn is None and nulls is not None and int(nulls) == n_rows:
+            out[c] = None
+        elif mn is not None and mn == mx and not _is_nan(mn):
+            out[c] = mn
+        else:
+            return None
+    return out
+
+
+def _fold_partials(
+    aggs: list, part: list, r: dict, n_rows: int, cd_pinned: dict
+) -> bool:
+    """Accumulate one stats row's metadata partials into ``part``
+    (one slot per aggregate). False = a needed stat is absent or
+    NaN-poisoned — the caller must decline the whole pushdown."""
+    for i, (kind, col) in enumerate(aggs):
+        if kind == "key":
+            continue
+        if kind == "count_distinct":
+            v = cd_pinned[col]
+            if v is not None:
+                part[i].add(v)
+            continue
+        if kind == "count_star":
+            part[i] += n_rows
+        elif kind == "count":
+            nc = r.get(f"nulls_{col}")
+            if nc is None:
+                return False
+            part[i] += n_rows - int(nc)
+        elif kind == "sum":
+            sv = r.get(f"sum_{col}")
+            if sv is None:
+                nc = r.get(f"nulls_{col}")
+                if nc is not None and int(nc) == n_rows:
+                    continue  # all-NULL: SUM contributes nothing
+                return False  # pre-r13 manifest / int64 overflow
+            part[i] = (0 if part[i] is None else part[i]) + int(sv)
+        elif kind == "avg":
+            nc = r.get(f"nulls_{col}")
+            if nc is None:
+                return False
+            nn = n_rows - int(nc)
+            if nn == 0:
+                continue  # all-NULL/empty: AVG sees nothing
+            sv = r.get(f"sum_{col}")
+            if sv is None:
+                return False
+            part[i] = [
+                (0 if part[i][0] is None else part[i][0]) + int(sv),
+                part[i][1] + nn,
+            ]
+        else:
+            v = r.get(f"min_{col}" if kind == "min" else f"max_{col}")
+            if v is None:
+                continue  # all-null contributes nothing
+            if _is_nan(v):
+                return False
+            try:
+                if part[i] is None:
+                    part[i] = v
+                elif kind == "min":
+                    part[i] = min(part[i], v)
+                else:
+                    part[i] = max(part[i], v)
+            except TypeError:
+                return False
+    return True
+
+
 def build_group_agg_frame(
     spark: SparkSession,
     path: str,
     info: dict,
     rows: list[dict],
     total: int,
+    group_stats: tuple[str, dict[str, list[dict]]] | None = None,
 ) -> tuple[DataFrame, dict] | None:
     """The GROUP BY twin of :func:`build_agg_frame`: a file whose
     conjunct classification is 'all' AND whose EVERY grouping column
@@ -1224,6 +1349,8 @@ def build_group_agg_frame(
             for k, _c in aggs
         ]
 
+    gs_col, gs_by_file = group_stats if group_stats else (None, {})
+    files_gs = 0
     for r in rows:
         n_rows = int(r["n_rows"])
         state = _classify_row(norm, r, n_rows)
@@ -1231,106 +1358,69 @@ def build_group_agg_frame(
             continue
         if n_rows == 0:
             continue  # empty file: no group, nothing to add
-        # EVERY grouping key must pin this file to one group: source
-        # single-valued non-null (key = the value, bucketed for
-        # derived keys — sound because the bucket fns are MONOTONE,
-        # so equal endpoints mean one bucket) or all-NULL (the SQL
-        # NULL group); anything mixed goes to the boundary scan
-        key_vals: list = []
-        pinned = True
-        for g in groups:
-            src = g["src"]
-            gmn, gmx = r.get(f"min_{src}"), r.get(f"max_{src}")
-            gnulls = r.get(f"nulls_{src}")
-            if gnulls is not None and int(gnulls) == 0 and gmn is not None:
-                if g["kind"] == "col":
-                    if gmn == gmx:
-                        key_vals.append(gmn)
-                        continue
-                else:
-                    lo = _derive_value(g["kind"], gmn)
-                    hi = _derive_value(g["kind"], gmx)
-                    if lo == hi:
-                        key_vals.append(lo)
-                        continue
-                pinned = False
-                break
-            if gnulls is not None and int(gnulls) == n_rows:
-                key_vals.append(None)
-            else:
-                pinned = False
-                break
-        # every count_distinct column must ALSO pin (single non-null
-        # value or all-NULL) — a mixed file demotes wholesale
-        cd_pinned: dict[str, Any] = {}
-        if pinned:
-            for c in cd_cols:
-                mn, mx = r.get(f"min_{c}"), r.get(f"max_{c}")
-                nulls = r.get(f"nulls_{c}")
-                if mn is None and nulls is not None and int(nulls) == n_rows:
-                    cd_pinned[c] = None
-                elif mn is not None and mn == mx and not _is_nan(mn):
-                    cd_pinned[c] = mn
-                else:
-                    pinned = False
-                    break
-        if state == "some" or not pinned:
-            boundary.append(r["file"])
-            continue
-        key = tuple(key_vals)
-        part = meta.setdefault(key, fresh_partials())
-        for i, (kind, col) in enumerate(aggs):
-            if kind == "key":
-                continue
-            if kind == "count_distinct":
-                v = cd_pinned[col]
-                if v is not None:
-                    part[i].add(v)
-                continue
-            if kind == "count_star":
-                part[i] += n_rows
-            elif kind == "count":
-                nc = r.get(f"nulls_{col}")
-                if nc is None:
+        # FAST PATH — EVERY grouping key pins this file to one group:
+        # source single-valued non-null (key = the value, bucketed for
+        # derived keys — sound because the bucket fns are MONOTONE, so
+        # equal endpoints mean one bucket) or all-NULL (the SQL NULL
+        # group); every count_distinct column must also pin
+        if state == "all":
+            key_vals = _pin_keys_row(groups, r, n_rows)
+            cd_pinned = (
+                _pin_cd_row(cd_cols, r, n_rows)
+                if key_vals is not None
+                else None
+            )
+            if key_vals is not None and cd_pinned is not None:
+                part = meta.setdefault(tuple(key_vals), fresh_partials())
+                if not _fold_partials(aggs, part, r, n_rows, cd_pinned):
                     return None
-                part[i] += n_rows - int(nc)
-            elif kind == "sum":
-                sv = r.get(f"sum_{col}")
-                if sv is None:
-                    nc = r.get(f"nulls_{col}")
-                    if nc is not None and int(nc) == n_rows:
-                        continue
-                    return None  # pre-r13 manifest / overflow: decline
-                part[i] = (0 if part[i] is None else part[i]) + int(sv)
-            elif kind == "avg":
-                nc = r.get(f"nulls_{col}")
-                if nc is None:
-                    return None
-                nn = n_rows - int(nc)
-                if nn == 0:
-                    continue  # all-NULL file: AVG sees nothing
-                sv = r.get(f"sum_{col}")
-                if sv is None:
-                    return None  # pre-r13 manifest / overflow: decline
-                part[i] = [
-                    (0 if part[i][0] is None else part[i][0]) + int(sv),
-                    part[i][1] + nn,
-                ]
-            else:
-                v = r.get(f"min_{col}" if kind == "min" else f"max_{col}")
-                if v is None:
+                continue
+        # PER-GROUP SLICE PATH (unclustered layouts): the manifest's
+        # (file, group-value) partials — written for designated
+        # low-NDV columns — pin each slice exactly: the slice value IS
+        # the group key, conjuncts classify against the slice's own
+        # (tighter) stats, and slice partials fold like file partials
+        # because groupBy(file, value) partitions the file's rows
+        # exactly. Staged per file: any unclassifiable slice demotes
+        # the WHOLE file to the boundary scan (a file reads once or
+        # not at all).
+        if gs_col is not None:
+            from quack_reduce_spark.operators.zonemaps import _bare, _unq
+
+            slices = gs_by_file.get(_unq(_bare(r["file"])))
+        else:
+            slices = None
+        if slices is not None:
+            staged: list = []
+            ok = True
+            for gr in slices:
+                g_n = int(gr["n_rows"])
+                if g_n == 0:
                     continue
-                if _is_nan(v):
-                    return None
-                try:
-                    if part[i] is None:
-                        part[i] = v
-                    elif kind == "min":
-                        part[i] = min(part[i], v)
-                    else:
-                        part[i] = max(part[i], v)
-                except TypeError:
-                    return None
+                g_state = _classify_row(norm, gr, g_n)
+                if g_state == "none":
+                    continue  # the whole slice fails the predicate
+                if g_state != "all":
+                    ok = False
+                    break
+                kv = _pin_keys_row(
+                    groups, gr, g_n, gv_col=gs_col, gv=gr["__gv"]
+                )
+                cdp = (
+                    _pin_cd_row(cd_cols, gr, g_n) if kv is not None else None
+                )
+                if kv is None or cdp is None:
+                    ok = False
+                    break
+                staged.append((tuple(kv), cdp, gr, g_n))
+            if ok:
+                files_gs += 1
+                for kv, cdp, gr, g_n in staged:
+                    part = meta.setdefault(kv, fresh_partials())
+                    if not _fold_partials(aggs, part, gr, g_n, cdp):
+                        return None
+                continue
+        boundary.append(r["file"])
 
     # -- the metadata partials as a (possibly empty) frame ------------
     knames = [f"__k{j}" for j in range(len(groups))]
@@ -1516,4 +1606,7 @@ def build_group_agg_frame(
         "files_scanned": len(boundary),
         "groups_metadata": len(meta),
     }
+    if gs_col is not None:
+        telemetry["files_group_stats"] = files_gs
+        telemetry["group_stats_col"] = gs_col
     return frame, telemetry

@@ -62,11 +62,85 @@ MV_FILE = "_mv.json"
 # files per check (a table past this should carry a zone-map manifest,
 # whose single _list.json stat is the intended O(1) freshness token)
 SNAP_MAX_FILES = 256
+# zone-mapped tables additionally digest the live data-file NAMES into
+# the token (one directory walk, no per-file stats): a raw append that
+# bypasses manifest maintenance (plain df.write append) changes the
+# name set even though _list.json is untouched — the exact case the
+# agg-pushdown path declines via its file-count check. Past this cap
+# the walk is abandoned and the table has no cheap token (sound: the
+# MV then never rewrites until refreshed).
+SNAP_LIST_MAX_FILES = 65536
 
 
 def _cname(kind: str, col: str | None) -> str:
     """Canonical MV partial-column name for one aggregate spec."""
     return "n__star" if kind == "count_star" else f"{kind}__{col}"
+
+
+# the ONLY aggregate kinds an MV may materialize: each has a mergeable
+# partial. Everything else (avg -> materialize sum+count instead,
+# count_distinct -> non-mergeable, future kinds) declines at creation.
+_MV_KINDS = {"count_star", "count", "sum", "min", "max"}
+
+
+def _parse_partial(cn: str) -> tuple[str, str | None] | None:
+    """(kind, col) for a stored partial-column name, or None when the
+    name is not one of the exactly-known layouts — callers must treat
+    None as 'cannot merge/derive: full recompute or decline'. Explicit
+    prefix matching (never ``partition('__')``): a hypothetical
+    ``count_distinct__c`` must NOT parse as ``count('distinct__c')``."""
+    if cn == "n__star":
+        return "count_star", None
+    for kind in ("count", "sum", "min", "max"):
+        pre = f"{kind}__"
+        if cn.startswith(pre):
+            return kind, cn[len(pre):]
+    return None
+
+
+def _enc_conjuncts(conjuncts: list) -> list | None:
+    """JSON-safe canonical form of extracted WHERE conjuncts
+    ``(col, op, value)`` — values encode via the manifest's _enc
+    discipline (epoch/unscaled ints pass through; dates/NTZ datetimes
+    as tagged isoformat). None when any value is unencodable (the MV
+    then declines creation — never a lossy predicate)."""
+    from quack_reduce_spark.operators.zonemaps import _enc
+
+    out = []
+    for col, op, v in conjuncts:
+        if op == "in":
+            evs = [_enc(x) for x in sorted(v, key=repr)]
+            if any(e is not None and e.get("t") == "?" for e in evs):
+                return None
+            out.append([col, op, evs])
+        else:
+            e = _enc(v)
+            if e is not None and e.get("t") == "?":
+                return None
+            out.append([col, op, e])
+    return sorted(out, key=repr)
+
+
+def _dec_conjuncts(enc: list, types: dict) -> list | None:
+    """Decode stored MV conjuncts back to ``(col, op, value)`` triples
+    (frozensets for IN). None when any value decodes untrusted — the
+    MV then never rewrites (sound)."""
+    from quack_reduce_spark.operators.zonemaps import _UNKNOWN, _dec
+
+    out = []
+    for col, op, ev in enc or []:
+        t = types.get(col)
+        if op == "in":
+            vals = [_dec(x, t) for x in ev]
+            if any(v is _UNKNOWN for v in vals):
+                return None
+            out.append((col, op, frozenset(vals)))
+        else:
+            v = _dec(ev, t)
+            if v is _UNKNOWN:
+                return None
+            out.append((col, op, v))
+    return out
 
 
 def source_snapshot(path: str) -> list | None:
@@ -89,7 +163,19 @@ def source_snapshot(path: str) -> list | None:
     lp = _join(_join(base, ZONEMAP_DIR), LIST_FILE)
     key = fs.stat_key(lp)
     if key is not None:
-        return ["list", lp, list(key)]
+        # manifest commits rewrite _list.json, but a RAW append (plain
+        # parquet write, no append_zonemap) does not: digest the live
+        # file names so un-maintained appends/rewrites invalidate too
+        try:
+            files = _data_files(base)
+        except Exception:
+            return None
+        if len(files) > SNAP_LIST_MAX_FILES:
+            return None
+        import hashlib as _hl
+
+        sig = _hl.md5("\n".join(sorted(files)).encode()).hexdigest()
+        return ["list", lp, list(key), len(files), sig]
     if not fs.is_dir(base):
         k = fs.stat_key(base)
         return None if k is None else ["files", [[base, list(k)]]]
@@ -111,11 +197,15 @@ def source_snapshot(path: str) -> list | None:
 def mv_spec(df: DataFrame, paths_by_name: dict[str, str]) -> dict | None:
     """Validate a CREATE MATERIALIZED VIEW query and return its spec
     (source table, group column, canonical partial layout, source
-    column types) or None when the query falls outside the exactly-
-    understood aggregate surface. Creation is stricter than rewrite:
-    no WHERE (predicate-containment is not implemented — materialize
-    the whole grouping), no AVG (materialize SUM + COUNT instead; AVG
-    *queries* then rewrite over the pair)."""
+    column types, canonical WHERE conjuncts) or None when the query
+    falls outside the exactly-understood aggregate surface. A WHERE
+    clause is accepted when every conjunct is exactly extractable and
+    JSON-encodable — the classic filtered-aggregate MV (the reference's
+    own dbt model is one, ``trips_by_pickup_location.sql:1-6``);
+    rewrites then require the QUERY predicate to CONTAIN the MV's.
+    No AVG (materialize SUM + COUNT instead; AVG *queries* rewrite
+    over the pair) and no COUNT(DISTINCT) — its partial does not
+    merge."""
     from quack_reduce_spark.plans.agg_pushdown import (
         extract_grouped_agg,
         extract_scalar_agg,
@@ -124,16 +214,22 @@ def mv_spec(df: DataFrame, paths_by_name: dict[str, str]) -> dict | None:
     info = extract_grouped_agg(df, paths_by_name) or extract_scalar_agg(
         df, paths_by_name
     )
-    if info is None or info["conjuncts"]:
+    if info is None:
         return None
     if info["having"] or info["limit"] is not None:
         return None  # a filtered/truncated grouping is not mergeable
     if info["visible"] != list(range(len(info["aggs"]))):
         return None  # hidden auxiliary outputs: not a plain layout
-    if any(kind == "avg" for kind, _c in info["aggs"]):
-        return None
+    if any(
+        kind != "key" and kind not in _MV_KINDS
+        for kind, _c in info["aggs"]
+    ):
+        return None  # avg / count_distinct / unknown: no mergeable partial
     if not any(kind != "key" for kind, _c in info["aggs"]):
         return None
+    enc_conjs = _enc_conjuncts(info["conjuncts"])
+    if enc_conjs is None:
+        return None  # a predicate value the MV doc cannot round-trip
     # every grouping key must be materialized (a key grouped on but
     # projected out would make the MV rows non-reaggregable)
     selected_keys = {c for k, c in info["aggs"] if k == "key"}
@@ -170,6 +266,7 @@ def mv_spec(df: DataFrame, paths_by_name: dict[str, str]) -> dict | None:
         "groups": groups_out,
         "partials": sorted(columns),
         "types": info["types"],
+        "conjuncts": enc_conjs,
         "_select": select,
     }
 
@@ -244,8 +341,12 @@ def try_rewrite(
     paths_by_name: dict[str, str],
     mvs: dict[str, dict],
 ) -> tuple[DataFrame, dict] | None:
-    """Rewrite ``df`` over the first matching fresh MV; None when no
-    MV matches (the query runs plain)."""
+    """Rewrite ``df`` over the first matching MV; None when no MV
+    matches (the query runs plain). An MV whose source has APPENDED
+    since its snapshot still rewrites via COMPENSATION — MV partials
+    union an aggregate over only the delta files — when the recorded
+    file set is a verified-unchanged prefix of the live one (see
+    :func:`_compensation_delta`); any other drift declines."""
     from quack_reduce_spark.plans.agg_pushdown import (
         extract_grouped_agg,
         extract_scalar_agg,
@@ -256,7 +357,6 @@ def try_rewrite(
     )
     if info is None:
         return None
-    grouped = bool(info["groups"])
     for name, mv in mvs.items():
         if mv["table"] != info["table"]:
             continue
@@ -270,12 +370,23 @@ def try_rewrite(
         ]
         if any(mg is None for _qg, mg in matches):
             continue
+        # predicate CONTAINMENT: the MV's own conjuncts must all appear
+        # verbatim in the query's (the MV rows already satisfy them);
+        # the residual (query-only) conjuncts re-apply over the MV rows
+        # and must hit PLAIN (raw-value) MV keys — only those commute
+        # with the grouping exactly
+        mv_conjs = _dec_conjuncts(mv.get("conjuncts"), mv.get("types") or {})
+        if mv_conjs is None:
+            continue  # undecodable stored predicate: never rewrite
+        q_conjs = list(info["conjuncts"])
+        mv_set = set(mv_conjs)
+        if not mv_set <= set(q_conjs):
+            continue  # query is WIDER than the MV's row set
+        residual = [c for c in q_conjs if c not in mv_set]
         plain_srcs = {g["src"] for g in mv_groups if g["kind"] == "col"}
-        if any(c not in plain_srcs for c, _o, _v in info["conjuncts"]):
-            continue  # predicates must hit a PLAIN (raw-value) MV key:
-            # only those commute with the grouping exactly
+        if any(c not in plain_srcs for c, _o, _v in residual):
+            continue
         partials = set(mv["partials"])
-        needed: set[str] = set()
         ok = True
         for kind, col in info["aggs"]:
             if kind == "key":
@@ -287,16 +398,146 @@ def try_rewrite(
             if not need <= partials:
                 ok = False
                 break
-            needed |= need
         if not ok:
             continue
-        # freshness LAST (it stats the filesystem; shape checks are free)
+        # freshness LAST (it stats the filesystem; shape checks are
+        # free): exact snapshot -> no delta; append-only drift with a
+        # verified-unchanged prefix -> compensation delta; else decline
         if mv.get("snapshot") is None:
             continue
-        if source_snapshot(mv["source_path"]) != mv["snapshot"]:
+        live = source_snapshot(mv["source_path"])
+        if live is None:
             continue
-        return _build(spark, info, mv, name, matches)
+        if live == mv["snapshot"]:
+            delta: list[str] | None = []
+        else:
+            delta = _compensation_delta(mv, live)
+            if delta is None:
+                continue
+        return _build(spark, info, mv, name, matches, residual, delta)
     return None
+
+
+# compensation verifies the recorded files are byte-unchanged via one
+# stat each; past this many recorded files the per-query verification
+# cost stops being metadata-cheap, so compensation declines (a table
+# that large should refresh on a schedule instead)
+COMP_STAT_MAX_FILES = 1024
+
+
+def _compensation_delta(mv: dict, live_snap: list) -> list[str] | None:
+    """Delta file list for an append-only-drifted MV, or None when
+    compensation is unsound/unavailable. Requirements: the creation-
+    time file listing AND per-file (mtime, size) stats were recorded;
+    every recorded file still exists with an unchanged stat (an append
+    never rewrites existing files — any touched file means compaction/
+    overwrite, where partials can shrink and no union can compensate);
+    the live listing is capturable. The verified delta is cached on
+    the mv entry keyed by the live snapshot token, so a dashboard
+    re-issuing the query between refreshes verifies ONCE per source
+    commit, not once per query."""
+    import json as _json
+
+    from quack_reduce_spark.lake import _fs_for
+
+    live_key = _json.dumps(live_snap, sort_keys=True)
+    cached = mv.get("_comp")
+    if cached is not None and cached[0] == live_key:
+        return cached[1]
+    old = mv.get("files")
+    old_stat = mv.get("files_stat")
+    if not old or not old_stat or len(old) > COMP_STAT_MAX_FILES:
+        return None
+    from quack_reduce_spark.operators.zonemaps import _data_files
+
+    src = mv["source_path"].rstrip("/")
+    fs = _fs_for(src)
+    try:
+        cur = sorted(_data_files(src)) if fs.is_dir(src) else [src]
+    except Exception:
+        return None
+    cur_set = set(cur)
+    if set(old) - cur_set:
+        return None  # a recorded file disappeared: shrinkage possible
+    for f in old:
+        k = fs.stat_key(f)
+        st = old_stat.get(f)
+        if k is None or st is None or list(k) != list(st):
+            return None  # a recorded file changed: not an append
+    delta = sorted(cur_set - set(old))
+    mv["_comp"] = (live_key, delta)
+    return delta
+
+
+def delta_partial_frame(
+    spark: SparkSession, mv: dict, files: list[str]
+) -> DataFrame | None:
+    """Aggregate the given source DELTA files into the MV's exact
+    partial layout (group key columns under their stored physical
+    names, one column per partial), applying the MV's own WHERE
+    conjuncts first. None when any stored partial name or group kind
+    is unrecognized — callers must then fall back to a full recompute
+    (refresh) or decline (rewrite compensation). Shared by the
+    incremental-refresh and stale-compensation paths so both merge
+    the same arithmetic."""
+    from quack_reduce_spark.plans.agg_pushdown import (
+        _derive_column,
+        residual_predicate,
+    )
+
+    delta = spark.read.option("basePath", mv["source_path"]).parquet(*files)
+    mv_conjs = _dec_conjuncts(mv.get("conjuncts"), mv.get("types") or {})
+    if mv_conjs is None:
+        return None
+    if mv_conjs:
+        delta = delta.where(
+            residual_predicate(mv_conjs, dict(mv.get("types") or {}))
+        )
+    gspecs = _norm_groups(mv["groups"])
+    delta_keys = [
+        _derive_column({"kind": g["kind"], "src": g["src"]}).alias(g["col"])
+        for g in gspecs
+    ]
+    aggs = []
+    for cn in mv["partials"]:
+        parsed = _parse_partial(cn)
+        if parsed is None:
+            return None  # unknown partial layout: cannot merge
+        kind, col = parsed
+        if kind == "count_star":
+            aggs.append(F.count(F.lit(1)).alias(cn))
+        elif kind == "count":
+            aggs.append(F.count(F.col(col)).alias(cn))
+        elif kind == "sum":
+            aggs.append(F.sum(F.col(col)).alias(cn))
+        elif kind == "min":
+            aggs.append(F.min(F.col(col)).alias(cn))
+        else:
+            aggs.append(F.max(F.col(col)).alias(cn))
+    return (
+        delta.groupBy(*delta_keys).agg(*aggs)
+        if gspecs
+        else delta.agg(*aggs)
+    )
+
+
+def partial_merge_exprs(partials: list[str]) -> list | None:
+    """Final-fold expressions re-aggregating stored partial columns
+    (counts/sums add, mins/maxes fold), or None when any name is
+    unrecognized."""
+    out = []
+    for cn in partials:
+        parsed = _parse_partial(cn)
+        if parsed is None:
+            return None
+        kind, _col = parsed
+        if kind in ("count_star", "count", "sum"):
+            out.append(F.sum(F.col(cn)).alias(cn))
+        elif kind == "min":
+            out.append(F.min(F.col(cn)).alias(cn))
+        else:
+            out.append(F.max(F.col(cn)).alias(cn))
+    return out
 
 
 def _norm_groups(gs: list) -> list[dict]:
@@ -315,6 +556,8 @@ def _build(
     mv: dict,
     name: str,
     matches: list,
+    residual: list,
+    delta: list[str],
 ) -> tuple[DataFrame, dict]:
     from quack_reduce_spark.plans.agg_pushdown import (
         finish_frame,
@@ -323,6 +566,22 @@ def _build(
 
     grouped = bool(info["groups"])
     base = spark.read.parquet(mv["path"])
+    if delta:
+        # stale-compensation: the source appended since the snapshot —
+        # aggregate ONLY the delta files into the same partial layout
+        # (MV predicate applied) and union; every partial kind merges,
+        # so MV (+) delta equals a fresh full materialization
+        dagg = delta_partial_frame(spark, mv, delta)
+        if dagg is None:
+            raise ValueError("unmergeable MV partial layout")
+        base = base.unionByName(
+            dagg.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    for f in base.schema.fields
+                ]
+            )
+        )
     # query-group key columns, rebucketed from the matched MV keys and
     # aliased __k{j} in query-group order
     key_exprs = [
@@ -334,14 +593,16 @@ def _build(
     key_by_gname = {
         qg["gname"]: f"__k{j}" for j, (qg, _mg) in enumerate(matches)
     }
-    if info["conjuncts"]:
-        # group-column types recorded at MV creation keep the epoch-
+    if residual:
+        # only the QUERY-minus-MV conjuncts re-apply: the MV rows (and
+        # the delta aggregate) already satisfy the MV's own predicate.
+        # Group-column types recorded at MV creation keep the epoch-
         # space discipline for session-zoned timestamps (group keys
         # are currently zone-free types, but the predicate builder is
         # shared with the agg path and handles all of them)
         types = dict(mv.get("types") or {})
         types.update(info["types"])
-        base = base.where(residual_predicate(info["conjuncts"], types))
+        base = base.where(residual_predicate(residual, types))
     partial_exprs: list = []
     for i, (kind, col) in enumerate(info["aggs"]):
         if kind == "key":
@@ -407,4 +668,8 @@ def _build(
             for k, c in info["aggs"]
         ],
     }
+    if delta:
+        telemetry["compensation_delta_files"] = len(delta)
+    if mv.get("conjuncts"):
+        telemetry["mv_predicate"] = True
     return frame, telemetry

@@ -128,15 +128,30 @@ def _internal_py(v: Any, type_name: str) -> tuple[Any, bool]:
         # space; a binary comparison against a BARE attribute is
         # same-typed post-analysis, so the literal's scale IS the
         # column's and toUnscaledLong lands in exactly that space.
-        # Wider decimals aren't statted — report unusable (sound).
-        from quack_reduce_spark.operators.zonemaps import _unscaled_decimal
+        # WIDE decimals (p > 18) stat natively — the literal decodes
+        # to an exact python Decimal via BigDecimal's plain string
+        # (r14), compared Decimal-vs-Decimal driver-side.
+        from quack_reduce_spark.operators.zonemaps import (
+            _decimal_ps,
+            _unscaled_decimal,
+        )
 
-        if _unscaled_decimal(type_name) is None:
-            return None, False
-        try:
-            return int(v.toUnscaledLong()), True
-        except Exception:
-            return None, False
+        if _unscaled_decimal(type_name) is not None:
+            try:
+                return int(v.toUnscaledLong()), True
+            except Exception:
+                return None, False
+        if _decimal_ps(type_name) is not None:
+            try:
+                import decimal as _pydec
+
+                d = v.toJavaBigDecimal()
+                if isinstance(d, _pydec.Decimal):
+                    return d, True  # py4j auto-converts BigDecimal
+                return _pydec.Decimal(d.toPlainString()), True
+            except Exception:
+                return None, False
+        return None, False
     return None, False
 
 
@@ -273,10 +288,13 @@ def _parse_internal_str(s: str, type_name: str) -> tuple[Any, bool]:
                 _unscaled_decimal,
             )
 
-            if _unscaled_decimal(type_name) is None:
-                return None, False
             import decimal as _pydec
 
+            if _unscaled_decimal(type_name) is None:
+                # wide decimal (p > 18): native-Decimal space (r14)
+                if _decimal_ps(type_name) is None:
+                    return None, False
+                return _pydec.Decimal(s), True
             d = _pydec.Decimal(s).scaleb(_decimal_ps(type_name)[1])
             if d != d.to_integral_value():
                 return None, False

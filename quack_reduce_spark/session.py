@@ -47,8 +47,20 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
+        # The app-status store tracks SQL executions (full plan-
+        # description strings) even with the UI off; the 1000-entry
+        # default pins hundreds of MBs of plan text over a long-lived
+        # session (thousands of queries — a test suite, a dashboard
+        # burst). The engine reads none of it back: keep a small
+        # debugging window only.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "1000")
+        .config("spark.worker.ui.retainedExecutors", "10")
+        .config("spark.worker.ui.retainedDrivers", "10")
     )
 
 

@@ -107,27 +107,37 @@ def test_mv_rewrite_declines(spark, sf_dir, tmp_path):
 
 
 def test_mv_rewrite_staleness_refresh_adoption(spark, sf_dir, tmp_path):
-    """A source commit after materialization makes every rewrite
-    decline (snapshot mismatch) until refresh; a second engine adopts
-    the persisted MV via _mv.json and rewrites too."""
+    """An append after materialization no longer kills the rewrite:
+    the stale MV COMPENSATES — partials union an aggregate over only
+    the delta files — and returns exactly the live table's answer. A
+    second engine adopts the persisted MV via _mv.json and rewrites
+    too."""
     eng, src = _setup(spark, sf_dir, tmp_path, "mvs")
     q = "SELECT o_orderstatus, COUNT(*) AS n FROM mvs GROUP BY o_orderstatus"
-    pre = sorted(map(tuple, eng.df(q).collect()))
+    eng.df(q).collect()
     assert eng.last_mv_rewrite is not None
-    # append: the MV declines (snapshot mismatch) and the plain plan
-    # runs — against the registered view's own binding (a plain-dir
-    # view keeps its file listing until re-registered), so results
-    # still equal what the plain plan returns
+    assert "compensation_delta_files" not in eng.last_mv_rewrite
+    # append WITHOUT refresh: the rewrite survives via compensation
+    # and reflects the appended rows (the live table, exactly what a
+    # fresh full materialization would serve)
     load(spark, sf_dir, "orders").limit(7).write.mode("append").parquet(src)
     got = sorted(map(tuple, eng.df(q).collect()))
-    assert eng.last_mv_rewrite is None
-    assert got == pre
-    # re-register (live file listing) + refresh: rewrites resume,
-    # reflecting the appended rows
+    assert eng.last_mv_rewrite is not None
+    assert eng.last_mv_rewrite["compensation_delta_files"] >= 1
+    live_want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(src).groupBy("o_orderstatus").count().collect(),
+        )
+    )
+    assert got == live_want
+    # re-register (live file listing) + refresh: plain (uncompensated)
+    # rewrites resume, reflecting the appended rows
     eng.register("mvs", src)
     eng.refresh_materialized_view("mvs_mv")
     got2 = sorted(map(tuple, eng.df(q).collect()))
     assert eng.last_mv_rewrite is not None
+    assert "compensation_delta_files" not in eng.last_mv_rewrite
     want = sorted(
         map(
             tuple,
@@ -147,9 +157,10 @@ def test_mv_rewrite_staleness_refresh_adoption(spark, sf_dir, tmp_path):
 
 
 def test_mv_creation_rejects_unsupported_shapes(spark, sf_dir, tmp_path):
-    """Creation is stricter than rewrite: WHERE, AVG, expression
-    aggregates, and multi-table queries all refuse with a clear
-    error."""
+    """Creation is stricter than rewrite: AVG, COUNT(DISTINCT) — whose
+    partial does not merge — expression aggregates, and key-only
+    queries all refuse with a clear error. (A WHERE clause is allowed
+    since r14: see test_mv_predicate_containment.)"""
     import pytest
 
     src = str(tmp_path / "mvr_src")
@@ -157,9 +168,9 @@ def test_mv_creation_rejects_unsupported_shapes(spark, sf_dir, tmp_path):
     eng = Engine(spark=spark)
     eng.register("mvr", src)
     bad = [
-        "SELECT o_orderstatus, COUNT(*) AS n FROM mvr "
-        "WHERE o_orderkey > 5 GROUP BY o_orderstatus",
         "SELECT o_orderstatus, AVG(o_orderkey) AS a FROM mvr "
+        "GROUP BY o_orderstatus",
+        "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS d FROM mvr "
         "GROUP BY o_orderstatus",
         "SELECT o_orderstatus, SUM(o_orderkey + 1) AS s FROM mvr "
         "GROUP BY o_orderstatus",
@@ -445,3 +456,151 @@ def test_mv_bucket_granularity_rollup(spark, sf_dir, tmp_path):
         ).count().orderBy("y").collect()
     ]
     spark.catalog.dropTempView("bros")
+
+
+def test_mv_predicate_containment(spark, sf_dir, tmp_path):
+    """Predicate-bearing MVs (the reference's own dbt model is a
+    filtered aggregate view, trips_by_pickup_location.sql:1-6): a
+    CREATE with WHERE stores the canonical conjuncts; queries rewrite
+    only when their predicate CONTAINS the MV's, with the residual
+    re-applied over plain MV keys; non-contained predicates decline."""
+    src = str(tmp_path / "mvp_src")
+    load(spark, sf_dir, "orders").write.mode("overwrite").parquet(src)
+    eng = Engine(spark=spark)
+    eng.register("mvp", src)
+    meta = eng.create_materialized_view(
+        "mvp_mv",
+        "SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS s "
+        "FROM mvp WHERE o_orderkey > 1000 GROUP BY o_orderstatus",
+        str(tmp_path / "mvp_mv"),
+    )
+    assert meta["conjuncts"]  # the predicate is part of the spec
+    full = spark.read.parquet(src)
+    base = full.filter(F.col("o_orderkey") > 1000)
+    # exact same predicate: rewrite, zero residual
+    d = eng.df(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM mvp "
+        "WHERE o_orderkey > 1000 GROUP BY o_orderstatus"
+    )
+    assert eng.last_mv_rewrite is not None
+    assert eng.last_mv_rewrite["mv_predicate"] is True
+    assert sorted(map(tuple, d.collect())) == sorted(
+        map(tuple, base.groupBy("o_orderstatus").count().collect())
+    )
+    # contained predicate + residual on a plain group key
+    r = eng.df(
+        "SELECT COUNT(*) AS n, SUM(o_orderkey) AS s FROM mvp "
+        "WHERE o_orderkey > 1000 AND o_orderstatus = 'F'"
+    ).first()
+    assert eng.last_mv_rewrite is not None
+    w = base.filter(F.col("o_orderstatus") == "F").agg(
+        F.count(F.lit(1)), F.sum("o_orderkey")
+    ).first()
+    assert tuple(r) == tuple(w)
+    # NON-contained: wider predicate (no MV conjunct) must decline
+    r2 = eng.df("SELECT COUNT(*) AS n FROM mvp").first()
+    assert eng.last_mv_rewrite is None
+    assert r2["n"] == full.count()
+    # NON-contained: different bound on the same column
+    r3 = eng.df(
+        "SELECT COUNT(*) AS n FROM mvp WHERE o_orderkey > 500"
+    ).first()
+    assert eng.last_mv_rewrite is None
+    assert r3["n"] == full.filter(F.col("o_orderkey") > 500).count()
+    # contained + residual OFF the group keys: decline (cannot re-apply)
+    r4 = eng.df(
+        "SELECT COUNT(*) AS n FROM mvp "
+        "WHERE o_orderkey > 1000 AND o_custkey > 10"
+    ).first()
+    assert eng.last_mv_rewrite is None
+    assert r4["n"] == base.filter(F.col("o_custkey") > 10).count()
+    spark.catalog.dropTempView("mvp")
+
+
+def test_mv_predicate_incremental_refresh(spark, sf_dir, tmp_path):
+    """Incremental refresh of a predicate-bearing MV applies the MV's
+    WHERE to the delta files before merging — equal to a full
+    recompute."""
+    src = str(tmp_path / "mvpi_src")
+    mvp = str(tmp_path / "mvpi_mv")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").parquet(src)
+    eng = Engine(spark=spark)
+    eng.register("mvpi", src)
+    eng.create_materialized_view(
+        "mvpi_mv",
+        "SELECT o_orderstatus, COUNT(*) AS n FROM mvpi "
+        "WHERE o_orderkey > 1000 GROUP BY o_orderstatus",
+        mvp,
+    )
+    orders.filter(F.col("o_orderkey") <= 2000).write.mode("append").parquet(src)
+    tele = eng.refresh_materialized_view("mvpi_mv", incremental=True)
+    assert tele["mode"] == "incremental"
+    live = spark.read.parquet(src).filter(F.col("o_orderkey") > 1000)
+    want = sorted(map(tuple, live.groupBy("o_orderstatus").count().collect()))
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(mvp)
+            .select("o_orderstatus", "n__star")
+            .collect(),
+        )
+    )
+    assert got == want
+    spark.catalog.dropTempView("mvpi")
+
+
+def test_mv_compensation_declines_on_rewrite(spark, sf_dir, tmp_path):
+    """Compensation is APPEND-ONLY: an overwrite of the source (a
+    recorded file disappears / changes) declines the rewrite entirely
+    — a shrunk table has no union that can compensate."""
+    eng, src = _setup(spark, sf_dir, tmp_path, "mvcd")
+    q = "SELECT o_orderstatus, COUNT(*) AS n FROM mvcd GROUP BY o_orderstatus"
+    eng.df(q).collect()
+    assert eng.last_mv_rewrite is not None
+    # OVERWRITE (not append): recorded files vanish
+    load(spark, sf_dir, "orders").limit(50).write.mode("overwrite").parquet(src)
+    eng.register("mvcd", src)  # bind the view to the live (shrunk) set
+    got = sorted(map(tuple, eng.df(q).collect()))
+    assert eng.last_mv_rewrite is None  # no compensation, plain plan
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(src).groupBy("o_orderstatus").count().collect(),
+        )
+    )
+    assert got == want
+    spark.catalog.dropTempView("mvcd")
+
+
+def test_mv_creation_binds_live_source(spark, sf_dir, tmp_path):
+    """ADVICE r13: creating (or fully refreshing) an MV after an
+    append that the registered view has NOT been rebound to must
+    materialize from the LIVE table — the creation path re-registers
+    the source so the materialized rows and the stamped snapshot
+    describe the same state."""
+    src = str(tmp_path / "mvlb_src")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").parquet(src)
+    eng = Engine(spark=spark)
+    eng.register("mvlb", src)
+    # append AFTER registration, WITHOUT re-registering
+    orders.limit(9).write.mode("append").parquet(src)
+    eng.create_materialized_view(
+        "mvlb_mv",
+        "SELECT o_orderstatus, COUNT(*) AS n FROM mvlb GROUP BY o_orderstatus",
+        str(tmp_path / "mvlb_mv"),
+    )
+    d = eng.df(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM mvlb GROUP BY o_orderstatus"
+    )
+    assert eng.last_mv_rewrite is not None
+    assert "compensation_delta_files" not in eng.last_mv_rewrite  # fresh
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(src).groupBy("o_orderstatus").count().collect(),
+        )
+    )
+    assert sorted(map(tuple, d.collect())) == want
+    spark.catalog.dropTempView("mvlb")

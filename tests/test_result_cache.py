@@ -118,3 +118,104 @@ def test_result_cache_row_cap(spark, sf_dir, tmp_path):
     finally:
         E.RESULT_CACHE_MAX_ROWS = old
     spark.catalog.dropTempView("orders")
+
+
+def test_result_cache_view_redefinition_invalidates(spark, sf_dir, tmp_path):
+    """ADVICE r14: redefining a temp view (via create_view or DDL
+    through sql()) between identical queries must NOT serve the old
+    definition's records — every view/DDL change bumps the key epoch."""
+    import pyspark.sql.functions as F
+
+    eng, src = _eng(spark, sf_dir, tmp_path, "rc6")
+    full = spark.read.parquet(src)
+
+    def n_under(k):
+        return full.filter(F.col("o_orderkey") <= k).count()
+
+    eng.create_view("rc6_v", "SELECT o_orderkey FROM orders WHERE o_orderkey <= 50")
+    q = "SELECT COUNT(*) AS n FROM rc6_v"
+    assert eng.sql(q).records[0]["n"] == n_under(50)
+    assert eng.sql(q).metadata["result_cache"]["hit"] is True
+    eng.create_view("rc6_v", "SELECT o_orderkey FROM orders WHERE o_orderkey <= 999")
+    r = eng.sql(q)
+    assert r.metadata["result_cache"]["hit"] is False
+    assert r.records[0]["n"] == n_under(999)
+    # the DDL-through-sql surface bumps too
+    eng.sql("CREATE OR REPLACE TEMP VIEW rc6_v AS "
+            "SELECT o_orderkey FROM orders WHERE o_orderkey <= 7")
+    r2 = eng.sql(q)
+    assert r2.metadata["result_cache"]["hit"] is False
+    assert r2.records[0]["n"] == n_under(7)
+    spark.catalog.dropTempView("rc6_v")
+    spark.catalog.dropTempView("orders")
+
+
+def test_result_cache_declines_unregistered_relations(spark, sf_dir, tmp_path):
+    """A query scanning a path OUTSIDE the registered tables (direct
+    parquet.`path`, a view over an unregistered source) has no
+    snapshot in the freshness token and must never be stored."""
+    eng, src = _eng(spark, sf_dir, tmp_path, "rc7")
+    other = str(tmp_path / "rc7_other")
+    load(spark, sf_dir, "nation").write.mode("overwrite").parquet(other)
+    r = eng.sql(f"SELECT COUNT(*) AS n FROM parquet.`{other}`")
+    assert r.metadata["result_cache"]["stored"] is False
+    # a view over an unregistered path: same decline
+    spark.read.parquet(other).createOrReplaceTempView("rc7_un")
+    r2 = eng.sql("SELECT COUNT(*) AS n FROM rc7_un")
+    assert r2.metadata["result_cache"]["stored"] is False
+    # registered-table queries still store (the guard is not global)
+    assert eng.sql("SELECT COUNT(*) AS n FROM orders").metadata[
+        "result_cache"
+    ]["stored"] is True
+    spark.catalog.dropTempView("rc7_un")
+    spark.catalog.dropTempView("orders")
+
+
+def test_result_cache_declines_clock_functions(spark, sf_dir, tmp_path):
+    """ADVICE r14: current_timestamp()/now()/current_date() fold to
+    deterministic literals BEFORE the optimized plan — a cached result
+    would replay the first call's clock forever. The analyzed-plan
+    walk declines them."""
+    eng, _src = _eng(spark, sf_dir, tmp_path, "rc8")
+    for q in (
+        "SELECT current_timestamp() AS t FROM orders LIMIT 1",
+        "SELECT now() AS t FROM orders LIMIT 1",
+        "SELECT current_date() AS d FROM orders LIMIT 1",
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE o_orderdate < current_timestamp()",
+    ):
+        assert eng.sql(q).metadata["result_cache"]["stored"] is False, q
+        assert eng.sql(q).metadata["result_cache"]["hit"] is False, q
+    spark.catalog.dropTempView("orders")
+
+
+def test_result_cache_byte_budget(spark, sf_dir, tmp_path):
+    """The LRU evicts by BYTE budget too, and a single result above
+    the budget is never stored — 128 entries x 10k wide rows must not
+    pin GBs of driver heap."""
+    eng, _src = _eng(spark, sf_dir, tmp_path, "rc9")
+    old = E.RESULT_CACHE_MAX_BYTES
+    try:
+        q_big = "SELECT o_orderkey, o_orderpriority FROM orders ORDER BY o_orderkey"
+        r = eng.sql(q_big, limit=100)
+        need = eng.last_result_cache["bytes"]
+        assert r.metadata["result_cache"]["stored"] is True and need > 0
+        # budget below one result: never stored
+        E.RESULT_CACHE_MAX_BYTES = need - 1
+        eng2 = Engine(spark=spark)
+        eng2.register("orders", _src)
+        r2 = eng2.sql(q_big, limit=100)
+        assert r2.metadata["result_cache"]["stored"] is False
+        # budget fitting ~1.5 results: storing a second evicts the first
+        E.RESULT_CACHE_MAX_BYTES = int(need * 1.5)
+        eng3 = Engine(spark=spark)
+        eng3.register("orders", _src)
+        qa = q_big
+        qb = "SELECT o_orderkey, o_orderpriority FROM orders ORDER BY o_orderkey DESC"
+        assert eng3.sql(qa, limit=100).metadata["result_cache"]["stored"]
+        assert eng3.sql(qb, limit=100).metadata["result_cache"]["stored"]
+        assert eng3.last_result_cache["cache_bytes"] <= E.RESULT_CACHE_MAX_BYTES
+        assert eng3.sql(qa, limit=100).metadata["result_cache"]["hit"] is False
+    finally:
+        E.RESULT_CACHE_MAX_BYTES = old
+    spark.catalog.dropTempView("orders")
