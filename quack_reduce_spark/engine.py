@@ -259,6 +259,10 @@ class Engine:
     def _sql_planned(self, query: str) -> DataFrame:
         df, report = self._sql_planned_report(query)
         self.last_zonemap_report = report
+        if _is_command(df):
+            # DDL through df() changes what later query text resolves
+            # to — same cache-epoch discipline as sql()
+            self._view_epoch += 1
         return df
 
     def _sql_planned_report(self, query: str) -> tuple[DataFrame, dict]:
@@ -583,26 +587,34 @@ class Engine:
         # the builders finish the frame themselves: HAVING + the
         # peeled ORDER BY / LIMIT re-apply over the full aggregate-
         # output list before the visible projection
+        # per-file PER-GROUP partials (written for designated low-NDV
+        # columns) let both builders answer UNCLUSTERED layouts from
+        # metadata: grouped queries need the column among the grouping
+        # keys' sources; scalar queries profit when it carries a
+        # conjunct or COUNT(DISTINCT) (slice-tight classification).
+        # Slice rows are epoch-cached: zero I/O on an unchanged table
+        # after the first read.
+        group_stats = None
+        gs_cfg = _zm.group_stats_config(path)
+        if gs_cfg:
+            if info["groups"]:
+                want = {g["src"] for g in info["groups"]}
+            else:
+                want = {c for c, _o, _v in info["conjuncts"]} | {
+                    c for k, c in info["aggs"] if k == "count_distinct"
+                }
+            gcol = next((c for c in gs_cfg if c in want), None)
+            if gcol is not None:
+                by_file = _zm.group_stats_rows(self.spark, path, gcol)
+                if by_file is not None:
+                    group_stats = (gcol, by_file)
         if info["groups"]:
-            # per-file PER-GROUP partials (written for designated
-            # low-NDV columns) let the grouped path answer UNCLUSTERED
-            # layouts from metadata: pick the first configured column
-            # among the grouping keys' sources and hand its slice rows
-            # to the builder (epoch-cached; zero I/O on an unchanged
-            # table after the first read)
-            group_stats = None
-            gs_cfg = _zm.group_stats_config(path)
-            if gs_cfg:
-                srcs = {g["src"] for g in info["groups"]}
-                gcol = next((c for c in gs_cfg if c in srcs), None)
-                if gcol is not None:
-                    by_file = _zm.group_stats_rows(self.spark, path, gcol)
-                    if by_file is not None:
-                        group_stats = (gcol, by_file)
             return _ap.build_group_agg_frame(
                 self.spark, path, info, rows, total, group_stats
             )
-        return _ap.build_agg_frame(self.spark, path, info, rows, total)
+        return _ap.build_agg_frame(
+            self.spark, path, info, rows, total, group_stats
+        )
 
     def table_stats(self, name: str) -> dict:
         """ANALYZE-style statistics for a registered zone-mapped table,
@@ -2392,7 +2404,10 @@ def _is_command(df: DataFrame) -> bool:
 # registered tables below. Anything else (LogicalRDD from an arbitrary
 # createDataFrame, streaming sources, unrecognized future leaves) is
 # state the freshness token cannot see: decline.
-_CACHEABLE_LEAVES = {"LocalRelation", "OneRowRelation", "Range"}
+# (scala case OBJECTS report getSimpleName with a trailing '$')
+_CACHEABLE_LEAVES = {
+    "LocalRelation", "OneRowRelation", "OneRowRelation$", "Range",
+}
 
 # expression classes whose value is the CALL-TIME clock: Catalyst's
 # ComputeCurrentTime folds them into plain literals before the

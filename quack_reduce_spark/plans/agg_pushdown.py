@@ -906,13 +906,19 @@ def build_agg_frame(
     info: dict,
     rows: list[dict],
     total: int,
+    group_stats: tuple[str, dict[str, list[dict]]] | None = None,
 ) -> tuple[DataFrame, dict] | None:
     """Classify the pruned-in manifest ``rows`` (contained / boundary),
     fold the contained files' stats into metadata partials, and return
     ``(one-row DataFrame, telemetry)`` — the frame LAZILY scans only
     the boundary files with the exact residual predicate and combines
     with the metadata partials (sum for counts, least/greatest for
-    min/max, both null-skipping). None when a needed stat is absent or
+    min/max, both null-skipping). When per-group slice stats exist for
+    a conjunct column (``group_stats``), a file whose file-level
+    classification is 'some' can still resolve from metadata: each
+    slice classifies against its own (tighter) stats — the reference
+    dashboard's ``COUNT(*) WHERE status = X`` widget on an UNCLUSTERED
+    layout then reads zero files. None when a needed stat is absent or
     a metadata partial is NaN-poisoned (caller declines, sound)."""
     aggs, conjuncts, types = info["aggs"], info["conjuncts"], info["types"]
     # avg folds TWO partials (exact sum, non-null count) per agg slot;
@@ -926,6 +932,8 @@ def build_agg_frame(
     cd_cols = [c for k, c in aggs if k == "count_distinct"]
     norm = _norm_conjuncts(conjuncts)
     boundary: list[str] = []
+    gs_col, gs_by_file = group_stats if group_stats else (None, {})
+    files_gs = 0
     for r in rows:
         n_rows = int(r["n_rows"])
         state = _classify_row(norm, r, n_rows)
@@ -933,75 +941,47 @@ def build_agg_frame(
             continue  # pruning kept it, exact classification drops it
         # every count_distinct column must PIN this file to one value
         # (single-valued non-null, or all-NULL = contributes nothing);
-        # anything mixed demotes the whole file to the boundary scan
-        pinned_vals: dict[str, Any] = {}
-        ok_pin = True
-        for c in cd_cols:
-            mn, mx = r.get(f"min_{c}"), r.get(f"max_{c}")
-            nulls = r.get(f"nulls_{c}")
-            if mn is None and nulls is not None and int(nulls) == n_rows:
-                pinned_vals[c] = None
-            elif mn is not None and mn == mx and not _is_nan(mn):
-                pinned_vals[c] = mn
-            else:
-                ok_pin = False
-                break
-        if state == "some" or not ok_pin:
-            boundary.append(r["file"])
+        # anything mixed demotes the file to the slice path / boundary
+        pinned = (
+            _pin_cd_row(cd_cols, r, n_rows) if state == "all" else None
+        )
+        if pinned is not None:
+            if not _fold_partials(aggs, meta, r, n_rows, pinned):
+                return None
             continue
-        for i, (kind, col) in enumerate(aggs):
-            if kind == "count_star":
-                meta[i] += n_rows
-            elif kind == "count":
-                nc = r.get(f"nulls_{col}")
-                if nc is None:
-                    return None  # un-statted agg column: decline
-                meta[i] += n_rows - int(nc)
-            elif kind == "sum":
-                if n_rows == 0:
-                    continue  # empty file: nothing to add
-                sv = r.get(f"sum_{col}")
-                if sv is None:
-                    nc = r.get(f"nulls_{col}")
-                    if nc is not None and int(nc) == n_rows:
-                        continue  # all-NULL file: SUM contributes nothing
-                    # no recorded sum (pre-r13 manifest) or an int64
-                    # overflow at build (try_sum NULL): decline, sound
-                    return None
-                meta[i] = (0 if meta[i] is None else meta[i]) + int(sv)
-            elif kind == "avg":
-                nc = r.get(f"nulls_{col}")
-                if nc is None:
-                    return None  # un-statted agg column: decline
-                nn = n_rows - int(nc)
-                if nn == 0:
-                    continue  # all-NULL/empty file: AVG sees nothing
-                sv = r.get(f"sum_{col}")
-                if sv is None:
-                    return None  # pre-r13 manifest / overflow: decline
-                meta[i] = [
-                    (0 if meta[i][0] is None else meta[i][0]) + int(sv),
-                    meta[i][1] + nn,
-                ]
-            elif kind == "count_distinct":
-                v = pinned_vals[col]
-                if v is not None:
-                    meta[i].add(v)
-            else:
-                v = r.get(f"min_{col}" if kind == "min" else f"max_{col}")
-                if v is None:
-                    continue  # all-null file contributes nothing
-                if _is_nan(v):
-                    return None  # NaN poisons python min/max: decline
-                try:
-                    if meta[i] is None:
-                        meta[i] = v
-                    elif kind == "min":
-                        meta[i] = min(meta[i], v)
-                    else:
-                        meta[i] = max(meta[i], v)
-                except TypeError:
-                    return None
+        # PER-GROUP SLICE PATH: slice-tight stats classify exactly
+        # (all slices must resolve or the whole file scans once)
+        if gs_col is not None:
+            from quack_reduce_spark.operators.zonemaps import _bare, _unq
+
+            slices = gs_by_file.get(_unq(_bare(r["file"])))
+        else:
+            slices = None
+        if slices is not None:
+            staged: list = []
+            ok = True
+            for gr in slices:
+                g_n = int(gr["n_rows"])
+                if g_n == 0:
+                    continue
+                g_state = _classify_row(norm, gr, g_n)
+                if g_state == "none":
+                    continue
+                if g_state != "all":
+                    ok = False
+                    break
+                cdp = _pin_cd_row(cd_cols, gr, g_n)
+                if cdp is None:
+                    ok = False
+                    break
+                staged.append((cdp, gr, g_n))
+            if ok:
+                files_gs += 1
+                for cdp, gr, g_n in staged:
+                    if not _fold_partials(aggs, meta, gr, g_n, cdp):
+                        return None
+                continue
+        boundary.append(r["file"])
 
     if boundary:
         bdf = spark.read.option("basePath", path).parquet(*boundary)
@@ -1145,6 +1125,9 @@ def build_agg_frame(
         "files_contained": len(rows) - len(boundary),
         "files_scanned": len(boundary),
     }
+    if gs_col is not None:
+        telemetry["files_group_stats"] = files_gs
+        telemetry["group_stats_col"] = gs_col
     return frame, telemetry
 
 

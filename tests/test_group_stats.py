@@ -204,3 +204,37 @@ def test_group_stats_cached_and_validated(spark, sf_dir, tmp_path):
     # inherit-on-None: a maintenance rebuild keeps the config
     Z.write_zonemap(spark, src, ["o_orderstatus", "o_orderkey"])
     assert "o_orderstatus" in Z.group_stats_config(src)
+
+
+def test_group_stats_scalar_widget_zero_scan(spark, sf_dir, tmp_path):
+    """The reference dashboard's widget shape — a SCALAR COUNT with an
+    equality on a low-NDV column (dashboard.py:37) — answers from the
+    slice stats at zero files scanned on an UNCLUSTERED layout, and
+    COUNT(DISTINCT gcol) pins every slice by construction."""
+    src = _unclustered(spark, sf_dir, tmp_path, "gs6")
+    Z.write_zonemap(
+        spark, src, ["o_orderstatus", "o_orderkey"],
+        group_stats_cols=["o_orderstatus"],
+    )
+    eng = Engine(spark=spark)
+    eng.register("gs6", src)
+    full = spark.read.parquet(src)
+    r = eng.df(
+        "SELECT COUNT(*) AS n, MIN(o_orderkey) AS mn FROM gs6 "
+        "WHERE o_orderstatus = 'F'"
+    ).first()
+    tele = eng.last_agg_plan
+    assert tele is not None and tele["files_scanned"] == 0, tele
+    assert tele["files_group_stats"] >= 1
+    w = full.filter(F.col("o_orderstatus") == "F").agg(
+        F.count(F.lit(1)), F.min("o_orderkey")
+    ).first()
+    assert (r["n"], r["mn"]) == (w[0], w[1])
+    # scalar COUNT(DISTINCT gcol): slices pin by construction
+    r2 = eng.df(
+        "SELECT COUNT(DISTINCT o_orderstatus) AS d FROM gs6"
+    ).first()
+    tele2 = eng.last_agg_plan
+    assert tele2 is not None and tele2["files_scanned"] == 0, tele2
+    assert r2["d"] == full.select("o_orderstatus").distinct().count()
+    spark.catalog.dropTempView("gs6")

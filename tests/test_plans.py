@@ -864,40 +864,80 @@ def test_engine_sql_like_prefix_astral_suffix_survives(spark, tmp_path):
     spark.catalog.dropTempView("astral_t")
 
 
-def test_engine_sql_thousand_value_in_prunes(spark, sf_dir, tmp_path):
+_THOUSAND_IN_SCRIPT = r"""
+import sys
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from quack_reduce_spark.engine import Engine
+from quack_reduce_spark.inventory._util import load
+from quack_reduce_spark.operators import zonemaps as Z
+from quack_reduce_spark.session import configure
+
+sf_dir, path = sys.argv[1], sys.argv[2]
+spark = configure(
+    SparkSession.builder.appName("bigin-isolated").master("local[4]"),
+    shuffle_partitions=4,
+).getOrCreate()
+orders = load(spark, sf_dir, "orders")
+(
+    orders.repartitionByRange(12, "o_orderkey")
+    .sortWithinPartitions("o_orderkey")
+    .write.mode("overwrite")
+    .parquet(path)
+)
+Z.write_zonemap(spark, path, ["o_orderkey"])
+eng = Engine(spark=spark)
+eng.register("bigin_t", path)
+# 1,000 values: 100 live in the table's low key range, 900 sit far
+# outside the domain — only the low files can match, and a value-set
+# check (not a min/max envelope, which would span the out-of-domain
+# tail and keep everything) proves it
+keys = list(range(1, 101)) + list(range(1_000_000, 1_000_900))
+q = (
+    "SELECT COUNT(*) AS n FROM bigin_t "
+    f"WHERE o_orderkey IN ({', '.join(map(str, keys))})"
+)
+d = eng.df(q)
+rep = eng.last_zonemap_report.get("bigin_t")
+want = spark.read.parquet(path).filter(F.col("o_orderkey").isin(keys)).count()
+assert d.first()["n"] == want > 0
+assert rep is not None
+assert rep["files_read"] * 2 <= rep["files_total"] == 12, rep
+spark.stop()
+print("BIGIN_OK")
+"""
+
+
+def test_engine_sql_thousand_value_in_prunes(sf_dir, tmp_path):
     """A 1,000-value IN over a key-clustered table decodes from InSet
     in ONE JVM call (mkString batch) and prunes by binary-searched
-    value set — the big dashboard IN the old 256-value cap dropped."""
-    from quack_reduce_spark.engine import Engine
-    from quack_reduce_spark.operators import zonemaps as Z
+    value set — the big dashboard IN the old 256-value cap dropped.
 
-    path = str(tmp_path / "keyclust")
-    orders = load(spark, sf_dir, "orders")
-    (
-        orders.repartitionByRange(12, "o_orderkey")
-        .sortWithinPartitions("o_orderkey")
-        .write.mode("overwrite")
-        .parquet(path)
+    Runs the FULL assertion set in its OWN subprocess JVM (isolation,
+    not skip-listing): compiling a 1,000-literal InSet plan needs a
+    predictable JVM, and ~25 minutes of single-JVM suite before it
+    (hundreds of generated codegen classes, broadcast debris) could
+    abort the task spuriously — the r12/r13 flake that passed isolated
+    every time. A fresh JVM makes the test deterministic AND exercises
+    the driver's own condition (a vanilla session, not the suite's
+    warm one)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable, "-c", _THOUSAND_IN_SCRIPT,
+            sf_dir, str(tmp_path / "keyclust"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/root/repo",
     )
-    Z.write_zonemap(spark, path, ["o_orderkey"])
-    eng = Engine(spark=spark)
-    eng.register("bigin_t", path)
-    # 1,000 values: 100 live in the table's low key range, 900 sit
-    # far outside the domain — only the low files can match, and a
-    # value-set check (not a min/max envelope, which would span the
-    # out-of-domain tail and keep everything) proves it
-    keys = list(range(1, 101)) + list(range(1_000_000, 1_000_900))
-    q = (
-        "SELECT COUNT(*) AS n FROM bigin_t "
-        f"WHERE o_orderkey IN ({', '.join(map(str, keys))})"
-    )
-    d = eng.df(q)
-    rep = eng.last_zonemap_report.get("bigin_t")
-    want = spark.read.parquet(path).filter(F.col("o_orderkey").isin(keys)).count()
-    assert d.first()["n"] == want > 0
-    assert rep is not None
-    assert rep["files_read"] * 2 <= rep["files_total"] == 12
-    spark.catalog.dropTempView("bigin_t")
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    assert "BIGIN_OK" in proc.stdout
 
 
 def test_parse_internal_str_float_widens_exactly():

@@ -122,6 +122,12 @@ ALL_FAMILIES = [
     # incremental refresh reads only the delta so stays FLAT while the
     # full recompute grows with the table
     "lake_mv_probe",
+    # round-14 addition: per-file PER-GROUP partials vs a growing
+    # UNCLUSTERED table — GROUP BY status answers from slice rows
+    # (zero files scanned at every size); driver-side classification
+    # is O(#files x groups) with a tiny constant, so probe time must
+    # grow far slower than the table
+    "lake_gstats_probe",
 ]
 
 
@@ -627,6 +633,57 @@ def main() -> None:
                     )
                     agg_rows["files_total"].append(plan.get("files_total"))
 
+                # r14: per-file PER-GROUP partials on an UNCLUSTERED
+                # replica of the same rows — GROUP BY status answers
+                # from slice rows at zero files scanned at every size
+                if "lake_gstats_probe" in wanted:
+                    from quack_reduce_spark.engine import Engine as _Eng4
+                    from quack_reduce_spark.operators import zonemaps as _Z4
+
+                    gpath = f"{tmp}/gs_orders_x{m}"
+                    (
+                        rep_orders.repartition(12 * m)
+                        .write.mode("overwrite")
+                        .parquet(gpath)
+                    )
+                    t0 = time.time()
+                    _Z4.write_zonemap(
+                        spark, gpath, ["o_orderstatus", "o_orderkey"],
+                        group_stats_cols=["o_orderstatus"],
+                    )
+                    gs_build = round(time.time() - t0, 3)
+                    eng4 = _Eng4(spark=spark, result_cache=False)
+                    gview = f"zm_gs_x{m}"
+                    eng4.register(gview, gpath)
+                    qg = (
+                        f"SELECT o_orderstatus, COUNT(*) AS n,"
+                        f" SUM(o_orderkey) AS s FROM {gview} GROUP BY 1"
+                    )
+
+                    def gs_probe(eng4=eng4, qg=qg):
+                        def thunk():
+                            eng4.df(qg).collect()
+                        return thunk
+
+                    gs_probe()()  # warm (fills the slice-row cache)
+                    tg = _timed(gs_probe())
+                    gplan = eng4.last_agg_plan or {}
+                    gs_rows = results.setdefault(
+                        "lake_gstats_probe",
+                        {"mults": [], "rows": [], "sec": [],
+                         "gstats_build_sec": [], "files_scanned": [],
+                         "files_group_stats": [], "files_total": []},
+                    )
+                    gs_rows["mults"].append(m)
+                    gs_rows["rows"].append(n_base * m)
+                    gs_rows["sec"].append(round(tg, 3))
+                    gs_rows["gstats_build_sec"].append(gs_build)
+                    gs_rows["files_scanned"].append(gplan.get("files_scanned"))
+                    gs_rows["files_group_stats"].append(
+                        gplan.get("files_group_stats")
+                    )
+                    gs_rows["files_total"].append(gplan.get("files_total"))
+
                 # r13: MV rewrite + incremental maintenance over the
                 # same table. LAST in the loop body: the fixed-size
                 # delta append below mutates zpath
@@ -731,6 +788,19 @@ def main() -> None:
                 print(
                     f"  lake_agg_probe: {ar['sec']} scanned/contained/total "
                     f"{list(zip(ar['files_scanned'], ar['files_contained'], ar['files_total']))}",
+                    file=sys.stderr,
+                )
+            if "lake_gstats_probe" in results:
+                gr = results["lake_gstats_probe"]
+                gr["fit_exp"] = round(_fit_exponent(gr["rows"], gr["sec"]), 3)
+                gr["tail_exp"] = round(
+                    math.log(gr["sec"][-1] / gr["sec"][-2])
+                    / math.log(MULTS[-1] / MULTS[-2]),
+                    3,
+                )
+                print(
+                    f"  lake_gstats_probe: {gr['sec']} scanned/gs/total "
+                    f"{list(zip(gr['files_scanned'], gr['files_group_stats'], gr['files_total']))}",
                     file=sys.stderr,
                 )
             if "lake_mv_probe" in results:
@@ -1121,6 +1191,21 @@ def main() -> None:
                 f"{r['full_refresh_sec']} s — refresh cost tracks the "
                 "DELTA, not the table, which is the MV-maintenance claim "
                 "under test."
+            )
+        if "lake_gstats_probe" in results:
+            r = results["lake_gstats_probe"]
+            lines.append("")
+            lines.append(
+                "The `lake_gstats_probe` row times a GROUP BY status over "
+                "an UNCLUSTERED table growing 1→10x, answered from "
+                "per-file PER-GROUP manifest partials: it scanned "
+                f"{r['files_scanned']} of {r['files_total']} files "
+                f"(slice-answered files {r['files_group_stats']}) at mult "
+                f"{MULTS}; one-time slice builds took "
+                f"{r['gstats_build_sec']} s. Zero files scanned at every "
+                "size is the unclustered-grouped-pushdown claim under "
+                "test; probe time is driver-side slice folding, "
+                "O(#files x groups) with a tiny constant."
             )
         if "candidates" in results.get("dedup_prefix_filter", {}):
             r = results["dedup_prefix_filter"]
