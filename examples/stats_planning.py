@@ -4,8 +4,11 @@ OR / LIKE / IS NULL) -> ANALYZE from metadata -> estimate-driven join
 planning -> layout degradation by random appends -> OPTIMIZE restoring
 pruning -> the round-12 metadata layers (per-file Bloom fingerprints,
 equi-depth histograms, per-file HLL NDV sketches, and dynamic file
-pruning from join dimensions). Every step prints the engine's own
-telemetry, so the output IS the evidence.
+pruning from join dimensions) -> the round-13/14 acceleration
+stack (SQL aggregate pushdown, unclustered per-group slice partials,
+MV rewrite with stale compensation and predicate containment, the
+result cache). Every step prints the engine's own telemetry, so the
+output IS the evidence.
 
 The reference re-lists and re-reads full objects per query
 (``quack.py:145``) and defers table formats (``README.md:190``); this
@@ -253,6 +256,63 @@ def main() -> None:
         eng.sql(q)
         res = eng.sql(q)
         print(f"[18] result cache: {res.metadata['result_cache']}")
+
+        # 19. UNCLUSTERED group pushdown (round 14): the table is
+        # round-robin laid out — every file mixes every status, so
+        # file-level pinning can never answer a GROUP BY — but
+        # per-(file, value) slice partials in the manifest do, at
+        # zero files scanned; the dashboard's scalar widget COUNT
+        # with an equality rides the same slices
+        from quack_reduce_spark.operators.zonemaps import write_zonemap
+
+        gsp = f"{tmp}/orders_gs"
+        orders.repartition(6).write.mode("overwrite").parquet(gsp)
+        write_zonemap(
+            spark, gsp, ["o_orderstatus", "o_orderkey"],
+            group_stats_cols=["o_orderstatus"],
+        )
+        eng.register("orders_gs", gsp)
+        eng.df(
+            "SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS s "
+            "FROM orders_gs GROUP BY 1"
+        ).collect()
+        print(f"[19] unclustered group pushdown: {eng.last_agg_plan}")
+        eng.df(
+            "SELECT COUNT(*) AS n FROM orders_gs WHERE o_orderstatus = 'F'"
+        ).collect()
+        print(f"[19]   scalar widget over slices: {eng.last_agg_plan}")
+
+        # 20. stale-MV compensation (round 14): the source APPENDS and
+        # the MV still rewrites — its partials union an aggregate over
+        # ONLY the verified delta files; after a refresh the plain
+        # rewrite resumes
+        orders.limit(300).write.mode("append").parquet(plainp)
+        eng.df(
+            "SELECT trunc(o_orderdate,'month') AS m, COUNT(*) AS n "
+            "FROM orders_plain GROUP BY 1"
+        ).collect()
+        print(f"[20] stale-MV compensation: {eng.last_mv_rewrite}")
+        eng.refresh_materialized_view("orders_monthly", incremental=True)
+        eng.df(
+            "SELECT trunc(o_orderdate,'month') AS m, COUNT(*) AS n "
+            "FROM orders_plain GROUP BY 1"
+        ).collect()
+        print(f"[20]   after incremental refresh: {eng.last_mv_rewrite}")
+
+        # 21. a PREDICATE-bearing MV (the reference's own dbt model is
+        # a filtered aggregate view): rewrites require the query
+        # predicate to CONTAIN the MV's; wider queries run plain
+        eng.create_materialized_view(
+            "orders_bigkeys",
+            "SELECT o_orderstatus, COUNT(*) AS n FROM orders_plain "
+            "WHERE o_orderkey > 1000 GROUP BY 1",
+            f"{tmp}/mv_bigkeys",
+        )
+        eng.df(
+            "SELECT COUNT(*) AS n FROM orders_plain "
+            "WHERE o_orderkey > 1000 AND o_orderstatus = 'F'"
+        ).collect()
+        print(f"[21] filtered-MV containment rewrite: {eng.last_mv_rewrite}")
 
 
 if __name__ == "__main__":
