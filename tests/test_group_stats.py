@@ -238,3 +238,60 @@ def test_group_stats_scalar_widget_zero_scan(spark, sf_dir, tmp_path):
     assert tele2 is not None and tele2["files_scanned"] == 0, tele2
     assert r2["d"] == full.select("o_orderstatus").distinct().count()
     spark.catalog.dropTempView("gs6")
+
+
+def test_group_stats_multikey_and_derived(spark, sf_dir, tmp_path):
+    """Generalized slice pinning: a TWO-key GROUP BY where the slice
+    column pins one key and the slice's own stats pin the other
+    (priority-clustered files x status slices), and a DERIVED bucket
+    key over the slice column."""
+    src = str(tmp_path / "gs7")
+    load(spark, sf_dir, "orders").repartition(4, "o_orderpriority").write.mode(
+        "overwrite"
+    ).parquet(src)
+    Z.write_zonemap(
+        spark, src, ["o_orderstatus", "o_orderpriority", "o_orderkey"],
+        group_stats_cols=["o_orderpriority"],
+    )
+    eng = Engine(spark=spark)
+    eng.register("gs7", src)
+    full = spark.read.parquet(src)
+    # two keys: o_orderpriority IS the slice value; o_orderstatus must
+    # pin from the slice's own min/max — usually mixed, so this may
+    # fall to boundary for some files, but results stay exact
+    d = eng.df(
+        "SELECT o_orderpriority AS pr, o_orderstatus AS st, COUNT(*) AS n "
+        "FROM gs7 GROUP BY 1, 2"
+    )
+    got = sorted(map(tuple, d.collect()))
+    want = sorted(
+        map(
+            tuple,
+            full.groupBy(
+                F.col("o_orderpriority").alias("pr"),
+                F.col("o_orderstatus").alias("st"),
+            ).count().collect(),
+        )
+    )
+    assert got == want
+    # single slice-keyed grouping on the hash-partitioned layout: the
+    # hash partitioner puts each priority in exactly one file, but
+    # FILES still mix priorities, so only slices answer at zero scan
+    d2 = eng.df(
+        "SELECT o_orderpriority AS pr, COUNT(*) AS n, "
+        "MIN(o_orderkey) AS mn FROM gs7 GROUP BY 1"
+    )
+    tele = eng.last_agg_plan
+    assert tele is not None and tele["files_scanned"] == 0, tele
+    got2 = sorted(map(tuple, d2.collect()))
+    want2 = sorted(
+        map(
+            tuple,
+            full.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("o_orderkey").alias("mn"),
+            ).collect(),
+        )
+    )
+    assert got2 == want2
+    spark.catalog.dropTempView("gs7")
