@@ -1424,9 +1424,33 @@ def append_zonemap(
         # the per-column stats table; the per-file cap applies to each
         # new file independently
         mg = int(cfg.get("max_groups", GROUP_STATS_MAX_PER_FILE))
-        gsf = _group_stats_frame(df, c, cols, types, mg).localCheckpoint()
-        gsf.write.mode("append").parquet(_gstats_path(data_dir, c))
-        gs_doc[c] = {**cfg, "entries": int(cfg.get("entries", 0)) + gsf.count()}
+        gsf = _group_stats_frame(df, c, cols, types, mg)
+        gpath = _gstats_path(data_dir, c)
+        # CRASH-SAFETY (r15): this parquet append commits BEFORE the
+        # _write_list below, so a maintenance run that dies in between
+        # leaves slice rows for files the (unchanged) manifest still
+        # calls fresh — a naive re-run would append the same files'
+        # rows AGAIN and the duplicated partials would silently
+        # double-count grouped answers. Anti-join the delta against
+        # files already recorded in the gstats table: the re-run then
+        # appends nothing for them (idempotent), restoring the
+        # known-files-dedup discipline the file-level manifest uses.
+        try:
+            prior = spark.read.parquet(gpath).select("file").distinct()
+            gsf = gsf.join(prior, "file", "left_anti")
+        except Exception:
+            pass  # no gstats table yet (adopted legacy doc): plain write
+        gsf = gsf.localCheckpoint()
+        if gsf.count():
+            gsf.write.mode("append").parquet(gpath)
+        try:
+            # exact under every crash interleaving (a footer-only count,
+            # no row scan) — the read-cap gate must see the REAL size,
+            # including rows a crashed prior run appended
+            entries = int(spark.read.parquet(gpath).count())
+        except Exception:
+            entries = int(cfg.get("entries", 0))
+        gs_doc[c] = {**cfg, "entries": entries}
     fresh = _cover_empty_files(spark, data_dir, fresh, fresh_files)
     fresh_g = _with_groups(fresh)
     # merge back ONLY the old rows of groups that actually gained
@@ -1526,7 +1550,25 @@ def append_zonemap(
 # grouped pushdown's own row-rendered key gate)
 _GSTATS_TYPES = {"integer", "long", "short", "byte", "string", "date"}
 
-_GSTATS_CACHE: dict[tuple[str, str], tuple[Any, dict[str, list[dict]]]] = {}
+# driver-side slice-row cache, LRU-bounded by TOTAL ROWS across all
+# (table, column) entries: one entry is capped at GROUP_STATS_READ_MAX
+# by the read gate, but many registered gstats tables would otherwise
+# pin unbounded python dicts for the session's lifetime (the cache is
+# only epoch-evicted on manifest commits of the SAME table)
+_GSTATS_CACHE: dict[tuple[str, str], tuple[Any, dict[str, list[dict]], int]] = {}
+_GSTATS_CACHE_MAX_ROWS = 2 * GROUP_STATS_READ_MAX
+
+
+def _gstats_cache_put(key: tuple[str, str], epoch: Any, by_file: dict) -> None:
+    n = sum(len(v) for v in by_file.values())
+    _GSTATS_CACHE.pop(key, None)
+    while (
+        _GSTATS_CACHE
+        and sum(e[2] for e in _GSTATS_CACHE.values()) + n
+        > _GSTATS_CACHE_MAX_ROWS
+    ):
+        _GSTATS_CACHE.pop(next(iter(_GSTATS_CACHE)))  # oldest-inserted
+    _GSTATS_CACHE[key] = (epoch, by_file, n)
 
 
 def _gstats_path(data_dir: str, col: str) -> str:
@@ -1608,6 +1650,9 @@ def group_stats_rows(
         return None
     hit = _GSTATS_CACHE.get((data_dir, col))
     if hit is not None and hit[0] == epoch:
+        # LRU touch: re-insert so row-budget eviction drops cold entries
+        _GSTATS_CACHE.pop((data_dir, col), None)
+        _GSTATS_CACHE[(data_dir, col)] = hit
         return hit[1]
     try:
         IO_COUNTS["group_reads"] += 1
@@ -1620,7 +1665,18 @@ def group_stats_rows(
     by_file: dict[str, list[dict]] = {}
     for r in rows:
         by_file.setdefault(_unq(_bare(r["file"])), []).append(r)
-    _GSTATS_CACHE[(data_dir, col)] = (epoch, by_file)
+    # decline-never-wrong: duplicated (file, slice-value) keys — the
+    # double append of a PRE-r15 crash-rerun — would double-count
+    # partials; demote such files to the boundary scan by dropping
+    # their slice entry (absence = the reader scans the file)
+    gv_cols = None
+    for f, rs in list(by_file.items()):
+        if gv_cols is None:
+            gv_cols = sorted(k for k in rs[0] if k.startswith("__gv"))
+        seen = {tuple(r.get(k) for k in gv_cols) for r in rs}
+        if len(seen) < len(rs):
+            del by_file[f]
+    _gstats_cache_put((data_dir, col), epoch, by_file)
     return by_file
 
 

@@ -295,3 +295,109 @@ def test_group_stats_multikey_and_derived(spark, sf_dir, tmp_path):
     )
     assert got2 == want2
     spark.catalog.dropTempView("gs7")
+
+
+def test_group_stats_append_crash_rerun_idempotent(spark, sf_dir, tmp_path):
+    """r15 ADVICE (medium): the gstats parquet append commits BEFORE
+    the manifest-list write. Simulate a maintenance run that crashed in
+    between — slice rows landed, _list.json did not — then re-run
+    append_zonemap. The anti-join must keep the re-run from appending
+    the same files' slice rows a second time: no duplicate
+    (file, __gv) keys, entries exact, grouped answers correct at zero
+    files scanned."""
+    src = _unclustered(spark, sf_dir, tmp_path, "gs8", n_files=3)
+    cols = ["o_orderstatus", "o_orderkey"]
+    Z.write_zonemap(spark, src, cols, group_stats_cols=["o_orderstatus"])
+    load(spark, sf_dir, "orders").limit(400).repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    # the CRASHED run: stat the delta slices and append them, but die
+    # before _write_list (replicated with the module's own builders)
+    doc = Z._read_list(src)
+    delta = [
+        p for p in Z._data_files(src)
+        if Z._unq(Z._bare(p)) not in {
+            Z._unq(Z._bare(r["file"]))
+            for r in Z.read_zonemap(spark, src).select("file").collect()
+        }
+    ]
+    assert len(delta) == 2
+    df = spark.read.option("basePath", src).parquet(*delta)
+    gsf = Z._group_stats_frame(
+        df, "o_orderstatus", cols, doc["types"], 64
+    ).localCheckpoint()
+    gsf.write.mode("append").parquet(Z._gstats_path(src, "o_orderstatus"))
+    # the RE-RUN: must not double-append the same files' slices
+    assert Z.append_zonemap(spark, src, cols) == 2
+    rows = spark.read.parquet(Z._gstats_path(src, "o_orderstatus")).collect()
+    keys = [(Z._unq(Z._bare(r["file"])), r["__gv"]) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicated (file, slice) rows"
+    assert Z.group_stats_config(src)["o_orderstatus"]["entries"] == len(rows)
+    eng = Engine(spark=spark)
+    eng.register("gs8", src)
+    d = eng.df(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM gs8 GROUP BY o_orderstatus"
+    )
+    tele = eng.last_agg_plan
+    assert tele is not None and tele["files_scanned"] == 0, tele
+    want = sorted(
+        map(tuple, spark.read.parquet(src).groupBy("o_orderstatus").count().collect())
+    )
+    assert sorted(map(tuple, d.collect())) == want
+    spark.catalog.dropTempView("gs8")
+
+
+def test_group_stats_duplicate_rows_demote_to_scan(spark, sf_dir, tmp_path):
+    """Defense in depth for PRE-fix tables that already hold doubled
+    slice rows with a COMMITTED list: group_stats_rows drops the
+    affected file (reader scans it) instead of double-counting."""
+    src = _unclustered(spark, sf_dir, tmp_path, "gs9", n_files=3)
+    cols = ["o_orderstatus", "o_orderkey"]
+    Z.write_zonemap(spark, src, cols, group_stats_cols=["o_orderstatus"])
+    gpath = Z._gstats_path(src, "o_orderstatus")
+    gdf = spark.read.parquet(gpath)
+    one_file = gdf.select("file").first()[0]
+    # double the slice rows of ONE file (the corrupt pre-fix state)
+    gdf.filter(F.col("file") == one_file).write.mode("append").parquet(gpath)
+    Z._invalidate_cache(src)  # drop the parsed/slice caches
+    by_file = Z.group_stats_rows(spark, src, "o_orderstatus")
+    assert by_file is not None
+    assert Z._unq(Z._bare(one_file)) not in by_file, "dup file must demote"
+    eng = Engine(spark=spark)
+    eng.register("gs9", src)
+    d = eng.df(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM gs9 GROUP BY o_orderstatus"
+    )
+    tele = eng.last_agg_plan
+    # the demoted file becomes a boundary scan; answers stay exact
+    assert tele is None or tele["files_scanned"] >= 1
+    want = sorted(
+        map(tuple, spark.read.parquet(src).groupBy("o_orderstatus").count().collect())
+    )
+    assert sorted(map(tuple, d.collect())) == want
+    spark.catalog.dropTempView("gs9")
+
+
+def test_gstats_cache_row_budget_lru():
+    """The driver-side slice cache evicts oldest entries past the
+    global row budget and LRU-touches on hit."""
+    saved = dict(Z._GSTATS_CACHE)
+    Z._GSTATS_CACHE.clear()
+    try:
+        half = Z._GSTATS_CACHE_MAX_ROWS // 2
+        rows_a = {"f": [{"__gv": i} for i in range(half)]}
+        rows_b = {"f": [{"__gv": i} for i in range(half)]}
+        Z._gstats_cache_put(("ta", "c"), 1, rows_a)
+        Z._gstats_cache_put(("tb", "c"), 1, rows_b)
+        assert set(Z._GSTATS_CACHE) == {("ta", "c"), ("tb", "c")}
+        # LRU touch ta, then insert tc: tb (coldest) must evict
+        hit = Z._GSTATS_CACHE[("ta", "c")]
+        Z._GSTATS_CACHE.pop(("ta", "c"))
+        Z._GSTATS_CACHE[("ta", "c")] = hit
+        Z._gstats_cache_put(("tc", "c"), 1, {"f": [{"__gv": 0}]})
+        assert ("tb", "c") not in Z._GSTATS_CACHE
+        assert ("ta", "c") in Z._GSTATS_CACHE
+        assert ("tc", "c") in Z._GSTATS_CACHE
+    finally:
+        Z._GSTATS_CACHE.clear()
+        Z._GSTATS_CACHE.update(saved)
