@@ -257,7 +257,7 @@ class Engine:
         return self._sql_planned(query)
 
     def _sql_planned(self, query: str) -> DataFrame:
-        df, report = self._sql_planned_report(query)
+        df, report = self._sql_planned_report(query, {})
         self.last_zonemap_report = report
         if _is_command(df):
             # DDL through df() changes what later query text resolves
@@ -265,12 +265,17 @@ class Engine:
             self._view_epoch += 1
         return df
 
-    def _sql_planned_report(self, query: str) -> tuple[DataFrame, dict]:
+    def _sql_planned_report(
+        self, query: str, snap_cache: dict | None = None
+    ) -> tuple[DataFrame, dict]:
         """``spark.sql`` + automatic zone-map file skipping + estimate-
         driven broadcast hints. Returns ``(df, telemetry)`` — callers
         needing the report read the RETURN VALUE (the shared
         ``last_zonemap_report`` attribute is best-effort under
         concurrency; results themselves are lock-protected).
+        ``snap_cache`` is the per-CALL snapshot memo shared with the
+        result-cache probe so MV freshness checks never repeat a
+        table's directory walk within one query.
 
         The query is PLANNED once against the registered views;
         FileSourceScanExec dataFilters over zone-mapped tables become
@@ -303,6 +308,11 @@ class Engine:
         in their registered state at lock acquisition."""
         from quack_reduce_spark.plans import zonemap_pushdown as _zp
 
+        if self._mvs:
+            # pending lazy MV refreshes (post-maintenance marks) run
+            # here, OUTSIDE the plan lock — refresh re-enters
+            # create_materialized_view, which takes it
+            self._mv_self_refresh()
         zm_tables = {
             name: (meta.get("resolved", self.tables[name]), meta["zonemap_cols"])
             for name, meta in self._table_meta.items()
@@ -344,7 +354,8 @@ class Engine:
 
                 try:
                     mv = _mvr.try_rewrite(
-                        self.spark, df, self._all_paths(), self._mvs
+                        self.spark, df, self._all_paths(), self._mvs,
+                        snap_cache,
                     )
                 except Exception:
                     mv = None  # rewrite is best-effort: run plain
@@ -1183,38 +1194,52 @@ class Engine:
         # (query, limit) over unchanged tables returns the stored
         # records without executing. Freshness reuses the MV
         # discipline — one stat of the zone-map _list.json per
-        # manifested table, a capped file listing otherwise; any
-        # un-tokenizable table disables caching for the query (sound).
-        cache_key = snaps = None
+        # manifested table, a capped file listing otherwise. The token
+        # is SCOPED to the tables the stored plan actually read (r15):
+        # a dashboard hit re-walks only its own tables, not all 32
+        # registered ones, and an unrelated table without a cheap
+        # token no longer disables caching for everyone.
+        snap_cache: dict[str, Any] = {}  # one walk per table per CALL
+        cache_key = pre_tokens = None
         if self.result_cache:
-            cache_key, snaps = self._result_cache_probe(query, limit)
+            cache_key = self._result_cache_probe(query, limit)
         if cache_key is not None:
             with self._results_lock:
                 hit = self._results.get(cache_key)
-                if hit is not None and hit[0] == snaps:
-                    # LRU touch
-                    self._results.pop(cache_key, None)
-                    self._results[cache_key] = hit
-                else:
-                    hit = None
             if hit is not None:
-                RESULT_CACHE_COUNTS["hits"] += 1
-                self.last_result_cache = {"hit": True}
-                self._was_warm = True
-                return QueryResult(
-                    records=_copy.deepcopy(hit[1]),
-                    metadata={
-                        "timeMs": (time.time() - start) * 1000.0,
-                        "eventId": str(uuid.uuid4()),
-                        "query": query,
-                        "warm": True,
-                        "result_cache": {"hit": True},
-                    },
-                )
+                live = self._snap_token(hit[0], snap_cache)
+                if live is not None and live == hit[1]:
+                    with self._results_lock:
+                        if self._results.get(cache_key) is hit:
+                            # LRU touch
+                            self._results.pop(cache_key, None)
+                            self._results[cache_key] = hit
+                    RESULT_CACHE_COUNTS["hits"] += 1
+                    self.last_result_cache = {"hit": True}
+                    self._was_warm = True
+                    return QueryResult(
+                        records=_copy.deepcopy(hit[2]),
+                        metadata={
+                            "timeMs": (time.time() - start) * 1000.0,
+                            "eventId": str(uuid.uuid4()),
+                            "query": query,
+                            "warm": True,
+                            "result_cache": {"hit": True},
+                        },
+                    )
+            # miss: capture PRE-EXECUTION per-table tokens — a commit
+            # racing execution then stamps the OLDER token, so the
+            # next probe mismatches (never a stale hit). Tables with
+            # no cheap token get None; the store below declines only
+            # if the executed plan actually READ one of them.
+            pre_tokens = {
+                name: self._snap_token((name,), snap_cache)
+                for name in self.tables
+            }
         # the report comes back WITH the frame (not via the shared
         # attribute) so a concurrent sql_many burst can't cross-wire
         # one query's pruning telemetry into another's envelope
-        df, zm_report = self._sql_planned_report(query)
+        df, zm_report = self._sql_planned_report(query, snap_cache)
         self.last_zonemap_report = zm_report
         if _is_command(df):
             # a DDL/DML command (CREATE VIEW / DROP / ...) through the
@@ -1226,30 +1251,28 @@ class Engine:
         records = _records_json_safe(df)
         stored = False
         nbytes = 0
-        if (
-            cache_key is not None
-            and len(records) <= RESULT_CACHE_MAX_ROWS
-            and _plan_cacheable(
-                df,
-                # MV paths are cache-safe too: a rewrite only fires
-                # fresh-or-compensated relative to the SOURCE snapshot,
-                # which the freshness token already covers
-                list(self._all_paths().values())
-                + [m["path"] for m in self._mvs.values()],
-            )
-        ):
-            import json as _json
+        names: tuple | None = None
+        if cache_key is not None and len(records) <= RESULT_CACHE_MAX_ROWS:
+            names = self._scope_names(df)
+            if names is not None and all(
+                pre_tokens.get(n) is not None for n in names
+            ):
+                import json as _json
 
-            nbytes = len(_json.dumps(records, default=str))
+                nbytes = len(_json.dumps(records, default=str))
         if nbytes and nbytes <= RESULT_CACHE_MAX_BYTES:
+            # token = the PRE-execution snapshots of exactly the tables
+            # the plan read (single triples concatenate in sorted-name
+            # order, the same order _snap_token re-derives on probe)
+            token = tuple(pre_tokens[n][0] for n in names)
             RESULT_CACHE_COUNTS["misses"] += 1
             stored = True
             with self._results_lock:
                 prev = self._results.pop(cache_key, None)
                 if prev is not None:
-                    self._results_bytes -= prev[2]
+                    self._results_bytes -= prev[3]
                 self._results[cache_key] = (
-                    snaps, _copy.deepcopy(records), nbytes,
+                    names, token, _copy.deepcopy(records), nbytes,
                 )
                 self._results_bytes += nbytes
                 # LRU eviction by ENTRY COUNT and BYTE BUDGET: 128
@@ -1260,7 +1283,7 @@ class Engine:
                     or self._results_bytes > RESULT_CACHE_MAX_BYTES
                 ):
                     oldest = next(iter(self._results))
-                    self._results_bytes -= self._results.pop(oldest)[2]
+                    self._results_bytes -= self._results.pop(oldest)[3]
                 RESULT_CACHE_COUNTS["bytes"] = self._results_bytes
         self.last_result_cache = {
             "hit": False, "stored": stored, "bytes": nbytes,
@@ -1280,37 +1303,72 @@ class Engine:
         self._was_warm = True
         return QueryResult(records=records, metadata=metadata)
 
-    def _result_cache_probe(
-        self, query: str, limit: int | None
-    ) -> tuple[tuple | None, tuple | None]:
-        """(cache key, freshness token) for one envelope query — the
-        token is every registered table's snapshot (sorted by name),
-        so ANY source commit invalidates every cached result over this
-        engine (over-invalidation, never staleness). None when some
-        table has no cheap token: the query is then never cached."""
+    def _result_cache_probe(self, query: str, limit: int | None) -> tuple | None:
+        """Cache KEY for one envelope query, or None when caching is
+        size-disabled. The view epoch keys, not tokens: create_view /
+        any DDL bumps it, so pre-DDL entries are orphaned
+        (uncollectable until LRU eviction, but never served). The
+        freshness token now lives per-ENTRY, scoped to the tables the
+        stored plan read — see :meth:`_snap_token`."""
+        if len(self.tables) > 32:
+            return None  # token cost would outgrow the benefit
+        return (query, limit, self._view_epoch)
+
+    def _snap_token(
+        self, names, snap_cache: dict[str, Any]
+    ) -> tuple | None:
+        """Freshness token over the given table NAMES: one (name,
+        register-epoch, snapshot-json) triple per name in sorted
+        order, or None when any name is unregistered / has no cheap
+        snapshot (the caller treats that as a miss / a non-storable
+        result). The register epoch ties the token to the VIEW
+        BINDING, not just the directory: a query executed against a
+        stale binding (plain-dir views keep their listing until
+        re-registered) stores under the old epoch, and re-registering
+        misses — the disk snapshot alone could mark those records
+        fresh."""
         import json as _json
 
         from quack_reduce_spark.plans import mv_rewrite as _mvr
 
-        if len(self.tables) > 32:
-            return None, None  # token cost would outgrow the benefit
-        snaps = []
-        for name in sorted(self.tables):
+        out = []
+        for name in sorted(names):
+            if name not in self.tables:
+                return None
             meta = self._table_meta.get(name, {})
             path = meta.get("resolved", self.tables[name])
-            s = _mvr.source_snapshot(path)
+            s = _mvr.source_snapshot(path, snap_cache)
             if s is None:
-                return None, None
-            # the epoch ties the token to the VIEW BINDING, not just
-            # the directory: a query executed against a stale binding
-            # (plain-dir views keep their listing until re-registered)
-            # stores under the old epoch, and re-registering misses —
-            # the disk snapshot alone could mark those records fresh
-            snaps.append((name, meta.get("epoch"), _json.dumps(s)))
-        # the view epoch keys, not tokens: create_view / any DDL bumps
-        # it, so pre-DDL entries are orphaned (uncollectable until LRU
-        # eviction, but never served)
-        return (query, limit, self._view_epoch), tuple(snaps)
+                return None
+            out.append((name, meta.get("epoch"), _json.dumps(s)))
+        return tuple(out)
+
+    def _scope_names(self, df: DataFrame) -> tuple | None:
+        """The registered-table names whose state the executed plan's
+        records depend on (sorted), or None when the plan is not
+        cacheable. Leaf scans map to table names by resolved path; a
+        scan of an MV's materialization maps to the MV's SOURCE table
+        (a rewrite only fires fresh-or-compensated relative to the
+        source snapshot, and every MV state transition preserves query
+        semantics, so tokening the source is exactly sufficient)."""
+        allowed: dict[str, Any] = {}
+        for mname, m in self._mvs.items():
+            allowed[_norm_fs_path(m["path"])] = ("mv", m.get("table"))
+        for n, p in self._all_paths().items():
+            allowed[_norm_fs_path(p)] = n  # a registered MV stays a table
+        touched = _plan_cache_scope(df, list(allowed))
+        if touched is None:
+            return None
+        names: set[str] = set()
+        for ap in touched:
+            v = allowed[ap]
+            if isinstance(v, tuple):
+                if v[1] not in self.tables:
+                    return None  # MV source no longer registered
+                names.add(v[1])
+            else:
+                names.add(v)
+        return tuple(sorted(names))
 
     def sql_many(
         self,
@@ -2030,27 +2088,32 @@ class Engine:
                 )
             return n_after
 
+        mv_pre = self._mv_pre_commit(path)
         if lake.is_versioned(path):
             pre_cols = stats_cols_of(lake.resolve(path))
             pre_bloom = _zm.bloom_config(lake.resolve(path))
             pre_hist = _zm.manifest_hist(lake.resolve(path))
             pre_ndv = _zm.ndv_config(lake.resolve(path))
+            pre_gs = _zm.group_stats_config(lake.resolve(path))
             version, data_dir = lake.stage_version(path)
             write_to(data_dir)
             n_after = verify(data_dir)
             if pre_cols:
                 # stats ride inside the immutable staged version, so
                 # the pointer flip commits data AND manifest atomically
-                # (bloom/hist config carried explicitly: the staged dir
-                # is fresh, same-dir inheritance has nothing to read)
+                # (bloom/hist/ndv/group-stats config carried
+                # explicitly: the staged dir is fresh, same-dir
+                # inheritance has nothing to read)
                 _zm.write_zonemap(
                     self.spark, data_dir, pre_cols,
                     bloom_cols=pre_bloom or None,
                     hist_cols=pre_hist or None,
                     ndv_cols=pre_ndv or None,
+                    group_stats_cols=pre_gs or None,
                 )
             lake.write_manifest(path, version, op, n_after)
             lake.commit(path, version)
+            self._mv_after_commit(path, op, mv_pre)
             return n_after
 
         import os
@@ -2079,6 +2142,7 @@ class Engine:
         pre_bloom = _zm.bloom_config(path)
         pre_hist = _zm.manifest_hist(path)
         pre_ndv = _zm.ndv_config(path)
+        pre_gs = _zm.group_stats_config(path)
         write_to(staging)
         n_after = verify(staging)
         os.rename(path, aside)
@@ -2089,14 +2153,16 @@ class Engine:
             # table without a manifest — queries fall back to full
             # scans (sound), never to a stale manifest (the guard
             # would refuse it anyway since file counts differ). The
-            # bloom/hist config was captured pre-swap: the old doc
-            # left with the aside copy
+            # bloom/hist/group-stats config was captured pre-swap: the
+            # old doc left with the aside copy
             _zm.write_zonemap(
                 self.spark, path, pre_cols,
                 bloom_cols=pre_bloom or None,
                 hist_cols=pre_hist or None,
                 ndv_cols=pre_ndv or None,
+                group_stats_cols=pre_gs or None,
             )
+        self._mv_after_commit(path, op, mv_pre)
         return n_after
 
     def write(self, df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options: str) -> None:
@@ -2166,6 +2232,16 @@ class Engine:
                     "COUNT(*)/COUNT/SUM/MIN/MAX outputs, extractable "
                     "WHERE conjuncts only, no AVG/DISTINCT/expressions)"
                 )
+            table = spec["table"]
+            source_path = self._all_paths()[table]
+            # snapshot FIRST, then rebind: an external commit landing
+            # between the two leaves the MV marked with the OLDER
+            # token while the frame (bound at the rebind) reads the
+            # newer state — freshness then sees drift and either
+            # compensates over an EMPTY delta (the recorded input
+            # files already cover the live set) or declines; the MV
+            # can never serve rows its token post-dates (r15).
+            snap = _mvr.source_snapshot(source_path)
             # REBIND the source before materializing: a plain-dir temp
             # view keeps the file listing it was registered with, so a
             # frame planned against it can read PRE-append data while
@@ -2173,7 +2249,6 @@ class Engine:
             # that mismatch would serve stale aggregates marked fresh.
             # Re-registering binds the view (and the frame planned
             # below) to the same live state the snapshot describes.
-            table = spec["table"]
             tmeta = self._table_meta.get(table, {})
             self.register(
                 table, self.tables[table],
@@ -2185,12 +2260,18 @@ class Engine:
             if spec is None:  # the rebind cannot change the shape
                 raise ValueError("query shape changed under rebind")
             source_path = self._all_paths()[spec["table"]]
-            # snapshot BEFORE executing: a source commit racing the
-            # build leaves the MV marked with the OLDER token, so
-            # freshness checks decline — never a stale rewrite
-            snap = _mvr.source_snapshot(source_path)
-            files = _mv_file_listing(source_path)
             materialize = df.select(*spec.pop("_select"))
+            # record the file listing from the PLANNED FRAME's own
+            # binding (df.inputFiles), not a directory re-listing: an
+            # external append landing between planning and a listing
+            # would record a file the MV never aggregated, and
+            # compensation would then permanently exclude it from
+            # every delta (silent undercount). The frame's input set
+            # provably equals what the MV aggregates; the per-file
+            # stats are captured at the same moment, BEFORE the slow
+            # materialization (r15, ADVICE).
+            files = _mv_input_listing(materialize, source_path)
+            files_stat = _mv_stat_listing(source_path, files)
         # the frame bound its views at creation: the (possibly slow)
         # materialization itself runs outside the plan lock
         materialize.write.mode("overwrite").parquet(path)
@@ -2201,7 +2282,7 @@ class Engine:
             "source_path": source_path,
             "snapshot": snap,
             "files": files,
-            "files_stat": _mv_stat_listing(source_path, files),
+            "files_stat": files_stat,
             "path": path,
         }
         _mvr.save_mv(path, meta)
@@ -2312,6 +2393,112 @@ class Engine:
     def drop_materialized_view(self, name: str) -> None:
         self._mvs.pop(name, None)
 
+    # -- MV lifecycle across table maintenance (r15, VERDICT r14 #4) ----
+
+    def _mvs_on(self, table_path: str) -> list[tuple[str, dict]]:
+        """Registered MVs whose SOURCE table is registered at
+        ``table_path`` (the maintenance-call addressing: compact/
+        optimize/merge/delete take the registration path, while the MV
+        records the RESOLVED source dir)."""
+        key = str(table_path).rstrip("/")
+        return [
+            (n, mv)
+            for n, mv in self._mvs.items()
+            if str(self.tables.get(mv.get("table"), "")).rstrip("/") == key
+        ]
+
+    def _mv_pre_commit(self, table_path: str) -> dict[str, bool]:
+        """Per-MV freshness right BEFORE a maintenance rewrite of
+        ``table_path``: True when the MV's recorded snapshot still
+        matches its source exactly (its rows equal the pre-commit
+        aggregate)."""
+        from quack_reduce_spark import lake
+        from quack_reduce_spark.plans import mv_rewrite as _mvr
+
+        out: dict[str, bool] = {}
+        try:
+            live_dir = str(lake.resolve(table_path)).rstrip("/")
+        except Exception:
+            live_dir = None
+        for name, mv in self._mvs_on(table_path):
+            try:
+                # fresh = bound to the LIVE resolution (a versioned
+                # MV recorded on an older immutable version dir always
+                # matches its own snapshot — that is not freshness)
+                # AND the snapshot still matches
+                out[name] = (
+                    live_dir is not None
+                    and str(mv.get("source_path", "")).rstrip("/")
+                    == live_dir
+                    and mv.get("snapshot") is not None
+                    and _mvr.source_snapshot(mv["source_path"])
+                    == mv["snapshot"]
+                )
+            except Exception:
+                out[name] = False
+        return out
+
+    def _mv_after_commit(
+        self, table_path: str, op: str, pre_fresh: dict[str, bool]
+    ) -> None:
+        """Keep MVs ALIVE across maintenance rewrites of their source
+        instead of silently dead until a manual refresh (VERDICT r14
+        what's-wrong #2): a row-preserving rewrite (compact/optimize —
+        same rows, new layout) of a table whose MV was FRESH only
+        needs a RE-STAMP — new source dir + snapshot + file listing,
+        zero data read, the MV rows are already exactly the new
+        table's aggregate. Anything else (rows changed, or the MV had
+        drifted pre-commit) marks the MV for a LAZY SELF-REFRESH: the
+        next sql()/df() call refreshes it before attempting rewrites,
+        so the dashboard keeps its acceleration with no manual call.
+        Failures leave the MV declining (sound), never stale."""
+        from quack_reduce_spark import lake
+        from quack_reduce_spark.plans import mv_rewrite as _mvr
+
+        rows_preserved = op in ("compact", "optimize")
+        for name, mv in self._mvs_on(table_path):
+            try:
+                if not rows_preserved or not pre_fresh.get(name):
+                    mv["_needs_refresh"] = True
+                    continue
+                # resolve the LIVE pointer directly — the registered
+                # view's cached resolution is stale until the next
+                # _refresh_versioned_views pass
+                new_resolved = lake.resolve(table_path)
+                snap = _mvr.source_snapshot(new_resolved)
+                files = _mv_file_listing(new_resolved)
+                if snap is None:
+                    mv["_needs_refresh"] = True
+                    continue
+                mv["source_path"] = new_resolved
+                mv["snapshot"] = snap
+                mv["files"] = files
+                mv["files_stat"] = _mv_stat_listing(new_resolved, files)
+                mv.pop("_comp", None)
+                _mvr.save_mv(mv["path"], mv)
+            except Exception:
+                mv["_needs_refresh"] = True
+
+    def _mv_self_refresh(self) -> None:
+        """Run the pending lazy refreshes marked by
+        :meth:`_mv_after_commit` — called from the SQL surface OUTSIDE
+        the plan lock (refresh re-enters create_materialized_view,
+        which takes it). One attempt per mark; a failed refresh leaves
+        the MV declining rather than retry-looping every query."""
+        for name, mv in list(self._mvs.items()):
+            if not mv.pop("_needs_refresh", False):
+                continue
+            try:
+                # a re-resolved source (versioned pointer flip) has no
+                # incremental contract against the recorded listing —
+                # go straight to the full recompute
+                cur = self._all_paths().get(mv.get("table"))
+                self.refresh_materialized_view(
+                    name, incremental=(cur == mv.get("source_path"))
+                )
+            except Exception:
+                pass  # declined rewrites until a manual refresh
+
     def cache_table(self, name: str) -> None:
         """Pin a hot table in memory (reference README.md:188 future work)."""
         self.spark.catalog.cacheTable(name)
@@ -2343,6 +2530,29 @@ RESULT_CACHE_COUNTS = {"hits": 0, "misses": 0, "bytes": 0}
 # back to full recompute — at that table size the listing should come
 # from a manifest-backed source anyway
 MV_INCR_MAX_FILES = 4096
+
+
+def _mv_input_listing(df: DataFrame, source_path: str) -> list[str] | None:
+    """The planned frame's ACTUAL file binding (``df.inputFiles``),
+    normalized to the fs-walk form ``_mv_file_listing`` returns — the
+    set compensation / incremental refresh diff later listings
+    against. None when the binding is unavailable, exceeds the cap, or
+    reads outside the source table (the MV then declines incremental
+    paths, falling back to full refresh — sound)."""
+    from quack_reduce_spark.operators.zonemaps import _bare, _unq
+
+    try:
+        files = sorted({_unq(_bare(p)) for p in df.inputFiles()})
+    except Exception:
+        return None
+    base = source_path.rstrip("/")
+    if not files or len(files) > MV_INCR_MAX_FILES:
+        return None
+    if any(
+        not (f == base or f.startswith(base + "/")) for f in files
+    ):
+        return None  # not a plain scan of the source: no file contract
+    return files
 
 
 def _mv_file_listing(path: str) -> list[str] | None:
@@ -2419,6 +2629,26 @@ _TIME_EXPRS = {
     "CurrentTimeZone",
 }
 
+# expression-class markers for Catalyst PlanExpressions — expressions
+# holding a SUBQUERY PLAN out-of-band (not in expressions().children()
+# or plan children()): ScalarSubquery / LateralSubquery / InSubquery /
+# Exists / ListQuery / (physical-only) DynamicPruningSubquery. Both
+# cacheability walks must descend into these plans, or a clock / rand()
+# / unregistered scan INSIDE a subquery would evade every check
+# (ComputeCurrentTime folds the subquery's clock to a deterministic
+# literal, so a cache hit would replay the first call's frozen clock).
+_SUBQ_MARKERS = ("Subquery", "Exists", "ListQuery", "PlanExpression")
+
+
+def _expr_subplan(e: Any):
+    """The out-of-band plan of a subquery expression, or None for an
+    ordinary expression. Raises when the class LOOKS like a plan-holder
+    but its plan is unreachable — the caller then declines caching."""
+    name = e.getClass().getSimpleName()
+    if not any(m in name for m in _SUBQ_MARKERS):
+        return None
+    return e.plan()  # every Catalyst PlanExpression exposes plan()
+
 
 def _norm_fs_path(p: str) -> str:
     """Normalize a scan/registered path for prefix comparison: drop a
@@ -2433,9 +2663,11 @@ def _norm_fs_path(p: str) -> str:
     return unquote(s).rstrip("/")
 
 
-def _plan_cacheable(df: DataFrame, allowed_paths=()) -> bool:
-    """A result is cacheable only when the plan is a pure deterministic
-    query over state the freshness token covers:
+def _plan_cache_scope(df: DataFrame, allowed_paths=()) -> set[str] | None:
+    """The subset of ``allowed_paths`` (normalized) the plan actually
+    READS — the cache-token scope — or None when the result is not
+    cacheable at all. A result is cacheable only when the plan is a
+    pure deterministic query over state the freshness token covers:
 
     - no Command nodes (DDL/DML execute eagerly, must not replay);
     - no nondeterministic expressions (rand() must re-draw);
@@ -2449,9 +2681,18 @@ def _plan_cacheable(df: DataFrame, allowed_paths=()) -> bool:
       source has no snapshot in the freshness token and could change
       without invalidating.
 
-    Any introspection failure declines caching — sound."""
+    Both walks DESCEND into subquery plans (ScalarSubquery / Exists /
+    InSubquery's ListQuery / lateral subqueries hold their plan
+    out-of-band — r15: a clock or rand() inside one previously evaded
+    every check). Any introspection failure declines caching — sound.
+    An empty set is a valid scope (a pure-literal query reads
+    nothing; its records can never go stale)."""
     try:
-        allowed = [_norm_fs_path(p) for p in allowed_paths]
+        allowed = sorted(
+            (_norm_fs_path(p) for p in allowed_paths),
+            key=len, reverse=True,  # longest prefix wins on nesting
+        )
+        touched: set[str] = set()
         # analyzed-plan pass: call-time clock expressions (pre-fold)
         stack = [df._jdf.queryExecution().analyzed()]
         while stack:
@@ -2462,7 +2703,10 @@ def _plan_cacheable(df: DataFrame, allowed_paths=()) -> bool:
                 while estack:
                     e = estack.pop()
                     if e.getClass().getSimpleName() in _TIME_EXPRS:
-                        return False
+                        return None
+                    sub = _expr_subplan(e)  # raises -> except -> None
+                    if sub is not None:
+                        stack.append(sub)
                     ech = e.children()
                     for j in range(ech.size()):
                         estack.append(ech.apply(j))
@@ -2475,29 +2719,44 @@ def _plan_cacheable(df: DataFrame, allowed_paths=()) -> bool:
             n = stack.pop()
             cls = n.getClass().getSimpleName()
             if "Command" in cls:
-                return False
+                return None
             exprs = n.expressions()
             for i in range(exprs.size()):
-                if not exprs.apply(i).deterministic():
-                    return False
+                e0 = exprs.apply(i)
+                if not e0.deterministic():
+                    return None
+                estack = [e0]
+                while estack:
+                    e = estack.pop()
+                    sub = _expr_subplan(e)
+                    if sub is not None:
+                        stack.append(sub)
+                    ech = e.children()
+                    for j in range(ech.size()):
+                        estack.append(ech.apply(j))
             ch = n.children()
             if ch.size() == 0:
                 if cls == "LogicalRelation":
                     roots = n.relation().location().rootPaths()
                     for i in range(roots.size()):
                         rp = _norm_fs_path(roots.apply(i).toString())
-                        if not any(
-                            rp == ap or rp.startswith(ap + "/")
-                            for ap in allowed
-                        ):
-                            return False
+                        ap = next(
+                            (
+                                a for a in allowed
+                                if rp == a or rp.startswith(a + "/")
+                            ),
+                            None,
+                        )
+                        if ap is None:
+                            return None
+                        touched.add(ap)
                 elif cls not in _CACHEABLE_LEAVES:
-                    return False
+                    return None
             for i in range(ch.size()):
                 stack.append(ch.apply(i))
-        return True
+        return touched
     except Exception:
-        return False
+        return None
 
 
 def _fixed_widths() -> dict:

@@ -143,14 +143,30 @@ def _dec_conjuncts(enc: list, types: dict) -> list | None:
     return out
 
 
-def source_snapshot(path: str) -> list | None:
+def source_snapshot(path: str, cache: dict | None = None) -> list | None:
     """JSON-safe freshness token for a source table. Zone-mapped
     tables stat ONE file — every manifest commit (write/append/
     optimize/OCC head flip) rewrites ``_zonemap/_list.json`` last, so
     its (mtime, size) is the table's change epoch (the same key the
     parsed-manifest caches trust). Plain tables fall back to a sorted
     per-file (mtime, size) listing capped at SNAP_MAX_FILES; None when
-    no cheap token exists (the MV then never rewrites: sound)."""
+    no cheap token exists (the MV then never rewrites: sound).
+
+    ``cache``: an optional per-QUERY memo ``{path: snapshot}`` — the
+    engine passes one dict through a single ``sql()``/``df()`` call so
+    the result-cache probe and every MV freshness check share ONE
+    directory walk per table instead of repeating the (O(files)) name
+    digest per consumer. The memo must never outlive the call: a
+    longer-lived cache would mask commits."""
+    if cache is not None and path in cache:
+        return cache[path]
+    snap = _source_snapshot_uncached(path)
+    if cache is not None:
+        cache[path] = snap
+    return snap
+
+
+def _source_snapshot_uncached(path: str) -> list | None:
     from quack_reduce_spark.lake import _fs_for, _join
     from quack_reduce_spark.operators.zonemaps import (
         LIST_FILE,
@@ -340,6 +356,7 @@ def try_rewrite(
     df: DataFrame,
     paths_by_name: dict[str, str],
     mvs: dict[str, dict],
+    snap_cache: dict | None = None,
 ) -> tuple[DataFrame, dict] | None:
     """Rewrite ``df`` over the first matching MV; None when no MV
     matches (the query runs plain). An MV whose source has APPENDED
@@ -359,6 +376,15 @@ def try_rewrite(
         return None
     for name, mv in mvs.items():
         if mv["table"] != info["table"]:
+            continue
+        # the query's RELATION must be the exact directory the MV
+        # aggregated: a versioned table re-resolves to a NEW immutable
+        # version dir on every maintenance commit while the MV's
+        # recorded source dir stays byte-stable — matching by table
+        # NAME alone would keep "fresh"-looking rewrites serving the
+        # pre-commit snapshot forever (r15). Plain-dir tables resolve
+        # to themselves, so this is an equality no-op for them.
+        if paths_by_name.get(info["table"]) != mv.get("source_path"):
             continue
         mv_groups = _norm_groups(mv["groups"])
         # ROLLUP containment across BOTH lattices: every query key must
@@ -405,7 +431,7 @@ def try_rewrite(
         # verified-unchanged prefix -> compensation delta; else decline
         if mv.get("snapshot") is None:
             continue
-        live = source_snapshot(mv["source_path"])
+        live = source_snapshot(mv["source_path"], snap_cache)
         if live is None:
             continue
         if live == mv["snapshot"]:

@@ -308,6 +308,7 @@ def run_stream_append_zonemapped(
     stats_cols: list[str],
     checkpoint_dir: str,
     bloom_cols: list[str] | None = None,
+    group_stats_cols: list[str] | None = None,
 ):
     """Drain a (bounded) append-mode stream into a parquet table whose
     zone-map manifest is MAINTAINED per micro-batch: each batch
@@ -326,7 +327,14 @@ def run_stream_append_zonemapped(
     run_stream_merge_versioned for exactly-once upserts); the manifest
     maintenance itself is idempotent, since append_zonemap diffs
     against covered files and stats whatever is new. Returns the query
-    handle after all input is processed."""
+    handle after all input is processed.
+
+    ``group_stats_cols``: low-NDV stats columns whose per-(file, value)
+    slice partials the first batch's manifest records — later batches
+    inherit the config through the manifest doc and ``append_zonemap``
+    stats only each batch's delta files' slices, so a STREAMING table
+    keeps its unclustered grouped-aggregate pushdown (zero files
+    scanned) between micro-batches (r15, VERDICT r14 #7)."""
     from quack_reduce_spark.operators.zonemaps import append_zonemap, write_zonemap, has_zonemap
 
     spark = df.sparkSession
@@ -336,12 +344,17 @@ def run_stream_append_zonemapped(
             return
         batch_df.write.mode("append").parquet(out_dir)
         if has_zonemap(out_dir):
-            # later batches inherit the first batch's bloom config
-            # through the manifest doc — append_zonemap fingerprints
-            # exactly the delta files
+            # later batches inherit the first batch's bloom AND
+            # group-stats configs through the manifest doc —
+            # append_zonemap fingerprints / slice-stats exactly the
+            # delta files
             append_zonemap(spark, out_dir, stats_cols)
         else:
-            write_zonemap(spark, out_dir, stats_cols, bloom_cols=bloom_cols)
+            write_zonemap(
+                spark, out_dir, stats_cols,
+                bloom_cols=bloom_cols,
+                group_stats_cols=group_stats_cols,
+            )
 
     query = (
         df.writeStream.foreachBatch(write_batch)

@@ -604,3 +604,165 @@ def test_mv_creation_binds_live_source(spark, sf_dir, tmp_path):
     )
     assert sorted(map(tuple, d.collect())) == want
     spark.catalog.dropTempView("mvlb")
+
+
+def test_mv_versioned_source_commit_never_serves_stale(spark, tmp_path):
+    """r15: an MV over a VERSIONED table records the immutable version
+    dir it aggregated; after a maintenance commit the registered view
+    re-resolves to a NEW version dir while the recorded one stays
+    byte-stable — matching by table name alone would keep serving the
+    pre-commit aggregate marked fresh forever. The rewrite must
+    decline (resolved path != recorded source_path) and the query run
+    plain over the live version."""
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "mv_ver")
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", i * 10) for i in range(10)],
+        "k long, grp string, val long",
+    )
+    eng.write_versioned(base, path, op="create")
+    eng.register("tver", path)
+    mv_path = str(tmp_path / "mv_ver_mv")
+    eng.create_materialized_view(
+        "mv_ver", "SELECT grp, SUM(val) AS s FROM tver GROUP BY grp", mv_path
+    )
+    q = "SELECT grp, SUM(val) AS s FROM tver GROUP BY grp"
+    eng.df(q)
+    assert eng.last_mv_rewrite is not None, "fresh MV must rewrite"
+    # maintenance commit: data CHANGES (upsert), pointer flips to a new
+    # version dir; the old dir (the MV's source_path) is untouched
+    updates = spark.createDataFrame(
+        [(0, "a", 99999)], "k long, grp string, val long"
+    )
+    eng.merge_upsert(path, updates, key="k")
+    got = {r["grp"]: r["s"] for r in eng.df(q).collect()}
+    want = {
+        r["grp"]: r["s"]
+        for r in eng.read_table(path)
+        .groupBy("grp")
+        .agg(F.sum("val").alias("s"))
+        .collect()
+    }
+    assert got == want, "post-commit answer must reflect the upsert"
+    spark.catalog.dropTempView("tver")
+
+
+def test_mv_survives_optimize_without_manual_refresh(
+    spark, sf_dir, tmp_path
+):
+    """r15 (VERDICT r14 #4): create MV -> append -> optimize. The
+    compaction invalidates compensation (correct — partials can
+    shrink), but the maintenance hook marks the MV and the NEXT query
+    self-refreshes it: the rewrite fires again with no manual
+    refresh_materialized_view call, values exact."""
+    src = str(tmp_path / "mvlc")
+    load(spark, sf_dir, "orders").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    eng = Engine(spark=spark)
+    eng.register("mvlc", src)
+    mv_path = str(tmp_path / "mvlc_mv")
+    eng.create_materialized_view(
+        "mvlc_mv",
+        "SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS s "
+        "FROM mvlc GROUP BY o_orderstatus",
+        mv_path,
+    )
+    load(spark, sf_dir, "orders").limit(300).repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    eng.register("mvlc", src)
+    eng.optimize(src, cluster_by=["o_orderkey"], target_rows_per_file=50_000)
+    eng.register("mvlc", src)
+    q = (
+        "SELECT o_orderstatus, COUNT(*) AS n, SUM(o_orderkey) AS s "
+        "FROM mvlc GROUP BY o_orderstatus"
+    )
+    d = eng.df(q)
+    got = sorted(map(tuple, d.collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(src)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s"))
+            .collect(),
+        )
+    )
+    assert got == want
+    # the rewrite must be ALIVE again post-self-refresh (the agg
+    # pushdown may answer first on a manifested table; force the MV
+    # path by checking its stamped state instead): the MV's recorded
+    # snapshot now matches the live source
+    from quack_reduce_spark.plans import mv_rewrite as MVR
+
+    mv = eng._mvs["mvlc_mv"]
+    assert not mv.get("_needs_refresh")
+    assert MVR.source_snapshot(mv["source_path"]) == mv["snapshot"]
+    spark.catalog.dropTempView("mvlc")
+
+
+def test_mv_restamps_after_compact_when_fresh(spark, sf_dir, tmp_path):
+    """A row-preserving compact of a FRESH MV's source re-stamps the
+    MV in place (no recompute, no decline): the very next query
+    rewrites."""
+    src = str(tmp_path / "mvrs")
+    load(spark, sf_dir, "orders").repartition(6).write.mode(
+        "overwrite"
+    ).parquet(src)
+    eng = Engine(spark=spark)
+    eng.register("mvrs", src)
+    mv_path = str(tmp_path / "mvrs_mv")
+    eng.create_materialized_view(
+        "mvrs_mv",
+        "SELECT o_orderpriority, COUNT(*) AS n FROM mvrs "
+        "GROUP BY o_orderpriority",
+        mv_path,
+    )
+    eng.compact(src, target_rows_per_file=100_000)
+    eng.register("mvrs", src)
+    q = "SELECT o_orderpriority, COUNT(*) AS n FROM mvrs GROUP BY o_orderpriority"
+    d = eng.df(q)
+    assert eng.last_mv_rewrite is not None, "re-stamped MV must rewrite"
+    assert not eng._mvs["mvrs_mv"].get("_needs_refresh")
+    got = sorted(map(tuple, d.collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(src).groupBy("o_orderpriority").count().collect(),
+        )
+    )
+    assert got == want
+    spark.catalog.dropTempView("mvrs")
+
+
+def test_mv_versioned_maintenance_self_refreshes(spark, tmp_path):
+    """Versioned source: a merge_upsert flips the pointer to a new
+    version dir; the hook marks the MV and the next query
+    self-refreshes it onto the LIVE version (full recompute — no
+    incremental contract across a re-resolution), so the rewrite is
+    alive again with post-merge values."""
+    eng = Engine(spark=spark)
+    path = str(tmp_path / "mvvm")
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", i * 10) for i in range(10)],
+        "k long, grp string, val long",
+    )
+    eng.write_versioned(base, path, op="create")
+    eng.register("mvvm", path)
+    mv_path = str(tmp_path / "mvvm_mv")
+    eng.create_materialized_view(
+        "mvvm_mv", "SELECT grp, SUM(val) AS s FROM mvvm GROUP BY grp", mv_path
+    )
+    updates = spark.createDataFrame(
+        [(0, "a", 100000)], "k long, grp string, val long"
+    )
+    eng.merge_upsert(path, updates, key="k")
+    q = "SELECT grp, SUM(val) AS s FROM mvvm GROUP BY grp"
+    d = eng.df(q)
+    got = {r["grp"]: r["s"] for r in d.collect()}
+    assert got["a"] == sum(i * 10 for i in range(2, 10, 2)) + 100000
+    # second query: the refreshed MV now rewrites against the live dir
+    eng.df(q)
+    assert eng.last_mv_rewrite is not None
+    spark.catalog.dropTempView("mvvm")

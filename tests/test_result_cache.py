@@ -219,3 +219,71 @@ def test_result_cache_byte_budget(spark, sf_dir, tmp_path):
     finally:
         E.RESULT_CACHE_MAX_BYTES = old
     spark.catalog.dropTempView("orders")
+
+
+def test_result_cache_declines_subquery_clock_and_rand(
+    spark, sf_dir, tmp_path
+):
+    """r15 ADVICE (medium): clock / rand() INSIDE a subquery evaded
+    the analyzed/optimized-plan walks (ScalarSubquery holds its plan
+    out-of-band) — ComputeCurrentTime folds the subquery's clock to a
+    literal and a cache hit would replay the first call's frozen
+    clock. Both walks now descend into subquery plans."""
+    eng, _src = _eng(spark, sf_dir, tmp_path, "rc10")
+    r = eng.sql(
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE o_orderdate < (SELECT CAST(current_timestamp() AS DATE))"
+    )
+    assert r.metadata["result_cache"] == {"hit": False, "stored": False}
+    r2 = eng.sql(
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE o_orderkey > (SELECT MIN(o_orderkey) + rand() FROM orders)"
+    )
+    assert r2.metadata["result_cache"] == {"hit": False, "stored": False}
+    # a DETERMINISTIC subquery over the registered table still caches
+    r3 = eng.sql(
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE o_orderkey > (SELECT MIN(o_orderkey) FROM orders)"
+    )
+    assert r3.metadata["result_cache"] == {"hit": False, "stored": True}
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE o_orderkey > (SELECT MIN(o_orderkey) FROM orders)"
+    ).metadata["result_cache"] == {"hit": True}
+    spark.catalog.dropTempView("orders")
+
+
+def test_result_cache_token_scoped_to_referenced_tables(
+    spark, sf_dir, tmp_path
+):
+    """r15: the freshness token is scoped to the tables the stored
+    plan READ — committing to an UNRELATED registered table must not
+    invalidate (and a probe hit re-walks only the referenced table)."""
+    eng, _src = _eng(spark, sf_dir, tmp_path, "rc11")
+    other = str(tmp_path / "rc11_other")
+    load(spark, sf_dir, "nation").write.mode("overwrite").parquet(other)
+    eng.register("nation_t", other)
+    q = "SELECT COUNT(*) AS n FROM orders"
+    assert eng.sql(q).metadata["result_cache"]["stored"] is True
+    # touch the OTHER table: the orders entry must still hit
+    load(spark, sf_dir, "nation").limit(1).write.mode("append").parquet(other)
+    assert eng.sql(q).metadata["result_cache"] == {"hit": True}
+    # a query over the touched table misses (its binding is stale
+    # until re-register, and the disk moved): correctness unchanged
+    eng.register("nation_t", other)
+    qn = "SELECT COUNT(*) AS n FROM nation_t"
+    assert eng.sql(qn).metadata["result_cache"]["hit"] is False
+    assert eng.sql(qn).metadata["result_cache"] == {"hit": True}
+    spark.catalog.dropTempView("orders")
+    spark.catalog.dropTempView("nation_t")
+
+
+def test_result_cache_literal_query_needs_no_tables(spark, sf_dir, tmp_path):
+    """A pure-literal query reads nothing: it caches with an EMPTY
+    scope and stays a hit across commits to any registered table."""
+    eng, src = _eng(spark, sf_dir, tmp_path, "rc12")
+    q = "SELECT 1 AS one, 'x' AS tag"
+    assert eng.sql(q).metadata["result_cache"]["stored"] is True
+    load(spark, sf_dir, "orders").limit(3).write.mode("append").parquet(src)
+    assert eng.sql(q).metadata["result_cache"] == {"hit": True}
+    spark.catalog.dropTempView("orders")

@@ -602,3 +602,53 @@ def test_stream_append_maintains_zonemap_for_engine_pruning(
     rep = eng.last_zonemap_report.get("zm_stream")
     # 4+ batch files: the quarter-range query must not read them all
     assert rep is not None and rep["files_read"] < rep["files_total"]
+
+
+def test_stream_append_maintains_group_stats(spark, event_files, tmp_path):
+    """r15 (VERDICT r14 #7): the zone-map append sink carries
+    ``group_stats_cols`` — after N micro-batch appends on a layout
+    where every batch file mixes every event_type, the engine's
+    grouped aggregate still answers at ZERO files scanned from the
+    per-(file, value) slice partials each batch maintained."""
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+    from quack_reduce_spark.streaming import (
+        read_event_stream,
+        run_stream_append_zonemapped,
+    )
+
+    src, batch_events = event_files
+    out = str(tmp_path / "gs_sink")
+    ckpt = str(tmp_path / "gs_ckpt")
+    stream = read_event_stream(
+        spark, src, batch_events.schema, max_files_per_trigger=1
+    )
+    run_stream_append_zonemapped(
+        stream, out, ["event_type", "event_id"], ckpt,
+        group_stats_cols=["event_type"],
+    )
+    cfg = Z.group_stats_config(out)
+    assert "event_type" in cfg and cfg["event_type"]["entries"] > 0
+    table = spark.read.parquet(out)
+    assert table.count() == batch_events.count()
+
+    eng = Engine(spark=spark)
+    eng.register("gs_stream", out)
+    d = eng.df(
+        "SELECT event_type, COUNT(*) AS n, MIN(event_id) AS mn "
+        "FROM gs_stream GROUP BY event_type"
+    )
+    tele = eng.last_agg_plan
+    assert tele is not None and tele["files_scanned"] == 0, tele
+    assert tele.get("files_group_stats", 0) >= 1
+    got = sorted(map(tuple, d.collect()))
+    want = sorted(
+        map(
+            tuple,
+            table.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"), F.min("event_id").alias("mn")
+            ).collect(),
+        )
+    )
+    assert got == want
+    spark.catalog.dropTempView("gs_stream")
