@@ -371,8 +371,27 @@ class Engine:
                 )
             except Exception:
                 return df, {}  # plan-shape drift: pushdown is best-effort
+            # top-k file pushdown (the reference's flagship ORDER BY 2
+            # DESC LIMIT 200 shape, top_pickup_locations.sql:8-9): when
+            # the WHOLE plan is Limit-Sort-[Filter]-Relation over one
+            # zone-mapped table, the manifest's min/max bound which
+            # files can contribute to the top k — see
+            # plans/topk_pushdown.py for the static-bound argument. The
+            # extraction shape guarantees a single scan and no joins,
+            # so it composes with (and subsumes) the generic WHERE
+            # pruning for this query.
+            topk = None
+            try:
+                from quack_reduce_spark.plans import topk_pushdown as _tk
+
+                topk = _tk.extract_topk(
+                    df, {n: p for n, (p, _) in zm_tables.items()}
+                )
+            except Exception:
+                topk = None
         rebinds: dict[str, tuple[list[str], int, dict]] = {}
         dpp_applied: dict[str, dict] = {}
+        topk_applied: dict[str, dict] = {}
         try:
             # dynamic file pruning from join dimensions: a star query
             # filtering only the dim side derives the surviving join-
@@ -399,6 +418,19 @@ class Engine:
                 got = _zp.plan_pruned_files(self.spark, path, cols, scans)
                 if got is not None:
                     rebinds[name] = got
+            if topk is not None and topk["table"] in zm_tables:
+                from quack_reduce_spark.plans import topk_pushdown as _tk
+
+                tname = topk["table"]
+                tpath, tcols = zm_tables[tname]
+                tk_got = _tk.plan_topk_files(self.spark, tpath, tcols, topk)
+                if tk_got is not None:
+                    files, total, stats, tk_tele = tk_got
+                    # the bound's survivor set already re-applies the
+                    # exact WHERE classification, so it is a subset of
+                    # (and replaces) the generic conjunct pruning
+                    rebinds[tname] = (files, total, stats)
+                    topk_applied[tname] = tk_tele
             smj_tables = _zp.join_scan_tables(
                 df, {n: p for n, (p, _) in zm_tables.items()}
             )
@@ -495,6 +527,8 @@ class Engine:
                 report[name]["dpp"] = dpp_applied[name]
             if name in row_applied:
                 report[name]["dpp_row_filter"] = row_applied[name]
+            if name in topk_applied:
+                report[name]["topk"] = topk_applied[name]
         return planned, report
 
     @staticmethod

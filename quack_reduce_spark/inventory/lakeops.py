@@ -1924,6 +1924,85 @@ def lake_group_agg_unclustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lake_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k FILE pushdown from manifest stats (r15, VERDICT r14 #2):
+    the reference's flagship artifact ends in ``ORDER BY 2 DESC LIMIT
+    200`` (``top_pickup_locations.sql:8-9``); on a table CLUSTERED by
+    the sort column the engine answers ``ORDER BY col DESC/ASC LIMIT
+    k`` by visiting files in manifest min/max order and skipping every
+    file the static k-bound proves cannot contribute (see
+    plans/topk_pushdown.py). In-query gates: the DESC top-k reads <=2
+    of the 8 files; the ASC + WHERE composition also reads a strict
+    subset; an UNCLUSTERED copy declines (no ``topk`` telemetry) but
+    stays exact. The DuckDB oracle recomputes all three from the raw
+    fixture."""
+    import uuid as _uuid
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    orders = load(spark, sf_dir, "orders")
+    path = _fresh_dir(sf_dir, "lake_topk")
+    (
+        orders.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    Z.write_zonemap(spark, path, ["o_orderkey"])
+    eng = Engine(spark=spark)
+    t = f"topk_{_uuid.uuid4().hex[:8]}"
+    eng.register(t, path)
+    d1 = eng.df(
+        f"SELECT o_orderkey, o_custkey FROM {t} "
+        f"ORDER BY o_orderkey DESC LIMIT 8"
+    )
+    rows1 = [(r["o_orderkey"], r["o_custkey"]) for r in d1.collect()]
+    rep1 = (eng.last_zonemap_report.get(t) or {}).get("topk")
+    _require(
+        rep1 is not None and rep1["files_read"] < rep1["files_total"]
+        and rep1["files_read"] <= 2,
+        "DESC top-k did not prune by the k-bound", rep1,
+    )
+    d2 = eng.df(
+        f"SELECT o_orderkey, o_custkey FROM {t} WHERE o_orderkey >= 500 "
+        f"ORDER BY o_orderkey ASC LIMIT 6"
+    )
+    rows2 = [(r["o_orderkey"], r["o_custkey"]) for r in d2.collect()]
+    rep2 = (eng.last_zonemap_report.get(t) or {}).get("topk")
+    _require(
+        rep2 is not None and rep2["files_read"] < rep2["files_total"],
+        "ASC+WHERE top-k did not prune", rep2,
+    )
+    # unclustered copy: the bound skips nothing -> decline, still exact
+    path_u = _fresh_dir(sf_dir, "lake_topk_u")
+    orders.repartition(6).write.mode("overwrite").parquet(path_u)
+    Z.write_zonemap(spark, path_u, ["o_orderkey"])
+    tu = f"topku_{_uuid.uuid4().hex[:8]}"
+    eng.register(tu, path_u)
+    d3 = eng.df(
+        f"SELECT o_orderkey, o_custkey FROM {tu} "
+        f"ORDER BY o_orderkey DESC LIMIT 4"
+    )
+    rows3 = [(r["o_orderkey"], r["o_custkey"]) for r in d3.collect()]
+    rep3 = (eng.last_zonemap_report.get(tu) or {}).get("topk")
+    _require(rep3 is None, "unclustered top-k must decline", rep3)
+    spark.catalog.dropTempView(t)
+    spark.catalog.dropTempView(tu)
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path_u, ignore_errors=True)
+    return spark.createDataFrame(
+        [("desc8", k, c) for k, c in rows1]
+        + [("asc6", k, c) for k, c in rows2]
+        + [("uncl4", k, c) for k, c in rows3],
+        StructType([
+            StructField("q", StringType()),
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+        ]),
+    )
+
+
 QUERIES = {
     "lake_time_travel": lake_time_travel,
     "lake_change_feed": lake_change_feed,
@@ -1949,6 +2028,7 @@ QUERIES = {
     "lake_mv_filtered": lake_mv_filtered,
     "lake_group_agg_unclustered": lake_group_agg_unclustered,
     "lake_decimal_wide_stats": lake_decimal_wide_stats,
+    "lake_topk_pushdown": lake_topk_pushdown,
 }
 
 
@@ -2379,6 +2459,23 @@ ORACLES["lake_decimal_wide_stats"] = """
 
 # per-group manifest partials must be invisible: every group (and the
 # post-append counts) recompute from the raw fixture
+# the k-bound file skipping must be invisible: every variant
+# recomputes from the raw fixture with the same deterministic
+# (unique-key) ordering
+ORACLES["lake_topk_pushdown"] = """
+    SELECT 'desc8' AS q, o_orderkey, o_custkey FROM (
+        SELECT o_orderkey, o_custkey FROM orders
+        ORDER BY o_orderkey DESC LIMIT 8)
+    UNION ALL
+    SELECT 'asc6' AS q, o_orderkey, o_custkey FROM (
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderkey >= 500 ORDER BY o_orderkey ASC LIMIT 6)
+    UNION ALL
+    SELECT 'uncl4' AS q, o_orderkey, o_custkey FROM (
+        SELECT o_orderkey, o_custkey FROM orders
+        ORDER BY o_orderkey DESC LIMIT 4)
+"""
+
 ORACLES["lake_group_agg_unclustered"] = """
     WITH appended AS (
         SELECT * FROM orders
