@@ -648,7 +648,18 @@ class Engine:
                 want = {c for c, _o, _v in info["conjuncts"]} | {
                     c for k, c in info["aggs"] if k == "count_distinct"
                 }
-            gcol = next((c for c in gs_cfg if c in want), None)
+            # config keys may be COMPOSITE ("a,b" — r15): rank by how
+            # many wanted columns the key pins directly, then by the
+            # fewest extraneous components (each extra component
+            # multiplies the slice count without pinning anything the
+            # query needs)
+            gcol, best_rank = None, (0, 0)
+            for key in gs_cfg:
+                comps = set(_zm._gs_components(key))
+                ov = len(comps & want)
+                rank = (ov, -(len(comps) - ov))
+                if ov > 0 and rank > best_rank:
+                    best_rank, gcol = rank, key
             if gcol is not None:
                 by_file = _zm.group_stats_rows(self.spark, path, gcol)
                 if by_file is not None:

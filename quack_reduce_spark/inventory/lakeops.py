@@ -1924,6 +1924,79 @@ def lake_group_agg_unclustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lake_group_agg_multikey_unclustered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPOSITE slice partials (r15, VERDICT r14 #3): ``GROUP BY
+    (o_orderstatus, o_orderpriority)`` on a layout where NEITHER
+    column clusters answers at ZERO files scanned from per-(file, a,
+    b) slice rows written by ``write_zonemap(group_stats_cols=
+    ['o_orderstatus,o_orderpriority'])`` — the gap r14's single-column
+    slices left (``engine.py`` picked ONE gs column; the second key
+    had to be single-valued inside the first's slices). Also gates the
+    single-key rollup through the same composite. The DuckDB oracle
+    recomputes both groupings from the raw fixture."""
+    import uuid as _uuid
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    path = _fresh_dir(sf_dir, "lake_gsagg_mk")
+    orders = load(spark, sf_dir, "orders")
+    # round-robin: every file mixes every (status, priority) pair
+    orders.repartition(6).write.mode("overwrite").parquet(path)
+    Z.write_zonemap(
+        spark, path, ["o_orderstatus", "o_orderpriority", "o_orderkey"],
+        group_stats_cols=["o_orderstatus,o_orderpriority"],
+    )
+    eng = Engine(spark=spark)
+    t = f"gsmk_{_uuid.uuid4().hex[:8]}"
+    eng.register(t, path)
+    d1 = eng.df(
+        f"SELECT o_orderstatus AS st, o_orderpriority AS pr, "
+        f"COUNT(*) AS n, SUM(o_orderkey) AS sum_key, "
+        f"MIN(o_orderkey) AS mn_key FROM {t} GROUP BY 1, 2"
+    )
+    plan1 = eng.last_agg_plan
+    _require(
+        plan1 is not None
+        and plan1["files_scanned"] == 0
+        and plan1.get("group_stats_col") == "o_orderstatus,o_orderpriority",
+        "composite grouped aggregate did not answer from slice stats",
+        plan1,
+    )
+    rows1 = [
+        (r["st"], r["pr"], int(r["n"]), int(r["sum_key"]), int(r["mn_key"]))
+        for r in d1.collect()
+    ]
+    # single-key rollup through the SAME composite slices
+    d2 = eng.df(
+        f"SELECT o_orderpriority AS pr, COUNT(*) AS n2 FROM {t} GROUP BY 1"
+    )
+    plan2 = eng.last_agg_plan
+    _require(
+        plan2 is not None and plan2["files_scanned"] == 0,
+        "single-key rollup left the metadata path", plan2,
+    )
+    rows2 = {r["pr"]: int(r["n2"]) for r in d2.collect()}
+    spark.catalog.dropTempView(t)
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (st, pr, n, sk, mk, rows2.get(pr))
+            for st, pr, n, sk, mk in sorted(rows1)
+        ],
+        StructType([
+            StructField("st", StringType()),
+            StructField("pr", StringType()),
+            StructField("n", LongType()),
+            StructField("sum_key", LongType()),
+            StructField("mn_key", LongType()),
+            StructField("n_pr", LongType()),
+        ]),
+    )
+
+
 def lake_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k FILE pushdown from manifest stats (r15, VERDICT r14 #2):
     the reference's flagship artifact ends in ``ORDER BY 2 DESC LIMIT
@@ -2029,6 +2102,7 @@ QUERIES = {
     "lake_group_agg_unclustered": lake_group_agg_unclustered,
     "lake_decimal_wide_stats": lake_decimal_wide_stats,
     "lake_topk_pushdown": lake_topk_pushdown,
+    "lake_group_agg_multikey_unclustered": lake_group_agg_multikey_unclustered,
 }
 
 
@@ -2459,6 +2533,18 @@ ORACLES["lake_decimal_wide_stats"] = """
 
 # per-group manifest partials must be invisible: every group (and the
 # post-append counts) recompute from the raw fixture
+# composite slice partials must be invisible: both groupings recompute
+# from the raw fixture
+ORACLES["lake_group_agg_multikey_unclustered"] = """
+    SELECT o.o_orderstatus AS st, o.o_orderpriority AS pr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(MIN(o_orderkey) AS BIGINT) AS mn_key,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders i
+            WHERE i.o_orderpriority = o.o_orderpriority) AS n_pr
+    FROM orders o GROUP BY 1, 2 ORDER BY st, pr
+"""
+
 # the k-bound file skipping must be invisible: every variant
 # recomputes from the raw fixture with the same deterministic
 # (unique-key) ordering

@@ -1159,10 +1159,20 @@ def write_zonemap(
     gs_inherited: dict[str, dict] = {}
     if group_stats_cols is None:
         gs_inherited = dict((prev or {}).get("group_stats") or {})
-        group_stats_cols = [c for c in gs_inherited if c in cols]
+        group_stats_cols = [
+            k for k in gs_inherited
+            if all(c in cols for c in _gs_components(k))
+        ]
     elif isinstance(group_stats_cols, dict):
         gs_inherited = dict(group_stats_cols)
-        group_stats_cols = [c for c in gs_inherited if c in cols]
+        group_stats_cols = [
+            k for k in gs_inherited
+            if all(c in cols for c in _gs_components(k))
+        ]
+    else:
+        # tuples/lists of columns normalize to the canonical "a,b"
+        # composite key form the config doc stores
+        group_stats_cols = [_gs_key(k) for k in group_stats_cols]
     _validate_group_stats_cols(types, cols, group_stats_cols)
     stats = _cover_empty_files(
         spark, data_dir, zonemap_stats(spark, data_dir, cols), _data_files(data_dir)
@@ -1575,17 +1585,49 @@ def _gstats_path(data_dir: str, col: str) -> str:
     return f"{data_dir.rstrip('/')}/{GROUP_STATS_DIR}/{col}"
 
 
+# composite slice keys (r15, VERDICT r14 #3): a config key may name a
+# COLUMN TUPLE as "a,b" — slices are then per (file, a-value, b-value),
+# so GROUP BY (a, b) pushes down on layouts where NEITHER key clusters.
+# The per-file cap applies to the COMBINATION count (the product is
+# what the cap bounds), files above it excluded wholesale — the same
+# discipline as single-column slices.
+GROUP_STATS_MAX_COMPOSITE = 3
+
+
+def _gs_components(key) -> list[str]:
+    """Component columns of a group-stats config key: a plain column
+    name, an ``"a,b"`` composite string, or a tuple/list of names."""
+    if isinstance(key, (tuple, list)):
+        return [str(c) for c in key]
+    return [c for c in str(key).split(",") if c]
+
+
+def _gs_key(key) -> str:
+    return ",".join(_gs_components(key))
+
+
 def _validate_group_stats_cols(
     types: dict[str, str], cols: list[str], gcols: list[str]
 ) -> None:
-    for c in gcols:
-        if c not in cols:
-            raise ValueError(f"group_stats column {c!r} is not a stats column")
-        if types.get(c) not in _GSTATS_TYPES:
+    for key in gcols:
+        comps = _gs_components(key)
+        if not 1 <= len(comps) <= GROUP_STATS_MAX_COMPOSITE:
             raise ValueError(
-                f"group_stats column {c!r} has type {types.get(c)!r}; "
-                f"supported: {sorted(_GSTATS_TYPES)}"
+                f"group_stats key {key!r} must name 1-"
+                f"{GROUP_STATS_MAX_COMPOSITE} columns"
             )
+        if len(set(comps)) != len(comps):
+            raise ValueError(f"group_stats key {key!r} repeats a column")
+        for c in comps:
+            if c not in cols:
+                raise ValueError(
+                    f"group_stats column {c!r} is not a stats column"
+                )
+            if types.get(c) not in _GSTATS_TYPES:
+                raise ValueError(
+                    f"group_stats column {c!r} has type {types.get(c)!r}; "
+                    f"supported: {sorted(_GSTATS_TYPES)}"
+                )
 
 
 def _gstat_aggs(cols: list[str], types: dict[str, str]) -> list[Column]:
@@ -1608,17 +1650,28 @@ def _group_stats_frame(
     types: dict[str, str],
     max_groups: int,
 ) -> DataFrame:
-    """One row per (file, value of ``gcol``) with slice-level stats,
-    excluding files with more than ``max_groups`` distinct values
-    (absence = the reader scans the file)."""
+    """One row per (file, value(s) of ``gcol``) with slice-level
+    stats, excluding files with more than ``max_groups`` distinct
+    value combinations (absence = the reader scans the file). A
+    composite key ``"a,b"`` stores its components as ``__gv0``,
+    ``__gv1``, ...; a single column keeps the legacy ``__gv`` name."""
     from pyspark.sql import Window
 
+    comps = _gs_components(gcol)
+    if len(comps) == 1:
+        gv_cols = [F.col(comps[0]).alias("__gv")]
+        gv_names = ["__gv"]
+    else:
+        gv_cols = [
+            F.col(c).alias(f"__gv{i}") for i, c in enumerate(comps)
+        ]
+        gv_names = [f"__gv{i}" for i in range(len(comps))]
     src = df.select(
         _file_col().alias("file"),
-        F.col(gcol).alias("__gv"),  # native: _GSTATS_TYPES render exactly
+        *gv_cols,  # native: _GSTATS_TYPES render exactly
         *_stats_select_cols(df, cols),
     )
-    agged = src.groupBy("file", "__gv").agg(*_gstat_aggs(cols, types))
+    agged = src.groupBy("file", *gv_names).agg(*_gstat_aggs(cols, types))
     w = Window.partitionBy("file")
     return (
         agged.withColumn("__ng", F.count(F.lit(1)).over(w))

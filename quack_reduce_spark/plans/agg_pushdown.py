@@ -1165,21 +1165,33 @@ def _render_meta(v: Any, tname: str) -> Any:
     return v
 
 
+def _slice_pin(gs_key: str, gr: dict) -> dict[str, Any]:
+    """Per-column pinned values carried by one SLICE row: a single-
+    column key stores its value as ``__gv``; a composite ``"a,b"`` key
+    as ``__gv0``/``__gv1``/... (every row of the slice holds exactly
+    these values, by groupBy construction)."""
+    comps = gs_key.split(",")
+    if len(comps) == 1:
+        return {comps[0]: gr["__gv"]}
+    return {c: gr[f"__gv{i}"] for i, c in enumerate(comps)}
+
+
 def _pin_keys_row(
     groups: list[dict], r: dict, n_rows: int,
-    gv_col: str | None = None, gv: Any = None,
+    gv_pin: dict[str, Any] | None = None,
 ) -> list | None:
     """The single group-key tuple every row behind stats row ``r``
     belongs to, or None when the stats cannot pin one. A plain key
     pins when single-valued non-null (min == max, zero nulls) or
     all-NULL (the SQL NULL group); a derived key when its MONOTONE
     bucket of both endpoints agrees. When ``r`` is a per-group SLICE
-    row for column ``gv_col``, that column's key IS the slice value
-    ``gv`` (every row of the slice holds it, by groupBy construction)."""
+    row, ``gv_pin`` carries the slice's pinned column values (one per
+    slice-key component) — those columns' keys ARE the pinned values."""
     key_vals: list = []
     for g in groups:
         src = g["src"]
-        if gv_col is not None and src == gv_col:
+        if gv_pin is not None and src in gv_pin:
+            gv = gv_pin[src]
             if gv is None or g["kind"] == "col":
                 key_vals.append(gv)
             else:
@@ -1387,7 +1399,7 @@ def build_group_agg_frame(
                     ok = False
                     break
                 kv = _pin_keys_row(
-                    groups, gr, g_n, gv_col=gs_col, gv=gr["__gv"]
+                    groups, gr, g_n, gv_pin=_slice_pin(gs_col, gr)
                 )
                 cdp = (
                     _pin_cd_row(cd_cols, gr, g_n) if kv is not None else None

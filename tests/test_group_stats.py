@@ -401,3 +401,125 @@ def test_gstats_cache_row_budget_lru():
     finally:
         Z._GSTATS_CACHE.clear()
         Z._GSTATS_CACHE.update(saved)
+
+
+def test_group_stats_composite_pair_zero_scan(spark, sf_dir, tmp_path):
+    """r15 (VERDICT r14 #3): composite slice key "a,b" — GROUP BY over
+    TWO columns where NEITHER clusters answers at zero files scanned
+    from per-(file, a, b) slice partials; appends maintain the
+    composite slices; the per-file cap applies to the COMBINATION
+    count."""
+    src = _unclustered(spark, sf_dir, tmp_path, "gsc1")
+    cols = ["o_orderstatus", "o_orderpriority", "o_orderkey"]
+    Z.write_zonemap(
+        spark, src, cols,
+        group_stats_cols=["o_orderstatus,o_orderpriority"],
+    )
+    cfg = Z.group_stats_config(src)
+    assert "o_orderstatus,o_orderpriority" in cfg
+    assert cfg["o_orderstatus,o_orderpriority"]["entries"] > 0
+    eng = Engine(spark=spark)
+    eng.register("gsc1", src)
+    full = spark.read.parquet(src)
+    d = eng.df(
+        "SELECT o_orderstatus AS st, o_orderpriority AS pr, COUNT(*) AS n, "
+        "SUM(o_orderkey) AS s FROM gsc1 GROUP BY 1, 2"
+    )
+    tele = eng.last_agg_plan
+    assert tele is not None and tele["files_scanned"] == 0, tele
+    assert tele["group_stats_col"] == "o_orderstatus,o_orderpriority"
+    got = sorted(map(tuple, d.collect()))
+    want = sorted(
+        map(
+            tuple,
+            full.groupBy(
+                F.col("o_orderstatus").alias("st"),
+                F.col("o_orderpriority").alias("pr"),
+            ).agg(
+                F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s")
+            ).collect(),
+        )
+    )
+    assert got == want
+    # the composite also answers the SINGLE-key rollup (subset of the
+    # pinned columns) at zero scan
+    d2 = eng.df(
+        "SELECT o_orderpriority AS pr, COUNT(*) AS n FROM gsc1 GROUP BY 1"
+    )
+    tele2 = eng.last_agg_plan
+    assert tele2 is not None and tele2["files_scanned"] == 0, tele2
+    got2 = sorted(map(tuple, d2.collect()))
+    want2 = sorted(
+        map(
+            tuple,
+            full.groupBy(F.col("o_orderpriority").alias("pr"))
+            .count().collect(),
+        )
+    )
+    assert got2 == want2
+    # append + delta maintenance keeps the composite slices current
+    load(spark, sf_dir, "orders").limit(300).repartition(2).write.mode(
+        "append"
+    ).parquet(src)
+    assert Z.append_zonemap(spark, src, cols) == 2
+    eng.register("gsc1", src)
+    d3 = eng.df(
+        "SELECT o_orderstatus AS st, o_orderpriority AS pr, COUNT(*) AS n "
+        "FROM gsc1 GROUP BY 1, 2"
+    )
+    tele3 = eng.last_agg_plan
+    assert tele3 is not None and tele3["files_scanned"] == 0, tele3
+    got3 = sorted(map(tuple, d3.collect()))
+    want3 = sorted(
+        map(
+            tuple,
+            spark.read.parquet(src).groupBy(
+                F.col("o_orderstatus").alias("st"),
+                F.col("o_orderpriority").alias("pr"),
+            ).count().collect(),
+        )
+    )
+    assert got3 == want3
+    spark.catalog.dropTempView("gsc1")
+
+
+def test_group_stats_composite_validation_and_cap(spark, sf_dir, tmp_path):
+    import pytest
+
+    src = _unclustered(spark, sf_dir, tmp_path, "gsc2", n_files=3)
+    cols = ["o_orderstatus", "o_orderpriority", "o_orderkey"]
+    with pytest.raises(ValueError):
+        Z.write_zonemap(
+            spark, src, cols, group_stats_cols=["o_orderstatus,o_orderstatus"]
+        )  # repeated component
+    with pytest.raises(ValueError):
+        Z.write_zonemap(
+            spark, src, cols, group_stats_cols=["o_orderstatus,nope"]
+        )  # not a stats column
+    # tuple form normalizes to the canonical "a,b" key
+    Z.write_zonemap(
+        spark, src, cols,
+        group_stats_cols=[("o_orderstatus", "o_orderpriority")],
+        group_stats_max=4,  # 3 statuses x 5 priorities = 15 combos > 4
+    )
+    cfg = Z.group_stats_config(src)["o_orderstatus,o_orderpriority"]
+    assert cfg["entries"] == 0  # every file excluded by the combo cap
+    eng = Engine(spark=spark)
+    eng.register("gsc2", src)
+    full = spark.read.parquet(src)
+    d = eng.df(
+        "SELECT o_orderstatus AS st, o_orderpriority AS pr, COUNT(*) AS n "
+        "FROM gsc2 GROUP BY 1, 2"
+    )
+    got = sorted(map(tuple, d.collect()))
+    want = sorted(
+        map(
+            tuple,
+            full.groupBy(
+                F.col("o_orderstatus").alias("st"),
+                F.col("o_orderpriority").alias("pr"),
+            ).count().collect(),
+        )
+    )
+    assert got == want  # capped-out slices: boundary scan, still exact
+    spark.catalog.dropTempView("gsc2")
