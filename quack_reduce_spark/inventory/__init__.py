@@ -87,7 +87,7 @@ _MODULES = [
 # sf0.001/sf0.01 regardless of head selection; see
 # tests/test_inventory_counts.py for the registry-size drift gate.
 _HEAD = [
-    # Stable sentinels — Tier A + one per family, driver-green 12 rounds
+    # Stable sentinels — Tier A + one per family, driver-green 13 rounds
     "a01_scan_project", "a09_topk",
     "b_join_star_broadcast",
     "tpch_q1_full",
@@ -97,36 +97,40 @@ _HEAD = [
     "dedup_lsh_index_probe",
     "sim_cosine_topk",
     "graph_triangles",
-    # Code changed/new this round (r14): stale-MV compensation +
-    # predicate-bearing MVs + the creation rebind fix (the three MV
-    # keys), per-file per-group manifest partials for unclustered
-    # layouts (new key + the grouped-pushdown refactor under
-    # lake_group_agg_pushdown), wide-decimal native stats (new key),
-    # and the result-cache epoch/relation-guard/byte-budget rework
-    "lake_mv_rewrite",
-    "lake_mv_stale_compensation",
+    # Never driver-sampled oracled keys (added r13; VERDICT r14 #1
+    # puts them in unconditionally)
+    "lake_multikey_group_agg",
+    "lake_timebucket_agg",
+    # Code changed/new this round (r15): top-k file pushdown (new
+    # key), composite multi-column slice partials (new key + the
+    # shared slice machinery under the three gs keys), wide-decimal
+    # SUM/AVG pushdown (extended key), predicate x bucket MV rollup
+    # (extended key) + the MV lifecycle/inputFiles/snapshot rework
+    # (stale-compensation key), gstats append idempotency, and the
+    # result-cache scope/subquery rework
+    "lake_topk_pushdown",
+    "lake_group_agg_multikey_unclustered",
+    "lake_decimal_wide_stats",
     "lake_mv_filtered",
+    "lake_mv_stale_compensation",
+    "lake_result_cache",
     "lake_group_agg_unclustered",
     "lake_group_agg_pushdown",
-    "lake_decimal_wide_stats",
-    "lake_result_cache",
     # Stalest-evidence fill, oldest first (driver evidence computed
-    # from CORRECTNESS_r01-r13): the whole r6 cohort (13 keys), then
-    # the first 20 of the r7 cohort in registry order (the remaining
-    # 19 r7 keys + the 36 r8 keys rotate in over r15-r16)
-    "mm_image_hist", "mm_audio_windows",
-    "udf_quality_calibrated", "udf_tokenize_rows",
-    "ml_train_split", "ml_robust_scale", "ml_negative_pairs",
-    "ml_kfold_stats", "ml_quantile_bins", "ml_standardize",
-    "ml_class_weights", "dq_partition_profile", "ml_confusion_matrix",
-    "b2_window_range_frame", "b2_window_nav", "b2_corr_covar",
-    "b2_histogram_bucket", "b2_in_subquery",
-    "b3_from_json_struct", "b3_to_json_struct", "b3_posexplode_words",
-    "b3_map_roundtrip", "b3_sequence_zip_aggregate",
-    "b3_unpivot_measures", "b3_orc_roundtrip", "b3_array_setops",
-    "b3_csv_roundtrip", "b3_json_roundtrip",
-    "ts_session_dynamic_gap", "ts_tumbling_offset", "ts_asof_forward",
-    "ts_asof_tolerance", "ts_asof_join_broadcast",
+    # from CORRECTNESS_r01-r14): the WHOLE r7 cohort (19 keys), then
+    # the first 11 of the r8 cohort in registry order — backlog after
+    # this round: 25 r8 keys, cleared in r16
+    "dedup_minhash_lsh", "dedup_minhash_portable",
+    "ts_seasonal_profile", "ts_interpolate", "ts_gap_fill",
+    "text_chunk_windows", "text_char_entropy", "text_token_stats",
+    "text_bpe_tokens", "text_rolling_hash", "text_token_budget",
+    "text_dedup_impact", "text_vocab_ngrams", "text_filter_funnel",
+    "text_adaptive_gate", "text_pack_windows", "text_tfidf_terms",
+    "sim_cosine_topk_np", "mm_jpeg_stats",
+    "b_join_inner_group", "b_join_left_counts", "b_join_anti",
+    "b_join_range", "b_join_interval_band", "b_setop_union_all",
+    "b_setop_intersect", "b_setop_except", "b_distinct_agg",
+    "b_having", "b_window_lag",
 ]
 
 

@@ -1560,12 +1560,33 @@ def lake_decimal_wide_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng.last_count_plan.get("source") == "metadata+residual",
         "wide-decimal count_where fell back to a scan", eng.last_count_plan,
     )
+    # 4. SUM/AVG (r15, VERDICT r14 #5): per-file sums stat natively as
+    # decimal(38,4) and fold driver-side in exact python-Decimal space
+    # — the range SUM/AVG answers from metadata + O(1) boundary files.
+    # SUM returns as its exact decimal STRING (double conversion would
+    # hide low digits); AVG rounds to 4 dp via the engine-portable rnd
+    # (Spark's decimal-average rounds at scale+4, DuckDB's AVG is a
+    # raw double — they agree after the shared rounding).
+    r4 = eng.df(
+        f"SELECT SUM(price) AS s_range, AVG(price) AS a_range, "
+        f"COUNT(price) AS n4 FROM {t} "
+        f"WHERE price >= 1000.0000 AND price < 300000.0000"
+    ).first()
+    plan4 = eng.last_agg_plan
+    _require(
+        plan4 is not None and plan4["files_scanned"] <= 3,
+        "wide-decimal SUM/AVG did not answer from metadata", plan4,
+    )
+    import math as _math
+
+    a_rnd = _math.floor(float(r4["a_range"]) * 10_000 + 0.5) / 10_000
     spark.catalog.dropTempView(t)
     shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(
         [(
             int(r1["n_range"]), float(r1["mn_price"]), float(r1["mx_price"]),
             int(r2["n_in"]), int(n_cw),
+            str(r4["s_range"]), a_rnd,
         )],
         StructType([
             StructField("n_range", LongType()),
@@ -1573,6 +1594,8 @@ def lake_decimal_wide_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("mx_price", DoubleType()),
             StructField("n_in", LongType()),
             StructField("n_cw", LongType()),
+            StructField("s_range", StringType()),
+            StructField("a_range_rnd", DoubleType()),
         ]),
     )
 
@@ -1818,13 +1841,47 @@ def lake_mv_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng.last_mv_rewrite is None,
         "weaker-bound query rewrote over a filtered MV",
     )
+    # predicate x BUCKET-granularity composition (r15, VERDICT r14 #6):
+    # a WHERE-bearing MV keyed by trunc(month) serves the YEARLY
+    # rollup with the same predicate (residual-free containment is
+    # bucket-independent); a genuine residual on the bucket SOURCE
+    # column still declines (it does not commute with the bucketing)
+    mvp2 = _fresh_dir(sf_dir, "lake_mvf_mv2")
+    eng.create_materialized_view(
+        f"{t}_mvb",
+        f"SELECT trunc(o_orderdate, 'month') AS m, COUNT(*) AS n "
+        f"FROM {t} WHERE o_orderkey > 1000 GROUP BY 1",
+        mvp2,
+    )
+    d5 = eng.df(
+        f"SELECT year(o_orderdate) AS y, COUNT(*) AS n FROM {t} "
+        f"WHERE o_orderkey > 1000 GROUP BY 1"
+    )
+    _require(
+        eng.last_mv_rewrite is not None
+        and eng.last_mv_rewrite.get("view") == f"{t}_mvb"
+        and eng.last_mv_rewrite.get("mv_predicate") is True,
+        "bucket+predicate MV did not serve the yearly rollup",
+        eng.last_mv_rewrite,
+    )
+    rows5 = {int(r["y"]): int(r["n"]) for r in d5.collect()}
+    r6 = eng.df(
+        f"SELECT COUNT(*) AS n FROM {t} "
+        f"WHERE o_orderkey > 1000 AND o_orderdate >= DATE '1995-03-15'"
+    ).first()
+    _require(
+        eng.last_mv_rewrite is None,
+        "bucket-source residual must decline (does not commute)",
+    )
     spark.catalog.dropTempView(t)
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(mvp, ignore_errors=True)
+    shutil.rmtree(mvp2, ignore_errors=True)
+    y0 = min(rows5)
     return spark.createDataFrame(
         [
             (st, rows1[st][0], rows1[st][1], int(r2["n"]), int(r3["n"]),
-             int(r4["n"]))
+             int(r4["n"]), rows5[y0], y0, int(r6["n"]))
             for st in sorted(rows1)
         ],
         StructType([
@@ -1834,6 +1891,9 @@ def lake_mv_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("n_f", LongType()),
             StructField("n_all", LongType()),
             StructField("n_500", LongType()),
+            StructField("n_y0", LongType()),
+            StructField("y0", IntegerType()),
+            StructField("n_resid", LongType()),
         ]),
     )
 
@@ -2503,7 +2563,17 @@ ORACLES["lake_mv_filtered"] = """
             WHERE o_orderkey > 1000 AND o_orderstatus = 'F') AS n_f,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_all,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-            WHERE o_orderkey > 500) AS n_500
+            WHERE o_orderkey > 500) AS n_500,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey > 1000
+              AND EXTRACT(year FROM o_orderdate) =
+                  (SELECT MIN(EXTRACT(year FROM o_orderdate)) FROM orders
+                   WHERE o_orderkey > 1000)) AS n_y0,
+           (SELECT CAST(MIN(EXTRACT(year FROM o_orderdate)) AS INT)
+            FROM orders WHERE o_orderkey > 1000) AS y0,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey > 1000
+              AND o_orderdate >= DATE '1995-03-15') AS n_resid
     FROM orders WHERE o_orderkey > 1000
     GROUP BY o_orderstatus ORDER BY st
 """
@@ -2528,7 +2598,11 @@ ORACLES["lake_decimal_wide_stats"] = """
                        9000.75, 9100.75, 9200.75, 250000.75, 250100.75,
                        250200.75, 250300.75)) AS n_in,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM dec
-       WHERE price >= 1000.0050 AND price <= 20000.0000) AS n_cw
+       WHERE price >= 1000.0050 AND price <= 20000.0000) AS n_cw,
+      (SELECT CAST(SUM(price) AS VARCHAR) FROM dec
+       WHERE price >= 1000.0000 AND price < 300000.0000) AS s_range,
+      (SELECT FLOOR(AVG(price) * 1e4 + 0.5) / 1e4 FROM dec
+       WHERE price >= 1000.0000 AND price < 300000.0000) AS a_range_rnd
 """
 
 # per-group manifest partials must be invisible: every group (and the

@@ -897,6 +897,18 @@ def _sum_col_ok(tname: Any) -> bool:
     return tname in _SUM_TYPES or _unscaled_decimal(tname) is not None
 
 
+def _sum_wide_dec(tname: Any) -> int | None:
+    """Scale ``s`` when ``tname`` is a WIDE decimal (p > 18) — its
+    per-file sums stat NATIVELY as decimal(38, s) via try_sum (NULL on
+    a single-file 38-digit overflow: consumers decline that file) and
+    fold driver-side in exact python-Decimal space, where no overflow
+    exists (r15, VERDICT r14 #5)."""
+    ps = _decimal_ps(tname)
+    if ps is None or ps[0] <= _DEC_MAX_PRECISION:
+        return None
+    return ps[1]
+
+
 def _stat_aggs(cols: list[str], types: dict[str, str] | None = None) -> list[Column]:
     # file_bytes (from the hidden _metadata column) feeds the engine's
     # broadcast-hint estimate: surviving-file bytes are the same units
@@ -910,13 +922,19 @@ def _stat_aggs(cols: list[str], types: dict[str, str] | None = None) -> list[Col
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}"))
-        if types is not None and _sum_col_ok(types.get(c)):
+        if types is not None and (
+            _sum_col_ok(types.get(c)) or _sum_wide_dec(types.get(c)) is not None
+        ):
             # exact per-file sum (r13): integer-family columns and
             # decimal(p<=18) — whose select expr is already the
             # unscaled long, so this is the exact unscaled sum.
             # try_sum turns an int64 overflow into NULL instead of an
             # ANSI error; consumers treat a NULL sum on a non-empty
-            # non-all-null file as "unavailable" and decline (sound)
+            # non-all-null file as "unavailable" and decline (sound).
+            # WIDE decimals (r15) sum natively as decimal(38, s): a
+            # single FILE whose sum tops 38 digits nulls out the same
+            # way; the cross-file fold happens driver-side in exact
+            # python-Decimal space, where overflow does not exist
             aggs.append(F.try_sum(F.col(c)).alias(f"sum_{c}"))
     return aggs
 
@@ -1638,7 +1656,7 @@ def _gstat_aggs(cols: list[str], types: dict[str, str]) -> list[Column]:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}"))
-        if _sum_col_ok(types.get(c)):
+        if _sum_col_ok(types.get(c)) or _sum_wide_dec(types.get(c)) is not None:
             aggs.append(F.try_sum(F.col(c)).alias(f"sum_{c}"))
     return aggs
 

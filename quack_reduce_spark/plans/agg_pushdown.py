@@ -51,6 +51,7 @@ any path (the round-12 soundness rule).
 from __future__ import annotations
 
 import bisect as _bisect
+import decimal as _pydecimal
 import math as _math
 from typing import Any
 
@@ -575,21 +576,34 @@ def _extract_agg(
             return None  # group-mode partials are row-rendered: no ts
         if fname == "Sum":
             # SUM composes from metadata only where per-file sums are
-            # EXACT in any order: integer-family and unscaled decimals
-            # (the manifest records sum_<c> for exactly those types) —
-            # double/float sums are order-dependent and decline
-            from quack_reduce_spark.operators.zonemaps import _sum_col_ok
+            # EXACT in any order: integer-family, unscaled decimals,
+            # and (r15) WIDE decimals — whose per-file sums stat
+            # natively as decimal(38,s) and fold driver-side in exact
+            # python-Decimal space. Double/float sums are
+            # order-dependent and decline.
+            from quack_reduce_spark.operators.zonemaps import (
+                _sum_col_ok,
+                _sum_wide_dec,
+            )
 
-            if not _sum_col_ok(tname):
+            if not _sum_col_ok(tname) and _sum_wide_dec(tname) is None:
                 return None
         if fname == "Average":
-            # AVG rebuilds as (exact integer SUM) / (exact COUNT) with
-            # ONE final double division — sound only where the per-file
-            # sums are exact in any order, i.e. the integer family. A
-            # double/float AVG is accumulation-order-dependent and a
-            # decimal AVG carries Spark-specific division/rounding
-            # semantics this path does not replicate: both decline.
-            if tname not in ("integer", "long", "short", "byte"):
+            # AVG rebuilds as exact SUM / exact COUNT with ONE final
+            # division. Integer family: double division (Spark's own
+            # Average semantics for ints). WIDE decimals (r15, scalar
+            # only): the rebuilt frame replays Spark's exact Average
+            # expression — Divide(sum cast decimal(38,s), count cast
+            # decimal(20,0)) cast to the result type — over the exact
+            # folded totals, so typing/rounding are Spark's own.
+            # Double/float AVG is accumulation-order-dependent and a
+            # NARROW-decimal AVG (unscaled-long stats space) would need
+            # its own replay: both decline.
+            from quack_reduce_spark.operators.zonemaps import _sum_wide_dec
+
+            if tname not in ("integer", "long", "short", "byte") and not (
+                not grouped and _sum_wide_dec(tname) is not None
+            ):
                 return None
             aggs.append(("avg", col))
             continue
@@ -997,13 +1011,26 @@ def build_agg_frame(
             elif kind == "sum":
                 partials.append(F.sum(F.col(col)).alias(f"__a{i}"))
             elif kind == "avg":
-                # exact integer sum, widened to decimal(38,0) so a
-                # boundary SUBSET of a file's rows can never raise the
-                # ANSI int64-overflow the plain (double-buffered) AVG
-                # would not; one double division happens at the end
-                partials.append(
-                    F.sum(F.col(col).cast("decimal(38,0)")).alias(f"__a{i}s")
+                from quack_reduce_spark.operators.zonemaps import (
+                    _sum_wide_dec as _swd,
                 )
+
+                if _swd(types.get(col, "")) is not None:
+                    # wide decimal: native sum at its own scale (a
+                    # (38,0) cast would truncate); ANSI overflow on a
+                    # boundary subset mirrors the plain plan's
+                    partials.append(F.sum(F.col(col)).alias(f"__a{i}s"))
+                else:
+                    # exact integer sum, widened to decimal(38,0) so a
+                    # boundary SUBSET of a file's rows can never raise
+                    # the ANSI int64-overflow the plain (double-
+                    # buffered) AVG would not; one double division
+                    # happens at the end
+                    partials.append(
+                        F.sum(F.col(col).cast("decimal(38,0)")).alias(
+                            f"__a{i}s"
+                        )
+                    )
                 partials.append(F.count(F.col(col)).alias(f"__a{i}n"))
             elif kind == "count_distinct":
                 pass  # computed via a crossJoined distinct-union frame
@@ -1059,41 +1086,75 @@ def build_agg_frame(
                 else F.lit(len(meta[i]))
             )
         elif kind == "avg":
-            import decimal as _pydec
+            from quack_reduce_spark.operators.zonemaps import _sum_wide_dec
 
+            wide_s = _sum_wide_dec(types.get(col, ""))
             m_sum, m_cnt = meta[i]
+            sdt = (
+                f"decimal(38,{wide_s})" if wide_s is not None
+                else "decimal(38,0)"
+            )
+            if wide_s is not None and m_sum is not None and abs(
+                m_sum
+            ) >= _pydecimal.Decimal(10) ** (38 - wide_s):
+                return None  # plain Average's sum buffer overflows too
             sum_lit = (
-                F.lit(_pydec.Decimal(int(m_sum)))
+                F.lit(
+                    m_sum if wide_s is not None
+                    else _pydecimal.Decimal(int(m_sum))
+                )
                 if m_sum is not None
                 else F.lit(None)
-            ).cast("decimal(38,0)")
+            ).cast(sdt)
             cnt = F.lit(int(m_cnt))
             if boundary:
-                zero = F.lit(0).cast("decimal(38,0)")
+                zero = F.lit(0).cast(sdt)
                 total_sum = F.coalesce(sum_lit, zero) + F.coalesce(
                     F.col(f"__a{i}s"), zero
                 )
                 cnt = cnt + F.coalesce(F.col(f"__a{i}n"), F.lit(0))
             else:
                 total_sum = sum_lit
-            # SQL AVG of zero non-null rows is NULL; otherwise ONE
-            # double division over the exact totals
-            expr = F.when(cnt == 0, F.lit(None)).otherwise(
-                total_sum.cast("double") / cnt
-            )
+            if wide_s is not None:
+                # replay Spark's own Average-over-decimal expression:
+                # the sum is cast to Average's RESULT type (s+4 scale)
+                # BEFORE the divide — Divide(dec(38,s+4), dec(20,0))
+                # then lands scale s+4 under the precision-loss rules,
+                # one rounding, exactly the plain plan's — over the
+                # exact folded totals (empirically pinned in tests;
+                # dividing at scale s instead loses 2 digits)
+                expr = F.when(cnt == 0, F.lit(None)).otherwise(
+                    total_sum.cast(otype) / cnt.cast("decimal(20,0)")
+                )
+            else:
+                # SQL AVG of zero non-null rows is NULL; otherwise ONE
+                # double division over the exact totals
+                expr = F.when(cnt == 0, F.lit(None)).otherwise(
+                    total_sum.cast("double") / cnt
+                )
         elif kind == "sum":
-            from quack_reduce_spark.operators.zonemaps import _unscaled_decimal
+            from quack_reduce_spark.operators.zonemaps import (
+                _sum_wide_dec,
+                _unscaled_decimal,
+            )
 
             dec_s = _unscaled_decimal(types.get(col, ""))
+            wide_s = _sum_wide_dec(types.get(col, ""))
             if meta[i] is None:
                 # no non-null value in any contained file: the result
                 # is whatever the boundary says (SQL SUM of empty = NULL)
                 expr = F.col(f"__a{i}") if boundary else F.lit(None).cast(otype)
             else:
-                if dec_s is not None:
-                    import decimal as _pydec
-
-                    lit = F.lit(_pydec.Decimal(int(meta[i])).scaleb(-dec_s))
+                if wide_s is not None:
+                    # exact Decimal total; decline when it can't fit
+                    # the plain plan's decimal(38,s) output (plain
+                    # execution overflows there too — under ANSI it
+                    # errors, and this path must never differ quietly)
+                    if abs(meta[i]) >= _pydecimal.Decimal(10) ** (38 - wide_s):
+                        return None
+                    lit = F.lit(meta[i]).cast(f"decimal(38,{wide_s})")
+                elif dec_s is not None:
+                    lit = F.lit(_pydecimal.Decimal(int(meta[i])).scaleb(-dec_s))
                 else:
                     if abs(int(meta[i])) > 2 ** 63 - 1:
                         return None  # the plain query would overflow too
@@ -1262,8 +1323,13 @@ def _fold_partials(
                 nc = r.get(f"nulls_{col}")
                 if nc is not None and int(nc) == n_rows:
                     continue  # all-NULL: SUM contributes nothing
-                return False  # pre-r13 manifest / int64 overflow
-            part[i] = (0 if part[i] is None else part[i]) + int(sv)
+                return False  # pre-r13 manifest / per-file overflow
+            # wide-decimal sums arrive as exact python Decimals and
+            # fold in Decimal space (no overflow exists there);
+            # everything else is an int (unscaled/plain)
+            if not isinstance(sv, _pydecimal.Decimal):
+                sv = int(sv)
+            part[i] = (0 if part[i] is None else part[i]) + sv
         elif kind == "avg":
             nc = r.get(f"nulls_{col}")
             if nc is None:
@@ -1274,8 +1340,10 @@ def _fold_partials(
             sv = r.get(f"sum_{col}")
             if sv is None:
                 return False
+            if not isinstance(sv, _pydecimal.Decimal):
+                sv = int(sv)
             part[i] = [
-                (0 if part[i][0] is None else part[i][0]) + int(sv),
+                (0 if part[i][0] is None else part[i][0]) + sv,
                 part[i][1] + nn,
             ]
         else:
@@ -1436,11 +1504,19 @@ def build_group_agg_frame(
             fields.append(T.StructField(f"__a{i}n", T.LongType()))
             merges.append((i, "avg"))
         elif kind == "sum":
+            from quack_reduce_spark.operators.zonemaps import (
+                _decimal_ps,
+                _sum_wide_dec,
+            )
+
             ct = types.get(col, "")
             ps_s = _unscaled_decimal(ct)
-            if ps_s is not None:
-                from quack_reduce_spark.operators.zonemaps import _decimal_ps
-
+            wide_s = _sum_wide_dec(ct)
+            if wide_s is not None:
+                fields.append(
+                    T.StructField(f"__a{i}", T.DecimalType(38, wide_s))
+                )
+            elif ps_s is not None:
                 p = _decimal_ps(ct)[0]
                 fields.append(
                     T.StructField(f"__a{i}", T.DecimalType(min(38, p + 10), ps_s))
@@ -1465,10 +1541,20 @@ def build_group_agg_frame(
                 row.append(None if s is None else _pydec.Decimal(int(s)))
                 row.append(int(nn))
             elif kind == "sum":
+                from quack_reduce_spark.operators.zonemaps import (
+                    _sum_wide_dec,
+                )
+
                 v = part[i]
                 if v is not None:
                     ps_s = _unscaled_decimal(types.get(col, ""))
-                    if ps_s is not None:
+                    wide_s = _sum_wide_dec(types.get(col, ""))
+                    if wide_s is not None:
+                        # exact Decimal already; a per-group total past
+                        # decimal(38,s) overflows the plain plan too
+                        if abs(v) >= _pydec.Decimal(10) ** (38 - wide_s):
+                            return None
+                    elif ps_s is not None:
                         v = _pydec.Decimal(int(v)).scaleb(-ps_s)
                     elif abs(int(v)) > 2 ** 63 - 1:
                         return None  # plain execution would overflow too

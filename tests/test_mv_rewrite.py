@@ -766,3 +766,86 @@ def test_mv_versioned_maintenance_self_refreshes(spark, tmp_path):
     eng.df(q)
     assert eng.last_mv_rewrite is not None
     spark.catalog.dropTempView("mvvm")
+
+
+def test_mv_predicate_bucket_rollup_composition(spark, sf_dir, tmp_path):
+    """r15 (VERDICT r14 #6): a WHERE-bearing MV keyed by
+    trunc(d,'month') serves the YEARLY rollup with the same predicate
+    (residual-free containment is bucket-independent) — including when
+    the predicate is on the bucket SOURCE column itself; a genuine
+    residual on the bucket source declines (it does not commute with
+    the bucketing)."""
+    src = str(tmp_path / "mvbp")
+    load(spark, sf_dir, "orders").write.mode("overwrite").parquet(src)
+    eng = Engine(spark=spark)
+    eng.register("mvbp", src)
+    full = spark.read.parquet(src)
+    mv1 = str(tmp_path / "mvbp_mv1")
+    eng.create_materialized_view(
+        "mvbp_m1",
+        "SELECT trunc(o_orderdate,'month') AS m, COUNT(*) AS n, "
+        "SUM(o_custkey) AS s FROM mvbp WHERE o_orderstatus = 'F' "
+        "GROUP BY 1",
+        mv1,
+    )
+    q = (
+        "SELECT trunc(o_orderdate,'year') AS y, COUNT(*) AS n, "
+        "SUM(o_custkey) AS s FROM mvbp WHERE o_orderstatus = 'F' GROUP BY 1"
+    )
+    d = eng.df(q)
+    assert eng.last_mv_rewrite is not None
+    assert eng.last_mv_rewrite["mv_predicate"] is True
+    got = sorted(map(tuple, d.collect()))
+    want = sorted(
+        map(
+            tuple,
+            full.filter("o_orderstatus = 'F'")
+            .groupBy(F.trunc("o_orderdate", "year").alias("y"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("o_custkey").alias("s"))
+            .collect(),
+        )
+    )
+    assert got == want
+    # predicate on the bucket SOURCE column, month-aligned: rewrites
+    mv2 = str(tmp_path / "mvbp_mv2")
+    eng.create_materialized_view(
+        "mvbp_m2",
+        "SELECT trunc(o_orderdate,'month') AS m, COUNT(*) AS n FROM mvbp "
+        "WHERE o_orderdate >= DATE'1995-01-01' GROUP BY 1",
+        mv2,
+    )
+    d2 = eng.df(
+        "SELECT trunc(o_orderdate,'year') AS y, COUNT(*) AS n FROM mvbp "
+        "WHERE o_orderdate >= DATE'1995-01-01' GROUP BY 1"
+    )
+    assert eng.last_mv_rewrite is not None
+    assert eng.last_mv_rewrite["view"] == "mvbp_m2"
+    got2 = sorted(map(tuple, d2.collect()))
+    want2 = sorted(
+        map(
+            tuple,
+            full.filter("o_orderdate >= DATE'1995-01-01'")
+            .groupBy(F.trunc("o_orderdate", "year").alias("y"))
+            .count()
+            .collect(),
+        )
+    )
+    assert got2 == want2
+    # genuine residual on the bucket source: decline, plain plan exact
+    d3 = eng.df(
+        "SELECT trunc(o_orderdate,'year') AS y, COUNT(*) AS n FROM mvbp "
+        "WHERE o_orderdate >= DATE'1995-03-15' GROUP BY 1"
+    )
+    assert eng.last_mv_rewrite is None
+    got3 = sorted(map(tuple, d3.collect()))
+    want3 = sorted(
+        map(
+            tuple,
+            full.filter("o_orderdate >= DATE'1995-03-15'")
+            .groupBy(F.trunc("o_orderdate", "year").alias("y"))
+            .count()
+            .collect(),
+        )
+    )
+    assert got3 == want3
+    spark.catalog.dropTempView("mvbp")
