@@ -128,6 +128,12 @@ ALL_FAMILIES = [
     # is O(#files x groups) with a tiny constant, so probe time must
     # grow far slower than the table
     "lake_gstats_probe",
+    # round-15 addition: top-k file pushdown vs a growing table
+    # clustered on the sort column — ORDER BY key DESC LIMIT 20 must
+    # read O(k / rows-per-file) files at EVERY size (the static
+    # k-bound excludes everything below the k-th candidate), so
+    # files_read stays flat while files_total grows 10x
+    "lake_topk_probe",
 ]
 
 
@@ -684,6 +690,50 @@ def main() -> None:
                     )
                     gs_rows["files_total"].append(gplan.get("files_total"))
 
+                # r15: top-k file pushdown on a replica CLUSTERED by
+                # the sort column — the k-bound must keep files_read
+                # flat (O(k / rows-per-file)) while files_total grows
+                if "lake_topk_probe" in wanted:
+                    from quack_reduce_spark.engine import Engine as _Eng5
+                    from quack_reduce_spark.operators import zonemaps as _Z5
+
+                    kpath = f"{tmp}/tk_orders_x{m}"
+                    (
+                        rep_orders.repartitionByRange(12 * m, "o_orderkey")
+                        .sortWithinPartitions("o_orderkey")
+                        .write.mode("overwrite")
+                        .parquet(kpath)
+                    )
+                    _Z5.write_zonemap(spark, kpath, ["o_orderkey"])
+                    eng5 = _Eng5(spark=spark, result_cache=False)
+                    kview = f"zm_tk_x{m}"
+                    eng5.register(kview, kpath)
+                    qk = (
+                        f"SELECT o_orderkey, o_totalprice FROM {kview}"
+                        f" ORDER BY o_orderkey DESC LIMIT 20"
+                    )
+
+                    def tk_probe(eng5=eng5, qk=qk):
+                        def thunk():
+                            eng5.df(qk).collect()
+                        return thunk
+
+                    tk_probe()()  # warm (fills the manifest caches)
+                    tk = _timed(tk_probe())
+                    krep = (
+                        eng5.last_zonemap_report.get(kview) or {}
+                    ).get("topk") or {}
+                    tk_rows = results.setdefault(
+                        "lake_topk_probe",
+                        {"mults": [], "rows": [], "sec": [],
+                         "files_read": [], "files_total": []},
+                    )
+                    tk_rows["mults"].append(m)
+                    tk_rows["rows"].append(n_base * m)
+                    tk_rows["sec"].append(round(tk, 3))
+                    tk_rows["files_read"].append(krep.get("files_read"))
+                    tk_rows["files_total"].append(krep.get("files_total"))
+
                 # r13: MV rewrite + incremental maintenance over the
                 # same table. LAST in the loop body: the fixed-size
                 # delta append below mutates zpath
@@ -801,6 +851,19 @@ def main() -> None:
                 print(
                     f"  lake_gstats_probe: {gr['sec']} scanned/gs/total "
                     f"{list(zip(gr['files_scanned'], gr['files_group_stats'], gr['files_total']))}",
+                    file=sys.stderr,
+                )
+            if "lake_topk_probe" in results:
+                kr = results["lake_topk_probe"]
+                kr["fit_exp"] = round(_fit_exponent(kr["rows"], kr["sec"]), 3)
+                kr["tail_exp"] = round(
+                    math.log(kr["sec"][-1] / kr["sec"][-2])
+                    / math.log(MULTS[-1] / MULTS[-2]),
+                    3,
+                )
+                print(
+                    f"  lake_topk_probe: {kr['sec']} read/total "
+                    f"{list(zip(kr['files_read'], kr['files_total']))}",
                     file=sys.stderr,
                 )
             if "lake_mv_probe" in results:
@@ -1206,6 +1269,19 @@ def main() -> None:
                 "size is the unclustered-grouped-pushdown claim under "
                 "test; probe time is driver-side slice folding, "
                 "O(#files x groups) with a tiny constant."
+            )
+        if "lake_topk_probe" in results:
+            r = results["lake_topk_probe"]
+            lines.append("")
+            lines.append(
+                "The `lake_topk_probe` row times `ORDER BY o_orderkey "
+                "DESC LIMIT 20` over a table clustered on the sort "
+                "column growing 1→10x: the static k-bound read "
+                f"{r['files_read']} of {r['files_total']} files at mult "
+                f"{MULTS}. Flat files_read at O(k / rows-per-file) while "
+                "the table grows is the top-k-pushdown claim under test "
+                "— the reference's flagship ORDER BY 2 DESC LIMIT 200 "
+                "shape stays metadata-bounded at any table size."
             )
         if "candidates" in results.get("dedup_prefix_filter", {}):
             r = results["dedup_prefix_filter"]
