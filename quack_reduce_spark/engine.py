@@ -2500,11 +2500,22 @@ class Engine:
         from quack_reduce_spark import lake
         from quack_reduce_spark.plans import mv_rewrite as _mvr
 
+        def mark(mv: dict) -> None:
+            # PERSISTED (non-underscore) in _mv.json so an engine that
+            # ADOPTS this MV later (register_materialized_view after a
+            # restart) self-refreshes on its first query instead of
+            # silently declining until a manual refresh
+            mv["needs_refresh"] = True
+            try:
+                _mvr.save_mv(mv["path"], mv)
+            except Exception:
+                pass  # the in-memory mark still drives this session
+
         rows_preserved = op in ("compact", "optimize")
         for name, mv in self._mvs_on(table_path):
             try:
                 if not rows_preserved or not pre_fresh.get(name):
-                    mv["_needs_refresh"] = True
+                    mark(mv)
                     continue
                 # resolve the LIVE pointer directly — the registered
                 # view's cached resolution is stale until the next
@@ -2513,25 +2524,30 @@ class Engine:
                 snap = _mvr.source_snapshot(new_resolved)
                 files = _mv_file_listing(new_resolved)
                 if snap is None:
-                    mv["_needs_refresh"] = True
+                    mark(mv)
                     continue
                 mv["source_path"] = new_resolved
                 mv["snapshot"] = snap
                 mv["files"] = files
                 mv["files_stat"] = _mv_stat_listing(new_resolved, files)
                 mv.pop("_comp", None)
+                mv.pop("needs_refresh", None)
                 _mvr.save_mv(mv["path"], mv)
             except Exception:
-                mv["_needs_refresh"] = True
+                mark(mv)
 
     def _mv_self_refresh(self) -> None:
         """Run the pending lazy refreshes marked by
         :meth:`_mv_after_commit` — called from the SQL surface OUTSIDE
         the plan lock (refresh re-enters create_materialized_view,
         which takes it). One attempt per mark; a failed refresh leaves
-        the MV declining rather than retry-looping every query."""
+        the MV declining (the cleared mark is re-persisted so other
+        adopters don't retry-loop either) rather than retrying every
+        query."""
+        from quack_reduce_spark.plans import mv_rewrite as _mvr
+
         for name, mv in list(self._mvs.items()):
-            if not mv.pop("_needs_refresh", False):
+            if not mv.pop("needs_refresh", False):
                 continue
             try:
                 # a re-resolved source (versioned pointer flip) has no
@@ -2541,8 +2557,12 @@ class Engine:
                 self.refresh_materialized_view(
                     name, incremental=(cur == mv.get("source_path"))
                 )
+                # refresh re-stamped and re-saved the doc (markless)
             except Exception:
-                pass  # declined rewrites until a manual refresh
+                try:
+                    _mvr.save_mv(mv["path"], mv)  # clear the persisted mark
+                except Exception:
+                    pass
 
     def cache_table(self, name: str) -> None:
         """Pin a hot table in memory (reference README.md:188 future work)."""

@@ -697,7 +697,7 @@ def test_mv_survives_optimize_without_manual_refresh(
     from quack_reduce_spark.plans import mv_rewrite as MVR
 
     mv = eng._mvs["mvlc_mv"]
-    assert not mv.get("_needs_refresh")
+    assert not mv.get("needs_refresh")
     assert MVR.source_snapshot(mv["source_path"]) == mv["snapshot"]
     spark.catalog.dropTempView("mvlc")
 
@@ -724,7 +724,7 @@ def test_mv_restamps_after_compact_when_fresh(spark, sf_dir, tmp_path):
     q = "SELECT o_orderpriority, COUNT(*) AS n FROM mvrs GROUP BY o_orderpriority"
     d = eng.df(q)
     assert eng.last_mv_rewrite is not None, "re-stamped MV must rewrite"
-    assert not eng._mvs["mvrs_mv"].get("_needs_refresh")
+    assert not eng._mvs["mvrs_mv"].get("needs_refresh")
     got = sorted(map(tuple, d.collect()))
     want = sorted(
         map(
@@ -849,3 +849,47 @@ def test_mv_predicate_bucket_rollup_composition(spark, sf_dir, tmp_path):
     )
     assert got3 == want3
     spark.catalog.dropTempView("mvbp")
+
+
+def test_mv_refresh_mark_persists_across_engines(spark, sf_dir, tmp_path):
+    """The maintenance mark survives in _mv.json: a SECOND engine that
+    adopts the MV after the maintenance (a restart) self-refreshes on
+    its first query instead of declining until a manual refresh."""
+    import json as _json
+
+    src = str(tmp_path / "mvpm")
+    load(spark, sf_dir, "orders").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    eng = Engine(spark=spark)
+    eng.register("mvpm", src)
+    mv_path = str(tmp_path / "mvpm_mv")
+    eng.create_materialized_view(
+        "mvpm_mv",
+        "SELECT o_orderstatus, COUNT(*) AS n FROM mvpm GROUP BY 1",
+        mv_path,
+    )
+    load(spark, sf_dir, "orders").limit(100).write.mode("append").parquet(src)
+    eng.register("mvpm", src)
+    eng.compact(src, target_rows_per_file=100_000)
+    # the mark is ON DISK (pre-fresh was false: the append drifted it)
+    doc = _json.loads(open(f"{mv_path}/_mv.json").read())
+    assert doc.get("needs_refresh") is True
+    # a FRESH engine adopts the persisted MV and self-refreshes
+    eng2 = Engine(spark=spark)
+    eng2.register("mvpm", src)
+    eng2.register_materialized_view("mvpm_mv", mv_path)
+    d = eng2.df(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM mvpm GROUP BY 1"
+    )
+    got = sorted(map(tuple, d.collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(src).groupBy("o_orderstatus").count().collect(),
+        )
+    )
+    assert got == want
+    doc2 = _json.loads(open(f"{mv_path}/_mv.json").read())
+    assert "needs_refresh" not in doc2  # cleared by the self-refresh
+    spark.catalog.dropTempView("mvpm")
