@@ -371,15 +371,16 @@ class Engine:
                 )
             except Exception:
                 return df, {}  # plan-shape drift: pushdown is best-effort
-            # top-k file pushdown (the reference's flagship ORDER BY 2
-            # DESC LIMIT 200 shape, top_pickup_locations.sql:8-9): when
-            # the WHOLE plan is Limit-Sort-[Filter]-Relation over one
-            # zone-mapped table, the manifest's min/max bound which
-            # files can contribute to the top k — see
-            # plans/topk_pushdown.py for the static-bound argument. The
-            # extraction shape guarantees a single scan and no joins,
-            # so it composes with (and subsumes) the generic WHERE
-            # pruning for this query.
+            # top-k file pushdown (raw-column ORDER BY col LIMIT k —
+            # the scan-shaped sibling of the reference's flagship
+            # grouped top-k, whose Sort/Limit-over-Aggregate form the
+            # agg pushdown above already answers): when the WHOLE plan
+            # is Limit-Sort-[Filter]-Relation over one zone-mapped
+            # table, the manifest's min/max bound which files can
+            # contribute to the top k — see plans/topk_pushdown.py for
+            # the static-bound argument. The extraction shape
+            # guarantees a single scan and no joins, so it composes
+            # with (and subsumes) the generic WHERE pruning.
             topk = None
             try:
                 from quack_reduce_spark.plans import topk_pushdown as _tk
@@ -2158,7 +2159,14 @@ class Engine:
                 )
             lake.write_manifest(path, version, op, n_after)
             lake.commit(path, version)
-            self._mv_after_commit(path, op, mv_pre)
+            # the staged version dir is immutable-by-protocol: its
+            # listing IS the committed data-file set the MV hook
+            # validates the live state against
+            try:
+                committed = sorted(_zm._data_files(data_dir))
+            except Exception:
+                committed = None
+            self._mv_after_commit(path, op, mv_pre, committed)
             return n_after
 
         import os
@@ -2190,6 +2198,16 @@ class Engine:
         pre_gs = _zm.group_stats_config(path)
         write_to(staging)
         n_after = verify(staging)
+        # the staged listing, captured while no external writer can
+        # reach it, names exactly the data files this commit installs —
+        # translated to their post-rename paths for the MV hook
+        try:
+            committed = sorted(
+                path.rstrip("/") + f[len(staging):]
+                for f in _zm._data_files(staging)
+            )
+        except Exception:
+            committed = None
         os.rename(path, aside)
         os.rename(staging, path)
         shutil.rmtree(aside)
@@ -2207,7 +2225,7 @@ class Engine:
                 ndv_cols=pre_ndv or None,
                 group_stats_cols=pre_gs or None,
             )
-        self._mv_after_commit(path, op, mv_pre)
+        self._mv_after_commit(path, op, mv_pre, committed)
         return n_after
 
     def write(self, df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options: str) -> None:
@@ -2484,7 +2502,11 @@ class Engine:
         return out
 
     def _mv_after_commit(
-        self, table_path: str, op: str, pre_fresh: dict[str, bool]
+        self,
+        table_path: str,
+        op: str,
+        pre_fresh: dict[str, bool],
+        committed_files: list[str] | None = None,
     ) -> None:
         """Keep MVs ALIVE across maintenance rewrites of their source
         instead of silently dead until a manual refresh (VERDICT r14
@@ -2496,7 +2518,19 @@ class Engine:
         drifted pre-commit) marks the MV for a LAZY SELF-REFRESH: the
         next sql()/df() call refreshes it before attempting rewrites,
         so the dashboard keeps its acceleration with no manual call.
-        Failures leave the MV declining (sound), never stale."""
+        Failures leave the MV declining (sound), never stale.
+
+        ``committed_files``: the data files the rewrite itself
+        installed, captured from the staged output where no external
+        writer can reach (r15 review). The re-stamp fires only when
+        the post-commit LIVE listing equals this set exactly — a
+        concurrent external append would otherwise be absorbed into
+        the fresh stamp (snapshot includes a file the MV never
+        aggregated) or recorded into ``files`` (permanently excluded
+        from every compensation delta). Snapshot is taken BEFORE the
+        listing, so a foreign file landing after the snapshot but
+        inside an equal listing window is impossible, and one landing
+        after the listing shows up as an ordinary compensation delta."""
         from quack_reduce_spark import lake
         from quack_reduce_spark.plans import mv_rewrite as _mvr
 
@@ -2521,9 +2555,16 @@ class Engine:
                 # view's cached resolution is stale until the next
                 # _refresh_versioned_views pass
                 new_resolved = lake.resolve(table_path)
-                snap = _mvr.source_snapshot(new_resolved)
+                snap = _mvr.source_snapshot(new_resolved)  # BEFORE listing
                 files = _mv_file_listing(new_resolved)
-                if snap is None:
+                if (
+                    snap is None
+                    or files is None
+                    or committed_files is None
+                    or sorted(files) != list(committed_files)
+                ):
+                    # live state != what this commit installed (racing
+                    # external append, or un-capturable): never stamp
                     mark(mv)
                     continue
                 mv["source_path"] = new_resolved
@@ -2702,7 +2743,12 @@ _TIME_EXPRS = {
 # / unregistered scan INSIDE a subquery would evade every check
 # (ComputeCurrentTime folds the subquery's clock to a deterministic
 # literal, so a cache hit would replay the first call's frozen clock).
-_SUBQ_MARKERS = ("Subquery", "Exists", "ListQuery", "PlanExpression")
+# 'Exists' matches EXACTLY, not as a substring: ArrayExists — the
+# exists() higher-order function — is an ordinary expression with no
+# plan(), and substring-matching it would silently disable caching for
+# every query using it (r15 review).
+_SUBQ_MARKERS = ("Subquery", "ListQuery", "PlanExpression")
+_SUBQ_EXACT = ("Exists",)
 
 
 def _expr_subplan(e: Any):
@@ -2710,7 +2756,7 @@ def _expr_subplan(e: Any):
     ordinary expression. Raises when the class LOOKS like a plan-holder
     but its plan is unreachable — the caller then declines caching."""
     name = e.getClass().getSimpleName()
-    if not any(m in name for m in _SUBQ_MARKERS):
+    if name not in _SUBQ_EXACT and not any(m in name for m in _SUBQ_MARKERS):
         return None
     return e.plan()  # every Catalyst PlanExpression exposes plan()
 

@@ -2058,13 +2058,14 @@ def lake_group_agg_multikey_unclustered(
 
 
 def lake_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k FILE pushdown from manifest stats (r15, VERDICT r14 #2):
-    the reference's flagship artifact ends in ``ORDER BY 2 DESC LIMIT
-    200`` (``top_pickup_locations.sql:8-9``); on a table CLUSTERED by
-    the sort column the engine answers ``ORDER BY col DESC/ASC LIMIT
-    k`` by visiting files in manifest min/max order and skipping every
-    file the static k-bound proves cannot contribute (see
-    plans/topk_pushdown.py). In-query gates: the DESC top-k reads <=2
+    """Top-k FILE pushdown from manifest stats (r15, VERDICT r14 #2)
+    — the scan-shaped sibling of the reference's flagship artifact
+    (``top_pickup_locations.sql:8-9`` is ``ORDER BY 2 DESC LIMIT 200``
+    over a GROUP BY, which the aggregate pushdown already answers from
+    metadata): for a raw-column ``ORDER BY col DESC/ASC LIMIT k`` on a
+    table CLUSTERED by the sort column, the engine visits files in
+    manifest min/max order and skips every file the static k-bound
+    proves cannot contribute (see plans/topk_pushdown.py). In-query gates: the DESC top-k reads <=2
     of the 8 files; the ASC + WHERE composition also reads a strict
     subset; an UNCLUSTERED copy declines (no ``topk`` telemetry) but
     stays exact. The DuckDB oracle recomputes all three from the raw

@@ -1459,25 +1459,44 @@ def append_zonemap(
         # leaves slice rows for files the (unchanged) manifest still
         # calls fresh — a naive re-run would append the same files'
         # rows AGAIN and the duplicated partials would silently
-        # double-count grouped answers. Anti-join the delta against
-        # files already recorded in the gstats table: the re-run then
-        # appends nothing for them (idempotent), restoring the
-        # known-files-dedup discipline the file-level manifest uses.
+        # double-count grouped answers. The repair (anti-join the
+        # delta against files already recorded + an exact recount) is
+        # O(slice history), so it runs ONLY when a crash is actually
+        # suspected: a healthy append always writes gstats strictly
+        # BEFORE its list commit, so a gstats mtime at-or-after the
+        # list's means a run died between the two. Readers are safe
+        # regardless (duplicate-key demotion + the slice-sum integrity
+        # gate), so a missed suspicion degrades files to scans, never
+        # to wrong answers.
+        suspect_crash = True
         try:
-            prior = spark.read.parquet(gpath).select("file").distinct()
-            gsf = gsf.join(prior, "file", "left_anti")
+            from quack_reduce_spark.lake import _fs_for
+
+            fs = _fs_for(data_dir)
+            lk = fs.stat_key(_list_path(data_dir))
+            gk = fs.stat_key(gpath)
+            suspect_crash = lk is None or gk is None or gk[0] >= lk[0]
         except Exception:
-            pass  # no gstats table yet (adopted legacy doc): plain write
+            pass  # unknown state: pay the repair cost, stay exact
+        if suspect_crash:
+            try:
+                prior = spark.read.parquet(gpath).select("file").distinct()
+                gsf = gsf.join(prior, "file", "left_anti")
+            except Exception:
+                pass  # no gstats table yet (adopted legacy doc)
         gsf = gsf.localCheckpoint()
-        if gsf.count():
+        n_new = int(gsf.count())
+        if n_new:
             gsf.write.mode("append").parquet(gpath)
-        try:
-            # exact under every crash interleaving (a footer-only count,
-            # no row scan) — the read-cap gate must see the REAL size,
-            # including rows a crashed prior run appended
-            entries = int(spark.read.parquet(gpath).count())
-        except Exception:
-            entries = int(cfg.get("entries", 0))
+        if suspect_crash:
+            try:
+                # exact recount (footer-only) — the read-cap gate must
+                # see the REAL size, including a crashed run's rows
+                entries = int(spark.read.parquet(gpath).count())
+            except Exception:
+                entries = int(cfg.get("entries", 0)) + n_new
+        else:
+            entries = int(cfg.get("entries", 0)) + n_new
         gs_doc[c] = {**cfg, "entries": entries}
     fresh = _cover_empty_files(spark, data_dir, fresh, fresh_files)
     fresh_g = _with_groups(fresh)

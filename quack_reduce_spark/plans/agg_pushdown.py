@@ -971,6 +971,16 @@ def build_agg_frame(
             slices = gs_by_file.get(_unq(_bare(r["file"])))
         else:
             slices = None
+        # integrity gate (r15 review): slices PARTITION the file's rows
+        # by construction, so their n_rows must sum to the file's — a
+        # crash mid-append can commit a strict SUBSET of a file's slice
+        # rows (task-level output commit), which has no duplicates for
+        # the dedup demotion to catch; folding it would silently
+        # undercount. Mismatch = scan the file.
+        if slices is not None and sum(
+            int(g["n_rows"]) for g in slices
+        ) != n_rows:
+            slices = None
         if slices is not None:
             staged: list = []
             ok = True
@@ -1452,6 +1462,14 @@ def build_group_agg_frame(
 
             slices = gs_by_file.get(_unq(_bare(r["file"])))
         else:
+            slices = None
+        # integrity gate (r15 review): a crash mid-append can commit a
+        # strict SUBSET of a file's slice rows — no duplicates for the
+        # dedup demotion to catch. Slices partition the file, so their
+        # n_rows must sum to the file's; mismatch = scan the file.
+        if slices is not None and sum(
+            int(g["n_rows"]) for g in slices
+        ) != n_rows:
             slices = None
         if slices is not None:
             staged: list = []

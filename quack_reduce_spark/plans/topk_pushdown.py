@@ -1,9 +1,13 @@
 """Top-k FILE pushdown from manifest stats: answer ``ORDER BY col
 DESC/ASC LIMIT k`` by visiting only the files that can contribute.
 
-The reference's own flagship artifact is exactly this shape —
-``top_pickup_locations.sql:8-9`` ends in ``ORDER BY 2 DESC LIMIT 200``
-— and a plain engine plans it as a FULL SCAN + TakeOrderedAndProject.
+This is the SCAN-shaped sibling of the reference's flagship artifact:
+``top_pickup_locations.sql:8-9`` ends in ``ORDER BY 2 DESC LIMIT
+200`` over a GROUP BY — that grouped form is already answered from
+metadata by the aggregate pushdown (``plans/agg_pushdown.py`` peels
+the Sort/Limit above the Aggregate) — while THIS module covers the
+raw-column ``ORDER BY col LIMIT k`` scan, which a plain engine runs
+as a FULL SCAN + TakeOrderedAndProject.
 On a table CLUSTERED by the sort column the manifest already knows
 each file's [min, max]: the classic Iceberg/Delta sort-order-scan
 observation is that once k qualifying rows provably sort at-or-above

@@ -523,3 +523,91 @@ def test_group_stats_composite_validation_and_cap(spark, sf_dir, tmp_path):
     )
     assert got == want  # capped-out slices: boundary scan, still exact
     spark.catalog.dropTempView("gsc2")
+
+
+def test_group_stats_partial_slice_set_demotes_to_scan(
+    spark, sf_dir, tmp_path
+):
+    """r15 review: a crash during the slice APPEND's task commit can
+    land a strict SUBSET of a file's slice rows — unique keys, so the
+    duplicate demotion can't see it. The reader's integrity gate
+    (slice n_rows must sum to the file's) demotes such files to the
+    boundary scan; answers stay exact."""
+    src = _unclustered(spark, sf_dir, tmp_path, "gs10", n_files=3)
+    cols = ["o_orderstatus", "o_orderkey"]
+    Z.write_zonemap(spark, src, cols, group_stats_cols=["o_orderstatus"])
+    gpath = Z._gstats_path(src, "o_orderstatus")
+    gdf = spark.read.parquet(gpath).localCheckpoint()
+    victim = gdf.select("file").first()[0]
+    drop_gv = (
+        gdf.filter(F.col("file") == victim).select("__gv").first()[0]
+    )
+    # rewrite the gstats table WITHOUT one slice of the victim file
+    # (the partial-commit state), list doc untouched
+    pruned = gdf.filter(
+        ~((F.col("file") == victim) & (F.col("__gv") == drop_gv))
+    ).localCheckpoint()
+    pruned.write.mode("overwrite").parquet(gpath)
+    Z._invalidate_cache(src)
+    eng = Engine(spark=spark)
+    eng.register("gs10", src)
+    d = eng.df(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM gs10 GROUP BY o_orderstatus"
+    )
+    tele = eng.last_agg_plan
+    # the victim file must NOT be slice-answered (undercount otherwise)
+    assert tele is None or tele["files_scanned"] >= 1, tele
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(src).groupBy("o_orderstatus").count().collect(),
+        )
+    )
+    assert sorted(map(tuple, d.collect())) == want
+    # the scalar widget path guards identically
+    r = eng.df(
+        f"SELECT COUNT(*) AS n FROM gs10 WHERE o_orderstatus = '{drop_gv}'"
+    ).first()
+    tele2 = eng.last_agg_plan
+    assert tele2 is None or tele2["files_scanned"] >= 1, tele2
+    w = (
+        spark.read.parquet(src)
+        .filter(F.col("o_orderstatus") == drop_gv)
+        .count()
+    )
+    assert r["n"] == w
+    spark.catalog.dropTempView("gs10")
+
+
+def test_group_stats_append_clean_path_skips_repair(spark, sf_dir, tmp_path):
+    """The O(history) crash repair (anti-join + exact recount) runs
+    only under SUSPICION — a healthy append (gstats mtime strictly
+    before the list commit's) takes the arithmetic entries path and
+    still lands exact slice counts."""
+    src = _unclustered(spark, sf_dir, tmp_path, "gs11", n_files=3)
+    cols = ["o_orderstatus", "o_orderkey"]
+    Z.write_zonemap(spark, src, cols, group_stats_cols=["o_orderstatus"])
+    n0 = Z.group_stats_config(src)["o_orderstatus"]["entries"]
+    load(spark, sf_dir, "orders").limit(200).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert Z.append_zonemap(spark, src, cols) == 1
+    cfg = Z.group_stats_config(src)["o_orderstatus"]
+    # entries tracked arithmetically AND match the table exactly
+    real = spark.read.parquet(Z._gstats_path(src, "o_orderstatus")).count()
+    assert cfg["entries"] == real > n0
+    eng = Engine(spark=spark)
+    eng.register("gs11", src)
+    d = eng.df(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM gs11 GROUP BY o_orderstatus"
+    )
+    assert eng.last_agg_plan is not None
+    assert eng.last_agg_plan["files_scanned"] == 0
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(src).groupBy("o_orderstatus").count().collect(),
+        )
+    )
+    assert sorted(map(tuple, d.collect())) == want
+    spark.catalog.dropTempView("gs11")

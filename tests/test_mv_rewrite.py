@@ -893,3 +893,55 @@ def test_mv_refresh_mark_persists_across_engines(spark, sf_dir, tmp_path):
     doc2 = _json.loads(open(f"{mv_path}/_mv.json").read())
     assert "needs_refresh" not in doc2  # cleared by the self-refresh
     spark.catalog.dropTempView("mvpm")
+
+
+def test_mv_restamp_guard_rejects_racing_append(spark, sf_dir, tmp_path):
+    """r15 review: the re-stamp fires only when the post-commit LIVE
+    listing equals the file set the rewrite itself installed — a
+    racing external append (here injected between commit and hook by
+    calling the hook with the pre-append committed set) must mark the
+    MV for refresh instead of absorbing the foreign file into a fresh
+    stamp."""
+    src = str(tmp_path / "mvrg")
+    load(spark, sf_dir, "orders").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(src)
+    eng = Engine(spark=spark)
+    eng.register("mvrg", src)
+    mv_path = str(tmp_path / "mvrg_mv")
+    eng.create_materialized_view(
+        "mvrg_mv",
+        "SELECT o_orderstatus, COUNT(*) AS n FROM mvrg GROUP BY 1",
+        mv_path,
+    )
+    mv = eng._mvs["mvrg_mv"]
+    pre = eng._mv_pre_commit(src)
+    assert pre == {"mvrg_mv": True}
+    from quack_reduce_spark.operators.zonemaps import _data_files
+
+    committed = sorted(_data_files(src))
+    # the "racing append": a foreign file lands before the hook runs
+    load(spark, sf_dir, "orders").limit(50).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    eng._mv_after_commit(src, "compact", pre, committed)
+    assert mv.get("needs_refresh") is True, "foreign file must block the stamp"
+    # and with a MATCHING listing the stamp fires cleanly
+    committed2 = sorted(_data_files(src))
+    mv.pop("needs_refresh", None)
+    pre2 = eng._mv_pre_commit(src)  # stale now (append drifted it)
+    eng._mv_after_commit(src, "compact", pre2, committed2)
+    # drifted pre-state -> marked, not stamped (stamp requires fresh)
+    assert mv.get("needs_refresh") is True
+    # query: the lazy self-refresh restores exact answers
+    eng.register("mvrg", src)
+    d = eng.df("SELECT o_orderstatus, COUNT(*) AS n FROM mvrg GROUP BY 1")
+    got = sorted(map(tuple, d.collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(src).groupBy("o_orderstatus").count().collect(),
+        )
+    )
+    assert got == want
+    spark.catalog.dropTempView("mvrg")

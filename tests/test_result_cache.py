@@ -287,3 +287,18 @@ def test_result_cache_literal_query_needs_no_tables(spark, sf_dir, tmp_path):
     load(spark, sf_dir, "orders").limit(3).write.mode("append").parquet(src)
     assert eng.sql(q).metadata["result_cache"] == {"hit": True}
     spark.catalog.dropTempView("orders")
+
+
+def test_result_cache_array_exists_still_caches(spark, sf_dir, tmp_path):
+    """r15 review: ArrayExists (the exists() higher-order function)
+    must not be mistaken for a subquery plan-holder — the query is
+    deterministic and caches normally."""
+    eng, _src = _eng(spark, sf_dir, tmp_path, "rc13")
+    q = (
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE exists(array(o_orderstatus), s -> s = 'F')"
+    )
+    r = eng.sql(q)
+    assert r.metadata["result_cache"] == {"hit": False, "stored": True}
+    assert eng.sql(q).metadata["result_cache"] == {"hit": True}
+    spark.catalog.dropTempView("orders")

@@ -1280,8 +1280,9 @@ def main() -> None:
                 f"{r['files_read']} of {r['files_total']} files at mult "
                 f"{MULTS}. Flat files_read at O(k / rows-per-file) while "
                 "the table grows is the top-k-pushdown claim under test "
-                "— the reference's flagship ORDER BY 2 DESC LIMIT 200 "
-                "shape stays metadata-bounded at any table size."
+                "— the raw-column sibling of the reference's flagship "
+                "ORDER BY 2 DESC LIMIT 200 stays metadata-bounded at "
+                "any table size."
             )
         if "candidates" in results.get("dedup_prefix_filter", {}):
             r = results["dedup_prefix_filter"]
