@@ -2749,6 +2749,14 @@ _TIME_EXPRS = {
 # every query using it (r15 review).
 _SUBQ_MARKERS = ("Subquery", "ListQuery", "PlanExpression")
 _SUBQ_EXACT = ("Exists",)
+# InSubquery matches the "Subquery" substring but is NOT a
+# PlanExpression — it has no plan() of its own; its ListQuery child
+# (which IS in children() and exposes plan()) carries the subquery
+# plan and is walked like any other expression. Calling .plan() on it
+# raised through py4j and aborted the whole cacheability walk, so every
+# `WHERE col IN (SELECT …)` silently declined result caching even when
+# fully deterministic (r15 ADVICE — sound but unintended).
+_SUBQ_PLANLESS = ("InSubquery",)
 
 
 def _expr_subplan(e: Any):
@@ -2756,6 +2764,8 @@ def _expr_subplan(e: Any):
     ordinary expression. Raises when the class LOOKS like a plan-holder
     but its plan is unreachable — the caller then declines caching."""
     name = e.getClass().getSimpleName()
+    if name in _SUBQ_PLANLESS:
+        return None
     if name not in _SUBQ_EXACT and not any(m in name for m in _SUBQ_MARKERS):
         return None
     return e.plan()  # every Catalyst PlanExpression exposes plan()

@@ -87,7 +87,7 @@ _MODULES = [
 # sf0.001/sf0.01 regardless of head selection; see
 # tests/test_inventory_counts.py for the registry-size drift gate.
 _HEAD = [
-    # Stable sentinels — Tier A + one per family, driver-green 13 rounds
+    # Stable sentinels — Tier A + one per family, driver-green 14 rounds
     "a01_scan_project", "a09_topk",
     "b_join_star_broadcast",
     "tpch_q1_full",
@@ -97,40 +97,32 @@ _HEAD = [
     "dedup_lsh_index_probe",
     "sim_cosine_topk",
     "graph_triangles",
-    # Never driver-sampled oracled keys (added r13; VERDICT r14 #1
-    # puts them in unconditionally)
-    "lake_multikey_group_agg",
-    "lake_timebucket_agg",
-    # Code changed/new this round (r15): top-k file pushdown (new
-    # key), composite multi-column slice partials (new key + the
-    # shared slice machinery under the three gs keys), wide-decimal
-    # SUM/AVG pushdown (extended key), predicate x bucket MV rollup
-    # (extended key) + the MV lifecycle/inputFiles/snapshot rework
-    # (stale-compensation key), gstats append idempotency, and the
-    # result-cache scope/subquery rework
+    # Code changed/new this round (r16): monotone-expression top-k
+    # sort keys (extended key), predicate-MV incremental refresh
+    # (extended key), the InSubquery result-cache fix, the
+    # parallelized ml_auc_rank rank stage, and the shared slice
+    # machinery the star pushdown composes over
     "lake_topk_pushdown",
-    "lake_group_agg_multikey_unclustered",
-    "lake_decimal_wide_stats",
     "lake_mv_filtered",
-    "lake_mv_stale_compensation",
     "lake_result_cache",
-    "lake_group_agg_unclustered",
+    "ml_auc_rank",
     "lake_group_agg_pushdown",
-    # Stalest-evidence fill, oldest first (driver evidence computed
-    # from CORRECTNESS_r01-r14): the WHOLE r7 cohort (19 keys), then
-    # the first 11 of the r8 cohort in registry order — backlog after
-    # this round: 25 r8 keys, cleared in r16
-    "dedup_minhash_lsh", "dedup_minhash_portable",
-    "ts_seasonal_profile", "ts_interpolate", "ts_gap_fill",
-    "text_chunk_windows", "text_char_entropy", "text_token_stats",
-    "text_bpe_tokens", "text_rolling_hash", "text_token_budget",
-    "text_dedup_impact", "text_vocab_ngrams", "text_filter_funnel",
-    "text_adaptive_gate", "text_pack_windows", "text_tfidf_terms",
-    "sim_cosine_topk_np", "mm_jpeg_stats",
-    "b_join_inner_group", "b_join_left_counts", "b_join_anti",
-    "b_join_range", "b_join_interval_band", "b_setop_union_all",
-    "b_setop_intersect", "b_setop_except", "b_distinct_agg",
-    "b_having", "b_window_lag",
+    "lake_group_agg_unclustered",
+    "lake_group_agg_multikey_unclustered",
+    # Stalest-evidence fill (VERDICT r15 #1): the FULL remaining r8
+    # cohort — 25 keys last driver-sampled in round 8. After this
+    # round the backlog is ZERO: every oracled key driver-sampled in
+    # round >= 9.
+    "b_cte_query", "b_cube", "b_datetime_fns", "b_explode_array",
+    "b_expr_case_string", "b_grouping_sets", "b_json_extract",
+    "b_math_fns", "b_subquery_exists", "b_subquery_scalar",
+    "b_window_frame_sum",
+    "b2_conditional_agg", "b2_join_cross", "b2_join_full_outer",
+    "b2_limit_offset", "b2_percentiles", "b2_sample_hash",
+    "b2_setop_all_variants", "b2_string_agg", "b2_summary_stats",
+    "sketch_cms_heavy_hitters", "sketch_hll_estimate",
+    "sketch_hll_windowed", "sketch_sampled_quantiles",
+    "stream_hll_dau",
 ]
 
 

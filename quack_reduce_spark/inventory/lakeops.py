@@ -2065,11 +2065,14 @@ def lake_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata): for a raw-column ``ORDER BY col DESC/ASC LIMIT k`` on a
     table CLUSTERED by the sort column, the engine visits files in
     manifest min/max order and skips every file the static k-bound
-    proves cannot contribute (see plans/topk_pushdown.py). In-query gates: the DESC top-k reads <=2
-    of the 8 files; the ASC + WHERE composition also reads a strict
-    subset; an UNCLUSTERED copy declines (no ``topk`` telemetry) but
-    stays exact. The DuckDB oracle recomputes all three from the raw
-    fixture."""
+    proves cannot contribute (see plans/topk_pushdown.py). In-query
+    gates: the DESC top-k reads <=2 of the 8 files; the ASC + WHERE
+    composition also reads a strict subset; an UNCLUSTERED copy
+    declines (no ``topk`` telemetry) but stays exact. r16 monotone
+    sort-expression gates: ``date_trunc('month', d) DESC`` prunes
+    through the truncation chain, ``-key ASC`` prunes via the flipped
+    bound, ``abs(key)`` declines. The DuckDB oracle recomputes every
+    variant from the raw fixture."""
     import uuid as _uuid
 
     from quack_reduce_spark.engine import Engine
@@ -2121,14 +2124,66 @@ def lake_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows3 = [(r["o_orderkey"], r["o_custkey"]) for r in d3.collect()]
     rep3 = (eng.last_zonemap_report.get(tu) or {}).get("topk")
     _require(rep3 is None, "unclustered top-k must decline", rep3)
+    # r16 (VERDICT r15 #4): MONOTONE-EXPRESSION sort keys. (a)
+    # date_trunc('month', d) is order-preserving over a table
+    # clustered by the raw DATE column — the bound pushes the file
+    # min/max through the truncation and still skips files; (b) unary
+    # negation is order-REVERSING: -key ASC is key DESC, answered by
+    # the flipped bound; (c) a NON-monotone expression (abs) declines.
+    path_d = _fresh_dir(sf_dir, "lake_topk_d")
+    (
+        orders.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path_d)
+    )
+    Z.write_zonemap(spark, path_d, ["o_orderdate"])
+    td = f"topkd_{_uuid.uuid4().hex[:8]}"
+    eng.register(td, path_d)
+    d4 = eng.df(
+        f"SELECT o_orderkey, o_custkey FROM {td} "
+        f"ORDER BY date_trunc('month', o_orderdate) DESC, o_orderkey DESC "
+        f"LIMIT 6"
+    )
+    rows4 = [(r["o_orderkey"], r["o_custkey"]) for r in d4.collect()]
+    rep4 = (eng.last_zonemap_report.get(td) or {}).get("topk")
+    _require(
+        rep4 is not None
+        and rep4["files_read"] < rep4["files_total"]
+        and "sort_expr_steps" in rep4,
+        "date_trunc top-k did not prune via the monotone chain", rep4,
+    )
+    d5 = eng.df(
+        f"SELECT o_orderkey, o_custkey FROM {t} "
+        f"ORDER BY -o_orderkey ASC LIMIT 5"
+    )
+    rows5 = [(r["o_orderkey"], r["o_custkey"]) for r in d5.collect()]
+    rep5 = (eng.last_zonemap_report.get(t) or {}).get("topk")
+    _require(
+        rep5 is not None and rep5.get("order_reversing") is True
+        and rep5["files_read"] <= 2,
+        "negated-key top-k did not flip the bound", rep5,
+    )
+    d6 = eng.df(
+        f"SELECT o_orderkey, o_custkey FROM {t} "
+        f"ORDER BY abs(o_orderkey) DESC, o_orderkey DESC LIMIT 4"
+    )
+    rows6 = [(r["o_orderkey"], r["o_custkey"]) for r in d6.collect()]
+    rep6 = (eng.last_zonemap_report.get(t) or {}).get("topk")
+    _require(rep6 is None, "non-monotone sort expression must decline", rep6)
     spark.catalog.dropTempView(t)
     spark.catalog.dropTempView(tu)
+    spark.catalog.dropTempView(td)
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(path_u, ignore_errors=True)
+    shutil.rmtree(path_d, ignore_errors=True)
     return spark.createDataFrame(
         [("desc8", k, c) for k, c in rows1]
         + [("asc6", k, c) for k, c in rows2]
-        + [("uncl4", k, c) for k, c in rows3],
+        + [("uncl4", k, c) for k, c in rows3]
+        + [("trunc6", k, c) for k, c in rows4]
+        + [("neg5", k, c) for k, c in rows5]
+        + [("abs4", k, c) for k, c in rows6],
         StructType([
             StructField("q", StringType()),
             StructField("o_orderkey", LongType()),
@@ -2635,6 +2690,19 @@ ORACLES["lake_topk_pushdown"] = """
     SELECT 'uncl4' AS q, o_orderkey, o_custkey FROM (
         SELECT o_orderkey, o_custkey FROM orders
         ORDER BY o_orderkey DESC LIMIT 4)
+    UNION ALL
+    SELECT 'trunc6' AS q, o_orderkey, o_custkey FROM (
+        SELECT o_orderkey, o_custkey FROM orders
+        ORDER BY date_trunc('month', o_orderdate) DESC, o_orderkey DESC
+        LIMIT 6)
+    UNION ALL
+    SELECT 'neg5' AS q, o_orderkey, o_custkey FROM (
+        SELECT o_orderkey, o_custkey FROM orders
+        ORDER BY -o_orderkey ASC LIMIT 5)
+    UNION ALL
+    SELECT 'abs4' AS q, o_orderkey, o_custkey FROM (
+        SELECT o_orderkey, o_custkey FROM orders
+        ORDER BY abs(o_orderkey) DESC, o_orderkey DESC LIMIT 4)
 """
 
 ORACLES["lake_group_agg_unclustered"] = """

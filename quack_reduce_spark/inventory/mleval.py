@@ -14,7 +14,10 @@ the exact statistic is computed on an aggregated distribution:
   rounding), never over the raw corpus. Ranking 100 TB of raw rows in
   one window would be the single-task-sort scale-killer; ranking its
   aggregated score histogram is a few thousand rows regardless of
-  corpus size.
+  corpus size. r16: the histogram prefix sum itself is range-bucketed
+  (quantile boundaries + driver-cumulated per-bucket offsets), so the
+  rank stage is shuffle-parallel too — no unpartitioned window
+  anywhere in the plan.
 
 Cross-engine FP discipline: scores are rounded (floor-half-up, 1e-6)
 BEFORE grouping/ranking in BOTH engines, so last-ulp summation noise
@@ -118,23 +121,60 @@ def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("s"),
         (F.col("label") >= POS_LABEL_MIN).cast("int").alias("is_pos"),
     )
-    dist = scored.groupBy("s").agg(
-        F.sum("is_pos").alias("n_pos"),
-        F.sum(1 - F.col("is_pos")).alias("n_neg"),
+    # lazy checkpoint: the histogram is consumed by THREE actions below
+    # (bucket boundaries, per-bucket offsets, the final aggregate) —
+    # materialize the embeddings scan once and pin the frame so all
+    # three see byte-identical rows
+    dist = (
+        scored.groupBy("s")
+        .agg(
+            F.sum("is_pos").alias("n_pos"),
+            F.sum(1 - F.col("is_pos")).alias("n_neg"),
+        )
+        .localCheckpoint(eager=False)
     )
+    # Range-bucketed rank (r16, VERDICT r15 #5): the cumulative
+    # neg-below sum previously ran as ONE unpartitioned Window — a
+    # single-task sort over the whole score distribution. Replace it
+    # with the zonemaps-listing trick: approximate score quantiles
+    # pick ~n_buckets range boundaries; each row's bucket id is the
+    # count of boundaries strictly below its score (a deterministic,
+    # layout-independent range partitioning — ties share a bucket by
+    # construction); per-bucket negative totals are cumulated
+    # DRIVER-side (n_buckets rows) into offsets; the window then runs
+    # partitioned by bucket, shuffle-parallel, and adds the offset.
+    # neg_below(s) = (negs in earlier buckets) + (negs below s within
+    # its bucket) — exactly the global prefix sum.
+    n_buckets = 32
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    brow = dist.agg(F.percentile_approx("s", qs, 10000).alias("b")).first()
+    bounds = sorted({float(b) for b in (brow["b"] or []) if b is not None})
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.size(F.filter(barr, lambda b: b < F.col("s")))
+    else:
+        pid = F.lit(0)
+    with_pid = dist.withColumn("pid", pid)
+    per_pid = with_pid.groupBy("pid").agg(F.sum("n_neg").alias("t")).collect()
+    offs: list[tuple[int, int]] = []
+    run = 0
+    for r in sorted(per_pid, key=lambda r: r["pid"]):
+        offs.append((int(r["pid"]), run))
+        run += int(r["t"] or 0)
+    off_df = spark.createDataFrame(offs or [(0, 0)], "pid int, neg_off long")
     w = (
-        Window.orderBy("s")
+        Window.partitionBy("pid")
+        .orderBy("s")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    contrib = dist.select(
-        "s",
-        "n_pos",
-        "n_neg",
-        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).alias("neg_below"),
-    ).select(
+    contrib = with_pid.join(F.broadcast(off_df), "pid").select(
         (
             F.col("n_pos")
-            * (F.col("neg_below") + F.col("n_neg") / F.lit(2.0))
+            * (
+                F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+                + F.col("neg_off")
+                + F.col("n_neg") / F.lit(2.0)
+            )
         ).alias("u"),
         "n_pos",
         "n_neg",

@@ -37,10 +37,21 @@ rows (from 'all' files) sort ahead of every value row and count toward
 k; files are visited in max_c-ascending order; a file is excludable
 only when it has ZERO nulls on c and ``min_c > T``.
 
+r16: the first sort key may also be a safelisted MONOTONE EXPRESSION
+of a statted column — ``date_trunc(unit, ts)``, ``trunc(date, unit)``,
+order-preserving casts (timestamp<->date, integral widenings), and
+unary negation (order-REVERSING) — resolved through the Project alias
+the analyzer hoists ORDER BY expressions into. The bound machinery
+runs unchanged in the transformed space with per-file bounds derived
+by pushing the raw min/max through the chain (see
+``_monotone_sort_key`` for the gates: literal valid trunc units, UTC
+session for session-zoned calendar steps, no integer-min negation).
+
 Everything else declines — non-default null ordering, an OFFSET, an
-unparsable first sort key or WHERE conjunct, a stale manifest, NaN
-bounds, or a bound that skips nothing (the unclustered case). This is
-an accelerator, never a semantics change; at 100 TB it is the
+unparsable first sort key or WHERE conjunct, a non-monotone sort
+expression (abs/hash/concat), a stale manifest, NaN bounds, or a
+bound that skips nothing (the unclustered case). This is an
+accelerator, never a semantics change; at 100 TB it is the
 difference between scanning a petabyte-scale table for a 200-row
 dashboard answer and reading O(k / rows-per-file) files.
 """
@@ -52,7 +63,6 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from quack_reduce_spark.plans.agg_pushdown import (
-    _attr_id,
     _classify_row,
     _exact_conjunct,
     _is_nan,
@@ -66,6 +76,220 @@ from quack_reduce_spark.plans.zonemap_pushdown import _bare
 # works, but the win shrinks and the driver-side sort of file bounds
 # should stay trivially cheap
 TOPK_MAX_K = 1_000_000
+
+# ASC sentinel: "enough sure-qualifying NULLs to fill k — every VALUE
+# row loses". An identity object, not a string: a string-typed sort
+# column whose computed bound happened to EQUAL a string sentinel
+# would trigger the all-values-lose exclusion branch and drop files
+# holding real top-k rows (r15 ADVICE). `is` comparisons below can
+# never collide with a data value.
+_ALL_VALUES_LOSE = object()
+
+# -- monotone-expression sort keys (r16, VERDICT r15 #4) --------------------
+#
+# ``ORDER BY date_trunc('month', ts) DESC LIMIT k``, ``ORDER BY
+# cast(ts AS date)``, and unary negation are order-preserving (or, for
+# negation, order-REVERSING) maps of a statted column: f monotone
+# non-decreasing means min f(rows(file)) = f(min_raw) and
+# max f(rows(file)) = f(max_raw), so the k-bound machinery runs
+# unchanged in the TRANSFORMED space with per-file bounds derived from
+# the raw manifest stats. Non-strict monotonicity suffices: the bound
+# counts rows with f(c) >= T from f(min_raw) >= T, and exclusion stays
+# STRICT (max_e < T), so many-to-one maps (truncation) cannot
+# resurrect an excluded row via tiebreaks. Every step is also
+# null-preserving in BOTH directions (null in <=> null out), so the
+# per-file null counts carry over exactly. Anything outside the
+# safelist below — abs/hash/concat/arbitrary casts — declines.
+
+# casts that are monotone on the whole input domain; value = True when
+# the step depends on the session timezone (a session-zoned timestamp
+# rendered to a calendar date): such chains additionally require a
+# fixed-offset UTC session, where wall-clock order provably equals
+# instant order. date->timestamp maps midnights monotonically in ANY
+# zone (later date, later instant), so it carries no gate.
+_MONOTONE_CASTS: dict[tuple[str, str], bool] = {
+    ("timestamp", "date"): True,
+    ("timestamp_ntz", "date"): False,
+    ("date", "timestamp"): False,
+    ("date", "timestamp_ntz"): False,
+    # wall-clock <-> instant re-interpretations: the identity on the
+    # stats values, order-preserving only under a fixed-offset session
+    # (a DST fold renders instants to non-monotone wall clocks)
+    ("timestamp_ntz", "timestamp"): True,
+    ("timestamp", "timestamp_ntz"): True,
+    ("byte", "short"): False,
+    ("byte", "integer"): False,
+    ("byte", "long"): False,
+    ("short", "integer"): False,
+    ("short", "long"): False,
+    ("integer", "long"): False,
+}
+
+_TRUNC_UNIT_ALIASES = {
+    "year": "year", "yyyy": "year", "yy": "year",
+    "quarter": "quarter",
+    "month": "month", "mon": "month", "mm": "month",
+    "week": "week",
+    "day": "day", "dd": "day",
+    "hour": "hour", "minute": "minute", "second": "second",
+    "millisecond": "millisecond", "microsecond": "microsecond",
+}
+# TruncDate accepts only the calendar units
+_TRUNC_DATE_UNITS = {"year", "quarter", "month", "week"}
+
+_INT_MIN = {
+    "byte": -(2 ** 7), "short": -(2 ** 15),
+    "integer": -(2 ** 31), "long": -(2 ** 63),
+}
+
+# session timezones under which wall-clock rendering of instants is
+# provably order-preserving (fixed zero offset — no DST fold)
+_UTC_TZS = {
+    "UTC", "GMT", "GMT0", "Z", "+00:00", "UCT", "Universal", "Zulu",
+    "Etc/UTC", "Etc/GMT", "Etc/GMT0", "Etc/GMT+0", "Etc/GMT-0",
+    "Etc/UCT", "Etc/Universal", "Etc/Zulu",
+}
+
+_ALIAS_DEPTH_MAX = 8
+
+
+def _monotone_sort_key(
+    e: Any, aliases: dict[int, Any], by_id: dict[int, tuple[str, str]]
+) -> tuple[int, bool, bool, list[tuple[str, str | None]]] | None:
+    """Parse a sort-key expression as a chain of safelisted monotone
+    steps over ONE relation attribute. Returns ``(sid, flip, tz_gate,
+    steps)`` — ``steps`` in application order (innermost first),
+    ``flip`` True when the net chain is order-reversing, ``tz_gate``
+    True when soundness additionally needs a UTC session — or None to
+    decline. ``aliases`` resolves Project aliases BELOW the Sort (the
+    analyzer hoists ORDER BY expressions into one)."""
+    steps: list[tuple[str, str | None]] = []
+    flip = False
+    tz_gate = False
+    cur = e
+    depth = 0
+    while True:
+        cls = cur.getClass().getSimpleName()
+        if cls == "AttributeReference":
+            aid = int(cur.exprId().id())
+            if aid in by_id:
+                break
+            sub = aliases.get(aid)
+            if sub is None:
+                return None
+            depth += 1
+            if depth > _ALIAS_DEPTH_MAX:
+                return None
+            cur = sub
+        elif cls == "Alias":
+            cur = cur.child()
+        elif cls == "Cast":
+            src = cur.child().dataType().typeName()
+            dst = cur.dataType().typeName()
+            gate = _MONOTONE_CASTS.get((src, dst))
+            if gate is None:
+                return None
+            tz_gate = tz_gate or gate
+            if (src, dst) == ("timestamp", "date") or (
+                src, dst
+            ) == ("timestamp_ntz", "date"):
+                steps.append(("to_date", None))
+            elif dst in ("timestamp", "timestamp_ntz"):
+                steps.append(("to_ts", None))
+            # integral widenings are the identity on the stats values
+            cur = cur.child()
+        elif cls == "TruncTimestamp":
+            fmt = cur.format()
+            if fmt.getClass().getSimpleName() != "Literal" or (
+                fmt.value() is None
+            ):
+                return None
+            unit = _TRUNC_UNIT_ALIASES.get(str(fmt.value()).lower())
+            if unit is None:
+                return None  # unknown unit evaluates to NULL: decline
+            if cur.timestamp().dataType().typeName() == "timestamp":
+                tz_gate = True  # truncation happens in session-local time
+            steps.append(("trunc_ts", unit))
+            cur = cur.timestamp()
+        elif cls == "TruncDate":
+            fmt = cur.format()
+            if fmt.getClass().getSimpleName() != "Literal" or (
+                fmt.value() is None
+            ):
+                return None
+            unit = _TRUNC_UNIT_ALIASES.get(str(fmt.value()).lower())
+            if unit is None or unit not in _TRUNC_DATE_UNITS:
+                return None
+            steps.append(("trunc_date", unit))
+            cur = cur.date()
+        elif cls == "UnaryMinus":
+            flip = not flip
+            steps.append(("neg", None))
+            cur = cur.child()
+        else:
+            return None
+    steps.reverse()
+    return int(cur.exprId().id()), flip, tz_gate, steps
+
+
+def _apply_steps(v: Any, steps: list[tuple[str, str | None]]) -> Any:
+    """Evaluate the monotone chain on one raw stats value (Python-side
+    replica of the safelisted Spark semantics under the gates above).
+    Values arrive as the manifest decodes them: datetime/date for
+    temporal columns (session-zoned ones rendered in the session zone,
+    which the tz gate pins to UTC), int/float/Decimal for numerics."""
+    import datetime as _dt
+
+    for kind, unit in steps:
+        if v is None:
+            return None
+        if kind == "neg":
+            v = -v
+        elif kind == "to_date":
+            v = v.date() if isinstance(v, _dt.datetime) else v
+        elif kind == "to_ts":
+            if not isinstance(v, _dt.datetime):
+                v = _dt.datetime.combine(v, _dt.time())
+        elif kind == "trunc_date":
+            if isinstance(v, _dt.datetime):
+                v = v.date()
+            v = _trunc_date(v, unit)
+        else:  # trunc_ts
+            if not isinstance(v, _dt.datetime):
+                v = _dt.datetime.combine(v, _dt.time())
+            v = _trunc_ts(v, unit)
+    return v
+
+
+def _trunc_date(d: Any, unit: str) -> Any:
+    import datetime as _dt
+
+    if unit == "year":
+        return d.replace(month=1, day=1)
+    if unit == "quarter":
+        return d.replace(month=((d.month - 1) // 3) * 3 + 1, day=1)
+    if unit == "month":
+        return d.replace(day=1)
+    return d - _dt.timedelta(days=d.weekday())  # week: Monday start
+
+
+def _trunc_ts(t: Any, unit: str) -> Any:
+    import datetime as _dt
+
+    if unit in ("year", "quarter", "month", "week"):
+        d = _trunc_date(t.date(), unit)
+        return _dt.datetime.combine(d, _dt.time())
+    if unit == "day":
+        return t.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit == "hour":
+        return t.replace(minute=0, second=0, microsecond=0)
+    if unit == "minute":
+        return t.replace(second=0, microsecond=0)
+    if unit == "second":
+        return t.replace(microsecond=0)
+    if unit == "millisecond":
+        return t.replace(microsecond=t.microsecond - t.microsecond % 1000)
+    return t  # microsecond: identity at parquet's resolution
 
 
 def extract_topk(
@@ -111,21 +335,31 @@ def extract_topk(
     if order.size() == 0:
         return None
     so = order.apply(0)
-    _n, sid = _attr_id(so.child())
-    if sid is None:
-        return None  # expression / aliased first key: decline
+    sort_expr = so.child()
     asc = so.direction().sql() == "ASC"
     nulls_first = so.nullOrdering().sql() == "NULLS FIRST"
     # only the DEFAULT orderings (what the reference's SQL produces):
     # DESC NULLS LAST / ASC NULLS FIRST — others would need their own
-    # bound mirror and never occur in the covered surface
+    # bound mirror and never occur in the covered surface. The gate is
+    # on the QUERY's direction over the (possibly transformed) sort
+    # expression; every safelisted step is null-preserving both ways,
+    # so expr nulls are exactly the raw column's nulls.
     if asc != nulls_first:
         return None
     node = node.child()
     filter_conds = []
+    aliases: dict[int, Any] = {}
     while True:
         cls = node.getClass().getSimpleName()
         if cls == "Project":
+            # the analyzer hoists ORDER BY expressions into a Project
+            # alias below the Sort: record alias -> definition so the
+            # monotone-key walk can resolve through it
+            pl = node.projectList()
+            for i in range(pl.size()):
+                ne = pl.apply(i)
+                if ne.getClass().getSimpleName() == "Alias":
+                    aliases[int(ne.exprId().id())] = ne.child()
             node = node.child()
         elif cls == "Filter":
             filter_conds.append(node.condition())
@@ -152,8 +386,15 @@ def extract_topk(
     for i in range(rel_out.size()):
         a = rel_out.apply(i)
         by_id[int(a.exprId().id())] = (a.name(), a.dataType().typeName())
+    # the first sort key: a bare relation column (steps == []), or a
+    # safelisted monotone expression chain over one (r16) — anything
+    # else declines
+    got_key = _monotone_sort_key(sort_expr, aliases, by_id)
+    if got_key is None:
+        return None
+    sid, flip, tz_gate, steps = got_key
     if sid not in by_id:
-        return None  # sort key is not a bare relation column
+        return None
     col, tname = by_id[sid]
     if not _type_ok(tname):
         return None
@@ -183,6 +424,9 @@ def extract_topk(
         "k": k,
         "conjuncts": conjuncts,
         "types": types,
+        "steps": steps,
+        "flip": flip,
+        "tz_gate": tz_gate,
     }
 
 
@@ -201,8 +445,14 @@ def plan_topk_files(
     from quack_reduce_spark.plans import zonemap_pushdown as _zp
 
     col, k, asc = info["col"], info["k"], info["asc"]
+    steps = info.get("steps") or []
+    flip = bool(info.get("flip"))
     if col not in stats_cols:
         return None
+    if info.get("tz_gate") and (
+        spark.conf.get("spark.sql.session.timeZone") not in _UTC_TZS
+    ):
+        return None  # DST fold could break wall-clock monotonicity
     # WHERE pruning first (closed-widened, like the agg path): the
     # bound then only has to beat the files a plain range query would
     # already read
@@ -238,9 +488,28 @@ def plan_topk_files(
             continue  # exact semantics prove no row passes: drop it
         surviving.append((r, state, n_rows))
 
+    if any(s[0] == "neg" for s in steps) and info["tname"] in _INT_MIN:
+        imin = _INT_MIN[info["tname"]]
+        for r, _state, _n in surviving:
+            if r.get(f"min_{col}") == imin:
+                # negating the type's minimum overflows (ANSI raises,
+                # legacy wraps non-monotonically): no sound bound
+                return None
+
     def bounds(r: dict) -> tuple[Any, Any, int | None]:
+        """Per-file [min, max, nulls] in the SORT-EXPRESSION space:
+        the raw manifest stats pushed through the monotone chain, ends
+        swapped when the chain is order-reversing. A transform failure
+        raises — the engine then declines the whole pushdown (sound);
+        it must NOT degrade to (None, None), which means 'all-NULL
+        file' to the exclusion branches."""
         mn, mx = r.get(f"min_{col}"), r.get(f"max_{col}")
         nl = r.get(f"nulls_{col}")
+        if steps:
+            mn = _apply_steps(mn, steps)
+            mx = _apply_steps(mx, steps)
+            if flip:
+                mn, mx = mx, mn
         return mn, mx, (None if nl is None else int(nl))
 
     # -- the static bound ------------------------------------------------
@@ -278,7 +547,7 @@ def plan_topk_files(
         # value row and count toward k
         have_null_budget = sum(nl for _mn, _mx, nl, _n in cand)
         if have_null_budget >= k:
-            threshold = "__ALL_VALUES_LOSE__"
+            threshold = _ALL_VALUES_LOSE
         else:
             vals = sorted(
                 (
@@ -309,7 +578,7 @@ def plan_topk_files(
                     continue
             else:
                 nl_known = nl is not None and nl == 0
-                if threshold == "__ALL_VALUES_LOSE__":
+                if threshold is _ALL_VALUES_LOSE:
                     if nl_known and mn is not None:
                         skipped += 1
                         continue
@@ -339,4 +608,9 @@ def plan_topk_files(
         "files_read": len(files),
         "files_skipped_by_bound": skipped,
     }
+    if steps:
+        telemetry["sort_expr_steps"] = [
+            s if u is None else f"{s}:{u}" for s, u in steps
+        ]
+        telemetry["order_reversing"] = flip
     return files, total, stats, telemetry

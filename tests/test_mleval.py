@@ -42,3 +42,41 @@ def test_auc_matches_sklearn_style_reference(spark):
     want = u / (len(pos) * len(neg))
     assert row.n_positive == int(y.sum())
     assert abs(row.auc - want) < 2e-6
+
+
+def test_auc_rank_stage_is_partitioned(spark):
+    """r16 (VERDICT r15 #5): the neg-below prefix sum runs as a
+    PARTITIONED window (bucket id from quantile boundaries, offsets
+    cumulated driver-side) — no `WindowExec: No Partition Defined`
+    single-task sort anywhere in the AUC plan, and the real data
+    spreads over >1 bucket."""
+    from quack_reduce_spark.inventory import mleval
+
+    sf = "/root/testdata/sf0.001"
+    df = mleval.ml_auc_rank(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            # Spark prints an UNpartitioned spec as
+            # windowspecdefinition(s ASC ...) — partitioned specs lead
+            # with the partition columns before the sort spec
+            assert "windowspecdefinition(pid#" in line, line
+    # the bucketing is real: >1 distinct bucket id on the fixture
+    import pyspark.sql.functions as F
+
+    from quack_reduce_spark.inventory._util import load, rnd
+
+    emb = load(spark, sf, "embeddings")
+    score = rnd(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(mleval.EMBED_DIM)),
+        6,
+    )
+    n_distinct = emb.select(score.alias("s")).distinct().count()
+    assert n_distinct > 32  # enough support for >1 bucket
+    # and the plan's Window input really is hash-partitioned on pid
+    assert "hashpartitioning(pid#" in plan

@@ -253,6 +253,31 @@ def test_result_cache_declines_subquery_clock_and_rand(
     spark.catalog.dropTempView("orders")
 
 
+def test_result_cache_in_subquery_still_caches(spark, sf_dir, tmp_path):
+    """r16 (r15 ADVICE): Catalyst's InSubquery matches the 'Subquery'
+    substring but exposes NO plan() of its own — calling it aborted the
+    cacheability walk, so every deterministic ``WHERE col IN
+    (SELECT …)`` silently declined caching. Its ListQuery child (in
+    children()) carries the plan and is still descended, so a rand()
+    inside the IN-subquery must STILL decline."""
+    eng, _src = _eng(spark, sf_dir, tmp_path, "rc14")
+    q = (
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey IN "
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 1000)"
+    )
+    r = eng.sql(q)
+    assert r.metadata["result_cache"] == {"hit": False, "stored": True}
+    assert eng.sql(q).metadata["result_cache"] == {"hit": True}
+    # nondeterminism INSIDE the IN-subquery still declines (the
+    # ListQuery descent is intact)
+    r2 = eng.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey IN "
+        "(SELECT CAST(o_orderkey + rand() AS BIGINT) FROM orders)"
+    )
+    assert r2.metadata["result_cache"] == {"hit": False, "stored": False}
+    spark.catalog.dropTempView("orders")
+
+
 def test_result_cache_token_scoped_to_referenced_tables(
     spark, sf_dir, tmp_path
 ):

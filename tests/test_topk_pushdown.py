@@ -116,6 +116,108 @@ def test_topk_declines_unclustered_and_stale(spark, sf_dir, tmp_path):
     spark.catalog.dropTempView("tk4")
 
 
+def test_topk_monotone_cast_alias_and_guards(spark, sf_dir, tmp_path):
+    """r16 (VERDICT r15 #4): monotone-expression sort keys. (a) a
+    CAST(ntz AS DATE) sort key resolved through the Project alias the
+    analyzer hoists it into still prunes by the bound pushed through
+    the chain; (b) session-zone-sensitive chains decline under a DST
+    timezone (wall-clock order is not provably instant order); (c)
+    negating a file whose min is the integer type's minimum declines
+    (overflow: ANSI raises, legacy wraps non-monotonically)."""
+    from quack_reduce_spark.plans import topk_pushdown as TK
+
+    src = str(tmp_path / "tk7")
+    (
+        load(spark, sf_dir, "orders")
+        .repartitionByRange(6, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    Z.write_zonemap(spark, src, ["o_orderdate"])
+    eng = Engine(spark=spark)
+    eng.register("tk7", src)
+    full = spark.read.parquet(src)
+    d = eng.df(
+        "SELECT CAST(o_orderdate AS DATE) AS d, o_orderkey FROM tk7 "
+        "ORDER BY d DESC, o_orderkey DESC LIMIT 5"
+    )
+    rep = eng.last_zonemap_report.get("tk7")
+    assert rep is not None and "topk" in rep, eng.last_zonemap_report
+    assert rep["topk"]["sort_expr_steps"] == ["to_date"]
+    assert rep["topk"]["files_read"] < rep["topk"]["files_total"]
+    want = [
+        tuple(r)
+        for r in full.selectExpr(
+            "CAST(o_orderdate AS DATE) AS d", "o_orderkey"
+        )
+        .orderBy(F.col("d").desc(), F.col("o_orderkey").desc())
+        .limit(5)
+        .collect()
+    ]
+    assert [tuple(r) for r in d.collect()] == want
+
+    # (b) DST session zone: the tz-gated chain declines, plain plan
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        eng.df(
+            "SELECT o_orderkey FROM tk7 ORDER BY "
+            "date_trunc('month', o_orderdate) DESC, o_orderkey DESC LIMIT 5"
+        )
+        rep2 = eng.last_zonemap_report.get("tk7")
+        assert rep2 is None or "topk" not in rep2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    spark.catalog.dropTempView("tk7")
+
+    # (c) integer-min negation: the guard declines the whole pushdown
+    src2 = str(tmp_path / "tk8")
+    (
+        spark.createDataFrame(
+            [(-(2 ** 63), 1), (5, 2), (9, 3)], "v long, id int"
+        )
+        .repartitionByRange(2, "v")
+        .sortWithinPartitions("v")
+        .write.mode("overwrite")
+        .parquet(src2)
+    )
+    Z.write_zonemap(spark, src2, ["v"])
+    spark.read.parquet(src2).createOrReplaceTempView("tk8")
+    df8 = spark.sql("SELECT v, id FROM tk8 ORDER BY -v ASC, id LIMIT 1")
+    info = TK.extract_topk(df8, {"tk8": src2})
+    assert info is not None and info["flip"] is True
+    assert TK.plan_topk_files(spark, src2, ["v"], info) is None
+    spark.catalog.dropTempView("tk8")
+
+
+def test_topk_asc_string_sentinel_collision(spark, tmp_path):
+    """r16 (r15 ADVICE): the ASC all-values-lose marker is an identity
+    object compared with ``is``. A string sort column whose computed
+    bound happens to EQUAL the old literal string
+    '__ALL_VALUES_LOSE__' must take the NORMAL exclusion branch — the
+    old string-equality compare dropped every zero-null file,
+    including the one holding the actual top-k rows."""
+    src = str(tmp_path / "tk6")
+    spark.createDataFrame(
+        [("__ALL_VALUES_LOSE__",)] * 10, "s string"
+    ).repartition(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame([("zzz",)] * 10, "s string").repartition(
+        1
+    ).write.mode("append").parquet(src)
+    Z.write_zonemap(spark, src, ["s"])
+    eng = Engine(spark=spark)
+    eng.register("tk6", src)
+    d = eng.df("SELECT s FROM tk6 ORDER BY s ASC LIMIT 5")
+    got = [r["s"] for r in d.collect()]
+    # '_' < 'z': the five smallest ARE the sentinel-valued rows
+    assert got == ["__ALL_VALUES_LOSE__"] * 5
+    rep = eng.last_zonemap_report.get("tk6")
+    assert rep is not None and "topk" in rep, eng.last_zonemap_report
+    assert rep["topk"]["files_read"] == 1  # the 'zzz' file is excluded
+    spark.catalog.dropTempView("tk6")
+
+
 def test_topk_nulls_and_ties_are_exact(spark, tmp_path):
     """DESC NULLS LAST: all-NULL / below-bound files are excludable
     but NULL rows surface once k exceeds the non-null count — the
