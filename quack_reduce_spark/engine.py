@@ -76,6 +76,7 @@ class Engine:
         self._view_epoch = 0
         self.last_zonemap_report: dict[str, dict] = {}
         self.last_agg_plan: dict | None = None
+        self.last_star_plan: dict | None = None
         self.last_mv_rewrite: dict | None = None
         self.last_result_cache: dict | None = None
         # guards the zone-map rebind window: temp views are
@@ -342,6 +343,28 @@ class Engine:
                         "files_read": tele["files_scanned"],
                         "files_total": tele["files_total"],
                         "agg_pushdown": tele,
+                    }
+                }
+            # star-join grouped pushdown (r16): fact JOIN small dim,
+            # GROUP BY dim attribute — per-(file, join-key) slice
+            # partials fold to a bounded key->partials table, the dim
+            # side evaluates once (the DPP subquery), and the join +
+            # aggregate happen driver-side at metadata cost with ZERO
+            # fact files scanned (plans/star_pushdown.py's gates)
+            star = None
+            if zm_tables:
+                try:
+                    star = self._try_star_pushdown(df, zm_tables)
+                except Exception:
+                    star = None  # exactness gate failed: run plain
+            self.last_star_plan = star[1] if star is not None else None
+            if star is not None:
+                frame, tele = star
+                return frame, {
+                    tele["table"]: {
+                        "files_read": 0,
+                        "files_total": tele["files_total"],
+                        "star_pushdown": tele,
                     }
                 }
             # materialized-view rewrite: an aggregate the manifest
@@ -672,6 +695,27 @@ class Engine:
         return _ap.build_agg_frame(
             self.spark, path, info, rows, total, group_stats
         )
+
+    def _try_star_pushdown(
+        self, df: DataFrame, zm_tables: dict[str, tuple[str, list[str]]]
+    ) -> tuple[DataFrame, dict] | None:
+        """Star-join grouped aggregate pushdown: when the planned
+        query is EXACTLY ``fact INNER JOIN dim ON one equi key, GROUP
+        BY bare dim attributes, COUNT/SUM/MIN/MAX/AVG over bare fact
+        columns`` with every fact conjunct exactly understood
+        (plans/star_pushdown.py's gates), answer it from the fact
+        manifest's per-(file, join-key) slice partials merged
+        driver-side with the evaluated dim rows — zero fact files
+        scanned. None -> the caller runs the plain plan (accelerator,
+        never a semantics change)."""
+        from quack_reduce_spark.plans import star_pushdown as _sp
+
+        paths = {n: p for n, (p, _) in zm_tables.items()}
+        info = _sp.extract_star_group(df, paths)
+        if info is None or info["table"] not in zm_tables:
+            return None
+        path, zcols = zm_tables[info["table"]]
+        return _sp.build_star_frame(self.spark, df, path, zcols, info)
 
     def table_stats(self, name: str) -> dict:
         """ANALYZE-style statistics for a registered zone-mapped table,

@@ -103,12 +103,23 @@ _HEAD = [
     # parallelized ml_auc_rank rank stage, and the shared slice
     # machinery the star pushdown composes over
     "lake_topk_pushdown",
+    "lake_star_group_pushdown",
     "lake_mv_filtered",
     "lake_result_cache",
     "ml_auc_rank",
     "lake_group_agg_pushdown",
     "lake_group_agg_unclustered",
     "lake_group_agg_multikey_unclustered",
+    # Adjacent machinery the r16 star path composes over (DPP dim
+    # evaluation, slice configs, MV lifecycle) + the two TPC-H star
+    # shapes the new pushdown targets at lake scale
+    "lake_dpp_star",
+    "lake_timebucket_agg",
+    "lake_decimal_wide_stats",
+    "lake_mv_stale_compensation",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "b_join_inner_group",
     # Stalest-evidence fill (VERDICT r15 #1): the FULL remaining r8
     # cohort — 25 keys last driver-sampled in round 8. After this
     # round the backlog is ZERO: every oracled key driver-sampled in

@@ -2192,6 +2192,89 @@ def lake_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lake_star_group_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join grouped aggregate pushdown (r16, VERDICT r15 #3):
+    ``fact JOIN small dim ON one equi key, GROUP BY dim attribute``
+    answered with ZERO fact files scanned — the fact manifest's
+    per-(file, join-key) slice partials fold to a bounded key->partial
+    table, the dim side evaluates once (the DPP subquery), and the
+    join + aggregate happen driver-side (plans/star_pushdown.py). The
+    TPC-H q3/q5 star shape the single-table agg pushdown could not
+    reach. In-query gates: the star query reports ``files_scanned ==
+    0`` with slice-resolved files on an UNCLUSTERED 5-file fact; a
+    NON-EQUI join declines (no star telemetry); a MULTI-DIM chain
+    (fact ⋈ nation ⋈ region) declines. The DuckDB oracle recomputes
+    all three from the raw fixture. Reference: quack-reduce executes
+    every such dashboard query as a full DuckDB scan (app.py:51)."""
+    import uuid as _uuid
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    cust = load(spark, sf_dir, "customer")
+    path = _fresh_dir(sf_dir, "lake_star")
+    cust.repartition(5).write.mode("overwrite").parquet(path)
+    Z.write_zonemap(
+        spark, path, ["c_custkey", "c_nationkey"],
+        group_stats_cols=["c_nationkey"],
+    )
+    eng = Engine(spark=spark)
+    tf = f"starf_{_uuid.uuid4().hex[:8]}"
+    td = f"stard_{_uuid.uuid4().hex[:8]}"
+    tr = f"starr_{_uuid.uuid4().hex[:8]}"
+    eng.register(tf, path)
+    eng.register(td, f"{sf_dir}/nation.parquet")
+    eng.register(tr, f"{sf_dir}/region.parquet")
+    d1 = eng.df(
+        f"SELECT n_name, COUNT(*) AS n, SUM(c_custkey) AS s, "
+        f"MIN(c_custkey) AS m FROM {tf} JOIN {td} "
+        f"ON c_nationkey = n_nationkey WHERE n_regionkey <= 2 "
+        f"GROUP BY n_name ORDER BY n_name"
+    )
+    rows1 = [(r["n_name"], r["n"], r["s"], r["m"]) for r in d1.collect()]
+    tele = eng.last_star_plan
+    _require(
+        tele is not None and tele["files_scanned"] == 0
+        and tele["files_group_stats"] > 0,
+        "star query did not answer from slice metadata", tele,
+    )
+    d2 = eng.df(
+        f"SELECT n_name, COUNT(*) AS n FROM {tf} JOIN {td} "
+        f"ON c_nationkey < n_nationkey GROUP BY n_name ORDER BY n_name"
+    )
+    rows2 = [(r["n_name"], r["n"]) for r in d2.collect()]
+    _require(
+        eng.last_star_plan is None, "non-equi join must decline",
+        eng.last_star_plan,
+    )
+    d3 = eng.df(
+        f"SELECT r_name, COUNT(*) AS n FROM {tf} "
+        f"JOIN {td} ON c_nationkey = n_nationkey "
+        f"JOIN {tr} ON n_regionkey = r_regionkey "
+        f"GROUP BY r_name ORDER BY r_name"
+    )
+    rows3 = [(r["r_name"], r["n"]) for r in d3.collect()]
+    _require(
+        eng.last_star_plan is None, "multi-dim star must decline",
+        eng.last_star_plan,
+    )
+    for t in (tf, td, tr):
+        spark.catalog.dropTempView(t)
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [("star", nm, n, s, m) for nm, n, s, m in rows1]
+        + [("nonequi", nm, n, None, None) for nm, n in rows2]
+        + [("multidim", nm, n, None, None) for nm, n in rows3],
+        StructType([
+            StructField("q", StringType()),
+            StructField("name", StringType()),
+            StructField("n", LongType()),
+            StructField("s", LongType()),
+            StructField("m", LongType()),
+        ]),
+    )
+
+
 QUERIES = {
     "lake_time_travel": lake_time_travel,
     "lake_change_feed": lake_change_feed,
@@ -2218,6 +2301,7 @@ QUERIES = {
     "lake_group_agg_unclustered": lake_group_agg_unclustered,
     "lake_decimal_wide_stats": lake_decimal_wide_stats,
     "lake_topk_pushdown": lake_topk_pushdown,
+    "lake_star_group_pushdown": lake_star_group_pushdown,
     "lake_group_agg_multikey_unclustered": lake_group_agg_multikey_unclustered,
 }
 
@@ -2678,6 +2762,26 @@ ORACLES["lake_group_agg_multikey_unclustered"] = """
 # the k-bound file skipping must be invisible: every variant
 # recomputes from the raw fixture with the same deterministic
 # (unique-key) ordering
+ORACLES["lake_star_group_pushdown"] = """
+    SELECT 'star' AS q, n_name AS name, n, s, m FROM (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c_custkey) AS BIGINT) AS s,
+               CAST(MIN(c_custkey) AS BIGINT) AS m
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_regionkey <= 2 GROUP BY n_name)
+    UNION ALL
+    SELECT 'nonequi' AS q, n_name AS name, n, NULL AS s, NULL AS m FROM (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer JOIN nation ON c_nationkey < n_nationkey
+        GROUP BY n_name)
+    UNION ALL
+    SELECT 'multidim' AS q, r_name AS name, n, NULL AS s, NULL AS m FROM (
+        SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name)
+"""
+
 ORACLES["lake_topk_pushdown"] = """
     SELECT 'desc8' AS q, o_orderkey, o_custkey FROM (
         SELECT o_orderkey, o_custkey FROM orders
