@@ -84,6 +84,15 @@ STAR_MAX_KEYS = 4096
 # dim rows collected at plan time (keys may repeat; attrs ride along)
 STAR_MAX_DIM_ROWS = 8192
 
+# Plan-time dim-row cache, the _DPP_KEY_CACHE discipline: a dashboard
+# re-issuing the same star query must not re-run the dim subquery.
+# Keyed on the CANONICALIZED dim subplan + the selected output
+# positions; validated against a (mtime, size) stat snapshot of every
+# file the dim subplan reads, so an overwritten/appended dim re-runs.
+_STAR_DIM_CACHE: dict[tuple, tuple[tuple, list]] = {}
+_STAR_DIM_CACHE_MAX = 128
+STAR_COUNTS = {"dim_evals": 0, "dim_cache_hits": 0}
+
 # join-key and grouping-attribute types whose values round-trip
 # EXACTLY through manifest parquet collect / dim-side collect /
 # createDataFrame rows — the spaces the driver-side equality join
@@ -636,31 +645,58 @@ def build_star_frame(
                 return None
         files_sliced += 1
 
-    # -- evaluate the dim side once, bounded --------------------------
-    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-        df._jdf.sparkSession(), info["dim_plan"]
-    )
-    dim = DataFrame(jdf, spark)
-    fresh = dim.toDF(*[f"c{i}" for i in range(len(dim.columns))])
-    sel = [F.col(f"c{info['dim_key_idx']}").alias("__k")] + [
-        F.col(f"c{j}").alias(f"__g{i}")
-        for i, j in enumerate(info["dim_group_idx"])
-    ]
-    dim_rows = fresh.select(*sel).limit(STAR_MAX_DIM_ROWS + 1).collect()
-    if len(dim_rows) > STAR_MAX_DIM_ROWS:
-        return None
+    # -- evaluate the dim side once, bounded, plan-time cached --------
+    from quack_reduce_spark.plans.zonemap_pushdown import _dim_stat_snapshot
+
+    n_gk = len(info["dim_group_idx"])
+    snap = _dim_stat_snapshot(info["dim_plan"])
+    ck = None
+    dim_vals: list[tuple] | None = None
+    if snap is not None:
+        try:
+            canon = info["dim_plan"].canonicalized().toString()
+        except Exception:
+            canon = None
+        if canon is not None:
+            ck = (
+                canon, info["dim_key_idx"],
+                tuple(info["dim_group_idx"]), STAR_MAX_DIM_ROWS,
+            )
+            hit = _STAR_DIM_CACHE.get(ck)
+            if hit is not None and hit[0] == snap:
+                STAR_COUNTS["dim_cache_hits"] += 1
+                dim_vals = hit[1]
+    if dim_vals is None:
+        STAR_COUNTS["dim_evals"] += 1
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            df._jdf.sparkSession(), info["dim_plan"]
+        )
+        dim = DataFrame(jdf, spark)
+        fresh = dim.toDF(*[f"c{i}" for i in range(len(dim.columns))])
+        sel = [F.col(f"c{info['dim_key_idx']}").alias("__k")] + [
+            F.col(f"c{j}").alias(f"__g{i}")
+            for i, j in enumerate(info["dim_group_idx"])
+        ]
+        rows_d = fresh.select(*sel).limit(STAR_MAX_DIM_ROWS + 1).collect()
+        if len(rows_d) > STAR_MAX_DIM_ROWS:
+            return None
+        dim_vals = [
+            (r["__k"], tuple(r[f"__g{i}"] for i in range(n_gk)))
+            for r in rows_d
+        ]
+        if ck is not None:
+            if len(_STAR_DIM_CACHE) >= _STAR_DIM_CACHE_MAX:
+                _STAR_DIM_CACHE.pop(next(iter(_STAR_DIM_CACHE)))
+            _STAR_DIM_CACHE[ck] = (snap, dim_vals)
 
     group_parts: dict[tuple, list] = {}
-    n_gk = len(info["dim_group_idx"])
-    for row in dim_rows:
-        k = row["__k"]
+    for k, gvals in dim_vals:
         if k is None:
             continue
         fp = fact_meta.get(k)
         if fp is None:
             continue
-        key = tuple(row[f"__g{i}"] for i in range(n_gk))
-        dst = group_parts.setdefault(key, _fresh_partials(aggs))
+        dst = group_parts.setdefault(gvals, _fresh_partials(aggs))
         _merge_parts(aggs, dst, fp)
 
     # -- render the merged groups as the aggregate-output frame -------
@@ -755,7 +791,7 @@ def build_star_frame(
         "files_group_stats": files_sliced,
         "files_scanned": 0,
         "fact_keys": len(fact_meta),
-        "dim_rows": len(dim_rows),
+        "dim_rows": len(dim_vals),
         "groups_metadata": len(group_parts),
     }
     if gcol is not None:

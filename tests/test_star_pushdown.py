@@ -238,6 +238,48 @@ def test_star_group_declines_stay_exact(spark, sf_dir, tmp_path):
     _teardown(spark)
 
 
+def test_star_group_repeat_plans_zero_jobs(spark, sf_dir, tmp_path):
+    """The _DPP_KEY_CACHE discipline: a dashboard re-issuing the same
+    star query plans with ZERO Spark jobs — manifests, slices, and the
+    dim rows are all epoch-cached. An overwrite of the dim re-runs the
+    dim subquery (snapshot invalidation)."""
+    from quack_reduce_spark.plans import star_pushdown as SP
+
+    eng, fact, dim = _setup(spark, sf_dir, tmp_path)
+    q = (
+        "SELECT n_name, COUNT(*) AS n FROM sfact JOIN sdim "
+        "ON c_nationkey = n_nationkey WHERE n_regionkey = 1 "
+        "GROUP BY n_name ORDER BY n_name"
+    )
+    eng.df(q)
+    assert eng.last_star_plan is not None
+    evals0 = SP.STAR_COUNTS["dim_evals"]
+    hits0 = SP.STAR_COUNTS["dim_cache_hits"]
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    d = eng.df(q)
+    assert eng.last_star_plan is not None
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, "repeat star planning ran Spark jobs"
+    assert SP.STAR_COUNTS["dim_cache_hits"] == hits0 + 1
+    assert SP.STAR_COUNTS["dim_evals"] == evals0
+    assert d.count() > 0
+    # dim overwrite invalidates the snapshot: the dim re-evaluates
+    nd = spark.read.parquet(dim).where("n_regionkey <= 3")
+    nd.localCheckpoint(eager=True).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(dim)
+    eng.register("sdim", dim)
+    eng.df(
+        "SELECT n_name, COUNT(*) AS n2 FROM sfact JOIN sdim "
+        "ON c_nationkey = n_nationkey WHERE n_regionkey = 1 "
+        "GROUP BY n_name ORDER BY n_name"
+    )
+    assert eng.last_star_plan is not None
+    assert SP.STAR_COUNTS["dim_evals"] == evals0 + 1
+    _teardown(spark)
+
+
 def test_star_group_null_keys_and_stale_manifest(spark, sf_dir, tmp_path):
     """NULL join keys never match (dropped on both sides); a raw
     append bypassing maintenance declines (stale manifest)."""
