@@ -711,11 +711,14 @@ class Engine:
         from quack_reduce_spark.plans import star_pushdown as _sp
 
         paths = {n: p for n, (p, _) in zm_tables.items()}
-        info = _sp.extract_star_group(df, paths)
-        if info is None or info["table"] not in zm_tables:
-            return None
-        path, zcols = zm_tables[info["table"]]
-        return _sp.build_star_frame(self.spark, df, path, zcols, info)
+        for info in _sp.extract_star_group(df, paths):
+            if info["table"] not in zm_tables:
+                continue
+            path, zcols = zm_tables[info["table"]]
+            got = _sp.build_star_frame(self.spark, df, path, zcols, info)
+            if got is not None:
+                return got
+        return None
 
     def table_stats(self, name: str) -> dict:
         """ANALYZE-style statistics for a registered zone-mapped table,

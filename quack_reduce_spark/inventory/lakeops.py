@@ -2258,13 +2258,40 @@ def lake_star_group_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng.last_star_plan is None, "multi-dim star must decline",
         eng.last_star_plan,
     )
-    for t in (tf, td, tr):
+    # r16 mixed grouping: a dim attribute AND a fact column — the
+    # fact key pins through a COMPOSITE slice (c_nationkey,
+    # c_mktsegment), still zero fact files scanned
+    path_m = _fresh_dir(sf_dir, "lake_star_m")
+    cust.repartition(5).write.mode("overwrite").parquet(path_m)
+    Z.write_zonemap(
+        spark, path_m, ["c_custkey", "c_nationkey", "c_mktsegment"],
+        group_stats_cols=["c_nationkey,c_mktsegment"],
+    )
+    tm = f"starm_{_uuid.uuid4().hex[:8]}"
+    eng.register(tm, path_m)
+    d4 = eng.df(
+        f"SELECT c_mktsegment, n_name, COUNT(*) AS n FROM {tm} "
+        f"JOIN {td} ON c_nationkey = n_nationkey "
+        f"GROUP BY c_mktsegment, n_name ORDER BY c_mktsegment, n_name"
+    )
+    rows4 = [
+        (f"{r['c_mktsegment']}/{r['n_name']}", r["n"]) for r in d4.collect()
+    ]
+    tele4 = eng.last_star_plan
+    _require(
+        tele4 is not None and tele4["files_scanned"] == 0
+        and tele4.get("group_stats_col") == "c_nationkey,c_mktsegment",
+        "mixed-key star did not answer from composite slices", tele4,
+    )
+    for t in (tf, td, tr, tm):
         spark.catalog.dropTempView(t)
     shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path_m, ignore_errors=True)
     return spark.createDataFrame(
         [("star", nm, n, s, m) for nm, n, s, m in rows1]
         + [("nonequi", nm, n, None, None) for nm, n in rows2]
-        + [("multidim", nm, n, None, None) for nm, n in rows3],
+        + [("multidim", nm, n, None, None) for nm, n in rows3]
+        + [("mixed", nm, n, None, None) for nm, n in rows4],
         StructType([
             StructField("q", StringType()),
             StructField("name", StringType()),
@@ -2780,6 +2807,12 @@ ORACLES["lake_star_group_pushdown"] = """
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name)
+    UNION ALL
+    SELECT 'mixed' AS q, c_mktsegment || '/' || n_name AS name, n,
+           NULL AS s, NULL AS m FROM (
+        SELECT c_mktsegment, n_name, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY c_mktsegment, n_name)
 """
 
 ORACLES["lake_topk_pushdown"] = """

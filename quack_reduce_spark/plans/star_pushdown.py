@@ -31,14 +31,20 @@ ROWS (not distinct keys) and merging the key's fact partial once per
 row reproduces the join multiplicity exactly; NULL keys are dropped
 on both sides (an equi join never matches NULL).
 
+Grouping keys may MIX sides (r16): a dim attribute rides the dim
+evaluation; a bare FACT column joins the fact-side key tuple the
+partials fold under — it must pin per file or per slice (the
+composite-slice machinery: ``group_stats_cols=["k,c"]``), and the
+output key re-interleaves both sides into the query's grouping order.
+
 Declines (never wrong, only unaccelerated): a non-inner or non-equi
-join, more than one equi pair (composite keys — slices pin one key),
-more than one dim-side relation chain per join side shape miss,
-grouping keys not bare dim attributes, aggregates over dim columns or
-expressions, COUNT(DISTINCT), fact conjuncts not exactly understood,
-a stale fact manifest, ANY surviving fact file that neither pins
-(single-valued key, 'all' classification) nor fully resolves through
-slices, over-cap key sets (> ``STAR_MAX_KEYS``) or dim rows
+join, more than one equi pair (composite join keys — slices pin one
+join key), grouping keys that are expressions or from neither side's
+bare output, aggregates over dim columns or expressions,
+COUNT(DISTINCT), fact conjuncts not exactly understood, a stale fact
+manifest, ANY surviving fact file that neither pins (single-valued
+key tuple, 'all' classification) nor fully resolves through slices,
+over-cap key sets (> ``STAR_MAX_KEYS``) or dim rows
 (> ``STAR_MAX_DIM_ROWS``), a nondeterministic or oversized dim side.
 
 At 100 TB this is the star-schema dashboard answered at metadata
@@ -167,17 +173,19 @@ def _plan_deterministic(plan: Any) -> bool:
 
 def extract_star_group(
     df: DataFrame, paths_by_name: dict[str, str]
-) -> dict | None:
+) -> list[dict]:
     """Parse ``df``'s optimized plan as the star-group shape above.
-    Returns the info dict (same envelope as the grouped-agg extractor
-    plus ``fact_key`` / ``dim_plan`` / ``dim_key_idx`` /
-    ``dim_group_idx``) or None. Both join orientations are tried —
-    the fact is the side that parses as a Project/Filter chain over
-    ONE registered table with the grouping keys on the OTHER side."""
+    Returns a LIST of candidate info dicts (same envelope as the
+    grouped-agg extractor plus ``fact_key`` / ``dim_plan`` /
+    ``dim_key_idx`` / ``dim_group_idx`` / ``fact_group_cols``), empty
+    when nothing parses. Both join orientations are candidates — the
+    fact is a side that parses as a Project/Filter chain over ONE
+    registered table; the builder decides which (if either) can
+    actually answer from its manifest."""
     root = df._jdf.queryExecution().optimizedPlan()
     opt, sort, limit = _peel_sort_limit(root)
     if sort is None:
-        return None
+        return []
     proj_ids: list[int] | None = None
     if opt.getClass().getSimpleName() == "Project":
         pl = opt.projectList()
@@ -185,7 +193,7 @@ def extract_star_group(
         for j in range(pl.size()):
             _pn, aid = _attr_id(pl.apply(j))
             if aid is None:
-                return None
+                return []
             proj_ids.append(aid)
         opt = opt.child()
     having_conds = []
@@ -193,10 +201,10 @@ def extract_star_group(
         having_conds.append(opt.condition())
         opt = opt.child()
     if opt.getClass().getSimpleName() != "Aggregate":
-        return None
+        return []
     gexprs = opt.groupingExpressions()
     if not (1 <= gexprs.size() <= _MAX_GROUP_KEYS):
-        return None
+        return []
     # Projects between Aggregate and Join are column pruning; an
     # Alias there would re-id attributes the group/agg parse needs
     # bare, so references into one simply fail the id lookups below
@@ -204,17 +212,18 @@ def extract_star_group(
     while node.getClass().getSimpleName() == "Project":
         node = node.child()
     if node.getClass().getSimpleName() != "Join":
-        return None
+        return []
     if node.joinType().toString() != "Inner":
-        return None
+        return []
     cond = node.condition()
     if not cond.isDefined():
-        return None
+        return []
     pairs = _strict_equi_pairs(cond.get())
     if pairs is None or len(pairs) != 1:
         return None  # composite equi keys: slices pin ONE key
     name_by_root = {_bare(p): n for n, p in paths_by_name.items()}
 
+    out = []
     for fact_side, dim_side in (
         (node.left(), node.right()),
         (node.right(), node.left()),
@@ -224,8 +233,8 @@ def extract_star_group(
             having_conds, proj_ids, sort, limit,
         )
         if got is not None:
-            return got
-    return None
+            out.append(got)
+    return out
 
 
 def _try_orientation(
@@ -306,22 +315,34 @@ def _try_orientation(
     if dim_attr.dataType().typeName() not in _STAR_KEY_TYPES:
         return None
 
+    # grouping keys may come from EITHER side (r16 mixed grouping):
+    # a dim attribute rides the dim evaluation; a FACT column must pin
+    # per slice (the composite-slice machinery), so it joins the
+    # fact-side key tuple the partials fold under
     groups: list[dict] = []
     gids: dict[int, str] = {}
     dim_group_idx: list[int] = []
+    fact_group_cols: list[str] = []
     for j in range(gexprs.size()):
         ge = gexprs.apply(j)
         _gn, gid = _attr_id(ge)
-        if gid is None or gid in gids or gid not in dim_ids:
+        if gid is None or gid in gids:
             return None
         gtname = ge.dataType().typeName()
         if gtname not in _STAR_KEY_TYPES:
             return None
         gname = ge.name()
+        if gid in dim_ids:
+            side = "dim"
+            dim_group_idx.append(dim_ids[gid])
+        elif gid in by_id:
+            side = "fact"
+            fact_group_cols.append(by_id[gid][0])
+        else:
+            return None
         gids[gid] = gname
         groups.append({"kind": "col", "src": gname, "gname": gname,
-                       "out_tname": gtname})
-        dim_group_idx.append(dim_ids[gid])
+                       "out_tname": gtname, "side": side})
     if len({g["gname"] for g in groups}) != len(groups):
         return None  # same-named keys would collide in the render
 
@@ -421,7 +442,7 @@ def _try_orientation(
 
     used = {c for c, _o, _v in conjuncts} | {
         c for k, c in aggs if c is not None and k != "key"
-    } | {fk}
+    } | {fk} | set(fact_group_cols)
     types = {nm: tn for nm, tn in by_id.values() if nm in used}
     out_fields = [(f.name, f.dataType) for f in df.schema.fields]
     if proj_ids is not None:
@@ -479,6 +500,7 @@ def _try_orientation(
         "dim_plan": dim_side,
         "dim_key_idx": dk_idx,
         "dim_group_idx": dim_group_idx,
+        "fact_group_cols": fact_group_cols,
     }
 
 
@@ -570,14 +592,19 @@ def build_star_frame(
         return None  # un-maintained append: metadata can't be trusted
 
     # slice table keyed on the JOIN key (possibly composite — every
-    # slice still pins fk exactly, just finer)
+    # slice still pins fk exactly, just finer); with fact-side group
+    # keys (mixed grouping) prefer the config covering the most of
+    # {fk} + fact group columns, fewest extraneous components
+    fact_gcols = info.get("fact_group_cols") or []
+    want = {fk} | set(fact_gcols)
     gs_cfg = _zm.group_stats_config(path)
     gcol, best_rank = None, (0, 0)
     for key in gs_cfg:
         comps = set(_zm._gs_components(key))
         if fk not in comps:
             continue
-        rank = (1, -(len(comps) - 1))
+        ov = len(comps & want)
+        rank = (ov, -(len(comps) - ov))
         if rank > best_rank:
             best_rank, gcol = rank, key
     gs_by_file: dict[str, list[dict]] = {}
@@ -586,10 +613,17 @@ def build_star_frame(
         if got is not None:
             gs_by_file = got
 
+    # the fact-side key tuple the partials fold under: the join key
+    # FIRST, then every fact grouping column (each must pin per file
+    # or per slice — single-valued or all-NULL — or the path declines)
     fk_groups = [{
         "kind": "col", "src": fk, "gname": fk,
         "out_tname": info["fact_key_t"],
-    }]
+    }] + [
+        {"kind": "col", "src": c, "gname": c,
+         "out_tname": types.get(c, "")}
+        for c in fact_gcols
+    ]
     norm = _norm_conjuncts(conjuncts)
     fact_meta: dict[Any, list] = {}
     files_pinned = 0
@@ -606,7 +640,9 @@ def build_star_frame(
             if kv is not None:
                 files_pinned += 1
                 if kv[0] is not None:  # NULL keys never equi-join
-                    part = fact_meta.setdefault(kv[0], _fresh_partials(aggs))
+                    part = fact_meta.setdefault(
+                        tuple(kv), _fresh_partials(aggs)
+                    )
                     if not _fold_partials(aggs, part, r, n_rows, {}):
                         return None
                     if len(fact_meta) > STAR_MAX_KEYS:
@@ -638,7 +674,7 @@ def build_star_frame(
                 return None
             if kv[0] is None:
                 continue
-            part = fact_meta.setdefault(kv[0], _fresh_partials(aggs))
+            part = fact_meta.setdefault(tuple(kv), _fresh_partials(aggs))
             if not _fold_partials(aggs, part, gr, g_n, {}):
                 return None
             if len(fact_meta) > STAR_MAX_KEYS:
@@ -689,15 +725,33 @@ def build_star_frame(
                 _STAR_DIM_CACHE.pop(next(iter(_STAR_DIM_CACHE)))
             _STAR_DIM_CACHE[ck] = (snap, dim_vals)
 
+    # merge: per dim ROW (join multiplicity), per fact key tuple with
+    # that join key; the output key interleaves dim attrs and fact
+    # columns back into the query's grouping order
+    by_fk: dict[Any, list[tuple[tuple, list]]] = {}
+    for kv, part in fact_meta.items():
+        by_fk.setdefault(kv[0], []).append((kv[1:], part))
+    sides = [g["side"] for g in info["groups"]]
+
+    def _assemble(dim_gvals: tuple, fact_gvals: tuple) -> tuple:
+        di, fi, out = 0, 0, []
+        for s in sides:
+            if s == "dim":
+                out.append(dim_gvals[di])
+                di += 1
+            else:
+                out.append(fact_gvals[fi])
+                fi += 1
+        return tuple(out)
+
     group_parts: dict[tuple, list] = {}
-    for k, gvals in dim_vals:
+    for k, dim_gvals in dim_vals:
         if k is None:
             continue
-        fp = fact_meta.get(k)
-        if fp is None:
-            continue
-        dst = group_parts.setdefault(gvals, _fresh_partials(aggs))
-        _merge_parts(aggs, dst, fp)
+        for fact_gvals, fp in by_fk.get(k, ()):
+            key = _assemble(dim_gvals, fact_gvals)
+            dst = group_parts.setdefault(key, _fresh_partials(aggs))
+            _merge_parts(aggs, dst, fp)
 
     # -- render the merged groups as the aggregate-output frame -------
     groups = info["groups"]

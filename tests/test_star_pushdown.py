@@ -14,7 +14,10 @@ from quack_reduce_spark.inventory._util import load
 from quack_reduce_spark.operators import zonemaps as Z
 
 
-def _setup(spark, sf_dir, tmp_path, gs_cols=("c_nationkey",)):
+def _setup(
+    spark, sf_dir, tmp_path, gs_cols=("c_nationkey",),
+    stats_cols=("c_custkey", "c_nationkey"),
+):
     fact = str(tmp_path / "star_fact")
     dim = str(tmp_path / "star_dim")
     load(spark, sf_dir, "customer").repartition(5).write.mode(
@@ -24,8 +27,7 @@ def _setup(spark, sf_dir, tmp_path, gs_cols=("c_nationkey",)):
         "overwrite"
     ).parquet(dim)
     Z.write_zonemap(
-        spark, fact, ["c_custkey", "c_nationkey"],
-        group_stats_cols=list(gs_cols),
+        spark, fact, list(stats_cols), group_stats_cols=list(gs_cols),
     )
     eng = Engine(spark=spark)
     eng.register("sfact", fact)
@@ -235,6 +237,60 @@ def test_star_group_declines_stay_exact(spark, sf_dir, tmp_path):
         assert [tuple(r) for r in d.collect()] == want
     finally:
         SP.STAR_MAX_KEYS = cap0
+    _teardown(spark)
+
+
+def test_star_group_mixed_dim_and_fact_keys(spark, sf_dir, tmp_path):
+    """r16 mixed grouping: GROUP BY a dim attribute AND a fact column
+    — the fact column pins per slice through a COMPOSITE slice key
+    (c_nationkey,c_mktsegment), the output key re-interleaves both
+    sides in query order, still zero fact files scanned. Without a
+    slice config covering the fact key it declines and stays exact."""
+    eng, fact, dim = _setup(
+        spark, sf_dir, tmp_path,
+        gs_cols=("c_nationkey,c_mktsegment",),
+        stats_cols=("c_custkey", "c_nationkey", "c_mktsegment"),
+    )
+    d = eng.df(
+        "SELECT c_mktsegment, n_name, COUNT(*) AS n, MIN(c_custkey) AS m "
+        "FROM sfact JOIN sdim ON c_nationkey = n_nationkey "
+        "WHERE n_regionkey <= 2 GROUP BY c_mktsegment, n_name "
+        "ORDER BY c_mktsegment, n_name"
+    )
+    tele = eng.last_star_plan
+    assert tele is not None and tele["files_scanned"] == 0, tele
+    want = [
+        tuple(r)
+        for r in _plain(spark, fact, dim, dim_pred="n_regionkey <= 2")
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("c_custkey").alias("m"))
+        .orderBy("c_mktsegment", "n_name")
+        .collect()
+    ]
+    assert [tuple(r) for r in d.collect()] == want
+
+    # single-key slices can't pin c_mktsegment on a shuffled layout:
+    # decline, exact via the plain plan
+    Z.write_zonemap(
+        spark, fact, ["c_custkey", "c_nationkey"],
+        group_stats_cols=["c_nationkey"],
+    )
+    eng.register("sfact", fact)
+    d2 = eng.df(
+        "SELECT c_mktsegment, n_name, COUNT(*) AS n2 "
+        "FROM sfact JOIN sdim ON c_nationkey = n_nationkey "
+        "GROUP BY c_mktsegment, n_name ORDER BY c_mktsegment, n_name"
+    )
+    assert eng.last_star_plan is None
+    want2 = [
+        tuple(r)
+        for r in _plain(spark, fact, dim)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.count(F.lit(1)).alias("n2"))
+        .orderBy("c_mktsegment", "n_name")
+        .collect()
+    ]
+    assert [tuple(r) for r in d2.collect()] == want2
     _teardown(spark)
 
 
