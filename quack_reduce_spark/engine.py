@@ -333,6 +333,10 @@ class Engine:
                 except Exception:
                     agg = None  # exactness gate failed somewhere: run plain
             self.last_agg_plan = agg[1] if agg is not None else None
+            # reset here so a query answered by the AGG branch (which
+            # returns before the star attempt) never leaves a stale
+            # star report from an earlier query
+            self.last_star_plan = None
             if agg is not None:
                 frame, tele = agg
                 # files_read/files_total keep the classic report
