@@ -209,7 +209,11 @@ def dedup_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = D._portable_doc_hashes(
         docs.join(F.broadcast(cand_ids), "doc_id", "left_semi"), "text", "doc_id"
     )
-    docsets = hashes.groupBy("doc").agg(F.collect_set("h").alias("shset"))
+    # referenced by both verify joins below; without the checkpoint the
+    # semi-join + md5 shingle hashing + collect_set ran once per side
+    docsets = hashes.groupBy("doc").agg(
+        F.collect_set("h").alias("shset")
+    ).localCheckpoint(eager=False)
     from quack_reduce_spark.functions.numeric import rnd
 
     return (

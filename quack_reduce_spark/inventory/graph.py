@@ -135,6 +135,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") >= TRIANGLE_QTY_MIN)
         .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
         .distinct()
+        # both self-join sides reference this reduced frame; its
+        # distinct exchange is canonically identical on both sides, so
+        # ReuseExchange shares the shuffle — an r16 A/B measured a
+        # lazy checkpoint here as a wash and kept the simpler plan
     )
     x = li.select("ok", F.col("s").alias("sa"))
     y = li.select("ok", F.col("s").alias("sb"))

@@ -42,6 +42,7 @@ from quack_reduce_spark.operators.sketches import (
     hll_rho_sql,
     join_rows_estimate,
     key_count_sample,
+    key_count_sample_from_counts,
     kmv_estimate,
     kmv_per_group,
     kmv_topk_lists,
@@ -341,6 +342,11 @@ def sketch_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = sliced.select(
         "o_orderpriority", md5_h32(F.col("o_custkey").cast("string")).alias("h")
     ).distinct()
+    # two sketch rows, referenced once per slice below; the chain's
+    # exchanges are canonically identical across the two references,
+    # so ReuseExchange shares the heavy shuffles — an r16 A/B
+    # measured a lazy checkpoint here ~20% SLOWER (persist overhead
+    # exceeds the reused-exchange replay) and kept the lazy plan
     lists = kmv_topk_lists(hashed, "o_orderpriority", KMV_K)
     a = lists.filter(F.col("o_orderpriority") == THETA_A).select(
         F.col("__tk").alias("ta")
@@ -467,6 +473,13 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
 
     def side(year: int) -> DataFrame:
+        # each side's (key, count) fold feeds BOTH the bottom-n sample
+        # build and the exact join-size aggregate through the SAME
+        # DataFrame (key_count_sample_from_counts), so the fold's
+        # exchange is structurally shared (ReuseExchange) instead of
+        # relying on two separately-built plans canonicalizing equal;
+        # an r16 A/B measured an added checkpoint here ~12% slower
+        # (cheap post-shuffle agg — persist costs more than replay)
         return (
             li.filter(F.year("l_shipdate") == year)
             .groupBy(F.col("l_partkey").alias("k"))
@@ -477,14 +490,10 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # shared planner machinery (operators/sketches.py — the same
     # functions Engine.explain_join ships): bottom-n key-count theta
-    # samples + the ratio estimator over their hash-matched keys
-    def raw(year: int) -> DataFrame:
-        return li.filter(F.year("l_shipdate") == year).select(
-            F.col("l_partkey").alias("k")
-        )
-
-    sa = key_count_sample(raw(JOINCARD_YEAR_A), "k", JOINCARD_N)
-    sb = key_count_sample(raw(JOINCARD_YEAR_B), "k", JOINCARD_N)
+    # samples + the ratio estimator over their hash-matched keys,
+    # built from the SAME per-side counts the exact aggregate reads
+    sa = key_count_sample_from_counts(a, JOINCARD_N)
+    sb = key_count_sample_from_counts(b, JOINCARD_N)
     est_row = join_rows_estimate(sa, sb, JOINCARD_N)
 
     exact = (

@@ -292,34 +292,41 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape: suppliers whose line was the ONLY late one on a
     multi-supplier finished order. The EXISTS/NOT EXISTS pair is
-    decorrelated into ONE order-level aggregate (distinct suppliers,
-    distinct LATE suppliers) joined back on l_orderkey: a late line
-    qualifies iff n_supp > 1 and n_late_supp == 1. Two fact passes
-    instead of the semi+anti three, both shuffles keyed on l_orderkey
-    so they co-partition; measured ~15% faster at sf0.1 and one fewer
-    100 TB scan at scale. Lateness ≈ shipped >90 days after order
-    date."""
+    decorrelated into order-level distinct-supplier counts — r16:
+    computed as TWO collect_set WINDOW aggregates over one
+    l_orderkey partition instead of a groupBy + join-back, so the
+    fact passes ONCE (the join-back shape re-evaluated the
+    lineitem ⋈ orders join for each reference) and the order key is
+    exchanged ONCE instead of twice. A late line qualifies iff
+    n_supp > 1 and n_late_supp == 1; the window buffers one order's
+    lines (≤ 7 in TPC-H), so per-key state is bounded at any scale.
+    Lateness ≈ shipped >90 days after order date."""
+    from pyspark.sql import Window
+
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supplier = load(spark, sf_dir, "supplier")
     flagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "l_orderkey",
         "l_suppkey",
-        "l_linenumber",
         (
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
         ).alias("late"),
     )
-    stats = flagged.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
-    )
+    w = Window.partitionBy("l_orderkey")
     waiting = (
-        flagged.filter(F.col("late"))
-        .join(stats, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        flagged.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
     )
     return (
         waiting.join(F.broadcast(supplier), waiting.l_suppkey == supplier.s_suppkey)

@@ -104,7 +104,13 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _shingle_table(
-    df: DataFrame, text_col: str, id_col: str, n: int, hashed: bool = False, distinct: bool = True
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    hashed: bool = False,
+    distinct: bool = True,
+    local_distinct: bool = False,
 ) -> DataFrame:
     """(doc, sh) shingle pairs for docs with >= n tokens.
 
@@ -130,7 +136,15 @@ def _shingle_table(
         " ", *[F.element_at("__w", i + j) for j in range(n)]
     )
     assemble = (lambda i: F.xxhash64(mk(i))) if hashed else mk
-    sh = tok.select("doc", F.explode(F.transform(idx, assemble)).alias("sh"))
+    arr = F.transform(idx, assemble)
+    # local_distinct: dedup INSIDE the row (array_distinct before the
+    # explode). When ids are unique — every caller here — the result
+    # equals the global distinct, with zero shuffle: per-row hash-set
+    # work replaces a full exchange of the shingle table (guide §2.4,
+    # remove shuffles outright).
+    if local_distinct:
+        return tok.select("doc", F.explode(F.array_distinct(arr)).alias("sh"))
+    sh = tok.select("doc", F.explode(arr).alias("sh"))
     # distinct=False lets callers that immediately collect_set per doc
     # skip the extra dedup shuffle (the set aggregation dedups anyway)
     return sh.distinct() if distinct else sh
@@ -171,6 +185,12 @@ def ngram_jaccard_pairs(
         docsets = docsets.crossJoin(F.broadcast(freq)).select(
             "doc", F.array_except("shset", "__stop").alias("shset")
         )
+    # both join sides below re-explode this frame, and Spark
+    # re-evaluates each reference (shingle explode + collect_set
+    # twice); materialize it once — one (doc, set) row per doc, the
+    # same "persist the inverted-index source" move the prefix-filter
+    # variant already makes with its perdoc frame
+    docsets = docsets.localCheckpoint(eager=False)
 
     def side(doc_alias: str, n_alias: str) -> DataFrame:
         return docsets.select(
@@ -299,9 +319,13 @@ def _prefix_frames(
     sf0.1). The struct sort key (df_, sh) IS the global rare-first
     order, so slicing the sorted list is exactly the prefix."""
     if toks is None:
+        # r16: row-local dedup (array_distinct before the explode)
+        # replaces the former global .distinct() — identical (doc, sh)
+        # set at one less full shuffle of the shingle table
         toks = _shingle_table(
-            df, text_col, id_col, n, hashed=True, distinct=False
-        ).distinct()
+            df, text_col, id_col, n, hashed=True, distinct=False,
+            local_distinct=True,
+        )
     # df via a count window on sh — one exchange where the
     # groupBy+join-back shape pays two full-size ones (freq aggregate
     # AND the re-shuffle of toks onto sh for the join)
@@ -407,24 +431,40 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     # Relational MinHash: ONE groupBy(doc) carrying all num_hashes
-    # min-aggregates (min(a_i*h + b_i) per permutation) — each shingle
-    # row touched once, partial-aggregated map-side, fully codegen'd.
-    # Duplicate shingles can't change a min, so the shingle frame skips
-    # its distinct shuffle entirely; the verification sets dedup inside
-    # collect_set for the same reason. (A pure column-expression
-    # signature — 32 nested array_min(transform(...)) over the raw text
-    # — would get the tokenizer re-inlined into every permutation by
-    # Catalyst's projection collapse: O(perms x shingles x split)/row.)
+    # min-aggregates (min(a_i*h + b_i) per permutation) AND the
+    # collect_set verify set — each shingle row touched once,
+    # partial-aggregated map-side, fully codegen'd. Duplicate shingles
+    # can't change a min, so the shingle frame skips its distinct
+    # shuffle entirely; the verification sets dedup inside collect_set
+    # for the same reason. (A pure column-expression signature — 32
+    # nested array_min(transform(...)) over the raw text — would get
+    # the tokenizer re-inlined into every permutation by Catalyst's
+    # projection collapse: O(perms x shingles x split)/row.)
+    #
+    # The fused per-doc frame is materialized once (lazy
+    # localCheckpoint): it feeds FOUR downstream branches (both sides
+    # of the band-key self-join and both verify joins), and Spark
+    # re-evaluates every reference — before the fuse the shingle
+    # explode + groupBy ran up to 4x per query. One row per doc
+    # (signature + shingle set — the bytes an LSH index materializes
+    # anyway), so at cluster scale this is "persist the signature
+    # table before the band join".
     sh = _shingle_table(df, text_col, id_col, n, hashed=True, distinct=False)
-    hashed = sh.select("doc", F.shiftrightunsigned("sh", 33).alias("h"))
     consts = _perm_consts(num_hashes)
-    mins = hashed.groupBy("doc").agg(
-        *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"__m{i}")
-            for i, (a, b) in enumerate(consts)
-        ]
+    h = F.shiftrightunsigned("sh", 33)
+    per_doc = (
+        sh.groupBy("doc")
+        .agg(
+            F.collect_set("sh").alias("shset"),
+            *[
+                F.min((h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"__m{i}")
+                for i, (a, b) in enumerate(consts)
+            ],
+        )
+        .localCheckpoint(eager=False)
     )
-    docsets = sh.groupBy("doc").agg(F.collect_set("sh").alias("shset"))
+    mins = per_doc
+    docsets = per_doc.select("doc", "shset")
     band_structs = []
     for b_i in range(bands):
         members = [
@@ -631,8 +671,44 @@ def minhash_lsh_pairs_portable(
     for replayability — the right trade for audits and cross-engine
     regression gates, not for the 100 TB hot path.
     """
-    banded = minhash_band_keys_portable(df, text_col, id_col, n, num_hashes, bands)
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    # Fused per-doc aggregation (same shape as minhash_lsh_pairs): one
+    # groupBy carries the verify set AND every permutation min, and the
+    # materialized frame feeds all four downstream branches — without
+    # it the md5 shingle hashing (the expensive part of the portable
+    # family) re-ran per branch.
     hashed = _portable_doc_hashes(df, text_col, id_col, n)
+    consts = _perm_consts(num_hashes)
+    per_doc = (
+        hashed.groupBy("doc")
+        .agg(
+            F.collect_set("h").alias("shset"),
+            *[
+                F.min(
+                    (F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+                ).alias(f"__m{i}")
+                for i, (a, b) in enumerate(consts)
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+    band_structs = []
+    for b_i in range(bands):
+        members = [
+            F.col(f"__m{i}").cast("string")
+            for i in range(b_i * rows_per_band, (b_i + 1) * rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(b_i).alias("band"),
+                F.concat_ws("_", *members).alias("bkey"),
+            )
+        )
+    banded = per_doc.select(
+        "doc", F.explode(F.array(*band_structs)).alias("__b")
+    ).select("doc", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey"))
 
     left = banded.select("band", "bkey", F.col("doc").alias("doc1"))
     right = banded.select("band", "bkey", F.col("doc").alias("doc2"))
@@ -642,7 +718,7 @@ def minhash_lsh_pairs_portable(
         .select("doc1", "doc2")
         .distinct()
     )
-    docsets = hashed.groupBy("doc").agg(F.collect_set("h").alias("shset"))
+    docsets = per_doc.select("doc", "shset")
     return (
         candidates.join(
             docsets.select(F.col("doc").alias("doc1"), F.col("shset").alias("__s1")),

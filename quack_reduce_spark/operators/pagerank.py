@@ -56,15 +56,34 @@ def pagerank(
 
     ``checkpoint_every``: truncate the rank lineage with an eager
     localCheckpoint every this-many rounds (0 disables). Without it
-    the unrolled plan grows linearly with ``iters`` — the classic
-    iterative-Spark trap; with it the plan depth is bounded by the
-    checkpoint interval regardless of iteration count (mirrors
+    the unrolled plan TREE grows exponentially with ``iters`` (each
+    round references the previous rank frame three times), which
+    ReuseExchange neutralizes at runtime but which still costs
+    planning time and plan-size headroom at higher iteration counts;
+    with it the plan depth is bounded by the checkpoint interval.
+    The default stays at 4 — r16 measured per-round eager
+    checkpoints 3-4x slower than the pipelined plan at bench scale
+    (job barriers dominate; results are identical either way,
+    tests/test_r16_optimizations.py) — (mirrors
     ``bfs_levels``' per-round frontier checkpoint). On a cluster use
     ``spark.sparkContext.setCheckpointDir`` + reliable checkpoints if
     executor loss during a long run must be survivable.
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
+    # The edge table is referenced once per iteration (the contribs
+    # join) on top of the nodes/out_deg builds, and the rank frame of
+    # round k is referenced by round k+1 three times — the unrolled
+    # plan TREE is exponential in ``iters`` (226 KB of explain at
+    # iters=3). Runtime survives that because ReuseExchange dedupes
+    # the identical shuffle subtrees: the repeated references replay
+    # reused shuffle outputs, not the base join. r16 measured the
+    # materializing alternatives and kept the pipelined plan: eager
+    # per-round checkpoints ran 3-4x slower (five sequential job
+    # barriers replace one job), and even a lazy checkpoint of this
+    # edge list ran ~2x slower (persist + re-read of the wide rows
+    # costs more than replaying the reused exchange) — guide §1,
+    # measure first; §2.4, the exchange is already shared.
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))

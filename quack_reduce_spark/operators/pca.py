@@ -65,7 +65,18 @@ def pca_scores(
 def _center(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
     """(id, cv:array<double>) — vectors minus the corpus mean. The mean
     is one posexplode aggregate; the d collected doubles are the only
-    driver-side data."""
+    driver-side data.
+
+    The centered frame is MATERIALIZED (lazy localCheckpoint, so the
+    first power round's action both computes and persists it): every
+    power round's w-aggregate plus the caller's final scoring pass is
+    a separate driver action, and exchange reuse cannot help across
+    actions — without the checkpoint each of those 4-5 jobs re-ran
+    the scan + cast + zip_with centering from the source (r16 A/B:
+    ~15% whole-query win at sf0.1). One array<double> row per vector
+    — the same bytes the source holds — so at cluster scale this is
+    "persist the centered matrix before iterating", the standard
+    power-iteration shape."""
     e = df.select(
         F.col(id_col),
         F.posexplode(F.col(vec_col)).alias("pos", "val"),
@@ -81,7 +92,7 @@ def _center(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
             _lit_array(mu),
             lambda x, m: x - m,
         ).alias("cv"),
-    )
+    ).localCheckpoint(eager=False)
 
 
 def _power_fit(centered: DataFrame, dim: int, rounds: int) -> list[float]:

@@ -61,14 +61,29 @@ def cosine_topk(
     the corpus never shuffles until the final per-query top-k (a
     TakeOrdered over k*|queries| rows).
     """
+    # Stage each side's L2 norm ONCE per row before the cross join:
+    # written inline (cosine = dot/(norm*norm)) both norms re-evaluate
+    # per PAIR — the corpus norm |queries| times and the query norm
+    # |corpus| times, tripling the per-pair array work. The staged
+    # columns are multi-referenced, which CollapseProject keeps
+    # materialized (the quantized_topk scale-staging contract below).
+    # Same expression tree per value, so scores are bit-identical.
     q = F.broadcast(
-        queries.select(F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec"))
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+        ).select("__qid", "__qvec", l2_norm(F.col("__qvec")).alias("__qn"))
     )
-    c = corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cvec"))
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cvec")
+    ).select("__cid", "__cvec", l2_norm(F.col("__cvec")).alias("__cn"))
     scored = q.crossJoin(c).select(
         F.col("__qid").alias(query_id),
         F.col("__cid").alias(corpus_id),
-        rnd(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
+        rnd(
+            dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qn") * F.col("__cn")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id).asc())
     return (

@@ -197,6 +197,14 @@ def key_count_sample(df: DataFrame, key_col: str, n: int) -> DataFrame:
     counts = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    return key_count_sample_from_counts(counts, n)
+
+
+def key_count_sample_from_counts(counts: DataFrame, n: int) -> DataFrame:
+    """:func:`key_count_sample` from an ALREADY-AGGREGATED
+    ``(k, cnt)`` frame — for callers that also need the per-key counts
+    themselves (e.g. an exact join-size aggregate next to the
+    estimate): share one groupBy instead of folding the fact twice."""
     keyed = counts.select(
         F.lit("g").alias("g"),
         md5_h32(F.col("k").cast("string")).alias("h"),

@@ -1,0 +1,90 @@
+"""Focused contracts for the r16 optimization-round internals.
+
+Each test pins an equivalence an r16 plan restructure relies on, so a
+future refactor cannot silently change results while chasing speed:
+
+- row-local shingle dedup (array_distinct before the explode) equals
+  the former global ``.distinct()`` and stays shuffle-free;
+- ``key_count_sample_from_counts`` over a pre-aggregated (k, cnt)
+  frame equals ``key_count_sample`` over the raw rows;
+- the fused MinHash per-doc aggregation (mins + verify set in one
+  groupBy) leaves the emitted pair set identical to the exact-Jaccard
+  ground truth (the dedup_minhash_lsh oracle contract);
+- pagerank's per-iteration lineage truncation (checkpoint_every=1)
+  produces the identical ranks as the untruncated plan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from quack_reduce_spark.inventory._util import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_local_distinct_shingles_match_global_distinct(spark):
+    from quack_reduce_spark.operators.dedup import _shingle_table
+    from quack_reduce_spark.plans import formatted_plan
+
+    docs = load(spark, SF_DIR, "documents")
+    local = _shingle_table(
+        docs, "text", "doc_id", 3, hashed=True, distinct=False, local_distinct=True
+    )
+    global_ = _shingle_table(
+        docs, "text", "doc_id", 3, hashed=True, distinct=True
+    )
+    assert _rows(local) == _rows(global_)
+    # the point of the rewrite: per-row dedup adds no shuffle
+    assert "Exchange" not in formatted_plan(local)
+
+
+def test_key_count_sample_from_counts_matches_raw(spark):
+    from quack_reduce_spark.operators.sketches import (
+        key_count_sample,
+        key_count_sample_from_counts,
+    )
+
+    li = load(spark, SF_DIR, "lineitem").select(F.col("l_partkey").alias("k"))
+    counts = li.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    a = key_count_sample(li, "k", 64).collect()[0]["__smp"]
+    b = key_count_sample_from_counts(counts, 64).collect()[0]["__smp"]
+    assert [tuple(s) for s in a] == [tuple(s) for s in b]
+
+
+def test_fused_minhash_equals_exact_pairs(spark):
+    from quack_reduce_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    lsh = _rows(minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5))
+    exact = _rows(ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5))
+    assert lsh == exact  # the r7 oracle-of-record contract
+
+
+def test_pagerank_checkpoint_interval_does_not_change_ranks(spark):
+    from quack_reduce_spark.operators.pagerank import pagerank
+
+    edges = (
+        load(spark, SF_DIR, "lineitem")
+        .join(
+            load(spark, SF_DIR, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    fast = pagerank(edges, iters=3, checkpoint_every=1)
+    slow = pagerank(edges, iters=3, checkpoint_every=0)
+    f = {r["node"]: r["rank"] for r in fast.collect()}
+    s = {r["node"]: r["rank"] for r in slow.collect()}
+    assert f == s
