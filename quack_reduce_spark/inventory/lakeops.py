@@ -2263,9 +2263,16 @@ def lake_star_group_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # c_mktsegment), still zero fact files scanned
     path_m = _fresh_dir(sf_dir, "lake_star_m")
     cust.repartition(5).write.mode("overwrite").parquet(path_m)
+    # the composite key space is bounded by the schema (25 nations x 5
+    # segments = 125 combos), not by the row count — size the per-file
+    # slice cap to it, else every file of a >=sf0.01 fixture exceeds
+    # the 64-entry default and is excluded wholesale (r16 fix: the
+    # interrupted build had only been verified at sf0.001, where the
+    # small files stay under the default cap)
     Z.write_zonemap(
         spark, path_m, ["c_custkey", "c_nationkey", "c_mktsegment"],
         group_stats_cols=["c_nationkey,c_mktsegment"],
+        group_stats_max=128,
     )
     tm = f"starm_{_uuid.uuid4().hex[:8]}"
     eng.register(tm, path_m)

@@ -11,7 +11,12 @@ future refactor cannot silently change results while chasing speed:
   groupBy) leaves the emitted pair set identical to the exact-Jaccard
   ground truth (the dedup_minhash_lsh oracle contract);
 - pagerank's per-iteration lineage truncation (checkpoint_every=1)
-  produces the identical ranks as the untruncated plan.
+  produces the identical ranks as the untruncated plan;
+- composite star slices follow group_stats_max: over-cap files are
+  excluded (pushdown declines, plain plan answers identically), and a
+  cap sized to the bounded key space restores the zero-scan answer —
+  the inherited-build hole that failed lake_star_group_pushdown at
+  sf >= 0.01 (fixed in inventory/lakeops.py this round).
 """
 
 from __future__ import annotations
@@ -66,6 +71,54 @@ def test_fused_minhash_equals_exact_pairs(spark):
     lsh = _rows(minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5))
     exact = _rows(ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5))
     assert lsh == exact  # the r7 oracle-of-record contract
+
+
+def test_star_composite_slices_follow_group_stats_max(spark, tmp_path):
+    """The inherited-build hole fixed in r16: a composite slice column
+    whose PER-FILE distinct-combo count exceeds group_stats_max gets
+    excluded wholesale, so the mixed-key star pushdown must decline at
+    the default cap and answer (files_scanned == 0) once the cap is
+    sized to the bounded key space."""
+    import pyspark.sql.functions as F2
+
+    from quack_reduce_spark.engine import Engine
+    from quack_reduce_spark.operators import zonemaps as Z
+
+    # 1 file x 600 rows covering 25x7 = 175 combos (> the 64 default;
+    # coprime moduli so the two key parts are independent)
+    fact = spark.range(600).select(
+        F2.col("id").alias("k"),
+        (F2.col("id") % 25).cast("int").alias("nk"),
+        F2.concat(F2.lit("seg"), (F2.col("id") % 7)).alias("seg"),
+    )
+    dim = spark.createDataFrame(
+        [(i, f"nation{i}") for i in range(25)], "n_nk int, n_name string"
+    )
+    dim_path = str(tmp_path / "dim")
+    dim.coalesce(1).write.parquet(dim_path)
+    q = (
+        "SELECT seg, n_name, COUNT(*) AS n FROM {f} JOIN {d} "
+        "ON nk = n_nk GROUP BY seg, n_name ORDER BY seg, n_name"
+    )
+
+    def run(cap):
+        p = str(tmp_path / f"fact_{cap}")
+        fact.coalesce(1).write.parquet(p)
+        Z.write_zonemap(
+            spark, p, ["k", "nk", "seg"],
+            group_stats_cols=["nk,seg"], group_stats_max=cap,
+        )
+        eng = Engine(spark=spark, result_cache=False)
+        eng.register(f"f_{cap}", p)
+        eng.register(f"d_{cap}", dim_path)
+        rows = eng.df(q.format(f=f"f_{cap}", d=f"d_{cap}")).collect()
+        return rows, eng.last_star_plan
+
+    rows_default, tele_default = run(64)
+    assert tele_default is None  # over-cap: excluded, plain plan runs
+    rows_sized, tele_sized = run(256)
+    assert tele_sized is not None and tele_sized["files_scanned"] == 0
+    assert [tuple(r) for r in rows_default] == [tuple(r) for r in rows_sized]
 
 
 def test_pagerank_checkpoint_interval_does_not_change_ranks(spark):
