@@ -421,6 +421,18 @@ def sketch_topn_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_h32(F.col("event_id").cast("string")).alias("h"),
         F.col("value").alias("v"),
     )
+    # r16 REJECTED experiment (kept as a warning): folding the auto-
+    # fanout count into the exact-percentile aggregate (count +
+    # percentiles in one groupBy, lazily checkpointed, fans derived
+    # from the checkpointed frame) removes one fact scan (3 -> 2) but
+    # measured 15-20% SLOWER across 4 paired fresh-process A/B rounds
+    # at sf0.1 (ctrl mins 0.92/0.94/1.04/1.07 vs head mins
+    # 1.05/1.17/1.26/1.49): the fat percentile aggregate becomes a
+    # SEQUENTIAL broadcast prerequisite of the sample-tree job, while
+    # this shape's broadcast prerequisite is only the cheap column-
+    # pruned count scan and the exact aggregate overlaps the sample
+    # tree inside one job (same job-barrier economics as the pagerank
+    # checkpoint rejection — see OPTIMIZATION_r16.md).
     smp = topn_sample_lists(keyed, "event_type", TOPN_N)
     sampled = smp.select("event_type", F.explode("__smp").alias("s")).select(
         "event_type", F.col("s.v").alias("value")

@@ -328,7 +328,16 @@ def _prefix_frames(
         )
     # df via a count window on sh — one exchange where the
     # groupBy+join-back shape pays two full-size ones (freq aggregate
-    # AND the re-shuffle of toks onto sh for the join)
+    # AND the re-shuffle of toks onto sh for the join).
+    # r16 REJECTED experiment (kept as a warning): replacing the window
+    # with groupBy(sh).agg(count, collect_list(doc)) + explode — the
+    # same single exchange without the window's sort — measured a WASH
+    # across 7 paired fresh-process A/B rounds at sf0.1 (ctrl mins
+    # mean 3.01 s vs head 3.11 s; the sort is not the cost at this
+    # scale), and it is strictly WORSE at 100 TB: WindowExec buffers a
+    # partition group through an UnsafeExternalSorter that can SPILL,
+    # while a hot shingle's collect_list doc array must fit one task's
+    # heap. See OPTIMIZATION_r16.md.
     annotated = toks.withColumn(
         "df_", F.count(F.lit(1)).over(Window.partitionBy("sh"))
     )
