@@ -141,3 +141,33 @@ def test_pagerank_checkpoint_interval_does_not_change_ranks(spark):
     f = {r["node"]: r["rank"] for r in fast.collect()}
     s = {r["node"]: r["rank"] for r in slow.collect()}
     assert f == s
+
+
+def test_accumulated_positional_filter_bounds(spark):
+    """The r16 pair-level PPJoin filter in _candidates_from_prefix:
+    bound (2) ``m + min(n1-im-1, n2-jm-1) >= alpha`` must drop a pair
+    whose every witness row passed the old per-row bound (1), while a
+    genuinely reachable pair survives both bounds.  threshold=0.5:
+
+    - docs 1,2: sz=10 -> alpha = ceil(0.5*20/1.5) = 7; matches at
+      ranks (0,0) and (5,5): bound (1) = 1 + 9 = 10 >= 7 (the old
+      shape kept this pair) but m=2, im=jm=5 -> 2 + 4 = 6 < 7 — the
+      accumulated bound proves overlap can never reach alpha: DROP.
+    - docs 3,4: sz=4 -> alpha = 3; matches at (0,0) and (1,1):
+      bound (1) = 1 + 2 = 3 >= 3, bound (2) = 2 + 2 = 4 >= 3: KEEP.
+    """
+    from quack_reduce_spark.operators.dedup import _candidates_from_prefix
+
+    rows = []
+    for pos, sh in enumerate([101, 102, 103, 104, 105, 109]):
+        rows.append((1, 10, pos, sh))
+    for pos, sh in enumerate([101, 206, 207, 208, 209, 109]):
+        rows.append((2, 10, pos, sh))
+    for pos, sh in enumerate([301, 302, 303]):
+        rows.append((3, 4, pos, sh))
+    for pos, sh in enumerate([301, 302, 404]):
+        rows.append((4, 4, pos, sh))
+    prefix = spark.createDataFrame(rows, ["doc", "sz", "pos", "sh"])
+    cands = _rows(_candidates_from_prefix(prefix, 0.5))
+    assert (1, 2) not in cands
+    assert (3, 4) in cands
