@@ -407,6 +407,61 @@ def _prefix_frames(
     return prefix, perdoc
 
 
+_VERIFY_FENCE_SEQ = 0
+
+
+def verified_jaccard_pairs(
+    pairs: DataFrame, threshold: float, id1: str, id2: str
+) -> DataFrame:
+    """Shared exact-Jaccard verification tail: score candidate pairs
+    carrying their two shingle-set arrays (``__s1``/``__s2``), then
+    filter to ``jaccard >= threshold`` BEHIND AN OPTIMIZER FENCE.
+
+    Without the fence, Catalyst pushes the threshold filter through
+    the scoring Project into the verify join's condition, inlining
+    the rounded-Jaccard expression in terms of __s1/__s2 — the
+    physical plan's ``Join condition`` then evaluates
+    ``array_intersect`` TWICE per candidate pair (numerator + union
+    denominator) and the downstream Project recomputes it once more
+    for the output column: ~3x the per-pair array work (r16 plan
+    audit: every dedup verify join carried ``FLOOR(...
+    array_intersect ... array_intersect ...)`` as its condition).
+    ``Dataset.observe`` inserts a CollectMetrics node between the
+    scoring Project and the Filter; pushing a filter below
+    CollectMetrics would change the observed metric, so Catalyst
+    leaves the filter referencing the ``jaccard`` column, and the
+    multi-referenced non-cheap ``__common`` alias is computed ONCE
+    per pair (CollapseProject keeps such aliases materialized). The
+    metric doubles as verify telemetry: how many candidate pairs the
+    verify actually scored.
+
+    Applied where MEASURED to win — prefix_filter_pairs, whose
+    ~120k-pair candidate set amortizes the fence (7/10 paired A/B
+    rounds faster, median -10%, never slower on a clean round). The
+    minhash/LSH verifies measured SLOWER fenced (small candidate
+    sets; rejection numbers at those sites) — do not blanket-apply."""
+    global _VERIFY_FENCE_SEQ
+    _VERIFY_FENCE_SEQ += 1
+    scored = (
+        pairs.withColumn(
+            "__common", F.array_size(F.array_intersect("__s1", "__s2"))
+        )
+        .withColumn(
+            "jaccard",
+            rnd(
+                F.col("__common")
+                / (F.array_size("__s1") + F.array_size("__s2") - F.col("__common")),
+                6,
+            ),
+        )
+        .observe(
+            f"jaccard_verify_{_VERIFY_FENCE_SEQ}",
+            F.count(F.lit(1)).alias("verified_pairs"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select(id1, id2, "jaccard")
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     text_col: str,
@@ -422,7 +477,7 @@ def prefix_filter_pairs(
     the full shingle sets of candidate pairs only."""
     prefix, perdoc = _prefix_frames(df, text_col, id_col, n, threshold)
     cand = _candidates_from_prefix(prefix, threshold)
-    return (
+    verify_input = (
         cand.join(
             perdoc.select(F.col("doc").alias("doc1"), F.col("shset").alias("__s1")),
             "doc1",
@@ -431,18 +486,8 @@ def prefix_filter_pairs(
             perdoc.select(F.col("doc").alias("doc2"), F.col("shset").alias("__s2")),
             "doc2",
         )
-        .withColumn("__common", F.array_size(F.array_intersect("__s1", "__s2")))
-        .withColumn(
-            "jaccard",
-            rnd(
-                F.col("__common")
-                / (F.array_size("__s1") + F.array_size("__s2") - F.col("__common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc1", "doc2", "jaccard")
     )
+    return verified_jaccard_pairs(verify_input, threshold, "doc1", "doc2")
 
 
 def minhash_signature(text: Column, n: int = 3, num_hashes: int = 32) -> Column:
@@ -542,6 +587,13 @@ def minhash_lsh_pairs(
     # each side's shingle set back in and intersect. Cost is
     # |candidates| x avg shingle-set size — independent of the corpus
     # pair space, which is what makes LSH the 100 TB path.
+    # r16 REJECTED: the verified_jaccard_pairs observe-fence (accepted
+    # for prefix_filter_pairs) measured +5..+21% HERE across 3 paired
+    # fresh-process A/B rounds (ctrl mins 1.519/1.501/1.524 vs fenced
+    # 1.833/1.569/1.822 at sf0.1) — the LSH candidate set is too small
+    # for the saved array_intersect evals to beat the extra
+    # CollectMetrics pipeline break. Same verdict for the portable
+    # twin and dedup_lsh_index_probe (+11/+15%). See OPTIMIZATION_r16.md.
     return (
         candidates.join(
             docsets.select(F.col("doc").alias("doc1"), F.col("shset").alias("__s1")), "doc1"
