@@ -209,11 +209,17 @@ def dedup_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = D._portable_doc_hashes(
         docs.join(F.broadcast(cand_ids), "doc_id", "left_semi"), "text", "doc_id"
     )
-    # referenced by both verify joins below; without the checkpoint the
-    # semi-join + md5 shingle hashing + collect_set ran once per side
-    docsets = hashes.groupBy("doc").agg(
-        F.collect_set("h").alias("shset")
-    ).localCheckpoint(eager=False)
+    # referenced by both verify joins below; without the
+    # materialization the semi-join + md5 shingle hashing +
+    # collect_set ran once per side. r17: persist (reuse_persist)
+    # instead of localCheckpoint — same dedup, recompute-on-loss
+    # lineage at cluster scale (guide §5).
+    from quack_reduce_spark.operators.reuse import reuse_persist
+
+    docsets = reuse_persist(
+        hashes.groupBy("doc").agg(F.collect_set("h").alias("shset")),
+        "lsh_index_probe.docsets",
+    )
     from quack_reduce_spark.functions.numeric import rnd
 
     return (

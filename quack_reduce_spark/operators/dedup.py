@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from quack_reduce_spark.functions.numeric import rnd
+from quack_reduce_spark.operators.reuse import reuse_persist
 
 # Fixed affine permutation constants for MinHash (public Carter-Wegman
 # style h_i(x) = a_i*x + b_i over the 2^64 ring; odd multipliers).
@@ -189,8 +190,10 @@ def ngram_jaccard_pairs(
     # re-evaluates each reference (shingle explode + collect_set
     # twice); materialize it once — one (doc, set) row per doc, the
     # same "persist the inverted-index source" move the prefix-filter
-    # variant already makes with its perdoc frame
-    docsets = docsets.localCheckpoint(eager=False)
+    # variant already makes with its perdoc frame. r17: persist (via
+    # reuse_persist) instead of localCheckpoint — same branch dedup,
+    # but lineage survives executor loss at cluster scale (guide §5).
+    docsets = reuse_persist(docsets, "ngram_jaccard.docsets")
 
     def side(doc_alias: str, n_alias: str) -> DataFrame:
         return docsets.select(
@@ -391,8 +394,10 @@ def _prefix_frames(
             F.array_size("__lst").alias("sz"),
             F.transform("__lst", lambda s: s["sh"]).alias("shset"),
         )
-        .localCheckpoint(eager=False)  # referenced by prefix + both verify sides
     )
+    # referenced by prefix + both verify sides; persist (not
+    # localCheckpoint) so lineage survives executor loss — see reuse.py
+    perdoc = reuse_persist(perdoc, "prefix_frames.perdoc")
     prefix = perdoc.select(
         "doc",
         "sz",
@@ -405,9 +410,6 @@ def _prefix_frames(
         ).alias("pos", "sh"),  # pos: 0-based rank in the rare-first order
     )
     return prefix, perdoc
-
-
-_VERIFY_FENCE_SEQ = 0
 
 
 def verified_jaccard_pairs(
@@ -439,9 +441,19 @@ def verified_jaccard_pairs(
     ~120k-pair candidate set amortizes the fence (7/10 paired A/B
     rounds faster, median -10%, never slower on a clean round). The
     minhash/LSH verifies measured SLOWER fenced (small candidate
-    sets; rejection numbers at those sites) — do not blanket-apply."""
-    global _VERIFY_FENCE_SEQ
-    _VERIFY_FENCE_SEQ += 1
+    sets; rejection numbers at those sites) — do not blanket-apply.
+
+    The observation name derives from the INPUT PLAN's semantic hash
+    (r17, replacing a module-global counter): deterministic — the
+    same query rebuilt yields the identical plan, no cross-thread
+    state — and distinct fenced subtrees inside one composed query
+    get distinct names (Spark only rejects duplicate observation
+    names on DIFFERENT subtrees). The plan shape the fence buys is
+    pinned by tests/test_r17_optimizations.py::
+    test_prefix_verify_fence_plan_shape, so a Spark upgrade that
+    pushes filters through CollectMetrics again turns a silent 3x
+    per-pair regression into a red test."""
+    fence_id = pairs.semanticHash() & 0x7FFFFFFF
     scored = (
         pairs.withColumn(
             "__common", F.array_size(F.array_intersect("__s1", "__s2"))
@@ -455,7 +467,7 @@ def verified_jaccard_pairs(
             ),
         )
         .observe(
-            f"jaccard_verify_{_VERIFY_FENCE_SEQ}",
+            f"jaccard_verify_{fence_id}",
             F.count(F.lit(1)).alias("verified_pairs"),
         )
     )
@@ -534,8 +546,8 @@ def minhash_lsh_pairs(
     # the tokenizer re-inlined into every permutation by Catalyst's
     # projection collapse: O(perms x shingles x split)/row.)
     #
-    # The fused per-doc frame is materialized once (lazy
-    # localCheckpoint): it feeds FOUR downstream branches (both sides
+    # The fused per-doc frame is materialized once (persist — lazy,
+    # lineage-preserving; see reuse_persist): it feeds FOUR downstream branches (both sides
     # of the band-key self-join and both verify joins), and Spark
     # re-evaluates every reference — before the fuse the shingle
     # explode + groupBy ran up to 4x per query. One row per doc
@@ -554,8 +566,8 @@ def minhash_lsh_pairs(
                 for i, (a, b) in enumerate(consts)
             ],
         )
-        .localCheckpoint(eager=False)
     )
+    per_doc = reuse_persist(per_doc, "minhash_lsh.per_doc")
     mins = per_doc
     docsets = per_doc.select("doc", "shset")
     band_structs = []
@@ -792,8 +804,8 @@ def minhash_lsh_pairs_portable(
                 for i, (a, b) in enumerate(consts)
             ],
         )
-        .localCheckpoint(eager=False)
     )
+    per_doc = reuse_persist(per_doc, "minhash_lsh_portable.per_doc")
     band_structs = []
     for b_i in range(bands):
         members = [
@@ -872,11 +884,13 @@ def char_ngram_pairs(
                 F.transform(idx, lambda i: F.xxhash64(F.col(text_col).substr(i, F.lit(k))))
             )
         ).alias("g"),
-    ).localCheckpoint(eager=False)  # Spark never shares self-join subtrees:
-    # without this the gram table (substr + hash over every char offset)
-    # is computed once PER SIDE; materializing it is a ~40% win measured
-    # at sf0.1, and at cluster scale the equivalent is persisting the
-    # gram table before the join.
+    )
+    # Spark never shares self-join subtrees: without materialization
+    # the gram table (substr + hash over every char offset) is computed
+    # once PER SIDE; materializing is a ~40% win measured at sf0.1.
+    # persist (not localCheckpoint) = the same dedup with recompute-on-
+    # loss lineage — "persist the gram table before the join" at scale.
+    grams = reuse_persist(grams, "char_ngram.grams")
     left = grams.select(F.col("doc").alias("doc1"), "g")
     right = grams.select(F.col("doc").alias("doc2"), "g")
     return (

@@ -33,6 +33,8 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from quack_reduce_spark.operators.reuse import reuse_persist
+
 
 def _lit_array(vals: list[float]):
     return F.array(*[F.lit(float(x)) for x in vals])
@@ -67,16 +69,19 @@ def _center(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
     is one posexplode aggregate; the d collected doubles are the only
     driver-side data.
 
-    The centered frame is MATERIALIZED (lazy localCheckpoint, so the
-    first power round's action both computes and persists it): every
-    power round's w-aggregate plus the caller's final scoring pass is
-    a separate driver action, and exchange reuse cannot help across
-    actions — without the checkpoint each of those 4-5 jobs re-ran
-    the scan + cast + zip_with centering from the source (r16 A/B:
-    ~15% whole-query win at sf0.1). One array<double> row per vector
-    — the same bytes the source holds — so at cluster scale this is
-    "persist the centered matrix before iterating", the standard
-    power-iteration shape."""
+    The centered frame is MATERIALIZED (lazy persist via
+    reuse_persist, so the first power round's action both computes and
+    caches it): every power round's w-aggregate plus the caller's
+    final scoring pass is a separate driver action, and exchange reuse
+    cannot help across actions — without the materialization each of
+    those 4-5 jobs re-ran the scan + cast + zip_with centering from
+    the source (r16 A/B: ~15% whole-query win at sf0.1). One
+    array<double> row per vector — the same bytes the source holds —
+    so at cluster scale this is "persist the centered matrix before
+    iterating", the standard power-iteration shape; r17 swapped the
+    former localCheckpoint for persist so an executor loss mid-
+    iteration recomputes partitions instead of killing the job
+    (guide §5)."""
     e = df.select(
         F.col(id_col),
         F.posexplode(F.col(vec_col)).alias("pos", "val"),
@@ -85,14 +90,15 @@ def _center(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
     mu = [0.0] * dim
     for r in mu_rows:
         mu[r["pos"]] = float(r["m"])
-    return df.select(
+    centered = df.select(
         F.col(id_col),
         F.zip_with(
             F.transform(F.col(vec_col), lambda x: x.cast("double")),
             _lit_array(mu),
             lambda x, m: x - m,
         ).alias("cv"),
-    ).localCheckpoint(eager=False)
+    )
+    return reuse_persist(centered, "pca.centered")
 
 
 def _power_fit(centered: DataFrame, dim: int, rounds: int) -> list[float]:
