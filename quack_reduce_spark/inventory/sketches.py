@@ -611,6 +611,7 @@ def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     every engine's planner reads this before sizing a runtime filter)
     and the bitset itself (m/62 longs, ~n_keys/6 — bounded by the
     DIMENSION side's cardinality, never the fact's)."""
+    from quack_reduce_spark.operators.reuse import reuse_persist
     from quack_reduce_spark.operators.sketches import (
         BLOOM_SIZED_K,
         bloom_filter_frame,
@@ -621,14 +622,18 @@ def sketch_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     # the key set is reused three times within this one call (count,
-    # bitset build, exact-side broadcast build): pin it eagerly so the
-    # customer scan + distinct runs once, not per consumer
-    keys = cust.filter(F.col("c_acctbal") > BLOOM_ACCTBAL_MIN).select(
-        F.col("c_custkey").alias("k")
-    ).distinct().localCheckpoint(eager=True)
-    n_keys = keys.count()  # planning scalar: sizes the filter
-    words_n, m = bloom_size(n_keys)
+    # bitset build, exact-side broadcast build): persist it so the
+    # customer scan + distinct runs once, not per consumer (persist,
+    # not localCheckpoint — lineage survives executor loss)
+    keys = reuse_persist(
+        cust.filter(F.col("c_acctbal") > BLOOM_ACCTBAL_MIN)
+        .select(F.col("c_custkey").alias("k"))
+        .distinct(),
+        "bloom_semijoin.keys",
+    )
     k = BLOOM_SIZED_K
+    n_keys = keys.count()  # ONE action: materializes the cache AND counts
+    words_n, m = bloom_size(n_keys)
     wrows = bloom_words(keys, "k", m=m, k=k).collect()  # m/62 longs
     dense = [0] * words_n
     for r in wrows:

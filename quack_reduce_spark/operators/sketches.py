@@ -399,6 +399,21 @@ def bloom_words(
     )
 
 
+# r17 REJECTED experiment (measured, reverted — numbers as deterrent):
+# a fully-fused ``bloom_words_sized`` that computed the key COUNT and
+# the bitset in ONE action by deriving m AS A COLUMN from a crossJoined
+# one-row count (the sizing formula is integer arithmetic, so ``% m``
+# of a column builds identical bits — verified bit-equal + oracle-green
+# before timing). Paired fresh-process A/B on sketch_bloom_semijoin at
+# sf0.1: ctrl mins 1.716/1.469 vs fused 1.881/1.933 (+15-25%) — the
+# broadcast-count crossJoin inside the build job costs more than the
+# one tiny count job it saves (the count on the persisted key set is
+# ~50 ms). The shipped shape: persist keys, count() (one action that
+# materializes AND sizes), then the literal-m bitset collect reads the
+# cache — one driver action fewer than the r16 shape at a measured
+# wash (1.711 vs 1.717, 1.871 vs 1.802).
+
+
 def _bit_of(p: Column) -> Column:
     """``1 << (p % WORD_BITS)`` via a literal power-of-two array lookup
     (F.shiftleft only takes a Python-int bit count, not a Column)."""
