@@ -76,7 +76,19 @@ def triangle_counts(df: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     # orientation joins) and the oriented list three more (wedge
     # self-join + closing join); Spark never shares subtrees across
     # references, so materialize both once — they are the REDUCED
-    # graph (distinct node pairs), tiny next to the base tables
+    # graph (distinct node pairs), tiny next to the base tables.
+    # r17 REJECTED experiments (measured, reverted): replacing these
+    # EAGER localCheckpoints with persist ran ~2x slower at sf0.1,
+    # both lazy (ctrl mins 1.053/1.028 vs 2.387/2.117) and eager via
+    # count() (ctrl 1.229/1.167 vs 2.381/2.472). Two mechanisms, both
+    # verified in the plans: (a) the built cache exposes SMALL size
+    # stats (~2.6 MB at sf0.1), so the planner broadcasts the oriented
+    # list into the wedge + closing joins (plan probe: SMJ x2 under
+    # checkpoint -> BHJ under persist) — a strategy that loses here
+    # because every reference of the fan-out self-join also pays (b)
+    # columnar cache DECODE per read, where the checkpointed RDD hands
+    # back ready UnsafeRows. On a cluster where executor loss matters,
+    # use reliable checkpoints here instead.
     edges = undirected_edges(df, a, b).localCheckpoint(eager=True)
     o = oriented_edges(edges).localCheckpoint(eager=True)
     # wedges: two oriented out-edges of the same apex; order the pair
