@@ -251,6 +251,14 @@ def prefix_filter_candidates(
     _candidates_from_prefix) prunes a further ~2.5x using the match
     ranks. tests/test_dedup.py asserts both the output equality and
     the candidate-count reduction (~35x total on the sf0.1 fixture).
+
+    PRECONDITION: ``id_col`` values must be UNIQUE (one row per doc).
+    The r16 row-local shingle dedup (array_distinct before the
+    explode) equals a global distinct only under that assumption —
+    with a duplicated id, the per-doc collect_list sizes inflate,
+    skewing prefix lengths and the exact Jaccard. Every registry
+    caller keys docs by a primary key; dedup an id-duplicated corpus
+    first (e.g. exact_dedup) before calling.
     """
     prefix, _ = _prefix_frames(df, text_col, id_col, n, threshold, toks)
     return _candidates_from_prefix(prefix, threshold)
@@ -486,7 +494,11 @@ def prefix_filter_pairs(
     jaccard rounded to 6), different (stronger) candidate pruning.
     Candidate generation and verification share ONE per-doc
     aggregation (see :func:`_prefix_frames`); the verify intersects
-    the full shingle sets of candidate pairs only."""
+    the full shingle sets of candidate pairs only.
+
+    PRECONDITION: ``id_col`` values must be UNIQUE — see
+    :func:`prefix_filter_candidates` (the row-local shingle dedup and
+    the per-doc set sizes both assume one row per doc)."""
     prefix, perdoc = _prefix_frames(df, text_col, id_col, n, threshold)
     cand = _candidates_from_prefix(prefix, threshold)
     verify_input = (
@@ -715,31 +727,21 @@ def _portable_doc_hashes(
     return sh.select("doc", (h32 % F.lit(MINHASH_P)).alias("h"))
 
 
-def minhash_band_keys_portable(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
+def _portable_band_keys_from_mins(
+    mins: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
-    """(doc, band, bkey) banded MinHash keys in the engine-portable md5
-    family — the INDEX half of LSH dedup, factored out so it can be
-    PERSISTED (a maintained band-key table a production pipeline
-    probes each new batch against — see dedup_lsh_index_probe) as well
-    as self-joined for one-shot pair finding
-    (:func:`minhash_lsh_pairs_portable`)."""
+    """(doc, band, bkey) from a frame carrying ``__m0..__m{n-1}``
+    permutation minima — the ONE band-key construction both portable
+    paths derive keys from (the persisted-index build in
+    :func:`minhash_band_keys_portable` and the fused one-shot path in
+    :func:`minhash_lsh_pairs_portable`). Factored (r16 ADVICE) so the
+    two can never drift: a probe batch keyed by one implementation
+    against an index built by a diverged copy would silently miss
+    candidates. bkey is the '_'-joined min values per band —
+    engine-portable string concatenation an SQL oracle replays."""
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("bands must divide num_hashes")
-    hashed = _portable_doc_hashes(df, text_col, id_col, n)
-    consts = _perm_consts(num_hashes)
-    mins = hashed.groupBy("doc").agg(
-        *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"__m{i}")
-            for i, (a, b) in enumerate(consts)
-        ]
-    )
     band_structs = []
     for b_i in range(bands):
         members = [
@@ -755,6 +757,31 @@ def minhash_band_keys_portable(
     return mins.select(
         "doc", F.explode(F.array(*band_structs)).alias("__b")
     ).select("doc", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey"))
+
+
+def minhash_band_keys_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc, band, bkey) banded MinHash keys in the engine-portable md5
+    family — the INDEX half of LSH dedup, factored out so it can be
+    PERSISTED (a maintained band-key table a production pipeline
+    probes each new batch against — see dedup_lsh_index_probe) as well
+    as self-joined for one-shot pair finding
+    (:func:`minhash_lsh_pairs_portable`)."""
+    hashed = _portable_doc_hashes(df, text_col, id_col, n)
+    consts = _perm_consts(num_hashes)
+    mins = hashed.groupBy("doc").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"__m{i}")
+            for i, (a, b) in enumerate(consts)
+        ]
+    )
+    return _portable_band_keys_from_mins(mins, num_hashes, bands)
 
 
 def minhash_lsh_pairs_portable(
@@ -783,9 +810,6 @@ def minhash_lsh_pairs_portable(
     for replayability — the right trade for audits and cross-engine
     regression gates, not for the 100 TB hot path.
     """
-    rows_per_band = num_hashes // bands
-    if rows_per_band * bands != num_hashes:
-        raise ValueError("bands must divide num_hashes")
     # Fused per-doc aggregation (same shape as minhash_lsh_pairs): one
     # groupBy carries the verify set AND every permutation min, and the
     # materialized frame feeds all four downstream branches — without
@@ -806,21 +830,9 @@ def minhash_lsh_pairs_portable(
         )
     )
     per_doc = reuse_persist(per_doc, "minhash_lsh_portable.per_doc")
-    band_structs = []
-    for b_i in range(bands):
-        members = [
-            F.col(f"__m{i}").cast("string")
-            for i in range(b_i * rows_per_band, (b_i + 1) * rows_per_band)
-        ]
-        band_structs.append(
-            F.struct(
-                F.lit(b_i).alias("band"),
-                F.concat_ws("_", *members).alias("bkey"),
-            )
-        )
-    banded = per_doc.select(
-        "doc", F.explode(F.array(*band_structs)).alias("__b")
-    ).select("doc", F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey"))
+    # band keys from the SAME helper the persisted index uses — the
+    # probe/index contract cannot drift (r16 ADVICE)
+    banded = _portable_band_keys_from_mins(per_doc, num_hashes, bands)
 
     left = banded.select("band", "bkey", F.col("doc").alias("doc1"))
     right = banded.select("band", "bkey", F.col("doc").alias("doc2"))

@@ -140,7 +140,13 @@ def test_pagerank_checkpoint_interval_does_not_change_ranks(spark):
     slow = pagerank(edges, iters=3, checkpoint_every=0)
     f = {r["node"]: r["rank"] for r in fast.collect()}
     s = {r["node"]: r["rank"] for r in slow.collect()}
-    assert f == s
+    # r17 (r16 ADVICE): compare with a tolerance, not exact float
+    # equality — the two physical plans may sum double contributions
+    # in different shuffle-fetch orders; the CONTRACT is the rounded-7
+    # rank the oracle hashes, so 1e-12 is far stricter than needed
+    # while immune to last-ulp reassociation
+    assert set(f) == set(s)
+    assert all(abs(f[n] - s[n]) < 1e-12 for n in f)
 
 
 def test_accumulated_positional_filter_bounds(spark):
