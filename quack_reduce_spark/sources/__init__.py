@@ -24,6 +24,34 @@ def _nanos_columns(path: str) -> list[str]:
     return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
 
 
+# Session-level SCHEMA memo (r17): spark.read.parquet() re-infers the
+# schema from footers on EVERY call — measured ~105-120 ms of driver
+# work per call at sf0.1, the single largest component of the repo's
+# ~0.2 s/query session floor (a query builder calls load() 1-3 times
+# per invocation, bench reps re-invoke the builder). Passing the
+# explicit schema cuts the read to ~20 ms. Guide §6's "file listing is
+# cached per session" logic applied to schema inference:
+# - ONLY the StructType is memoized — file LISTING happens fresh on
+#   every call (each load builds a new DataFrame), so appends/
+#   overwrites are always picked up and every action computes from the
+#   parquet inputs as they are NOW; no data, no results, no plans are
+#   cached.
+# - the key includes the path's mtime: an overwrite that changes the
+#   schema recreates the table root and invalidates the entry.
+# - nanos-bearing tables memoize the RAW (longs) read schema plus the
+#   nanos column list, and a hit replays the exact legacy-conf dance
+#   (set at creation, restore after) + µs conversions; mergeSchema
+#   reads never memoize (schema-evolution dirs must see real footers).
+# value: (raw_read_schema, nanos_column_names)
+_SCHEMA_MEMO: dict[tuple[str, float], tuple] = {}
+
+
+def _memo_key(path: str):
+    import os as _os
+
+    return (_os.path.abspath(path), _os.path.getmtime(path))
+
+
 def read_parquet_table(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
     """Parquet scan (file or hive-partitioned dir) with nanos fallback.
 
@@ -41,6 +69,35 @@ def read_parquet_table(spark: SparkSession, path: str, merge_schema: bool = Fals
     the same way (e.g. glob patterns).
     """
     _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+    # fast path: read with the memoized schema — skips the per-call
+    # footer re-inference (the dominant component of the session
+    # floor); file listing and data decoding stay per-call
+    key = None
+    if not merge_schema:
+        try:
+            key = _memo_key(path)
+        except Exception:
+            key = None  # can't stat (glob?) — legacy path, no memo
+        hit = _SCHEMA_MEMO.get(key) if key is not None else None
+        if hit is not None:
+            schema, nanos = hit
+            if not nanos:
+                return spark.read.schema(schema).parquet(path)
+            prior = spark.conf.get(_NANOS_CONF, None)
+            try:
+                spark.conf.set(_NANOS_CONF, "true")
+                df = spark.read.schema(schema).parquet(path)
+            finally:
+                if prior is None:
+                    spark.conf.unset(_NANOS_CONF)
+                else:
+                    spark.conf.set(_NANOS_CONF, prior)
+            for name in nanos:
+                df = df.withColumn(
+                    name, F.timestamp_micros(F.expr(f"`{name}` div 1000"))
+                )
+            return df
+
     prior = spark.conf.get(_NANOS_CONF, None)
     try:
         try:
@@ -56,6 +113,8 @@ def read_parquet_table(spark: SparkSession, path: str, merge_schema: bool = Fals
                 raise
             spark.conf.set(_NANOS_CONF, "true")
             df = reader.parquet(path)
+        raw_schema = df.schema  # BEFORE conversions — what a reader needs
+        converted: list[str] = []
         if spark.conf.get(_NANOS_CONF, "false") == "true":
             long_cols = {f.name for f in df.schema.fields if f.dataType.typeName() == "long"}
             try:
@@ -65,6 +124,9 @@ def read_parquet_table(spark: SparkSession, path: str, merge_schema: bool = Fals
             for name in nanos:
                 if name in long_cols:
                     df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
+                    converted.append(name)
+        if key is not None:
+            _SCHEMA_MEMO[key] = (raw_schema, converted)
         return df
     finally:
         if prior is None:
